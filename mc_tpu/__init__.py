@@ -1,0 +1,23 @@
+"""mc_tpu — TPU-native Monte Carlo option pricing framework.
+
+A from-scratch JAX / XLA / Pallas re-design of the capabilities of the CUDA
+reference ``amauryrlm/Monte-Carlo-Project-CUDA`` (see SURVEY.md): European
+and path-dependent option pricing under GBM, nested Monte Carlo, an on-chip
+reduction hierarchy, counter-based RNG, variance reduction, and multi-chip
+scaling over a `jax.sharding.Mesh`.
+"""
+
+from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
+from mc_tpu.engines import price, simulate_trajectories, Trajectories
+from mc_tpu.oracle import (PriceResult, bs_call, bs_call_as, bs_delta_call,
+                           bs_put, cnd_as)
+from mc_tpu.ops.payoffs import PAYOFFS, get_payoff
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "OptionParams", "SimParams", "DEMO_OPTION", "DEMO_SIM",
+    "price", "simulate_trajectories", "Trajectories",
+    "PriceResult", "bs_call", "bs_put", "bs_call_as", "bs_delta_call",
+    "cnd_as", "PAYOFFS", "get_payoff",
+]

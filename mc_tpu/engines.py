@@ -1,0 +1,308 @@
+"""Pricing engines: the orchestration layer (SURVEY.md C13).
+
+One function per pricing capability, mirroring the reference's host wrappers
+(``inc/wrappers.cuh:10-340``) but as pure jitted programs:
+
+* ``price(...)``            — vanilla / bullet / Asian / barrier / lookback
+                              pricing, engine="pallas" (fused kernel) or
+                              "xla" (plain jnp, CPU-runnable reference dual);
+                              antithetic + control-variate variance reduction.
+* ``simulate_trajectories`` — full (S_t, state_t) grid materialization (C9).
+
+Both engines consume the *same* counter-based RNG stream, so
+``engine="xla"`` and ``engine="pallas"`` agree bit-for-bit — the framework's
+version of the reference's shared-random-array CPU/GPU fixture
+(``inc/testing.cuh:17-42``; SURVEY.md section 4 "same-randomness
+determinism").
+
+The reference finished its reductions on the host over memcpy'd partials
+(``wrappers.cuh:79-85``); here the f64 finish is part of the same jitted
+program and only two scalars leave the device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from types import SimpleNamespace
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mc_tpu import rng
+from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
+from mc_tpu.oracle import PriceResult, summarize
+from mc_tpu.ops import path_kernels as pk
+from mc_tpu.ops._pallas import LANES, cdiv, use_interpret
+from mc_tpu.ops.payoffs import PathPayoff, get_payoff
+from mc_tpu.ops.reduce import finish_sum
+
+__all__ = ["price", "simulate_trajectories", "Trajectories", "STREAM_OUTER",
+           "STREAM_INNER"]
+
+# Stream tags (replace the reference's magic seeds 1234/1235,
+# wrappers.cuh:41,151: outer vs inner NMC draws must be independent).
+STREAM_OUTER = 0
+STREAM_INNER = 1
+
+
+def _payoff_namespace(option: OptionParams, n_steps: int) -> SimpleNamespace:
+    """Traced option params + derived fields, as attribute access for payoffs."""
+    s0, t, k, r, sigma, barrier, p1, p2 = (
+        jnp.float32(v) for v in option.astuple())
+    n = jnp.float32(n_steps)
+    dt = t / n
+    return SimpleNamespace(
+        s0=s0, t=t, k=k, r=r, sigma=sigma, barrier=barrier, p1=p1, p2=p2,
+        dt=dt,
+        drift_dt=(r - 0.5 * sigma * sigma) * dt,
+        vol_dt=sigma * jnp.sqrt(dt),
+        drift_t=(r - 0.5 * sigma * sigma) * t,
+        vol_t=sigma * jnp.sqrt(t),
+        inv_n_steps=1.0 / n,
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA engine: the CPU-runnable dual of the Pallas kernel (same RNG stream).
+# ---------------------------------------------------------------------------
+
+
+def _xla_partials(payoff: PathPayoff, cfg: pk.KernelConfig, key, option,
+                  path_offset, n_valid=None):
+    """Pure-jnp twin of `pk.simulate_partials`: identical draws AND identical
+    summation order (8x128 sublane fold + Kahan tile accumulation), so the
+    XLA engine and the compiled Pallas kernel agree bit-for-bit.
+
+    Iterates tiles with `lax.scan` so memory stays bounded at one
+    (tile_rows, 128) tile regardless of n_paths.
+    """
+    p = _payoff_namespace(option, cfg.n_steps)
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+    shape = (cfg.tile_rows, LANES)
+    flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    n_out = 5 if cfg.with_cv else 2
+
+    def one_tile(carry, i):
+        acc, comp = carry
+        local_ids = jnp.uint32(i * cfg.paths_per_tile) + flat
+        ids = offset + local_ids
+        valid = ids < bound
+
+        def draw_pair(m):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
+            return rng.normal_pair(k0, k1, ids, c1)
+
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        pay, x = pk._payoff_leg(payoff, cfg, p, s0, draw_pair)
+        if cfg.antithetic:
+            pay_n, x_n = pk._payoff_leg(
+                payoff, cfg, p, s0,
+                lambda m: tuple(-z for z in draw_pair(m)))
+            pay = 0.5 * (pay + pay_n)
+            x = 0.5 * (x + x_n)
+        pay = jnp.where(valid, pay, 0.0)
+        vals = [pay, pay * pay]
+        if cfg.with_cv:
+            x = jnp.where(valid, x, 0.0)
+            vals += [x, x * x, pay * x]
+        for m, v in enumerate(vals):
+            p8 = pk._fold_to_sublanes(v, cfg.tile_rows)
+            y = p8 - comp[m]
+            t = acc[m] + y
+            comp = comp.at[m].set((t - acc[m]) - y)
+            acc = acc.at[m].set(t)
+        return (acc, comp), None
+
+    # `+ 0 * offset` keeps the scan carry's varying-manual-axes type aligned
+    # with the body output when this runs inside shard_map (offset is the
+    # per-shard value); it is a no-op numerically and outside shard_map.
+    zeros = (jnp.zeros((n_out, pk.SUBLANES, LANES), jnp.float32)
+             + jnp.float32(0) * offset.astype(jnp.float32))
+    (acc, _), _ = jax.lax.scan(
+        one_tile, (zeros, zeros), jnp.arange(cfg.n_tiles, dtype=jnp.uint32))
+    return tuple(acc[m] for m in range(n_out))
+
+
+# ---------------------------------------------------------------------------
+# Public pricing API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "method", "engine", "antithetic",
+                     "control_variate", "tile_rows", "rng_source",
+                     "interpret", "path_count_override"))
+def _price_impl(option, payoff, sim, method, engine, antithetic,
+                control_variate, tile_rows, rng_source, interpret,
+                key, path_offset, path_count_override):
+    n_paths = path_count_override or sim.n_paths
+    cfg = pk.KernelConfig(
+        n_paths=n_paths,
+        n_steps=sim.n_steps,
+        tile_rows=tile_rows,
+        antithetic=antithetic,
+        with_cv=control_variate,
+        rng_source=rng_source,
+        method=method,
+    )
+    if engine == "pallas":
+        params = pk.pack_params(option, sim.n_steps)
+        partials = pk.simulate_partials(
+            payoff, cfg, key, params, path_offset=path_offset,
+            interpret=interpret)
+    elif engine == "xla":
+        partials = _xla_partials(payoff, cfg, key, option, path_offset)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
+    sums = [finish_sum(x) for x in partials]
+    r = jnp.asarray(option.r, jnp.float64 if sums[0].dtype == jnp.float64
+                    else jnp.float32)
+    t = jnp.asarray(option.t, r.dtype)
+    discount = jnp.exp(-r * t)
+    n = jnp.asarray(n_paths, sums[0].dtype)
+
+    if not control_variate:
+        return summarize(sums[0], sums[1], n, discount)
+
+    sum_p, sum_p2, sum_x, sum_x2, sum_px = sums
+    mean_p = sum_p / n
+    mean_x = sum_x / n
+    var_p = jnp.maximum(sum_p2 / n - mean_p * mean_p, 0.0)
+    var_x = jnp.maximum(sum_x2 / n - mean_x * mean_x, 1e-30)
+    cov = sum_px / n - mean_p * mean_x
+    beta = cov / var_x
+    ex = jnp.asarray(option.s0, n.dtype) * jnp.exp(r * t)  # E[S_T]
+    adj_mean = mean_p - beta * (mean_x - ex)
+    adj_var = jnp.maximum(var_p - cov * cov / var_x, 0.0)
+    stderr = jnp.sqrt(adj_var / n) * discount
+    return PriceResult(
+        price=discount * adj_mean,
+        stderr=stderr,
+        n_paths=n,
+        payoff_mean=adj_mean,
+        payoff_var=adj_var,
+    )
+
+
+def price(option: OptionParams = DEMO_OPTION,
+          sim: SimParams = DEMO_SIM,
+          payoff="vanilla_call",
+          *,
+          method: Optional[str] = None,
+          engine: str = "pallas",
+          antithetic: bool = False,
+          control_variate: bool = False,
+          tile_rows: int = 256,
+          rng_source: str = "threefry",
+          stream: int = STREAM_OUTER,
+          key=None,
+          path_offset: int = 0,
+          n_paths: Optional[int] = None,
+          interpret: Optional[bool] = None) -> PriceResult:
+    """Price an option by Monte Carlo on TPU.
+
+    Replaces (and unifies) the reference wrappers:
+      * wrapper_gpu_option_vanilla   -> price(payoff="vanilla_call")
+        (exact one-shot terminal draw, trajectories.cuh:54-113)
+      * wrapper_gpu_bullet_option[_atomic] -> price(payoff="bullet_call")
+        (log-Euler step loop + windowed payoff, trajectories.cuh:115-271;
+        the partial-vs-atomic aggregation distinction disappears — TPU
+        tiles accumulate partials race-free by construction)
+      * plus Asian / knock-out / lookback payoffs and antithetic /
+        control-variate variance reduction (BASELINE.json configs 2-3).
+
+    method: "terminal" (exact, European-only) | "euler"; default picks
+    "terminal" for terminal-only payoffs, "euler" otherwise.
+    """
+    po = get_payoff(payoff)
+    if method is None:
+        method = "terminal" if po.terminal_only else "euler"
+    if po.n_state > 0 and method == "terminal":
+        raise ValueError(f"{po.name} is path-dependent; method='terminal' invalid")
+    if rng_source == "hw" and antithetic:
+        raise ValueError("antithetic requires rng_source='threefry' "
+                         "(the hw PRNG cannot replay draws)")
+    if rng_source == "hw" and engine != "pallas":
+        raise ValueError("rng_source='hw' requires engine='pallas'")
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
+    return _price_impl(
+        option.as_f32(), po, sim, method, engine, antithetic,
+        control_variate, tile_rows, rng_source, interpret, key,
+        jnp.uint32(path_offset), n_paths)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory materialization (C9 / C16 support)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Trajectories:
+    """Materialized path grids, step-major (n_steps, rows, 128).
+
+    ``s[j]`` is the price after step j+1; ``state[j]`` the payoff state
+    (e.g. the bullet barrier count) after step j+1 — exactly the
+    (d_stock_prices, d_sums_i) grids of trajectories.cuh:304-305.
+    """
+
+    s: Any
+    state: Any
+    pay_sum: Any
+    pay_sq: Any
+    n_paths: Any
+
+    def path_matrix(self):
+        """(n_paths, n_steps) price matrix (drops padding)."""
+        n_steps, rows, lanes = self.s.shape
+        out = jnp.moveaxis(self.s, 0, -1).reshape(rows * lanes, n_steps)
+        return out[: self.n_paths]
+
+    def state_matrix(self):
+        n_steps, rows, lanes = self.state.shape
+        out = jnp.moveaxis(self.state, 0, -1).reshape(rows * lanes, n_steps)
+        return out[: self.n_paths]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "tile_rows", "interpret"))
+def _trajectories_impl(option, payoff, sim, tile_rows, interpret, key,
+                       path_offset):
+    cfg = pk.KernelConfig(
+        n_paths=sim.n_paths, n_steps=sim.n_steps, tile_rows=tile_rows)
+    params = pk.pack_params(option, sim.n_steps)
+    s, st, psum, psq = pk.simulate_trajectories_kernel(
+        payoff, cfg, key, params, path_offset=path_offset,
+        interpret=interpret)
+    return Trajectories(s=s, state=st, pay_sum=finish_sum(psum),
+                        pay_sq=finish_sum(psq), n_paths=sim.n_paths)
+
+
+def simulate_trajectories(option: OptionParams = DEMO_OPTION,
+                          sim: SimParams = DEMO_SIM,
+                          payoff="bullet_call",
+                          *,
+                          tile_rows: int = 8,
+                          stream: int = STREAM_OUTER,
+                          key=None,
+                          path_offset: int = 0,
+                          interpret: Optional[bool] = None) -> Trajectories:
+    """Simulate and persist full trajectories (simulate_outer_trajectories,
+    trajectories.cuh:273-351). Default tile_rows=8 keeps the VMEM slab of
+    (n_steps, 8, 128) doubles under ~1 MB."""
+    po = get_payoff(payoff)
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
+    return _trajectories_impl(option.as_f32(), po, sim, tile_rows, interpret,
+                              key, jnp.uint32(path_offset))

@@ -1,0 +1,443 @@
+"""Fused Pallas path-simulation kernels.
+
+TPU-native re-design of the reference's simulation kernels
+(``inc/trajectories.cuh``, SURVEY.md C7/C8):
+
+* reference: one CUDA thread = one path; per-thread curand state pulled to
+  registers; Euler loop; shared-memory tree reduce + warp shuffle; leader
+  ``atomicAdd`` to global memory.
+* here: one grid step = one VMEM tile of ``tile_rows x 128`` paths; normals
+  are generated *inside* the kernel from counter-based threefry (no RNG
+  state in HBM, nothing but the partial sums ever leaves the chip); the
+  step loop is a ``fori_loop`` with O(1) VMEM state; the tile reduce is a
+  plain ``jnp.sum`` over sublanes; the grid-level combine is per-tile lane
+  partials finished in f64 outside (TPU has no atomics and needs none —
+  the grid is sequential per core).
+
+One generic kernel serves every payoff in the registry because the payoff's
+``init/update/terminal`` are inlined at trace time (the reference needed a
+hand-written kernel per payoff).  Variance-reduction hooks (antithetic
+pairing, control-variate moment accumulators) are fused into the same pass.
+
+RNG sources:
+  * ``threefry`` (default): counter-based, bit-identical for any tiling,
+    sharding, or backend; draw (path i, step j) = f(key, i, j).
+  * ``hw``: the TPU hardware PRNG (``pltpu.prng_seed`` / ``prng_random_bits``),
+    seeded per (key, tile) — faster, TPU-only, not tiling-invariant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mc_tpu import rng
+from mc_tpu.ops._pallas import LANES, SUBLANES, cdiv, round_up, use_interpret
+from mc_tpu.ops.payoffs import PathPayoff
+
+__all__ = ["KernelConfig", "PARAM_FIELDS", "pack_params", "simulate_partials",
+           "simulate_trajectories_kernel"]
+
+
+# ---------------------------------------------------------------------------
+# Parameter packing: the TPU analogue of __constant__ OptionData
+# (trajectories.cuh:12) is a small f32 vector prefetched into SMEM.
+# ---------------------------------------------------------------------------
+
+PARAM_FIELDS = (
+    "s0", "k", "r", "sigma", "barrier", "p1", "p2", "t",
+    "dt", "drift_dt", "vol_dt", "drift_t", "vol_t", "inv_n_steps",
+)
+
+
+def pack_params(option, n_steps: int) -> jnp.ndarray:
+    """Pack OptionParams + derived GBM coefficients into an f32 vector."""
+    s0, t, k, r, sigma, barrier, p1, p2 = (
+        jnp.float32(v) for v in option.astuple())
+    n = jnp.float32(n_steps)
+    dt = t / n
+    vals = dict(
+        s0=s0, k=k, r=r, sigma=sigma, barrier=barrier, p1=p1, p2=p2, t=t,
+        dt=dt,
+        drift_dt=(r - 0.5 * sigma * sigma) * dt,
+        vol_dt=sigma * jnp.sqrt(dt),
+        drift_t=(r - 0.5 * sigma * sigma) * t,
+        vol_t=sigma * jnp.sqrt(t),
+        inv_n_steps=1.0 / n,
+    )
+    return jnp.stack([vals[f] for f in PARAM_FIELDS])
+
+
+def unpack_params(params_ref) -> SimpleNamespace:
+    return SimpleNamespace(
+        **{f: params_ref[i] for i, f in enumerate(PARAM_FIELDS)})
+
+
+# ---------------------------------------------------------------------------
+# Kernel configuration (static)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelConfig:
+    n_paths: int
+    n_steps: int
+    tile_rows: int = 256          # paths per tile = tile_rows * 128
+    antithetic: bool = False
+    with_cv: bool = False         # emit control-variate moment partials
+    rng_source: str = "threefry"  # "threefry" | "hw"
+    method: str = "euler"         # "euler" | "terminal"
+    start_step: int = 0           # resume support (trajectories.cuh:116-117 Tk)
+
+    def __post_init__(self):
+        if self.tile_rows % 8 or self.tile_rows < 8:
+            raise ValueError("tile_rows must be a positive multiple of 8 "
+                             f"(f32 sublane tiling); got {self.tile_rows}")
+
+    @property
+    def paths_per_tile(self) -> int:
+        return self.tile_rows * LANES
+
+    @property
+    def n_tiles(self) -> int:
+        return cdiv(self.n_paths, self.paths_per_tile)
+
+
+def _tile_normals_threefry(key0, key1, ids, pair_idx):
+    """Two N(0,1) tiles for counter (path id, pair index) — tiling-invariant.
+
+    Normal draw j of path i is half ``j % 2`` of pair ``j // 2`` — the same
+    convention as `rng.normals`, so kernels, XLA duals, and host
+    recomputations all see one stream.
+    """
+    c1 = jnp.full(ids.shape, 0, jnp.uint32) + jnp.asarray(pair_idx, jnp.uint32)
+    return rng.normal_pair(key0, key1, ids, c1, bitcast=pltpu.bitcast)
+
+
+def _tile_normals_hw(shape):
+    """Two tiles of N(0,1) from the hardware PRNG (seeded once per tile)."""
+    b0 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u1 = rng.bits_to_unit(b0, pltpu.bitcast)
+    u2 = rng.bits_to_unit(b1, pltpu.bitcast)
+    rad = jnp.sqrt(jnp.float32(-2.0) * jnp.log1p(-u1))
+    theta = jnp.float32(rng.TWO_PI) * u2
+    return rad * jnp.cos(theta), rad * jnp.sin(theta)
+
+
+def _payoff_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair,
+                state_init=None):
+    """Simulate one (possibly antithetic-negated) leg.
+
+    ``draw_pair(m) -> (z_2m, z_2m+1)`` tiles; ``s0`` is the initial price
+    tile.  The step loop consumes both Box-Muller halves of every threefry
+    call (one threefry per TWO steps — the RNG is the hot-loop cost).
+    Returns ``(payoff, S_T)`` — the terminal price doubles as the control
+    variate (E[S_T] = S0 * exp(rT) exactly, since log-Euler increments are
+    exact in distribution under GBM).
+    """
+    if cfg.method == "terminal":
+        z, _ = draw_pair(0)
+        s_t = s0 * jnp.exp(p.drift_t + p.vol_t * z)
+        return payoff.terminal((), s_t, p), s_t
+
+    state0 = payoff.init(p, jnp.zeros_like(s0)) if state_init is None else state_init
+    s, state = s0, state0
+
+    def one_step(s, state, z):
+        s = s * jnp.exp(p.drift_dt + p.vol_dt * z)
+        return s, payoff.update(state, s, p)
+
+    start, end = cfg.start_step, cfg.n_steps
+    if start % 2:  # odd resume point: consume the tail half of its pair
+        _, z1 = draw_pair(start // 2)
+        s, state = one_step(s, state, z1)
+        start += 1
+
+    def body(m, carry):
+        s, state = carry
+        z0, z1 = draw_pair(m)
+        s, state = one_step(s, state, z0)
+        s, state = one_step(s, state, z1)
+        return (s, state)
+
+    s, state = jax.lax.fori_loop(start // 2, end // 2, body, (s, state))
+    if end % 2:  # odd step count: epilogue consumes the head half only
+        z0, _ = draw_pair(end // 2)
+        s, state = one_step(s, state, z0)
+    return payoff.terminal(state, s, p), s
+
+
+def _fold_to_sublanes(v, tile_rows: int):
+    """(tile_rows, 128) -> (8, 128) partial sums via static strided adds.
+
+    The VPU reduces within its native 8x128 register shape; summing groups
+    of 8 sublanes keeps 8x128 partial-sum granularity without a relayout.
+    """
+    p8 = v[0:SUBLANES]
+    for kk in range(1, tile_rows // SUBLANES):
+        p8 = p8 + v[kk * SUBLANES:(kk + 1) * SUBLANES]
+    return p8
+
+
+def _accumulate_moments(outs, comp_ref, vals, i, tile_rows: int):
+    """Kahan-accumulate per-tile moment sums into (8,128) VMEM accumulators.
+
+    The TPU grid is sequential per core, so revisiting the same output block
+    each grid step is the race-free replacement for the reference's
+    ``atomicAdd`` grid combine (``trajectories.cuh:111``).  Kahan compensation
+    (one (8,128) scratch slab per moment) keeps 1e9-path sums exact to ~eps —
+    the role fp64 accumulators played in the original plan, without paying
+    for TPU-emulated f64 in the hot loop.
+    """
+
+    @pl.when(i == 0)
+    def _init():
+        for o in outs:
+            o[:] = jnp.zeros_like(o)
+        comp_ref[:] = jnp.zeros_like(comp_ref)
+
+    for m, v in enumerate(vals):
+        p8 = _fold_to_sublanes(v, tile_rows)
+        acc = outs[m][:]
+        y = p8 - comp_ref[m]
+        t = acc + y
+        comp_ref[m] = (t - acc) - y
+        outs[m][:] = t
+
+
+def _make_sim_kernel(payoff: PathPayoff, cfg: KernelConfig, with_resume: bool):
+    """Build the fused simulate+reduce kernel body."""
+
+    n_out = 5 if cfg.with_cv else 2
+
+    def kernel(*refs):
+        key_ref, params_ref, meta_ref = refs[0], refs[1], refs[2]
+        idx = 3
+        if with_resume:
+            s_init_ref = refs[idx]; idx += 1
+            state_refs = refs[idx: idx + payoff.n_state]; idx += payoff.n_state
+        outs = refs[idx: idx + n_out]
+        comp_ref = refs[idx + n_out]  # Kahan compensation scratch
+
+        p = unpack_params(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        local_ids = base + flat
+        # Global path id = shard offset + local id: RNG counters stay
+        # identical no matter how paths are sharded across chips.  The
+        # validity mask is against the traced GLOBAL bound, so a shard whose
+        # rounded-up local range overhangs the total contributes zeros.
+        ids = meta_ref[0] + local_ids
+        valid = ids < meta_ref[1]
+
+        k0 = key_ref[0]
+        k1 = key_ref[1]
+        if cfg.rng_source == "hw":
+            pltpu.prng_seed(k0, k1, meta_ref[0] + jnp.uint32(i))
+            draw_pair = lambda m: _tile_normals_hw(shape)
+        else:
+            draw_pair = lambda m: _tile_normals_threefry(k0, k1, ids, m)
+
+        if with_resume:
+            s0 = s_init_ref[:]
+            state_init = tuple(r[:] for r in state_refs)
+        else:
+            s0 = jnp.full(shape, p.s0, jnp.float32)
+            state_init = None
+
+        pay, x = _payoff_leg(payoff, cfg, p, s0, draw_pair, state_init)
+        if cfg.antithetic:
+            # NOTE: for rng_source="hw" the PRNG is stateful, so the negated
+            # leg cannot replay the same draws; threefry recomputes them
+            # exactly — engines disallow hw+antithetic.
+            draw_neg = lambda m: tuple(-z for z in draw_pair(m))
+            pay_neg, x_neg = _payoff_leg(payoff, cfg, p, s0, draw_neg, state_init)
+            pay = 0.5 * (pay + pay_neg)
+            x = 0.5 * (x + x_neg)
+
+        pay = jnp.where(valid, pay, 0.0)
+        vals = [pay, pay * pay]
+        if cfg.with_cv:
+            # Control variate X = terminal price (pair-mean if antithetic):
+            # E[X] = S0 * exp(rT) exactly under the log-Euler scheme.
+            x = jnp.where(valid, x, 0.0)
+            vals += [x, x * x, pay * x]
+        _accumulate_moments(outs, comp_ref, vals, i, cfg.tile_rows)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "cfg", "interpret"))
+def simulate_partials(payoff: PathPayoff, cfg: KernelConfig, key, params,
+                      path_offset=0, n_valid=None, s_init=None,
+                      state_init=None, interpret=None):
+    """Run the fused kernel; returns a tuple of (8, 128) f32 accumulators.
+
+    accumulators = (sum_pay, sum_pay2[, sum_x, sum_x2, sum_pay_x]).
+
+    `path_offset`/`n_valid`: traced global path-id offset of this shard and
+    the traced global path-count bound (defaults to offset + cfg.n_paths) —
+    together they make the same jitted program serve every shard of a mesh.
+    `s_init`/`state_init`: optional per-path resume arrays shaped
+    (n_tiles*tile_rows, 128) — the TPU form of the reference's (Sk, Ik, Tk)
+    resume arguments (trajectories.cuh:116-117).
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    with_resume = s_init is not None
+    n_out = 5 if cfg.with_cv else 2
+    kernel = _make_sim_kernel(payoff, cfg, with_resume)
+
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # key (2,) uint32
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # params (P,) f32
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (offset, bound) uint32
+    ]
+    inputs = [jnp.asarray(key, jnp.uint32), params,
+              jnp.stack([offset, bound])]
+    if with_resume:
+        tile_spec = pl.BlockSpec((cfg.tile_rows, LANES), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs.append(tile_spec)
+        inputs.append(s_init)
+        for arr in (state_init or ()):
+            in_specs.append(tile_spec)
+            inputs.append(arr)
+
+    # One (8,128) accumulator per moment, revisited by every grid step
+    # (constant index map): the sequential-grid replacement for atomicAdd.
+    out_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32)
+
+    flops_per_step = 120  # threefry + box-muller + exp, rough
+    cost = pl.CostEstimate(
+        flops=cfg.n_tiles * cfg.paths_per_tile
+        * max(1, (cfg.n_steps if cfg.method == "euler" else 1))
+        * flops_per_step * (2 if cfg.antithetic else 1),
+        bytes_accessed=cfg.n_tiles * LANES * 4 * n_out,
+        transcendentals=cfg.n_tiles * cfg.paths_per_tile
+        * max(1, (cfg.n_steps if cfg.method == "euler" else 1)) * 4,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(cfg.n_tiles,),
+        in_specs=in_specs,
+        out_specs=[out_spec] * n_out,
+        out_shape=[out_shape] * n_out,
+        scratch_shapes=[pltpu.VMEM((n_out, SUBLANES, LANES), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=cost,
+    )(*inputs)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory materialization (C9): persist (S_t, count_t) at every step.
+# ---------------------------------------------------------------------------
+
+
+def _make_traj_kernel(payoff: PathPayoff, cfg: KernelConfig):
+    assert payoff.n_state <= 1, "trajectory kernel stores one state array"
+
+    def kernel(key_ref, params_ref, meta_ref, s_out, st_out, pay_sum, pay_sq,
+               comp_ref):
+        p = unpack_params(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        local_ids = base + flat
+        ids = meta_ref[0] + local_ids
+        valid = ids < meta_ref[1]
+        k0 = key_ref[0]
+        k1 = key_ref[1]
+
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        state0 = payoff.init(p, jnp.zeros_like(s0))
+
+        def one_step(j, s, state):
+            # Persist the full state grid — the HBM-streaming analogue of
+            # d_stock_prices/d_sums_i writes (trajectories.cuh:304-305).
+            s_out[j] = s
+            st_out[j] = state[0] if payoff.n_state else jnp.zeros_like(s)
+
+        def body(m, carry):
+            s, state = carry
+            z0, z1 = _tile_normals_threefry(k0, k1, ids, m)
+            s = s * jnp.exp(p.drift_dt + p.vol_dt * z0)
+            state = payoff.update(state, s, p)
+            one_step(2 * m, s, state)
+            s = s * jnp.exp(p.drift_dt + p.vol_dt * z1)
+            state = payoff.update(state, s, p)
+            one_step(2 * m + 1, s, state)
+            return (s, state)
+
+        s_t, state = jax.lax.fori_loop(0, cfg.n_steps // 2, body, (s0, state0))
+        if cfg.n_steps % 2:
+            z0, _ = _tile_normals_threefry(k0, k1, ids, cfg.n_steps // 2)
+            s_t = s_t * jnp.exp(p.drift_dt + p.vol_dt * z0)
+            state = payoff.update(state, s_t, p)
+            one_step(cfg.n_steps - 1, s_t, state)
+        pay = jnp.where(valid, payoff.terminal(state, s_t, p), 0.0)
+        _accumulate_moments((pay_sum, pay_sq), comp_ref, [pay, pay * pay], i,
+                            cfg.tile_rows)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("payoff", "cfg", "interpret"))
+def simulate_trajectories_kernel(payoff: PathPayoff, cfg: KernelConfig, key,
+                                 params, path_offset=0, n_valid=None,
+                                 interpret=None):
+    """Materialize the full (S, state) grids + payoff partials.
+
+    Returns (s_grid, state_grid, pay_partials, pay_sq_partials) with grids
+    shaped (n_steps, n_tiles*tile_rows, 128): step-major so the NMC inner
+    stage can tile (step, point-block) slabs straight out of HBM.
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    kernel = _make_traj_kernel(payoff, cfg)
+    rows = cfg.n_tiles * cfg.tile_rows
+
+    grid_spec = pl.BlockSpec(
+        (cfg.n_steps, cfg.tile_rows, LANES), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(cfg.n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=[grid_spec, grid_spec, part_spec, part_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(key, jnp.uint32), params,
+      jnp.stack([jnp.asarray(path_offset, jnp.uint32),
+                 jnp.asarray(path_offset, jnp.uint32) + jnp.uint32(cfg.n_paths)
+                 if n_valid is None else jnp.asarray(n_valid, jnp.uint32)]))

@@ -1,0 +1,202 @@
+"""Pluggable path-payoff registry.
+
+The reference hard-codes one payoff per kernel family: vanilla call
+(``inc/trajectories.cuh:76``) and the "bullet" barrier-window call
+(``inc/trajectories.cuh:149-153``: count steps with ``S_t < B``; pay
+``max(S_T - K, 0)`` iff the count lands in ``[P1, P2]``).  Here a payoff is a
+small static object with three pure functions over ``(state, S, params)``;
+one generic fused kernel handles every payoff (bullet, Asian, knock-out,
+lookback, ...) because the payoff code is inlined into the step loop at
+trace time.  Branches like ``if (B > St) count += 1`` become masked
+``jnp.where`` — the idiomatic divergence-free form on the VPU.
+
+State arrays are all float32 so kernels carry a homogeneous tuple; step
+counts are exact in f32 up to 2^24 steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax.numpy as jnp
+
+__all__ = ["PathPayoff", "PAYOFFS", "get_payoff"]
+
+State = Tuple[Any, ...]
+
+
+class PathPayoff:
+    """Base: a payoff accumulated along the path with O(1) state.
+
+    ``init(params, like)`` -> state tuple of arrays shaped like ``like``;
+    ``update(state, s, params)`` -> state, applied after every Euler step;
+    ``terminal(state, s, params)`` -> payoff array.
+
+    Instances are static singletons (hashable, no traced leaves) so they can
+    be closed over by Pallas kernels and used as jit static arguments.
+    """
+
+    name: str = "base"
+    n_state: int = 0
+
+    def init(self, params, like) -> State:
+        return ()
+
+    def update(self, state: State, s, params) -> State:
+        return state
+
+    def terminal(self, state: State, s, params):
+        raise NotImplementedError
+
+    # Payoffs that need no step loop (European) can be priced with the exact
+    # one-shot terminal draw (trajectories.cuh:74-75).
+    terminal_only: bool = False
+
+    def __repr__(self):
+        return f"<PathPayoff {self.name}>"
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.name))
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self.name == getattr(other, "name", None)
+
+
+class VanillaCall(PathPayoff):
+    """max(S_T - K, 0) — trajectories.cuh:76."""
+
+    name = "vanilla_call"
+    terminal_only = True
+
+    def terminal(self, state, s, p):
+        return jnp.maximum(s - p.k, 0.0)
+
+
+class VanillaPut(PathPayoff):
+    name = "vanilla_put"
+    terminal_only = True
+
+    def terminal(self, state, s, p):
+        return jnp.maximum(p.k - s, 0.0)
+
+
+class BulletCall(PathPayoff):
+    """Barrier-window call (trajectories.cuh:144-153).
+
+    state = (count,): number of steps with S < B, as f32.
+    Pays max(S_T - K, 0) iff P1 <= count <= P2.
+    """
+
+    name = "bullet_call"
+    n_state = 1
+
+    def init(self, p, like):
+        return (jnp.zeros_like(like),)
+
+    def update(self, state, s, p):
+        (count,) = state
+        return (count + jnp.where(s < p.barrier, 1.0, 0.0).astype(count.dtype),)
+
+    def terminal(self, state, s, p):
+        (count,) = state
+        in_window = jnp.logical_and(count >= p.p1, count <= p.p2)
+        return jnp.where(in_window, jnp.maximum(s - p.k, 0.0), 0.0)
+
+
+class AsianCall(PathPayoff):
+    """Arithmetic-average Asian call: max(mean(S_1..S_N) - K, 0).
+
+    state = (running sum of S,). The mean divisor is folded in at terminal
+    via params.n_steps_f (set by the engine).
+    """
+
+    name = "asian_call"
+    n_state = 1
+
+    def init(self, p, like):
+        return (jnp.zeros_like(like),)
+
+    def update(self, state, s, p):
+        (acc,) = state
+        return (acc + s,)
+
+    def terminal(self, state, s, p):
+        (acc,) = state
+        return jnp.maximum(acc * p.inv_n_steps - p.k, 0.0)
+
+
+class UpOutCall(PathPayoff):
+    """Up-and-out knock-out call: pays max(S_T-K,0) unless S ever >= B.
+
+    state = (alive flag as f32,).
+    """
+
+    name = "up_out_call"
+    n_state = 1
+
+    def init(self, p, like):
+        return (jnp.ones_like(like),)
+
+    def update(self, state, s, p):
+        (alive,) = state
+        return (alive * jnp.where(s < p.barrier, 1.0, 0.0).astype(alive.dtype),)
+
+    def terminal(self, state, s, p):
+        (alive,) = state
+        return alive * jnp.maximum(s - p.k, 0.0)
+
+
+class DownInCall(PathPayoff):
+    """Down-and-in call: pays only if S ever < B (knock-in at the barrier)."""
+
+    name = "down_in_call"
+    n_state = 1
+
+    def init(self, p, like):
+        return (jnp.zeros_like(like),)
+
+    def update(self, state, s, p):
+        (hit,) = state
+        return (jnp.maximum(hit, jnp.where(s < p.barrier, 1.0, 0.0).astype(hit.dtype)),)
+
+    def terminal(self, state, s, p):
+        (hit,) = state
+        return hit * jnp.maximum(s - p.k, 0.0)
+
+
+class LookbackFixedCall(PathPayoff):
+    """Fixed-strike lookback call: max(max_t S_t - K, 0). state = (running max,)."""
+
+    name = "lookback_call"
+    n_state = 1
+
+    def init(self, p, like):
+        return (like,)  # running max starts at S0
+
+    def update(self, state, s, p):
+        (m,) = state
+        return (jnp.maximum(m, s),)
+
+    def terminal(self, state, s, p):
+        (m,) = state
+        return jnp.maximum(m - p.k, 0.0)
+
+
+PAYOFFS: Dict[str, PathPayoff] = {
+    po.name: po
+    for po in (
+        VanillaCall(), VanillaPut(), BulletCall(), AsianCall(),
+        UpOutCall(), DownInCall(), LookbackFixedCall(),
+    )
+}
+
+
+def get_payoff(name_or_payoff) -> PathPayoff:
+    if isinstance(name_or_payoff, PathPayoff):
+        return name_or_payoff
+    try:
+        return PAYOFFS[name_or_payoff]
+    except KeyError:
+        raise KeyError(
+            f"unknown payoff {name_or_payoff!r}; available: {sorted(PAYOFFS)}"
+        ) from None

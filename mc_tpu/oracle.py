@@ -1,0 +1,117 @@
+"""Black-Scholes analytic oracle + Monte Carlo error statistics.
+
+TPU-native equivalent of ``inc/BlackandScholes.hpp``.  The reference uses the
+Abramowitz-Stegun 5-coefficient polynomial CND approximation
+(``BlackandScholes.hpp:8-30``) as its ground truth; here the primary oracle
+uses the exact normal CDF (`jax.scipy.stats.norm.cdf`), and the A&S
+polynomial is kept as a secondary implementation for parity checks against
+the reference's printed values.
+
+Also provides the MC standard-error statistics the reference never computed
+(SURVEY.md section 5): the framework's acceptance criterion is
+``|price - BS| <= 3 * stderr``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.stats import norm
+
+__all__ = [
+    "bs_call",
+    "bs_put",
+    "bs_delta_call",
+    "cnd_as",
+    "bs_call_as",
+    "PriceResult",
+]
+
+
+def bs_call(s0, k, t, r, sigma):
+    """European call price, exact closed form (cf. BlackandScholes.hpp:34-43)."""
+    s0, k, t, r, sigma = map(jnp.asarray, (s0, k, t, r, sigma))
+    sqrt_t = jnp.sqrt(t)
+    d1 = (jnp.log(s0 / k) + (r + 0.5 * sigma * sigma) * t) / (sigma * sqrt_t)
+    d2 = d1 - sigma * sqrt_t
+    return s0 * norm.cdf(d1) - k * jnp.exp(-r * t) * norm.cdf(d2)
+
+
+def bs_put(s0, k, t, r, sigma):
+    """European put via put-call parity."""
+    call = bs_call(s0, k, t, r, sigma)
+    return call - s0 + k * jnp.exp(-jnp.asarray(r) * t)
+
+
+def bs_delta_call(s0, k, t, r, sigma):
+    """BS call delta N(d1) — used as the control-variate coefficient."""
+    s0, k, t, r, sigma = map(jnp.asarray, (s0, k, t, r, sigma))
+    sqrt_t = jnp.sqrt(t)
+    d1 = (jnp.log(s0 / k) + (r + 0.5 * sigma * sigma) * t) / (sigma * sqrt_t)
+    return norm.cdf(d1)
+
+
+def cnd_as(x):
+    """Abramowitz-Stegun polynomial CND, max abs error ~7.5e-8.
+
+    Same 5-term approximation as the reference (BlackandScholes.hpp:8-30),
+    re-expressed branch-free with `jnp.where` (the reference's sign branch
+    becomes a mask, which is the idiomatic vector form on the VPU).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    p = jnp.float32(0.2316419)
+    b = (0.31938153, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    one_over_sqrt2pi = jnp.float32(0.39894228)
+    ax = jnp.abs(x)
+    tt = 1.0 / (1.0 + p * ax)
+    poly = tt * (b[0] + tt * (b[1] + tt * (b[2] + tt * (b[3] + tt * b[4]))))
+    upper_tail = one_over_sqrt2pi * jnp.exp(-0.5 * ax * ax) * poly
+    return jnp.where(x >= 0, 1.0 - upper_tail, upper_tail)
+
+
+def bs_call_as(s0, k, t, r, sigma):
+    """BS call using the A&S CND — bitwise-comparable to the reference oracle."""
+    s0, k, t, r, sigma = (jnp.asarray(v, jnp.float32) for v in (s0, k, t, r, sigma))
+    sqrt_t = jnp.sqrt(t)
+    d1 = (jnp.log(s0 / k) + (r + 0.5 * sigma * sigma) * t) / (sigma * sqrt_t)
+    d2 = d1 - sigma * sqrt_t
+    return s0 * cnd_as(d1) - k * jnp.exp(-r * t) * cnd_as(d2)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PriceResult:
+    """A Monte Carlo price with its statistical error.
+
+    The reference printed bare point estimates (wrappers.cuh:52,86,119);
+    every engine here returns the standard error as a first-class output so
+    correctness is checkable as |price - oracle| <= 3 * stderr.
+    """
+
+    price: Any          # discounted mean payoff
+    stderr: Any         # standard error of the discounted mean
+    n_paths: Any        # effective number of (outer) paths
+    payoff_mean: Any    # undiscounted mean payoff
+    payoff_var: Any     # undiscounted payoff sample variance
+
+    def within(self, oracle_price, n_se: float = 3.0) -> Any:
+        """|price - oracle| <= n_se * stderr (the acceptance criterion)."""
+        return jnp.abs(self.price - oracle_price) <= n_se * self.stderr
+
+
+def summarize(sum_w, sum_w2, n, discount):
+    """Build a PriceResult from fp64 accumulators of payoff and payoff^2."""
+    n = jnp.asarray(n, jnp.asarray(sum_w).dtype)
+    mean = sum_w / n
+    var = jnp.maximum(sum_w2 / n - mean * mean, 0.0) * (n / jnp.maximum(n - 1.0, 1.0))
+    stderr = jnp.sqrt(var / n) * discount
+    return PriceResult(
+        price=(discount * mean),
+        stderr=stderr,
+        n_paths=n,
+        payoff_mean=mean,
+        payoff_var=var,
+    )

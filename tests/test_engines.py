@@ -1,0 +1,142 @@
+"""End-to-end pricing tests: the three pillars of the reference's test
+strategy (SURVEY.md section 4) made quantitative:
+
+1. analytic-oracle tolerance: |MC - BS| <= 3 stderr (hello.cu:43-45);
+2. engine duals on the same RNG stream: Pallas kernel vs XLA reference,
+   bit-for-bit (inc/testing.cuh shared-random-array fixture);
+3. variance-reduction contracts (new scope, BASELINE.json config 3).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mc_tpu import DEMO_OPTION, OptionParams, SimParams, price
+from mc_tpu.oracle import bs_call
+
+SIM = SimParams(n_paths=200_000, n_steps=50)
+SIM_SMALL = SimParams(n_paths=50_000, n_steps=20)
+BS = float(bs_call(100.0, 100.0, 1.0, 0.1, 0.2))
+
+
+def check_vs_bs(res, n_se=3.5):
+    assert float(res.stderr) > 0
+    assert abs(float(res.price) - BS) <= n_se * float(res.stderr), (
+        f"price {float(res.price)} vs BS {BS} "
+        f"({abs(float(res.price)-BS)/float(res.stderr):.2f} se)")
+
+
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_vanilla_terminal_within_3se(engine):
+    check_vs_bs(price(engine=engine, sim=SIM))
+
+
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_vanilla_euler_within_3se(engine):
+    # log-Euler is exact in distribution under GBM, so no discretization bias
+    check_vs_bs(price(engine=engine, sim=SIM, method="euler"))
+
+
+def test_engines_bitwise_identical():
+    """Pallas kernel and XLA dual share draws AND summation order."""
+    for payoff in ("vanilla_call", "bullet_call", "asian_call"):
+        a = price(engine="pallas", payoff=payoff, sim=SIM_SMALL, tile_rows=8)
+        b = price(engine="xla", payoff=payoff, sim=SIM_SMALL, tile_rows=8)
+        assert float(a.price) == float(b.price), payoff
+        assert float(a.stderr) == float(b.stderr), payoff
+
+
+def test_tiling_invariance():
+    """Counter-based RNG: the price must not depend on the tile size."""
+    a = price(engine="pallas", sim=SIM_SMALL, tile_rows=8, method="euler")
+    b = price(engine="pallas", sim=SIM_SMALL, tile_rows=32, method="euler")
+    # Same draws, different summation grouping: equal to f32 round-off.
+    assert float(a.price) == pytest.approx(float(b.price), rel=1e-6)
+
+
+def test_path_offset_extends_stream():
+    """Path offset shifts RNG counters — the sharding/checkpoint hook."""
+    full = price(engine="xla", sim=SIM_SMALL, n_paths=4096, tile_rows=8)
+    lo = price(engine="xla", sim=SIM_SMALL, n_paths=2048, tile_rows=8)
+    hi = price(engine="xla", sim=SIM_SMALL, n_paths=2048, tile_rows=8,
+               path_offset=2048)
+    combined = 0.5 * (float(lo.payoff_mean) + float(hi.payoff_mean))
+    assert combined == pytest.approx(float(full.payoff_mean), rel=1e-5)
+
+
+def test_antithetic_reduces_stderr():
+    plain = price(engine="xla", sim=SIM_SMALL)
+    anti = price(engine="xla", sim=SIM_SMALL, antithetic=True)
+    assert float(anti.stderr) < float(plain.stderr)
+    check_vs_bs(anti)
+
+
+def test_control_variate_reduces_stderr():
+    plain = price(engine="xla", sim=SIM_SMALL, method="euler")
+    cv = price(engine="xla", sim=SIM_SMALL, method="euler",
+               control_variate=True)
+    # S_T is a strong control for the call payoff: big variance reduction.
+    assert float(cv.stderr) < 0.7 * float(plain.stderr)
+    check_vs_bs(cv)
+
+
+def test_bullet_price_sane():
+    """Bullet <= vanilla (it's the vanilla payoff gated by a window)."""
+    vanilla = price(engine="xla", sim=SIM_SMALL, method="euler")
+    bullet = price(engine="xla", payoff="bullet_call", sim=SIM_SMALL)
+    assert 0.0 < float(bullet.price) < float(vanilla.price)
+
+
+def test_barrier_payoffs_bounded_by_vanilla():
+    vanilla = price(engine="xla", sim=SIM_SMALL, method="euler")
+    up_out = price(engine="xla", payoff="up_out_call", sim=SIM_SMALL)
+    down_in = price(engine="xla", payoff="down_in_call", sim=SIM_SMALL,
+                    option=OptionParams(barrier=90.0))
+    assert float(up_out.price) < float(vanilla.price)
+    assert float(down_in.price) < float(vanilla.price)
+
+
+def test_lookback_above_vanilla():
+    vanilla = price(engine="xla", sim=SIM_SMALL, method="euler")
+    lb = price(engine="xla", payoff="lookback_call", sim=SIM_SMALL)
+    assert float(lb.price) > float(vanilla.price)
+
+
+def test_asian_below_vanilla():
+    vanilla = price(engine="xla", sim=SIM_SMALL, method="euler")
+    asian = price(engine="xla", payoff="asian_call", sim=SIM_SMALL)
+    assert 0.0 < float(asian.price) < float(vanilla.price)
+
+
+def test_put_call_parity_mc():
+    c = price(engine="xla", sim=SIM, antithetic=True)
+    p = price(engine="xla", payoff="vanilla_put", sim=SIM, antithetic=True)
+    parity = 100.0 - 100.0 * np.exp(-0.1)
+    got = float(c.price) - float(p.price)
+    tol = 3.5 * (float(c.stderr) + float(p.stderr))
+    assert abs(got - parity) <= tol
+
+
+def test_market_params_traced_no_recompile():
+    """OptionParams are traced leaves: re-pricing at new market data must
+    reuse the compiled program (the reference required a recompile —
+    hello.cu hard-codes everything)."""
+    import jax
+    prices = []
+    with jax.log_compiles(False):
+        for s0 in (95.0, 100.0, 105.0):
+            res = price(option=OptionParams(s0=s0), engine="xla",
+                        sim=SIM_SMALL)
+            prices.append(float(res.price))
+    assert prices == sorted(prices)  # call price increasing in spot
+
+
+def test_invalid_configs_raise():
+    with pytest.raises(ValueError):
+        price(payoff="bullet_call", method="terminal")
+    with pytest.raises(ValueError):
+        price(rng_source="hw", antithetic=True)
+    with pytest.raises(ValueError):
+        price(rng_source="hw", engine="xla")
+    with pytest.raises(ValueError):
+        price(engine="bogus")

@@ -1,0 +1,81 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+The capability the reference lacks entirely (SURVEY.md section 2: no NCCL /
+MPI / multi-device anywhere) — here it must hold a strong invariant: the
+sharded price equals the single-chip price BIT-FOR-BIT, because RNG counters
+are global path ids and the summation tree is shard-count-invariant only up
+to the psum order...  so the test pins exact equality of draws (via the xla
+engine) and statistical equality of the final price.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mc_tpu import SimParams, price
+from mc_tpu.oracle import bs_call
+from mc_tpu.parallel import make_mesh, price_sharded
+
+BS = float(bs_call(100.0, 100.0, 1.0, 0.1, 0.2))
+SIM = SimParams(n_paths=100_000, n_steps=20)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh()
+
+
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_sharded_within_3se(mesh, engine):
+    res = price_sharded(sim=SIM, mesh=mesh, engine=engine, tile_rows=8)
+    assert abs(float(res.price) - BS) <= 3.5 * float(res.stderr)
+
+
+def test_sharded_matches_single_chip_draws(mesh):
+    """Global-path-id RNG: mesh size must not change the sampled payoffs.
+
+    Compare via payoff mean: the sharded sum differs from the single-chip
+    sum only by psum/Kahan grouping, so agreement to ~1e-6 relative proves
+    the draws are the same stream (a wrong stream shifts the mean by
+    ~stderr, 1e-2 relative here).
+    """
+    single = price(sim=SIM, engine="xla", tile_rows=8)
+    sharded = price_sharded(sim=SIM, mesh=mesh, engine="xla", tile_rows=8)
+    assert float(sharded.payoff_mean) == pytest.approx(
+        float(single.payoff_mean), rel=2e-6)
+    assert float(sharded.n_paths) == float(single.n_paths)
+
+
+def test_sharded_mesh_size_invariance():
+    """1-device mesh == 4-device mesh == 8-device mesh."""
+    res = {}
+    for n in (1, 4, 8):
+        mesh = make_mesh(jax.devices()[:n])
+        r = price_sharded(sim=SIM, mesh=mesh, engine="xla", tile_rows=8)
+        res[n] = float(r.payoff_mean)
+    assert res[1] == pytest.approx(res[4], rel=2e-6)
+    assert res[4] == pytest.approx(res[8], rel=2e-6)
+
+
+def test_sharded_bullet_and_variance_reduction(mesh):
+    rb = price_sharded(sim=SIM, mesh=mesh, payoff="bullet_call",
+                       engine="xla", tile_rows=8)
+    assert 0.0 < float(rb.price) < BS
+    plain = price_sharded(sim=SIM, mesh=mesh, engine="xla", tile_rows=8)
+    anti = price_sharded(sim=SIM, mesh=mesh, engine="xla", tile_rows=8,
+                         antithetic=True)
+    cv = price_sharded(sim=SIM, mesh=mesh, engine="xla", tile_rows=8,
+                       method="euler", control_variate=True)
+    assert float(anti.stderr) < float(plain.stderr)
+    assert float(cv.stderr) < float(plain.stderr)
+
+
+def test_uneven_shard_masking(mesh):
+    """n_paths not divisible by (devices * tile) — overhang must be masked."""
+    sim = SimParams(n_paths=10_000, n_steps=10)  # 10000 < 8*1024
+    res = price_sharded(sim=sim, mesh=mesh, engine="xla", tile_rows=8)
+    single = price(sim=sim, engine="xla", tile_rows=8)
+    assert float(res.payoff_mean) == pytest.approx(
+        float(single.payoff_mean), rel=2e-6)

@@ -1,0 +1,102 @@
+"""Payoff-registry unit tests against hand-computed paths.
+
+The reference hard-codes the vanilla payoff (trajectories.cuh:76) and the
+bullet barrier-window logic (trajectories.cuh:144-153); these tests pin the
+same semantics on the pluggable registry.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from types import SimpleNamespace
+
+from mc_tpu.ops.payoffs import PAYOFFS, get_payoff
+
+
+def params(**kw):
+    base = dict(s0=100.0, k=100.0, r=0.1, sigma=0.2, t=1.0,
+                barrier=120.0, p1=1.0, p2=3.0, inv_n_steps=0.25)
+    base.update(kw)
+    return SimpleNamespace(**{k: jnp.float32(v) for k, v in base.items()})
+
+
+def run_path(payoff, prices, p):
+    payoff = get_payoff(payoff)
+    s0 = jnp.float32(np.asarray(prices[0]))
+    state = payoff.init(p, jnp.zeros_like(s0))
+    s = s0
+    for v in prices:
+        s = jnp.float32(np.asarray(v))
+        state = payoff.update(state, s, p)
+    return float(payoff.terminal(state, s, p))
+
+
+def test_get_payoff_unknown():
+    with pytest.raises(KeyError):
+        get_payoff("nope")
+
+
+def test_vanilla_call_put():
+    p = params()
+    vc = get_payoff("vanilla_call")
+    vp = get_payoff("vanilla_put")
+    assert float(vc.terminal((), jnp.float32(113.0), p)) == pytest.approx(13.0)
+    assert float(vc.terminal((), jnp.float32(90.0), p)) == 0.0
+    assert float(vp.terminal((), jnp.float32(90.0), p)) == pytest.approx(10.0)
+    assert float(vp.terminal((), jnp.float32(113.0), p)) == 0.0
+
+
+def test_bullet_window_semantics():
+    # barrier=120, window [1,3] steps below barrier.
+    p = params()
+    # 2 steps below barrier -> in window -> pays S_T - K
+    assert run_path("bullet_call", [110.0, 130.0, 115.0, 125.0], p) == \
+        pytest.approx(25.0)
+    # 0 steps below -> out of window -> 0
+    assert run_path("bullet_call", [130.0, 130.0, 130.0, 130.0], p) == 0.0
+    # 4 steps below barrier -> count above window [1,3] -> 0 even though
+    # S_T=110 > K would pay 10 if the window check passed
+    assert run_path("bullet_call", [110.0, 110.0, 110.0, 110.0], p) == 0.0
+    # boundary: exactly p2 steps below counts as in-window (<=, cuh:149)
+    assert run_path("bullet_call", [110.0, 110.0, 110.0, 125.0], p) == \
+        pytest.approx(25.0)
+
+
+def test_asian_call_mean():
+    p = params(k=100.0, inv_n_steps=0.25)
+    # mean of [100,110,120,130] = 115 -> pays 15
+    assert run_path("asian_call", [100.0, 110.0, 120.0, 130.0], p) == \
+        pytest.approx(15.0)
+    assert run_path("asian_call", [80.0, 90.0, 90.0, 80.0], p) == 0.0
+
+
+def test_up_out_call():
+    p = params(barrier=120.0)
+    # never touches 120 -> alive, pays S_T - K
+    assert run_path("up_out_call", [105.0, 110.0, 115.0], p) == \
+        pytest.approx(15.0)
+    # touches barrier -> knocked out
+    assert run_path("up_out_call", [105.0, 125.0, 115.0], p) == 0.0
+
+
+def test_down_in_call():
+    p = params(barrier=90.0)
+    # never below 90 -> not knocked in -> 0
+    assert run_path("down_in_call", [95.0, 110.0, 115.0], p) == 0.0
+    # dips below 90 then recovers -> knocked in, pays
+    assert run_path("down_in_call", [85.0, 110.0, 115.0], p) == \
+        pytest.approx(15.0)
+
+
+def test_lookback_call():
+    p = params(k=100.0)
+    assert run_path("lookback_call", [100.0, 140.0, 110.0], p) == \
+        pytest.approx(40.0)
+
+
+def test_registry_complete():
+    assert set(PAYOFFS) >= {"vanilla_call", "vanilla_put", "bullet_call",
+                            "asian_call", "up_out_call", "down_in_call",
+                            "lookback_call"}
+    for po in PAYOFFS.values():
+        assert hash(po) == hash(type(po)())  # static singletons
