@@ -1,0 +1,98 @@
+"""Nested Monte Carlo tests (reference inc/nmc.cuh, SURVEY.md C10-C12)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mc_tpu import OptionParams, SimParams
+from mc_tpu.nmc import price_nmc
+from mc_tpu.oracle import bs_call
+
+# Tiny but live config: barrier window reachable within 8 steps.
+OPT = OptionParams(p1=1.0, p2=6.0)
+SIM = SimParams(n_paths=1024, n_steps=8, n_paths_inner=64)
+
+
+@pytest.fixture(scope="module")
+def fused():
+    return price_nmc(OPT, SIM, strategy="fused", engine="pallas")
+
+
+def test_surface_shape(fused):
+    assert fused.surface.shape == (SIM.n_steps, 8, 128)
+    assert fused.surface_matrix().shape == (SIM.n_paths, SIM.n_steps)
+
+
+def test_strategies_bitwise_identical(fused):
+    grid = price_nmc(OPT, SIM, strategy="grid", engine="pallas")
+    np.testing.assert_array_equal(np.asarray(fused.surface),
+                                  np.asarray(grid.surface))
+    assert float(fused.outer.price) == float(grid.outer.price)
+
+
+def test_engines_bitwise_identical(fused):
+    xla = price_nmc(OPT, SIM, engine="xla")
+    np.testing.assert_array_equal(np.asarray(fused.surface),
+                                  np.asarray(xla.surface))
+    assert float(fused.outer.price) == float(xla.outer.price)
+
+
+def test_last_step_is_deterministic_payoff(fused):
+    """remaining=0 at the last step: every inner path IS the stored state,
+    so surface[last] must equal e^{-rT} * payoff(S_T, count_T) exactly."""
+    from mc_tpu import simulate_trajectories
+    traj = simulate_trajectories(OPT, SIM, payoff="bullet_call", tile_rows=8)
+    s_t = np.asarray(traj.path_matrix())[:, -1]
+    count = np.asarray(traj.state_matrix())[:, -1]
+    in_window = (count >= 1.0) & (count <= 6.0)
+    pay = np.where(in_window, np.maximum(s_t - 100.0, 0.0), 0.0)
+    want = np.float32(np.exp(np.float32(-0.1))) * pay.astype(np.float32)
+    got = np.asarray(fused.surface_matrix())[:, -1]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_tower_property(fused):
+    """E[surface[:, j]] == outer price for every j (tower property of
+    conditional expectation under the full-T discount)."""
+    surf = np.asarray(fused.surface_matrix())
+    outer = float(fused.outer.price)
+    se = float(fused.outer.stderr)
+    for j in range(SIM.n_steps):
+        col_mean = surf[:, j].mean()
+        # inner noise adds variance; allow a generous 5-se band
+        assert abs(col_mean - outer) < 5.0 * se + 0.05 * outer, (j, col_mean, outer)
+
+
+def test_surface_mean_close_to_outer(fused):
+    assert float(fused.surface_mean) == pytest.approx(
+        float(fused.outer.price), rel=0.1)
+
+
+def test_vanilla_nmc_tower():
+    """Vanilla payoff: every surface column estimates the BS price."""
+    sim = SimParams(n_paths=2048, n_steps=4, n_paths_inner=128)
+    res = price_nmc(OptionParams(), sim, payoff="vanilla_call", engine="xla")
+    bs = float(bs_call(100.0, 100.0, 1.0, 0.1, 0.2))
+    surf = np.asarray(res.surface_matrix())
+    for j in range(sim.n_steps):
+        assert surf[:, j].mean() == pytest.approx(bs, rel=0.05), j
+
+
+def test_remaining_discount():
+    """discount='remaining': last step has no discount at all."""
+    res = price_nmc(OPT, SIM, engine="xla", discount="remaining")
+    res_full = price_nmc(OPT, SIM, engine="xla", discount="full")
+    last = np.asarray(res.surface_matrix())[:, -1]
+    last_full = np.asarray(res_full.surface_matrix())[:, -1]
+    nz = last_full > 0
+    assert nz.any()
+    ratio = last[nz] / last_full[nz]
+    np.testing.assert_allclose(ratio, np.exp(0.1), rtol=1e-5)
+
+
+def test_outer_matches_plain_price():
+    """The NMC outer estimate equals price() on the same stream."""
+    from mc_tpu import price
+    res = price_nmc(OPT, SIM, engine="xla")
+    plain = price(OPT, SIM, payoff="bullet_call", engine="xla", tile_rows=8)
+    assert float(res.outer.price) == float(plain.price)
