@@ -1,0 +1,249 @@
+"""Command-line interface: the reference's driver binaries, configurable.
+
+``python -m mc_tpu demo``   — the ``./main`` equivalent (``hello.cu:3-48``):
+runs every pricer family on one config and prints the table with the
+Black-Scholes oracle beside the MC estimates.  Unlike the reference, every
+parameter is a flag instead of a recompile (SURVEY.md section 5 "config
+system: absent"), and every estimate carries its standard error.
+
+``python -m mc_tpu traj``   — the ``./test`` trajectory dump
+(``testing.cu:20-49``): writes the tidy ``time,trajectory,value`` CSV used
+for plotting.
+
+``python -m mc_tpu price|nmc|bench|info`` — single pricer / NMC surface /
+benchmark / device dump.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from mc_tpu.config import OptionParams, SimParams
+
+
+def _add_option_flags(p: argparse.ArgumentParser):
+    g = p.add_argument_group("option/market (OptionData, tool.cuh:13-26)")
+    g.add_argument("--s0", type=float, default=100.0)
+    g.add_argument("--strike", "-K", type=float, default=100.0, dest="k")
+    g.add_argument("--maturity", "-T", type=float, default=1.0, dest="t")
+    g.add_argument("--rate", "-r", type=float, default=0.1, dest="r")
+    g.add_argument("--sigma", "-v", type=float, default=0.2)
+    g.add_argument("--barrier", "-B", type=float, default=120.0)
+    g.add_argument("--p1", type=float, default=10.0,
+                   help="bullet window lower step count")
+    g.add_argument("--p2", type=float, default=50.0,
+                   help="bullet window upper step count")
+    g = p.add_argument_group("simulation")
+    g.add_argument("--n-paths", "-N", type=int, default=100_000)
+    g.add_argument("--n-steps", type=int, default=100)
+    g.add_argument("--n-inner", type=int, default=1_000,
+                   help="inner paths per NMC point")
+    g.add_argument("--seed", type=int, default=1234)
+    g.add_argument("--engine", choices=("pallas", "xla"), default="pallas")
+    g.add_argument("--tile-rows", type=int, default=256)
+
+
+def _parse(args):
+    option = OptionParams(s0=args.s0, t=args.t, k=args.k, r=args.r,
+                          sigma=args.sigma, barrier=args.barrier,
+                          p1=args.p1, p2=args.p2)
+    sim = SimParams(n_paths=args.n_paths, n_steps=args.n_steps,
+                    n_paths_inner=args.n_inner, seed=args.seed)
+    return option, sim
+
+
+def _fmt(label, res, bs=None):
+    line = (f"  {label:<38s} {float(res.price):>10.4f} "
+            f"+/- {float(res.stderr):.4f}")
+    if bs is not None:
+        dev = abs(float(res.price) - bs) / max(float(res.stderr), 1e-12)
+        line += f"   ({dev:.2f} se from BS)"
+    return line
+
+
+def cmd_demo(args):
+    from mc_tpu import price
+    from mc_tpu.nmc import price_nmc
+    from mc_tpu.oracle import bs_call
+    from mc_tpu.utils import device_summary
+
+    option, sim = _parse(args)
+    print(device_summary())
+    print(f"\nConfig: S0={args.s0} K={args.k} T={args.t} r={args.r} "
+          f"sigma={args.sigma} B={args.barrier} window=[{args.p1},{args.p2}] "
+          f"N={sim.n_paths} steps={sim.n_steps} inner={sim.n_paths_inner}")
+    bs = float(bs_call(args.s0, args.k, args.t, args.r, args.sigma))
+
+    print("\nVanilla European call (vs wrapper_gpu_option_vanilla):")
+    print(_fmt("terminal (exact one-shot draw)",
+               price(option, sim, engine=args.engine,
+                     tile_rows=args.tile_rows), bs))
+    print(_fmt("euler (step loop)",
+               price(option, sim, engine=args.engine, method="euler",
+                     tile_rows=args.tile_rows), bs))
+    print(_fmt("antithetic",
+               price(option, sim, engine=args.engine, antithetic=True,
+                     tile_rows=args.tile_rows), bs))
+    print(_fmt("antithetic + control variate",
+               price(option, sim, engine=args.engine, method="euler",
+                     antithetic=True, control_variate=True,
+                     tile_rows=args.tile_rows), bs))
+
+    print("\nBullet option (vs wrapper_gpu_bullet_option[_atomic]):")
+    print(_fmt("bullet", price(option, sim, payoff="bullet_call",
+                               engine=args.engine,
+                               tile_rows=args.tile_rows)))
+    print(_fmt("bullet antithetic",
+               price(option, sim, payoff="bullet_call", engine=args.engine,
+                     antithetic=True, tile_rows=args.tile_rows)))
+
+    if not args.skip_nmc:
+        nmc_sim = sim.replace(n_paths=min(sim.n_paths, args.nmc_max_paths))
+        print(f"\nNested MC (vs wrapper_gpu_bullet_option_nmc_*; "
+              f"{nmc_sim.n_paths} outer paths):")
+        res = price_nmc(option, nmc_sim, strategy="fused",
+                        engine=args.engine)
+        print(_fmt("outer estimate", res.outer))
+        print(f"  {'surface mean over all points':<38s} "
+              f"{float(res.surface_mean):>10.4f}")
+
+    print(f"\n  {'Black-Scholes closed form':<38s} {bs:>10.4f}"
+          f"   (BlackandScholes.hpp:34-43)")
+    return 0
+
+
+def cmd_price(args):
+    from mc_tpu import price
+    from mc_tpu.oracle import bs_call
+
+    option, sim = _parse(args)
+    res = price(option, sim, payoff=args.payoff, engine=args.engine,
+                antithetic=args.antithetic,
+                control_variate=args.control_variate,
+                tile_rows=args.tile_rows)
+    out = {
+        "payoff": args.payoff,
+        "price": float(res.price),
+        "stderr": float(res.stderr),
+        "n_paths": int(float(res.n_paths)),
+    }
+    if args.payoff in ("vanilla_call", "vanilla_put"):
+        out["black_scholes"] = float(
+            bs_call(args.s0, args.k, args.t, args.r, args.sigma))
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_nmc(args):
+    from mc_tpu.nmc import price_nmc
+
+    option, sim = _parse(args)
+    res = price_nmc(option, sim, payoff=args.payoff,
+                    strategy=args.strategy, engine=args.engine,
+                    discount=args.discount)
+    out = {
+        "outer_price": float(res.outer.price),
+        "outer_stderr": float(res.outer.stderr),
+        "surface_mean": float(res.surface_mean),
+        "n_points": int(float(res.n_points)),
+    }
+    if args.surface_npz:
+        import numpy as np
+        np.savez_compressed(args.surface_npz,
+                            surface=np.asarray(res.surface_matrix()))
+        out["surface_npz"] = args.surface_npz
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_traj(args):
+    """CSV trajectory dump in the reference's tidy format (testing.cu:37-47:
+    ``time,trajectory,value`` rows, one per (step, path))."""
+    import numpy as np
+    from mc_tpu import simulate_trajectories
+
+    option, sim = _parse(args)
+    traj = simulate_trajectories(option, sim, payoff=args.payoff,
+                                 tile_rows=8)
+    mat = np.asarray(traj.path_matrix())  # (paths, steps)
+    n_paths, n_steps = mat.shape
+    try:
+        from mc_tpu.native import lib as native_lib
+    except Exception:
+        native_lib = None
+    if native_lib is not None and native_lib.available:
+        native_lib.write_traj_csv(args.out, mat)
+    else:
+        with open(args.out, "w") as f:
+            f.write("time,trajectory,value\n")
+            for j in range(n_steps):
+                for i in range(n_paths):
+                    f.write(f"{j},{i},{mat[i, j]:.6f}\n")
+    print(json.dumps({"csv": args.out, "trajectories": n_paths,
+                      "steps": n_steps}))
+    return 0
+
+
+def cmd_bench(args):
+    import subprocess
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def cmd_info(args):
+    from mc_tpu.utils import device_summary
+    print(device_summary())
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="mc_tpu", description="TPU-native Monte Carlo option pricing")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("demo", help="run all pricers + BS oracle (hello.cu)")
+    _add_option_flags(p)
+    p.add_argument("--skip-nmc", action="store_true")
+    p.add_argument("--nmc-max-paths", type=int, default=4096,
+                   help="cap outer paths for the NMC stage of the demo")
+    p.set_defaults(fn=cmd_demo)
+
+    p = sub.add_parser("price", help="price one option, JSON output")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--control-variate", action="store_true")
+    p.set_defaults(fn=cmd_price)
+
+    p = sub.add_parser("nmc", help="nested MC price surface, JSON output")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="bullet_call")
+    p.add_argument("--strategy", choices=("fused", "grid"), default="fused")
+    p.add_argument("--discount", choices=("full", "remaining"),
+                   default="full")
+    p.add_argument("--surface-npz", default=None,
+                   help="save the (paths, steps) surface to this .npz")
+    p.set_defaults(fn=cmd_nmc)
+
+    p = sub.add_parser("traj", help="dump trajectories CSV (testing.cu)")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="bullet_call")
+    p.add_argument("--out", default="testing.csv")
+    p.set_defaults(fn=cmd_traj)
+
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("info", help="device capability dump (tool.cuh:56)")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -235,8 +235,10 @@ def price(option: OptionParams = DEMO_OPTION,
         raise ValueError("rng_source='hw' requires engine='pallas'")
     if key is None:
         key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
+    # seed is consumed into `key` above; zero it in the static argument so
+    # re-seeding never recompiles (the reference recompiled for ANY change).
     return _price_impl(
-        option.as_f32(), po, sim, method, engine, antithetic,
+        option.as_f32(), po, sim.replace(seed=0), method, engine, antithetic,
         control_variate, tile_rows, rng_source, interpret, key,
         jnp.uint32(path_offset), n_paths)
 
@@ -304,5 +306,6 @@ def simulate_trajectories(option: OptionParams = DEMO_OPTION,
     po = get_payoff(payoff)
     if key is None:
         key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
-    return _trajectories_impl(option.as_f32(), po, sim, tile_rows, interpret,
-                              key, jnp.uint32(path_offset))
+    return _trajectories_impl(option.as_f32(), po, sim.replace(seed=0),
+                              tile_rows, interpret, key,
+                              jnp.uint32(path_offset))

@@ -90,29 +90,31 @@ def _xla_nmc(payoff, cfg: nk.NMCConfig, key_outer, key_inner, option,
         s0 = jnp.full(shape, p.s0, jnp.float32)
         state0 = payoff.init(p, jnp.zeros_like(s0))
 
+        def one_step(w, state, z):
+            w = w + (p.drift_dt + p.vol_dt * z)
+            s = s0 * jnp.exp(w)  # log-space: one exp rounding per S_t
+            return w, s, payoff.update(state, s, p)
+
         def pair_step(carry, m):
-            s, state = carry
+            w, s, state = carry
             c1 = jnp.full(shape, 0, jnp.uint32) + m
             z0, z1 = rng.normal_pair(ko0, ko1, ids, c1)
-            s1 = s * jnp.exp(p.drift_dt + p.vol_dt * z0)
-            st1 = payoff.update(state, s1, p)
-            s2 = s1 * jnp.exp(p.drift_dt + p.vol_dt * z1)
-            st2 = payoff.update(st1, s2, p)
+            w, s1, st1 = one_step(w, state, z0)
+            w, s2, st2 = one_step(w, st1, z1)
             c1v = st1[0] if payoff.n_state else jnp.zeros_like(s1)
             c2v = st2[0] if payoff.n_state else jnp.zeros_like(s2)
-            return (s2, st2), (jnp.stack([s1, s2]), jnp.stack([c1v, c2v]))
+            return (w, s2, st2), (jnp.stack([s1, s2]), jnp.stack([c1v, c2v]))
 
         n_pairs = cfg.n_steps // 2
-        (s_t, state), (s_hist, c_hist) = jax.lax.scan(
-            pair_step, (s0, state0),
+        (w, s_t, state), (s_hist, c_hist) = jax.lax.scan(
+            pair_step, (jnp.zeros_like(s0), s0, state0),
             jnp.arange(n_pairs, dtype=jnp.uint32))
         s_hist = s_hist.reshape(2 * n_pairs, *shape)
         c_hist = c_hist.reshape(2 * n_pairs, *shape)
         if cfg.n_steps % 2:
             c1 = jnp.full(shape, cfg.n_steps // 2, jnp.uint32)
             z0, _ = rng.normal_pair(ko0, ko1, ids, c1)
-            s_t = s_t * jnp.exp(p.drift_dt + p.vol_dt * z0)
-            state = payoff.update(state, s_t, p)
+            w, s_t, state = one_step(w, state, z0)
             cv = state[0] if payoff.n_state else jnp.zeros_like(s_t)
             s_hist = jnp.concatenate([s_hist, s_t[None]], axis=0)
             c_hist = jnp.concatenate([c_hist, cv[None]], axis=0)
@@ -216,6 +218,6 @@ def price_nmc(option: OptionParams = DEMO_OPTION,
     if key_inner is None:
         key_inner = jnp.asarray(rng.derive_key(sim.seed, stream_inner),
                                 jnp.uint32)
-    return _price_nmc_impl(option.as_f32(), po, sim, strategy, engine,
-                           tile_rows, discount, interpret, key_outer,
-                           key_inner)
+    return _price_nmc_impl(option.as_f32(), po, sim.replace(seed=0),
+                           strategy, engine, tile_rows, discount, interpret,
+                           key_outer, key_inner)

@@ -89,19 +89,23 @@ def _simulate_resumed(payoff: PathPayoff, p, s_t, state_t, remaining,
     n_pairs = (remaining + 1) // 2
 
     def body(q, carry):
-        s, state = carry
+        w, s, state = carry
         z0, z1 = draw_pair(q)
-        s1 = s * jnp.exp(p.drift_dt + p.vol_dt * z0)
+        w1 = w + (p.drift_dt + p.vol_dt * z0)
+        s1 = s_t * jnp.exp(w1)  # log-space: one exp rounding per S
         st1 = payoff.update(state, s1, p)
-        s2 = s1 * jnp.exp(p.drift_dt + p.vol_dt * z1)
+        w2 = w1 + (p.drift_dt + p.vol_dt * z1)
+        s2 = s_t * jnp.exp(w2)
         st2 = payoff.update(st1, s2, p)
         # Drop the second half-step when it overruns `remaining`.
         take2 = (2 * q + 1) < remaining
+        w_out = jnp.where(take2, w2, w1)
         s_out = jnp.where(take2, s2, s1)
         st_out = tuple(jnp.where(take2, b, a) for a, b in zip(st1, st2))
-        return (s_out, st_out)
+        return (w_out, s_out, st_out)
 
-    s_f, state_f = jax.lax.fori_loop(0, n_pairs, body, (s_t, state_t))
+    _, s_f, state_f = jax.lax.fori_loop(
+        0, n_pairs, body, (jnp.zeros_like(s_t), s_t, state_t))
     return payoff.terminal(state_f, s_f, p)
 
 
@@ -177,23 +181,26 @@ def _make_fused_kernel(payoff: PathPayoff, cfg: NMCConfig):
             s_hist[j] = s
             c_hist[j] = state[0] if payoff.n_state else jnp.zeros_like(s)
 
-        def outer_body(m, carry):
-            s, state = carry
-            z0, z1 = _tile_normals_threefry(ko0, ko1, ids, m)
-            s = s * jnp.exp(p.drift_dt + p.vol_dt * z0)
-            state = payoff.update(state, s, p)
-            store(2 * m, s, state)
-            s = s * jnp.exp(p.drift_dt + p.vol_dt * z1)
-            state = payoff.update(state, s, p)
-            store(2 * m + 1, s, state)
-            return (s, state)
+        def one_step(w, state, z):
+            w = w + (p.drift_dt + p.vol_dt * z)
+            s = s0 * jnp.exp(w)  # log-space: one exp rounding per S_t
+            return w, s, payoff.update(state, s, p)
 
-        s_t, state = jax.lax.fori_loop(0, cfg.n_steps // 2, outer_body,
-                                       (s0, state0))
+        def outer_body(m, carry):
+            w, s, state = carry
+            z0, z1 = _tile_normals_threefry(ko0, ko1, ids, m)
+            w, s, state = one_step(w, state, z0)
+            store(2 * m, s, state)
+            w, s, state = one_step(w, state, z1)
+            store(2 * m + 1, s, state)
+            return (w, s, state)
+
+        w, s_t, state = jax.lax.fori_loop(
+            0, cfg.n_steps // 2, outer_body,
+            (jnp.zeros_like(s0), s0, state0))
         if cfg.n_steps % 2:
             z0, _ = _tile_normals_threefry(ko0, ko1, ids, cfg.n_steps // 2)
-            s_t = s_t * jnp.exp(p.drift_dt + p.vol_dt * z0)
-            state = payoff.update(state, s_t, p)
+            w, s_t, state = one_step(w, state, z0)
             store(cfg.n_steps - 1, s_t, state)
 
         pay = jnp.where(valid, payoff.terminal(state, s_t, p), 0.0)

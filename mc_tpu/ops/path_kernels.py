@@ -149,29 +149,37 @@ def _payoff_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair,
         return payoff.terminal((), s_t, p), s_t
 
     state0 = payoff.init(p, jnp.zeros_like(s0)) if state_init is None else state_init
+
+    # Log-space accumulation: w_t = sum of log-increments, S_t = S0 e^{w_t}.
+    # The TPU's fast f32 exp has a systematic ~-1e-6 relative bias (up to
+    # ~60 ulp); the multiplicative form S *= exp(inc) compounds it into a
+    # ~1e-4 pricing bias over 100 steps, while here each S_t carries exactly
+    # ONE exp rounding (verified vs CPU in tests/test_engines.py).
+    w = jnp.zeros_like(s0)
     s, state = s0, state0
 
-    def one_step(s, state, z):
-        s = s * jnp.exp(p.drift_dt + p.vol_dt * z)
-        return s, payoff.update(state, s, p)
+    def one_step(w, state, z):
+        w = w + (p.drift_dt + p.vol_dt * z)
+        s = s0 * jnp.exp(w)
+        return w, s, payoff.update(state, s, p)
 
     start, end = cfg.start_step, cfg.n_steps
     if start % 2:  # odd resume point: consume the tail half of its pair
         _, z1 = draw_pair(start // 2)
-        s, state = one_step(s, state, z1)
+        w, s, state = one_step(w, state, z1)
         start += 1
 
     def body(m, carry):
-        s, state = carry
+        w, s, state = carry
         z0, z1 = draw_pair(m)
-        s, state = one_step(s, state, z0)
-        s, state = one_step(s, state, z1)
-        return (s, state)
+        w, s, state = one_step(w, state, z0)
+        w, s, state = one_step(w, state, z1)
+        return (w, s, state)
 
-    s, state = jax.lax.fori_loop(start // 2, end // 2, body, (s, state))
+    w, s, state = jax.lax.fori_loop(start // 2, end // 2, body, (w, s, state))
     if end % 2:  # odd step count: epilogue consumes the head half only
         z0, _ = draw_pair(end // 2)
-        s, state = one_step(s, state, z0)
+        w, s, state = one_step(w, state, z0)
     return payoff.terminal(state, s, p), s
 
 
@@ -374,29 +382,33 @@ def _make_traj_kernel(payoff: PathPayoff, cfg: KernelConfig):
         s0 = jnp.full(shape, p.s0, jnp.float32)
         state0 = payoff.init(p, jnp.zeros_like(s0))
 
-        def one_step(j, s, state):
+        def persist(j, s, state):
             # Persist the full state grid — the HBM-streaming analogue of
             # d_stock_prices/d_sums_i writes (trajectories.cuh:304-305).
             s_out[j] = s
             st_out[j] = state[0] if payoff.n_state else jnp.zeros_like(s)
 
-        def body(m, carry):
-            s, state = carry
-            z0, z1 = _tile_normals_threefry(k0, k1, ids, m)
-            s = s * jnp.exp(p.drift_dt + p.vol_dt * z0)
-            state = payoff.update(state, s, p)
-            one_step(2 * m, s, state)
-            s = s * jnp.exp(p.drift_dt + p.vol_dt * z1)
-            state = payoff.update(state, s, p)
-            one_step(2 * m + 1, s, state)
-            return (s, state)
+        def one_step(w, state, z):
+            w = w + (p.drift_dt + p.vol_dt * z)
+            s = s0 * jnp.exp(w)  # log-space: one exp rounding per S_t
+            return w, s, payoff.update(state, s, p)
 
-        s_t, state = jax.lax.fori_loop(0, cfg.n_steps // 2, body, (s0, state0))
+        def body(m, carry):
+            w, s, state = carry
+            z0, z1 = _tile_normals_threefry(k0, k1, ids, m)
+            w, s, state = one_step(w, state, z0)
+            persist(2 * m, s, state)
+            w, s, state = one_step(w, state, z1)
+            persist(2 * m + 1, s, state)
+            return (w, s, state)
+
+        w0 = jnp.zeros_like(s0)
+        w, s_t, state = jax.lax.fori_loop(0, cfg.n_steps // 2, body,
+                                          (w0, s0, state0))
         if cfg.n_steps % 2:
             z0, _ = _tile_normals_threefry(k0, k1, ids, cfg.n_steps // 2)
-            s_t = s_t * jnp.exp(p.drift_dt + p.vol_dt * z0)
-            state = payoff.update(state, s_t, p)
-            one_step(cfg.n_steps - 1, s_t, state)
+            w, s_t, state = one_step(w, state, z0)
+            persist(cfg.n_steps - 1, s_t, state)
         pay = jnp.where(valid, payoff.terminal(state, s_t, p), 0.0)
         _accumulate_moments((pay_sum, pay_sq), comp_ref, [pay, pay * pay], i,
                             cfg.tile_rows)

@@ -169,5 +169,5 @@ def price_sharded(option: OptionParams = DEMO_OPTION,
     if key is None:
         key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
     return _price_sharded_impl(
-        option.as_f32(), po, sim, mesh, engine, antithetic, control_variate,
-        tile_rows, rng_source, method, interpret, key)
+        option.as_f32(), po, sim.replace(seed=0), mesh, engine, antithetic,
+        control_variate, tile_rows, rng_source, method, interpret, key)

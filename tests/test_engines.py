@@ -131,6 +131,24 @@ def test_market_params_traced_no_recompile():
     assert prices == sorted(prices)  # call price increasing in spot
 
 
+def test_no_systematic_cv_bias():
+    """Regression: the multiplicative step form compounded the accelerator's
+    exp rounding bias (~-1e-6/call on TPU) into a +5-se CV-estimator bias at
+    200k paths; the log-space form must keep the mean deviation ~0."""
+    from mc_tpu.oracle import bs_call
+    bs = float(bs_call(100.0, 100.0, 1.0, 0.1, 0.2))
+    devs = []
+    for seed in range(1, 9):
+        sim = SimParams(n_paths=100_000, n_steps=100, seed=seed)
+        r = price(sim=sim, engine="xla", method="euler", antithetic=True,
+                  control_variate=True, tile_rows=64)
+        devs.append((float(r.price) - bs) / float(r.stderr))
+    mean_dev = sum(devs) / len(devs)
+    # 8 seeds: |mean| should be ~< 1/sqrt(8) se; 2.0 allows noise, fails
+    # decisively on the former +5 se systematic bias.
+    assert abs(mean_dev) < 2.0, devs
+
+
 def test_invalid_configs_raise():
     with pytest.raises(ValueError):
         price(payoff="bullet_call", method="terminal")

@@ -32,11 +32,12 @@ def test_matches_host_recomputation(traj):
     dt = 1.0 / SIM.n_steps
     drift = np.float32((0.1 - 0.5 * 0.2 * 0.2) * dt)
     vol = np.float32(0.2 * np.sqrt(np.float32(dt)))
-    s = np.full(SIM.n_paths, 100.0, np.float32)
+    # log-space accumulation, matching the kernels
+    w = np.zeros(SIM.n_paths, np.float32)
     path = np.asarray(traj.path_matrix())
     for j in range(SIM.n_steps):
-        s = s * np.exp(drift + vol * z[j].astype(np.float32),
-                       dtype=np.float32)
+        w = (w + (drift + vol * z[j].astype(np.float32))).astype(np.float32)
+        s = np.float32(100.0) * np.exp(w, dtype=np.float32)
         np.testing.assert_allclose(path[:, j], s, rtol=1e-6)
 
 
