@@ -95,6 +95,7 @@ class KernelConfig:
     rng_source: str = "threefry"  # "threefry" | "hw"
     method: str = "euler"         # "euler" | "terminal"
     start_step: int = 0           # resume support (trajectories.cuh:116-117 Tk)
+    use_cost_estimate: bool = True
 
     def __post_init__(self):
         if self.tile_rows % 8 or self.tile_rows < 8:
@@ -253,7 +254,10 @@ def _make_sim_kernel(payoff: PathPayoff, cfg: KernelConfig, with_resume: bool):
         k0 = key_ref[0]
         k1 = key_ref[1]
         if cfg.rng_source == "hw":
-            pltpu.prng_seed(k0, k1, meta_ref[0] + jnp.uint32(i))
+            # Mosaic accepts at most 2 seed words: golden-ratio-mix the tile
+            # index into the first so every (key, tile) gets its own stream.
+            tile_tag = (meta_ref[0] + jnp.uint32(i)) * jnp.uint32(0x9E3779B9)
+            pltpu.prng_seed(k0 ^ tile_tag, k1)
             draw_pair = lambda m: _tile_normals_hw(shape)
         else:
             draw_pair = lambda m: _tile_normals_threefry(k0, k1, ids, m)
@@ -353,7 +357,7 @@ def simulate_partials(payoff: PathPayoff, cfg: KernelConfig, key, params,
         out_shape=[out_shape] * n_out,
         scratch_shapes=[pltpu.VMEM((n_out, SUBLANES, LANES), jnp.float32)],
         interpret=interpret,
-        cost_estimate=cost,
+        cost_estimate=cost if cfg.use_cost_estimate else None,
     )(*inputs)
 
 

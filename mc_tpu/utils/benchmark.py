@@ -39,12 +39,22 @@ class BenchResult:
 def time_fn(fn: Callable, *, reps: int = 10, warmup: int = 1,
             work: Optional[float] = None) -> BenchResult:
     """Best-of-reps wall time of ``fn()`` (must return a JAX array or
-    pytree; synchronized with block_until_ready)."""
+    pytree).
+
+    Synchronizes by FETCHING a value from every leaf, not
+    block_until_ready: remote-tunnel TPU runtimes (axon) return from
+    block_until_ready before the device finishes, so only a device->host
+    copy is a true sync.  Note the fetch itself can cost ~30 ms through a
+    tunnel — for microsecond-scale kernels use the T(K)-T(1) differential
+    of bench.py's `kernel_seconds` instead.
+    """
+    import numpy as np
+
     def run():
         out = fn()
         for leaf in jax.tree_util.tree_leaves(out):
             if hasattr(leaf, "block_until_ready"):
-                leaf.block_until_ready()
+                np.asarray(leaf)  # true sync: device->host copy
         return out
 
     for _ in range(warmup):
