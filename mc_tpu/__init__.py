@@ -3,8 +3,8 @@
 A from-scratch JAX / XLA / Pallas re-design of the capabilities of the CUDA
 reference ``amauryrlm/Monte-Carlo-Project-CUDA`` (see SURVEY.md): European
 and path-dependent option pricing under GBM, nested Monte Carlo, an on-chip
-reduction hierarchy, counter-based RNG, variance reduction, and multi-chip
-scaling over a `jax.sharding.Mesh`.
+reduction hierarchy, counter-based RNG, variance reduction, Greeks,
+checkpoint/resume, and multi-chip scaling over a `jax.sharding.Mesh`.
 """
 
 from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
@@ -21,3 +21,17 @@ __all__ = [
     "PriceResult", "bs_call", "bs_put", "bs_call_as", "bs_delta_call",
     "cnd_as", "PAYOFFS", "get_payoff",
 ]
+
+
+def __getattr__(name):
+    # Heavier subsystems load lazily to keep `import mc_tpu` fast.
+    if name in ("price_nmc", "NMCResult"):
+        from mc_tpu import nmc
+        return getattr(nmc, name)
+    if name == "greeks":
+        from mc_tpu.greeks import greeks
+        return greeks
+    if name == "chunked_price":
+        from mc_tpu.checkpoint import chunked_price
+        return chunked_price
+    raise AttributeError(f"module 'mc_tpu' has no attribute {name!r}")

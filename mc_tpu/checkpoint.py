@@ -1,0 +1,149 @@
+"""Checkpoint/resume for long Monte Carlo runs.
+
+The reference has no checkpointing subsystem (SURVEY.md section 5) — its
+only nod to resumability is kernels accepting an intermediate state
+``(Ik, Sk, Tk)`` (``trajectories.cuh:116-117``).  Here resumability is a
+property of the design: counter-based RNG means any global path range
+``[offset, offset+n)`` is recomputable from ``(seed, offset)`` alone, so a
+checkpoint is just the accumulated moment slabs plus the next offset —
+a few KB regardless of path count.
+
+`chunked_price` runs an arbitrarily large path count in fixed-size chunks
+(bounding per-kernel latency for preemptible workers), persisting an .npz
+snapshot after each chunk; `chunked_price(resume=...)` continues from the
+newest snapshot and produces BIT-IDENTICAL results to an uninterrupted
+run (tests/test_checkpoint.py), because the chunk boundaries — not wall
+clock — define the summation tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mc_tpu import rng
+from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
+from mc_tpu.engines import STREAM_OUTER, _price_impl, _xla_partials
+from mc_tpu.oracle import PriceResult, summarize
+from mc_tpu.ops import path_kernels as pk
+from mc_tpu.ops._pallas import LANES, SUBLANES, round_up
+from mc_tpu.ops.payoffs import get_payoff
+from mc_tpu.ops.reduce import finish_sum
+
+__all__ = ["chunked_price", "load_checkpoint", "Checkpoint"]
+
+_MAGIC = "mc_tpu-checkpoint-v1"
+
+
+@dataclasses.dataclass
+class Checkpoint:
+    """Accumulated moment state after `paths_done` paths."""
+
+    paths_done: int
+    n_paths: int
+    acc: np.ndarray           # (n_out, 8, 128) f32 Kahan-style accumulators
+    comp: np.ndarray          # (n_out, 8, 128) f32 compensations
+    meta: dict
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp"
+        np.savez(tmp, magic=_MAGIC, paths_done=self.paths_done,
+                 n_paths=self.n_paths, acc=self.acc, comp=self.comp,
+                 **{f"meta_{k}": v for k, v in self.meta.items()})
+        os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+
+def load_checkpoint(path: str) -> Checkpoint:
+    with np.load(path, allow_pickle=False) as z:
+        if str(z["magic"]) != _MAGIC:
+            raise ValueError(f"{path} is not a mc_tpu checkpoint")
+        meta = {k[5:]: z[k].item() if z[k].ndim == 0 else z[k]
+                for k in z.files if k.startswith("meta_")}
+        return Checkpoint(paths_done=int(z["paths_done"]),
+                          n_paths=int(z["n_paths"]),
+                          acc=z["acc"], comp=z["comp"], meta=meta)
+
+
+def chunked_price(option: OptionParams = DEMO_OPTION,
+                  sim: SimParams = DEMO_SIM,
+                  payoff="vanilla_call",
+                  *,
+                  chunk_paths: int = 1 << 24,
+                  checkpoint_path: Optional[str] = None,
+                  resume: bool = False,
+                  engine: str = "pallas",
+                  method: Optional[str] = None,
+                  tile_rows: int = 256,
+                  stream: int = STREAM_OUTER,
+                  interpret: Optional[bool] = None) -> PriceResult:
+    """Price `sim.n_paths` paths in chunks with optional checkpointing.
+
+    The per-chunk (8,128) moment slabs are combined across chunks with the
+    same Kahan update the kernels use internally, so the final sums do not
+    depend on where the run was interrupted.
+    """
+    po = get_payoff(payoff)
+    if method is None:
+        method = "terminal" if po.terminal_only else "euler"
+    chunk_paths = round_up(min(chunk_paths, sim.n_paths), tile_rows * LANES)
+    key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
+    n_out = 2
+
+    start = 0
+    acc = np.zeros((n_out, SUBLANES, LANES), np.float32)
+    comp = np.zeros_like(acc)
+    meta = dict(seed=sim.seed, payoff=po.name, method=method,
+                chunk_paths=chunk_paths, engine=engine)
+
+    if resume:
+        if not (checkpoint_path and os.path.exists(checkpoint_path)):
+            raise FileNotFoundError(
+                f"resume requested but no checkpoint at {checkpoint_path}")
+        ck = load_checkpoint(checkpoint_path)
+        for k, v in meta.items():
+            if str(ck.meta.get(k)) != str(v):
+                raise ValueError(
+                    f"checkpoint mismatch for {k!r}: {ck.meta.get(k)} != {v}")
+        if ck.n_paths != sim.n_paths:
+            raise ValueError("checkpoint n_paths mismatch")
+        start, acc, comp = ck.paths_done, ck.acc.copy(), ck.comp.copy()
+
+    params = pk.pack_params(option.as_f32(), sim.n_steps)
+    opt32 = option.as_f32()
+
+    while start < sim.n_paths:
+        n_local = min(chunk_paths, round_up(sim.n_paths - start,
+                                            tile_rows * LANES))
+        cfg = pk.KernelConfig(n_paths=n_local, n_steps=sim.n_steps,
+                              tile_rows=tile_rows, method=method)
+        if engine == "pallas":
+            parts = pk.simulate_partials(
+                po, cfg, key, params, path_offset=jnp.uint32(start),
+                n_valid=jnp.uint32(sim.n_paths), interpret=interpret)
+        else:
+            parts = _xla_partials(po, cfg, key, opt32, jnp.uint32(start),
+                                  n_valid=jnp.uint32(sim.n_paths))
+        # Kahan-combine the chunk slab into the running accumulators
+        # (numpy f32, same update the kernels apply per tile).
+        for m in range(n_out):
+            p8 = np.asarray(parts[m], np.float32)
+            y = p8 - comp[m]
+            t = acc[m] + y
+            comp[m] = (t - acc[m]) - y
+            acc[m] = t
+        start += n_local
+        if checkpoint_path:
+            Checkpoint(paths_done=start, n_paths=sim.n_paths, acc=acc,
+                       comp=comp, meta=meta).save(checkpoint_path)
+
+    sums = [finish_sum(jnp.asarray(acc[m])) for m in range(n_out)]
+    r = jnp.float32(option.r)
+    t = jnp.float32(option.t)
+    return summarize(sums[0], sums[1],
+                     jnp.asarray(sim.n_paths, jnp.float32),
+                     jnp.exp(-r * t))

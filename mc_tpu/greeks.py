@@ -1,0 +1,124 @@
+"""Greeks: sensitivities of the Monte Carlo price to market parameters.
+
+Not present in the reference (it prices only), but a required capability of
+any production pricing framework and a showcase of the TPU-native design:
+because the whole pricing engine is a pure jitted function of the traced
+``OptionParams`` pytree, **pathwise Greeks are one `jax.grad`** — the
+cost of all first-order Greeks together is one extra backward pass, with
+the same counter-based draws (no RNG state to replay).
+
+* ``method="pathwise"`` — exact pathwise differentiation (delta, vega,
+  rho, theta, dual-delta in one pass).  Valid for (a.e.) continuous
+  payoffs: vanilla, Asian, lookback.  Discontinuous payoffs (bullet
+  window, barriers) have zero-a.e. pathwise derivatives — rejected.
+* ``method="fd"`` — central finite differences with common random numbers
+  (same threefry key on both sides, so the difference variance collapses).
+  Works for every payoff; also provides gamma.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mc_tpu import rng
+from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
+from mc_tpu.engines import STREAM_OUTER, _price_impl
+from mc_tpu.ops.payoffs import get_payoff
+
+__all__ = ["greeks", "GREEK_FIELDS"]
+
+# greek name -> (OptionParams field, sign)
+GREEK_FIELDS = {
+    "delta": ("s0", 1.0),
+    "vega": ("sigma", 1.0),
+    "rho": ("r", 1.0),
+    "theta": ("t", -1.0),     # market convention: -dP/dT
+    "dual_delta": ("k", 1.0),
+}
+
+# Payoffs whose pathwise derivative is valid (a.e.-differentiable payoff).
+_PATHWISE_OK = {"vanilla_call", "vanilla_put", "asian_call", "lookback_call"}
+
+
+def _price_fn(payoff, sim, method, engine, antithetic, tile_rows, key):
+    def f(option: OptionParams):
+        return _price_impl(option, payoff, sim, method, engine, antithetic,
+                           False, tile_rows, "threefry", None, key,
+                           jnp.uint32(0), None).price
+    return f
+
+
+def greeks(option: OptionParams = DEMO_OPTION,
+           sim: SimParams = DEMO_SIM,
+           payoff="vanilla_call",
+           *,
+           method: str = "pathwise",
+           which: Sequence[str] = ("delta", "vega", "rho", "theta"),
+           sim_method: Optional[str] = None,
+           engine: str = "xla",
+           antithetic: bool = False,
+           tile_rows: int = 256,
+           rel_bump: float = 1e-3,
+           stream: int = STREAM_OUTER,
+           key=None) -> Dict[str, Any]:
+    """Monte Carlo Greeks.  Returns {greek: value} (plus 'gamma' for fd).
+
+    `engine="xla"` by default: `jax.grad` does not yet flow through the
+    Pallas kernels (no custom VJP), and the XLA dual prices the identical
+    stream, so the Greeks correspond bit-for-bit to the production price.
+    """
+    po = get_payoff(payoff)
+    if sim_method is None:
+        sim_method = "terminal" if po.terminal_only else "euler"
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
+    bad = set(which) - set(GREEK_FIELDS) - {"gamma"}
+    if bad:
+        raise ValueError(f"unknown greeks {sorted(bad)}; "
+                         f"available: {sorted(GREEK_FIELDS)} + ['gamma']")
+    if method == "pathwise" and po.name not in _PATHWISE_OK:
+        raise ValueError(
+            f"payoff {po.name!r} has a discontinuous payoff; pathwise "
+            "derivatives are invalid — use method='fd' (common random "
+            "numbers make the central difference low-variance)")
+
+    opt32 = option.as_f32()
+    f = _price_fn(po, sim.replace(seed=0), sim_method, engine, antithetic,
+                  tile_rows, key)
+
+    if method == "pathwise":
+        grads = jax.grad(f)(opt32)
+        out = {g: getattr(grads, fld) * jnp.float32(sgn)
+               for g, (fld, sgn) in GREEK_FIELDS.items() if g in which}
+        if "gamma" in which:
+            # d2P/dS0^2 pathwise is a.e. zero for kinked payoffs; use a
+            # CRN central difference of the pathwise delta instead.
+            h = jnp.float32(rel_bump) * opt32.s0
+            d_up = jax.grad(f)(dataclasses.replace(opt32, s0=opt32.s0 + h)).s0
+            d_dn = jax.grad(f)(dataclasses.replace(opt32, s0=opt32.s0 - h)).s0
+            out["gamma"] = (d_up - d_dn) / (2.0 * h)
+        return out
+
+    if method != "fd":
+        raise ValueError(f"unknown method {method!r}")
+
+    out = {}
+    for g in which:
+        if g == "gamma":
+            h = jnp.float32(rel_bump) * opt32.s0
+            up = f(dataclasses.replace(opt32, s0=opt32.s0 + h))
+            mid = f(opt32)
+            dn = f(dataclasses.replace(opt32, s0=opt32.s0 - h))
+            out["gamma"] = (up - 2.0 * mid + dn) / (h * h)
+            continue
+        fld, sgn = GREEK_FIELDS[g]
+        base = getattr(opt32, fld)
+        h = jnp.float32(rel_bump) * jnp.maximum(jnp.abs(base), 1e-2)
+        up = f(dataclasses.replace(opt32, **{fld: base + h}))
+        dn = f(dataclasses.replace(opt32, **{fld: base - h}))
+        out[g] = jnp.float32(sgn) * (up - dn) / (2.0 * h)
+    return out

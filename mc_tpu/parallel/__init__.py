@@ -1,3 +1,4 @@
 from mc_tpu.parallel.mesh import (make_mesh, price_sharded, shard_bounds)
+from mc_tpu.parallel.nmc_sharded import price_nmc_sharded
 
-__all__ = ["make_mesh", "price_sharded", "shard_bounds"]
+__all__ = ["make_mesh", "price_sharded", "shard_bounds", "price_nmc_sharded"]

@@ -1,0 +1,78 @@
+"""Checkpoint/resume tests (SURVEY.md section 5: subsystem absent in the
+reference; here interruption must be invisible in the result bits)."""
+
+import numpy as np
+import pytest
+
+from mc_tpu import OptionParams, SimParams, price
+from mc_tpu.checkpoint import Checkpoint, chunked_price, load_checkpoint
+
+SIM = SimParams(n_paths=40_000, n_steps=10)
+CHUNK = 8 * 128 * 8  # 8192 paths/chunk -> 5 chunks
+
+
+def test_chunked_matches_plain_price():
+    """Chunked accumulation equals the one-shot price within fp noise."""
+    a = chunked_price(sim=SIM, chunk_paths=CHUNK, engine="xla", tile_rows=8)
+    b = price(sim=SIM, engine="xla", tile_rows=8)
+    assert float(a.price) == pytest.approx(float(b.price), rel=1e-6)
+    assert float(a.stderr) == pytest.approx(float(b.stderr), rel=1e-4)
+
+
+def test_resume_bitwise_identical(tmp_path):
+    ck = str(tmp_path / "run.npz")
+    full = chunked_price(sim=SIM, chunk_paths=CHUNK, engine="xla",
+                         tile_rows=8)
+
+    # Interrupted run: price only the first 2 chunks by lying about n_paths
+    # progress — simulate by running with checkpointing, then truncating.
+    chunked_price(sim=SIM, chunk_paths=CHUNK, checkpoint_path=ck,
+                  engine="xla", tile_rows=8)
+    state = load_checkpoint(ck)
+    assert state.paths_done >= SIM.n_paths
+
+    # Rewind the checkpoint to after chunk 2 and resume.
+    partial = Checkpoint(paths_done=2 * CHUNK, n_paths=SIM.n_paths,
+                         acc=state.acc * 0, comp=state.comp * 0,
+                         meta=state.meta)
+    # Recompute the first two chunks to get their true accumulator state:
+    ck2 = str(tmp_path / "run2.npz")
+    chunked_price(sim=SimParams(n_paths=2 * CHUNK, n_steps=SIM.n_steps),
+                  chunk_paths=CHUNK, checkpoint_path=ck2, engine="xla",
+                  tile_rows=8)
+    s2 = load_checkpoint(ck2)
+    partial.acc, partial.comp = s2.acc, s2.comp
+    partial.meta = state.meta
+    partial.save(ck)
+
+    resumed = chunked_price(sim=SIM, chunk_paths=CHUNK, checkpoint_path=ck,
+                            resume=True, engine="xla", tile_rows=8)
+    assert float(resumed.price) == float(full.price)  # bitwise
+    assert float(resumed.stderr) == float(full.stderr)
+
+
+def test_resume_guards(tmp_path):
+    ck = str(tmp_path / "run.npz")
+    with pytest.raises(FileNotFoundError):
+        chunked_price(sim=SIM, checkpoint_path=ck, resume=True,
+                      engine="xla", tile_rows=8)
+    chunked_price(sim=SIM, chunk_paths=CHUNK, checkpoint_path=ck,
+                  engine="xla", tile_rows=8)
+    with pytest.raises(ValueError):
+        chunked_price(sim=SIM, chunk_paths=CHUNK, checkpoint_path=ck,
+                      resume=True, payoff="bullet_call", engine="xla",
+                      tile_rows=8)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    p = str(tmp_path / "c.npz")
+    ck = Checkpoint(paths_done=100, n_paths=200,
+                    acc=np.ones((2, 8, 128), np.float32),
+                    comp=np.zeros((2, 8, 128), np.float32),
+                    meta=dict(seed=1, payoff="vanilla_call", method="euler",
+                              chunk_paths=100, engine="xla"))
+    ck.save(p)
+    back = load_checkpoint(p)
+    assert back.paths_done == 100
+    np.testing.assert_array_equal(back.acc, ck.acc)
+    assert back.meta["payoff"] == "vanilla_call"

@@ -1,0 +1,74 @@
+"""Greeks vs Black-Scholes closed forms."""
+
+import numpy as np
+import pytest
+from jax.scipy.stats import norm
+
+from mc_tpu import OptionParams, SimParams
+from mc_tpu.greeks import greeks
+from mc_tpu.oracle import bs_delta_call
+
+S0, K, T, R, SIG = 100.0, 100.0, 1.0, 0.1, 0.2
+SIM = SimParams(n_paths=200_000, n_steps=20)
+
+
+def bs_closed_forms():
+    import math
+    sqrt_t = math.sqrt(T)
+    d1 = (math.log(S0 / K) + (R + 0.5 * SIG**2) * T) / (SIG * sqrt_t)
+    d2 = d1 - SIG * sqrt_t
+    nd1 = float(norm.cdf(d1))
+    nd2 = float(norm.cdf(d2))
+    phi_d1 = math.exp(-0.5 * d1 * d1) / math.sqrt(2 * math.pi)
+    return dict(
+        delta=nd1,
+        gamma=phi_d1 / (S0 * SIG * sqrt_t),
+        vega=S0 * phi_d1 * sqrt_t,
+        rho=K * T * math.exp(-R * T) * nd2,
+        theta=-(S0 * phi_d1 * SIG / (2 * sqrt_t)) - R * K * math.exp(-R * T) * nd2,
+    )
+
+
+@pytest.fixture(scope="module")
+def bs():
+    return bs_closed_forms()
+
+
+def test_pathwise_first_order(bs):
+    g = greeks(sim=SIM, antithetic=True,
+               which=("delta", "vega", "rho", "theta"))
+    assert float(g["delta"]) == pytest.approx(bs["delta"], rel=0.01)
+    assert float(g["vega"]) == pytest.approx(bs["vega"], rel=0.03)
+    assert float(g["rho"]) == pytest.approx(bs["rho"], rel=0.02)
+    assert float(g["theta"]) == pytest.approx(bs["theta"], rel=0.03)
+
+
+def test_pathwise_gamma_via_crn(bs):
+    g = greeks(sim=SIM, antithetic=True, which=("gamma",))
+    assert float(g["gamma"]) == pytest.approx(bs["gamma"], rel=0.1)
+
+
+def test_fd_matches_pathwise(bs):
+    fd = greeks(sim=SIM, method="fd", which=("delta", "vega"))
+    assert float(fd["delta"]) == pytest.approx(bs["delta"], rel=0.02)
+    assert float(fd["vega"]) == pytest.approx(bs["vega"], rel=0.05)
+
+
+def test_bullet_requires_fd():
+    with pytest.raises(ValueError, match="discontinuous"):
+        greeks(payoff="bullet_call", sim=SIM)
+    g = greeks(OptionParams(p1=2.0, p2=12.0),
+               SimParams(n_paths=100_000, n_steps=20),
+               payoff="bullet_call", method="fd", which=("delta",))
+    assert 0.0 < float(g["delta"]) < 1.5
+
+
+def test_unknown_greek():
+    with pytest.raises(ValueError, match="unknown greeks"):
+        greeks(which=("charm",))
+
+
+def test_delta_consistent_with_oracle_fn():
+    g = greeks(sim=SIM, antithetic=True, which=("delta",))
+    assert float(g["delta"]) == pytest.approx(
+        float(bs_delta_call(S0, K, T, R, SIG)), rel=0.01)
