@@ -1,0 +1,22 @@
+# Convenience targets (the reference's CMake equivalent, CMakeLists.txt:1-25;
+# the Python package needs no build — only the native host library does).
+
+PY ?= python
+
+.PHONY: test test-tpu bench demo native clean
+
+test:  ## CPU test suite on the 8-device virtual mesh
+	$(PY) -m pytest tests/ -q
+
+bench:  ## benchmark harness (one JSON line)
+	$(PY) bench.py
+
+demo:  ## hello.cu-equivalent demo table
+	$(PY) -m mc_tpu demo
+
+native:  ## (re)build the C++ host library
+	$(PY) -c "from mc_tpu.native import lib; print('ok' if lib.build(force=True) else 'FAILED')"
+
+clean:
+	rm -f mc_tpu/native/_mc_native.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

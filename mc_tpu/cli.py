@@ -184,8 +184,30 @@ def cmd_traj(args):
             for j in range(n_steps):
                 for i in range(n_paths):
                     f.write(f"{j},{i},{mat[i, j]:.6f}\n")
-    print(json.dumps({"csv": args.out, "trajectories": n_paths,
-                      "steps": n_steps}))
+    out = {"csv": args.out, "trajectories": n_paths, "steps": n_steps}
+    if args.plot:
+        # The reference's golden plots (imgs/all_the_trajectories.png,
+        # readme.md:3) — every trajectory over time, barrier marked.
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(10, 6))
+        steps = np.arange(1, n_steps + 1)
+        for i in range(min(n_paths, args.plot_max)):
+            ax.plot(steps, mat[i], lw=0.6, alpha=0.5)
+        ax.axhline(args.barrier, color="black", ls="--", lw=1.2,
+                   label=f"barrier B={args.barrier}")
+        ax.axhline(args.k, color="gray", ls=":", lw=1.0,
+                   label=f"strike K={args.k}")
+        ax.set_xlabel("step")
+        ax.set_ylabel("S")
+        ax.set_title(f"{min(n_paths, args.plot_max)} GBM trajectories "
+                     f"(S0={args.s0}, sigma={args.sigma}, r={args.r})")
+        ax.legend(loc="upper left")
+        fig.tight_layout()
+        fig.savefig(args.plot, dpi=120)
+        out["plot"] = args.plot
+    print(json.dumps(out))
     return 0
 
 
@@ -233,6 +255,10 @@ def main(argv=None):
     _add_option_flags(p)
     p.add_argument("--payoff", default="bullet_call")
     p.add_argument("--out", default="testing.csv")
+    p.add_argument("--plot", default=None,
+                   help="also render trajectories to this PNG (imgs/ parity)")
+    p.add_argument("--plot-max", type=int, default=200,
+                   help="max trajectories to draw")
     p.set_defaults(fn=cmd_traj)
 
     p = sub.add_parser("bench", help="run the benchmark harness")
