@@ -34,4 +34,7 @@ def __getattr__(name):
     if name == "chunked_price":
         from mc_tpu.checkpoint import chunked_price
         return chunked_price
+    if name == "price_ladder":
+        from mc_tpu.engines import price_ladder
+        return price_ladder
     raise AttributeError(f"module 'mc_tpu' has no attribute {name!r}")

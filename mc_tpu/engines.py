@@ -38,8 +38,8 @@ from mc_tpu.ops._pallas import LANES, cdiv, use_interpret
 from mc_tpu.ops.payoffs import PathPayoff, get_payoff
 from mc_tpu.ops.reduce import finish_sum
 
-__all__ = ["price", "simulate_trajectories", "Trajectories", "STREAM_OUTER",
-           "STREAM_INNER"]
+__all__ = ["price", "price_ladder", "simulate_trajectories", "Trajectories",
+           "STREAM_OUTER", "STREAM_INNER"]
 
 # Stream tags (replace the reference's magic seeds 1234/1235,
 # wrappers.cuh:41,151: outer vs inner NMC draws must be independent).
@@ -309,3 +309,120 @@ def simulate_trajectories(option: OptionParams = DEMO_OPTION,
     return _trajectories_impl(option.as_f32(), po, sim.replace(seed=0),
                               tile_rows, interpret, key,
                               jnp.uint32(path_offset))
+
+
+# ---------------------------------------------------------------------------
+# Strike-ladder pricing: M strikes on shared paths in one kernel pass.
+# ---------------------------------------------------------------------------
+
+
+def _xla_ladder(payoff, cfg, n_strikes, key, option, strikes, path_offset=0):
+    """Pure-jnp dual of the ladder kernel (same draws, same Kahan order)."""
+    p = _payoff_namespace(option, cfg.n_steps)
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+    shape = (cfg.tile_rows, LANES)
+    flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = offset + jnp.uint32(cfg.n_paths)
+    strikes = jnp.asarray(strikes, jnp.float32)
+
+    def one_tile(carry, i):
+        acc_s, acc_q, comp = carry
+        ids = offset + jnp.uint32(i * cfg.paths_per_tile) + flat
+        valid = ids < bound
+
+        def draw_pair(m):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
+            return rng.normal_pair(k0, k1, ids, c1)
+
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        s_t, state = pk._simulate_leg(payoff, cfg, p, s0, draw_pair)
+        if cfg.antithetic:
+            s_t2, state2 = pk._simulate_leg(
+                payoff, cfg, p, s0,
+                lambda m: tuple(-z for z in draw_pair(m)))
+        for m in range(n_strikes):
+            pm = SimpleNamespace(**{**p.__dict__, "k": strikes[m]})
+            pay = payoff.terminal(state, s_t, pm)
+            if cfg.antithetic:
+                pay = 0.5 * (pay + payoff.terminal(state2, s_t2, pm))
+            pay = jnp.where(valid, pay, 0.0)
+            for which, cslot, v in ((0, 2 * m, pay), (1, 2 * m + 1, pay * pay)):
+                acc = acc_s if which == 0 else acc_q
+                p8 = pk._fold_to_sublanes(v, cfg.tile_rows)
+                y = p8 - comp[cslot]
+                t = acc[m] + y
+                comp = comp.at[cslot].set((t - acc[m]) - y)
+                if which == 0:
+                    acc_s = acc_s.at[m].set(t)
+                else:
+                    acc_q = acc_q.at[m].set(t)
+        return (acc_s, acc_q, comp), None
+
+    zero = jnp.zeros((n_strikes, pk.SUBLANES, LANES), jnp.float32)
+    comp0 = jnp.zeros((2 * n_strikes, pk.SUBLANES, LANES), jnp.float32)
+    (acc_s, acc_q, _), _ = jax.lax.scan(
+        one_tile, (zero, zero, comp0),
+        jnp.arange(cfg.n_tiles, dtype=jnp.uint32))
+    return acc_s, acc_q
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "n_strikes", "method", "engine",
+                     "antithetic", "tile_rows", "interpret"))
+def _price_ladder_impl(option, payoff, sim, n_strikes, method, engine,
+                       antithetic, tile_rows, interpret, key, strikes):
+    cfg = pk.KernelConfig(
+        n_paths=sim.n_paths, n_steps=sim.n_steps, tile_rows=tile_rows,
+        antithetic=antithetic, method=method)
+    if engine == "pallas":
+        params = pk.pack_params(option, sim.n_steps)
+        acc_s, acc_q = pk.simulate_ladder_partials(
+            payoff, cfg, n_strikes, key, params, strikes,
+            interpret=interpret)
+    else:
+        acc_s, acc_q = _xla_ladder(payoff, cfg, n_strikes, key, option,
+                                   strikes)
+    sums = jax.vmap(finish_sum)(acc_s)
+    sqs = jax.vmap(finish_sum)(acc_q)
+    r = jnp.float32(option.r)
+    t = jnp.float32(option.t)
+    return summarize(sums, sqs, jnp.float32(sim.n_paths), jnp.exp(-r * t))
+
+
+def price_ladder(strikes,
+                 option: OptionParams = DEMO_OPTION,
+                 sim: SimParams = DEMO_SIM,
+                 payoff="vanilla_call",
+                 *,
+                 method: Optional[str] = None,
+                 engine: str = "pallas",
+                 antithetic: bool = False,
+                 tile_rows: int = 256,
+                 stream: int = STREAM_OUTER,
+                 key=None,
+                 interpret: Optional[bool] = None) -> PriceResult:
+    """Price a strike ladder on SHARED paths in one kernel pass.
+
+    Returns a PriceResult whose fields are (n_strikes,) arrays.  The path
+    simulation (the entire cost) runs once; each strike adds only a
+    terminal-payoff evaluation — an M-strike vol-surface row costs ~the
+    same as one price.  Strike enters every registered payoff only through
+    ``terminal``, so sharing the path state is exact.  Estimates across
+    strikes are positively correlated (same paths), which is precisely
+    what calibration wants (smooth ladders, stable digitals/spreads).
+    """
+    po = get_payoff(payoff)
+    if method is None:
+        method = "terminal" if po.terminal_only else "euler"
+    if po.n_state > 0 and method == "terminal":
+        raise ValueError(f"{po.name} is path-dependent; method='terminal' invalid")
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
+    return _price_ladder_impl(
+        option.as_f32(), po, sim.replace(seed=0), int(strikes.shape[0]),
+        method, engine, antithetic, tile_rows, interpret, key, strikes)

@@ -133,21 +133,17 @@ def _tile_normals_hw(shape):
     return rad * jnp.cos(theta), rad * jnp.sin(theta)
 
 
-def _payoff_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair,
-                state_init=None):
-    """Simulate one (possibly antithetic-negated) leg.
+def _simulate_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair,
+                  state_init=None):
+    """Simulate one leg to maturity; returns ``(s_t, state)``.
 
     ``draw_pair(m) -> (z_2m, z_2m+1)`` tiles; ``s0`` is the initial price
     tile.  The step loop consumes both Box-Muller halves of every threefry
     call (one threefry per TWO steps — the RNG is the hot-loop cost).
-    Returns ``(payoff, S_T)`` — the terminal price doubles as the control
-    variate (E[S_T] = S0 * exp(rT) exactly, since log-Euler increments are
-    exact in distribution under GBM).
     """
     if cfg.method == "terminal":
         z, _ = draw_pair(0)
-        s_t = s0 * jnp.exp(p.drift_t + p.vol_t * z)
-        return payoff.terminal((), s_t, p), s_t
+        return s0 * jnp.exp(p.drift_t + p.vol_t * z), ()
 
     state0 = payoff.init(p, jnp.zeros_like(s0)) if state_init is None else state_init
 
@@ -181,7 +177,19 @@ def _payoff_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair,
     if end % 2:  # odd step count: epilogue consumes the head half only
         z0, _ = draw_pair(end // 2)
         w, s, state = one_step(w, state, z0)
-    return payoff.terminal(state, s, p), s
+    return s, state
+
+
+def _payoff_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair,
+                state_init=None):
+    """Simulate one leg and apply the payoff.
+
+    Returns ``(payoff, S_T)`` — the terminal price doubles as the control
+    variate (E[S_T] = S0 * exp(rT) exactly, since log-Euler increments are
+    exact in distribution under GBM).
+    """
+    s_t, state = _simulate_leg(payoff, cfg, p, s0, draw_pair, state_init)
+    return payoff.terminal(state, s_t, p), s_t
 
 
 def _fold_to_sublanes(v, tile_rows: int):
@@ -457,3 +465,92 @@ def simulate_trajectories_kernel(payoff: PathPayoff, cfg: KernelConfig, key,
       jnp.stack([jnp.asarray(path_offset, jnp.uint32),
                  jnp.asarray(path_offset, jnp.uint32) + jnp.uint32(cfg.n_paths)
                  if n_valid is None else jnp.asarray(n_valid, jnp.uint32)]))
+
+
+# ---------------------------------------------------------------------------
+# Strike-ladder kernel: M strikes priced on SHARED paths in one pass.
+# ---------------------------------------------------------------------------
+
+
+def _make_ladder_kernel(payoff: PathPayoff, cfg: KernelConfig,
+                        n_strikes: int):
+    """One simulation, M payoff evaluations.
+
+    The RNG + step loop (the entire cost) runs once per tile; each strike
+    adds only a terminal-payoff evaluation + fold (~1% of a path).  The
+    reference would have run its whole pipeline M times.  Strike enters
+    every registered payoff only through ``terminal``, so the path state is
+    shared exactly.
+    """
+
+    def kernel(key_ref, params_ref, meta_ref, strikes_ref, sum_ref, sq_ref,
+               comp_ref):
+        p = unpack_params(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        k0, k1 = key_ref[0], key_ref[1]
+        draw_pair = lambda m: _tile_normals_threefry(k0, k1, ids, m)
+
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        s_t, state = _simulate_leg(payoff, cfg, p, s0, draw_pair)
+        if cfg.antithetic:
+            draw_neg = lambda m: tuple(-z for z in draw_pair(m))
+            s_t2, state2 = _simulate_leg(payoff, cfg, p, s0, draw_neg)
+
+        @pl.when(i == 0)
+        def _init():
+            sum_ref[:] = jnp.zeros_like(sum_ref)
+            sq_ref[:] = jnp.zeros_like(sq_ref)
+            comp_ref[:] = jnp.zeros_like(comp_ref)
+
+        for m in range(n_strikes):
+            pm = SimpleNamespace(**{**p.__dict__, "k": strikes_ref[m]})
+            pay = payoff.terminal(state, s_t, pm)
+            if cfg.antithetic:
+                pay = 0.5 * (pay + payoff.terminal(state2, s_t2, pm))
+            pay = jnp.where(valid, pay, 0.0)
+            for out_ref, cslot, v in ((sum_ref, 2 * m, pay),
+                                      (sq_ref, 2 * m + 1, pay * pay)):
+                p8 = _fold_to_sublanes(v, cfg.tile_rows)
+                acc = out_ref[m]
+                y = p8 - comp_ref[cslot]
+                t = acc + y
+                comp_ref[cslot] = (t - acc) - y
+                out_ref[m] = t
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("payoff", "cfg", "n_strikes",
+                                             "interpret"))
+def simulate_ladder_partials(payoff: PathPayoff, cfg: KernelConfig,
+                             n_strikes: int, key, params, strikes,
+                             path_offset=0, n_valid=None, interpret=None):
+    """Moment accumulators for M strikes on shared paths.
+
+    Returns (sum_acc, sq_acc), each (n_strikes, 8, 128) f32.
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    acc_spec = pl.BlockSpec((n_strikes, SUBLANES, LANES), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_ladder_kernel(payoff, cfg, n_strikes),
+        grid=(cfg.n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
+        out_specs=[acc_spec, acc_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_strikes, SUBLANES, LANES),
+                                        jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((2 * n_strikes, SUBLANES, LANES),
+                                   jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(key, jnp.uint32), params, jnp.stack([offset, bound]),
+      jnp.asarray(strikes, jnp.float32))
