@@ -139,10 +139,11 @@ def _xla_partials(payoff: PathPayoff, cfg: pk.KernelConfig, key, option,
     jax.jit,
     static_argnames=("payoff", "sim", "method", "engine", "antithetic",
                      "control_variate", "tile_rows", "rng_source",
-                     "interpret", "path_count_override"))
+                     "interpret", "path_count_override", "importance_shift"))
 def _price_impl(option, payoff, sim, method, engine, antithetic,
                 control_variate, tile_rows, rng_source, interpret,
-                key, path_offset, path_count_override):
+                key, path_offset, path_count_override,
+                importance_shift=0.0):
     n_paths = path_count_override or sim.n_paths
     cfg = pk.KernelConfig(
         n_paths=n_paths,
@@ -152,6 +153,7 @@ def _price_impl(option, payoff, sim, method, engine, antithetic,
         with_cv=control_variate,
         rng_source=rng_source,
         method=method,
+        is_shift=importance_shift,
     )
     if engine == "pallas":
         params = pk.pack_params(option, sim.n_steps)
@@ -207,6 +209,7 @@ def price(option: OptionParams = DEMO_OPTION,
           key=None,
           path_offset: int = 0,
           n_paths: Optional[int] = None,
+          importance_shift: float = 0.0,
           interpret: Optional[bool] = None) -> PriceResult:
     """Price an option by Monte Carlo on TPU.
 
@@ -222,6 +225,12 @@ def price(option: OptionParams = DEMO_OPTION,
 
     method: "terminal" (exact, European-only) | "euler"; default picks
     "terminal" for terminal-only payoffs, "euler" otherwise.
+
+    importance_shift: shift the sampled terminal log-price by this many
+    sigma*sqrt(T) standard deviations with exact likelihood-ratio
+    re-weighting (unbiased).  Aim the paths at the money for deep-OTM
+    strikes: shift ~= log(K/S0)/(sigma*sqrt(T)) collapses the stderr by
+    orders of magnitude.
     """
     po = get_payoff(payoff)
     if method is None:
@@ -237,10 +246,12 @@ def price(option: OptionParams = DEMO_OPTION,
         key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
     # seed is consumed into `key` above; zero it in the static argument so
     # re-seeding never recompiles (the reference recompiled for ANY change).
+    if importance_shift and rng_source == "hw":
+        raise ValueError("importance sampling requires rng_source='threefry'")
     return _price_impl(
         option.as_f32(), po, sim.replace(seed=0), method, engine, antithetic,
         control_variate, tile_rows, rng_source, interpret, key,
-        jnp.uint32(path_offset), n_paths)
+        jnp.uint32(path_offset), n_paths, float(importance_shift))
 
 
 # ---------------------------------------------------------------------------
@@ -338,16 +349,21 @@ def _xla_ladder(payoff, cfg, n_strikes, key, option, strikes, path_offset=0):
             return rng.normal_pair(k0, k1, ids, c1)
 
         s0 = jnp.full(shape, p.s0, jnp.float32)
-        s_t, state = pk._simulate_leg(payoff, cfg, p, s0, draw_pair)
+        s_t, state, wgt = pk._simulate_leg(payoff, cfg, p, s0, draw_pair)
         if cfg.antithetic:
-            s_t2, state2 = pk._simulate_leg(
+            s_t2, state2, wgt2 = pk._simulate_leg(
                 payoff, cfg, p, s0,
                 lambda m: tuple(-z for z in draw_pair(m)))
         for m in range(n_strikes):
             pm = SimpleNamespace(**{**p.__dict__, "k": strikes[m]})
             pay = payoff.terminal(state, s_t, pm)
+            if wgt is not None:
+                pay = pay * wgt
             if cfg.antithetic:
-                pay = 0.5 * (pay + payoff.terminal(state2, s_t2, pm))
+                pay2 = payoff.terminal(state2, s_t2, pm)
+                if wgt is not None:
+                    pay2 = pay2 * wgt2
+                pay = 0.5 * (pay + pay2)
             pay = jnp.where(valid, pay, 0.0)
             for which, cslot, v in ((0, 2 * m, pay), (1, 2 * m + 1, pay * pay)):
                 acc = acc_s if which == 0 else acc_q

@@ -96,11 +96,18 @@ class KernelConfig:
     method: str = "euler"         # "euler" | "terminal"
     start_step: int = 0           # resume support (trajectories.cuh:116-117 Tk)
     use_cost_estimate: bool = True
+    # Importance sampling: shift the terminal log-price by `is_shift`
+    # standard deviations (of sigma*sqrt(T)); payoffs are re-weighted by
+    # the exact likelihood ratio so the estimator stays unbiased.
+    is_shift: float = 0.0
 
     def __post_init__(self):
         if self.tile_rows % 8 or self.tile_rows < 8:
             raise ValueError("tile_rows must be a positive multiple of 8 "
                              f"(f32 sublane tiling); got {self.tile_rows}")
+        if self.is_shift and self.start_step:
+            raise ValueError("importance sampling with resume (start_step>0) "
+                             "is not supported")
 
     @property
     def paths_per_tile(self) -> int:
@@ -135,17 +142,29 @@ def _tile_normals_hw(shape):
 
 def _simulate_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair,
                   state_init=None):
-    """Simulate one leg to maturity; returns ``(s_t, state)``.
+    """Simulate one leg to maturity; returns ``(s_t, state, weight)``.
 
     ``draw_pair(m) -> (z_2m, z_2m+1)`` tiles; ``s0`` is the initial price
     tile.  The step loop consumes both Box-Muller halves of every threefry
     call (one threefry per TWO steps — the RNG is the hot-loop cost).
+    ``weight`` is the importance-sampling likelihood ratio dP/dQ (None when
+    cfg.is_shift == 0).
     """
+    shift = jnp.float32(cfg.is_shift)
     if cfg.method == "terminal":
         z, _ = draw_pair(0)
-        return s0 * jnp.exp(p.drift_t + p.vol_t * z), ()
+        if cfg.is_shift:
+            z = z + shift
+        s_t = s0 * jnp.exp(p.drift_t + p.vol_t * z)
+        if cfg.is_shift:
+            # dP/dQ at the sampled point: exp(-shift*eps + shift^2/2).
+            return s_t, (), jnp.exp(-shift * z + 0.5 * shift * shift)
+        return s_t, (), None
 
     state0 = payoff.init(p, jnp.zeros_like(s0)) if state_init is None else state_init
+    # Per-step drift shift theta = shift/sqrt(n): total terminal log-shift
+    # is sigma*sqrt(T)*shift, matching the terminal method.
+    theta = shift / jnp.float32(math.sqrt(cfg.n_steps))
 
     # Log-space accumulation: w_t = sum of log-increments, S_t = S0 e^{w_t}.
     # The TPU's fast f32 exp has a systematic ~-1e-6 relative bias (up to
@@ -156,6 +175,8 @@ def _simulate_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair,
     s, state = s0, state0
 
     def one_step(w, state, z):
+        if cfg.is_shift:
+            z = z + theta
         w = w + (p.drift_dt + p.vol_dt * z)
         s = s0 * jnp.exp(w)
         return w, s, payoff.update(state, s, p)
@@ -177,19 +198,33 @@ def _simulate_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair,
     if end % 2:  # odd step count: epilogue consumes the head half only
         z0, _ = draw_pair(end // 2)
         w, s, state = one_step(w, state, z0)
-    return s, state
+    if cfg.is_shift:
+        # log dP/dQ = -theta * sum(eps_j) + n theta^2 / 2, with the realized
+        # shifted increments recovered from the log-price accumulator:
+        # sum(eps) * vol_dt = w - n * drift_dt.
+        sum_eps = (w - jnp.float32(cfg.n_steps) * p.drift_dt) / p.vol_dt
+        weight = jnp.exp(-theta * sum_eps
+                         + 0.5 * jnp.float32(cfg.n_steps) * theta * theta)
+        return s, state, weight
+    return s, state, None
 
 
 def _payoff_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair,
                 state_init=None):
     """Simulate one leg and apply the payoff.
 
-    Returns ``(payoff, S_T)`` — the terminal price doubles as the control
-    variate (E[S_T] = S0 * exp(rT) exactly, since log-Euler increments are
-    exact in distribution under GBM).
+    Returns ``(payoff, S_T-or-weighted-S_T)`` — the terminal price doubles
+    as the control variate (E[S_T] = S0 * exp(rT) exactly, since log-Euler
+    increments are exact in distribution under GBM).  Under importance
+    sampling both outputs carry the likelihood-ratio weight, so every
+    downstream moment remains an unbiased P-measure estimator.
     """
-    s_t, state = _simulate_leg(payoff, cfg, p, s0, draw_pair, state_init)
-    return payoff.terminal(state, s_t, p), s_t
+    s_t, state, weight = _simulate_leg(payoff, cfg, p, s0, draw_pair,
+                                       state_init)
+    pay = payoff.terminal(state, s_t, p)
+    if weight is not None:
+        return pay * weight, s_t * weight
+    return pay, s_t
 
 
 def _fold_to_sublanes(v, tile_rows: int):
@@ -497,10 +532,10 @@ def _make_ladder_kernel(payoff: PathPayoff, cfg: KernelConfig,
         draw_pair = lambda m: _tile_normals_threefry(k0, k1, ids, m)
 
         s0 = jnp.full(shape, p.s0, jnp.float32)
-        s_t, state = _simulate_leg(payoff, cfg, p, s0, draw_pair)
+        s_t, state, wgt = _simulate_leg(payoff, cfg, p, s0, draw_pair)
         if cfg.antithetic:
             draw_neg = lambda m: tuple(-z for z in draw_pair(m))
-            s_t2, state2 = _simulate_leg(payoff, cfg, p, s0, draw_neg)
+            s_t2, state2, wgt2 = _simulate_leg(payoff, cfg, p, s0, draw_neg)
 
         @pl.when(i == 0)
         def _init():
@@ -511,8 +546,13 @@ def _make_ladder_kernel(payoff: PathPayoff, cfg: KernelConfig,
         for m in range(n_strikes):
             pm = SimpleNamespace(**{**p.__dict__, "k": strikes_ref[m]})
             pay = payoff.terminal(state, s_t, pm)
+            if wgt is not None:
+                pay = pay * wgt
             if cfg.antithetic:
-                pay = 0.5 * (pay + payoff.terminal(state2, s_t2, pm))
+                pay2 = payoff.terminal(state2, s_t2, pm)
+                if wgt is not None:
+                    pay2 = pay2 * wgt2
+                pay = 0.5 * (pay + pay2)
             pay = jnp.where(valid, pay, 0.0)
             for out_ref, cslot, v in ((sum_ref, 2 * m, pay),
                                       (sq_ref, 2 * m + 1, pay * pay)):
