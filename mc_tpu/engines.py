@@ -354,7 +354,8 @@ def _xla_ladder(payoff, cfg, n_strikes, key, option, strikes, path_offset=0):
             s_t2, state2, wgt2 = pk._simulate_leg(
                 payoff, cfg, p, s0,
                 lambda m: tuple(-z for z in draw_pair(m)))
-        for m in range(n_strikes):
+        def strike_body(m, carry):
+            acc_s, acc_q, comp = carry
             pm = SimpleNamespace(**{**p.__dict__, "k": strikes[m]})
             pay = payoff.terminal(state, s_t, pm)
             if wgt is not None:
@@ -375,6 +376,10 @@ def _xla_ladder(payoff, cfg, n_strikes, key, option, strikes, path_offset=0):
                     acc_s = acc_s.at[m].set(t)
                 else:
                     acc_q = acc_q.at[m].set(t)
+            return (acc_s, acc_q, comp)
+
+        acc_s, acc_q, comp = jax.lax.fori_loop(
+            0, n_strikes, strike_body, (acc_s, acc_q, comp))
         return (acc_s, acc_q, comp), None
 
     zero = jnp.zeros((n_strikes, pk.SUBLANES, LANES), jnp.float32)

@@ -543,7 +543,9 @@ def _make_ladder_kernel(payoff: PathPayoff, cfg: KernelConfig,
             sq_ref[:] = jnp.zeros_like(sq_ref)
             comp_ref[:] = jnp.zeros_like(comp_ref)
 
-        for m in range(n_strikes):
+        # fori_loop (not a static unroll) over strikes: the per-strike body
+        # traces once, keeping Mosaic compile time flat in n_strikes.
+        def strike_body(m, _):
             pm = SimpleNamespace(**{**p.__dict__, "k": strikes_ref[m]})
             pay = payoff.terminal(state, s_t, pm)
             if wgt is not None:
@@ -562,6 +564,9 @@ def _make_ladder_kernel(payoff: PathPayoff, cfg: KernelConfig,
                 t = acc + y
                 comp_ref[cslot] = (t - acc) - y
                 out_ref[m] = t
+            return 0
+
+        jax.lax.fori_loop(0, n_strikes, strike_body, 0)
 
     return kernel
 
