@@ -37,4 +37,7 @@ def __getattr__(name):
     if name == "price_ladder":
         from mc_tpu.engines import price_ladder
         return price_ladder
+    if name == "price_qmc":
+        from mc_tpu.qmc import price_qmc
+        return price_qmc
     raise AttributeError(f"module 'mc_tpu' has no attribute {name!r}")

@@ -1,0 +1,307 @@
+"""Randomized quasi-Monte Carlo: rank-1 lattice rules with random shifts.
+
+Beyond the reference (pure pseudo-random MC): for smooth integrands the
+randomly-shifted lattice estimator converges ~O(N^-1) instead of
+O(N^-1/2) — at 1M points that is orders of magnitude less error for the
+same path budget (see tests/test_qmc.py for the measured gap).
+
+* Generating vectors come from a fast component-by-component (CBC)
+  construction (Nuyens-Cools FFT form, O(n log n) per dimension) for the
+  weighted Korobov space with the Bernoulli-B2 kernel — computed on the
+  host once per (n, d) and cached.  No external direction-number tables.
+* Points are generated IN-KERNEL from the path id: u_{i,j} =
+  frac(i * z_j / n + shift_j), with the modular product done in uint32 via
+  a 10-bit split (exact for n <= 2^20) — no point matrix ever exists in
+  memory, exactly like the counter-based PRNG path.
+* Normals via the inverse CDF (`rng.inv_normal_cdf`) — Box-Muller would
+  scramble the low-discrepancy structure.
+* Error estimation: R independent random shifts (threefry-derived);
+  stderr = std of the R shift-estimates / sqrt(R) — unbiased, honest, and
+  it inherits the QMC rate.
+
+`price_qmc` mirrors `price`; the same `_payoff_leg` step loop runs, only
+the draw source differs, so every payoff/method combination works.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mc_tpu import rng
+from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
+from mc_tpu.engines import STREAM_OUTER, _payoff_namespace
+from mc_tpu.oracle import PriceResult
+from mc_tpu.ops import path_kernels as pk
+from mc_tpu.ops._pallas import LANES, SUBLANES, use_interpret
+from mc_tpu.ops.payoffs import get_payoff
+
+__all__ = ["price_qmc", "lattice_vector", "prev_prime"]
+
+MAX_LATTICE_N = 1 << 20  # uint32 10-bit-split modmul validity bound
+
+
+def _is_prime(n: int) -> bool:
+    if n < 2:
+        return False
+    for p in range(2, int(math.isqrt(n)) + 1):
+        if n % p == 0:
+            return False
+    return True
+
+
+def prev_prime(n: int) -> int:
+    """Largest prime <= n."""
+    n = min(n, MAX_LATTICE_N - 1)
+    while not _is_prime(n):
+        n -= 1
+    return n
+
+
+def _primitive_root(n: int) -> int:
+    """Smallest primitive root modulo prime n."""
+    phi = n - 1
+    factors = []
+    m = phi
+    p = 2
+    while p * p <= m:
+        if m % p == 0:
+            factors.append(p)
+            while m % p == 0:
+                m //= p
+        p += 1
+    if m > 1:
+        factors.append(m)
+    for g in range(2, n):
+        if all(pow(g, phi // f, n) != 1 for f in factors):
+            return g
+    raise ValueError(f"no primitive root for {n}")
+
+
+@functools.lru_cache(maxsize=16)
+def lattice_vector(n: int, d: int, gamma: float = 0.1) -> np.ndarray:
+    """CBC-constructed generating vector z (d,) for a rank-1 lattice mod n.
+
+    Fast CBC (Nuyens-Cools): candidates are enumerated as powers of a
+    primitive root g, turning the per-dimension error evaluation
+    E(z=g^j) = sum_i p_i * omega({i g^j / n}) into one circular
+    correlation, done with FFTs in O(n log n).  omega is the Bernoulli-B2
+    (Korobov alpha=2) kernel; `gamma` the product weight per dimension.
+    """
+    if not _is_prime(n):
+        raise ValueError(f"lattice size must be prime, got {n}")
+    if d < 1:
+        raise ValueError("d must be >= 1")
+    g = _primitive_root(n)
+    m = n - 1
+    perm = np.empty(m, np.int64)
+    perm[0] = 1
+    for j in range(1, m):
+        perm[j] = perm[j - 1] * g % n
+
+    def omega(x):
+        return 2.0 * math.pi ** 2 * (x * x - x + 1.0 / 6.0)
+
+    psi = omega(perm / n)                       # psi[l] = omega({g^l / n})
+    fft_psi = np.fft.rfft(psi)
+    prod = np.ones(n)                           # running product over points
+    z = np.empty(d, np.int64)
+    for s in range(d):
+        q = prod[perm]                          # product at points i = g^l
+        # errors[j] = sum_l q[l] psi[(l + j) mod m]  (circular correlation)
+        errors = np.fft.irfft(np.conj(np.fft.rfft(q)) * fft_psi, m)
+        j_star = int(np.argmin(errors))
+        z[s] = perm[j_star]
+        upd = 1.0 + gamma * np.roll(psi, -j_star)  # omega({g^{l+j*} / n})
+        prod[perm] *= upd
+        prod[0] *= 1.0 + gamma * omega(0.0)
+    return z.astype(np.uint32)
+
+
+def _lattice_u(ids, z_j, shift_j, n: int):
+    """u = frac(i * z_j / n + shift_j), exact uint32 modular arithmetic.
+
+    10-bit split keeps every intermediate below 2^31 for n <= 2^20.
+    """
+    z1 = z_j >> jnp.uint32(10)
+    z0 = jnp.bitwise_and(z_j, jnp.uint32(1023))
+    un = jnp.uint32(n)
+    t = (ids * z1) % un
+    t = (jax.lax.shift_left(t, jnp.uint32(10)) + ids * z0) % un
+    u = t.astype(jnp.float32) * jnp.float32(1.0 / n) + shift_j
+    return u - jnp.floor(u)
+
+
+def _qmc_draw_pair_factory(ids, zvec_ref, shift_ref, n: int, method: str):
+    """draw_pair(m) -> inverse-CDF normals for dimensions (2m, 2m+1)."""
+
+    def draw_pair(m):
+        m2 = jnp.asarray(m, jnp.int32) * 2
+        if method == "terminal":
+            u0 = _lattice_u(ids, zvec_ref[0], shift_ref[0], n)
+            return rng.inv_normal_cdf(u0), jnp.zeros_like(u0)
+        u0 = _lattice_u(ids, zvec_ref[m2], shift_ref[m2], n)
+        u1 = _lattice_u(ids, zvec_ref[m2 + 1], shift_ref[m2 + 1], n)
+        return rng.inv_normal_cdf(u0), rng.inv_normal_cdf(u1)
+
+    return draw_pair
+
+
+def _xla_qmc_shift_sum(payoff, cfg: pk.KernelConfig, option, zvec, shifts,
+                       n: int):
+    """Payoff sum over the n lattice points for ONE random shift."""
+    p = _payoff_namespace(option, cfg.n_steps)
+    shape = (cfg.tile_rows, LANES)
+    flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+
+    def one_tile(carry, i):
+        acc, comp = carry
+        ids = jnp.uint32(i * cfg.paths_per_tile) + flat
+        valid = ids < jnp.uint32(n)
+        draw_pair = _qmc_draw_pair_factory(ids, zvec, shifts, n, cfg.method)
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        pay, _ = pk._payoff_leg(payoff, cfg, p, s0, draw_pair)
+        pay = jnp.where(valid, pay, 0.0)
+        p8 = pk._fold_to_sublanes(pay, cfg.tile_rows)
+        y = p8 - comp
+        t = acc + y
+        return (t, (t - acc) - y), None
+
+    zeros = jnp.zeros((SUBLANES, LANES), jnp.float32)
+    (acc, _), _ = jax.lax.scan(
+        one_tile, (zeros, zeros), jnp.arange(cfg.n_tiles, dtype=jnp.uint32))
+    return jnp.sum(acc.astype(jnp.float32))
+
+
+def _make_qmc_kernel(payoff, cfg: pk.KernelConfig, n: int):
+    from jax.experimental import pallas as pl  # local: kernel-build only
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(zvec_ref, shift_ref, params_ref, acc_ref, comp_ref):
+        p = pk.unpack_params(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = base + flat
+        valid = ids < jnp.uint32(n)
+        draw_pair = _qmc_draw_pair_factory(ids, zvec_ref, shift_ref, n,
+                                           cfg.method)
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        pay, _ = pk._payoff_leg(payoff, cfg, p, s0, draw_pair)
+        pay = jnp.where(valid, pay, 0.0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            comp_ref[:] = jnp.zeros_like(comp_ref)
+
+        p8 = pk._fold_to_sublanes(pay, cfg.tile_rows)
+        acc = acc_ref[:]
+        y = p8 - comp_ref[0]
+        t = acc + y
+        comp_ref[0] = (t - acc) - y
+        acc_ref[:] = t
+
+    return kernel
+
+
+def _pallas_qmc_shift_sum(payoff, cfg: pk.KernelConfig, params, zvec,
+                          shifts, n: int, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    acc = pl.pallas_call(
+        _make_qmc_kernel(payoff, cfg, n),
+        grid=(cfg.n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, SUBLANES, LANES), jnp.float32)],
+        interpret=interpret,
+    )(zvec, shifts, params)
+    return jnp.sum(acc)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "n", "n_steps", "method", "engine",
+                     "tile_rows", "interpret"))
+def _price_qmc_impl(option, payoff, n, n_steps, method, engine, tile_rows,
+                    interpret, zvec, shifts):
+    if interpret is None:
+        interpret = use_interpret()
+    cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=tile_rows,
+                          method=method)
+    params = pk.pack_params(option, n_steps)
+
+    def one_shift(shift):
+        if engine == "pallas":
+            s = _pallas_qmc_shift_sum(payoff, cfg, params, zvec, shift, n,
+                                      interpret)
+        else:
+            s = _xla_qmc_shift_sum(payoff, cfg, option, zvec, shift, n)
+        return s / jnp.float32(n)
+
+    means = jax.lax.map(one_shift, shifts)          # (R,) per-shift means
+    r_reps = shifts.shape[0]
+    mean = jnp.mean(means)
+    var = jnp.sum((means - mean) ** 2) / jnp.float32(max(r_reps - 1, 1))
+    r = jnp.asarray(option.r, jnp.float32)
+    t = jnp.asarray(option.t, jnp.float32)
+    discount = jnp.exp(-r * t)
+    return PriceResult(
+        price=discount * mean,
+        stderr=discount * jnp.sqrt(var / r_reps),
+        n_paths=jnp.float32(n * r_reps),
+        payoff_mean=mean,
+        payoff_var=var,
+    )
+
+
+def price_qmc(option: OptionParams = DEMO_OPTION,
+              sim: SimParams = DEMO_SIM,
+              payoff="vanilla_call",
+              *,
+              n_shifts: int = 16,
+              method: Optional[str] = None,
+              engine: str = "pallas",
+              tile_rows: int = 256,
+              gamma: float = 0.1,
+              stream: int = STREAM_OUTER,
+              interpret: Optional[bool] = None) -> PriceResult:
+    """Randomized-QMC price: rank-1 lattice, `n_shifts` random shifts.
+
+    Uses the largest prime <= sim.n_paths as the lattice size (capped at
+    2^20 per shift; raise n_shifts rather than n for bigger budgets —
+    total samples = n * n_shifts).  stderr comes from the spread of the
+    independent shift estimates.
+    """
+    po = get_payoff(payoff)
+    if method is None:
+        method = "terminal" if po.terminal_only else "euler"
+    if po.n_state > 0 and method == "terminal":
+        raise ValueError(f"{po.name} is path-dependent; method='terminal' invalid")
+    if n_shifts < 2:
+        raise ValueError("n_shifts >= 2 required for an error estimate")
+    n = prev_prime(sim.n_paths)
+    d = 1 if method == "terminal" else sim.n_steps
+    zvec = jnp.asarray(lattice_vector(n, d, gamma), jnp.uint32)
+
+    # Random shifts from the threefry stream: (R, d) uniforms.
+    key = rng.derive_key(sim.seed, stream, 0x51AC)
+    sidx = jnp.arange(n_shifts * d, dtype=jnp.uint32)
+    bits, _ = rng.threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
+                               sidx, jnp.zeros_like(sidx))
+    shifts = rng.bits_to_unit(bits).reshape(n_shifts, d)
+
+    return _price_qmc_impl(option.as_f32(), po, n, sim.n_steps, method,
+                           engine, tile_rows, interpret, zvec, shifts)

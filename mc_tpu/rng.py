@@ -179,3 +179,64 @@ def normals(key: tuple, ids, n_draws: int, draw_offset: int = 0,
         outs.append(z0)
         outs.append(z1)
     return jnp.stack(outs[:n_draws], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Inverse normal CDF (Acklam's rational approximation) — the QMC map.
+# Box-Muller cannot consume low-discrepancy points (it scrambles their
+# structure); quasi-Monte Carlo needs the direct inverse transform.
+# ---------------------------------------------------------------------------
+
+_ACKLAM_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+             -2.759285104469687e+02, 1.383577518672690e+02,
+             -3.066479806614716e+01, 2.506628277459239e+00)
+_ACKLAM_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+             -1.556989798598866e+02, 6.680131188771972e+01,
+             -1.328068155288572e+01)
+_ACKLAM_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e+00, -2.549732539343734e+00,
+             4.374664141464968e+00, 2.938163982698783e+00)
+_ACKLAM_D = (7.784695709041462e-03, 3.224671290700398e-01,
+             2.445134137142996e+00, 3.754408661907416e+00)
+
+
+def inv_normal_cdf(u):
+    """Phi^{-1}(u) for u in (0,1), branch-free f32 (Acklam's algorithm).
+
+    Max relative error ~1.15e-9 in f64; f32 rounding dominates here.
+    Inputs are clamped to [1e-6, 1-1e-6] (|z| <~ 4.75) — QMC points land
+    on a shifted lattice, so the clamp affects ~2e-6 of the mass at most.
+    """
+    u = jnp.clip(jnp.asarray(u, jnp.float32), 1e-6, 1.0 - 1e-6)
+    a, b, c, d = _ACKLAM_A, _ACKLAM_B, _ACKLAM_C, _ACKLAM_D
+    p_low = jnp.float32(0.02425)
+
+    # central region
+    q = u - jnp.float32(0.5)
+    r = q * q
+    num = ((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]
+    den = ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1.0
+    central = q * num / den
+
+    # tails (evaluated on a safe argument, selected by mask)
+    u_tail = jnp.minimum(u, 1.0 - u)
+    qt = jnp.sqrt(-2.0 * jnp.log(u_tail))
+    num_t = ((((c[0] * qt + c[1]) * qt + c[2]) * qt + c[3]) * qt + c[4]) * qt + c[5]
+    den_t = (((d[0] * qt + d[1]) * qt + d[2]) * qt + d[3]) * qt + 1.0
+    tail = num_t / den_t
+    tail = jnp.where(u < jnp.float32(0.5), tail, -tail)
+
+    lower = u < p_low
+    upper = u > 1.0 - p_low
+    x = jnp.where(jnp.logical_or(lower, upper), tail, central)
+
+    # One Newton step against the exact CDF recovers ~f32-limited accuracy
+    # in the body (|x| < 3, where Phi is computable to ~1e-7 absolute);
+    # the tails keep the raw rational value (phi there is too small for a
+    # stable residual correction).
+    sqrt2 = jnp.float32(1.4142135623730951)
+    inv_sqrt2pi = jnp.float32(0.3989422804014327)
+    cdf = 0.5 * (1.0 + jax.lax.erf(x / sqrt2))
+    pdf = inv_sqrt2pi * jnp.exp(-0.5 * x * x)
+    step = (cdf - u) / jnp.maximum(pdf, 1e-10)
+    return jnp.where(jnp.abs(x) < 3.0, x - step, x)

@@ -1,0 +1,94 @@
+"""Randomized-QMC tests: construction validity, unbiasedness, and the
+convergence advantage over plain MC."""
+
+import math
+
+import numpy as np
+import pytest
+
+from mc_tpu import OptionParams, SimParams, price
+from mc_tpu.oracle import bs_call
+from mc_tpu.qmc import lattice_vector, prev_prime, price_qmc
+from mc_tpu.rng import inv_normal_cdf
+
+BS = float(bs_call(100.0, 100.0, 1.0, 0.1, 0.2))
+
+
+def test_prev_prime():
+    assert prev_prime(100) == 97
+    assert prev_prime(4099) == 4099
+    assert prev_prime(1 << 21) < (1 << 20)  # capped
+
+
+def test_lattice_vector_properties():
+    n = 509
+    z = lattice_vector(n, 8)
+    assert z.shape == (8,)
+    assert (z > 0).all() and (z < n).all()
+    # components must generate distinct 1-d projections
+    assert len(set(int(v) for v in z)) == 8
+
+
+def test_inv_normal_cdf_accuracy():
+    from scipy.stats import norm
+    u = np.linspace(0.001, 0.999, 9973)
+    err = np.abs(np.asarray(inv_normal_cdf(u)) - norm.ppf(u))
+    assert err.max() < 1e-4
+
+
+def test_lattice_points_uniform():
+    """First two dimensions of the lattice should be ~uniform marginally."""
+    import jax.numpy as jnp
+    from mc_tpu.qmc import _lattice_u
+    n = 1021
+    z = lattice_vector(n, 2)
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    u0 = np.asarray(_lattice_u(ids, jnp.uint32(int(z[0])),
+                               jnp.float32(0.3), n))
+    # every lattice point in dim j is {i*z_j/n} + shift: a permutation of
+    # the n/n grid -> exactly uniform
+    assert abs(u0.mean() - 0.5) < 1e-3
+    assert len(np.unique(np.round(u0 * n).astype(int) % n)) == n
+
+
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_qmc_unbiased_terminal(engine):
+    res = price_qmc(sim=SimParams(n_paths=4099, n_steps=10), n_shifts=8,
+                    engine=engine, tile_rows=8)
+    assert abs(float(res.price) - BS) <= 4.0 * float(res.stderr) + 5e-3
+
+
+def test_qmc_engines_bitwise():
+    a = price_qmc(sim=SimParams(n_paths=2053, n_steps=4), n_shifts=4,
+                  engine="pallas", tile_rows=8, method="euler")
+    b = price_qmc(sim=SimParams(n_paths=2053, n_steps=4), n_shifts=4,
+                  engine="xla", tile_rows=8, method="euler")
+    assert float(a.price) == float(b.price)
+
+
+def test_qmc_beats_mc_at_same_budget():
+    """16 shifts x 4099 points vs plain MC with the same total paths."""
+    n, shifts = 4099, 16
+    qmc = price_qmc(sim=SimParams(n_paths=n, n_steps=10), n_shifts=shifts,
+                    engine="xla", tile_rows=8)
+    mc = price(sim=SimParams(n_paths=n * shifts, n_steps=10), engine="xla",
+               method="terminal", tile_rows=8)
+    # the lattice rate should cut stderr by well over 2x at this size
+    assert float(qmc.stderr) < 0.5 * float(mc.stderr), (
+        float(qmc.stderr), float(mc.stderr))
+    assert abs(float(qmc.price) - BS) < 5e-2
+
+
+def test_qmc_euler_path_dependent():
+    res = price_qmc(OptionParams(p1=1.0, p2=8.0),
+                    SimParams(n_paths=2053, n_steps=10), payoff="bullet_call",
+                    n_shifts=8, engine="xla", tile_rows=8)
+    assert 0.0 < float(res.price) < BS
+    assert float(res.stderr) > 0.0
+
+
+def test_qmc_guards():
+    with pytest.raises(ValueError):
+        price_qmc(n_shifts=1)
+    with pytest.raises(ValueError):
+        price_qmc(payoff="bullet_call", method="terminal")
