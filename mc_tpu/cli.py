@@ -211,6 +211,54 @@ def cmd_traj(args):
     return 0
 
 
+def cmd_ladder(args):
+    import numpy as np
+    from mc_tpu.engines import price_ladder
+
+    option, sim = _parse(args)
+    strikes = np.linspace(args.k_min, args.k_max, args.n_strikes)
+    res = price_ladder(strikes, option, sim, payoff=args.payoff,
+                       engine=args.engine, antithetic=args.antithetic,
+                       tile_rows=args.tile_rows)
+    print(json.dumps({
+        "strikes": [round(float(k), 6) for k in strikes],
+        "prices": [round(float(p), 6) for p in np.asarray(res.price)],
+        "stderrs": [round(float(s), 6) for s in np.asarray(res.stderr)],
+        "n_paths": sim.n_paths,
+    }))
+    return 0
+
+
+def cmd_greeks(args):
+    from mc_tpu.greeks import greeks
+
+    option, sim = _parse(args)
+    which = tuple(args.which.split(","))
+    g = greeks(option, sim, payoff=args.payoff, method=args.method,
+               which=which, antithetic=args.antithetic,
+               tile_rows=args.tile_rows)
+    print(json.dumps({k: float(v) for k, v in g.items()}))
+    return 0
+
+
+def cmd_qmc(args):
+    from mc_tpu.qmc import price_qmc
+    from mc_tpu.oracle import bs_call
+
+    option, sim = _parse(args)
+    res = price_qmc(option, sim, payoff=args.payoff,
+                    n_shifts=args.n_shifts, engine=args.engine,
+                    tile_rows=args.tile_rows)
+    out = {"price": float(res.price), "stderr": float(res.stderr),
+           "lattice_n": int(float(res.n_paths)) // args.n_shifts,
+           "n_shifts": args.n_shifts}
+    if args.payoff in ("vanilla_call", "vanilla_put"):
+        out["black_scholes"] = float(
+            bs_call(args.s0, args.k, args.t, args.r, args.sigma))
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_bench(args):
     import subprocess
     return subprocess.call([sys.executable, "bench.py"])
@@ -260,6 +308,29 @@ def main(argv=None):
     p.add_argument("--plot-max", type=int, default=200,
                    help="max trajectories to draw")
     p.set_defaults(fn=cmd_traj)
+
+    p = sub.add_parser("ladder", help="strike ladder on shared paths")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--k-min", type=float, default=60.0)
+    p.add_argument("--k-max", type=float, default=140.0)
+    p.add_argument("--n-strikes", type=int, default=17)
+    p.set_defaults(fn=cmd_ladder)
+
+    p = sub.add_parser("greeks", help="MC Greeks (pathwise or CRN-FD)")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--method", choices=("pathwise", "fd"), default="pathwise")
+    p.add_argument("--which", default="delta,vega,rho,theta")
+    p.add_argument("--antithetic", action="store_true")
+    p.set_defaults(fn=cmd_greeks)
+
+    p = sub.add_parser("qmc", help="randomized-QMC lattice price")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--n-shifts", type=int, default=16)
+    p.set_defaults(fn=cmd_qmc)
 
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.set_defaults(fn=cmd_bench)
