@@ -137,6 +137,38 @@ def _lattice_u(ids, z_j, shift_j, n: int):
     return u - jnp.floor(u)
 
 
+@functools.lru_cache(maxsize=32)
+def bridge_schedule(n_steps: int):
+    """Brownian-bridge construction order (BFS bisection).
+
+    Returns (idx, coef): idx[k] = (m, l, r) node indices into the W buffer
+    (0..n_steps, W[0] = 0 at time 0), coef[k] = (c_l, c_r, s) with
+    W[m] = c_l W[l] + c_r W[r] + s Z_k.  Entry 0 sets the terminal node
+    W[n] = sqrt(n) Z_0.  Consuming lattice dimension k at entry k maps the
+    best-distributed QMC dimensions to the coarsest bridge levels — the
+    standard fix that makes path-dependent payoffs nearly as QMC-friendly
+    as terminal ones.
+    """
+    from collections import deque
+    n = n_steps
+    idx = [(n, 0, 0)]
+    coef = [(0.0, 0.0, math.sqrt(n))]
+    dq = deque([(0, n)])
+    while dq:
+        l, r = dq.popleft()
+        if r - l <= 1:
+            continue
+        m = (l + r) // 2
+        span = r - l
+        idx.append((m, l, r))
+        coef.append(((r - m) / span, (m - l) / span,
+                     math.sqrt((m - l) * (r - m) / span)))
+        dq.append((l, m))
+        dq.append((m, r))
+    assert len(idx) == n, (len(idx), n)
+    return (np.asarray(idx, np.int32), np.asarray(coef, np.float32))
+
+
 def _qmc_draw_pair_factory(ids, zvec_ref, shift_ref, n: int, method: str):
     """draw_pair(m) -> inverse-CDF normals for dimensions (2m, 2m+1)."""
 
@@ -177,6 +209,121 @@ def _xla_qmc_shift_sum(payoff, cfg: pk.KernelConfig, option, zvec, shifts,
     (acc, _), _ = jax.lax.scan(
         one_tile, (zeros, zeros), jnp.arange(cfg.n_tiles, dtype=jnp.uint32))
     return jnp.sum(acc.astype(jnp.float32))
+
+
+def _bridge_normals_xla(ids, zvec, shifts, n, n_steps, bidx, bcoef):
+    """W-buffer construction (functional): returns per-step z array
+    (n_steps, *ids.shape) with z_j = W[j+1] - W[j]."""
+    shape = ids.shape
+    w = jnp.zeros((n_steps + 1,) + shape, jnp.float32)
+
+    def entry(k, w):
+        u = _lattice_u(ids, zvec[k], shifts[k], n)
+        z = rng.inv_normal_cdf(u)
+        m, l, r = bidx[k, 0], bidx[k, 1], bidx[k, 2]
+        val = (bcoef[k, 0] * w[l] + bcoef[k, 1] * w[r] + bcoef[k, 2] * z)
+        return w.at[m].set(val)
+
+    w = jax.lax.fori_loop(0, n_steps, entry, w)
+    return w[1:] - w[:-1]
+
+
+def _xla_qmc_bridge_shift_sum(payoff, cfg, option, zvec, shifts, n, bidx,
+                              bcoef):
+    p = _payoff_namespace(option, cfg.n_steps)
+    shape = (cfg.tile_rows, LANES)
+    flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+
+    def one_tile(carry, i):
+        acc, comp = carry
+        ids = jnp.uint32(i * cfg.paths_per_tile) + flat
+        valid = ids < jnp.uint32(n)
+        zs = _bridge_normals_xla(ids, zvec, shifts, n, cfg.n_steps, bidx,
+                                 bcoef)
+        draw_pair = lambda m: (zs[2 * m], zs[2 * m + 1])
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        pay, _ = pk._payoff_leg(payoff, cfg, p, s0, draw_pair)
+        pay = jnp.where(valid, pay, 0.0)
+        p8 = pk._fold_to_sublanes(pay, cfg.tile_rows)
+        y = p8 - comp
+        t = acc + y
+        return (t, (t - acc) - y), None
+
+    zeros = jnp.zeros((SUBLANES, LANES), jnp.float32)
+    (acc, _), _ = jax.lax.scan(
+        one_tile, (zeros, zeros), jnp.arange(cfg.n_tiles, dtype=jnp.uint32))
+    return jnp.sum(acc.astype(jnp.float32))
+
+
+def _make_qmc_bridge_kernel(payoff, cfg: pk.KernelConfig, n: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(zvec_ref, shift_ref, params_ref, bidx_ref, bcoef_ref,
+               acc_ref, comp_ref, w_ref):
+        p = pk.unpack_params(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = base + flat
+        valid = ids < jnp.uint32(n)
+
+        # Build the bridge in VMEM scratch: W[0] = 0, entries in BFS order.
+        w_ref[0] = jnp.zeros(shape, jnp.float32)
+
+        def entry(k, _):
+            u = _lattice_u(ids, zvec_ref[k], shift_ref[k], n)
+            z = rng.inv_normal_cdf(u)
+            m, l, r = bidx_ref[k, 0], bidx_ref[k, 1], bidx_ref[k, 2]
+            w_ref[m] = (bcoef_ref[k, 0] * w_ref[l]
+                        + bcoef_ref[k, 1] * w_ref[r]
+                        + bcoef_ref[k, 2] * z)
+            return 0
+
+        jax.lax.fori_loop(0, cfg.n_steps, entry, 0)
+        draw_pair = lambda m: (w_ref[2 * m + 1] - w_ref[2 * m],
+                               w_ref[2 * m + 2] - w_ref[2 * m + 1])
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        pay, _ = pk._payoff_leg(payoff, cfg, p, s0, draw_pair)
+        pay = jnp.where(valid, pay, 0.0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            comp_ref[:] = jnp.zeros_like(comp_ref)
+
+        p8 = pk._fold_to_sublanes(pay, cfg.tile_rows)
+        acc = acc_ref[:]
+        y = p8 - comp_ref[0]
+        t = acc + y
+        comp_ref[0] = (t - acc) - y
+        acc_ref[:] = t
+
+    return kernel
+
+
+def _pallas_qmc_bridge_shift_sum(payoff, cfg, params, zvec, shifts, n,
+                                 bidx, bcoef, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    acc = pl.pallas_call(
+        _make_qmc_bridge_kernel(payoff, cfg, n),
+        grid=(cfg.n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
+        out_specs=pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((cfg.n_steps + 1, cfg.tile_rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(zvec, shifts, params, bidx, bcoef)
+    return jnp.sum(acc)
 
 
 def _make_qmc_kernel(payoff, cfg: pk.KernelConfig, n: int):
@@ -234,17 +381,28 @@ def _pallas_qmc_shift_sum(payoff, cfg: pk.KernelConfig, params, zvec,
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "n", "n_steps", "method", "engine",
-                     "tile_rows", "interpret"))
+                     "tile_rows", "bridge", "interpret"))
 def _price_qmc_impl(option, payoff, n, n_steps, method, engine, tile_rows,
-                    interpret, zvec, shifts):
+                    bridge, interpret, zvec, shifts):
     if interpret is None:
         interpret = use_interpret()
     cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=tile_rows,
                           method=method)
     params = pk.pack_params(option, n_steps)
+    if bridge:
+        bidx_np, bcoef_np = bridge_schedule(n_steps)
+        bidx = jnp.asarray(bidx_np)
+        bcoef = jnp.asarray(bcoef_np)
 
     def one_shift(shift):
-        if engine == "pallas":
+        if bridge and engine == "pallas":
+            s = _pallas_qmc_bridge_shift_sum(payoff, cfg, params, zvec,
+                                             shift, n, bidx, bcoef,
+                                             interpret)
+        elif bridge:
+            s = _xla_qmc_bridge_shift_sum(payoff, cfg, option, zvec, shift,
+                                          n, bidx, bcoef)
+        elif engine == "pallas":
             s = _pallas_qmc_shift_sum(payoff, cfg, params, zvec, shift, n,
                                       interpret)
         else:
@@ -276,6 +434,7 @@ def price_qmc(option: OptionParams = DEMO_OPTION,
               engine: str = "pallas",
               tile_rows: int = 256,
               gamma: float = 0.1,
+              bridge: bool = False,
               stream: int = STREAM_OUTER,
               interpret: Optional[bool] = None) -> PriceResult:
     """Randomized-QMC price: rank-1 lattice, `n_shifts` random shifts.
@@ -292,6 +451,8 @@ def price_qmc(option: OptionParams = DEMO_OPTION,
         raise ValueError(f"{po.name} is path-dependent; method='terminal' invalid")
     if n_shifts < 2:
         raise ValueError("n_shifts >= 2 required for an error estimate")
+    if bridge and method != "euler":
+        raise ValueError("bridge=True requires method='euler'")
     n = prev_prime(sim.n_paths)
     d = 1 if method == "terminal" else sim.n_steps
     zvec = jnp.asarray(lattice_vector(n, d, gamma), jnp.uint32)
@@ -304,4 +465,5 @@ def price_qmc(option: OptionParams = DEMO_OPTION,
     shifts = rng.bits_to_unit(bits).reshape(n_shifts, d)
 
     return _price_qmc_impl(option.as_f32(), po, n, sim.n_steps, method,
-                           engine, tile_rows, interpret, zvec, shifts)
+                           engine, tile_rows, bridge, interpret, zvec,
+                           shifts)

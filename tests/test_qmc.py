@@ -92,3 +92,56 @@ def test_qmc_guards():
         price_qmc(n_shifts=1)
     with pytest.raises(ValueError):
         price_qmc(payoff="bullet_call", method="terminal")
+
+
+def test_bridge_schedule_valid():
+    from mc_tpu.qmc import bridge_schedule
+    for n in (4, 7, 16, 100):
+        idx, coef = bridge_schedule(n)
+        assert idx.shape == (n, 3) and coef.shape == (n, 3)
+        assert idx[0, 0] == n  # terminal first
+        # every interior node set exactly once
+        assert sorted(idx[:, 0]) == sorted(set(range(1, n + 1)))
+        # total variance of the constructed walk: Var(W_n) = n
+        assert coef[0, 2] == pytest.approx(math.sqrt(n))
+
+
+def test_bridge_marginals_match_plain():
+    """Bridge reorders dimensions but W increments stay N(0,1): the price
+    estimate must agree with the non-bridge QMC within the error bars."""
+    from mc_tpu import SimParams
+    sim = SimParams(n_paths=4099, n_steps=16)
+    plain = price_qmc(sim=sim, method="euler", n_shifts=8, engine="xla",
+                      tile_rows=8)
+    bridged = price_qmc(sim=sim, method="euler", n_shifts=8, engine="xla",
+                        tile_rows=8, bridge=True)
+    tol = 5.0 * (float(plain.stderr) + float(bridged.stderr)) + 1e-3
+    assert abs(float(plain.price) - float(bridged.price)) <= tol
+    assert abs(float(bridged.price) - BS) <= 5.0 * float(bridged.stderr) + 5e-3
+
+
+def test_bridge_engines_bitwise():
+    from mc_tpu import SimParams
+    sim = SimParams(n_paths=2053, n_steps=8)
+    a = price_qmc(sim=sim, method="euler", n_shifts=4, engine="pallas",
+                  tile_rows=8, bridge=True)
+    b = price_qmc(sim=sim, method="euler", n_shifts=4, engine="xla",
+                  tile_rows=8, bridge=True)
+    assert float(a.price) == float(b.price)
+
+
+def test_bridge_improves_asian():
+    """Asian (smooth, path-dependent): the bridge should cut the QMC
+    stderr further by mapping leading dimensions to coarse levels."""
+    from mc_tpu import SimParams
+    sim = SimParams(n_paths=16381, n_steps=32)
+    plain = price_qmc(sim=sim, payoff="asian_call", n_shifts=12,
+                      engine="xla", tile_rows=8)
+    bridged = price_qmc(sim=sim, payoff="asian_call", n_shifts=12,
+                        engine="xla", tile_rows=8, bridge=True)
+    assert float(bridged.stderr) < float(plain.stderr)
+
+
+def test_bridge_guard():
+    with pytest.raises(ValueError, match="bridge"):
+        price_qmc(bridge=True, method="terminal")
