@@ -123,16 +123,31 @@ def lattice_vector(n: int, d: int, gamma: float = 0.1) -> np.ndarray:
     return z.astype(np.uint32)
 
 
-def _lattice_u(ids, z_j, shift_j, n: int):
-    """u = frac(i * z_j / n + shift_j), exact uint32 modular arithmetic.
+def _mod_int(x, n: int):
+    """x mod n for int32 x in [0, 2^31), via float-assisted Barrett
+    reduction (Mosaic has no integer remainder op): q = floor(x/n) computed
+    in f32 is off by at most 1, fixed with two conditional corrections."""
+    xf = x.astype(jnp.float32)
+    q = jnp.floor(xf * jnp.float32(1.0 / n)).astype(jnp.int32)
+    r = x - q * jnp.int32(n)
+    r = jnp.where(r < 0, r + jnp.int32(n), r)
+    return jnp.where(r >= jnp.int32(n), r - jnp.int32(n), r)
 
-    10-bit split keeps every intermediate below 2^31 for n <= 2^20.
+
+def _lattice_u(ids, z_j, shift_j, n: int,
+               bitcast=jax.lax.bitcast_convert_type):
+    """u = frac(i * z_j / n + shift_j), exact int32 modular arithmetic.
+
+    The 10-bit split keeps every intermediate below 2^31 for n <= 2^20;
+    int32 (not uint32) because Mosaic supports neither u32->f32 casts nor
+    an integer remainder — see `_mod_int`.
     """
-    z1 = z_j >> jnp.uint32(10)
-    z0 = jnp.bitwise_and(z_j, jnp.uint32(1023))
-    un = jnp.uint32(n)
-    t = (ids * z1) % un
-    t = (jax.lax.shift_left(t, jnp.uint32(10)) + ids * z0) % un
+    ids_i = bitcast(ids, jnp.int32)           # values < 2^20: same value
+    z = jnp.asarray(z_j, jnp.int32)           # zvec is passed as int32
+    z1 = jax.lax.shift_right_logical(z, jnp.int32(10))
+    z0 = jnp.bitwise_and(z, jnp.int32(1023))
+    t = _mod_int(ids_i * z1, n)
+    t = _mod_int(jax.lax.shift_left(t, jnp.int32(10)) + ids_i * z0, n)
     u = t.astype(jnp.float32) * jnp.float32(1.0 / n) + shift_j
     return u - jnp.floor(u)
 
@@ -169,16 +184,17 @@ def bridge_schedule(n_steps: int):
     return (np.asarray(idx, np.int32), np.asarray(coef, np.float32))
 
 
-def _qmc_draw_pair_factory(ids, zvec_ref, shift_ref, n: int, method: str):
+def _qmc_draw_pair_factory(ids, zvec_ref, shift_ref, n: int, method: str,
+                           bitcast=jax.lax.bitcast_convert_type):
     """draw_pair(m) -> inverse-CDF normals for dimensions (2m, 2m+1)."""
 
     def draw_pair(m):
         m2 = jnp.asarray(m, jnp.int32) * 2
         if method == "terminal":
-            u0 = _lattice_u(ids, zvec_ref[0], shift_ref[0], n)
+            u0 = _lattice_u(ids, zvec_ref[0], shift_ref[0], n, bitcast)
             return rng.inv_normal_cdf(u0), jnp.zeros_like(u0)
-        u0 = _lattice_u(ids, zvec_ref[m2], shift_ref[m2], n)
-        u1 = _lattice_u(ids, zvec_ref[m2 + 1], shift_ref[m2 + 1], n)
+        u0 = _lattice_u(ids, zvec_ref[m2], shift_ref[m2], n, bitcast)
+        u1 = _lattice_u(ids, zvec_ref[m2 + 1], shift_ref[m2 + 1], n, bitcast)
         return rng.inv_normal_cdf(u0), rng.inv_normal_cdf(u1)
 
     return draw_pair
@@ -275,7 +291,8 @@ def _make_qmc_bridge_kernel(payoff, cfg: pk.KernelConfig, n: int):
         w_ref[0] = jnp.zeros(shape, jnp.float32)
 
         def entry(k, _):
-            u = _lattice_u(ids, zvec_ref[k], shift_ref[k], n)
+            u = _lattice_u(ids, zvec_ref[k], shift_ref[k], n,
+                           bitcast=pltpu.bitcast)
             z = rng.inv_normal_cdf(u)
             m, l, r = bidx_ref[k, 0], bidx_ref[k, 1], bidx_ref[k, 2]
             w_ref[m] = (bcoef_ref[k, 0] * w_ref[l]
@@ -339,8 +356,10 @@ def _make_qmc_kernel(payoff, cfg: pk.KernelConfig, n: int):
                 + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
         ids = base + flat
         valid = ids < jnp.uint32(n)
+        from jax.experimental.pallas import tpu as _pltpu
         draw_pair = _qmc_draw_pair_factory(ids, zvec_ref, shift_ref, n,
-                                           cfg.method)
+                                           cfg.method,
+                                           bitcast=_pltpu.bitcast)
         s0 = jnp.full(shape, p.s0, jnp.float32)
         pay, _ = pk._payoff_leg(payoff, cfg, p, s0, draw_pair)
         pay = jnp.where(valid, pay, 0.0)
@@ -455,7 +474,8 @@ def price_qmc(option: OptionParams = DEMO_OPTION,
         raise ValueError("bridge=True requires method='euler'")
     n = prev_prime(sim.n_paths)
     d = 1 if method == "terminal" else sim.n_steps
-    zvec = jnp.asarray(lattice_vector(n, d, gamma), jnp.uint32)
+    # int32 (values < 2^20): Mosaic kernels cannot cast u32 scalars
+    zvec = jnp.asarray(lattice_vector(n, d, gamma).astype(np.int32))
 
     # Random shifts from the threefry stream: (R, d) uniforms.
     key = rng.derive_key(sim.seed, stream, 0x51AC)

@@ -200,6 +200,18 @@ _ACKLAM_D = (7.784695709041462e-03, 3.224671290700398e-01,
              2.445134137142996e+00, 3.754408661907416e+00)
 
 
+def _erf_as(x):
+    """erf via Abramowitz-Stegun 7.1.26 (|abs err| <= 1.5e-7), f32,
+    branch-free — usable inside Pallas kernels (no erf primitive)."""
+    x = jnp.asarray(x, jnp.float32)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + jnp.float32(0.3275911) * ax)
+    a = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+    poly = t * (a[0] + t * (a[1] + t * (a[2] + t * (a[3] + t * a[4]))))
+    e = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * e
+
+
 def inv_normal_cdf(u):
     """Phi^{-1}(u) for u in (0,1), branch-free f32 (Acklam's algorithm).
 
@@ -230,13 +242,14 @@ def inv_normal_cdf(u):
     upper = u > 1.0 - p_low
     x = jnp.where(jnp.logical_or(lower, upper), tail, central)
 
-    # One Newton step against the exact CDF recovers ~f32-limited accuracy
-    # in the body (|x| < 3, where Phi is computable to ~1e-7 absolute);
-    # the tails keep the raw rational value (phi there is too small for a
-    # stable residual correction).
+    # One Newton step against the CDF recovers ~f32-limited accuracy in
+    # the body (|x| < 3, where Phi is computable to ~1e-7 absolute); the
+    # tails keep the raw rational value (phi there is too small for a
+    # stable residual correction).  erf via the A&S 7.1.26 polynomial
+    # (|err| <= 1.5e-7) — Mosaic has no erf primitive.
     sqrt2 = jnp.float32(1.4142135623730951)
     inv_sqrt2pi = jnp.float32(0.3989422804014327)
-    cdf = 0.5 * (1.0 + jax.lax.erf(x / sqrt2))
+    cdf = 0.5 * (1.0 + _erf_as(x / sqrt2))
     pdf = inv_sqrt2pi * jnp.exp(-0.5 * x * x)
     step = (cdf - u) / jnp.maximum(pdf, 1e-10)
     return jnp.where(jnp.abs(x) < 3.0, x - step, x)
