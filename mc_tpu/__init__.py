@@ -40,4 +40,7 @@ def __getattr__(name):
     if name == "price_qmc":
         from mc_tpu.qmc import price_qmc
         return price_qmc
+    if name in ("price_heston", "HestonDynamics", "heston_call_cf"):
+        from mc_tpu.models import heston
+        return getattr(heston, name)
     raise AttributeError(f"module 'mc_tpu' has no attribute {name!r}")

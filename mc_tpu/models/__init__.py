@@ -1,5 +1,7 @@
-"""Stochastic models (dynamics) for path generation."""
-
 from mc_tpu.models.gbm import GBM, gbm_exact_terminal, gbm_log_euler_step
+from mc_tpu.models.heston import (DEMO_HESTON, HestonDynamics,
+                                  heston_call_cf, price_heston)
 
-__all__ = ["GBM", "gbm_exact_terminal", "gbm_log_euler_step"]
+__all__ = ["GBM", "gbm_exact_terminal", "gbm_log_euler_step",
+           "HestonDynamics", "DEMO_HESTON", "heston_call_cf",
+           "price_heston"]
