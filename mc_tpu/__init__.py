@@ -43,4 +43,7 @@ def __getattr__(name):
     if name in ("price_heston", "HestonDynamics", "heston_call_cf"):
         from mc_tpu.models import heston
         return getattr(heston, name)
+    if name in ("price_american", "binomial_american"):
+        from mc_tpu import lsmc
+        return getattr(lsmc, name)
     raise AttributeError(f"module 'mc_tpu' has no attribute {name!r}")

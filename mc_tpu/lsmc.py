@@ -1,0 +1,164 @@
+"""American/Bermudan option pricing by Longstaff-Schwartz regression.
+
+Beyond the reference (European/bullet only): the NMC surface estimates
+conditional values by brute inner simulation (nmc.py); LSMC gets the same
+continuation values by cross-sectional regression over the already-
+materialized trajectory grid — thousands of times cheaper, and the one
+component of the framework that exercises the MXU: the per-step normal
+equations ``(X^T W X) beta = X^T W y`` are batched matmuls over the
+(paths, basis) design matrix.
+
+Algorithm (Longstaff & Schwartz 2001):
+  1. simulate + materialize the (S_t, state_t) grid (the C9 kernel);
+  2. at maturity, V = payoff(S_T);
+  3. backward over exercise dates: discount V one step; regress it on a
+     polynomial basis of S_t over in-the-money paths; exercise where the
+     immediate value beats the fitted continuation;
+  4. price = discounted mean of the resulting cashflows.
+
+Any registry payoff works: the immediate exercise value at step t is
+``payoff.terminal(state_t, S_t, p)`` using the stored path state, so
+American Asian or barrier-window contracts price the same way.
+
+Validated against a CRR binomial-tree oracle (`binomial_american`, host
+numpy) — the American analogue of the Black-Scholes check.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mc_tpu import rng
+from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
+from mc_tpu.engines import STREAM_OUTER, _payoff_namespace
+from mc_tpu.oracle import PriceResult
+from mc_tpu.ops import path_kernels as pk
+from mc_tpu.ops._pallas import LANES
+from mc_tpu.ops.payoffs import get_payoff
+
+__all__ = ["price_american", "binomial_american"]
+
+
+def _basis(s_norm, degree: int):
+    """Centered monomial basis in x = s/K - 1: (paths, degree+1).
+
+    Centering keeps the f32 normal equations well-conditioned (raw s/K
+    powers square the condition number badly enough that the fitted
+    continuation policy visibly degrades); a ridge epsilon covers the
+    rest.
+    """
+    x = s_norm - 1.0
+    cols = [jnp.ones_like(x)]
+    p = x
+    for _ in range(degree):
+        cols.append(p)
+        p = p * x
+    return jnp.stack(cols, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "degree", "tile_rows", "interpret"))
+def _price_american_impl(option, payoff, sim, degree, tile_rows, interpret,
+                         key):
+    p = _payoff_namespace(option, sim.n_steps)
+    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
+                          tile_rows=tile_rows)
+    params = pk.pack_params(option, sim.n_steps)
+    s_grid, c_grid, _, _ = pk.simulate_trajectories_kernel(
+        payoff, cfg, key, params, interpret=interpret)
+    rows = s_grid.shape[1]
+    n_pad = rows * LANES
+    s_flat = s_grid.reshape(sim.n_steps, n_pad)
+    c_flat = c_grid.reshape(sim.n_steps, n_pad)
+    valid = (jnp.arange(n_pad, dtype=jnp.uint32)
+             < jnp.uint32(sim.n_paths))
+
+    disc = jnp.exp(-p.r * p.dt)
+    inv_k = 1.0 / p.k
+
+    def immediate(j):
+        st = (c_flat[j],) if payoff.n_state else ()
+        return payoff.terminal(st, s_flat[j], p)
+
+    # Terminal values.
+    v = immediate(sim.n_steps - 1)
+
+    def step_back(j, v):
+        # j runs n_steps-2 .. 0 (exercise allowed at every grid date).
+        t = sim.n_steps - 2 - j
+        v = v * disc
+        ex = immediate(t)
+        itm = jnp.logical_and(ex > 0.0, valid)
+        w = itm.astype(jnp.float32)
+        x = _basis(s_flat[t] * inv_k, degree)          # (P, B)
+        xw = x * w[:, None]
+        # Normal equations on the MXU; ridge epsilon for conditioning.
+        xtx = jnp.dot(xw.T, x, preferred_element_type=jnp.float32)
+        xty = jnp.dot(xw.T, v, preferred_element_type=jnp.float32)
+        eye = jnp.eye(degree + 1, dtype=jnp.float32)
+        beta = jnp.linalg.solve(xtx + 1e-4 * eye, xty)
+        cont = jnp.dot(x, beta, preferred_element_type=jnp.float32)
+        exercise = jnp.logical_and(itm, ex > cont)
+        return jnp.where(exercise, ex, v)
+
+    v = jax.lax.fori_loop(0, sim.n_steps - 1, step_back, v)
+    v = jnp.where(valid, v * disc, 0.0)                 # discount to t=0
+    n = jnp.float32(sim.n_paths)
+    mean = jnp.sum(v) / n
+    var = jnp.sum(jnp.where(valid, (v - mean) ** 2, 0.0)) / jnp.maximum(
+        n - 1.0, 1.0)
+    return PriceResult(price=mean, stderr=jnp.sqrt(var / n), n_paths=n,
+                       payoff_mean=mean, payoff_var=var)
+
+
+def price_american(option: OptionParams = DEMO_OPTION,
+                   sim: SimParams = DEMO_SIM,
+                   payoff="vanilla_put",
+                   *,
+                   degree: int = 3,
+                   tile_rows: int = 8,
+                   stream: int = STREAM_OUTER,
+                   key=None,
+                   interpret: Optional[bool] = None) -> PriceResult:
+    """Longstaff-Schwartz price with exercise at every simulation date.
+
+    Note the standard LSMC caveats: the one-pass estimator has a small
+    in-sample bias (regression and pricing share paths) and the stderr
+    reflects cashflow dispersion, not regression error — tests gate
+    against the binomial oracle with a tolerance for both.
+    """
+    po = get_payoff(payoff)
+    if po.n_state > 1:
+        raise ValueError("LSMC supports payoffs with at most one state "
+                         "array")
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
+    return _price_american_impl(option.as_f32(), po, sim.replace(seed=0),
+                                degree, tile_rows, interpret, key)
+
+
+def binomial_american(s0, k, t, r, sigma, n_steps=2000, kind="put"):
+    """CRR binomial-tree American option price (host numpy oracle)."""
+    dt = t / n_steps
+    u = np.exp(sigma * np.sqrt(dt))
+    d = 1.0 / u
+    disc = np.exp(-r * dt)
+    q = (np.exp(r * dt) - d) / (u - d)
+    j = np.arange(n_steps + 1)
+    s = s0 * u ** (n_steps - j) * d ** j
+    pay = (np.maximum(k - s, 0.0) if kind == "put"
+           else np.maximum(s - k, 0.0))
+    v = pay
+    for m in range(n_steps - 1, -1, -1):
+        v = disc * (q * v[:-1] + (1 - q) * v[1:])
+        s = s0 * u ** (m - np.arange(m + 1)) * d ** np.arange(m + 1)
+        ex = (np.maximum(k - s, 0.0) if kind == "put"
+              else np.maximum(s - k, 0.0))
+        v = np.maximum(v, ex)
+    return float(v[0])
