@@ -152,6 +152,12 @@ def cmd_nmc(args):
         "surface_mean": float(res.surface_mean),
         "n_points": int(float(res.n_points)),
     }
+    if args.exposure:
+        ee, pfe = res.exposure_profile(args.pfe_quantile)
+        import numpy as np
+        out["expected_exposure"] = [round(float(x), 6)
+                                    for x in np.asarray(ee)]
+        out["pfe"] = [round(float(x), 6) for x in np.asarray(pfe)]
     if args.surface_npz:
         import numpy as np
         np.savez_compressed(args.surface_npz,
@@ -207,6 +213,22 @@ def cmd_traj(args):
         fig.tight_layout()
         fig.savefig(args.plot, dpi=120)
         out["plot"] = args.plot
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_american(args):
+    from mc_tpu.lsmc import binomial_american, price_american
+
+    option, sim = _parse(args)
+    res = price_american(option, sim, payoff=args.payoff,
+                         degree=args.degree)
+    out = {"payoff": args.payoff, "price": float(res.price),
+           "stderr": float(res.stderr)}
+    if args.payoff in ("vanilla_put", "vanilla_call"):
+        out["binomial_oracle"] = binomial_american(
+            args.s0, args.k, args.t, args.r, args.sigma,
+            kind="put" if args.payoff.endswith("put") else "call")
     print(json.dumps(out))
     return 0
 
@@ -297,6 +319,9 @@ def main(argv=None):
                    default="full")
     p.add_argument("--surface-npz", default=None,
                    help="save the (paths, steps) surface to this .npz")
+    p.add_argument("--exposure", action="store_true",
+                   help="emit EE/PFE exposure profiles from the surface")
+    p.add_argument("--pfe-quantile", type=float, default=0.95)
     p.set_defaults(fn=cmd_nmc)
 
     p = sub.add_parser("traj", help="dump trajectories CSV (testing.cu)")
@@ -308,6 +333,12 @@ def main(argv=None):
     p.add_argument("--plot-max", type=int, default=200,
                    help="max trajectories to draw")
     p.set_defaults(fn=cmd_traj)
+
+    p = sub.add_parser("american", help="Longstaff-Schwartz American price")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_put")
+    p.add_argument("--degree", type=int, default=3)
+    p.set_defaults(fn=cmd_american)
 
     p = sub.add_parser("ladder", help="strike ladder on shared paths")
     _add_option_flags(p)

@@ -67,6 +67,20 @@ class NMCResult:
         out = jnp.moveaxis(self.surface, 0, -1).reshape(rows * lanes, n_steps)
         return out[: int(self.outer.n_paths)]
 
+    def exposure_profile(self, quantile: float = 0.95):
+        """Counterparty-exposure profile from the value surface.
+
+        Returns (ee, pfe): expected exposure EE_t = mean(max(V_t, 0)) and
+        the `quantile` potential future exposure per step — the standard
+        XVA outputs the NMC surface exists for (BASELINE.json config 4
+        "exposure estimates").  Shapes (n_steps,).
+        """
+        v = self.surface_matrix()
+        pos = jnp.maximum(v, 0.0)
+        ee = jnp.mean(pos, axis=0)
+        pfe = jnp.quantile(pos, quantile, axis=0)
+        return ee, pfe
+
 
 def _xla_nmc(payoff, cfg: nk.NMCConfig, key_outer, key_inner, option,
              path_offset=0, n_valid=None):

@@ -96,3 +96,15 @@ def test_outer_matches_plain_price():
     res = price_nmc(OPT, SIM, engine="xla")
     plain = price(OPT, SIM, payoff="bullet_call", engine="xla", tile_rows=8)
     assert float(res.outer.price) == float(plain.price)
+
+
+def test_exposure_profile(fused):
+    ee, pfe = fused.exposure_profile(0.9)
+    ee = np.asarray(ee)
+    pfe = np.asarray(pfe)
+    assert ee.shape == (SIM.n_steps,)
+    assert (ee >= 0).all() and (pfe >= ee - 1e-6).all()
+    # the bullet value surface collapses toward 0/positive split at the
+    # last step; EE at the final step equals mean of positive payoffs
+    last = np.asarray(fused.surface_matrix())[:, -1]
+    assert ee[-1] == pytest.approx(np.maximum(last, 0).mean(), rel=1e-5)
