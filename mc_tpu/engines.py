@@ -97,7 +97,7 @@ def _xla_partials(payoff: PathPayoff, cfg: pk.KernelConfig, key, option,
 
         def draw_pair(m):
             c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
-            return rng.normal_pair(k0, k1, ids, c1)
+            return rng.normal_pair(k0, k1, ids, c1, rounds=cfg.rng_rounds)
 
         s0 = jnp.full(shape, p.s0, jnp.float32)
         pay, x = pk._payoff_leg(payoff, cfg, p, s0, draw_pair)
@@ -237,8 +237,10 @@ def price(option: OptionParams = DEMO_OPTION,
         method = "terminal" if po.terminal_only else "euler"
     if po.n_state > 0 and method == "terminal":
         raise ValueError(f"{po.name} is path-dependent; method='terminal' invalid")
+    if rng_source not in ("threefry", "threefry13", "hw"):
+        raise ValueError(f"unknown rng_source {rng_source!r}")
     if rng_source == "hw" and antithetic:
-        raise ValueError("antithetic requires rng_source='threefry' "
+        raise ValueError("antithetic requires a counter-based rng_source "
                          "(the hw PRNG cannot replay draws)")
     if rng_source == "hw" and engine != "pallas":
         raise ValueError("rng_source='hw' requires engine='pallas'")

@@ -92,7 +92,7 @@ class KernelConfig:
     tile_rows: int = 256          # paths per tile = tile_rows * 128
     antithetic: bool = False
     with_cv: bool = False         # emit control-variate moment partials
-    rng_source: str = "threefry"  # "threefry" | "hw"
+    rng_source: str = "threefry"  # "threefry" | "threefry13" | "hw"
     method: str = "euler"         # "euler" | "terminal"
     start_step: int = 0           # resume support (trajectories.cuh:116-117 Tk)
     use_cost_estimate: bool = True
@@ -110,6 +110,12 @@ class KernelConfig:
                              "is not supported")
 
     @property
+    def rng_rounds(self) -> int:
+        """13-round threefry passes BigCrush (Salmon et al. table 5) at
+        ~35% fewer hot-loop ops; 20 is the high-margin default."""
+        return 13 if self.rng_source == "threefry13" else 20
+
+    @property
     def paths_per_tile(self) -> int:
         return self.tile_rows * LANES
 
@@ -118,7 +124,7 @@ class KernelConfig:
         return cdiv(self.n_paths, self.paths_per_tile)
 
 
-def _tile_normals_threefry(key0, key1, ids, pair_idx):
+def _tile_normals_threefry(key0, key1, ids, pair_idx, rounds: int = 20):
     """Two N(0,1) tiles for counter (path id, pair index) — tiling-invariant.
 
     Normal draw j of path i is half ``j % 2`` of pair ``j // 2`` — the same
@@ -126,7 +132,8 @@ def _tile_normals_threefry(key0, key1, ids, pair_idx):
     recomputations all see one stream.
     """
     c1 = jnp.full(ids.shape, 0, jnp.uint32) + jnp.asarray(pair_idx, jnp.uint32)
-    return rng.normal_pair(key0, key1, ids, c1, bitcast=pltpu.bitcast)
+    return rng.normal_pair(key0, key1, ids, c1, bitcast=pltpu.bitcast,
+                           rounds=rounds)
 
 
 def _tile_normals_hw(shape):
@@ -303,7 +310,8 @@ def _make_sim_kernel(payoff: PathPayoff, cfg: KernelConfig, with_resume: bool):
             pltpu.prng_seed(k0 ^ tile_tag, k1)
             draw_pair = lambda m: _tile_normals_hw(shape)
         else:
-            draw_pair = lambda m: _tile_normals_threefry(k0, k1, ids, m)
+            draw_pair = lambda m: _tile_normals_threefry(
+                k0, k1, ids, m, rounds=cfg.rng_rounds)
 
         if with_resume:
             s0 = s_init_ref[:]

@@ -56,29 +56,36 @@ def _rotl(x, d: int):
     )
 
 
-def threefry2x32(k0, k1, x0, x1):
-    """Threefry-2x32, 20 rounds. All args uint32 arrays of one shape.
+def threefry2x32(k0, k1, x0, x1, rounds: int = 20):
+    """Threefry-2x32. All args uint32 arrays of one shape.
 
     Pure adds/xors/rotates — lowers on the TPU VPU, in Pallas interpret mode,
     and on CPU identically.  Returns two uint32 arrays (64 random bits per
     counter).
+
+    ``rounds``: 20 is the Random123 default (large safety margin); 13 is
+    the smallest count that passes all of BigCrush (Salmon et al. 2011,
+    table 5) — ~35% fewer hot-loop ops for statistically sound streams.
+    Streams with different round counts are unrelated.
     """
+    if not 1 <= rounds <= 32:
+        raise ValueError("rounds must be in [1, 32]")
     k0 = jnp.asarray(k0, jnp.uint32)
     k1 = jnp.asarray(k1, jnp.uint32)
     x0 = jnp.asarray(x0, jnp.uint32)
     x1 = jnp.asarray(x1, jnp.uint32)
     ks2 = jax.lax.bitwise_xor(jax.lax.bitwise_xor(k0, k1), jnp.uint32(_PARITY))
+    ks = (k0, k1, ks2)
     x0 = x0 + k0
     x1 = x1 + k1
-    key_sched = ((k1, ks2), (ks2, k0), (k0, k1), (k1, ks2), (ks2, k0))
-    for r in range(5):
-        for i in range(4):
-            x0 = x0 + x1
-            x1 = _rotl(x1, _ROTATIONS[(r % 2) * 4 + i])
-            x1 = jax.lax.bitwise_xor(x0, x1)
-        ka, kb = key_sched[r]
-        x0 = x0 + ka
-        x1 = x1 + kb + jnp.uint32(r + 1)
+    for r in range(rounds):
+        x0 = x0 + x1
+        x1 = _rotl(x1, _ROTATIONS[r % 8])
+        x1 = jax.lax.bitwise_xor(x0, x1)
+        if (r + 1) % 4 == 0:  # key injection after every 4th round (R123)
+            inj = (r + 1) // 4
+            x0 = x0 + ks[inj % 3]
+            x1 = x1 + ks[(inj + 1) % 3] + jnp.uint32(inj)
     return x0, x1
 
 
@@ -143,14 +150,15 @@ def bits_to_unit(bits, bitcast: Callable = jax.lax.bitcast_convert_type):
     return as_float - jnp.float32(1.0)
 
 
-def normal_pair(k0, k1, c0, c1, bitcast: Callable = jax.lax.bitcast_convert_type):
+def normal_pair(k0, k1, c0, c1, bitcast: Callable = jax.lax.bitcast_convert_type,
+                rounds: int = 20):
     """Two independent N(0,1) arrays from counter arrays (c0, c1).
 
     Full Box-Muller: one threefry call yields 64 bits -> (u1, u2) -> the
     (cos, sin) pair, so no randomness is wasted (the reference draws one
     normal per curand call; curand internally does the same pairing).
     """
-    b0, b1 = threefry2x32(k0, k1, c0, c1)
+    b0, b1 = threefry2x32(k0, k1, c0, c1, rounds=rounds)
     u1 = bits_to_unit(b0, bitcast)
     u2 = bits_to_unit(b1, bitcast)
     # 1 - u1 in (0, 1]: log is finite; r = 0 when u1 == 0.

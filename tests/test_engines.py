@@ -158,3 +158,14 @@ def test_invalid_configs_raise():
         price(rng_source="hw", engine="xla")
     with pytest.raises(ValueError):
         price(engine="bogus")
+
+
+def test_threefry13_source():
+    """13-round threefry: valid prices, engine-bitwise, distinct stream."""
+    sim = SimParams(n_paths=100_000, n_steps=20)
+    a = price(sim=sim, engine="pallas", rng_source="threefry13", tile_rows=8)
+    b = price(sim=sim, engine="xla", rng_source="threefry13", tile_rows=8)
+    full = price(sim=sim, engine="xla", tile_rows=8)
+    assert float(a.price) == float(b.price)
+    assert float(a.price) != float(full.price)  # different stream
+    check_vs_bs(a)
