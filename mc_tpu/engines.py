@@ -38,7 +38,8 @@ from mc_tpu.ops._pallas import LANES, cdiv, use_interpret
 from mc_tpu.ops.payoffs import PathPayoff, get_payoff
 from mc_tpu.ops.reduce import finish_sum
 
-__all__ = ["price", "price_ladder", "simulate_trajectories", "Trajectories",
+__all__ = ["price", "price_ladder", "price_portfolio",
+           "simulate_trajectories", "Trajectories",
            "STREAM_OUTER", "STREAM_INNER"]
 
 # Stream tags (replace the reference's magic seeds 1234/1235,
@@ -449,3 +450,47 @@ def price_ladder(strikes,
     return _price_ladder_impl(
         option.as_f32(), po, sim.replace(seed=0), int(strikes.shape[0]),
         method, engine, antithetic, tile_rows, interpret, key, strikes)
+
+
+def price_portfolio(options: OptionParams,
+                    sim: SimParams = DEMO_SIM,
+                    payoff="vanilla_call",
+                    *,
+                    method: Optional[str] = None,
+                    engine: str = "xla",
+                    antithetic: bool = False,
+                    control_variate: bool = False,
+                    tile_rows: int = 256,
+                    stream: int = STREAM_OUTER,
+                    key=None) -> PriceResult:
+    """Price a whole book in one jitted program.
+
+    ``options`` is an OptionParams whose leaves are (B,)-shaped arrays —
+    B contracts (any mix of spots/strikes/vols/maturities/barriers) priced
+    under common random numbers (same stream for every contract, so
+    spreads and book-level Greeks are low-variance).  Because OptionParams
+    leaves are traced, this is a single `jax.vmap` over the engine: one
+    compile for any B.
+
+    engine="xla" (default) vmaps the XLA dual; engine="pallas" runs the
+    fused kernel per contract under `lax.map` (Pallas has no batching
+    rule) — same results, sequential kernels.
+    """
+    po = get_payoff(payoff)
+    if method is None:
+        method = "terminal" if po.terminal_only else "euler"
+    if po.n_state > 0 and method == "terminal":
+        raise ValueError(f"{po.name} is path-dependent; method='terminal' invalid")
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
+    opts32 = jax.tree_util.tree_map(
+        lambda x: jnp.atleast_1d(jnp.asarray(x, jnp.float32)), options)
+
+    def one(option):
+        return _price_impl(option, po, sim.replace(seed=0), method, engine,
+                           antithetic, control_variate, tile_rows,
+                           "threefry", None, key, jnp.uint32(0), None)
+
+    if engine == "xla":
+        return jax.vmap(one)(opts32)
+    return jax.lax.map(one, opts32)

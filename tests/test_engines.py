@@ -169,3 +169,30 @@ def test_threefry13_source():
     assert float(a.price) == float(b.price)
     assert float(a.price) != float(full.price)  # different stream
     check_vs_bs(a)
+
+
+def test_extreme_params_stay_finite():
+    """Numerical robustness at parameter extremes (checks module contract)."""
+    from mc_tpu.utils.checks import validate_result
+    sim = SimParams(n_paths=20_000, n_steps=10)
+    cases = [
+        OptionParams(sigma=2.0),               # huge vol
+        OptionParams(sigma=1e-4),              # near-zero vol
+        OptionParams(t=1e-3),                  # tiny maturity
+        OptionParams(t=10.0, r=0.0),           # long horizon, zero rate
+        OptionParams(r=-0.02),                 # negative rate
+        OptionParams(s0=1e-3, k=1e-3),         # tiny prices
+        OptionParams(s0=1e5, k=1e5),           # large prices
+    ]
+    for opt in cases:
+        res = price(opt, sim, engine="xla", method="euler", tile_rows=8)
+        validate_result(res, context=str(opt))
+
+
+def test_single_path_and_single_step():
+    r1 = price(sim=SimParams(n_paths=1, n_steps=1), engine="xla",
+               method="euler", tile_rows=8)
+    assert float(r1.price) >= 0.0
+    r2 = price(sim=SimParams(n_paths=1024, n_steps=1), engine="xla",
+               method="euler", tile_rows=8)
+    assert abs(float(r2.price) - BS) < 10.0  # 1-step euler == exact GBM

@@ -1,0 +1,55 @@
+"""Portfolio (book-level) batch pricing under common random numbers."""
+
+import numpy as np
+import pytest
+
+from mc_tpu import OptionParams, SimParams, price
+from mc_tpu.engines import price_portfolio
+from mc_tpu.oracle import bs_call
+
+SIM = SimParams(n_paths=50_000, n_steps=20)
+
+
+def book():
+    return OptionParams(
+        s0=np.array([100.0, 100.0, 90.0, 110.0], np.float32),
+        t=np.array([1.0, 0.5, 1.0, 2.0], np.float32),
+        k=np.array([100.0, 105.0, 95.0, 100.0], np.float32),
+        r=np.full(4, 0.1, np.float32),
+        sigma=np.array([0.2, 0.25, 0.15, 0.3], np.float32),
+        barrier=np.full(4, 120.0, np.float32),
+        p1=np.full(4, 2.0, np.float32),
+        p2=np.full(4, 12.0, np.float32),
+    )
+
+
+def test_portfolio_matches_bs():
+    res = price_portfolio(book(), SIM, antithetic=True, tile_rows=8)
+    p = np.asarray(res.price)
+    se = np.asarray(res.stderr)
+    b = book()
+    for i in range(4):
+        bs = float(bs_call(b.s0[i], b.k[i], b.t[i], b.r[i], b.sigma[i]))
+        assert abs(p[i] - bs) <= 4.0 * se[i], (i, p[i], bs)
+
+
+def test_portfolio_matches_individual():
+    """vmapped book entry == single price() on the same stream, bitwise."""
+    res = price_portfolio(book(), SIM, tile_rows=8)
+    b = book()
+    single = price(OptionParams(*(float(getattr(b, f)[1]) for f in
+                                  ("s0", "t", "k", "r", "sigma", "barrier",
+                                   "p1", "p2"))),
+                   SIM, engine="xla", tile_rows=8)
+    assert float(res.price[1]) == float(single.price)
+
+
+def test_portfolio_pallas_map():
+    a = price_portfolio(book(), SIM, engine="pallas", tile_rows=8)
+    b = price_portfolio(book(), SIM, engine="xla", tile_rows=8)
+    np.testing.assert_array_equal(np.asarray(a.price), np.asarray(b.price))
+
+
+def test_portfolio_bullet():
+    res = price_portfolio(book(), SIM, payoff="bullet_call", tile_rows=8)
+    assert (np.asarray(res.price) >= 0).all()
