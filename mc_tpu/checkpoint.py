@@ -98,7 +98,12 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
     acc = np.zeros((n_out, SUBLANES, LANES), np.float32)
     comp = np.zeros_like(acc)
     meta = dict(seed=sim.seed, payoff=po.name, method=method,
-                chunk_paths=chunk_paths, engine=engine)
+                chunk_paths=chunk_paths, engine=engine,
+                n_steps=sim.n_steps, tile_rows=tile_rows,
+                # full market-data fingerprint: resuming under different
+                # dynamics must fail loudly, not merge distributions
+                option=",".join(f"{v:.9g}" for v in
+                                (float(x) for x in option.astuple())))
 
     if resume:
         if not (checkpoint_path and os.path.exists(checkpoint_path)):

@@ -114,11 +114,8 @@ def _xla_partials(payoff: PathPayoff, cfg: pk.KernelConfig, key, option,
             x = jnp.where(valid, x, 0.0)
             vals += [x, x * x, pay * x]
         for m, v in enumerate(vals):
-            p8 = pk._fold_to_sublanes(v, cfg.tile_rows)
-            y = p8 - comp[m]
-            t = acc[m] + y
-            comp = comp.at[m].set((t - acc[m]) - y)
-            acc = acc.at[m].set(t)
+            acc, comp = pk.kahan_xla_update(
+                acc, comp, m, pk.fold_to_sublanes(v, cfg.tile_rows))
         return (acc, comp), None
 
     # `+ 0 * offset` keeps the scan carry's varying-manual-axes type aligned
@@ -371,10 +368,11 @@ def _xla_ladder(payoff, cfg, n_strikes, key, option, strikes, path_offset=0):
             pay = jnp.where(valid, pay, 0.0)
             for which, cslot, v in ((0, 2 * m, pay), (1, 2 * m + 1, pay * pay)):
                 acc = acc_s if which == 0 else acc_q
-                p8 = pk._fold_to_sublanes(v, cfg.tile_rows)
+                p8 = pk.fold_to_sublanes(v, cfg.tile_rows)
+                a = acc[m]
                 y = p8 - comp[cslot]
-                t = acc[m] + y
-                comp = comp.at[cslot].set((t - acc[m]) - y)
+                t = a + y
+                comp = comp.at[cslot].set((t - a) - y)
                 if which == 0:
                     acc_s = acc_s.at[m].set(t)
                 else:

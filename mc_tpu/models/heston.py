@@ -192,11 +192,8 @@ def _heston_partials_xla(payoff, cfg, key, params, path_offset, n_valid):
                            cfg.antithetic, p, ids, valid, k0, k1,
                            jax.lax.bitcast_convert_type)
         for m, v in enumerate([pay, pay * pay]):
-            p8 = pk._fold_to_sublanes(v, cfg.tile_rows)
-            y = p8 - comp[m]
-            t = acc[m] + y
-            comp = comp.at[m].set((t - acc[m]) - y)
-            acc = acc.at[m].set(t)
+            acc, comp = pk.kahan_xla_update(
+                acc, comp, m, pk.fold_to_sublanes(v, cfg.tile_rows))
         return (acc, comp), None
 
     zeros = (jnp.zeros((2, SUBLANES, LANES), jnp.float32)

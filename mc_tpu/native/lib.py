@@ -47,7 +47,13 @@ def _load():
             return _dll
         if not build():
             return None
-        dll = ctypes.CDLL(_SO)
+        try:
+            dll = ctypes.CDLL(_SO)
+        except OSError:
+            # stale/foreign-ABI binary (e.g. a copied .so): rebuild once
+            if not build(force=True):
+                return None
+            dll = ctypes.CDLL(_SO)
         u32, u64, i32 = ctypes.c_uint32, ctypes.c_uint64, ctypes.c_int
         f64, f32p = ctypes.c_double, ctypes.POINTER(ctypes.c_float)
         dll.threefry2x32.argtypes = [u32, u32, u32, u32,

@@ -135,11 +135,8 @@ def _xla_nmc(payoff, cfg: nk.NMCConfig, key_outer, key_inner, option,
 
         pay = jnp.where(valid, payoff.terminal(state, s_t, p), 0.0)
         for m, v in enumerate([pay, pay * pay]):
-            p8 = pk._fold_to_sublanes(v, cfg.tile_rows)
-            y = p8 - comp[m]
-            t = acc[m] + y
-            comp = comp.at[m].set((t - acc[m]) - y)
-            acc = acc.at[m].set(t)
+            acc, comp = pk.kahan_xla_update(
+                acc, comp, m, pk.fold_to_sublanes(v, cfg.tile_rows))
 
         # Phase B: inner sweep per step.
         def step_fn(j):

@@ -11,7 +11,8 @@ import os
 
 import jax
 
-__all__ = ["use_interpret", "cdiv", "round_up", "LANES", "SUBLANES"]
+__all__ = ["use_interpret", "cdiv", "round_up", "LANES", "SUBLANES",
+           "fold_to_sublanes", "kahan_xla_update"]
 
 LANES = 128      # VPU lane count: last-dim tile unit
 SUBLANES = 8     # f32 sublane count: second-to-last-dim tile unit
@@ -32,3 +33,32 @@ def cdiv(a: int, b: int) -> int:
 
 def round_up(x: int, m: int) -> int:
     return cdiv(x, m) * m
+
+
+def fold_to_sublanes(v, tile_rows: int):
+    """(tile_rows, 128) -> (8, 128) partial sums via static strided adds.
+
+    The VPU reduces within its native 8x128 register shape; summing groups
+    of 8 sublanes keeps 8x128 partial-sum granularity without a relayout.
+    This is THE summation grouping both engines share — any change here
+    must hold for the Pallas kernels and the XLA duals simultaneously or
+    the bit-identical-engines invariant breaks.
+    """
+    p8 = v[0:SUBLANES]
+    for k in range(1, tile_rows // SUBLANES):
+        p8 = p8 + v[k * SUBLANES:(k + 1) * SUBLANES]
+    return p8
+
+
+def kahan_xla_update(acc, comp, idx, p8):
+    """One Kahan accumulation step on stacked functional arrays.
+
+    ``acc``/``comp`` are (..., 8, 128) arrays indexed at ``idx``; returns
+    the updated pair.  The exact op order mirrors the in-kernel ref-based
+    update in path_kernels._accumulate_moments — shared so the engine
+    duals cannot drift apart.
+    """
+    a = acc[idx]
+    y = p8 - comp[idx]
+    t = a + y
+    return acc.at[idx].set(t), comp.at[idx].set((t - a) - y)

@@ -39,7 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mc_tpu import rng
-from mc_tpu.ops._pallas import LANES, SUBLANES, cdiv, round_up, use_interpret
+from mc_tpu.ops._pallas import (LANES, SUBLANES, cdiv, fold_to_sublanes,
+                                kahan_xla_update, round_up, use_interpret)
 from mc_tpu.ops.payoffs import PathPayoff
 
 __all__ = ["KernelConfig", "PARAM_FIELDS", "pack_params", "simulate_partials",
@@ -234,16 +235,9 @@ def _payoff_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair,
     return pay, s_t
 
 
-def _fold_to_sublanes(v, tile_rows: int):
-    """(tile_rows, 128) -> (8, 128) partial sums via static strided adds.
-
-    The VPU reduces within its native 8x128 register shape; summing groups
-    of 8 sublanes keeps 8x128 partial-sum granularity without a relayout.
-    """
-    p8 = v[0:SUBLANES]
-    for kk in range(1, tile_rows // SUBLANES):
-        p8 = p8 + v[kk * SUBLANES:(kk + 1) * SUBLANES]
-    return p8
+# Shared with the XLA duals (ops/_pallas.py) — one definition of the
+# summation grouping keeps the bit-identical-engines invariant safe.
+_fold_to_sublanes = fold_to_sublanes
 
 
 def _accumulate_moments(outs, comp_ref, vals, i, tile_rows: int):

@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mc_tpu.ops._pallas import LANES, SUBLANES, cdiv, round_up, use_interpret
+from mc_tpu.ops._pallas import (LANES, SUBLANES, cdiv,
+                                fold_to_sublanes as _fold8, round_up,
+                                use_interpret)
 
 __all__ = [
     "tile_partials",
@@ -51,13 +53,6 @@ def pad_to_tiles(x, tile_rows: int):
     flat = jnp.pad(flat, (0, padded - n))
     return flat.reshape(padded // LANES, LANES), padded // per_tile
 
-
-def _fold8(v, tile_rows: int):
-    """(tile_rows, 128) -> (8, 128) via static strided adds (no relayout)."""
-    p8 = v[0:SUBLANES]
-    for k in range(1, tile_rows // SUBLANES):
-        p8 = p8 + v[k * SUBLANES:(k + 1) * SUBLANES]
-    return p8
 
 
 def _partials_kernel_factory(tile_rows: int):

@@ -216,7 +216,7 @@ def _xla_qmc_shift_sum(payoff, cfg: pk.KernelConfig, option, zvec, shifts,
         s0 = jnp.full(shape, p.s0, jnp.float32)
         pay, _ = pk._payoff_leg(payoff, cfg, p, s0, draw_pair)
         pay = jnp.where(valid, pay, 0.0)
-        p8 = pk._fold_to_sublanes(pay, cfg.tile_rows)
+        p8 = pk.fold_to_sublanes(pay, cfg.tile_rows)
         y = p8 - comp
         t = acc + y
         return (t, (t - acc) - y), None
@@ -257,11 +257,13 @@ def _xla_qmc_bridge_shift_sum(payoff, cfg, option, zvec, shifts, n, bidx,
         valid = ids < jnp.uint32(n)
         zs = _bridge_normals_xla(ids, zvec, shifts, n, cfg.n_steps, bidx,
                                  bcoef)
-        draw_pair = lambda m: (zs[2 * m], zs[2 * m + 1])
+        # same index clamp as the kernel (odd-n_steps epilogue)
+        draw_pair = lambda m: (zs[2 * m],
+                               zs[jnp.minimum(2 * m + 1, cfg.n_steps - 1)])
         s0 = jnp.full(shape, p.s0, jnp.float32)
         pay, _ = pk._payoff_leg(payoff, cfg, p, s0, draw_pair)
         pay = jnp.where(valid, pay, 0.0)
-        p8 = pk._fold_to_sublanes(pay, cfg.tile_rows)
+        p8 = pk.fold_to_sublanes(pay, cfg.tile_rows)
         y = p8 - comp
         t = acc + y
         return (t, (t - acc) - y), None
@@ -301,8 +303,14 @@ def _make_qmc_bridge_kernel(payoff, cfg: pk.KernelConfig, n: int):
             return 0
 
         jax.lax.fori_loop(0, cfg.n_steps, entry, 0)
-        draw_pair = lambda m: (w_ref[2 * m + 1] - w_ref[2 * m],
-                               w_ref[2 * m + 2] - w_ref[2 * m + 1])
+
+        def draw_pair(m):
+            # clamp the second index: the odd-n_steps epilogue discards the
+            # second half, and an out-of-bounds ref read is undefined in a
+            # compiled Mosaic kernel even when unused
+            hi = jnp.minimum(2 * m + 2, cfg.n_steps)
+            return (w_ref[2 * m + 1] - w_ref[2 * m],
+                    w_ref[hi] - w_ref[2 * m + 1])
         s0 = jnp.full(shape, p.s0, jnp.float32)
         pay, _ = pk._payoff_leg(payoff, cfg, p, s0, draw_pair)
         pay = jnp.where(valid, pay, 0.0)

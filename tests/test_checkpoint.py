@@ -76,3 +76,19 @@ def test_checkpoint_roundtrip(tmp_path):
     assert back.paths_done == 100
     np.testing.assert_array_equal(back.acc, ck.acc)
     assert back.meta["payoff"] == "vanilla_call"
+
+
+def test_resume_rejects_changed_market_data(tmp_path):
+    """Regression (review finding): resuming under different dynamics or
+    step counts must fail loudly, not merge distributions."""
+    ck = str(tmp_path / "run.npz")
+    chunked_price(sim=SIM, chunk_paths=CHUNK, checkpoint_path=ck,
+                  engine="xla", tile_rows=8)
+    with pytest.raises(ValueError, match="option"):
+        chunked_price(option=OptionParams(sigma=0.3), sim=SIM,
+                      chunk_paths=CHUNK, checkpoint_path=ck, resume=True,
+                      engine="xla", tile_rows=8)
+    with pytest.raises(ValueError, match="n_steps"):
+        chunked_price(sim=SimParams(n_paths=SIM.n_paths, n_steps=20),
+                      chunk_paths=CHUNK, checkpoint_path=ck, resume=True,
+                      engine="xla", tile_rows=8)
