@@ -40,7 +40,7 @@ from mc_tpu.ops._pallas import LANES, use_interpret
 from mc_tpu.ops.payoffs import get_payoff
 from mc_tpu.ops.reduce import finish_sum
 
-__all__ = ["price_nmc", "NMCResult"]
+__all__ = ["price_nmc", "NMCResult", "nmc_auto_tile_rows"]
 
 
 @jax.tree_util.register_dataclass
@@ -201,13 +201,22 @@ def _price_nmc_impl(option, payoff, sim, strategy, engine, tile_rows,
                      n_points=jnp.asarray(n_points, jnp.float32))
 
 
+def nmc_auto_tile_rows(n_steps: int, budget_bytes: int = 8 << 20) -> int:
+    """Largest multiple-of-8 tile height whose two (n_steps, rows, 128)
+    f32 history slabs fit the VMEM budget (capped at 64 — measured knee
+    of the ILP curve on v5e: 8 rows -> 11 G, 64 rows -> 36 G inner
+    path-steps/s)."""
+    rows = budget_bytes // (2 * n_steps * 128 * 4)
+    return max(8, min(64, (rows // 8) * 8))
+
+
 def price_nmc(option: OptionParams = DEMO_OPTION,
               sim: SimParams = DEMO_SIM,
               payoff="bullet_call",
               *,
               strategy: str = "fused",
               engine: str = "pallas",
-              tile_rows: int = 8,
+              tile_rows: Optional[int] = None,
               discount: str = "full",
               stream_outer: int = STREAM_OUTER,
               stream_inner: int = STREAM_INNER,
@@ -221,6 +230,8 @@ def price_nmc(option: OptionParams = DEMO_OPTION,
     VMEM history at 2 * n_steps * 4 KiB.
     """
     po = get_payoff(payoff)
+    if tile_rows is None:
+        tile_rows = nmc_auto_tile_rows(sim.n_steps)
     if po.n_state > 1:
         raise ValueError("NMC supports payoffs with at most one state array")
     if key_outer is None:

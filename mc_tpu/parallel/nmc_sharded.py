@@ -87,7 +87,7 @@ def price_nmc_sharded(option: OptionParams = DEMO_OPTION,
                       *,
                       mesh: Optional[Mesh] = None,
                       engine: str = "pallas",
-                      tile_rows: int = 8,
+                      tile_rows: Optional[int] = None,
                       discount: str = "full",
                       key_outer=None,
                       key_inner=None,
@@ -100,6 +100,9 @@ def price_nmc_sharded(option: OptionParams = DEMO_OPTION,
     """
     mesh = mesh if mesh is not None else make_mesh()
     po = get_payoff(payoff)
+    if tile_rows is None:
+        from mc_tpu.nmc import nmc_auto_tile_rows
+        tile_rows = nmc_auto_tile_rows(sim.n_steps)
     if po.n_state > 1:
         raise ValueError("NMC supports payoffs with at most one state array")
     if key_outer is None:

@@ -19,7 +19,9 @@ def fused():
 
 
 def test_surface_shape(fused):
-    assert fused.surface.shape == (SIM.n_steps, 8, 128)
+    n_steps, rows, lanes = fused.surface.shape
+    assert n_steps == SIM.n_steps and lanes == 128
+    assert rows * lanes >= SIM.n_paths  # padded to whole tiles
     assert fused.surface_matrix().shape == (SIM.n_paths, SIM.n_steps)
 
 
