@@ -29,7 +29,8 @@ from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
 from mc_tpu.engines import STREAM_OUTER, _price_impl
 from mc_tpu.ops.payoffs import get_payoff
 
-__all__ = ["greeks", "GREEK_FIELDS"]
+__all__ = ["greeks", "heston_greeks", "GREEK_FIELDS",
+           "HESTON_GREEK_FIELDS"]
 
 # greek name -> (OptionParams field, sign)
 GREEK_FIELDS = {
@@ -120,5 +121,69 @@ def greeks(option: OptionParams = DEMO_OPTION,
         h = jnp.float32(rel_bump) * jnp.maximum(jnp.abs(base), 1e-2)
         up = f(dataclasses.replace(opt32, **{fld: base + h}))
         dn = f(dataclasses.replace(opt32, **{fld: base - h}))
+        out[g] = jnp.float32(sgn) * (up - dn) / (2.0 * h)
+    return out
+
+
+HESTON_GREEK_FIELDS = {
+    # greek -> (which pytree, field, sign)
+    "delta": ("option", "s0", 1.0),
+    "rho": ("option", "r", 1.0),
+    "theta": ("option", "t", -1.0),
+    "dual_delta": ("option", "k", 1.0),
+    "vega_v0": ("heston", "v0", 1.0),        # dP/d(initial variance)
+    "vega_theta": ("heston", "theta", 1.0),  # dP/d(long-run variance)
+    "vega_xi": ("heston", "xi", 1.0),        # dP/d(vol-of-vol)
+    "vega_kappa": ("heston", "kappa", 1.0),
+    "vega_rho": ("heston", "rho", 1.0),      # dP/d(spot-vol correlation)
+}
+
+
+def heston_greeks(option=None, heston=None,
+                  sim: SimParams = DEMO_SIM,
+                  payoff="vanilla_call",
+                  *,
+                  which: Sequence[str] = ("delta", "vega_v0", "rho"),
+                  antithetic: bool = False,
+                  tile_rows: int = 256,
+                  rel_bump: float = 1e-3,
+                  stream: int = STREAM_OUTER) -> Dict[str, Any]:
+    """Heston-model sensitivities by common-random-number central
+    differences (the full-truncation scheme's sqrt(v+) makes pathwise
+    gradients NaN-prone at the v=0 boundary, so FD+CRN is the robust
+    default; CRN collapses the difference variance the same way it does
+    for GBM).  Supports the spot/rate/maturity/strike greeks plus the
+    model-parameter sensitivities calibration needs (v0, theta, xi,
+    kappa, rho)."""
+    from mc_tpu.models.heston import (DEMO_HESTON, HestonDynamics,
+                                      _price_heston_impl)
+    from mc_tpu.config import DEMO_OPTION
+    from mc_tpu.ops.payoffs import get_payoff
+
+    option = (DEMO_OPTION if option is None else option).as_f32()
+    heston = (DEMO_HESTON if heston is None else heston).as_f32()
+    po = get_payoff(payoff)
+    key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x4E57), jnp.uint32)
+    bad = set(which) - set(HESTON_GREEK_FIELDS)
+    if bad:
+        raise ValueError(f"unknown heston greeks {sorted(bad)}; "
+                         f"available: {sorted(HESTON_GREEK_FIELDS)}")
+
+    def f(opt, hes):
+        return _price_heston_impl(opt, hes, po, sim.replace(seed=0), "xla",
+                                  antithetic, tile_rows, None, key).price
+
+    out = {}
+    for g in which:
+        tree, fld, sgn = HESTON_GREEK_FIELDS[g]
+        base_obj = option if tree == "option" else heston
+        base = getattr(base_obj, fld)
+        h = jnp.float32(rel_bump) * jnp.maximum(jnp.abs(base), 1e-2)
+        up_obj = dataclasses.replace(base_obj, **{fld: base + h})
+        dn_obj = dataclasses.replace(base_obj, **{fld: base - h})
+        if tree == "option":
+            up, dn = f(up_obj, heston), f(dn_obj, heston)
+        else:
+            up, dn = f(option, up_obj), f(option, dn_obj)
         out[g] = jnp.float32(sgn) * (up - dn) / (2.0 * h)
     return out

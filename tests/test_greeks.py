@@ -72,3 +72,32 @@ def test_delta_consistent_with_oracle_fn():
     g = greeks(sim=SIM, antithetic=True, which=("delta",))
     assert float(g["delta"]) == pytest.approx(
         float(bs_delta_call(S0, K, T, R, SIG)), rel=0.01)
+
+
+def test_heston_greeks():
+    """Sanity + CF-oracle cross-check for the Heston sensitivities."""
+    from mc_tpu.greeks import heston_greeks
+    from mc_tpu.models.heston import DEMO_HESTON, heston_call_cf
+
+    sim = SimParams(n_paths=100_000, n_steps=50)
+    g = heston_greeks(sim=sim, antithetic=True,
+                      which=("delta", "vega_v0", "vega_xi", "rho"))
+    assert 0.5 < float(g["delta"]) < 1.0
+    assert float(g["vega_v0"]) > 0.0       # more variance -> pricier call
+
+    # FD of the CF oracle as ground truth for vega_v0
+    h = 1e-4
+    base = dict(s0=100.0, k=100.0, t=1.0, r=0.1)
+    hp = DEMO_HESTON.astuple()
+    up = heston_call_cf(**base, v0=float(hp[0]) + h, kappa=hp[1],
+                        theta=hp[2], xi=hp[3], rho=hp[4])
+    dn = heston_call_cf(**base, v0=float(hp[0]) - h, kappa=hp[1],
+                        theta=hp[2], xi=hp[3], rho=hp[4])
+    want = (up - dn) / (2 * h)
+    assert float(g["vega_v0"]) == pytest.approx(want, rel=0.1)
+
+
+def test_heston_greeks_guard():
+    from mc_tpu.greeks import heston_greeks
+    with pytest.raises(ValueError, match="unknown heston greeks"):
+        heston_greeks(which=("vega",))
