@@ -180,7 +180,10 @@ def _price_impl(option, payoff, sim, method, engine, antithetic,
     var_x = jnp.maximum(sum_x2 / n - mean_x * mean_x, 1e-30)
     cov = sum_px / n - mean_p * mean_x
     beta = cov / var_x
-    ex = jnp.asarray(option.s0, n.dtype) * jnp.exp(r * t)  # E[S_T]
+    if payoff.has_control:
+        ex = payoff.control_expectation(_payoff_namespace(option, sim.n_steps))
+    else:
+        ex = jnp.asarray(option.s0, n.dtype) * jnp.exp(r * t)  # E[S_T]
     adj_mean = mean_p - beta * (mean_x - ex)
     adj_var = jnp.maximum(var_p - cov * cov / var_x, 0.0)
     stderr = jnp.sqrt(adj_var / n) * discount

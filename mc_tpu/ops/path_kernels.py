@@ -230,9 +230,10 @@ def _payoff_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair,
     s_t, state, weight = _simulate_leg(payoff, cfg, p, s0, draw_pair,
                                        state_init)
     pay = payoff.terminal(state, s_t, p)
+    x = payoff.control(state, s_t, p) if payoff.has_control else s_t
     if weight is not None:
-        return pay * weight, s_t * weight
-    return pay, s_t
+        return pay * weight, x * weight
+    return pay, x
 
 
 # Shared with the XLA duals (ops/_pallas.py) — one definition of the

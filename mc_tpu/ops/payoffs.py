@@ -52,6 +52,17 @@ class PathPayoff:
     # one-shot terminal draw (trajectories.cuh:74-75).
     terminal_only: bool = False
 
+    # Optional payoff-specific control variate: ``control(state, s, p)``
+    # returns the per-path control X and ``control_expectation(p)`` its
+    # exact expectation (engines fall back to X = S_T, E[X] = S0 e^{rT}).
+    has_control: bool = False
+
+    def control(self, state: State, s, p):
+        raise NotImplementedError
+
+    def control_expectation(self, p):
+        raise NotImplementedError
+
     def __repr__(self):
         return f"<PathPayoff {self.name}>"
 
@@ -182,11 +193,60 @@ class LookbackFixedCall(PathPayoff):
         return jnp.maximum(m - p.k, 0.0)
 
 
+class AsianCallGeoCV(AsianCall):
+    """Arithmetic Asian call with the geometric-Asian control variate.
+
+    state = (running sum of S, running sum of log S).  The control is the
+    geometric-average call payoff, whose discrete-average distribution is
+    exactly lognormal under GBM — `control_expectation` is its closed
+    form, making this the classic high-power Asian variance reduction.
+    Requires params fields n_steps_f/drift/vol context supplied by the
+    engine namespace (log-variance terms are derived from p.sigma, p.t,
+    p.inv_n_steps).
+    """
+
+    name = "asian_call_geo_cv"
+    n_state = 2
+    has_control = True
+
+    def init(self, p, like):
+        return (jnp.zeros_like(like), jnp.zeros_like(like))
+
+    def update(self, state, s, p):
+        acc, lacc = state
+        return (acc + s, lacc + jnp.log(s))
+
+    def terminal(self, state, s, p):
+        acc, _ = state
+        return jnp.maximum(acc * p.inv_n_steps - p.k, 0.0)
+
+    def control(self, state, s, p):
+        _, lacc = state
+        geo = jnp.exp(lacc * p.inv_n_steps)
+        return jnp.maximum(geo - p.k, 0.0)
+
+    def control_expectation(self, p):
+        # Discrete geometric average of GBM is lognormal:
+        #   mean log: mu = ln S0 + (r - sigma^2/2) T (n+1)/(2n)
+        #   var log:  s2 = sigma^2 T (n+1)(2n+1)/(6 n^2)
+        # E[(G-K)+] = e^{mu+s2/2} N(d1) - K N(d2), d1=(mu-lnK+s2)/s, d2=d1-s.
+        from jax.scipy.stats import norm
+        n = 1.0 / p.inv_n_steps
+        mu = (jnp.log(p.s0)
+              + (p.r - 0.5 * p.sigma * p.sigma) * p.t * (n + 1.0) / (2.0 * n))
+        s2 = (p.sigma * p.sigma * p.t
+              * (n + 1.0) * (2.0 * n + 1.0) / (6.0 * n * n))
+        s_ = jnp.sqrt(s2)
+        d1 = (mu - jnp.log(p.k) + s2) / s_
+        d2 = d1 - s_
+        return jnp.exp(mu + 0.5 * s2) * norm.cdf(d1) - p.k * norm.cdf(d2)
+
+
 PAYOFFS: Dict[str, PathPayoff] = {
     po.name: po
     for po in (
         VanillaCall(), VanillaPut(), BulletCall(), AsianCall(),
-        UpOutCall(), DownInCall(), LookbackFixedCall(),
+        AsianCallGeoCV(), UpOutCall(), DownInCall(), LookbackFixedCall(),
     )
 }
 

@@ -196,3 +196,20 @@ def test_single_path_and_single_step():
     r2 = price(sim=SimParams(n_paths=1024, n_steps=1), engine="xla",
                method="euler", tile_rows=8)
     assert abs(float(r2.price) - BS) < 10.0  # 1-step euler == exact GBM
+
+
+def test_geometric_asian_control_variate():
+    """The classic Asian VR: geometric-average control with exact closed
+    form. Must agree with the plain Asian estimate and slash the stderr."""
+    sim = SimParams(n_paths=100_000, n_steps=32)
+    plain = price(sim=sim, payoff="asian_call", engine="xla", tile_rows=8)
+    cv = price(sim=sim, payoff="asian_call_geo_cv", engine="xla",
+               control_variate=True, tile_rows=8)
+    # >10x variance reduction is typical for ATM arithmetic-vs-geometric
+    assert float(cv.stderr) < 0.1 * float(plain.stderr)
+    tol = 4.0 * (float(plain.stderr) + float(cv.stderr))
+    assert abs(float(cv.price) - float(plain.price)) <= tol
+    # engines bitwise
+    cvp = price(sim=sim, payoff="asian_call_geo_cv", engine="pallas",
+                control_variate=True, tile_rows=8)
+    assert float(cvp.price) == float(cv.price)
