@@ -1,0 +1,221 @@
+"""Multilevel Monte Carlo for biased discretizations (Giles 2008).
+
+GBM needs no MLMC here (the log-Euler scheme is exact in distribution),
+but the Heston full-truncation Euler scheme carries O(dt) weak bias —
+exactly the setting multilevel was built for: write
+
+    E[P_L] = E[P_0] + sum_l E[P_l - P_{l-1}]
+
+with level l using ``n0 * 2^l`` integration substeps, and estimate each
+correction with COUPLED paths: the coarse path consumes the pairwise sums
+of the fine path's Brownian increments (z_c = (z_{2k} + z_{2k+1})/sqrt(2)
+for both the variance and the orthogonal factor), so Var[P_l - P_{l-1}]
+decays ~ O(dt_l) while a single-level estimator would pay the finest
+cost at full variance.  Total cost to RMS accuracy eps drops from
+O(eps^-3) to O(eps^-2 log^2 eps).
+
+Level sample counts follow the standard allocation
+N_l ~ sqrt(V_l / C_l) * sum(sqrt(V_l C_l)) / eps^2, estimated from pilot
+runs.  The estimator runs through the jitted XLA engine (fast on TPU via
+XLA fusion; the per-level coupled kernel is the same step loop the Pallas
+engines use elsewhere).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mc_tpu import rng
+from mc_tpu.config import DEMO_OPTION, OptionParams, SimParams
+from mc_tpu.models.heston import (DEMO_HESTON, HestonDynamics, _pack_heston,
+                                  _unpack_heston)
+from mc_tpu.oracle import PriceResult
+from mc_tpu.ops import path_kernels as pk
+from mc_tpu.ops._pallas import LANES, SUBLANES, fold_to_sublanes, \
+    kahan_xla_update, round_up
+from mc_tpu.ops.payoffs import get_payoff
+from mc_tpu.ops.reduce import finish_sum
+
+__all__ = ["price_heston_mlmc", "MLMCResult", "heston_level_moments"]
+
+
+def _heston_step(p, w, v, z_v, z_perp, dt, sqrt_dt):
+    """One full-truncation Euler substep (log-space price)."""
+    z_s = p.rho * z_v + p.rho_perp * z_perp
+    v_plus = jnp.maximum(v, 0.0)
+    sq = jnp.sqrt(v_plus) * sqrt_dt
+    w = w + ((p.r - 0.5 * v_plus) * dt + sq * z_s)
+    v = v + p.kappa * (p.theta - v_plus) * dt + p.xi * sq * z_v
+    return w, v
+
+
+def _coupled_level_tile(payoff, p, ids, valid, k0, k1, n_fine: int,
+                        coupled: bool):
+    """(P_fine - P_coarse) payoff tile with pairwise-coupled increments.
+
+    Fine path: n_fine substeps.  Coarse path: n_fine/2 substeps driven by
+    z_c = (z_{2k} + z_{2k+1}) / sqrt(2) — the same Brownian path seen at
+    half resolution.  For level 0 (coupled=False) only the fine path runs.
+    Terminal payoff only (European under Heston).
+    """
+    shape = ids.shape
+    dt_f = p.t / jnp.float32(n_fine)
+    sq_f = jnp.sqrt(dt_f)
+    dt_c = dt_f * 2.0
+    sq_c = jnp.sqrt(dt_c)
+    inv_sqrt2 = jnp.float32(0.7071067811865476)
+
+    def draw(j):
+        c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(j, jnp.uint32)
+        return rng.normal_pair(k0, k1, ids, c1)
+
+    def body(k, carry):
+        wf, vf, wc, vc = carry
+        z_v0, z_p0 = draw(2 * k)
+        z_v1, z_p1 = draw(2 * k + 1)
+        wf, vf = _heston_step(p, wf, vf, z_v0, z_p0, dt_f, sq_f)
+        wf, vf = _heston_step(p, wf, vf, z_v1, z_p1, dt_f, sq_f)
+        if coupled:
+            zc_v = (z_v0 + z_v1) * inv_sqrt2
+            zc_p = (z_p0 + z_p1) * inv_sqrt2
+            wc, vc = _heston_step(p, wc, vc, zc_v, zc_p, dt_c, sq_c)
+        return (wf, vf, wc, vc)
+
+    zero = jnp.zeros(shape, jnp.float32)
+    v0 = jnp.full(shape, p.v0, jnp.float32)
+    wf, vf, wc, vc = jax.lax.fori_loop(
+        0, n_fine // 2, body, (zero, v0, zero, v0))
+    s_f = p.s0 * jnp.exp(wf)
+    pay = payoff.terminal((), s_f, p)
+    if coupled:
+        s_c = p.s0 * jnp.exp(wc)
+        pay = pay - payoff.terminal((), s_c, p)
+    return jnp.where(valid, pay, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "n_paths", "n_fine", "coupled", "tile_rows"))
+def heston_level_moments(option, heston, payoff, n_paths, n_fine, coupled,
+                         tile_rows, key):
+    """(sum Y, sum Y^2) of the level-l correction over n_paths paths."""
+    p = _unpack_heston(_pack_heston_ns(option, heston))
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+    shape = (tile_rows, LANES)
+    per_tile = tile_rows * LANES
+    n_tiles = -(-n_paths // per_tile)
+    flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+
+    def one_tile(carry, i):
+        acc, comp = carry
+        ids = jnp.uint32(i * per_tile) + flat
+        valid = ids < jnp.uint32(n_paths)
+        pay = _coupled_level_tile(payoff, p, ids, valid, k0, k1, n_fine,
+                                  coupled)
+        for m, v in enumerate([pay, pay * pay]):
+            acc, comp = kahan_xla_update(
+                acc, comp, m, fold_to_sublanes(v, tile_rows))
+        return (acc, comp), None
+
+    zeros = jnp.zeros((2, SUBLANES, LANES), jnp.float32)
+    (acc, _), _ = jax.lax.scan(
+        one_tile, (zeros, zeros), jnp.arange(n_tiles, dtype=jnp.uint32))
+    return finish_sum(acc[0]), finish_sum(acc[1])
+
+
+def _pack_heston_ns(option, heston):
+    # reuse the heston param vector (n_steps irrelevant for the namespace
+    # fields the coupled stepper uses; dt/sqrt_dt recomputed per level)
+    return _pack_heston(option, heston, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class MLMCResult:
+    price: Any
+    stderr: Any
+    levels: tuple            # n_fine per level
+    n_per_level: tuple
+    level_means: tuple
+    level_vars: tuple
+
+    def variance_decay_rate(self) -> float:
+        """Fitted beta in Var[Y_l] ~ 2^{-beta l} over the coupled levels."""
+        v = np.asarray(self.level_vars[1:], np.float64)
+        ell = np.arange(1, len(self.level_vars))
+        mask = v > 0
+        if mask.sum() < 2:
+            return float("nan")
+        slope = np.polyfit(ell[mask], np.log2(v[mask]), 1)[0]
+        return float(-slope)
+
+
+def price_heston_mlmc(option: OptionParams = DEMO_OPTION,
+                      heston: HestonDynamics = DEMO_HESTON,
+                      payoff="vanilla_call",
+                      *,
+                      n0: int = 4,
+                      n_levels: int = 5,
+                      n_pilot: int = 20_000,
+                      eps: Optional[float] = None,
+                      n_per_level: Optional[Sequence[int]] = None,
+                      tile_rows: int = 64,
+                      seed: int = 1234) -> MLMCResult:
+    """Multilevel Heston price to target RMS accuracy ``eps``.
+
+    Level l integrates with ``n0 * 2^l`` substeps; pilot runs estimate
+    (V_l, C_l) and the standard allocation sizes N_l (overridable with
+    ``n_per_level``).  Each level uses an independent threefry stream.
+    """
+    po = get_payoff(payoff)
+    if not po.terminal_only:
+        raise ValueError("MLMC currently supports terminal-only payoffs "
+                         "(the monitoring-date contracts have no "
+                         "discretization bias to remove)")
+    opt32 = option.as_f32()
+    hes32 = heston.as_f32()
+    fines = tuple(n0 * (1 << l) for l in range(n_levels))
+    keys = [jnp.asarray(rng.derive_key(seed, 0x4D4C, l), jnp.uint32)
+            for l in range(n_levels)]
+
+    def level_stats(l, n):
+        n = round_up(max(n, 1024), tile_rows * LANES)
+        s, sq = heston_level_moments(opt32, hes32, po, n, fines[l], l > 0,
+                                     tile_rows, keys[l])
+        mean = s / n
+        var = jnp.maximum(sq / n - mean * mean, 0.0)
+        return float(mean), float(var), n
+
+    # pilot pass
+    pilot = [level_stats(l, n_pilot) for l in range(n_levels)]
+    v_l = np.array([p[1] for p in pilot])
+    c_l = np.array([fines[l] for l in range(n_levels)], float)
+
+    if n_per_level is None:
+        if eps is None:
+            eps = 2e-3
+        lam = np.sum(np.sqrt(v_l * c_l)) / (eps * eps / 2.0)
+        n_l = np.maximum(np.ceil(lam * np.sqrt(v_l / c_l)), n_pilot)
+    else:
+        n_l = np.asarray(n_per_level, float)
+
+    means, varis, ns = [], [], []
+    for l in range(n_levels):
+        m, v, n = level_stats(l, int(n_l[l]))
+        means.append(m)
+        varis.append(v)
+        ns.append(n)
+
+    disc = float(np.exp(-float(opt32.r) * float(opt32.t)))
+    price = disc * sum(means)
+    stderr = disc * float(np.sqrt(sum(v / n for v, n in zip(varis, ns))))
+    return MLMCResult(price=price, stderr=stderr, levels=fines,
+                      n_per_level=tuple(ns), level_means=tuple(means),
+                      level_vars=tuple(varis))

@@ -1,0 +1,58 @@
+"""Multilevel Monte Carlo tests (Heston Euler-bias removal)."""
+
+import numpy as np
+import pytest
+
+from mc_tpu import OptionParams
+from mc_tpu.mlmc import price_heston_mlmc
+from mc_tpu.models.heston import DEMO_HESTON, heston_call_cf
+
+
+@pytest.fixture(scope="module")
+def result():
+    # near-optimal allocation shape N_l ~ sqrt(V_l / C_l)
+    return price_heston_mlmc(OptionParams(), DEMO_HESTON, n0=4, n_levels=5,
+                             n_pilot=20_000,
+                             n_per_level=(200_000, 52_000, 23_000,
+                                          11_000, 5_000), tile_rows=8)
+
+
+def test_mlmc_matches_cf_oracle(result):
+    ref = heston_call_cf(100.0, 100.0, 1.0, 0.1, *DEMO_HESTON.astuple())
+    # finest level = 64 substeps: residual bias ~ O(1/64); allow 4 se + 1%
+    tol = 4.0 * result.stderr + 0.01 * ref
+    assert abs(result.price - ref) <= tol, (result.price, ref)
+
+
+def test_level_variance_decays(result):
+    """Var[Y_l] must decay geometrically — the whole point of coupling."""
+    v = np.asarray(result.level_vars)
+    assert v[1] < v[0]            # first correction already much smaller
+    rate = result.variance_decay_rate()
+    assert rate > 0.5, (rate, v)  # ~O(dt) decay (beta ~ 1) expected
+
+
+def test_level_means_telescope(result):
+    """Corrections shrink: |E[Y_l]| decays with level (weak order 1)."""
+    m = np.abs(np.asarray(result.level_means[1:]))
+    assert m[-1] < m[0]
+
+
+def test_mlmc_cheaper_than_single_level(result):
+    """Cost comparison at equal variance: MLMC total substep count vs a
+    single-level estimator at the finest grid with the same stderr."""
+    v = np.asarray(result.level_vars)
+    n = np.asarray(result.n_per_level, float)
+    cost_mlmc = float(np.sum(n * np.asarray(result.levels)))
+    # single-level at finest grid needs N = V0/stderr_target^2 paths
+    var_target = float(np.sum(v / n))
+    n_single = v[0] / var_target
+    cost_single = n_single * result.levels[-1]
+    # with the near-optimal allocation the multilevel estimator should
+    # cost well under the single-finest-level estimator at equal variance
+    assert cost_mlmc < 0.7 * cost_single, (cost_mlmc, cost_single)
+
+
+def test_guard_path_dependent():
+    with pytest.raises(ValueError, match="terminal-only"):
+        price_heston_mlmc(payoff="bullet_call")
