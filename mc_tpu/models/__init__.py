@@ -2,6 +2,8 @@ from mc_tpu.models.gbm import GBM, gbm_exact_terminal, gbm_log_euler_step
 from mc_tpu.models.heston import (DEMO_HESTON, HestonDynamics,
                                   heston_call_cf, price_heston)
 
+from mc_tpu.models.basket import BasketDynamics, DEMO_BASKET, price_basket
+
 __all__ = ["GBM", "gbm_exact_terminal", "gbm_log_euler_step",
            "HestonDynamics", "DEMO_HESTON", "heston_call_cf",
-           "price_heston"]
+           "price_heston", "BasketDynamics", "DEMO_BASKET", "price_basket"]
