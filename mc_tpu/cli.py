@@ -38,6 +38,8 @@ def _add_option_flags(p: argparse.ArgumentParser):
                    help="bullet window lower step count")
     g.add_argument("--p2", type=float, default=50.0,
                    help="bullet window upper step count")
+    g.add_argument("--dividend", "-q", type=float, default=0.0, dest="q",
+                   help="continuous dividend yield")
     g = p.add_argument_group("simulation")
     g.add_argument("--n-paths", "-N", type=int, default=100_000)
     g.add_argument("--n-steps", type=int, default=100)
@@ -51,7 +53,7 @@ def _add_option_flags(p: argparse.ArgumentParser):
 def _parse(args):
     option = OptionParams(s0=args.s0, t=args.t, k=args.k, r=args.r,
                           sigma=args.sigma, barrier=args.barrier,
-                          p1=args.p1, p2=args.p2)
+                          p1=args.p1, p2=args.p2, q=args.q)
     sim = SimParams(n_paths=args.n_paths, n_steps=args.n_steps,
                     n_paths_inner=args.n_inner, seed=args.seed)
     return option, sim

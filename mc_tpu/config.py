@@ -46,10 +46,11 @@ class OptionParams:
     barrier: Any = 120.0  # bullet barrier B    (tool.cuh:19)
     p1: Any = 10.0      # barrier-window lower  (tool.cuh:20)
     p2: Any = 50.0      # barrier-window upper  (tool.cuh:21)
+    q: Any = 0.0        # continuous dividend yield (beyond the reference)
 
     def astuple(self):
         return (self.s0, self.t, self.k, self.r, self.sigma,
-                self.barrier, self.p1, self.p2)
+                self.barrier, self.p1, self.p2, self.q)
 
     def as_f32(self) -> "OptionParams":
         return OptionParams(*(jnp.float32(x) for x in self.astuple()))

@@ -50,16 +50,16 @@ STREAM_INNER = 1
 
 def _payoff_namespace(option: OptionParams, n_steps: int) -> SimpleNamespace:
     """Traced option params + derived fields, as attribute access for payoffs."""
-    s0, t, k, r, sigma, barrier, p1, p2 = (
+    s0, t, k, r, sigma, barrier, p1, p2, q = (
         jnp.float32(v) for v in option.astuple())
     n = jnp.float32(n_steps)
     dt = t / n
     return SimpleNamespace(
         s0=s0, t=t, k=k, r=r, sigma=sigma, barrier=barrier, p1=p1, p2=p2,
-        dt=dt,
-        drift_dt=(r - 0.5 * sigma * sigma) * dt,
+        q=q, dt=dt,
+        drift_dt=(r - q - 0.5 * sigma * sigma) * dt,
         vol_dt=sigma * jnp.sqrt(dt),
-        drift_t=(r - 0.5 * sigma * sigma) * t,
+        drift_t=(r - q - 0.5 * sigma * sigma) * t,
         vol_t=sigma * jnp.sqrt(t),
         inv_n_steps=1.0 / n,
     )
@@ -183,7 +183,8 @@ def _price_impl(option, payoff, sim, method, engine, antithetic,
     if payoff.has_control:
         ex = payoff.control_expectation(_payoff_namespace(option, sim.n_steps))
     else:
-        ex = jnp.asarray(option.s0, n.dtype) * jnp.exp(r * t)  # E[S_T]
+        q = jnp.asarray(option.q, r.dtype)
+        ex = jnp.asarray(option.s0, n.dtype) * jnp.exp((r - q) * t)  # E[S_T]
     adj_mean = mean_p - beta * (mean_x - ex)
     adj_var = jnp.maximum(var_p - cov * cov / var_x, 0.0)
     stderr = jnp.sqrt(adj_var / n) * discount
@@ -486,6 +487,10 @@ def price_portfolio(options: OptionParams,
         key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
     opts32 = jax.tree_util.tree_map(
         lambda x: jnp.atleast_1d(jnp.asarray(x, jnp.float32)), options)
+    # broadcast scalar fields (e.g. a default q) to the book size
+    b = max(int(x.shape[0]) for x in jax.tree_util.tree_leaves(opts32))
+    opts32 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (b,)), opts32)
 
     def one(option):
         return _price_impl(option, po, sim.replace(seed=0), method, engine,

@@ -39,6 +39,7 @@ GREEK_FIELDS = {
     "rho": ("r", 1.0),
     "theta": ("t", -1.0),     # market convention: -dP/dT
     "dual_delta": ("k", 1.0),
+    "epsilon": ("q", 1.0),    # dividend-yield sensitivity dP/dq
 }
 
 # Payoffs whose pathwise derivative is valid (a.e.-differentiable payoff).

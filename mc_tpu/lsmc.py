@@ -143,13 +143,14 @@ def price_american(option: OptionParams = DEMO_OPTION,
                                 degree, tile_rows, interpret, key)
 
 
-def binomial_american(s0, k, t, r, sigma, n_steps=2000, kind="put"):
+def binomial_american(s0, k, t, r, sigma, n_steps=2000, kind="put",
+                      div_yield=0.0):
     """CRR binomial-tree American option price (host numpy oracle)."""
     dt = t / n_steps
     u = np.exp(sigma * np.sqrt(dt))
     d = 1.0 / u
     disc = np.exp(-r * dt)
-    q = (np.exp(r * dt) - d) / (u - d)
+    q = (np.exp((r - div_yield) * dt) - d) / (u - d)
     j = np.arange(n_steps + 1)
     s = s0 * u ** (n_steps - j) * d ** j
     pay = (np.maximum(k - s, 0.0) if kind == "put"

@@ -50,7 +50,7 @@ def _heston_step(p, w, v, z_v, z_perp, dt, sqrt_dt):
     z_s = p.rho * z_v + p.rho_perp * z_perp
     v_plus = jnp.maximum(v, 0.0)
     sq = jnp.sqrt(v_plus) * sqrt_dt
-    w = w + ((p.r - 0.5 * v_plus) * dt + sq * z_s)
+    w = w + ((p.growth - 0.5 * v_plus) * dt + sq * z_s)
     v = v + p.kappa * (p.theta - v_plus) * dt + p.xi * sq * z_v
     return w, v
 

@@ -155,7 +155,8 @@ def _basket_namespace(option, basket, n_steps: int):
         sqrt_dt=jnp.sqrt(dt),
         s0s=tuple(basket.s0s[i] for i in range(d)),
         weights=tuple(basket.weights[i] for i in range(d)),
-        drifts=tuple((r - 0.5 * sig[i] * sig[i]) * dt for i in range(d)),
+        drifts=tuple((r - jnp.float32(option.q)
+                      - 0.5 * sig[i] * sig[i]) * dt for i in range(d)),
         chol=tuple(tuple(chol[i, k] for k in range(i + 1))
                    for i in range(d)),
     )

@@ -68,19 +68,19 @@ DEMO_HESTON = HestonDynamics()
 
 _HESTON_FIELDS = ("s0", "k", "r", "barrier", "p1", "p2", "t", "dt",
                   "inv_n_steps", "v0", "kappa", "theta", "xi", "rho",
-                  "rho_perp", "sqrt_dt")
+                  "rho_perp", "sqrt_dt", "growth")
 
 
 def _pack_heston(option, heston, n_steps):
-    s0, t, k, r, _, barrier, p1, p2 = (jnp.float32(v)
-                                       for v in option.astuple())
+    s0, t, k, r, _, barrier, p1, p2, q = (jnp.float32(v)
+                                          for v in option.astuple())
     v0, kappa, theta, xi, rho = (jnp.float32(v) for v in heston.astuple())
     n = jnp.float32(n_steps)
     dt = t / n
     vals = dict(s0=s0, k=k, r=r, barrier=barrier, p1=p1, p2=p2, t=t, dt=dt,
                 inv_n_steps=1.0 / n, v0=v0, kappa=kappa, theta=theta, xi=xi,
                 rho=rho, rho_perp=jnp.sqrt(1.0 - rho * rho),
-                sqrt_dt=jnp.sqrt(dt))
+                sqrt_dt=jnp.sqrt(dt), growth=r - q)
     return jnp.stack([vals[f] for f in _HESTON_FIELDS])
 
 
@@ -102,7 +102,7 @@ def _heston_leg(payoff, n_steps: int, p, s0, draw_pair, antithetic_sign=1.0):
         z_s = p.rho * z_v + p.rho_perp * z_perp
         v_plus = jnp.maximum(v, 0.0)
         sq = jnp.sqrt(v_plus) * p.sqrt_dt
-        w = w + ((p.r - 0.5 * v_plus) * p.dt + sq * z_s)
+        w = w + ((p.growth - 0.5 * v_plus) * p.dt + sq * z_s)
         s = s0 * jnp.exp(w)  # log-space: one exp rounding per S_t
         v = v + p.kappa * (p.theta - v_plus) * p.dt + p.xi * sq * z_v
         return (w, v, s, payoff.update(state, s, p))

@@ -67,7 +67,8 @@ def _load():
                                   ctypes.c_float, ctypes.c_float,
                                   ctypes.c_float, ctypes.c_float,
                                   ctypes.c_float, ctypes.c_float,
-                                  ctypes.c_float, ctypes.c_float, i32,
+                                  ctypes.c_float, ctypes.c_float,
+                                  ctypes.c_float, i32,
                                   ctypes.POINTER(f64)]
         dll.fill_normals.argtypes = [u32, u32, u32, u64, f32p]
         dll.write_traj_csv.restype = i32
@@ -95,7 +96,7 @@ def cnd_as(x) -> float:
 
 def price_cpu(payoff: str, key, n_paths: int, n_steps: int, *, s0=100.0,
               k=100.0, r=0.1, sigma=0.2, t=1.0, barrier=120.0, p1=10.0,
-              p2=50.0, n_threads=0):
+              p2=50.0, q=0.0, n_threads=0):
     """Multithreaded native CPU pricer on the framework's threefry stream.
 
     The C5 equivalent (tool.cuh:104-173): payoff 'vanilla_call' uses the
@@ -106,7 +107,7 @@ def price_cpu(payoff: str, key, n_paths: int, n_steps: int, *, s0=100.0,
     se = ctypes.c_double()
     price = _load().price_cpu(kind, int(key[0]), int(key[1]), n_paths,
                               n_steps, s0, k, r, sigma, t, barrier, p1, p2,
-                              n_threads, ctypes.byref(se))
+                              q, n_threads, ctypes.byref(se))
     return price, se.value
 
 

@@ -126,11 +126,11 @@ struct Moments {
 static void price_slice(int payoff_kind, uint32_t k0, uint32_t k1,
                         uint64_t begin, uint64_t end, int n_steps, float s0,
                         float k, float r, float sigma, float t, float barrier,
-                        float p1, float p2, Moments* out) {
+                        float p1, float p2, float q, Moments* out) {
   float dt = t / (float)n_steps;
-  float drift_dt = (r - 0.5f * sigma * sigma) * dt;
+  float drift_dt = (r - q - 0.5f * sigma * sigma) * dt;
   float vol_dt = sigma * sqrtf(dt);
-  float drift_t = (r - 0.5f * sigma * sigma) * t;
+  float drift_t = (r - q - 0.5f * sigma * sigma) * t;
   float vol_t = sigma * sqrtf(t);
   long double sum = 0.0L, sum2 = 0.0L;
   for (uint64_t i = begin; i < end; ++i) {
@@ -163,8 +163,8 @@ static void price_slice(int payoff_kind, uint32_t k0, uint32_t k1,
 
 double price_cpu(int payoff_kind, uint32_t k0, uint32_t k1, uint64_t n_paths,
                  int n_steps, float s0, float k, float r, float sigma,
-                 float t, float barrier, float p1, float p2, int n_threads,
-                 double* stderr_out) {
+                 float t, float barrier, float p1, float p2, float q,
+                 int n_threads, double* stderr_out) {
   if (n_threads <= 0)
     n_threads = (int)std::thread::hardware_concurrency();
   if (n_threads < 1) n_threads = 1;
@@ -177,7 +177,7 @@ double price_cpu(int payoff_kind, uint32_t k0, uint32_t k1, uint64_t n_paths,
     uint64_t e = b + chunk < n_paths ? b + chunk : n_paths;
     if (b >= e) break;
     workers.emplace_back(price_slice, payoff_kind, k0, k1, b, e, n_steps, s0,
-                         k, r, sigma, t, barrier, p1, p2, &parts[w]);
+                         k, r, sigma, t, barrier, p1, p2, q, &parts[w]);
   }
   for (auto& th : workers) th.join();
   long double sum = 0.0L, sum2 = 0.0L;

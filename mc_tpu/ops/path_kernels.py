@@ -53,23 +53,24 @@ __all__ = ["KernelConfig", "PARAM_FIELDS", "pack_params", "simulate_partials",
 # ---------------------------------------------------------------------------
 
 PARAM_FIELDS = (
-    "s0", "k", "r", "sigma", "barrier", "p1", "p2", "t",
+    "s0", "k", "r", "sigma", "barrier", "p1", "p2", "t", "q",
     "dt", "drift_dt", "vol_dt", "drift_t", "vol_t", "inv_n_steps",
 )
 
 
 def pack_params(option, n_steps: int) -> jnp.ndarray:
     """Pack OptionParams + derived GBM coefficients into an f32 vector."""
-    s0, t, k, r, sigma, barrier, p1, p2 = (
+    s0, t, k, r, sigma, barrier, p1, p2, q = (
         jnp.float32(v) for v in option.astuple())
     n = jnp.float32(n_steps)
     dt = t / n
     vals = dict(
         s0=s0, k=k, r=r, sigma=sigma, barrier=barrier, p1=p1, p2=p2, t=t,
+        q=q,
         dt=dt,
-        drift_dt=(r - 0.5 * sigma * sigma) * dt,
+        drift_dt=(r - q - 0.5 * sigma * sigma) * dt,
         vol_dt=sigma * jnp.sqrt(dt),
-        drift_t=(r - 0.5 * sigma * sigma) * t,
+        drift_t=(r - q - 0.5 * sigma * sigma) * t,
         vol_t=sigma * jnp.sqrt(t),
         inv_n_steps=1.0 / n,
     )

@@ -31,27 +31,30 @@ __all__ = [
 ]
 
 
-def bs_call(s0, k, t, r, sigma):
-    """European call price, exact closed form (cf. BlackandScholes.hpp:34-43)."""
-    s0, k, t, r, sigma = map(jnp.asarray, (s0, k, t, r, sigma))
+def bs_call(s0, k, t, r, sigma, q=0.0):
+    """European call, exact closed form with continuous dividend yield
+    (cf. BlackandScholes.hpp:34-43, which has q=0)."""
+    s0, k, t, r, sigma, q = map(jnp.asarray, (s0, k, t, r, sigma, q))
     sqrt_t = jnp.sqrt(t)
-    d1 = (jnp.log(s0 / k) + (r + 0.5 * sigma * sigma) * t) / (sigma * sqrt_t)
+    d1 = (jnp.log(s0 / k) + (r - q + 0.5 * sigma * sigma) * t) / (sigma * sqrt_t)
     d2 = d1 - sigma * sqrt_t
-    return s0 * norm.cdf(d1) - k * jnp.exp(-r * t) * norm.cdf(d2)
+    return (s0 * jnp.exp(-q * t) * norm.cdf(d1)
+            - k * jnp.exp(-r * t) * norm.cdf(d2))
 
 
-def bs_put(s0, k, t, r, sigma):
+def bs_put(s0, k, t, r, sigma, q=0.0):
     """European put via put-call parity."""
-    call = bs_call(s0, k, t, r, sigma)
-    return call - s0 + k * jnp.exp(-jnp.asarray(r) * t)
+    call = bs_call(s0, k, t, r, sigma, q)
+    return (call - s0 * jnp.exp(-jnp.asarray(q) * t)
+            + k * jnp.exp(-jnp.asarray(r) * t))
 
 
-def bs_delta_call(s0, k, t, r, sigma):
-    """BS call delta N(d1) — used as the control-variate coefficient."""
-    s0, k, t, r, sigma = map(jnp.asarray, (s0, k, t, r, sigma))
+def bs_delta_call(s0, k, t, r, sigma, q=0.0):
+    """BS call delta e^{-qT} N(d1) — the control-variate coefficient."""
+    s0, k, t, r, sigma, q = map(jnp.asarray, (s0, k, t, r, sigma, q))
     sqrt_t = jnp.sqrt(t)
-    d1 = (jnp.log(s0 / k) + (r + 0.5 * sigma * sigma) * t) / (sigma * sqrt_t)
-    return norm.cdf(d1)
+    d1 = (jnp.log(s0 / k) + (r - q + 0.5 * sigma * sigma) * t) / (sigma * sqrt_t)
+    return jnp.exp(-q * t) * norm.cdf(d1)
 
 
 def cnd_as(x):

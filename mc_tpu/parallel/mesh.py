@@ -127,7 +127,8 @@ def _price_sharded_impl(option, payoff, sim, mesh, engine, antithetic,
     var_x = jnp.maximum(sum_x2 / n - mean_x * mean_x, 1e-30)
     cov = sum_px / n - mean_p * mean_x
     beta = cov / var_x
-    ex = jnp.asarray(option.s0, n.dtype) * jnp.exp(r * t)
+    ex = (jnp.asarray(option.s0, n.dtype)
+          * jnp.exp((r - jnp.asarray(option.q, r.dtype)) * t))
     adj_mean = mean_p - beta * (mean_x - ex)
     adj_var = jnp.maximum(var_p - cov * cov / var_x, 0.0)
     return PriceResult(
