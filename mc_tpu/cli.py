@@ -219,6 +219,26 @@ def cmd_traj(args):
     return 0
 
 
+def cmd_heston(args):
+    from mc_tpu.models.heston import (DEMO_HESTON, HestonDynamics,
+                                      heston_call_cf, price_heston)
+
+    option, sim = _parse(args)
+    dyn = HestonDynamics(v0=args.v0, kappa=args.kappa, theta=args.theta_v,
+                         xi=args.xi, rho=args.rho_sv)
+    res = price_heston(option, dyn, sim, payoff=args.payoff,
+                       engine=args.engine, antithetic=args.antithetic,
+                       tile_rows=args.tile_rows)
+    out = {"payoff": args.payoff, "price": float(res.price),
+           "stderr": float(res.stderr)}
+    if args.payoff == "vanilla_call":
+        out["cf_oracle"] = heston_call_cf(args.s0, args.k, args.t, args.r,
+                                          args.v0, args.kappa, args.theta_v,
+                                          args.xi, args.rho_sv)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_american(args):
     from mc_tpu.lsmc import binomial_american, price_american
 
@@ -335,6 +355,17 @@ def main(argv=None):
     p.add_argument("--plot-max", type=int, default=200,
                    help="max trajectories to draw")
     p.set_defaults(fn=cmd_traj)
+
+    p = sub.add_parser("heston", help="Heston stochastic-vol price")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--v0", type=float, default=0.04)
+    p.add_argument("--kappa", type=float, default=2.0)
+    p.add_argument("--theta-v", type=float, default=0.04)
+    p.add_argument("--xi", type=float, default=0.3)
+    p.add_argument("--rho-sv", type=float, default=-0.7)
+    p.set_defaults(fn=cmd_heston)
 
     p = sub.add_parser("american", help="Longstaff-Schwartz American price")
     _add_option_flags(p)
