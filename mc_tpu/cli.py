@@ -234,7 +234,7 @@ def cmd_heston(args):
     if args.payoff == "vanilla_call":
         out["cf_oracle"] = heston_call_cf(args.s0, args.k, args.t, args.r,
                                           args.v0, args.kappa, args.theta_v,
-                                          args.xi, args.rho_sv)
+                                          args.xi, args.rho_sv, q=args.q)
     print(json.dumps(out))
     return 0
 

@@ -82,19 +82,10 @@ def _xla_partials(payoff: PathPayoff, cfg: pk.KernelConfig, key, option,
     p = _payoff_namespace(option, cfg.n_steps)
     k0 = jnp.asarray(key[0], jnp.uint32)
     k1 = jnp.asarray(key[1], jnp.uint32)
-    shape = (cfg.tile_rows, LANES)
-    flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
-    offset = jnp.asarray(path_offset, jnp.uint32)
-    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
-             else jnp.asarray(n_valid, jnp.uint32))
     n_out = 5 if cfg.with_cv else 2
 
-    def one_tile(carry, i):
-        acc, comp = carry
-        local_ids = jnp.uint32(i * cfg.paths_per_tile) + flat
-        ids = offset + local_ids
-        valid = ids < bound
+    def tile_fn(ids, valid):
+        shape = ids.shape
 
         def draw_pair(m):
             c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
@@ -113,19 +104,10 @@ def _xla_partials(payoff: PathPayoff, cfg: pk.KernelConfig, key, option,
         if cfg.with_cv:
             x = jnp.where(valid, x, 0.0)
             vals += [x, x * x, pay * x]
-        for m, v in enumerate(vals):
-            acc, comp = pk.kahan_xla_update(
-                acc, comp, m, pk.fold_to_sublanes(v, cfg.tile_rows))
-        return (acc, comp), None
+        return vals
 
-    # `+ 0 * offset` keeps the scan carry's varying-manual-axes type aligned
-    # with the body output when this runs inside shard_map (offset is the
-    # per-shard value); it is a no-op numerically and outside shard_map.
-    zeros = (jnp.zeros((n_out, pk.SUBLANES, LANES), jnp.float32)
-             + jnp.float32(0) * offset.astype(jnp.float32))
-    (acc, _), _ = jax.lax.scan(
-        one_tile, (zeros, zeros), jnp.arange(cfg.n_tiles, dtype=jnp.uint32))
-    return tuple(acc[m] for m in range(n_out))
+    return pk.xla_moment_scan(tile_fn, cfg.n_paths, cfg.tile_rows, n_out,
+                              offset=path_offset, bound=n_valid)
 
 
 # ---------------------------------------------------------------------------

@@ -34,25 +34,14 @@ import numpy as np
 from mc_tpu import rng
 from mc_tpu.config import DEMO_OPTION, OptionParams, SimParams
 from mc_tpu.models.heston import (DEMO_HESTON, HestonDynamics, _pack_heston,
-                                  _unpack_heston)
+                                  _unpack_heston, heston_euler_step)
 from mc_tpu.oracle import PriceResult
 from mc_tpu.ops import path_kernels as pk
-from mc_tpu.ops._pallas import LANES, SUBLANES, fold_to_sublanes, \
-    kahan_xla_update, round_up
+from mc_tpu.ops._pallas import LANES, round_up, xla_moment_scan
 from mc_tpu.ops.payoffs import get_payoff
 from mc_tpu.ops.reduce import finish_sum
 
 __all__ = ["price_heston_mlmc", "MLMCResult", "heston_level_moments"]
-
-
-def _heston_step(p, w, v, z_v, z_perp, dt, sqrt_dt):
-    """One full-truncation Euler substep (log-space price)."""
-    z_s = p.rho * z_v + p.rho_perp * z_perp
-    v_plus = jnp.maximum(v, 0.0)
-    sq = jnp.sqrt(v_plus) * sqrt_dt
-    w = w + ((p.growth - 0.5 * v_plus) * dt + sq * z_s)
-    v = v + p.kappa * (p.theta - v_plus) * dt + p.xi * sq * z_v
-    return w, v
 
 
 def _coupled_level_tile(payoff, p, ids, valid, k0, k1, n_fine: int,
@@ -79,12 +68,12 @@ def _coupled_level_tile(payoff, p, ids, valid, k0, k1, n_fine: int,
         wf, vf, wc, vc = carry
         z_v0, z_p0 = draw(2 * k)
         z_v1, z_p1 = draw(2 * k + 1)
-        wf, vf = _heston_step(p, wf, vf, z_v0, z_p0, dt_f, sq_f)
-        wf, vf = _heston_step(p, wf, vf, z_v1, z_p1, dt_f, sq_f)
+        wf, vf = heston_euler_step(p, wf, vf, z_v0, z_p0, dt_f, sq_f)
+        wf, vf = heston_euler_step(p, wf, vf, z_v1, z_p1, dt_f, sq_f)
         if coupled:
             zc_v = (z_v0 + z_v1) * inv_sqrt2
             zc_p = (z_p0 + z_p1) * inv_sqrt2
-            wc, vc = _heston_step(p, wc, vc, zc_v, zc_p, dt_c, sq_c)
+            wc, vc = heston_euler_step(p, wc, vc, zc_v, zc_p, dt_c, sq_c)
         return (wf, vf, wc, vc)
 
     zero = jnp.zeros(shape, jnp.float32)
@@ -103,32 +92,22 @@ def _coupled_level_tile(payoff, p, ids, valid, k0, k1, n_fine: int,
     jax.jit,
     static_argnames=("payoff", "n_paths", "n_fine", "coupled", "tile_rows"))
 def heston_level_moments(option, heston, payoff, n_paths, n_fine, coupled,
-                         tile_rows, key):
-    """(sum Y, sum Y^2) of the level-l correction over n_paths paths."""
+                         tile_rows, key, path_offset=0):
+    """(sum Y, sum Y^2) of the level-l correction over paths
+    [path_offset, path_offset + n_paths)."""
     p = _unpack_heston(_pack_heston_ns(option, heston))
     k0 = jnp.asarray(key[0], jnp.uint32)
     k1 = jnp.asarray(key[1], jnp.uint32)
-    shape = (tile_rows, LANES)
-    per_tile = tile_rows * LANES
-    n_tiles = -(-n_paths // per_tile)
-    flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+    offset = jnp.asarray(path_offset, jnp.uint32)
 
-    def one_tile(carry, i):
-        acc, comp = carry
-        ids = jnp.uint32(i * per_tile) + flat
-        valid = ids < jnp.uint32(n_paths)
+    def tile_fn(ids, valid):
         pay = _coupled_level_tile(payoff, p, ids, valid, k0, k1, n_fine,
                                   coupled)
-        for m, v in enumerate([pay, pay * pay]):
-            acc, comp = kahan_xla_update(
-                acc, comp, m, fold_to_sublanes(v, tile_rows))
-        return (acc, comp), None
+        return [pay, pay * pay]
 
-    zeros = jnp.zeros((2, SUBLANES, LANES), jnp.float32)
-    (acc, _), _ = jax.lax.scan(
-        one_tile, (zeros, zeros), jnp.arange(n_tiles, dtype=jnp.uint32))
-    return finish_sum(acc[0]), finish_sum(acc[1])
+    s, sq = xla_moment_scan(tile_fn, n_paths, tile_rows, 2, offset=offset,
+                            bound=offset + jnp.uint32(n_paths))
+    return finish_sum(s), finish_sum(sq)
 
 
 def _pack_heston_ns(option, heston):
@@ -185,17 +164,22 @@ def price_heston_mlmc(option: OptionParams = DEMO_OPTION,
     keys = [jnp.asarray(rng.derive_key(seed, 0x4D4C, l), jnp.uint32)
             for l in range(n_levels)]
 
-    def level_stats(l, n):
-        n = round_up(max(n, 1024), tile_rows * LANES)
-        s, sq = heston_level_moments(opt32, hes32, po, n, fines[l], l > 0,
-                                     tile_rows, keys[l])
-        mean = s / n
-        var = jnp.maximum(sq / n - mean * mean, 0.0)
-        return float(mean), float(var), n
+    n_pilot = round_up(max(n_pilot, 1024), tile_rows * LANES)
 
-    # pilot pass
-    pilot = [level_stats(l, n_pilot) for l in range(n_levels)]
-    v_l = np.array([p[1] for p in pilot])
+    def level_sums(l, n, path_offset=0):
+        """(sum, sumsq, n) over n paths starting at path_offset."""
+        n = round_up(max(n, 0), tile_rows * LANES)
+        if n == 0:
+            return 0.0, 0.0, 0
+        s, sq = heston_level_moments(opt32, hes32, po, n, fines[l], l > 0,
+                                     tile_rows, keys[l],
+                                     jnp.uint32(path_offset))
+        return float(s), float(sq), n
+
+    # pilot pass — sums are KEPT and merged into the final estimate
+    pilot = [level_sums(l, n_pilot) for l in range(n_levels)]
+    v_l = np.array([max(sq / n - (s / n) ** 2, 0.0)
+                    for s, sq, n in pilot])
     c_l = np.array([fines[l] for l in range(n_levels)], float)
 
     if n_per_level is None:
@@ -208,9 +192,14 @@ def price_heston_mlmc(option: OptionParams = DEMO_OPTION,
 
     means, varis, ns = [], [], []
     for l in range(n_levels):
-        m, v, n = level_stats(l, int(n_l[l]))
-        means.append(m)
-        varis.append(v)
+        s0_, sq0, n0_ = pilot[l]
+        # only the incremental paths beyond the pilot are simulated,
+        # at a shifted global path offset (same stream, disjoint range)
+        s1, sq1, n1 = level_sums(l, int(n_l[l]) - n0_, path_offset=n0_)
+        s, sq, n = s0_ + s1, sq0 + sq1, n0_ + n1
+        mean = s / n
+        means.append(mean)
+        varis.append(max(sq / n - mean * mean, 0.0))
         ns.append(n)
 
     disc = float(np.exp(-float(opt32.r) * float(opt32.t)))

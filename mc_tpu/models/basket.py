@@ -34,8 +34,8 @@ from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
 from mc_tpu.engines import STREAM_OUTER
 from mc_tpu.oracle import PriceResult, summarize
 from mc_tpu.ops import path_kernels as pk
-from mc_tpu.ops._pallas import (LANES, SUBLANES, fold_to_sublanes,
-                                kahan_xla_update, use_interpret)
+from mc_tpu.ops._pallas import (LANES, SUBLANES, use_interpret,
+                                xla_moment_scan)
 from mc_tpu.ops.payoffs import get_payoff
 from mc_tpu.ops.reduce import finish_sum
 
@@ -264,27 +264,14 @@ def _price_basket_impl(option, basket, payoff, sim, d, engine, antithetic,
     else:
         k0 = jnp.asarray(key[0], jnp.uint32)
         k1 = jnp.asarray(key[1], jnp.uint32)
-        shape = (cfg.tile_rows, LANES)
-        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
-                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
 
-        def one_tile(carry, i):
-            acc, comp = carry
-            ids = jnp.uint32(i * cfg.paths_per_tile) + flat
-            valid = ids < jnp.uint32(sim.n_paths)
+        def tile_fn(ids, valid):
             pay = _basket_tile(payoff, d, cfg.n_steps, cfg.antithetic, ns,
                                ids, valid, k0, k1,
                                jax.lax.bitcast_convert_type)
-            for m, v in enumerate([pay, pay * pay]):
-                acc, comp = kahan_xla_update(
-                    acc, comp, m, fold_to_sublanes(v, cfg.tile_rows))
-            return (acc, comp), None
+            return [pay, pay * pay]
 
-        zeros = jnp.zeros((2, SUBLANES, LANES), jnp.float32)
-        (accs, _), _ = jax.lax.scan(
-            one_tile, (zeros, zeros),
-            jnp.arange(cfg.n_tiles, dtype=jnp.uint32))
-        s, sq = accs[0], accs[1]
+        s, sq = xla_moment_scan(tile_fn, sim.n_paths, cfg.tile_rows, 2)
 
     r = jnp.float32(option.r)
     t = jnp.float32(option.t)

@@ -38,12 +38,13 @@ from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
 from mc_tpu.engines import STREAM_OUTER
 from mc_tpu.oracle import PriceResult, summarize
 from mc_tpu.ops import path_kernels as pk
-from mc_tpu.ops._pallas import LANES, SUBLANES, use_interpret
+from mc_tpu.ops._pallas import (LANES, SUBLANES, use_interpret,
+                                xla_moment_scan)
 from mc_tpu.ops.payoffs import get_payoff
 from mc_tpu.ops.reduce import finish_sum
 
 __all__ = ["HestonDynamics", "price_heston", "heston_call_cf",
-           "DEMO_HESTON"]
+           "heston_euler_step", "DEMO_HESTON"]
 
 
 @jax.tree_util.register_dataclass
@@ -89,6 +90,21 @@ def _unpack_heston(ref):
                               enumerate(_HESTON_FIELDS)})
 
 
+def heston_euler_step(p, w, v, z_v, z_perp, dt, sqrt_dt):
+    """One full-truncation Euler substep (log-space price accumulator).
+
+    THE single definition of the scheme — the pricing leg and the MLMC
+    coupled levels both call it, so the discretization can never drift
+    between them.
+    """
+    z_s = p.rho * z_v + p.rho_perp * z_perp
+    v_plus = jnp.maximum(v, 0.0)
+    sq = jnp.sqrt(v_plus) * sqrt_dt
+    w = w + ((p.growth - 0.5 * v_plus) * dt + sq * z_s)
+    v = v + p.kappa * (p.theta - v_plus) * dt + p.xi * sq * z_v
+    return w, v
+
+
 def _heston_leg(payoff, n_steps: int, p, s0, draw_pair, antithetic_sign=1.0):
     """Full-truncation Euler leg; one Box-Muller pair per step."""
     sign = jnp.float32(antithetic_sign)
@@ -97,14 +113,9 @@ def _heston_leg(payoff, n_steps: int, p, s0, draw_pair, antithetic_sign=1.0):
     def body(j, carry):
         w, v, s, state = carry
         z_v, z_perp = draw_pair(j)
-        z_v = sign * z_v
-        z_perp = sign * z_perp
-        z_s = p.rho * z_v + p.rho_perp * z_perp
-        v_plus = jnp.maximum(v, 0.0)
-        sq = jnp.sqrt(v_plus) * p.sqrt_dt
-        w = w + ((p.growth - 0.5 * v_plus) * p.dt + sq * z_s)
+        w, v = heston_euler_step(p, w, v, sign * z_v, sign * z_perp,
+                                 p.dt, p.sqrt_dt)
         s = s0 * jnp.exp(w)  # log-space: one exp rounding per S_t
-        v = v + p.kappa * (p.theta - v_plus) * p.dt + p.xi * sq * z_v
         return (w, v, s, payoff.update(state, s, p))
 
     w0 = jnp.zeros_like(s0)
@@ -177,30 +188,15 @@ def _heston_partials_xla(payoff, cfg, key, params, path_offset, n_valid):
     p = _unpack_heston(params)
     k0 = jnp.asarray(key[0], jnp.uint32)
     k1 = jnp.asarray(key[1], jnp.uint32)
-    shape = (cfg.tile_rows, LANES)
-    flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
-    offset = jnp.asarray(path_offset, jnp.uint32)
-    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
-             else jnp.asarray(n_valid, jnp.uint32))
 
-    def one_tile(carry, i):
-        acc, comp = carry
-        ids = offset + jnp.uint32(i * cfg.paths_per_tile) + flat
-        valid = ids < bound
+    def tile_fn(ids, valid):
         pay = _heston_tile(payoff, cfg.n_steps, cfg.tile_rows,
                            cfg.antithetic, p, ids, valid, k0, k1,
                            jax.lax.bitcast_convert_type)
-        for m, v in enumerate([pay, pay * pay]):
-            acc, comp = pk.kahan_xla_update(
-                acc, comp, m, pk.fold_to_sublanes(v, cfg.tile_rows))
-        return (acc, comp), None
+        return [pay, pay * pay]
 
-    zeros = (jnp.zeros((2, SUBLANES, LANES), jnp.float32)
-             + jnp.float32(0) * offset.astype(jnp.float32))
-    (acc, _), _ = jax.lax.scan(
-        one_tile, (zeros, zeros), jnp.arange(cfg.n_tiles, dtype=jnp.uint32))
-    return acc[0], acc[1]
+    return xla_moment_scan(tile_fn, cfg.n_paths, cfg.tile_rows, 2,
+                           offset=path_offset, bound=n_valid)
 
 
 @functools.partial(
@@ -255,7 +251,7 @@ def price_heston(option: OptionParams = DEMO_OPTION,
                               tile_rows, interpret, key)
 
 
-def heston_call_cf(s0, k, t, r, v0, kappa, theta, xi, rho,
+def heston_call_cf(s0, k, t, r, v0, kappa, theta, xi, rho, q=0.0,
                    n_quad: int = 2048, u_max: float = 200.0) -> float:
     """Semi-analytic Heston European call (host, float64).
 
@@ -263,7 +259,7 @@ def heston_call_cf(s0, k, t, r, v0, kappa, theta, xi, rho,
     Heston trap' form (Albrecher et al. 2007), integrated with the
     trapezoid rule — the oracle for the Heston MC tests.
     """
-    s0, k, t, r = map(float, (s0, k, t, r))
+    s0, k, t, r, q = map(float, (s0, k, t, r, q))
     v0, kappa, theta, xi, rho = map(float, (v0, kappa, theta, xi, rho))
 
     def cf(u):
@@ -277,7 +273,7 @@ def heston_call_cf(s0, k, t, r, v0, kappa, theta, xi, rho,
             - 2.0 * np.log((1.0 - g2 * exp_dt) / (1.0 - g2)))
         dd = ((kappa - rho * xi * iu - d) / xi ** 2
               * (1.0 - exp_dt) / (1.0 - g2 * exp_dt))
-        return np.exp(iu * (np.log(s0) + r * t) + c + dd * v0)
+        return np.exp(iu * (np.log(s0) + (r - q) * t) + c + dd * v0)
 
     # P1, P2 via the standard Gil-Pelaez inversions.
     u = np.linspace(1e-8, u_max, n_quad)

@@ -10,9 +10,10 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 
 __all__ = ["use_interpret", "cdiv", "round_up", "LANES", "SUBLANES",
-           "fold_to_sublanes", "kahan_xla_update"]
+           "fold_to_sublanes", "kahan_xla_update", "xla_moment_scan"]
 
 LANES = 128      # VPU lane count: last-dim tile unit
 SUBLANES = 8     # f32 sublane count: second-to-last-dim tile unit
@@ -62,3 +63,41 @@ def kahan_xla_update(acc, comp, idx, p8):
     y = p8 - comp[idx]
     t = a + y
     return acc.at[idx].set(t), comp.at[idx].set((t - a) - y)
+
+
+def xla_moment_scan(tile_fn, n_paths: int, tile_rows: int, n_out: int,
+                    offset=0, bound=None):
+    """Scan path tiles and Kahan-accumulate n_out (8,128) moment slabs.
+
+    The ONE tile-iteration loop every XLA engine dual shares (GBM, Heston,
+    basket, MLMC): builds global path ids and the validity mask, calls
+    ``tile_fn(ids, valid) -> [v_0 .. v_{n_out-1}]`` (each (tile_rows, 128)),
+    folds each to (8,128), and Kahan-accumulates across tiles in the same
+    order as the Pallas kernels' in-VMEM accumulators.  Returns a tuple of
+    n_out (8,128) f32 arrays.
+    """
+    per_tile = tile_rows * LANES
+    n_tiles = cdiv(n_paths, per_tile)
+    shape = (tile_rows, LANES)
+    flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+    offset = jnp.asarray(offset, jnp.uint32)
+    bound = (offset + jnp.uint32(n_paths) if bound is None
+             else jnp.asarray(bound, jnp.uint32))
+
+    def one_tile(carry, i):
+        acc, comp = carry
+        ids = offset + jnp.uint32(i * per_tile) + flat
+        valid = ids < bound
+        for m, v in enumerate(tile_fn(ids, valid)):
+            acc, comp = kahan_xla_update(acc, comp, m,
+                                         fold_to_sublanes(v, tile_rows))
+        return (acc, comp), None
+
+    # `+ 0 * offset` aligns the scan carry's varying-manual-axes type with
+    # the body output under shard_map; a numerical no-op otherwise.
+    zeros = (jnp.zeros((n_out, SUBLANES, LANES), jnp.float32)
+             + jnp.float32(0) * offset.astype(jnp.float32))
+    (acc, _), _ = jax.lax.scan(
+        one_tile, (zeros, zeros), jnp.arange(n_tiles, dtype=jnp.uint32))
+    return tuple(acc[m] for m in range(n_out))

@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mc_tpu import rng
 from mc_tpu.ops._pallas import (LANES, SUBLANES, cdiv, fold_to_sublanes,
-                                kahan_xla_update, round_up, use_interpret)
+                                kahan_xla_update, round_up, use_interpret,
+                                xla_moment_scan)
 from mc_tpu.ops.payoffs import PathPayoff
 
 __all__ = ["KernelConfig", "PARAM_FIELDS", "pack_params", "simulate_partials",

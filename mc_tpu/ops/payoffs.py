@@ -233,7 +233,8 @@ class AsianCallGeoCV(AsianCall):
         from jax.scipy.stats import norm
         n = 1.0 / p.inv_n_steps
         mu = (jnp.log(p.s0)
-              + (p.r - 0.5 * p.sigma * p.sigma) * p.t * (n + 1.0) / (2.0 * n))
+              + (p.r - p.q - 0.5 * p.sigma * p.sigma)
+              * p.t * (n + 1.0) / (2.0 * n))
         s2 = (p.sigma * p.sigma * p.t
               * (n + 1.0) * (2.0 * n + 1.0) / (6.0 * n * n))
         s_ = jnp.sqrt(s2)

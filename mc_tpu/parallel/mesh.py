@@ -127,8 +127,13 @@ def _price_sharded_impl(option, payoff, sim, mesh, engine, antithetic,
     var_x = jnp.maximum(sum_x2 / n - mean_x * mean_x, 1e-30)
     cov = sum_px / n - mean_p * mean_x
     beta = cov / var_x
-    ex = (jnp.asarray(option.s0, n.dtype)
-          * jnp.exp((r - jnp.asarray(option.q, r.dtype)) * t))
+    if payoff.has_control:
+        from mc_tpu.engines import _payoff_namespace
+        ex = payoff.control_expectation(
+            _payoff_namespace(option, sim.n_steps))
+    else:
+        ex = (jnp.asarray(option.s0, n.dtype)
+              * jnp.exp((r - jnp.asarray(option.q, r.dtype)) * t))
     adj_mean = mean_p - beta * (mean_x - ex)
     adj_var = jnp.maximum(var_p - cov * cov / var_x, 0.0)
     return PriceResult(
