@@ -3,7 +3,10 @@ from mc_tpu.models.heston import (DEMO_HESTON, HestonDynamics,
                                   heston_call_cf, price_heston)
 
 from mc_tpu.models.basket import BasketDynamics, DEMO_BASKET, price_basket
+from mc_tpu.models.cev import (CEVDynamics, DEMO_CEV, cev_call_closed_form,
+                               price_cev)
 
 __all__ = ["GBM", "gbm_exact_terminal", "gbm_log_euler_step",
            "HestonDynamics", "DEMO_HESTON", "heston_call_cf",
-           "price_heston", "BasketDynamics", "DEMO_BASKET", "price_basket"]
+           "price_heston", "BasketDynamics", "DEMO_BASKET", "price_basket",
+           "CEVDynamics", "DEMO_CEV", "cev_call_closed_form", "price_cev"]
