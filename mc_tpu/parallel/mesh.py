@@ -70,10 +70,10 @@ def shard_bounds(n_paths: int, n_shards: int, tile_rows: int):
     jax.jit,
     static_argnames=("payoff", "sim", "mesh", "engine", "antithetic",
                      "control_variate", "tile_rows", "rng_source", "method",
-                     "interpret"))
+                     "interpret", "importance_shift"))
 def _price_sharded_impl(option, payoff, sim, mesh, engine, antithetic,
                         control_variate, tile_rows, rng_source, method,
-                        interpret, key):
+                        interpret, key, importance_shift=0.0):
     from mc_tpu.engines import _xla_partials  # circular-import avoidance
 
     n_shards = mesh.devices.size
@@ -86,6 +86,7 @@ def _price_sharded_impl(option, payoff, sim, mesh, engine, antithetic,
         with_cv=control_variate,
         rng_source=rng_source,
         method=method,
+        is_shift=importance_shift,
     )
     params = pk.pack_params(option, sim.n_steps)
     n_total = jnp.uint32(sim.n_paths)
@@ -158,6 +159,7 @@ def price_sharded(option: OptionParams = DEMO_OPTION,
                   rng_source: str = "threefry",
                   stream: int = 0,
                   key=None,
+                  importance_shift: float = 0.0,
                   interpret: Optional[bool] = None) -> PriceResult:
     """Multi-chip Monte Carlo price: paths sharded over a device mesh.
 
@@ -176,4 +178,5 @@ def price_sharded(option: OptionParams = DEMO_OPTION,
         key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
     return _price_sharded_impl(
         option.as_f32(), po, sim.replace(seed=0), mesh, engine, antithetic,
-        control_variate, tile_rows, rng_source, method, interpret, key)
+        control_variate, tile_rows, rng_source, method, interpret, key,
+        float(importance_shift))

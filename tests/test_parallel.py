@@ -108,3 +108,21 @@ def test_sharded_nmc_pallas_interpret(mesh):
     sim = SimParams(n_paths=1024, n_steps=4, n_paths_inner=8)
     res = price_nmc_sharded(opt, sim, mesh=mesh, engine="pallas")
     assert float(res.outer.stderr) > 0
+
+
+def test_sharded_importance_sampling(mesh):
+    """IS through the sharded pricer: unbiased and matches single-chip."""
+    import math
+    from mc_tpu.oracle import bs_call
+    from mc_tpu import OptionParams
+    otm = OptionParams(k=180.0)
+    shift = math.log(1.8) / 0.2
+    sim = SimParams(n_paths=100_000, n_steps=10)
+    res = price_sharded(otm, sim, mesh=mesh, engine="xla", method="euler",
+                        tile_rows=8, importance_shift=shift)
+    bs = float(bs_call(100.0, 180.0, 1.0, 0.1, 0.2))
+    assert abs(float(res.price) - bs) <= 4.0 * float(res.stderr)
+    single = price(otm, sim, engine="xla", method="euler", tile_rows=8,
+                   importance_shift=shift)
+    assert float(res.payoff_mean) == pytest.approx(
+        float(single.payoff_mean), rel=2e-6)
