@@ -28,7 +28,7 @@ import numpy as np
 
 from mc_tpu import rng
 from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
-from mc_tpu.engines import STREAM_OUTER, _price_impl, _xla_partials
+from mc_tpu.engines import STREAM_OUTER, _xla_partials
 from mc_tpu.oracle import PriceResult, summarize
 from mc_tpu.ops import path_kernels as pk
 from mc_tpu.ops._pallas import LANES, SUBLANES, round_up

@@ -21,7 +21,6 @@ import json
 import sys
 
 import jax
-import jax.numpy as jnp
 
 from mc_tpu.config import OptionParams, SimParams
 
@@ -220,8 +219,8 @@ def cmd_traj(args):
 
 
 def cmd_heston(args):
-    from mc_tpu.models.heston import (DEMO_HESTON, HestonDynamics,
-                                      heston_call_cf, price_heston)
+    from mc_tpu.models.heston import (HestonDynamics, heston_call_cf,
+                                      price_heston)
 
     option, sim = _parse(args)
     dyn = HestonDynamics(v0=args.v0, kappa=args.kappa, theta=args.theta_v,

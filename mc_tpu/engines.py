@@ -34,7 +34,7 @@ from mc_tpu import rng
 from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
 from mc_tpu.oracle import PriceResult, summarize
 from mc_tpu.ops import path_kernels as pk
-from mc_tpu.ops._pallas import LANES, cdiv, use_interpret
+from mc_tpu.ops._pallas import LANES
 from mc_tpu.ops.payoffs import PathPayoff, get_payoff
 from mc_tpu.ops.reduce import finish_sum
 

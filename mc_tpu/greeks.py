@@ -156,8 +156,7 @@ def heston_greeks(option=None, heston=None,
     for GBM).  Supports the spot/rate/maturity/strike greeks plus the
     model-parameter sensitivities calibration needs (v0, theta, xi,
     kappa, rho)."""
-    from mc_tpu.models.heston import (DEMO_HESTON, HestonDynamics,
-                                      _price_heston_impl)
+    from mc_tpu.models.heston import DEMO_HESTON, _price_heston_impl
     from mc_tpu.config import DEMO_OPTION
     from mc_tpu.ops.payoffs import get_payoff
 

@@ -32,11 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from mc_tpu import rng
-from mc_tpu.config import DEMO_OPTION, OptionParams, SimParams
+from mc_tpu.config import DEMO_OPTION, OptionParams
 from mc_tpu.models.heston import (DEMO_HESTON, HestonDynamics, _pack_heston,
                                   _unpack_heston, heston_euler_step)
-from mc_tpu.oracle import PriceResult
-from mc_tpu.ops import path_kernels as pk
 from mc_tpu.ops._pallas import LANES, round_up, xla_moment_scan
 from mc_tpu.ops.payoffs import get_payoff
 from mc_tpu.ops.reduce import finish_sum

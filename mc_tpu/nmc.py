@@ -36,7 +36,7 @@ from mc_tpu.engines import STREAM_INNER, STREAM_OUTER, _payoff_namespace
 from mc_tpu.oracle import PriceResult, summarize
 from mc_tpu.ops import nmc_kernels as nk
 from mc_tpu.ops import path_kernels as pk
-from mc_tpu.ops._pallas import LANES, use_interpret
+from mc_tpu.ops._pallas import LANES
 from mc_tpu.ops.payoffs import get_payoff
 from mc_tpu.ops.reduce import finish_sum
 

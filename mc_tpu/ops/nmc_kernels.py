@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mc_tpu import rng
 from mc_tpu.ops._pallas import LANES, SUBLANES, cdiv, use_interpret
-from mc_tpu.ops.path_kernels import (PARAM_FIELDS, _accumulate_moments,
+from mc_tpu.ops.path_kernels import (_accumulate_moments,
                                      _tile_normals_threefry, unpack_params)
 from mc_tpu.ops.payoffs import PathPayoff
 

@@ -16,7 +16,7 @@ counts are exact in f32 up to 2^24 steps.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
 

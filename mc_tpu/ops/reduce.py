@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mc_tpu.ops._pallas import (LANES, SUBLANES, cdiv,
+from mc_tpu.ops._pallas import (LANES, SUBLANES,
                                 fold_to_sublanes as _fold8, round_up,
                                 use_interpret)
 

@@ -25,8 +25,7 @@ identical stream — the framework's version of the reference's
 
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ NaN/div checks when debugging.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import checkify
