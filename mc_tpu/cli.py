@@ -78,7 +78,8 @@ def cmd_demo(args):
     print(f"\nConfig: S0={args.s0} K={args.k} T={args.t} r={args.r} "
           f"sigma={args.sigma} B={args.barrier} window=[{args.p1},{args.p2}] "
           f"N={sim.n_paths} steps={sim.n_steps} inner={sim.n_paths_inner}")
-    bs = float(bs_call(args.s0, args.k, args.t, args.r, args.sigma))
+    bs = float(bs_call(args.s0, args.k, args.t, args.r, args.sigma,
+                       args.q))
 
     print("\nVanilla European call (vs wrapper_gpu_option_vanilla):")
     print(_fmt("terminal (exact one-shot draw)",
@@ -135,7 +136,7 @@ def cmd_price(args):
     }
     if args.payoff in ("vanilla_call", "vanilla_put"):
         out["black_scholes"] = float(
-            bs_call(args.s0, args.k, args.t, args.r, args.sigma))
+            bs_call(args.s0, args.k, args.t, args.r, args.sigma, args.q))
     print(json.dumps(out))
     return 0
 
@@ -249,7 +250,8 @@ def cmd_american(args):
     if args.payoff in ("vanilla_put", "vanilla_call"):
         out["binomial_oracle"] = binomial_american(
             args.s0, args.k, args.t, args.r, args.sigma,
-            kind="put" if args.payoff.endswith("put") else "call")
+            kind="put" if args.payoff.endswith("put") else "call",
+            div_yield=args.q)
     print(json.dumps(out))
     return 0
 
@@ -297,7 +299,7 @@ def cmd_qmc(args):
            "n_shifts": args.n_shifts}
     if args.payoff in ("vanilla_call", "vanilla_put"):
         out["black_scholes"] = float(
-            bs_call(args.s0, args.k, args.t, args.r, args.sigma))
+            bs_call(args.s0, args.k, args.t, args.r, args.sigma, args.q))
     print(json.dumps(out))
     return 0
 

@@ -1,6 +1,5 @@
 """CEV local-volatility model tests vs the noncentral-chi2 closed form."""
 
-import numpy as np
 import pytest
 
 from mc_tpu import OptionParams, SimParams

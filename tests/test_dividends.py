@@ -1,6 +1,5 @@
 """Dividend-yield (q) support across the framework."""
 
-import numpy as np
 import pytest
 
 from mc_tpu import OptionParams, SimParams, price
