@@ -88,6 +88,8 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
     depend on where the run was interrupted.
     """
     po = get_payoff(payoff)
+    if engine not in ("pallas", "xla"):
+        raise ValueError(f"unknown engine {engine!r}; use 'pallas' or 'xla'")
     if method is None:
         method = "terminal" if po.terminal_only else "euler"
     chunk_paths = round_up(min(chunk_paths, sim.n_paths), tile_rows * LANES)

@@ -48,9 +48,16 @@ def _coupled_level_tile(payoff, p, ids, valid, k0, k1, n_fine: int,
 
     Fine path: n_fine substeps.  Coarse path: n_fine/2 substeps driven by
     z_c = (z_{2k} + z_{2k+1}) / sqrt(2) — the same Brownian path seen at
-    half resolution.  For level 0 (coupled=False) only the fine path runs.
+    half resolution.  For level 0 (coupled=False) only the fine path runs;
+    an odd n_fine there gets an epilogue substep so e.g. n0=1 integrates
+    the full horizon instead of silently taking zero steps.
     Terminal payoff only (European under Heston).
     """
+    if coupled and n_fine % 2:
+        raise ValueError(
+            f"coupled MLMC level needs an even substep count, got {n_fine}")
+    if n_fine < 1:
+        raise ValueError(f"n_fine must be >= 1, got {n_fine}")
     shape = ids.shape
     dt_f = p.t / jnp.float32(n_fine)
     sq_f = jnp.sqrt(dt_f)
@@ -78,6 +85,10 @@ def _coupled_level_tile(payoff, p, ids, valid, k0, k1, n_fine: int,
     v0 = jnp.full(shape, p.v0, jnp.float32)
     wf, vf, wc, vc = jax.lax.fori_loop(
         0, n_fine // 2, body, (zero, v0, zero, v0))
+    if n_fine % 2:
+        # uncoupled odd tail: the pair loop covered draws 0..n_fine-2
+        z_v, z_p = draw(n_fine - 1)
+        wf, vf = heston_euler_step(p, wf, vf, z_v, z_p, dt_f, sq_f)
     s_f = p.s0 * jnp.exp(wf)
     pay = payoff.terminal((), s_f, p)
     if coupled:
@@ -156,6 +167,8 @@ def price_heston_mlmc(option: OptionParams = DEMO_OPTION,
         raise ValueError("MLMC currently supports terminal-only payoffs "
                          "(the monitoring-date contracts have no "
                          "discretization bias to remove)")
+    if n0 < 1:
+        raise ValueError(f"n0 must be >= 1, got {n0}")
     opt32 = option.as_f32()
     hes32 = heston.as_f32()
     fines = tuple(n0 * (1 << l) for l in range(n_levels))

@@ -63,6 +63,14 @@ class NMCConfig:
     def __post_init__(self):
         if self.tile_rows % 8 or self.tile_rows < 8:
             raise ValueError("tile_rows must be a positive multiple of 8")
+        # Inner draw counter = ((j+1)*n_inner + m)*pair_cap + q in uint32;
+        # it must not wrap or inner streams would silently collide.
+        span = self.n_steps * self.n_inner * ((self.n_steps + 1) // 2)
+        if span >= 1 << 32:
+            raise ValueError(
+                "inner RNG counter space exhausted: n_steps * n_inner * "
+                f"ceil(n_steps/2) = {span} >= 2^32; reduce n_steps or "
+                "n_inner (or split the run across seeds)")
 
     @property
     def paths_per_tile(self) -> int:
@@ -121,11 +129,14 @@ def _nmc_point_tile(payoff: PathPayoff, cfg: NMCConfig, p, ki0, ki1, ids,
     ``atomicAdd(sum) -> * exp(-rT)/N_INNER`` finish (nmc.cuh:100-104).
     """
     remaining = jnp.int32(cfg.n_steps) - j - 1
-    t_base = (j + 1) * jnp.int32(cfg.n_inner)  # state is after step j+1
+    # uint32 counter arithmetic: the config guard bounds the full span
+    # below 2^32, so no silent wrap/stream collision is possible.
+    t_base = ((jnp.asarray(j, jnp.uint32) + jnp.uint32(1))
+              * jnp.uint32(cfg.n_inner))  # state is after step j+1
 
     def inner(m, carry):
         acc, comp = carry
-        c1_base = (jnp.uint32(t_base + m)
+        c1_base = ((t_base + jnp.asarray(m, jnp.uint32))
                    * jnp.uint32(cfg.pair_cap))
 
         def draw_pair(q):

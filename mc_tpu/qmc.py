@@ -482,6 +482,12 @@ def price_qmc(option: OptionParams = DEMO_OPTION,
         raise ValueError("bridge=True requires method='euler'")
     n = prev_prime(sim.n_paths)
     d = 1 if method == "terminal" else sim.n_steps
+    if bridge:
+        # The bridge kernel holds a (n_steps+1, tile_rows, 128) f32 VMEM
+        # scratch; cap it at ~4 MB so Mosaic's VMEM budget is respected at
+        # any step count (tile_rows=256 with n_steps=100 would be ~13 MB).
+        cap = max(8, (8192 // (sim.n_steps + 1)) // 8 * 8)
+        tile_rows = min(tile_rows, cap)
     # int32 (values < 2^20): Mosaic kernels cannot cast u32 scalars
     zvec = jnp.asarray(lattice_vector(n, d, gamma).astype(np.int32))
 

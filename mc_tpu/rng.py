@@ -97,9 +97,11 @@ def derive_key(seed: int, *tags: int) -> tuple[np.uint32, np.uint32]:
     hierarchy: ``derive_key(seed)`` is the root, ``derive_key(seed, tag)``
     an independent stream (outer vs inner NMC paths, antithetic pairs, ...).
     """
+    seed = int(seed) % (1 << 64)  # accept negative / arbitrary-width ints
     k0 = np.uint32(np.uint64(seed) & np.uint64(0xFFFFFFFF))
     k1 = np.uint32((np.uint64(seed) >> np.uint64(32)) & np.uint64(0xFFFFFFFF))
     for tag in tags:
+        tag = int(tag) % (1 << 64)
         t0 = np.uint32(np.uint64(tag) & np.uint64(0xFFFFFFFF))
         t1 = np.uint32((np.uint64(tag) >> np.uint64(32)) & np.uint64(0xFFFFFFFF))
         a, b = _threefry_scalar_np(k0, k1, t0, t1)

@@ -92,3 +92,11 @@ def test_resume_rejects_changed_market_data(tmp_path):
         chunked_price(sim=SimParams(n_paths=SIM.n_paths, n_steps=20),
                       chunk_paths=CHUNK, checkpoint_path=ck, resume=True,
                       engine="xla", tile_rows=8)
+
+
+def test_engine_typo_rejected(tmp_path):
+    """Regression (advisor): a typo'd engine silently fell back to the
+    XLA path; it must raise like price() does."""
+    with pytest.raises(ValueError, match="engine"):
+        chunked_price(sim=SIM, chunk_paths=CHUNK, engine="palas",
+                      tile_rows=8)

@@ -56,3 +56,40 @@ def test_mlmc_cheaper_than_single_level(result):
 def test_guard_path_dependent():
     with pytest.raises(ValueError, match="terminal-only"):
         price_heston_mlmc(payoff="bullet_call")
+
+
+def test_odd_n_fine_integrates_full_horizon():
+    """Regression (advisor): odd n_fine previously dropped the last
+    substep — n_fine=1 took ZERO steps and returned payoff(S0) (= 0 ATM)."""
+    import jax.numpy as jnp
+
+    from mc_tpu.mlmc import heston_level_moments
+    from mc_tpu.ops.payoffs import get_payoff
+    from mc_tpu import rng
+
+    po = get_payoff("vanilla_call")
+    key = jnp.asarray(rng.derive_key(7, 0x4D4C, 0), jnp.uint32)
+    n = 8 * 128 * 8
+    s1, _ = heston_level_moments(OptionParams().as_f32(),
+                                 DEMO_HESTON.as_f32(), po, n, 1, False,
+                                 8, key)
+    m1 = float(s1) / n
+    assert m1 > 1.0, m1  # one genuine full-horizon Euler step, not 0.0
+    # odd count on a COUPLED level is un-pairable and must fail loudly
+    with pytest.raises(ValueError, match="even"):
+        heston_level_moments(OptionParams().as_f32(),
+                             DEMO_HESTON.as_f32(), po, n, 3, True, 8, key)
+
+
+def test_n0_one_prices_sanely():
+    r = price_heston_mlmc(n0=1, n_levels=4, n_pilot=8192,
+                          n_per_level=(65536, 16384, 8192, 8192),
+                          tile_rows=8)
+    ref = heston_call_cf(100.0, 100.0, 1.0, 0.1, *DEMO_HESTON.astuple())
+    # n0=1 is very coarse; just require a live estimate in the right zone
+    assert 0.5 * ref < r.price < 1.5 * ref, (r.price, ref)
+
+
+def test_n0_zero_rejected():
+    with pytest.raises(ValueError, match="n0"):
+        price_heston_mlmc(n0=0)

@@ -110,3 +110,12 @@ def test_exposure_profile(fused):
     # last step; EE at the final step equals mean of positive payoffs
     last = np.asarray(fused.surface_matrix())[:, -1]
     assert ee[-1] == pytest.approx(np.maximum(last, 0).mean(), rel=1e-5)
+
+
+def test_inner_counter_space_guard():
+    """Regression (advisor): configs whose inner draw counters would wrap
+    uint32 (silently reusing streams) are rejected up front."""
+    from mc_tpu.ops.nmc_kernels import NMCConfig
+    with pytest.raises(ValueError, match="counter"):
+        NMCConfig(n_paths=1024, n_steps=4096, n_inner=1024)
+    NMCConfig(n_paths=1024, n_steps=100, n_inner=1000)  # demo config ok

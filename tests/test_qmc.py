@@ -145,3 +145,13 @@ def test_bridge_improves_asian():
 def test_bridge_guard():
     with pytest.raises(ValueError, match="bridge"):
         price_qmc(bridge=True, method="terminal")
+
+
+def test_bridge_vmem_cap_on_default_tile_rows():
+    """Regression (advisor): bridge=True at the default tile_rows=256 and
+    n_steps=100 allocated a ~13 MB VMEM scratch (over Mosaic's budget on
+    real chips); tile_rows now auto-shrinks so the scratch stays ~4 MB."""
+    sim = SimParams(n_paths=1 << 14, n_steps=100)
+    r = price_qmc(sim=sim, method="euler", n_shifts=2, engine="pallas",
+                  bridge=True)  # default tile_rows -> capped at 80
+    assert np.isfinite(float(r.price)) and float(r.stderr) > 0

@@ -100,3 +100,10 @@ def test_independent_streams_uncorrelated():
     z1 = np.asarray(rng.normals(k_inner, ids, n_draws=1)[0])
     corr = np.corrcoef(z0, z1)[0, 1]
     assert abs(corr) < 0.05
+
+
+def test_derive_key_negative_seed():
+    """Regression (advisor): negative seeds raised OverflowError in
+    NumPy 2; they now wrap mod 2^64 like any uint64 literal."""
+    assert rng.derive_key(-1) == rng.derive_key(2**64 - 1)
+    assert rng.derive_key(5, -3) == rng.derive_key(5, 2**64 - 3)
