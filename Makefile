@@ -3,10 +3,13 @@
 
 PY ?= python
 
-.PHONY: test test-tpu bench demo native clean
+.PHONY: test tpu-smoke bench demo native clean
 
 test:  ## CPU test suite on the 8-device virtual mesh
 	$(PY) -m pytest tests/ -q
+
+tpu-smoke:  ## compiled-Mosaic parity gate on the real chip (all kernel families)
+	$(PY) -m pytest tests_tpu/ -q
 
 bench:  ## benchmark harness (one JSON line)
 	$(PY) bench.py

@@ -87,14 +87,164 @@ def kernel_seconds(payoff_name="vanilla_call", method="terminal",
         k *= 4
 
 
+def _trivial_fetch_overhead(reps=5):
+    """Seconds of fixed per-call overhead (dispatch + tunnel fetch)."""
+    f = jax.jit(lambda x: x + 1.0)
+    float(f(jnp.float32(0)))  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(jnp.float32(0)))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def heston_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4):
+    """Per-kernel device seconds of the fused Heston step kernel."""
+    from mc_tpu.models.heston import (DEMO_HESTON, _heston_partials_pallas,
+                                      _pack_heston)
+    payoff = get_payoff("vanilla_call")
+    cfg = pk.KernelConfig(n_paths=n_paths, n_steps=n_steps, tile_rows=256)
+    params = _pack_heston(OPT, DEMO_HESTON.as_f32(), n_steps)
+
+    @jax.jit
+    def multi(keys):
+        return jnp.sum(jax.lax.map(
+            lambda key: _heston_partials_pallas(
+                payoff, cfg, key, params, 0, None, False)[0].sum(),
+            keys))
+
+    def best_of(keys):
+        float(multi(keys))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(multi(keys))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(_keys(1))
+    while True:
+        dt = max((best_of(_keys(k)) - t1) / (k - 1), 1e-9)
+        if dt * (k - 1) > 10e-3 or k >= 512:
+            return dt
+        k *= 4
+
+
+def qmc_kernel_seconds(n_steps=1, k=8, reps=4):
+    """Per-lattice-pass device seconds (terminal QMC, n ~ 1M points).
+
+    Unit = one full rank-1 lattice evaluation (one random shift); the
+    differential folds k independent shifts into one jitted scalar.
+    """
+    import numpy as np
+
+    from mc_tpu import qmc as q
+    payoff = get_payoff("vanilla_call")
+    n = q.prev_prime(1 << 20)
+    zvec = jnp.asarray(q.lattice_vector(n, 1).astype(np.int32))
+    cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=256,
+                          method="terminal")
+    params = pk.pack_params(OPT, n_steps)
+
+    @jax.jit
+    def multi(shifts):  # (k, 1) uniforms
+        return jnp.sum(jax.lax.map(
+            lambda s: q._pallas_qmc_shift_sum(payoff, cfg, params, zvec,
+                                              s, n, False),
+            shifts))
+
+    rng_np = np.random.default_rng(0)
+
+    def best_of(kk):
+        shifts = jnp.asarray(rng_np.random((kk, 1), np.float32))
+        float(multi(shifts))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(multi(shifts))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(1)
+    while True:
+        dt = max((best_of(k) - t1) / (k - 1), 1e-9)
+        if dt * (k - 1) > 10e-3 or k >= 512:
+            return dt, n
+        k *= 4
+
+
+def nmc_demo_seconds(reps=2):
+    """Device seconds of the reference's FULL NMC demo workload:
+    100k outer paths x 100 steps x 1000 inner paths (hello.cu:14-19,38-40)
+    through the fused strategy at the auto tile height.
+
+    A multi-second kernel needs no T(K)-T(1) folding — one run dwarfs the
+    fixed dispatch/fetch overhead, which is still subtracted.
+    """
+    from mc_tpu.nmc import nmc_auto_tile_rows
+    from mc_tpu.ops import nmc_kernels as nk
+    n_paths, n_steps, n_inner = 100_000, 100, 1_000
+    cfg = nk.NMCConfig(n_paths=n_paths, n_steps=n_steps, n_inner=n_inner,
+                       tile_rows=nmc_auto_tile_rows(n_steps))
+    params = pk.pack_params(OPT, n_steps)
+    ko = jnp.asarray(rng.derive_key(1234, 0), jnp.uint32)
+    ki = jnp.asarray(rng.derive_key(1234, 1), jnp.uint32)
+
+    @jax.jit
+    def run():
+        surf, osum, osq = nk.nmc_fused_kernel(get_payoff("bullet_call"),
+                                              cfg, ko, ki, params,
+                                              interpret=False)
+        return jnp.sum(surf) + jnp.sum(osum)
+
+    float(run())  # compile
+    over = _trivial_fetch_overhead()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run())
+        best = min(best, time.perf_counter() - t0)
+    # exact inner work: sum_j n_inner*(n_steps-j-1) per outer path
+    inner_steps = n_paths * n_inner * n_steps * (n_steps - 1) // 2
+    return max(best - over, 1e-9), inner_steps
+
+
+def billion_path_run(payoff="vanilla_call", n_steps=N_STEPS):
+    """End-to-end wall seconds (incl. tunnel overhead) of a 1B-path price."""
+    sim = SimParams(n_paths=1_000_000_000, n_steps=n_steps)
+    method = "terminal" if payoff == "vanilla_call" else "euler"
+    res = price(sim=sim, payoff=payoff, method=method, engine="pallas")
+    float(res.price)  # compile + first run
+    t0 = time.perf_counter()
+    res = price(sim=sim, payoff=payoff, method=method, engine="pallas")
+    p, se = float(res.price), float(res.stderr)
+    wall = time.perf_counter() - t0
+    return {"price": p, "stderr": se, "e2e_seconds": round(wall, 3)}
+
+
 def main():
     # Headline: 1M-path European call (exact terminal draw).
     dt = kernel_seconds()
     paths_per_sec = N_PATHS / dt
 
-    # Secondary: bullet path-steps/sec (the step-loop workload).
+    # Step-loop workload at all three RNG sources (trajectories.cuh:144-148
+    # analogue): 20-round threefry, BigCrush-minimal 13-round, hardware PRNG.
     dt_bullet = kernel_seconds("bullet_call", "euler")
     bullet_ps = N_PATHS * N_STEPS / dt_bullet
+    dt_b13 = kernel_seconds("bullet_call", "euler", rng_source="threefry13")
+    dt_bhw = kernel_seconds("bullet_call", "euler", rng_source="hw")
+
+    # Model-family + technique kernels.
+    dt_heston = heston_kernel_seconds()
+    dt_qmc, qmc_n = qmc_kernel_seconds()
+
+    # Reference demo NMC workload (hello.cu defaults, ~5e11 inner steps).
+    nmc_dt, nmc_inner_steps = nmc_demo_seconds()
+
+    # Billion-path end-to-end runs (BASELINE config 5, single chip).
+    b_call = billion_path_run("vanilla_call")
+    b_bullet = billion_path_run("bullet_call")
 
     # Accuracy gate: |price - BS| <= 3 stderr at the same config.
     res = price(sim=SimParams(n_paths=N_PATHS, n_steps=N_STEPS),
@@ -113,6 +263,18 @@ def main():
             "device": str(jax.devices()[0]),
             "kernel_ms_1M_call": round(dt * 1e3, 4),
             "bullet_path_steps_per_sec": round(bullet_ps, 1),
+            "bullet_path_steps_per_sec_threefry13":
+                round(N_PATHS * N_STEPS / dt_b13, 1),
+            "bullet_path_steps_per_sec_hw":
+                round(N_PATHS * N_STEPS / dt_bhw, 1),
+            "heston_path_steps_per_sec":
+                round(N_PATHS * N_STEPS / dt_heston, 1),
+            "qmc_paths_per_sec": round(qmc_n / dt_qmc, 1),
+            "nmc_demo_seconds_device": round(nmc_dt, 3),
+            "nmc_demo_inner_path_steps_per_sec":
+                round(nmc_inner_steps / nmc_dt, 1),
+            "e2e_1b_call": b_call,
+            "e2e_1b_bullet": b_bullet,
             "price": float(res.price),
             "black_scholes": bs,
             "abs_err_in_stderr": round(err_se, 3),

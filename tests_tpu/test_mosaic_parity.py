@@ -1,0 +1,165 @@
+"""Compiled-Mosaic parity gate: every Pallas kernel family on the real chip.
+
+The framework's load-bearing correctness claim (mc_tpu/rng.py) is that the
+compiled Mosaic kernel, the Pallas interpreter, and the plain-XLA dual of
+each engine produce BITWISE-identical results (same threefry streams, same
+(8,128) fold + Kahan summation order).  The main test suite proves
+interpret == XLA on the CPU mesh; this suite closes the remaining gap —
+compiled == interpret == XLA on the TPU device itself — for every kernel
+family, so a Mosaic lowering regression cannot pass CI silently.
+
+This is the TPU analogue of the reference's shared-random-array CPU<->GPU
+fixture (/root/reference/inc/testing.cuh:17-42): one stream of randomness,
+multiple independent execution paths, exact agreement required.
+
+Workloads are deliberately tiny (the value is the compile + bitwise check,
+not the statistics); each distinct case still pays a real Mosaic compile
+(~20-40 s cold) so the matrix is one representative config per family.
+"""
+
+import numpy as np
+import pytest
+
+from mc_tpu import OptionParams, SimParams
+
+OPT = OptionParams(p1=1.0, p2=6.0)   # live bullet window at 8 steps
+SIM = SimParams(n_paths=8192, n_steps=8)
+
+
+def _tri(fn, **kw):
+    """(compiled, interpreted, xla-dual) of one pricing call."""
+    c = fn(engine="pallas", interpret=False, **kw)
+    i = fn(engine="pallas", interpret=True, **kw)
+    x = fn(engine="xla", **kw)
+    return c, i, x
+
+
+def _assert_tri(c, i, x):
+    pc, pi, px = (np.asarray(r.price) for r in (c, i, x))
+    sc, si, sx = (np.asarray(r.stderr) for r in (c, i, x))
+    np.testing.assert_array_equal(pc, pi, err_msg="compiled != interpret")
+    np.testing.assert_array_equal(pc, px, err_msg="compiled != xla dual")
+    np.testing.assert_array_equal(sc, si, err_msg="stderr c != i")
+    np.testing.assert_array_equal(sc, sx, err_msg="stderr c != x")
+    assert np.all(np.asarray(sc) > 0)
+
+
+# --- core path-kernel family (trajectories.cuh:54-271 analogues) ---------
+
+def test_terminal_vanilla():
+    from mc_tpu import price
+    _assert_tri(*_tri(price, option=OPT, sim=SIM, payoff="vanilla_call",
+                      method="terminal", tile_rows=8))
+
+
+def test_euler_bullet():
+    from mc_tpu import price
+    _assert_tri(*_tri(price, option=OPT, sim=SIM, payoff="bullet_call",
+                      method="euler", tile_rows=8))
+
+
+def test_euler_bullet_threefry13():
+    from mc_tpu import price
+    _assert_tri(*_tri(price, option=OPT, sim=SIM, payoff="bullet_call",
+                      method="euler", tile_rows=8, rng_source="threefry13"))
+
+
+def test_antithetic():
+    from mc_tpu import price
+    _assert_tri(*_tri(price, option=OPT, sim=SIM, payoff="asian_call",
+                      method="euler", tile_rows=8, antithetic=True))
+
+
+def test_control_variate():
+    from mc_tpu import price
+    _assert_tri(*_tri(price, option=OPT, sim=SIM, payoff="vanilla_call",
+                      method="euler", tile_rows=8, control_variate=True))
+
+
+def test_importance_shift():
+    from mc_tpu import price
+    _assert_tri(*_tri(price, option=OptionParams(k=150.0), sim=SIM,
+                      payoff="vanilla_call", method="terminal", tile_rows=8,
+                      importance_shift=1.0))
+
+
+def test_ladder():
+    from mc_tpu import price_ladder
+    strikes = (90.0, 100.0, 110.0)
+    _assert_tri(*_tri(lambda **kw: price_ladder(strikes, **kw),
+                      option=OPT, sim=SIM, payoff="vanilla_call",
+                      method="euler", tile_rows=8))
+
+
+def test_trajectories_grids():
+    """Materialized state grids (trajectories.cuh:273-351 analogue) —
+    compiled vs interpret only (the grid writer has no XLA dual)."""
+    from mc_tpu import simulate_trajectories
+    c = simulate_trajectories(OPT, SIM, "bullet_call", tile_rows=8,
+                              interpret=False)
+    i = simulate_trajectories(OPT, SIM, "bullet_call", tile_rows=8,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(c.s), np.asarray(i.s))
+    np.testing.assert_array_equal(np.asarray(c.state), np.asarray(i.state))
+    np.testing.assert_array_equal(np.asarray(c.pay_sum),
+                                  np.asarray(i.pay_sum))
+
+
+# --- nested MC family (nmc.cuh analogues) --------------------------------
+
+@pytest.mark.parametrize("strategy", ["fused", "grid"])
+def test_nmc(strategy):
+    from mc_tpu.nmc import price_nmc
+    sim = SimParams(n_paths=2048, n_steps=4, n_paths_inner=8)
+    c, i, x = _tri(price_nmc, option=OPT, sim=sim, payoff="bullet_call",
+                   strategy=strategy, tile_rows=8)
+    _assert_tri(c.outer, i.outer, x.outer)
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(i.surface))
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(x.surface))
+
+
+# --- QMC family ----------------------------------------------------------
+
+def test_qmc_lattice():
+    from mc_tpu.qmc import price_qmc
+    sim = SimParams(n_paths=2053, n_steps=8)
+    _assert_tri(*_tri(price_qmc, sim=sim, method="euler", n_shifts=4,
+                      tile_rows=8))
+
+
+def test_qmc_bridge():
+    from mc_tpu.qmc import price_qmc
+    sim = SimParams(n_paths=2053, n_steps=8)
+    _assert_tri(*_tri(price_qmc, sim=sim, method="euler", n_shifts=4,
+                      tile_rows=8, bridge=True))
+
+
+# --- model families ------------------------------------------------------
+
+def test_heston():
+    from mc_tpu.models.heston import price_heston
+    _assert_tri(*_tri(price_heston, option=OPT, sim=SIM, tile_rows=8))
+
+
+def test_cev():
+    from mc_tpu.models.cev import price_cev
+    _assert_tri(*_tri(price_cev, option=OPT, sim=SIM, tile_rows=8))
+
+
+def test_basket():
+    from mc_tpu.models.basket import price_basket
+    _assert_tri(*_tri(price_basket, option=OPT, sim=SIM, tile_rows=8))
+
+
+# --- LSMC (pallas trajectory backend; no full XLA dual) ------------------
+
+def test_lsmc_compiled_vs_interpret():
+    from mc_tpu.lsmc import price_american
+    sim = SimParams(n_paths=8192, n_steps=8)
+    c = price_american(sim=sim, tile_rows=8, interpret=False)
+    i = price_american(sim=sim, tile_rows=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(c.price), np.asarray(i.price))
+    np.testing.assert_array_equal(np.asarray(c.stderr),
+                                  np.asarray(i.stderr))
