@@ -383,10 +383,12 @@ def main(argv=None):
     p.add_argument("--n-strikes", type=int, default=17)
     p.set_defaults(fn=cmd_ladder)
 
-    p = sub.add_parser("greeks", help="MC Greeks (pathwise or CRN-FD)")
+    p = sub.add_parser("greeks",
+                       help="MC Greeks (pathwise, CRN-FD, or LRM)")
     _add_option_flags(p)
     p.add_argument("--payoff", default="vanilla_call")
-    p.add_argument("--method", choices=("pathwise", "fd"), default="pathwise")
+    p.add_argument("--method", choices=("pathwise", "fd", "lrm"),
+                   default="pathwise")
     p.add_argument("--which", default="delta,vega,rho,theta")
     p.add_argument("--antithetic", action="store_true")
     p.set_defaults(fn=cmd_greeks)

@@ -14,11 +14,18 @@ the same counter-based draws (no RNG state to replay).
 * ``method="fd"`` — central finite differences with common random numbers
   (same threefry key on both sides, so the difference variance collapses).
   Works for every payoff; also provides gamma.
+* ``method="lrm"`` — likelihood-ratio (score-function) estimator:
+  differentiates the path DENSITY instead of the payoff, so it is
+  unbiased for any payoff including the discontinuous ones pathwise
+  rejects (bullet window ``trajectories.cuh:149-153``, barriers).
+  delta / vega / rho / epsilon; the scores are simple polynomials of the
+  standard normals the engines already draw (Glasserman ch. 7.3).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -45,6 +52,10 @@ GREEK_FIELDS = {
 # Payoffs whose pathwise derivative is valid (a.e.-differentiable payoff).
 _PATHWISE_OK = {"vanilla_call", "vanilla_put", "asian_call", "lookback_call"}
 
+# Greeks the likelihood-ratio estimator supports: parameters that enter the
+# path DENSITY.  (K and T do not: dual_delta/theta have no LRM form here.)
+_LRM_OK = {"delta", "vega", "rho", "epsilon"}
+
 
 def _price_fn(payoff, sim, method, engine, antithetic, tile_rows, key):
     def f(option: OptionParams):
@@ -52,6 +63,103 @@ def _price_fn(payoff, sim, method, engine, antithetic, tile_rows, key):
                            False, tile_rows, "threefry", None, key,
                            jnp.uint32(0), None).price
     return f
+
+
+@functools.partial(
+    jax.jit, static_argnames=("payoff", "sim", "sim_method", "tile_rows"))
+def _lrm_moments(option, payoff, sim, sim_method, tile_rows, key):
+    """LRM estimator moments on the SAME threefry stream as the engines.
+
+    Simulates the identical log-Euler leg as ``pk._simulate_leg`` (draw j
+    of path i = half j%2 of threefry pair (i, j//2)) while additionally
+    accumulating the score ingredients (z_1, sum z_j, sum z_j^2).  Scores
+    (Glasserman 7.3, log-Euler GBM with drift mu = r - q - sigma^2/2):
+
+      d log p / d s0    = z_1 / (s0 sigma sqrt(dt))
+      d log p / d sigma = sum_j [(z_j^2 - 1)/sigma - z_j sqrt(dt)]
+      d log p / d r     = sqrt(dt) sum_j z_j / sigma   (discount adds -T)
+      d log p / d q     = -sqrt(dt) sum_j z_j / sigma
+
+    Returns {greek: (sum, sumsq)} (8,128) slabs plus the plain payoff
+    moments (so the implied price is bit-identical to price(engine='xla')).
+    """
+    from mc_tpu.engines import _payoff_namespace
+    from mc_tpu.ops._pallas import xla_moment_scan
+
+    p = _payoff_namespace(option, sim.n_steps)
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+    n_steps = sim.n_steps
+
+    def tile_fn(ids, valid):
+        shape = ids.shape
+
+        def draw_pair(m):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
+            return rng.normal_pair(k0, k1, ids, c1)
+
+        zero = jnp.zeros(shape, jnp.float32)
+        if sim_method == "terminal":
+            z, _ = draw_pair(0)
+            s_t = p.s0 * jnp.exp(p.drift_t + p.vol_t * z)
+            pay = payoff.terminal((), s_t, p)
+            z1, sum_z, sum_z2 = z, z, z * z
+            n_z, sq_dt, vol_unit = 1.0, jnp.sqrt(p.t), p.vol_t
+        else:
+            state0 = payoff.init(p, zero)
+
+            def half_step(w, state, z):
+                w = w + (p.drift_dt + p.vol_dt * z)
+                s = p.s0 * jnp.exp(w)
+                return w, payoff.update(state, s, p)
+
+            def body(m, carry):
+                w, state, z1, sz, sz2 = carry
+                za, zb = draw_pair(m)
+                w, state = half_step(w, state, za)
+                w, state = half_step(w, state, zb)
+                z1 = jnp.where(m == 0, za, z1)
+                return (w, state, z1, sz + za + zb,
+                        sz2 + za * za + zb * zb)
+
+            w, state, z1, sum_z, sum_z2 = jax.lax.fori_loop(
+                0, n_steps // 2, body, (zero, state0, zero, zero, zero))
+            if n_steps % 2:
+                za, _ = draw_pair(n_steps // 2)
+                w, state = half_step(w, state, za)
+                sum_z = sum_z + za
+                sum_z2 = sum_z2 + za * za
+                if n_steps == 1:
+                    z1 = za
+            s_t = p.s0 * jnp.exp(w)
+            pay = payoff.terminal(state, s_t, p)
+            n_z, sq_dt, vol_unit = float(n_steps), jnp.sqrt(p.dt), p.vol_dt
+
+        sc_delta = z1 / (p.s0 * vol_unit)
+        sc_vega = (sum_z2 - n_z) / p.sigma - sq_dt * sum_z
+        sc_r = sq_dt * sum_z / p.sigma
+        vals = [pay,
+                pay * sc_delta,
+                pay * sc_vega,
+                pay * (sc_r - p.t),   # d(e^{-rT})/dr folds in the -T
+                pay * (-sc_r)]
+        out = []
+        for v in vals:
+            v = jnp.where(valid, v, 0.0)
+            out += [v, v * v]
+        return out
+
+    slabs = xla_moment_scan(tile_fn, sim.n_paths, tile_rows, 10)
+    r = jnp.asarray(option.r, jnp.float32)
+    t = jnp.asarray(option.t, jnp.float32)
+    disc = jnp.exp(-r * t)
+    n = jnp.asarray(sim.n_paths, jnp.float32)
+    from mc_tpu.oracle import summarize
+    from mc_tpu.ops.reduce import finish_sum
+    names = ("price", "delta", "vega", "rho", "epsilon")
+    return {name: summarize(finish_sum(slabs[2 * i]),
+                            finish_sum(slabs[2 * i + 1]), n, disc)
+            for i, name in enumerate(names)}
 
 
 def greeks(option: OptionParams = DEMO_OPTION,
@@ -85,10 +193,33 @@ def greeks(option: OptionParams = DEMO_OPTION,
     if method == "pathwise" and po.name not in _PATHWISE_OK:
         raise ValueError(
             f"payoff {po.name!r} has a discontinuous payoff; pathwise "
-            "derivatives are invalid — use method='fd' (common random "
+            "derivatives are invalid — use method='lrm' (unbiased "
+            "score-function weights) or method='fd' (common random "
             "numbers make the central difference low-variance)")
 
     opt32 = option.as_f32()
+
+    if method == "lrm":
+        bad_lrm = set(which) - _LRM_OK
+        if bad_lrm:
+            raise ValueError(
+                f"LRM supports {sorted(_LRM_OK)} (density parameters "
+                f"only); requested {sorted(bad_lrm)} — use method='fd'")
+        if antithetic:
+            raise ValueError("antithetic pairing is not supported for "
+                             "method='lrm' (the scores are odd in z)")
+        res = _lrm_moments(opt32, po, sim.replace(seed=0), sim_method,
+                           tile_rows, key)
+        out = {}
+        for g in which:
+            out[g] = res[g].price
+            out[f"{g}_stderr"] = res[g].stderr
+        # implied price on the same stream: bit-identical to
+        # price(engine="xla") at equal tile_rows — the stream-consistency
+        # invariant tests pin.
+        out["price"] = res["price"].price
+        out["price_stderr"] = res["price"].stderr
+        return out
     f = _price_fn(po, sim.replace(seed=0), sim_method, engine, antithetic,
                   tile_rows, key)
 

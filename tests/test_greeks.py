@@ -101,3 +101,72 @@ def test_heston_greeks_guard():
     from mc_tpu.greeks import heston_greeks
     with pytest.raises(ValueError, match="unknown heston greeks"):
         heston_greeks(which=("vega",))
+
+
+# --- likelihood-ratio method (discontinuous payoffs) ---------------------
+
+def test_lrm_vanilla_vs_closed_forms():
+    """Terminal-method LRM on the vanilla call vs BS closed forms —
+    unbiasedness of every score."""
+    cf = bs_closed_forms()
+    sim = SimParams(n_paths=1 << 20, n_steps=1)
+    g = greeks(sim=sim, method="lrm",
+               which=("delta", "vega", "rho", "epsilon"))
+    for k in ("delta", "vega", "rho"):
+        se = float(g[f"{k}_stderr"])
+        assert abs(float(g[k]) - cf[k]) <= 4.0 * se, (
+            k, float(g[k]), cf[k], se)
+    # epsilon (dP/dq) closed form: -S0 T e^{-qT} N(d1) = -S0 T delta at q=0
+    want_eps = -S0 * T * cf["delta"]
+    assert abs(float(g["epsilon"]) - want_eps) <= \
+        4.0 * float(g["epsilon_stderr"])
+
+
+def test_lrm_bullet_vs_crn_fd():
+    """The flagship discontinuous payoff (trajectories.cuh:149-153):
+    LRM must agree with a big-bump CRN central difference within joint
+    noise (the FD bump must be LARGE for a discontinuous payoff — its
+    variance scales like 1/h — which is exactly why LRM exists)."""
+    opt = OptionParams(p1=2.0, p2=10.0)
+    sim = SimParams(n_paths=1 << 19, n_steps=20)
+    gl = greeks(opt, sim, "bullet_call", method="lrm",
+                which=("delta", "vega", "rho"))
+    gf = greeks(opt, sim, "bullet_call", method="fd",
+                which=("delta", "vega", "rho"), rel_bump=5e-2)
+    for k in ("delta", "vega", "rho"):
+        se = float(gl[f"{k}_stderr"])
+        tol = 5.0 * se + 0.05 * abs(float(gl[k]))  # FD noise + O(h^2) bias
+        assert abs(float(gl[k]) - float(gf[k])) <= tol, (
+            k, float(gl[k]), float(gf[k]), tol)
+
+
+def test_lrm_price_bitwise_with_engine():
+    """The LRM pass consumes the identical threefry stream as the XLA
+    engine: its implied price must be bit-identical to price()."""
+    from mc_tpu import price
+    opt = OptionParams(p1=2.0, p2=10.0)
+    sim = SimParams(n_paths=1 << 16, n_steps=20)
+    g = greeks(opt, sim, "bullet_call", method="lrm", which=("delta",),
+               tile_rows=256)
+    r = price(opt, sim, "bullet_call", method="euler", engine="xla",
+              tile_rows=256)
+    assert float(g["price"]) == float(r.price)
+    assert float(g["price_stderr"]) == float(r.stderr)
+
+
+def test_lrm_guards():
+    with pytest.raises(ValueError, match="LRM supports"):
+        greeks(method="lrm", which=("theta",))
+    with pytest.raises(ValueError, match="antithetic"):
+        greeks(method="lrm", which=("delta",), antithetic=True)
+    # pathwise rejection now points at lrm
+    with pytest.raises(ValueError, match="lrm"):
+        greeks(payoff="bullet_call", method="pathwise")
+
+
+def test_lrm_odd_step_count():
+    """Odd n_steps exercises the epilogue half-draw bookkeeping."""
+    opt = OptionParams(p1=1.0, p2=4.0)
+    g = greeks(opt, SimParams(n_paths=1 << 16, n_steps=5), "bullet_call",
+               method="lrm", which=("delta",))
+    assert np.isfinite(float(g["delta"]))
