@@ -244,9 +244,15 @@ def cmd_american(args):
 
     option, sim = _parse(args)
     res = price_american(option, sim, payoff=args.payoff,
-                         degree=args.degree)
+                         degree=args.degree, two_pass=True)
+    one = price_american(option, sim, payoff=args.payoff,
+                         degree=args.degree, two_pass=False)
     out = {"payoff": args.payoff, "price": float(res.price),
-           "stderr": float(res.stderr)}
+           "stderr": float(res.stderr),
+           # in-sample estimator: the (price, one_pass) spread brackets
+           # the regression error
+           "one_pass": float(one.price),
+           "one_pass_stderr": float(one.stderr)}
     if args.payoff in ("vanilla_put", "vanilla_call"):
         out["binomial_oracle"] = binomial_american(
             args.s0, args.k, args.t, args.r, args.sigma,

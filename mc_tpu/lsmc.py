@@ -61,39 +61,56 @@ def _basis(s_norm, degree: int):
     return jnp.stack(cols, axis=-1)
 
 
+def _flat_grids(payoff, cfg, params, key, sim, interpret):
+    s_grid, c_grid, _, _ = pk.simulate_trajectories_kernel(
+        payoff, cfg, key, params, interpret=interpret)
+    n_pad = s_grid.shape[1] * LANES
+    return (s_grid.reshape(sim.n_steps, n_pad),
+            c_grid.reshape(sim.n_steps, n_pad), n_pad)
+
+
+def _summ(v, valid, n_paths):
+    n = jnp.float32(n_paths)
+    v = jnp.where(valid, v, 0.0)
+    mean = jnp.sum(v) / n
+    var = jnp.sum(jnp.where(valid, (v - mean) ** 2, 0.0)) / jnp.maximum(
+        n - 1.0, 1.0)
+    return PriceResult(price=mean, stderr=jnp.sqrt(var / n), n_paths=n,
+                       payoff_mean=mean, payoff_var=var)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("payoff", "sim", "degree", "tile_rows", "interpret"))
+    static_argnames=("payoff", "sim", "degree", "tile_rows", "interpret",
+                     "two_pass"))
 def _price_american_impl(option, payoff, sim, degree, tile_rows, interpret,
-                         key):
+                         two_pass, key, key_b):
     p = _payoff_namespace(option, sim.n_steps)
     cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
                           tile_rows=tile_rows)
     params = pk.pack_params(option, sim.n_steps)
-    s_grid, c_grid, _, _ = pk.simulate_trajectories_kernel(
-        payoff, cfg, key, params, interpret=interpret)
-    rows = s_grid.shape[1]
-    n_pad = rows * LANES
-    s_flat = s_grid.reshape(sim.n_steps, n_pad)
-    c_flat = c_grid.reshape(sim.n_steps, n_pad)
+    s_flat, c_flat, n_pad = _flat_grids(payoff, cfg, params, key, sim,
+                                        interpret)
     valid = (jnp.arange(n_pad, dtype=jnp.uint32)
              < jnp.uint32(sim.n_paths))
 
     disc = jnp.exp(-p.r * p.dt)
     inv_k = 1.0 / p.k
 
-    def immediate(j):
-        st = (c_flat[j],) if payoff.n_state else ()
-        return payoff.terminal(st, s_flat[j], p)
+    def immediate(s_f, c_f, j):
+        st = (c_f[j],) if payoff.n_state else ()
+        return payoff.terminal(st, s_f[j], p)
 
-    # Terminal values.
-    v = immediate(sim.n_steps - 1)
+    # --- regression pass: backward induction, refitting beta per date ---
+    v = immediate(s_flat, c_flat, sim.n_steps - 1)
+    betas0 = jnp.zeros((max(sim.n_steps - 1, 1), degree + 1), jnp.float32)
 
-    def step_back(j, v):
+    def step_back(j, carry):
         # j runs n_steps-2 .. 0 (exercise allowed at every grid date).
+        v, betas = carry
         t = sim.n_steps - 2 - j
         v = v * disc
-        ex = immediate(t)
+        ex = immediate(s_flat, c_flat, t)
         itm = jnp.logical_and(ex > 0.0, valid)
         w = itm.astype(jnp.float32)
         x = _basis(s_flat[t] * inv_k, degree)          # (P, B)
@@ -105,16 +122,35 @@ def _price_american_impl(option, payoff, sim, degree, tile_rows, interpret,
         beta = jnp.linalg.solve(xtx + 1e-4 * eye, xty)
         cont = jnp.dot(x, beta, preferred_element_type=jnp.float32)
         exercise = jnp.logical_and(itm, ex > cont)
-        return jnp.where(exercise, ex, v)
+        return (jnp.where(exercise, ex, v), betas.at[t].set(beta))
 
-    v = jax.lax.fori_loop(0, sim.n_steps - 1, step_back, v)
-    v = jnp.where(valid, v * disc, 0.0)                 # discount to t=0
-    n = jnp.float32(sim.n_paths)
-    mean = jnp.sum(v) / n
-    var = jnp.sum(jnp.where(valid, (v - mean) ** 2, 0.0)) / jnp.maximum(
-        n - 1.0, 1.0)
-    return PriceResult(price=mean, stderr=jnp.sqrt(var / n), n_paths=n,
-                       payoff_mean=mean, payoff_var=var)
+    v, betas = jax.lax.fori_loop(0, sim.n_steps - 1, step_back,
+                                 (v, betas0))
+    if not two_pass:
+        return _summ(v * disc, valid, sim.n_paths)
+
+    # --- pricing pass: INDEPENDENT paths, the frozen policy (betas) ---
+    # Regression foresight bias is gone: the exercise rule never sees the
+    # paths it prices, so the estimator is low-biased (a valid lower
+    # bound up to MC noise) instead of in-sample high-biased.
+    s_b, c_b, n_pad_b = _flat_grids(payoff, cfg, params, key_b, sim,
+                                    interpret)
+    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
+               < jnp.uint32(sim.n_paths))
+    vb = immediate(s_b, c_b, sim.n_steps - 1)
+
+    def apply_policy(j, vb):
+        t = sim.n_steps - 2 - j
+        vb = vb * disc
+        ex = immediate(s_b, c_b, t)
+        itm = jnp.logical_and(ex > 0.0, valid_b)
+        x = _basis(s_b[t] * inv_k, degree)
+        cont = jnp.dot(x, betas[t], preferred_element_type=jnp.float32)
+        exercise = jnp.logical_and(itm, ex > cont)
+        return jnp.where(exercise, ex, vb)
+
+    vb = jax.lax.fori_loop(0, sim.n_steps - 1, apply_policy, vb)
+    return _summ(vb * disc, valid_b, sim.n_paths)
 
 
 def price_american(option: OptionParams = DEMO_OPTION,
@@ -122,16 +158,20 @@ def price_american(option: OptionParams = DEMO_OPTION,
                    payoff="vanilla_put",
                    *,
                    degree: int = 3,
+                   two_pass: bool = True,
                    tile_rows: int = 8,
                    stream: int = STREAM_OUTER,
                    key=None,
                    interpret: Optional[bool] = None) -> PriceResult:
     """Longstaff-Schwartz price with exercise at every simulation date.
 
-    Note the standard LSMC caveats: the one-pass estimator has a small
-    in-sample bias (regression and pricing share paths) and the stderr
-    reflects cashflow dispersion, not regression error — tests gate
-    against the binomial oracle with a tolerance for both.
+    ``two_pass=True`` (default, Longstaff & Schwartz's own protocol): the
+    regression is fitted on one path set and the resulting exercise
+    policy priced on an INDEPENDENT second set (stream tag 0x25A55), so
+    the in-sample foresight bias of naive one-pass LSMC is removed and
+    the estimate is a clean lower bound up to MC noise.
+    ``two_pass=False`` gives the one-pass (high-biased) estimator; the
+    spread between the two brackets the regression error.
     """
     po = get_payoff(payoff)
     if po.n_state > 1:
@@ -139,8 +179,11 @@ def price_american(option: OptionParams = DEMO_OPTION,
                          "array")
     if key is None:
         key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
+    key_b = jnp.asarray(rng.derive_key(sim.seed, stream, 0x25A55),
+                        jnp.uint32)
     return _price_american_impl(option.as_f32(), po, sim.replace(seed=0),
-                                degree, tile_rows, interpret, key)
+                                degree, tile_rows, interpret, two_pass,
+                                key, key_b)
 
 
 def binomial_american(s0, k, t, r, sigma, n_steps=2000, kind="put",

@@ -67,3 +67,25 @@ def test_lsmc_degree_insensitivity():
 def test_lsmc_guard():
     with pytest.raises(KeyError):
         price_american(payoff="nope")
+
+
+def test_two_pass_removes_foresight_bias():
+    """Longstaff-Schwartz protocol check at a deliberately overfit config
+    (few paths, rich basis): the one-pass estimator looks above the true
+    price (regression foresight), the two-pass estimator prices an
+    independent set with the frozen policy and lands below it (policy
+    suboptimality).  Seed-averaged paired ordering must hold."""
+    import numpy as np
+    oracle = binomial_american(100.0, 100.0, 1.0, 0.1, 0.2, kind="put")
+    one, two = [], []
+    for s in range(8):
+        sim = SimParams(n_paths=4096, n_steps=50, seed=s)
+        one.append(float(price_american(sim=sim, two_pass=False,
+                                        degree=7).price))
+        two.append(float(price_american(sim=sim, two_pass=True,
+                                        degree=7).price))
+    diff = np.asarray(one) - np.asarray(two)
+    sem = diff.std(ddof=1) / np.sqrt(len(diff))
+    assert diff.mean() > 2.0 * sem, (diff.mean(), sem)   # one >= two
+    assert np.mean(two) <= oracle + 0.05                 # lower bound
+    assert np.mean(one) >= oracle - 0.05                 # upper-ish bound
