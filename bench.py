@@ -210,6 +210,52 @@ def nmc_demo_seconds(reps=2):
     return max(best - over, 1e-9), inner_steps
 
 
+def book_kernel_seconds(n_contracts=64, n_paths=1 << 20, n_steps=N_STEPS,
+                        k=4, reps=4):
+    """Device seconds for a B-contract book through the batched kernel
+    (shared-RNG normal buffer), by the standard T(K)-T(1) differential."""
+    import numpy as np
+
+    from mc_tpu import OptionParams, SimParams
+    from mc_tpu.engines import _book_pallas
+    rng_np = np.random.default_rng(7)
+    b = n_contracts
+    opts = OptionParams(
+        s0=np.full(b, 100.0, np.float32), t=np.full(b, 1.0, np.float32),
+        k=rng_np.uniform(80, 120, b).astype(np.float32),
+        r=np.full(b, 0.1, np.float32),
+        sigma=rng_np.uniform(0.1, 0.4, b).astype(np.float32),
+        barrier=np.full(b, 120.0, np.float32),
+        p1=np.full(b, 10.0, np.float32), p2=np.full(b, 50.0, np.float32),
+        q=np.zeros(b, np.float32))
+    opts32 = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32),
+                                    opts)
+    sim = SimParams(n_paths=n_paths, n_steps=n_steps)
+    key = jnp.asarray(rng.derive_key(1234, 0), jnp.uint32)
+    payoff = get_payoff("bullet_call")
+    tr = pk.book_tile_rows(256, n_steps, "euler")
+
+    @jax.jit
+    def multi(keys):
+        return jnp.sum(jax.lax.map(
+            lambda kk: jnp.sum(_book_pallas(
+                payoff, opts32, sim.replace(seed=0), "euler", False, tr,
+                kk).price),
+            keys))
+
+    def best_of(keys):
+        float(multi(keys))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(multi(keys))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = max((best_of(_keys(k)) - best_of(_keys(1))) / (k - 1), 1e-9)
+    return dt, b * n_paths * n_steps
+
+
 def billion_path_run(payoff="vanilla_call", n_steps=N_STEPS):
     """End-to-end wall seconds (incl. tunnel overhead) of a 1B-path price."""
     sim = SimParams(n_paths=1_000_000_000, n_steps=n_steps)
@@ -242,6 +288,9 @@ def main():
     # Reference demo NMC workload (hello.cu defaults, ~5e11 inner steps).
     nmc_dt, nmc_inner_steps = nmc_demo_seconds()
 
+    # 64-contract book through the batched shared-RNG kernel.
+    book_dt, book_steps = book_kernel_seconds()
+
     # Billion-path end-to-end runs (BASELINE config 5, single chip).
     b_call = billion_path_run("vanilla_call")
     b_bullet = billion_path_run("bullet_call")
@@ -273,6 +322,7 @@ def main():
             "nmc_demo_seconds_device": round(nmc_dt, 3),
             "nmc_demo_inner_path_steps_per_sec":
                 round(nmc_inner_steps / nmc_dt, 1),
+            "book64_path_steps_per_sec": round(book_steps / book_dt, 1),
             "e2e_1b_call": b_call,
             "e2e_1b_bullet": b_bullet,
             "price": float(res.price),

@@ -604,3 +604,142 @@ def simulate_ladder_partials(payoff: PathPayoff, cfg: KernelConfig,
         interpret=interpret,
     )(jnp.asarray(key, jnp.uint32), params, jnp.stack([offset, bound]),
       jnp.asarray(strikes, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Batched-book kernel: B contracts, each with its OWN full parameter row,
+# priced in ONE kernel pass.
+# ---------------------------------------------------------------------------
+
+
+def unpack_params_row(params_ref, b) -> SimpleNamespace:
+    """Unpack contract row ``b`` of a (B, P) SMEM parameter array."""
+    return SimpleNamespace(
+        **{f: params_ref[b, i] for i, f in enumerate(PARAM_FIELDS)})
+
+
+def _make_book_kernel(payoff: PathPayoff, cfg: KernelConfig,
+                      n_contracts: int):
+    """One kernel pass prices a whole book under common random numbers.
+
+    The reference prices one hard-coded contract per full pipeline run
+    (hello.cu:5-19); a B-contract book there costs B pipelines.  Here the
+    per-contract parameter rows sit in SMEM and a fori_loop over contracts
+    re-runs the in-register step loop on the SAME tile of threefry draws
+    (CRN across the book makes spreads/book-Greeks low-variance), so a
+    B=64 book costs one kernel launch + B in-VMEM simulations — no HBM
+    traffic between contracts.  Each contract's (8,128) Kahan accumulator
+    pair is bit-identical to what its standalone single-contract kernel
+    would produce.
+
+    The tile's threefry draws are generated ONCE into a VMEM buffer and
+    replayed by every contract (they are identical under CRN anyway), so
+    the B-contract book pays 1x the RNG cost instead of Bx — the RNG is
+    roughly half the step-loop cost, so this nearly doubles large-book
+    throughput on top of the launch-overhead win.
+    """
+    n_pairs = 1 if cfg.method == "terminal" else (cfg.n_steps + 1) // 2
+
+    def kernel(key_ref, params_ref, meta_ref, sum_ref, sq_ref, comp_ref,
+               zbuf_ref):
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        k0, k1 = key_ref[0], key_ref[1]
+
+        def fill(m, _):
+            z0, z1 = _tile_normals_threefry(k0, k1, ids, m)
+            zbuf_ref[0, m] = z0
+            zbuf_ref[1, m] = z1
+            return 0
+
+        jax.lax.fori_loop(0, n_pairs, fill, 0)
+        draw_pair = lambda m: (zbuf_ref[0, m], zbuf_ref[1, m])
+
+        @pl.when(i == 0)
+        def _init():
+            sum_ref[:] = jnp.zeros_like(sum_ref)
+            sq_ref[:] = jnp.zeros_like(sq_ref)
+            comp_ref[:] = jnp.zeros_like(comp_ref)
+
+        # fori_loop (not a static unroll) over contracts: one trace of the
+        # step loop regardless of B, keeping Mosaic compile time flat.
+        def contract_body(b, _):
+            p = unpack_params_row(params_ref, b)
+            s0 = jnp.full(shape, p.s0, jnp.float32)
+            s_t, state, wgt = _simulate_leg(payoff, cfg, p, s0, draw_pair)
+            pay = payoff.terminal(state, s_t, p)
+            if wgt is not None:
+                pay = pay * wgt
+            if cfg.antithetic:
+                draw_neg = lambda m: tuple(-z for z in draw_pair(m))
+                s_t2, state2, wgt2 = _simulate_leg(payoff, cfg, p, s0,
+                                                   draw_neg)
+                pay2 = payoff.terminal(state2, s_t2, p)
+                if wgt2 is not None:
+                    pay2 = pay2 * wgt2
+                pay = 0.5 * (pay + pay2)
+            pay = jnp.where(valid, pay, 0.0)
+            for out_ref, cslot, v in ((sum_ref, 2 * b, pay),
+                                      (sq_ref, 2 * b + 1, pay * pay)):
+                p8 = _fold_to_sublanes(v, cfg.tile_rows)
+                acc = out_ref[b]
+                y = p8 - comp_ref[cslot]
+                t = acc + y
+                comp_ref[cslot] = (t - acc) - y
+                out_ref[b] = t
+            return 0
+
+        jax.lax.fori_loop(0, n_contracts, contract_body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("payoff", "cfg", "n_contracts",
+                                             "interpret"))
+def simulate_book_partials(payoff: PathPayoff, cfg: KernelConfig,
+                           n_contracts: int, key, params_rows,
+                           path_offset=0, n_valid=None, interpret=None):
+    """Moment accumulators for a B-contract book in one kernel pass.
+
+    ``params_rows``: (B, P) f32 — one pack_params row per contract.
+    Returns (sum_acc, sq_acc), each (B, 8, 128) f32.
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    acc_spec = pl.BlockSpec((n_contracts, SUBLANES, LANES),
+                            lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    n_pairs = 1 if cfg.method == "terminal" else (cfg.n_steps + 1) // 2
+    return pl.pallas_call(
+        _make_book_kernel(payoff, cfg, n_contracts),
+        grid=(cfg.n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=[acc_spec, acc_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_contracts, SUBLANES, LANES),
+                                        jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((2 * n_contracts, SUBLANES, LANES),
+                                   jnp.float32),
+                        pltpu.VMEM((2, n_pairs, cfg.tile_rows, LANES),
+                                   jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(key, jnp.uint32), params_rows,
+      jnp.stack([offset, bound]))
+
+
+def book_tile_rows(tile_rows: int, n_steps: int, method: str,
+                   budget_bytes: int = 6 << 20) -> int:
+    """Cap tile height so the book kernel's shared normal buffer fits VMEM.
+
+    Applied by price_portfolio to BOTH engines so the pallas/xla bitwise
+    duality (same fold width) survives the cap.
+    """
+    n_pairs = 1 if method == "terminal" else (n_steps + 1) // 2
+    cap = budget_bytes // (2 * n_pairs * LANES * 4)
+    return max(8, min(tile_rows, (cap // 8) * 8))

@@ -53,3 +53,45 @@ def test_portfolio_pallas_map():
 def test_portfolio_bullet():
     res = price_portfolio(book(), SIM, payoff="bullet_call", tile_rows=8)
     assert (np.asarray(res.price) >= 0).all()
+
+
+def test_portfolio_pallas_batched_bitwise():
+    """The batched-book kernel (one launch) must match the vmapped XLA
+    dual bit-for-bit, per contract (review item: the fast engine was a
+    sequential lax.map over B kernel launches)."""
+    for kw in (dict(payoff="vanilla_call", method="terminal"),
+               dict(payoff="bullet_call", method="euler"),
+               dict(payoff="bullet_call", method="euler",
+                    antithetic=True)):
+        a = price_portfolio(book(), SIM, engine="pallas", tile_rows=8, **kw)
+        b = price_portfolio(book(), SIM, engine="xla", tile_rows=8, **kw)
+        np.testing.assert_array_equal(np.asarray(a.price),
+                                      np.asarray(b.price), err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(a.stderr),
+                                      np.asarray(b.stderr))
+
+
+def test_portfolio_large_book():
+    """B=64 book through the single batched kernel."""
+    rng_np = np.random.default_rng(7)
+    b = 64
+    opts = OptionParams(
+        s0=np.full(b, 100.0, np.float32),
+        t=rng_np.uniform(0.5, 2.0, b).astype(np.float32),
+        k=rng_np.uniform(80.0, 120.0, b).astype(np.float32),
+        r=np.full(b, 0.1, np.float32),
+        sigma=rng_np.uniform(0.1, 0.4, b).astype(np.float32),
+    )
+    sim = SimParams(n_paths=50_000, n_steps=4)
+    res = price_portfolio(opts, sim, engine="pallas", method="terminal",
+                          tile_rows=8)
+    ref = price_portfolio(opts, sim, engine="xla", method="terminal",
+                          tile_rows=8)
+    np.testing.assert_array_equal(np.asarray(res.price),
+                                  np.asarray(ref.price))
+    bs = np.array([float(bs_call(float(opts.s0[i]), float(opts.k[i]),
+                                 float(opts.t[i]), 0.1,
+                                 float(opts.sigma[i])))
+                   for i in range(b)])
+    err = np.abs(np.asarray(res.price) - bs) / np.asarray(res.stderr)
+    assert (err < 5.0).mean() > 0.95, err.max()

@@ -163,3 +163,20 @@ def test_lsmc_compiled_vs_interpret():
     np.testing.assert_array_equal(np.asarray(c.price), np.asarray(i.price))
     np.testing.assert_array_equal(np.asarray(c.stderr),
                                   np.asarray(i.stderr))
+
+
+def test_portfolio_book_kernel():
+    """Batched-book kernel: one launch, per-contract bitwise equality."""
+    from mc_tpu import OptionParams as OP
+    from mc_tpu.engines import price_portfolio
+    book = OP(s0=np.array([100.0, 95.0, 110.0, 100.0], np.float32),
+              k=np.array([100.0, 100.0, 105.0, 90.0], np.float32),
+              sigma=np.array([0.2, 0.3, 0.15, 0.25], np.float32),
+              p1=np.full(4, 1.0, np.float32),
+              p2=np.full(4, 6.0, np.float32))
+    kw = dict(payoff="bullet_call", method="euler", tile_rows=8)
+    c = price_portfolio(book, SIM, engine="pallas", **kw)
+    x = price_portfolio(book, SIM, engine="xla", **kw)
+    np.testing.assert_array_equal(np.asarray(c.price), np.asarray(x.price))
+    np.testing.assert_array_equal(np.asarray(c.stderr),
+                                  np.asarray(x.stderr))
