@@ -81,6 +81,35 @@ def cmd_demo(args):
     bs = float(bs_call(args.s0, args.k, args.t, args.r, args.sigma,
                        args.q))
 
+    # CPU reference pricers beside the TPU rows — the reference demo's
+    # at-a-glance cross-check (hello.cu:28-33, wrapper_cpu_option_vanilla
+    # + wrapper_cpu_bullet_option).  Same threefry stream as the TPU
+    # engines (native C++ mirror), so agreement is exact-distribution,
+    # not merely statistical.
+    if not args.skip_cpu:
+        try:
+            from types import SimpleNamespace
+
+            from mc_tpu import rng as _rng
+            from mc_tpu.native.lib import price_cpu
+
+            ck = _rng.derive_key(sim.seed, 0)
+            cpu_n = min(sim.n_paths, args.cpu_max_paths)
+            print(f"\nCPU reference pricers (native C++, {cpu_n} paths; "
+                  f"vs wrapper_cpu_*):")
+            for label, payoff_name in (("CPU vanilla", "vanilla_call"),
+                                       ("CPU bullet", "bullet_call")):
+                p, se = price_cpu(payoff_name, ck, cpu_n, sim.n_steps,
+                                  s0=args.s0, k=args.k, r=args.r,
+                                  sigma=args.sigma, t=args.t,
+                                  barrier=args.barrier, p1=args.p1,
+                                  p2=args.p2, q=args.q)
+                res = SimpleNamespace(price=p, stderr=se)
+                print(_fmt(label, res,
+                           bs if payoff_name == "vanilla_call" else None))
+        except Exception as e:  # native lib unbuildable: demo still runs
+            print(f"\n(CPU reference pricers unavailable: {e})")
+
     print("\nVanilla European call (vs wrapper_gpu_option_vanilla):")
     print(_fmt("terminal (exact one-shot draw)",
                price(option, sim, engine=args.engine,
@@ -329,6 +358,10 @@ def main(argv=None):
     p = sub.add_parser("demo", help="run all pricers + BS oracle (hello.cu)")
     _add_option_flags(p)
     p.add_argument("--skip-nmc", action="store_true")
+    p.add_argument("--skip-cpu", action="store_true",
+                   help="omit the native CPU reference rows")
+    p.add_argument("--cpu-max-paths", type=int, default=100_000,
+                   help="path cap for the sequential-ish CPU pricers")
     p.add_argument("--nmc-max-paths", type=int, default=4096,
                    help="cap outer paths for the NMC stage of the demo")
     p.set_defaults(fn=cmd_demo)
