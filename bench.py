@@ -60,7 +60,7 @@ def _keys(n):
 
 def kernel_seconds(payoff_name="vanilla_call", method="terminal",
                    n_paths=N_PATHS, n_steps=N_STEPS, k=K_REPS, reps=4,
-                   rng_source="threefry"):
+                   rng_source="threefry13"):
     """Per-kernel device seconds via the T(K)-T(1) differential.
 
     K adapts upward until the differential signal is >> the ~ms-level
@@ -275,10 +275,11 @@ def main():
     paths_per_sec = N_PATHS / dt
 
     # Step-loop workload at all three RNG sources (trajectories.cuh:144-148
-    # analogue): 20-round threefry, BigCrush-minimal 13-round, hardware PRNG.
-    dt_bullet = kernel_seconds("bullet_call", "euler")
+    # analogue): BigCrush-minimal 13-round threefry (the default),
+    # 20-round safety-margin stream, hardware PRNG.
+    dt_bullet = kernel_seconds("bullet_call", "euler")  # threefry13 default
     bullet_ps = N_PATHS * N_STEPS / dt_bullet
-    dt_b13 = kernel_seconds("bullet_call", "euler", rng_source="threefry13")
+    dt_b20 = kernel_seconds("bullet_call", "euler", rng_source="threefry")
     dt_bhw = kernel_seconds("bullet_call", "euler", rng_source="hw")
 
     # Model-family + technique kernels.
@@ -312,8 +313,8 @@ def main():
             "device": str(jax.devices()[0]),
             "kernel_ms_1M_call": round(dt * 1e3, 4),
             "bullet_path_steps_per_sec": round(bullet_ps, 1),
-            "bullet_path_steps_per_sec_threefry13":
-                round(N_PATHS * N_STEPS / dt_b13, 1),
+            "bullet_path_steps_per_sec_threefry20":
+                round(N_PATHS * N_STEPS / dt_b20, 1),
             "bullet_path_steps_per_sec_hw":
                 round(N_PATHS * N_STEPS / dt_bhw, 1),
             "heston_path_steps_per_sec":

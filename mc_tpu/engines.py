@@ -188,7 +188,7 @@ def price(option: OptionParams = DEMO_OPTION,
           antithetic: bool = False,
           control_variate: bool = False,
           tile_rows: int = 256,
-          rng_source: str = "threefry",
+          rng_source: str = "threefry13",
           stream: int = STREAM_OUTER,
           key=None,
           path_offset: int = 0,
@@ -332,7 +332,7 @@ def _xla_ladder(payoff, cfg, n_strikes, key, option, strikes, path_offset=0):
 
         def draw_pair(m):
             c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
-            return rng.normal_pair(k0, k1, ids, c1)
+            return rng.normal_pair(k0, k1, ids, c1, rounds=cfg.rng_rounds)
 
         s0 = jnp.full(shape, p.s0, jnp.float32)
         s_t, state, wgt = pk._simulate_leg(payoff, cfg, p, s0, draw_pair)
@@ -484,7 +484,7 @@ def price_portfolio(options: OptionParams,
     def one(option):
         return _price_impl(option, po, sim.replace(seed=0), method, engine,
                            antithetic, control_variate, tile_rows,
-                           "threefry", None, key, jnp.uint32(0), None)
+                           "threefry13", None, key, jnp.uint32(0), None)
 
     if engine == "xla":
         return jax.vmap(one)(opts32)

@@ -60,7 +60,7 @@ _LRM_OK = {"delta", "vega", "rho", "epsilon"}
 def _price_fn(payoff, sim, method, engine, antithetic, tile_rows, key):
     def f(option: OptionParams):
         return _price_impl(option, payoff, sim, method, engine, antithetic,
-                           False, tile_rows, "threefry", None, key,
+                           False, tile_rows, "threefry13", None, key,
                            jnp.uint32(0), None).price
     return f
 

@@ -15,7 +15,12 @@ import threading
 import numpy as np
 
 __all__ = ["available", "build", "threefry2x32", "black_scholes_call",
-           "cnd_as", "price_cpu", "fill_normals", "write_traj_csv"]
+           "cnd_as", "price_cpu", "fill_normals", "write_traj_csv",
+           "DEFAULT_ROUNDS"]
+
+# Mirror of mc_tpu.rng.DEFAULT_ROUNDS (kept as a literal here so this
+# module stays importable before jax; tests pin the two equal).
+DEFAULT_ROUNDS = 13
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src", "mc_native.cpp")
@@ -58,6 +63,9 @@ def _load():
         f64, f32p = ctypes.c_double, ctypes.POINTER(ctypes.c_float)
         dll.threefry2x32.argtypes = [u32, u32, u32, u32,
                                      ctypes.POINTER(u32), ctypes.POINTER(u32)]
+        dll.threefry2x32_r.argtypes = [u32, u32, u32, u32, i32,
+                                       ctypes.POINTER(u32),
+                                       ctypes.POINTER(u32)]
         dll.black_scholes_call.restype = f64
         dll.black_scholes_call.argtypes = [f64] * 5 + [i32]
         dll.cnd_as.restype = f64
@@ -68,9 +76,9 @@ def _load():
                                   ctypes.c_float, ctypes.c_float,
                                   ctypes.c_float, ctypes.c_float,
                                   ctypes.c_float, ctypes.c_float,
-                                  ctypes.c_float, i32,
+                                  ctypes.c_float, i32, i32,
                                   ctypes.POINTER(f64)]
-        dll.fill_normals.argtypes = [u32, u32, u32, u64, f32p]
+        dll.fill_normals.argtypes = [u32, u32, u32, u64, i32, f32p]
         dll.write_traj_csv.restype = i32
         dll.write_traj_csv.argtypes = [ctypes.c_char_p, f32p, u64, u64]
         _dll = dll
@@ -96,7 +104,7 @@ def cnd_as(x) -> float:
 
 def price_cpu(payoff: str, key, n_paths: int, n_steps: int, *, s0=100.0,
               k=100.0, r=0.1, sigma=0.2, t=1.0, barrier=120.0, p1=10.0,
-              p2=50.0, q=0.0, n_threads=0):
+              p2=50.0, q=0.0, rounds=DEFAULT_ROUNDS, n_threads=0):
     """Multithreaded native CPU pricer on the framework's threefry stream.
 
     The C5 equivalent (tool.cuh:104-173): payoff 'vanilla_call' uses the
@@ -107,13 +115,14 @@ def price_cpu(payoff: str, key, n_paths: int, n_steps: int, *, s0=100.0,
     se = ctypes.c_double()
     price = _load().price_cpu(kind, int(key[0]), int(key[1]), n_paths,
                               n_steps, s0, k, r, sigma, t, barrier, p1, p2,
-                              q, n_threads, ctypes.byref(se))
+                              q, rounds, n_threads, ctypes.byref(se))
     return price, se.value
 
 
-def fill_normals(key, j: int, n: int) -> np.ndarray:
+def fill_normals(key, j: int, n: int,
+                 rounds: int = DEFAULT_ROUNDS) -> np.ndarray:
     out = np.empty(n, np.float32)
-    _load().fill_normals(int(key[0]), int(key[1]), j, n,
+    _load().fill_normals(int(key[0]), int(key[1]), j, n, rounds,
                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
 

@@ -32,24 +32,32 @@ static inline uint32_t rotl32(uint32_t x, int d) {
 
 static const int kRot[8] = {13, 15, 26, 6, 17, 29, 16, 24};
 
-void threefry2x32(uint32_t k0, uint32_t k1, uint32_t x0, uint32_t x1,
-                  uint32_t* out0, uint32_t* out1) {
-  uint32_t ks2 = k0 ^ k1 ^ 0x1BD11BDAu;
+// Arbitrary round count (mirror of rng.threefry2x32's loop): key
+// injection after every 4th round.  13 rounds = the framework's
+// BigCrush-minimal normal-draw default (rng.DEFAULT_ROUNDS); 20 = the
+// Random123 safety-margin count used for key derivation.
+void threefry2x32_r(uint32_t k0, uint32_t k1, uint32_t x0, uint32_t x1,
+                    int rounds, uint32_t* out0, uint32_t* out1) {
+  uint32_t ks[3] = {k0, k1, (uint32_t)(k0 ^ k1 ^ 0x1BD11BDAu)};
   x0 += k0;
   x1 += k1;
-  const uint32_t sched[5][2] = {
-      {k1, ks2}, {ks2, k0}, {k0, k1}, {k1, ks2}, {ks2, k0}};
-  for (int r = 0; r < 5; ++r) {
-    for (int i = 0; i < 4; ++i) {
-      x0 += x1;
-      x1 = rotl32(x1, kRot[(r % 2) * 4 + i]);
-      x1 ^= x0;
+  for (int r = 0; r < rounds; ++r) {
+    x0 += x1;
+    x1 = rotl32(x1, kRot[r % 8]);
+    x1 ^= x0;
+    if ((r + 1) % 4 == 0) {
+      int inj = (r + 1) / 4;
+      x0 += ks[inj % 3];
+      x1 += ks[(inj + 1) % 3] + (uint32_t)inj;
     }
-    x0 += sched[r][0];
-    x1 += sched[r][1] + (uint32_t)(r + 1);
   }
   *out0 = x0;
   *out1 = x1;
+}
+
+void threefry2x32(uint32_t k0, uint32_t k1, uint32_t x0, uint32_t x1,
+                  uint32_t* out0, uint32_t* out1) {
+  threefry2x32_r(k0, k1, x0, x1, 20, out0, out1);
 }
 
 // bits -> [0,1) float, same mantissa construction as rng.bits_to_unit.
@@ -62,9 +70,10 @@ static inline float bits_to_unit(uint32_t b) {
 
 // Box-Muller pair, same formula as rng.normal_pair.
 static inline void normal_pair(uint32_t k0, uint32_t k1, uint32_t c0,
-                               uint32_t c1, float* z0, float* z1) {
+                               uint32_t c1, int rounds, float* z0,
+                               float* z1) {
   uint32_t b0, b1;
-  threefry2x32(k0, k1, c0, c1, &b0, &b1);
+  threefry2x32_r(k0, k1, c0, c1, rounds, &b0, &b1);
   float u1 = bits_to_unit(b0);
   float u2 = bits_to_unit(b1);
   float rad = sqrtf(-2.0f * log1pf(-u1));
@@ -76,9 +85,9 @@ static inline void normal_pair(uint32_t k0, uint32_t k1, uint32_t c0,
 // Normal draw j of path i (half j%2 of pair j/2) — the stream convention
 // shared with the Pallas kernels and rng.normals.
 static inline float normal_draw(uint32_t k0, uint32_t k1, uint32_t path,
-                                uint32_t j) {
+                                uint32_t j, int rounds) {
   float z0, z1;
-  normal_pair(k0, k1, path, j / 2, &z0, &z1);
+  normal_pair(k0, k1, path, j / 2, rounds, &z0, &z1);
   return (j % 2 == 0) ? z0 : z1;
 }
 
@@ -126,7 +135,8 @@ struct Moments {
 static void price_slice(int payoff_kind, uint32_t k0, uint32_t k1,
                         uint64_t begin, uint64_t end, int n_steps, float s0,
                         float k, float r, float sigma, float t, float barrier,
-                        float p1, float p2, float q, Moments* out) {
+                        float p1, float p2, float q, int rounds,
+                        Moments* out) {
   float dt = t / (float)n_steps;
   float drift_dt = (r - q - 0.5f * sigma * sigma) * dt;
   float vol_dt = sigma * sqrtf(dt);
@@ -136,7 +146,7 @@ static void price_slice(int payoff_kind, uint32_t k0, uint32_t k1,
   for (uint64_t i = begin; i < end; ++i) {
     float pay;
     if (payoff_kind == 0) {
-      float z = normal_draw(k0, k1, (uint32_t)i, 0);
+      float z = normal_draw(k0, k1, (uint32_t)i, 0, rounds);
       float st = s0 * expf(drift_t + vol_t * z);
       pay = st > k ? st - k : 0.0f;
     } else {
@@ -146,7 +156,7 @@ static void price_slice(int payoff_kind, uint32_t k0, uint32_t k1,
       float st = s0;
       float count = 0.0f;
       for (int j = 0; j < n_steps; ++j) {
-        float z = normal_draw(k0, k1, (uint32_t)i, (uint32_t)j);
+        float z = normal_draw(k0, k1, (uint32_t)i, (uint32_t)j, rounds);
         w += drift_dt + vol_dt * z;
         st = s0 * expf(w);
         if (st < barrier) count += 1.0f;
@@ -164,7 +174,7 @@ static void price_slice(int payoff_kind, uint32_t k0, uint32_t k1,
 double price_cpu(int payoff_kind, uint32_t k0, uint32_t k1, uint64_t n_paths,
                  int n_steps, float s0, float k, float r, float sigma,
                  float t, float barrier, float p1, float p2, float q,
-                 int n_threads, double* stderr_out) {
+                 int rounds, int n_threads, double* stderr_out) {
   if (n_threads <= 0)
     n_threads = (int)std::thread::hardware_concurrency();
   if (n_threads < 1) n_threads = 1;
@@ -177,7 +187,8 @@ double price_cpu(int payoff_kind, uint32_t k0, uint32_t k1, uint64_t n_paths,
     uint64_t e = b + chunk < n_paths ? b + chunk : n_paths;
     if (b >= e) break;
     workers.emplace_back(price_slice, payoff_kind, k0, k1, b, e, n_steps, s0,
-                         k, r, sigma, t, barrier, p1, p2, q, &parts[w]);
+                         k, r, sigma, t, barrier, p1, p2, q, rounds,
+                         &parts[w]);
   }
   for (auto& th : workers) th.join();
   long double sum = 0.0L, sum2 = 0.0L;
@@ -198,9 +209,9 @@ double price_cpu(int payoff_kind, uint32_t k0, uint32_t k1, uint64_t n_paths,
 // Fill `out[n]` with normal draw j of paths [0, n) — for cross-checking the
 // native stream against rng.normals bit by bit.
 void fill_normals(uint32_t k0, uint32_t k1, uint32_t j, uint64_t n,
-                  float* out) {
+                  int rounds, float* out) {
   for (uint64_t i = 0; i < n; ++i)
-    out[i] = normal_draw(k0, k1, (uint32_t)i, j);
+    out[i] = normal_draw(k0, k1, (uint32_t)i, j, rounds);
 }
 
 // ---------------------------------------------------------------------------

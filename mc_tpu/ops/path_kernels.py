@@ -95,7 +95,7 @@ class KernelConfig:
     tile_rows: int = 256          # paths per tile = tile_rows * 128
     antithetic: bool = False
     with_cv: bool = False         # emit control-variate moment partials
-    rng_source: str = "threefry"  # "threefry" | "threefry13" | "hw"
+    rng_source: str = "threefry13"  # "threefry13" | "threefry"(20) | "hw"
     method: str = "euler"         # "euler" | "terminal"
     start_step: int = 0           # resume support (trajectories.cuh:116-117 Tk)
     use_cost_estimate: bool = True
@@ -127,7 +127,8 @@ class KernelConfig:
         return cdiv(self.n_paths, self.paths_per_tile)
 
 
-def _tile_normals_threefry(key0, key1, ids, pair_idx, rounds: int = 20):
+def _tile_normals_threefry(key0, key1, ids, pair_idx,
+                           rounds: int = rng.DEFAULT_ROUNDS):
     """Two N(0,1) tiles for counter (path id, pair index) — tiling-invariant.
 
     Normal draw j of path i is half ``j % 2`` of pair ``j // 2`` — the same
@@ -447,7 +448,8 @@ def _make_traj_kernel(payoff: PathPayoff, cfg: KernelConfig):
 
         def body(m, carry):
             w, s, state = carry
-            z0, z1 = _tile_normals_threefry(k0, k1, ids, m)
+            z0, z1 = _tile_normals_threefry(k0, k1, ids, m,
+                                            rounds=cfg.rng_rounds)
             w, s, state = one_step(w, state, z0)
             persist(2 * m, s, state)
             w, s, state = one_step(w, state, z1)
@@ -458,7 +460,8 @@ def _make_traj_kernel(payoff: PathPayoff, cfg: KernelConfig):
         w, s_t, state = jax.lax.fori_loop(0, cfg.n_steps // 2, body,
                                           (w0, s0, state0))
         if cfg.n_steps % 2:
-            z0, _ = _tile_normals_threefry(k0, k1, ids, cfg.n_steps // 2)
+            z0, _ = _tile_normals_threefry(k0, k1, ids, cfg.n_steps // 2,
+                                           rounds=cfg.rng_rounds)
             w, s_t, state = one_step(w, state, z0)
             persist(cfg.n_steps - 1, s_t, state)
         pay = jnp.where(valid, payoff.terminal(state, s_t, p), 0.0)
@@ -534,7 +537,8 @@ def _make_ladder_kernel(payoff: PathPayoff, cfg: KernelConfig,
         ids = meta_ref[0] + base + flat
         valid = ids < meta_ref[1]
         k0, k1 = key_ref[0], key_ref[1]
-        draw_pair = lambda m: _tile_normals_threefry(k0, k1, ids, m)
+        draw_pair = lambda m: _tile_normals_threefry(
+            k0, k1, ids, m, rounds=cfg.rng_rounds)
 
         s0 = jnp.full(shape, p.s0, jnp.float32)
         s_t, state, wgt = _simulate_leg(payoff, cfg, p, s0, draw_pair)
@@ -652,7 +656,8 @@ def _make_book_kernel(payoff: PathPayoff, cfg: KernelConfig,
         k0, k1 = key_ref[0], key_ref[1]
 
         def fill(m, _):
-            z0, z1 = _tile_normals_threefry(k0, k1, ids, m)
+            z0, z1 = _tile_normals_threefry(k0, k1, ids, m,
+                                            rounds=cfg.rng_rounds)
             zbuf_ref[0, m] = z0
             zbuf_ref[1, m] = z1
             return 0

@@ -156,7 +156,7 @@ def price_sharded(option: OptionParams = DEMO_OPTION,
                   antithetic: bool = False,
                   control_variate: bool = False,
                   tile_rows: int = 256,
-                  rng_source: str = "threefry",
+                  rng_source: str = "threefry13",
                   stream: int = 0,
                   key=None,
                   importance_shift: float = 0.0,

@@ -43,6 +43,14 @@ __all__ = [
 
 TWO_PI = 6.283185307179586
 
+# Default round count for the framework's NORMAL-DRAW streams: 13 is the
+# smallest count that passes all of TestU01 BigCrush (Salmon et al. 2011,
+# table 5) and is ~35% cheaper in the hot step loops than the Random123
+# safety-margin default of 20.  Key DERIVATION (derive_key/fold_key) stays
+# at 20 rounds — it runs once per stream, so the margin is free there.
+# The native C++ mirror (native/src/mc_native.cpp) carries the same value.
+DEFAULT_ROUNDS = 13
+
 # Threefry2x32 rotation schedule (Salmon et al. 2011, table 2).
 _ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
 _PARITY = 0x1BD11BDA
@@ -152,7 +160,7 @@ def bits_to_unit(bits, bitcast: Callable = jax.lax.bitcast_convert_type):
 
 
 def normal_pair(k0, k1, c0, c1, bitcast: Callable = jax.lax.bitcast_convert_type,
-                rounds: int = 20):
+                rounds: int = DEFAULT_ROUNDS):
     """Two independent N(0,1) arrays from counter arrays (c0, c1).
 
     Full Box-Muller: one threefry call yields 64 bits -> (u1, u2) -> the

@@ -161,14 +161,18 @@ def test_invalid_configs_raise():
 
 
 def test_threefry13_source():
-    """13-round threefry: valid prices, engine-bitwise, distinct stream."""
+    """13-round threefry (the default): valid prices, engine-bitwise,
+    distinct from the 20-round safety-margin stream."""
     sim = SimParams(n_paths=100_000, n_steps=20)
     a = price(sim=sim, engine="pallas", rng_source="threefry13", tile_rows=8)
     b = price(sim=sim, engine="xla", rng_source="threefry13", tile_rows=8)
-    full = price(sim=sim, engine="xla", tile_rows=8)
+    default = price(sim=sim, engine="xla", tile_rows=8)
+    full = price(sim=sim, engine="xla", rng_source="threefry", tile_rows=8)
     assert float(a.price) == float(b.price)
-    assert float(a.price) != float(full.price)  # different stream
+    assert float(a.price) == float(default.price)  # 13 IS the default
+    assert float(a.price) != float(full.price)     # 20-round differs
     check_vs_bs(a)
+    check_vs_bs(full)
 
 
 def test_extreme_params_stay_finite():

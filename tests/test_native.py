@@ -87,3 +87,23 @@ def test_csv_writer(tmp_path):
     assert lines[1] == "0,0,0.000000"
     # step-major tidy order: next row is path 1 at time 0 (value 4.0)
     assert lines[2] == "0,1,4.000000"
+
+
+def test_native_rounds_parity():
+    """The native mirror must track rng.DEFAULT_ROUNDS and reproduce both
+    the 13- and 20-round streams bit-for-bit."""
+    import ctypes
+
+    import jax.numpy as jnp
+
+    from mc_tpu import rng as R
+    from mc_tpu.native import lib
+    assert lib.DEFAULT_ROUNDS == R.DEFAULT_ROUNDS
+    key = R.derive_key(99, 1)
+    for rounds in (13, 20):
+        o0, o1 = ctypes.c_uint32(), ctypes.c_uint32()
+        lib._load().threefry2x32_r(int(key[0]), int(key[1]), 5, 7, rounds,
+                                   ctypes.byref(o0), ctypes.byref(o1))
+        j = R.threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
+                           jnp.uint32(5), jnp.uint32(7), rounds=rounds)
+        assert (o0.value, o1.value) == (int(j[0]), int(j[1])), rounds
