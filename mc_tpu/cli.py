@@ -269,9 +269,24 @@ def cmd_heston(args):
 
 
 def cmd_american(args):
-    from mc_tpu.lsmc import binomial_american, price_american
+    from mc_tpu.lsmc import (binomial_american, price_american,
+                             price_american_heston)
 
     option, sim = _parse(args)
+    if args.model == "heston":
+        from mc_tpu.models.heston import HestonDynamics
+        hes = HestonDynamics(v0=args.v0, kappa=args.kappa,
+                             theta=args.theta_h, xi=args.xi, rho=args.rho)
+        res = price_american_heston(option, hes, sim, payoff=args.payoff,
+                                    degree=args.degree, two_pass=True)
+        one = price_american_heston(option, hes, sim, payoff=args.payoff,
+                                    degree=args.degree, two_pass=False)
+        out = {"payoff": args.payoff, "model": "heston",
+               "price": float(res.price), "stderr": float(res.stderr),
+               "one_pass": float(one.price),
+               "one_pass_stderr": float(one.stderr)}
+        print(json.dumps(out))
+        return 0
     res = price_american(option, sim, payoff=args.payoff,
                          degree=args.degree, two_pass=True)
     one = price_american(option, sim, payoff=args.payoff,
@@ -411,6 +426,13 @@ def main(argv=None):
     _add_option_flags(p)
     p.add_argument("--payoff", default="vanilla_put")
     p.add_argument("--degree", type=int, default=3)
+    p.add_argument("--model", choices=("gbm", "heston"), default="gbm")
+    p.add_argument("--v0", type=float, default=0.04)
+    p.add_argument("--kappa", type=float, default=2.0)
+    p.add_argument("--theta-h", type=float, default=0.04,
+                   help="Heston long-run variance")
+    p.add_argument("--xi", type=float, default=0.5)
+    p.add_argument("--rho", type=float, default=-0.7)
     p.set_defaults(fn=cmd_american)
 
     p = sub.add_parser("ladder", help="strike ladder on shared paths")

@@ -41,7 +41,8 @@ from mc_tpu.ops import path_kernels as pk
 from mc_tpu.ops._pallas import LANES
 from mc_tpu.ops.payoffs import get_payoff
 
-__all__ = ["price_american", "binomial_american"]
+__all__ = ["price_american", "price_american_heston",
+           "binomial_american"]
 
 
 def _basis(s_norm, degree: int):
@@ -206,3 +207,141 @@ def binomial_american(s0, k, t, r, sigma, n_steps=2000, kind="put",
               else np.maximum(s - k, 0.0))
         v = np.maximum(v, ex)
     return float(v[0])
+
+
+# ---------------------------------------------------------------------------
+# American exercise under Heston stochastic volatility: the C9 trajectory
+# grid + LSMC machinery composed with the Heston model family.  The
+# regression basis is augmented with the variance state (the standard
+# stochastic-vol LSMC design): continuation value depends on (S_t, v_t).
+# ---------------------------------------------------------------------------
+
+
+def _basis_sv(s_norm, v, degree: int):
+    """Monomials of x = s/K - 1 up to ``degree``, augmented with the
+    variance regressors (v, v^2, v*x).  v is clipped at 0 (the stored
+    full-truncation state can be negative)."""
+    x = s_norm - 1.0
+    cols = [jnp.ones_like(x)]
+    p = x
+    for _ in range(degree):
+        cols.append(p)
+        p = p * x
+    vp = jnp.maximum(v, 0.0)
+    cols += [vp, vp * vp, vp * x]
+    return jnp.stack(cols, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "degree", "tile_rows", "interpret",
+                     "two_pass"))
+def _price_american_heston_impl(option, heston, payoff, sim, degree,
+                                tile_rows, interpret, two_pass, key, key_b):
+    from mc_tpu.models.heston import (_pack_heston, _unpack_heston,
+                                      heston_trajectories_kernel)
+    params = _pack_heston(option, heston, sim.n_steps)
+    p = _unpack_heston(params)
+    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
+                          tile_rows=tile_rows)
+
+    def grids(k):
+        s, v, c, _, _ = heston_trajectories_kernel(payoff, cfg, k, params,
+                                                   interpret=interpret)
+        n_pad = s.shape[1] * LANES
+        return (s.reshape(sim.n_steps, n_pad),
+                v.reshape(sim.n_steps, n_pad),
+                c.reshape(sim.n_steps, n_pad), n_pad)
+
+    s_a, v_a, c_a, n_pad = grids(key)
+    valid = (jnp.arange(n_pad, dtype=jnp.uint32)
+             < jnp.uint32(sim.n_paths))
+    disc = jnp.exp(-p.r * p.dt)
+    inv_k = 1.0 / p.k
+    n_basis = degree + 4
+
+    def immediate(s_f, c_f, j):
+        st = (c_f[j],) if payoff.n_state else ()
+        return payoff.terminal(st, s_f[j], p)
+
+    v_val = immediate(s_a, c_a, sim.n_steps - 1)
+    betas0 = jnp.zeros((max(sim.n_steps - 1, 1), n_basis), jnp.float32)
+
+    def step_back(j, carry):
+        vv, betas = carry
+        t = sim.n_steps - 2 - j
+        vv = vv * disc
+        ex = immediate(s_a, c_a, t)
+        itm = jnp.logical_and(ex > 0.0, valid)
+        w = itm.astype(jnp.float32)
+        x = _basis_sv(s_a[t] * inv_k, v_a[t], degree)
+        xw = x * w[:, None]
+        xtx = jnp.dot(xw.T, x, preferred_element_type=jnp.float32)
+        xty = jnp.dot(xw.T, vv, preferred_element_type=jnp.float32)
+        eye = jnp.eye(n_basis, dtype=jnp.float32)
+        beta = jnp.linalg.solve(xtx + 1e-4 * eye, xty)
+        cont = jnp.dot(x, beta, preferred_element_type=jnp.float32)
+        exercise = jnp.logical_and(itm, ex > cont)
+        return (jnp.where(exercise, ex, vv), betas.at[t].set(beta))
+
+    v_val, betas = jax.lax.fori_loop(0, sim.n_steps - 1, step_back,
+                                     (v_val, betas0))
+    if not two_pass:
+        return _summ(v_val * disc, valid, sim.n_paths)
+
+    s_b, v_b, c_b, n_pad_b = grids(key_b)
+    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
+               < jnp.uint32(sim.n_paths))
+    vb = immediate(s_b, c_b, sim.n_steps - 1)
+
+    def apply_policy(j, vb):
+        t = sim.n_steps - 2 - j
+        vb = vb * disc
+        ex = immediate(s_b, c_b, t)
+        itm = jnp.logical_and(ex > 0.0, valid_b)
+        x = _basis_sv(s_b[t] * inv_k, v_b[t], degree)
+        cont = jnp.dot(x, betas[t], preferred_element_type=jnp.float32)
+        return jnp.where(jnp.logical_and(itm, ex > cont), ex, vb)
+
+    vb = jax.lax.fori_loop(0, sim.n_steps - 1, apply_policy, vb)
+    return _summ(vb * disc, valid_b, sim.n_paths)
+
+
+def price_american_heston(option: OptionParams = DEMO_OPTION,
+                          heston=None,
+                          sim: SimParams = DEMO_SIM,
+                          payoff="vanilla_put",
+                          *,
+                          degree: int = 3,
+                          two_pass: bool = True,
+                          tile_rows: int = 8,
+                          stream: int = STREAM_OUTER,
+                          key=None,
+                          interpret: Optional[bool] = None) -> PriceResult:
+    """Longstaff-Schwartz American price under Heston stochastic vol.
+
+    Composes the Heston trajectory kernel (full-truncation Euler,
+    materialized (S_t, v_t) grids) with the LSMC backward induction; the
+    continuation regression runs on the (S, v) basis.  Same two-pass
+    protocol as `price_american`.
+
+    Oracle gates (tests): in the degenerate limit xi -> 0, v0 = theta the
+    model is GBM with sigma = sqrt(v0) and the price must match the CRR
+    binomial American; in the general model the price must dominate the
+    European CF price with a positive early-exercise premium.
+    """
+    from mc_tpu.models.heston import DEMO_HESTON
+    heston = DEMO_HESTON if heston is None else heston
+    po = get_payoff(payoff)
+    if po.n_state > 1:
+        raise ValueError("LSMC supports payoffs with at most one state "
+                         "array")
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x4E57),
+                          jnp.uint32)
+    key_b = jnp.asarray(rng.derive_key(sim.seed, stream, 0x4E57, 0x25A55),
+                        jnp.uint32)
+    return _price_american_heston_impl(option.as_f32(), heston.as_f32(),
+                                       po, sim.replace(seed=0), degree,
+                                       tile_rows, interpret, two_pass,
+                                       key, key_b)

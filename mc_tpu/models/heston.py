@@ -286,3 +286,97 @@ def heston_call_cf(s0, k, t, r, v0, kappa, theta, xi, rho, q=0.0,
     p1 = 0.5 + np.trapezoid(int1, u) / np.pi
     p2 = 0.5 + np.trapezoid(int2, u) / np.pi
     return s0 * p1 - k * np.exp(-r * t) * p2
+
+
+# ---------------------------------------------------------------------------
+# Trajectory materialization under Heston: the (S_t, v_t, state_t) grids
+# that feed LSMC (American exercise under stochastic volatility) — the
+# Heston analogue of the C9 state-grid kernel (trajectories.cuh:273-351).
+# ---------------------------------------------------------------------------
+
+
+def _make_heston_traj_kernel(payoff, cfg: pk.KernelConfig):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert payoff.n_state <= 1, "trajectory kernel stores one state array"
+
+    def kernel(key_ref, params_ref, meta_ref, s_out, v_out, st_out,
+               pay_sum, pay_sq, comp_ref):
+        p = _unpack_heston(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        k0, k1 = key_ref[0], key_ref[1]
+
+        def draw_pair(j):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(j, jnp.uint32)
+            return rng.normal_pair(k0, k1, ids, c1, bitcast=pltpu.bitcast)
+
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        state0 = payoff.init(p, jnp.zeros_like(s0))
+
+        def body(j, carry):
+            w, v, s, state = carry
+            z_v, z_perp = draw_pair(j)
+            w, v = heston_euler_step(p, w, v, z_v, z_perp, p.dt, p.sqrt_dt)
+            s = s0 * jnp.exp(w)
+            state = payoff.update(state, s, p)
+            s_out[j] = s
+            v_out[j] = v
+            st_out[j] = state[0] if payoff.n_state else jnp.zeros_like(s)
+            return (w, v, s, state)
+
+        w0 = jnp.zeros_like(s0)
+        v_init = jnp.full_like(s0, p.v0)
+        _, _, s_t, state = jax.lax.fori_loop(
+            0, cfg.n_steps, body, (w0, v_init, s0, state0))
+        pay = jnp.where(valid, payoff.terminal(state, s_t, p), 0.0)
+        pk._accumulate_moments((pay_sum, pay_sq), comp_ref,
+                               [pay, pay * pay], i, cfg.tile_rows)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("payoff", "cfg", "interpret"))
+def heston_trajectories_kernel(payoff, cfg: pk.KernelConfig, key, params,
+                               path_offset=0, n_valid=None, interpret=None):
+    """Materialize (S, v, state) grids + terminal payoff partials.
+
+    Grids are step-major (n_steps, n_tiles*tile_rows, 128) like the GBM
+    trajectory kernel; ``v`` is the raw full-truncation variance state
+    (clip at 0 before using it as a regressor).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mc_tpu.ops._pallas import SUBLANES, use_interpret
+    if interpret is None:
+        interpret = use_interpret()
+    rows = cfg.n_tiles * cfg.tile_rows
+    grid_spec = pl.BlockSpec((cfg.n_steps, cfg.tile_rows, LANES),
+                             lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    return pl.pallas_call(
+        _make_heston_traj_kernel(payoff, cfg),
+        grid=(cfg.n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=[grid_spec, grid_spec, grid_spec, part_spec, part_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(key, jnp.uint32), params, jnp.stack([offset, bound]))

@@ -95,3 +95,99 @@ def test_two_pass_removes_foresight_bias():
     oracle = binomial_american(100.0, 100.0, 1.0, 0.1, 0.2, kind="put")
     r = price_american(sim=SimParams(n_paths=100_000, n_steps=50))
     assert float(r.price) <= oracle + 3.0 * float(r.stderr)
+
+
+# --- American exercise under Heston (model-family x engine composition) --
+
+def test_heston_american_degenerate_limit():
+    """xi -> 0 with v0 = theta collapses Heston to GBM with
+    sigma = sqrt(v0): the stochastic-vol LSMC price must match the CRR
+    binomial American oracle (up to MC noise + the Bermudan-at-50-dates
+    discretization gap, which biases LSMC slightly LOW)."""
+    from mc_tpu.lsmc import price_american_heston
+    from mc_tpu.models.heston import HestonDynamics
+    h0 = HestonDynamics(v0=0.04, kappa=1.0, theta=0.04, xi=1e-4, rho=0.0)
+    sim = SimParams(n_paths=100_000, n_steps=50)
+    r = price_american_heston(heston=h0, sim=sim)
+    oracle = binomial_american(100.0, 100.0, 1.0, 0.1, 0.2, kind="put")
+    assert float(r.price) <= oracle + 3.0 * float(r.stderr)
+    assert float(r.price) >= oracle - 4.0 * float(r.stderr) - 0.05
+
+
+def test_heston_american_premium():
+    """General Heston config: American put dominates the European put
+    (computed from the CF call via put-call parity) with a clearly
+    positive early-exercise premium at r=0.1."""
+    from mc_tpu.lsmc import price_american_heston
+    from mc_tpu.models.heston import DEMO_HESTON, heston_call_cf
+    sim = SimParams(n_paths=100_000, n_steps=50)
+    r = price_american_heston(sim=sim)
+    c = heston_call_cf(100.0, 100.0, 1.0, 0.1, *DEMO_HESTON.astuple())
+    euro_put = c - 100.0 + 100.0 * np.exp(-0.1)
+    assert float(r.price) > euro_put + 10.0 * float(r.stderr), (
+        float(r.price), euro_put)
+
+
+def test_heston_american_two_pass_ordering():
+    """The two-pass protocol applies under stochastic vol too: the
+    in-sample estimate dominates the independent-set estimate on
+    average (weak check at one seed pair: within noise)."""
+    from mc_tpu.lsmc import price_american_heston
+    sim = SimParams(n_paths=50_000, n_steps=50)
+    one = price_american_heston(sim=sim, two_pass=False)
+    two = price_american_heston(sim=sim, two_pass=True)
+    tol = 4.0 * (float(one.stderr) + float(two.stderr))
+    assert float(one.price) >= float(two.price) - tol
+
+
+def test_heston_trajectories_grids():
+    """Grid self-consistency: the trajectory kernel's terminal-payoff
+    partials are BITWISE equal to the fused Heston pricing kernel's on
+    the same stream (same step loop, same fold/Kahan order), and the
+    (S, v) grids match an eager recomputation to f32 rounding (eager vs
+    jit-fused FMA differs by ~1 ulp on a few percent of entries)."""
+    import jax.numpy as jnp
+
+    from mc_tpu import rng
+    from mc_tpu.models.heston import (DEMO_HESTON, _heston_partials_pallas,
+                                      _pack_heston, _unpack_heston,
+                                      heston_euler_step,
+                                      heston_trajectories_kernel)
+    from mc_tpu.ops import path_kernels as pk
+    from mc_tpu.ops.payoffs import get_payoff
+
+    opt = OptionParams().as_f32()
+    hes = DEMO_HESTON.as_f32()
+    n_paths, n_steps = 2048, 8
+    cfg = pk.KernelConfig(n_paths=n_paths, n_steps=n_steps, tile_rows=8)
+    params = _pack_heston(opt, hes, n_steps)
+    key = jnp.asarray(rng.derive_key(7, 0), jnp.uint32)
+    po = get_payoff("vanilla_put")
+    s_g, v_g, c_g, pay_sum, _ = heston_trajectories_kernel(po, cfg, key,
+                                                           params)
+    from mc_tpu.ops._pallas import use_interpret
+    ref_sum, _ = _heston_partials_pallas(po, cfg, key, params, 0, None,
+                                         use_interpret())
+    np.testing.assert_array_equal(np.asarray(pay_sum), np.asarray(ref_sum))
+
+    # eager recomputation of the same stream (rounding-tolerant)
+    p = _unpack_heston(params)
+    ids = jnp.arange(s_g.shape[1] * 128, dtype=jnp.uint32).reshape(
+        s_g.shape[1], 128)
+
+    def draw(j):
+        c1 = jnp.full(ids.shape, 0, jnp.uint32) + jnp.asarray(j, jnp.uint32)
+        return rng.normal_pair(jnp.uint32(key[0]), jnp.uint32(key[1]),
+                               ids, c1)
+
+    w = jnp.zeros(ids.shape, jnp.float32)
+    v = jnp.full(ids.shape, p.v0, jnp.float32)
+    for j in range(n_steps):
+        z_v, z_p = draw(j)
+        w, v = heston_euler_step(p, w, v, z_v, z_p, p.dt, p.sqrt_dt)
+        s = jnp.float32(p.s0) * jnp.exp(w)
+        np.testing.assert_allclose(np.asarray(s_g[j]).ravel(),
+                                   np.asarray(s).ravel(), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(v_g[j]).ravel(),
+                                   np.asarray(v).ravel(),
+                                   rtol=1e-4, atol=1e-7)

@@ -180,3 +180,14 @@ def test_portfolio_book_kernel():
     np.testing.assert_array_equal(np.asarray(c.price), np.asarray(x.price))
     np.testing.assert_array_equal(np.asarray(c.stderr),
                                   np.asarray(x.stderr))
+
+
+def test_heston_american_compiled_vs_interpret():
+    """Heston trajectory kernel + (S,v)-basis LSMC on the real chip."""
+    from mc_tpu.lsmc import price_american_heston
+    sim = SimParams(n_paths=8192, n_steps=8)
+    c = price_american_heston(sim=sim, tile_rows=8, interpret=False)
+    i = price_american_heston(sim=sim, tile_rows=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(c.price), np.asarray(i.price))
+    np.testing.assert_array_equal(np.asarray(c.stderr),
+                                  np.asarray(i.stderr))
