@@ -341,7 +341,7 @@ def cmd_qmc(args):
     from mc_tpu.oracle import bs_call
 
     option, sim = _parse(args)
-    res = price_qmc(option, sim, payoff=args.payoff,
+    res = price_qmc(option, sim, payoff=args.payoff, family=args.family,
                     n_shifts=args.n_shifts, engine=args.engine,
                     tile_rows=args.tile_rows)
     out = {"price": float(res.price), "stderr": float(res.stderr),
@@ -454,10 +454,12 @@ def main(argv=None):
     p.add_argument("--antithetic", action="store_true")
     p.set_defaults(fn=cmd_greeks)
 
-    p = sub.add_parser("qmc", help="randomized-QMC lattice price")
+    p = sub.add_parser("qmc", help="randomized-QMC price (lattice/Sobol)")
     _add_option_flags(p)
     p.add_argument("--payoff", default="vanilla_call")
     p.add_argument("--n-shifts", type=int, default=16)
+    p.add_argument("--family", choices=("lattice", "sobol"),
+                   default="lattice")
     p.set_defaults(fn=cmd_qmc)
 
     p = sub.add_parser("bench", help="run the benchmark harness")

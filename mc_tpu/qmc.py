@@ -1,18 +1,18 @@
-"""Randomized quasi-Monte Carlo: rank-1 lattice rules with random shifts.
+"""Randomized quasi-Monte Carlo: rank-1 lattices + Sobol digital nets.
 
-Beyond the reference (pure pseudo-random MC): for smooth integrands the
-randomly-shifted lattice estimator converges ~O(N^-1) instead of
-O(N^-1/2) — at 1M points that is orders of magnitude less error for the
-same path budget (see tests/test_qmc.py for the measured gap).
+Beyond the reference (pure pseudo-random MC): for smooth integrands a
+randomized-QMC estimator converges ~O(N^-1) instead of O(N^-1/2) — at 1M
+points that is orders of magnitude less error for the same path budget
+(see tests/test_qmc.py for the measured gap).  Two point-set families:
+rank-1 lattices with Cranley-Patterson shifts (default) and Joe-Kuo
+Sobol nets with random digital shifts (`family="sobol"`); both generate
+points IN-KERNEL from the path id (modular product / direct Gray-code
+formula) — no point matrix ever exists in memory.
 
 * Generating vectors come from a fast component-by-component (CBC)
   construction (Nuyens-Cools FFT form, O(n log n) per dimension) for the
   weighted Korobov space with the Bernoulli-B2 kernel — computed on the
   host once per (n, d) and cached.  No external direction-number tables.
-* Points are generated IN-KERNEL from the path id: u_{i,j} =
-  frac(i * z_j / n + shift_j), with the modular product done in uint32 via
-  a 10-bit split (exact for n <= 2^20) — no point matrix ever exists in
-  memory, exactly like the counter-based PRNG path.
 * Normals via the inverse CDF (`rng.inv_normal_cdf`) — Box-Muller would
   scramble the low-discrepancy structure.
 * Error estimation: R independent random shifts (threefry-derived);
@@ -41,7 +41,8 @@ from mc_tpu.ops import path_kernels as pk
 from mc_tpu.ops._pallas import LANES, SUBLANES, use_interpret
 from mc_tpu.ops.payoffs import get_payoff
 
-__all__ = ["price_qmc", "lattice_vector", "prev_prime"]
+__all__ = ["price_qmc", "lattice_vector", "prev_prime",
+           "sobol_directions", "SOBOL_BITS"]
 
 MAX_LATTICE_N = 1 << 20  # uint32 10-bit-split modmul validity bound
 
@@ -184,25 +185,85 @@ def bridge_schedule(n_steps: int):
     return (np.asarray(idx, np.int32), np.asarray(coef, np.float32))
 
 
+SOBOL_BITS = 30  # scipy's Joe-Kuo direction numbers are scaled to 2^30
+
+
+@functools.lru_cache(maxsize=8)
+def sobol_directions(d: int) -> np.ndarray:
+    """(d, 30) uint32 Joe-Kuo direction numbers (values < 2^30).
+
+    Sourced from scipy.stats.qmc.Sobol's initialized direction-number
+    matrix (the new-Joe-Kuo-6 table, up to 21201 dimensions) — the same
+    numbers every production Sobol implementation ships.  Host-side only;
+    kernels receive the flattened table in SMEM.
+    """
+    from scipy.stats import qmc as _sqmc
+    sv = np.asarray(_sqmc.Sobol(d=d, scramble=False)._sv, np.uint32)
+    if sv.shape != (d, SOBOL_BITS):
+        raise RuntimeError(f"unexpected scipy Sobol table {sv.shape}")
+    return sv
+
+
+def _sobol_u(ids, sv_ref, dshift_ref, j, bitcast):
+    """Digitally-shifted Sobol coordinate u_{i,j} in [0, 1).
+
+    Direct (non-iterative) Gray-code formula, so point i is a pure
+    function of the path id exactly like the lattice / threefry paths:
+    x_{i,j} = XOR_k bit_k(i ^ (i >> 1)) * v_{j,k}, then XOR the per-dim
+    30-bit random digital shift (the digital-net analogue of the lattice
+    Cranley-Patterson rotation - unbiased, preserves the net structure).
+    All arithmetic in int32: values stay < 2^30 (Mosaic has no u32->f32).
+    """
+    ids_i = bitcast(ids, jnp.int32)
+    gray = jax.lax.bitwise_xor(
+        ids_i, jax.lax.shift_right_logical(ids_i, jnp.int32(1)))
+    acc = jnp.zeros_like(ids_i)
+    base = jnp.asarray(j, jnp.int32) * jnp.int32(SOBOL_BITS)
+    for k in range(SOBOL_BITS):
+        bit = jax.lax.bitwise_and(
+            jax.lax.shift_right_logical(gray, jnp.int32(k)), jnp.int32(1))
+        acc = jax.lax.bitwise_xor(acc, sv_ref[base + jnp.int32(k)] * bit)
+    acc = jax.lax.bitwise_xor(acc, dshift_ref[j])
+    bits32 = bitcast(jax.lax.shift_left(acc, jnp.int32(2)), jnp.uint32)
+    return rng.bits_to_unit(bits32, bitcast)
+
+
+def _point_u_factory(family: str, zvec_ref, shift_ref, n: int, bitcast):
+    """u(ids, j): coordinate j of point-set ``family`` for path-id tile.
+
+    lattice: zvec_ref = generating vector, shift_ref = f32 uniform shifts.
+    sobol:   zvec_ref = flattened (d*30,) direction table, shift_ref =
+             (d,) int32 digital shifts.
+    """
+    if family == "lattice":
+        return lambda ids, j: _lattice_u(ids, zvec_ref[j], shift_ref[j], n,
+                                         bitcast)
+    if family == "sobol":
+        return lambda ids, j: _sobol_u(ids, zvec_ref, shift_ref, j, bitcast)
+    raise ValueError(f"unknown QMC family {family!r}")
+
+
 def _qmc_draw_pair_factory(ids, zvec_ref, shift_ref, n: int, method: str,
-                           bitcast=jax.lax.bitcast_convert_type):
+                           bitcast=jax.lax.bitcast_convert_type,
+                           family: str = "lattice"):
     """draw_pair(m) -> inverse-CDF normals for dimensions (2m, 2m+1)."""
+    u_fn = _point_u_factory(family, zvec_ref, shift_ref, n, bitcast)
 
     def draw_pair(m):
         m2 = jnp.asarray(m, jnp.int32) * 2
         if method == "terminal":
-            u0 = _lattice_u(ids, zvec_ref[0], shift_ref[0], n, bitcast)
+            u0 = u_fn(ids, jnp.int32(0))
             return rng.inv_normal_cdf(u0), jnp.zeros_like(u0)
-        u0 = _lattice_u(ids, zvec_ref[m2], shift_ref[m2], n, bitcast)
-        u1 = _lattice_u(ids, zvec_ref[m2 + 1], shift_ref[m2 + 1], n, bitcast)
+        u0 = u_fn(ids, m2)
+        u1 = u_fn(ids, m2 + 1)
         return rng.inv_normal_cdf(u0), rng.inv_normal_cdf(u1)
 
     return draw_pair
 
 
 def _xla_qmc_shift_sum(payoff, cfg: pk.KernelConfig, option, zvec, shifts,
-                       n: int):
-    """Payoff sum over the n lattice points for ONE random shift."""
+                       n: int, family: str = "lattice"):
+    """Payoff sum over the n QMC points for ONE random shift."""
     p = _payoff_namespace(option, cfg.n_steps)
     shape = (cfg.tile_rows, LANES)
     flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
@@ -212,7 +273,8 @@ def _xla_qmc_shift_sum(payoff, cfg: pk.KernelConfig, option, zvec, shifts,
         acc, comp = carry
         ids = jnp.uint32(i * cfg.paths_per_tile) + flat
         valid = ids < jnp.uint32(n)
-        draw_pair = _qmc_draw_pair_factory(ids, zvec, shifts, n, cfg.method)
+        draw_pair = _qmc_draw_pair_factory(ids, zvec, shifts, n, cfg.method,
+                                           family=family)
         s0 = jnp.full(shape, p.s0, jnp.float32)
         pay, _ = pk._payoff_leg(payoff, cfg, p, s0, draw_pair)
         pay = jnp.where(valid, pay, 0.0)
@@ -227,15 +289,17 @@ def _xla_qmc_shift_sum(payoff, cfg: pk.KernelConfig, option, zvec, shifts,
     return jnp.sum(acc.astype(jnp.float32))
 
 
-def _bridge_normals_xla(ids, zvec, shifts, n, n_steps, bidx, bcoef):
+def _bridge_normals_xla(ids, zvec, shifts, n, n_steps, bidx, bcoef,
+                        family: str = "lattice"):
     """W-buffer construction (functional): returns per-step z array
     (n_steps, *ids.shape) with z_j = W[j+1] - W[j]."""
     shape = ids.shape
     w = jnp.zeros((n_steps + 1,) + shape, jnp.float32)
+    u_fn = _point_u_factory(family, zvec, shifts, n,
+                            jax.lax.bitcast_convert_type)
 
     def entry(k, w):
-        u = _lattice_u(ids, zvec[k], shifts[k], n)
-        z = rng.inv_normal_cdf(u)
+        z = rng.inv_normal_cdf(u_fn(ids, k))
         m, l, r = bidx[k, 0], bidx[k, 1], bidx[k, 2]
         val = (bcoef[k, 0] * w[l] + bcoef[k, 1] * w[r] + bcoef[k, 2] * z)
         return w.at[m].set(val)
@@ -245,7 +309,7 @@ def _bridge_normals_xla(ids, zvec, shifts, n, n_steps, bidx, bcoef):
 
 
 def _xla_qmc_bridge_shift_sum(payoff, cfg, option, zvec, shifts, n, bidx,
-                              bcoef):
+                              bcoef, family: str = "lattice"):
     p = _payoff_namespace(option, cfg.n_steps)
     shape = (cfg.tile_rows, LANES)
     flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
@@ -256,7 +320,7 @@ def _xla_qmc_bridge_shift_sum(payoff, cfg, option, zvec, shifts, n, bidx,
         ids = jnp.uint32(i * cfg.paths_per_tile) + flat
         valid = ids < jnp.uint32(n)
         zs = _bridge_normals_xla(ids, zvec, shifts, n, cfg.n_steps, bidx,
-                                 bcoef)
+                                 bcoef, family)
         # same index clamp as the kernel (odd-n_steps epilogue)
         draw_pair = lambda m: (zs[2 * m],
                                zs[jnp.minimum(2 * m + 1, cfg.n_steps - 1)])
@@ -274,7 +338,8 @@ def _xla_qmc_bridge_shift_sum(payoff, cfg, option, zvec, shifts, n, bidx,
     return jnp.sum(acc.astype(jnp.float32))
 
 
-def _make_qmc_bridge_kernel(payoff, cfg: pk.KernelConfig, n: int):
+def _make_qmc_bridge_kernel(payoff, cfg: pk.KernelConfig, n: int,
+                            family: str = "lattice"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -292,10 +357,11 @@ def _make_qmc_bridge_kernel(payoff, cfg: pk.KernelConfig, n: int):
         # Build the bridge in VMEM scratch: W[0] = 0, entries in BFS order.
         w_ref[0] = jnp.zeros(shape, jnp.float32)
 
+        u_fn = _point_u_factory(family, zvec_ref, shift_ref, n,
+                                pltpu.bitcast)
+
         def entry(k, _):
-            u = _lattice_u(ids, zvec_ref[k], shift_ref[k], n,
-                           bitcast=pltpu.bitcast)
-            z = rng.inv_normal_cdf(u)
+            z = rng.inv_normal_cdf(u_fn(ids, k))
             m, l, r = bidx_ref[k, 0], bidx_ref[k, 1], bidx_ref[k, 2]
             w_ref[m] = (bcoef_ref[k, 0] * w_ref[l]
                         + bcoef_ref[k, 1] * w_ref[r]
@@ -331,12 +397,13 @@ def _make_qmc_bridge_kernel(payoff, cfg: pk.KernelConfig, n: int):
 
 
 def _pallas_qmc_bridge_shift_sum(payoff, cfg, params, zvec, shifts, n,
-                                 bidx, bcoef, interpret):
+                                 bidx, bcoef, interpret,
+                                 family: str = "lattice"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     acc = pl.pallas_call(
-        _make_qmc_bridge_kernel(payoff, cfg, n),
+        _make_qmc_bridge_kernel(payoff, cfg, n, family),
         grid=(cfg.n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
         out_specs=pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
@@ -351,7 +418,8 @@ def _pallas_qmc_bridge_shift_sum(payoff, cfg, params, zvec, shifts, n,
     return jnp.sum(acc)
 
 
-def _make_qmc_kernel(payoff, cfg: pk.KernelConfig, n: int):
+def _make_qmc_kernel(payoff, cfg: pk.KernelConfig, n: int,
+                     family: str = "lattice"):
     from jax.experimental import pallas as pl  # local: kernel-build only
     from jax.experimental.pallas import tpu as pltpu
 
@@ -367,7 +435,8 @@ def _make_qmc_kernel(payoff, cfg: pk.KernelConfig, n: int):
         from jax.experimental.pallas import tpu as _pltpu
         draw_pair = _qmc_draw_pair_factory(ids, zvec_ref, shift_ref, n,
                                            cfg.method,
-                                           bitcast=_pltpu.bitcast)
+                                           bitcast=_pltpu.bitcast,
+                                           family=family)
         s0 = jnp.full(shape, p.s0, jnp.float32)
         pay, _ = pk._payoff_leg(payoff, cfg, p, s0, draw_pair)
         pay = jnp.where(valid, pay, 0.0)
@@ -388,12 +457,13 @@ def _make_qmc_kernel(payoff, cfg: pk.KernelConfig, n: int):
 
 
 def _pallas_qmc_shift_sum(payoff, cfg: pk.KernelConfig, params, zvec,
-                          shifts, n: int, interpret):
+                          shifts, n: int, interpret,
+                          family: str = "lattice"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     acc = pl.pallas_call(
-        _make_qmc_kernel(payoff, cfg, n),
+        _make_qmc_kernel(payoff, cfg, n, family),
         grid=(cfg.n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
         out_specs=pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
@@ -408,9 +478,9 @@ def _pallas_qmc_shift_sum(payoff, cfg: pk.KernelConfig, params, zvec,
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "n", "n_steps", "method", "engine",
-                     "tile_rows", "bridge", "interpret"))
+                     "tile_rows", "bridge", "interpret", "family"))
 def _price_qmc_impl(option, payoff, n, n_steps, method, engine, tile_rows,
-                    bridge, interpret, zvec, shifts):
+                    bridge, interpret, zvec, shifts, family="lattice"):
     if interpret is None:
         interpret = use_interpret()
     cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=tile_rows,
@@ -425,15 +495,16 @@ def _price_qmc_impl(option, payoff, n, n_steps, method, engine, tile_rows,
         if bridge and engine == "pallas":
             s = _pallas_qmc_bridge_shift_sum(payoff, cfg, params, zvec,
                                              shift, n, bidx, bcoef,
-                                             interpret)
+                                             interpret, family)
         elif bridge:
             s = _xla_qmc_bridge_shift_sum(payoff, cfg, option, zvec, shift,
-                                          n, bidx, bcoef)
+                                          n, bidx, bcoef, family)
         elif engine == "pallas":
             s = _pallas_qmc_shift_sum(payoff, cfg, params, zvec, shift, n,
-                                      interpret)
+                                      interpret, family)
         else:
-            s = _xla_qmc_shift_sum(payoff, cfg, option, zvec, shift, n)
+            s = _xla_qmc_shift_sum(payoff, cfg, option, zvec, shift, n,
+                                   family)
         return s / jnp.float32(n)
 
     means = jax.lax.map(one_shift, shifts)          # (R,) per-shift means
@@ -459,17 +530,24 @@ def price_qmc(option: OptionParams = DEMO_OPTION,
               n_shifts: int = 16,
               method: Optional[str] = None,
               engine: str = "pallas",
+              family: str = "lattice",
               tile_rows: int = 256,
               gamma: float = 0.1,
               bridge: bool = False,
               stream: int = STREAM_OUTER,
               interpret: Optional[bool] = None) -> PriceResult:
-    """Randomized-QMC price: rank-1 lattice, `n_shifts` random shifts.
+    """Randomized-QMC price with `n_shifts` independent randomizations.
 
-    Uses the largest prime <= sim.n_paths as the lattice size (capped at
-    2^20 per shift; raise n_shifts rather than n for bigger budgets —
-    total samples = n * n_shifts).  stderr comes from the spread of the
-    independent shift estimates.
+    family="lattice" (default): rank-1 lattice of the largest prime
+    <= sim.n_paths (capped at 2^20), Cranley-Patterson random shifts.
+    family="sobol": Joe-Kuo Sobol digital net of the largest power of two
+    <= sim.n_paths (capped at 2^20), random 30-bit DIGITAL shifts (XOR) —
+    the digital-net analogue of the rotation, equally unbiased.
+    Raise n_shifts rather than n for bigger budgets — total samples =
+    n * n_shifts.  stderr comes from the spread of the independent
+    randomized estimates.  Points are generated in-kernel from the path
+    id for both families (direct Gray-code formula for Sobol — no point
+    matrix in memory).
     """
     po = get_payoff(payoff)
     if method is None:
@@ -480,7 +558,12 @@ def price_qmc(option: OptionParams = DEMO_OPTION,
         raise ValueError("n_shifts >= 2 required for an error estimate")
     if bridge and method != "euler":
         raise ValueError("bridge=True requires method='euler'")
-    n = prev_prime(sim.n_paths)
+    if family not in ("lattice", "sobol"):
+        raise ValueError(f"unknown QMC family {family!r}")
+    if family == "sobol":
+        n = 1 << min(int(math.log2(max(sim.n_paths, 2))), 20)
+    else:
+        n = prev_prime(sim.n_paths)
     d = 1 if method == "terminal" else sim.n_steps
     if bridge:
         # The bridge kernel holds a (n_steps+1, tile_rows, 128) f32 VMEM
@@ -488,16 +571,21 @@ def price_qmc(option: OptionParams = DEMO_OPTION,
         # any step count (tile_rows=256 with n_steps=100 would be ~13 MB).
         cap = max(8, (8192 // (sim.n_steps + 1)) // 8 * 8)
         tile_rows = min(tile_rows, cap)
-    # int32 (values < 2^20): Mosaic kernels cannot cast u32 scalars
-    zvec = jnp.asarray(lattice_vector(n, d, gamma).astype(np.int32))
-
-    # Random shifts from the threefry stream: (R, d) uniforms.
     key = rng.derive_key(sim.seed, stream, 0x51AC)
     sidx = jnp.arange(n_shifts * d, dtype=jnp.uint32)
     bits, _ = rng.threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
                                sidx, jnp.zeros_like(sidx))
-    shifts = rng.bits_to_unit(bits).reshape(n_shifts, d)
+    if family == "sobol":
+        # flattened (d*30,) direction table + (R, d) 30-bit digital shifts
+        # — int32 throughout (values < 2^30; Mosaic has no u32 scalars).
+        zvec = jnp.asarray(sobol_directions(d).reshape(-1).astype(np.int32))
+        shifts = jax.lax.shift_right_logical(
+            bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, d)
+    else:
+        # int32 (values < 2^20): Mosaic kernels cannot cast u32 scalars
+        zvec = jnp.asarray(lattice_vector(n, d, gamma).astype(np.int32))
+        shifts = rng.bits_to_unit(bits).reshape(n_shifts, d)
 
     return _price_qmc_impl(option.as_f32(), po, n, sim.n_steps, method,
                            engine, tile_rows, bridge, interpret, zvec,
-                           shifts)
+                           shifts, family)

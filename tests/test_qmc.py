@@ -155,3 +155,69 @@ def test_bridge_vmem_cap_on_default_tile_rows():
     r = price_qmc(sim=sim, method="euler", n_shifts=2, engine="pallas",
                   bridge=True)  # default tile_rows -> capped at 80
     assert np.isfinite(float(r.price)) and float(r.stderr) > 0
+
+
+# --- Sobol digital-net family --------------------------------------------
+
+def test_sobol_directions_match_scipy_points():
+    """Our direct Gray-code formula with the extracted direction table
+    reproduces scipy's first Sobol points exactly."""
+    from scipy.stats import qmc as sqmc
+
+    from mc_tpu.qmc import SOBOL_BITS, sobol_directions
+    pts = sqmc.Sobol(d=5, scramble=False).random(16)
+    sv = sobol_directions(5)
+
+    def direct(i, j):
+        g = i ^ (i >> 1)
+        acc = 0
+        for k in range(SOBOL_BITS):
+            if (g >> k) & 1:
+                acc ^= int(sv[j, k])
+        return acc / 2.0 ** SOBOL_BITS
+
+    ours = np.array([[direct(i, j) for j in range(5)] for i in range(16)])
+    np.testing.assert_allclose(ours, pts, atol=1e-12)
+
+
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_sobol_unbiased_terminal(engine):
+    res = price_qmc(sim=SimParams(n_paths=4096, n_steps=10), n_shifts=8,
+                    family="sobol", engine=engine, tile_rows=8)
+    assert abs(float(res.price) - BS) <= 4.0 * float(res.stderr) + 5e-3
+
+
+def test_sobol_engines_bitwise():
+    kw = dict(sim=SimParams(n_paths=2048, n_steps=4), n_shifts=4,
+              family="sobol", tile_rows=8, method="euler")
+    a = price_qmc(engine="pallas", **kw)
+    b = price_qmc(engine="xla", **kw)
+    assert float(a.price) == float(b.price)
+
+
+def test_sobol_beats_mc_at_same_budget():
+    n, shifts = 4096, 16
+    s = price_qmc(sim=SimParams(n_paths=n, n_steps=10), n_shifts=shifts,
+                  family="sobol", engine="xla", tile_rows=8)
+    mc = price(sim=SimParams(n_paths=n * shifts, n_steps=10), engine="xla",
+               method="terminal", tile_rows=8)
+    assert float(s.stderr) < 0.5 * float(mc.stderr), (
+        float(s.stderr), float(mc.stderr))
+    assert abs(float(s.price) - BS) < 5e-2
+
+
+def test_sobol_bridge_asian():
+    """Sobol + Brownian bridge on the Asian call: valid price, and the
+    canonical digital-net/bridge combination runs through both engines."""
+    sim = SimParams(n_paths=8192, n_steps=16)
+    a = price_qmc(sim=sim, payoff="asian_call", n_shifts=8, family="sobol",
+                  engine="pallas", tile_rows=8, bridge=True)
+    b = price_qmc(sim=sim, payoff="asian_call", n_shifts=8, family="sobol",
+                  engine="xla", tile_rows=8, bridge=True)
+    assert float(a.price) == float(b.price)
+    assert 0.0 < float(a.price) < BS and float(a.stderr) > 0
+
+
+def test_sobol_family_guard():
+    with pytest.raises(ValueError, match="family"):
+        price_qmc(family="halton")

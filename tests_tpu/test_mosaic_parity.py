@@ -191,3 +191,17 @@ def test_heston_american_compiled_vs_interpret():
     np.testing.assert_array_equal(np.asarray(c.price), np.asarray(i.price))
     np.testing.assert_array_equal(np.asarray(c.stderr),
                                   np.asarray(i.stderr))
+
+
+def test_qmc_sobol():
+    from mc_tpu.qmc import price_qmc
+    sim = SimParams(n_paths=2048, n_steps=8)
+    _assert_tri(*_tri(price_qmc, sim=sim, method="euler", n_shifts=4,
+                      tile_rows=8, family="sobol"))
+
+
+def test_qmc_sobol_bridge():
+    from mc_tpu.qmc import price_qmc
+    sim = SimParams(n_paths=2048, n_steps=8)
+    _assert_tri(*_tri(price_qmc, sim=sim, method="euler", n_shifts=4,
+                      tile_rows=8, family="sobol", bridge=True))
