@@ -37,7 +37,8 @@ from mc_tpu.ops._pallas import LANES, cdiv, round_up
 from mc_tpu.ops.payoffs import get_payoff
 from mc_tpu.ops.reduce import finish_sum
 
-__all__ = ["make_mesh", "price_sharded", "shard_bounds"]
+__all__ = ["make_mesh", "price_sharded", "price_qmc_sharded",
+           "price_portfolio_sharded", "shard_bounds"]
 
 PATHS_AXIS = "paths"
 
@@ -180,3 +181,205 @@ def price_sharded(option: OptionParams = DEMO_OPTION,
         option.as_f32(), po, sim.replace(seed=0), mesh, engine, antithetic,
         control_variate, tile_rows, rng_source, method, interpret, key,
         float(importance_shift))
+
+
+# ---------------------------------------------------------------------------
+# Sharded randomized QMC: the randomization axis (independent shifts) is
+# the natural multi-chip axis — each chip evaluates the FULL point set for
+# its share of shifts, so the per-shift means are bit-identical to the
+# single-chip ones and scaling raises the shift budget linearly (the
+# documented way to grow a QMC budget: more shifts, not more points).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "n", "n_steps", "method", "engine",
+                     "tile_rows", "bridge", "family", "interpret", "mesh"))
+def _qmc_sharded_impl(option, payoff, n, n_steps, method, engine, tile_rows,
+                      bridge, family, interpret, mesh, zvec, shifts):
+    from mc_tpu.ops._pallas import use_interpret
+    from mc_tpu.qmc import _shift_mean_fn
+
+    if interpret is None:
+        interpret = use_interpret()
+    cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=tile_rows,
+                          method=method)
+    params = pk.pack_params(option, n_steps)
+
+    def shard_fn(zvec, shifts_local, params):
+        one_shift = _shift_mean_fn(payoff, cfg, option, params, zvec, n,
+                                   engine, bridge, family, interpret)
+        means_local = jax.lax.map(one_shift, shifts_local)
+        return jax.lax.all_gather(means_local, PATHS_AXIS, tiled=True)
+
+    means = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(PATHS_AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(zvec, shifts, params)
+
+    # identical finish to the single-chip _price_qmc_impl
+    r_reps = shifts.shape[0]
+    mean = jnp.mean(means)
+    var = jnp.sum((means - mean) ** 2) / jnp.float32(max(r_reps - 1, 1))
+    r = jnp.asarray(option.r, jnp.float32)
+    t = jnp.asarray(option.t, jnp.float32)
+    discount = jnp.exp(-r * t)
+    return PriceResult(
+        price=discount * mean,
+        stderr=discount * jnp.sqrt(var / r_reps),
+        n_paths=jnp.float32(n * r_reps),
+        payoff_mean=mean,
+        payoff_var=var,
+    )
+
+
+def price_qmc_sharded(option: OptionParams = DEMO_OPTION,
+                      sim: SimParams = DEMO_SIM,
+                      payoff="vanilla_call",
+                      *,
+                      mesh: Optional[Mesh] = None,
+                      n_shifts: int = 16,
+                      method: Optional[str] = None,
+                      engine: str = "pallas",
+                      family: str = "lattice",
+                      tile_rows: int = 256,
+                      gamma: float = 0.1,
+                      bridge: bool = False,
+                      stream: int = 0,
+                      interpret: Optional[bool] = None) -> PriceResult:
+    """Multi-chip randomized QMC: shifts sharded over the mesh.
+
+    ``n_shifts`` is rounded up to a multiple of the mesh size; per-shift
+    means are BIT-identical to `price_qmc`'s (each chip evaluates the full
+    point set for its shifts), so at equal n_shifts the two APIs agree
+    exactly regardless of mesh size.
+    """
+    import math as _math
+
+    from mc_tpu import qmc as q
+    mesh = mesh if mesh is not None else make_mesh()
+    n_shards = mesh.devices.size
+    n_shifts = cdiv(n_shifts, n_shards) * n_shards
+    po = get_payoff(payoff)
+    if method is None:
+        method = "terminal" if po.terminal_only else "euler"
+    if po.n_state > 0 and method == "terminal":
+        raise ValueError(f"{po.name} is path-dependent; "
+                         "method='terminal' invalid")
+    if n_shifts < 2:
+        raise ValueError("n_shifts >= 2 required for an error estimate")
+    if bridge and method != "euler":
+        raise ValueError("bridge=True requires method='euler'")
+    if family == "sobol":
+        n = 1 << min(int(_math.log2(max(sim.n_paths, 2))), 20)
+    else:
+        n = q.prev_prime(sim.n_paths)
+    d = 1 if method == "terminal" else sim.n_steps
+    if bridge:
+        cap = max(8, (8192 // (sim.n_steps + 1)) // 8 * 8)
+        tile_rows = min(tile_rows, cap)
+
+    import numpy as np
+    key = rng.derive_key(sim.seed, stream, 0x51AC)
+    sidx = jnp.arange(n_shifts * d, dtype=jnp.uint32)
+    bits, _ = rng.threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
+                               sidx, jnp.zeros_like(sidx))
+    if family == "sobol":
+        zvec = jnp.asarray(
+            q.sobol_directions(d).reshape(-1).astype(np.int32))
+        shifts = jax.lax.shift_right_logical(
+            bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, d)
+    else:
+        zvec = jnp.asarray(q.lattice_vector(n, d, gamma).astype(np.int32))
+        shifts = rng.bits_to_unit(bits).reshape(n_shifts, d)
+
+    return _qmc_sharded_impl(option.as_f32(), po, n, sim.n_steps, method,
+                             engine, tile_rows, bridge, family, interpret,
+                             mesh, zvec, shifts)
+
+
+# ---------------------------------------------------------------------------
+# Sharded batched-book pricing: paths data-parallel over the mesh, the
+# whole B-contract book in one kernel per chip, one psum of the (B,8,128)
+# moment slabs over ICI.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "mesh", "method", "antithetic",
+                     "tile_rows", "interpret"))
+def _book_sharded_impl(opts32, payoff, sim, mesh, method, antithetic,
+                       tile_rows, interpret, key):
+    from mc_tpu.oracle import summarize as _summarize
+
+    n_shards = mesh.devices.size
+    n_local = shard_bounds(sim.n_paths, n_shards, tile_rows)
+    b = jax.tree_util.tree_leaves(opts32)[0].shape[0]
+    cfg = pk.KernelConfig(n_paths=n_local, n_steps=sim.n_steps,
+                          tile_rows=tile_rows, antithetic=antithetic,
+                          method=method)
+    params_rows = jax.vmap(
+        lambda o: pk.pack_params(o, sim.n_steps))(opts32)
+    n_total = jnp.uint32(sim.n_paths)
+
+    def shard_fn(key, params_rows, n_total):
+        rank = jax.lax.axis_index(PATHS_AXIS).astype(jnp.uint32)
+        offset = rank * jnp.uint32(n_local)
+        sums, sqs = pk.simulate_book_partials(
+            payoff, cfg, b, key, params_rows, path_offset=offset,
+            n_valid=n_total, interpret=interpret)
+        return (jax.lax.psum(sums, PATHS_AXIS),
+                jax.lax.psum(sqs, PATHS_AXIS))
+
+    sums, sqs = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(key, params_rows, n_total)
+
+    s = jax.vmap(finish_sum)(sums)
+    sq = jax.vmap(finish_sum)(sqs)
+    r = jnp.asarray(opts32.r, jnp.float32)
+    t = jnp.asarray(opts32.t, r.dtype)
+    n = jnp.full((b,), sim.n_paths, jnp.float32)
+    return _summarize(s, sq, n, jnp.exp(-r * t))
+
+
+def price_portfolio_sharded(options: OptionParams,
+                            sim: SimParams = DEMO_SIM,
+                            payoff="vanilla_call",
+                            *,
+                            mesh: Optional[Mesh] = None,
+                            method: Optional[str] = None,
+                            antithetic: bool = False,
+                            tile_rows: int = 256,
+                            stream: int = 0,
+                            key=None) -> PriceResult:
+    """Multi-chip book pricing: paths sharded, one batched kernel per chip.
+
+    Returns a PriceResult of (B,)-shaped arrays like `price_portfolio`;
+    common random numbers across the whole book AND the whole mesh (the
+    counter-based stream is keyed by global path id).
+    """
+    mesh = mesh if mesh is not None else make_mesh()
+    po = get_payoff(payoff)
+    if method is None:
+        method = "terminal" if po.terminal_only else "euler"
+    if po.n_state > 0 and method == "terminal":
+        raise ValueError(f"{po.name} is path-dependent; "
+                         "method='terminal' invalid")
+    tile_rows = pk.book_tile_rows(tile_rows, sim.n_steps, method)
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
+    opts32 = jax.tree_util.tree_map(
+        lambda x: jnp.atleast_1d(jnp.asarray(x, jnp.float32)), options)
+    b = max(int(x.shape[0]) for x in jax.tree_util.tree_leaves(opts32))
+    opts32 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (b,)), opts32)
+    return _book_sharded_impl(opts32, po, sim.replace(seed=0), mesh,
+                              method, antithetic, tile_rows, None, key)

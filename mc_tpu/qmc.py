@@ -475,19 +475,12 @@ def _pallas_qmc_shift_sum(payoff, cfg: pk.KernelConfig, params, zvec,
     return jnp.sum(acc)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("payoff", "n", "n_steps", "method", "engine",
-                     "tile_rows", "bridge", "interpret", "family"))
-def _price_qmc_impl(option, payoff, n, n_steps, method, engine, tile_rows,
-                    bridge, interpret, zvec, shifts, family="lattice"):
-    if interpret is None:
-        interpret = use_interpret()
-    cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=tile_rows,
-                          method=method)
-    params = pk.pack_params(option, n_steps)
+def _shift_mean_fn(payoff, cfg, option, params, zvec, n, engine, bridge,
+                   family, interpret):
+    """one_shift(shift) -> per-shift payoff mean; the ONE dispatch shared
+    by the single-chip impl and the shift-sharded multi-chip impl."""
     if bridge:
-        bidx_np, bcoef_np = bridge_schedule(n_steps)
+        bidx_np, bcoef_np = bridge_schedule(cfg.n_steps)
         bidx = jnp.asarray(bidx_np)
         bcoef = jnp.asarray(bcoef_np)
 
@@ -507,6 +500,22 @@ def _price_qmc_impl(option, payoff, n, n_steps, method, engine, tile_rows,
                                    family)
         return s / jnp.float32(n)
 
+    return one_shift
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "n", "n_steps", "method", "engine",
+                     "tile_rows", "bridge", "interpret", "family"))
+def _price_qmc_impl(option, payoff, n, n_steps, method, engine, tile_rows,
+                    bridge, interpret, zvec, shifts, family="lattice"):
+    if interpret is None:
+        interpret = use_interpret()
+    cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=tile_rows,
+                          method=method)
+    params = pk.pack_params(option, n_steps)
+    one_shift = _shift_mean_fn(payoff, cfg, option, params, zvec, n,
+                               engine, bridge, family, interpret)
     means = jax.lax.map(one_shift, shifts)          # (R,) per-shift means
     r_reps = shifts.shape[0]
     mean = jnp.mean(means)

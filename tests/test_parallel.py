@@ -126,3 +126,55 @@ def test_sharded_importance_sampling(mesh):
                    importance_shift=shift)
     assert float(res.payoff_mean) == pytest.approx(
         float(single.payoff_mean), rel=2e-6)
+
+
+def test_sharded_qmc_bitwise_mesh_invariant(mesh):
+    """Shift-sharded QMC: per-shift means are computed identically on
+    every chip, so the price is BIT-identical across mesh sizes AND to
+    the single-chip price_qmc at equal n_shifts."""
+    from mc_tpu.parallel import price_qmc_sharded
+    from mc_tpu.qmc import price_qmc
+    sim = SimParams(n_paths=4096, n_steps=8)
+    a = price_qmc_sharded(sim=sim, mesh=mesh, n_shifts=8, tile_rows=8)
+    b = price_qmc_sharded(sim=sim, mesh=make_mesh(jax.devices()[:1]),
+                          n_shifts=8, tile_rows=8)
+    c = price_qmc(sim=sim, n_shifts=8, tile_rows=8)
+    assert float(a.price) == float(b.price) == float(c.price)
+    assert float(a.stderr) == float(c.stderr)
+
+
+def test_sharded_qmc_sobol_bridge(mesh):
+    from mc_tpu.parallel import price_qmc_sharded
+    from mc_tpu.oracle import bs_call
+    sim = SimParams(n_paths=4096, n_steps=8)
+    r = price_qmc_sharded(sim=sim, mesh=mesh, n_shifts=8, tile_rows=8,
+                          family="sobol", bridge=True, method="euler")
+    bs = float(bs_call(100.0, 100.0, 1.0, 0.1, 0.2))
+    assert abs(float(r.price) - bs) <= 5.0 * float(r.stderr) + 5e-3
+
+
+def test_sharded_book_matches_single_chip(mesh):
+    """Paths-sharded batched book: mesh-size invariant to reduce-order
+    rounding and equal to the single-chip batched kernel."""
+    from mc_tpu import OptionParams
+    from mc_tpu.engines import price_portfolio
+    from mc_tpu.parallel import price_portfolio_sharded
+    book = OptionParams(
+        s0=np.full(4, 100.0, np.float32),
+        k=np.array([90.0, 100.0, 110.0, 100.0], np.float32),
+        sigma=np.full(4, 0.2, np.float32),
+        p1=np.full(4, 1.0, np.float32), p2=np.full(4, 6.0, np.float32))
+    sim = SimParams(n_paths=4096, n_steps=8)
+    a = price_portfolio_sharded(book, sim, "bullet_call", mesh=mesh,
+                                tile_rows=8)
+    b = price_portfolio_sharded(book, sim, "bullet_call",
+                                mesh=make_mesh(jax.devices()[:1]),
+                                tile_rows=8)
+    c = price_portfolio(book, sim, "bullet_call", engine="pallas",
+                        tile_rows=8)
+    np.testing.assert_allclose(np.asarray(a.price), np.asarray(b.price),
+                               rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(a.price), np.asarray(c.price),
+                               rtol=2e-6)
+    # CRN: the two k=100 contracts are bit-equal even across the mesh
+    assert float(a.price[1]) == float(a.price[3])
