@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from types import SimpleNamespace
 from typing import Any, Optional, Sequence
 
 import jax
@@ -41,6 +42,12 @@ from mc_tpu.ops.reduce import finish_sum
 
 __all__ = ["price_heston_mlmc", "MLMCResult", "heston_level_moments"]
 
+# Path-dependent payoffs whose functional refines with the grid (each
+# level prices a finer discretization of the SAME continuous contract) —
+# Giles 2008's Asian/lookback setting.  Step-grid-defined contracts
+# (bullet window, discrete knock-out count) are rejected.
+_MLMC_PATH_OK = {"asian_call", "lookback_call", "up_out_call"}
+
 
 def _coupled_level_tile(payoff, p, ids, valid, k0, k1, n_fine: int,
                         coupled: bool):
@@ -51,7 +58,13 @@ def _coupled_level_tile(payoff, p, ids, valid, k0, k1, n_fine: int,
     half resolution.  For level 0 (coupled=False) only the fine path runs;
     an odd n_fine there gets an epilogue substep so e.g. n0=1 integrates
     the full horizon instead of silently taking zero steps.
-    Terminal payoff only (European under Heston).
+
+    Path-dependent payoffs (Asian mean, lookback max — Giles's original
+    test cases) are supported: each leg carries its own payoff state,
+    updated on ITS OWN grid, and evaluates the level's discretization of
+    the continuous functional (per-leg dt / inv_n_steps in the params
+    namespace).  Level-DEFINED contracts (the bullet's step-count window)
+    are not grid-refinable and are rejected upstream.
     """
     if coupled and n_fine % 2:
         raise ValueError(
@@ -64,36 +77,52 @@ def _coupled_level_tile(payoff, p, ids, valid, k0, k1, n_fine: int,
     dt_c = dt_f * 2.0
     sq_c = jnp.sqrt(dt_c)
     inv_sqrt2 = jnp.float32(0.7071067811865476)
+    track_state = payoff.n_state > 0
+    pf = SimpleNamespace(**{**p.__dict__, "dt": dt_f,
+                            "inv_n_steps": 1.0 / n_fine})
+    pc = SimpleNamespace(**{**p.__dict__, "dt": dt_c,
+                            "inv_n_steps": 2.0 / max(n_fine, 2)})
 
     def draw(j):
         c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(j, jnp.uint32)
         return rng.normal_pair(k0, k1, ids, c1)
 
+    zero = jnp.zeros(shape, jnp.float32)
+    v0 = jnp.full(shape, p.v0, jnp.float32)
+    st_f0 = payoff.init(pf, zero)
+    st_c0 = payoff.init(pc, zero)
+
+    def fine_sub(wf, vf, st_f, z_v, z_p):
+        wf, vf = heston_euler_step(p, wf, vf, z_v, z_p, dt_f, sq_f)
+        if track_state:
+            st_f = payoff.update(st_f, p.s0 * jnp.exp(wf), pf)
+        return wf, vf, st_f
+
     def body(k, carry):
-        wf, vf, wc, vc = carry
+        wf, vf, wc, vc, st_f, st_c = carry
         z_v0, z_p0 = draw(2 * k)
         z_v1, z_p1 = draw(2 * k + 1)
-        wf, vf = heston_euler_step(p, wf, vf, z_v0, z_p0, dt_f, sq_f)
-        wf, vf = heston_euler_step(p, wf, vf, z_v1, z_p1, dt_f, sq_f)
+        wf, vf, st_f = fine_sub(wf, vf, st_f, z_v0, z_p0)
+        wf, vf, st_f = fine_sub(wf, vf, st_f, z_v1, z_p1)
         if coupled:
             zc_v = (z_v0 + z_v1) * inv_sqrt2
             zc_p = (z_p0 + z_p1) * inv_sqrt2
             wc, vc = heston_euler_step(p, wc, vc, zc_v, zc_p, dt_c, sq_c)
-        return (wf, vf, wc, vc)
+            if track_state:
+                st_c = payoff.update(st_c, p.s0 * jnp.exp(wc), pc)
+        return (wf, vf, wc, vc, st_f, st_c)
 
-    zero = jnp.zeros(shape, jnp.float32)
-    v0 = jnp.full(shape, p.v0, jnp.float32)
-    wf, vf, wc, vc = jax.lax.fori_loop(
-        0, n_fine // 2, body, (zero, v0, zero, v0))
+    wf, vf, wc, vc, st_f, st_c = jax.lax.fori_loop(
+        0, n_fine // 2, body, (zero, v0, zero, v0, st_f0, st_c0))
     if n_fine % 2:
         # uncoupled odd tail: the pair loop covered draws 0..n_fine-2
         z_v, z_p = draw(n_fine - 1)
-        wf, vf = heston_euler_step(p, wf, vf, z_v, z_p, dt_f, sq_f)
+        wf, vf, st_f = fine_sub(wf, vf, st_f, z_v, z_p)
     s_f = p.s0 * jnp.exp(wf)
-    pay = payoff.terminal((), s_f, p)
+    pay = payoff.terminal(st_f, s_f, pf)
     if coupled:
         s_c = p.s0 * jnp.exp(wc)
-        pay = pay - payoff.terminal((), s_c, p)
+        pay = pay - payoff.terminal(st_c, s_c, pc)
     return jnp.where(valid, pay, 0.0)
 
 
@@ -163,10 +192,12 @@ def price_heston_mlmc(option: OptionParams = DEMO_OPTION,
     ``n_per_level``).  Each level uses an independent threefry stream.
     """
     po = get_payoff(payoff)
-    if not po.terminal_only:
-        raise ValueError("MLMC currently supports terminal-only payoffs "
-                         "(the monitoring-date contracts have no "
-                         "discretization bias to remove)")
+    if not (po.terminal_only or po.name in _MLMC_PATH_OK):
+        raise ValueError(
+            f"MLMC supports terminal payoffs and the grid-refinable "
+            f"path functionals {sorted(_MLMC_PATH_OK)}; {po.name!r} is "
+            "defined by the step grid itself (e.g. a step-count window) "
+            "so the levels would price different contracts")
     if n0 < 1:
         raise ValueError(f"n0 must be >= 1, got {n0}")
     opt32 = option.as_f32()

@@ -54,7 +54,7 @@ def test_mlmc_cheaper_than_single_level(result):
 
 
 def test_guard_path_dependent():
-    with pytest.raises(ValueError, match="terminal-only"):
+    with pytest.raises(ValueError, match="grid-refinable"):
         price_heston_mlmc(payoff="bullet_call")
 
 
@@ -93,3 +93,36 @@ def test_n0_one_prices_sanely():
 def test_n0_zero_rejected():
     with pytest.raises(ValueError, match="n0"):
         price_heston_mlmc(n0=0)
+
+
+def test_mlmc_asian_matches_fine_single_level():
+    """Path-dependent MLMC (Giles's Asian case): the telescoped estimate
+    must match a fine-grid single-level Heston Asian price, and the
+    coupled-level variance must decay geometrically."""
+    from mc_tpu import SimParams
+    from mc_tpu.models.heston import price_heston
+    r = price_heston_mlmc(payoff="asian_call", n0=4, n_levels=5,
+                          n_pilot=16384,
+                          n_per_level=(131072, 32768, 16384, 8192, 8192),
+                          tile_rows=8)
+    ref = price_heston(sim=SimParams(n_paths=1 << 20, n_steps=64),
+                       payoff="asian_call", engine="xla", tile_rows=8)
+    tol = 4.0 * (r.stderr + float(ref.stderr)) + 0.02
+    assert abs(r.price - float(ref.price)) <= tol, (r.price,
+                                                    float(ref.price))
+    assert r.variance_decay_rate() > 0.7, r.level_vars
+
+
+def test_mlmc_lookback_sane():
+    r = price_heston_mlmc(payoff="lookback_call", n0=4, n_levels=4,
+                          n_pilot=16384,
+                          n_per_level=(65536, 16384, 8192, 8192),
+                          tile_rows=8)
+    assert np.isfinite(r.price) and r.price > 10.0  # lookback >> vanilla
+    v = np.asarray(r.level_vars)
+    assert v[-1] < v[1]  # corrections shrink (lookback beta ~ 1/2-1)
+
+
+def test_mlmc_rejects_grid_defined_contract():
+    with pytest.raises(ValueError, match="grid-refinable"):
+        price_heston_mlmc(payoff="bullet_call")
