@@ -365,6 +365,88 @@ def cmd_info(args):
     return 0
 
 
+def cmd_cev(args):
+    from mc_tpu.models.cev import (CEVDynamics, cev_call_closed_form,
+                                   price_cev)
+
+    option, sim = _parse(args)
+    dyn = CEVDynamics.from_atm_vol(args.sigma_atm, args.beta, args.s0)
+    res = price_cev(option, dyn, sim, payoff=args.payoff,
+                    engine=args.engine, antithetic=args.antithetic,
+                    tile_rows=args.tile_rows)
+    out = {"payoff": args.payoff, "price": float(res.price),
+           "stderr": float(res.stderr), "beta": args.beta}
+    if args.payoff == "vanilla_call":
+        try:
+            out["ncx2_oracle"] = float(cev_call_closed_form(
+                args.s0, args.k, args.t, args.r,
+                float(dyn.sigma_lv), args.beta, q=args.q))
+        except Exception:
+            pass
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_basket(args):
+    from mc_tpu.models.basket import _demo_basket, price_basket
+
+    option, sim = _parse(args)
+    dyn = _demo_basket(d=args.n_assets, rho=args.corr)
+    res = price_basket(option, dyn, sim, payoff=args.payoff,
+                       engine=args.engine, antithetic=args.antithetic,
+                       tile_rows=args.tile_rows)
+    print(json.dumps({"payoff": args.payoff, "n_assets": args.n_assets,
+                      "price": float(res.price),
+                      "stderr": float(res.stderr)}))
+    return 0
+
+
+def cmd_mlmc(args):
+    from mc_tpu.mlmc import price_heston_mlmc
+    from mc_tpu.models.heston import HestonDynamics
+
+    option, sim = _parse(args)
+    dyn = HestonDynamics(v0=args.v0, kappa=args.kappa, theta=args.theta_v,
+                         xi=args.xi, rho=args.rho_sv)
+    res = price_heston_mlmc(option, dyn, payoff=args.payoff,
+                            n0=args.n0, n_levels=args.n_levels,
+                            eps=args.eps, seed=args.seed)
+    print(json.dumps({
+        "payoff": args.payoff, "price": float(res.price),
+        "stderr": float(res.stderr), "levels": list(res.levels),
+        "n_per_level": [int(x) for x in res.n_per_level],
+        "variance_decay_rate": res.variance_decay_rate()}))
+    return 0
+
+
+def cmd_book(args):
+    import numpy as np
+
+    from mc_tpu.engines import price_portfolio
+
+    option, sim = _parse(args)
+    rng_np = np.random.default_rng(args.seed)
+    b = args.n_contracts
+    book = OptionParams(
+        s0=np.full(b, args.s0, np.float32),
+        t=np.full(b, args.t, np.float32),
+        k=rng_np.uniform(0.8 * args.k, 1.2 * args.k, b).astype(np.float32),
+        r=np.full(b, args.r, np.float32),
+        sigma=rng_np.uniform(0.5 * args.sigma, 2.0 * args.sigma,
+                             b).astype(np.float32),
+        barrier=np.full(b, args.barrier, np.float32),
+        p1=np.full(b, args.p1, np.float32),
+        p2=np.full(b, args.p2, np.float32),
+        q=np.full(b, args.q, np.float32))
+    res = price_portfolio(book, sim, payoff=args.payoff,
+                          engine=args.engine, tile_rows=args.tile_rows)
+    prices = [round(float(x), 6) for x in np.asarray(res.price)]
+    print(json.dumps({"payoff": args.payoff, "n_contracts": b,
+                      "prices": prices,
+                      "stderr_max": float(np.max(np.asarray(res.stderr)))}))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="mc_tpu", description="TPU-native Monte Carlo option pricing")
@@ -461,6 +543,41 @@ def main(argv=None):
     p.add_argument("--family", choices=("lattice", "sobol"),
                    default="lattice")
     p.set_defaults(fn=cmd_qmc)
+
+    p = sub.add_parser("cev", help="CEV local-vol price (ncx2 oracle)")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--sigma-atm", type=float, default=0.2)
+    p.add_argument("--beta", type=float, default=0.5)
+    p.set_defaults(fn=cmd_cev)
+
+    p = sub.add_parser("basket", help="correlated multi-asset basket price")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--n-assets", type=int, default=4)
+    p.add_argument("--corr", type=float, default=0.5)
+    p.set_defaults(fn=cmd_basket)
+
+    p = sub.add_parser("mlmc", help="multilevel MC under Heston")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--n0", type=int, default=4)
+    p.add_argument("--n-levels", type=int, default=5)
+    p.add_argument("--eps", type=float, default=1e-2)
+    p.add_argument("--v0", type=float, default=0.04)
+    p.add_argument("--kappa", type=float, default=2.0)
+    p.add_argument("--theta-v", type=float, default=0.04)
+    p.add_argument("--xi", type=float, default=0.3)
+    p.add_argument("--rho-sv", type=float, default=-0.7)
+    p.set_defaults(fn=cmd_mlmc)
+
+    p = sub.add_parser("book", help="B-contract book in one batched kernel")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--n-contracts", type=int, default=16)
+    p.set_defaults(fn=cmd_book)
 
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.set_defaults(fn=cmd_bench)

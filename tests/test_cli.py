@@ -91,3 +91,24 @@ def test_demo_table(capsys):
 def test_unknown_command_fails(capsys):
     with pytest.raises(SystemExit):
         main(["frobnicate"])
+
+
+def test_model_family_commands(capsys):
+    """Every model family / technique has a CLI entry (C14 parity:
+    hello.cu ran everything from one driver)."""
+    import json
+
+    from mc_tpu.cli import main
+    for argv, key in ((["cev", "--n-paths", "20000", "--n-steps", "10"],
+                       "ncx2_oracle"),
+                      (["basket", "--n-paths", "20000", "--n-steps", "10"],
+                       "n_assets"),
+                      (["mlmc", "--n-paths", "8192", "--eps", "0.05"],
+                       "variance_decay_rate"),
+                      (["book", "--n-contracts", "4", "--n-paths", "20000",
+                        "--n-steps", "4"], "prices"),
+                      (["qmc", "--family", "sobol", "--n-paths", "4096",
+                        "--n-steps", "8"], "price")):
+        assert main(argv) == 0, argv
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert key in out, (argv, out)
