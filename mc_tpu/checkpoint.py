@@ -78,6 +78,7 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
                   resume: bool = False,
                   engine: str = "pallas",
                   method: Optional[str] = None,
+                  rng_source: str = "threefry13",
                   tile_rows: int = 256,
                   stream: int = STREAM_OUTER,
                   interpret: Optional[bool] = None) -> PriceResult:
@@ -101,6 +102,10 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
     comp = np.zeros_like(acc)
     meta = dict(seed=sim.seed, payoff=po.name, method=method,
                 chunk_paths=chunk_paths, engine=engine,
+                # the stream is part of the contract: resuming a run
+                # recorded under a different round count must fail loudly
+                # (pre-upgrade checkpoints lack the key -> mismatch).
+                rng_source=rng_source,
                 n_steps=sim.n_steps, tile_rows=tile_rows,
                 # full market-data fingerprint: resuming under different
                 # dynamics must fail loudly, not merge distributions
@@ -127,7 +132,8 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
         n_local = min(chunk_paths, round_up(sim.n_paths - start,
                                             tile_rows * LANES))
         cfg = pk.KernelConfig(n_paths=n_local, n_steps=sim.n_steps,
-                              tile_rows=tile_rows, method=method)
+                              tile_rows=tile_rows, method=method,
+                              rng_source=rng_source)
         if engine == "pallas":
             parts = pk.simulate_partials(
                 po, cfg, key, params, path_offset=jnp.uint32(start),

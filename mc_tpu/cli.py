@@ -328,6 +328,10 @@ def cmd_greeks(args):
     from mc_tpu.greeks import greeks
 
     option, sim = _parse(args)
+    if args.which is None:
+        # LRM supports only the density parameters; default per method
+        args.which = ("delta,vega,rho" if args.method == "lrm"
+                      else "delta,vega,rho,theta")
     which = tuple(args.which.split(","))
     g = greeks(option, sim, payoff=args.payoff, method=args.method,
                which=which, antithetic=args.antithetic,
@@ -410,7 +414,9 @@ def cmd_mlmc(args):
                          xi=args.xi, rho=args.rho_sv)
     res = price_heston_mlmc(option, dyn, payoff=args.payoff,
                             n0=args.n0, n_levels=args.n_levels,
-                            eps=args.eps, seed=args.seed)
+                            eps=args.eps, seed=args.seed,
+                            n_pilot=args.n_paths,
+                            tile_rows=min(args.tile_rows, 64))
     print(json.dumps({
         "payoff": args.payoff, "price": float(res.price),
         "stderr": float(res.stderr), "levels": list(res.levels),
@@ -532,7 +538,8 @@ def main(argv=None):
     p.add_argument("--payoff", default="vanilla_call")
     p.add_argument("--method", choices=("pathwise", "fd", "lrm"),
                    default="pathwise")
-    p.add_argument("--which", default="delta,vega,rho,theta")
+    p.add_argument("--which", default=None,
+                   help="comma list; default depends on --method")
     p.add_argument("--antithetic", action="store_true")
     p.set_defaults(fn=cmd_greeks)
 

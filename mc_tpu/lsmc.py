@@ -180,8 +180,9 @@ def price_american(option: OptionParams = DEMO_OPTION,
                          "array")
     if key is None:
         key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
-    key_b = jnp.asarray(rng.derive_key(sim.seed, stream, 0x25A55),
-                        jnp.uint32)
+    # pricing-pass key folded from the ACTUAL regression key so explicit
+    # keys keep the two passes independent (fold_key == derive_key chain)
+    key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
     return _price_american_impl(option.as_f32(), po, sim.replace(seed=0),
                                 degree, tile_rows, interpret, two_pass,
                                 key, key_b)
@@ -339,8 +340,7 @@ def price_american_heston(option: OptionParams = DEMO_OPTION,
     if key is None:
         key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x4E57),
                           jnp.uint32)
-    key_b = jnp.asarray(rng.derive_key(sim.seed, stream, 0x4E57, 0x25A55),
-                        jnp.uint32)
+    key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
     return _price_american_heston_impl(option.as_f32(), heston.as_f32(),
                                        po, sim.replace(seed=0), degree,
                                        tile_rows, interpret, two_pass,

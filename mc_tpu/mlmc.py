@@ -46,7 +46,8 @@ __all__ = ["price_heston_mlmc", "MLMCResult", "heston_level_moments"]
 # level prices a finer discretization of the SAME continuous contract) —
 # Giles 2008's Asian/lookback setting.  Step-grid-defined contracts
 # (bullet window, discrete knock-out count) are rejected.
-_MLMC_PATH_OK = {"asian_call", "lookback_call", "up_out_call"}
+_MLMC_PATH_OK = {"asian_call", "lookback_call", "up_out_call",
+                 "down_in_call"}
 
 
 def _coupled_level_tile(payoff, p, ids, valid, k0, k1, n_fine: int,

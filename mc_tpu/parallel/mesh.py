@@ -257,45 +257,14 @@ def price_qmc_sharded(option: OptionParams = DEMO_OPTION,
     point set for its shifts), so at equal n_shifts the two APIs agree
     exactly regardless of mesh size.
     """
-    import math as _math
-
-    from mc_tpu import qmc as q
+    from mc_tpu.qmc import _qmc_pointset
     mesh = mesh if mesh is not None else make_mesh()
     n_shards = mesh.devices.size
     n_shifts = cdiv(n_shifts, n_shards) * n_shards
     po = get_payoff(payoff)
-    if method is None:
-        method = "terminal" if po.terminal_only else "euler"
-    if po.n_state > 0 and method == "terminal":
-        raise ValueError(f"{po.name} is path-dependent; "
-                         "method='terminal' invalid")
-    if n_shifts < 2:
-        raise ValueError("n_shifts >= 2 required for an error estimate")
-    if bridge and method != "euler":
-        raise ValueError("bridge=True requires method='euler'")
-    if family == "sobol":
-        n = 1 << min(int(_math.log2(max(sim.n_paths, 2))), 20)
-    else:
-        n = q.prev_prime(sim.n_paths)
-    d = 1 if method == "terminal" else sim.n_steps
-    if bridge:
-        cap = max(8, (8192 // (sim.n_steps + 1)) // 8 * 8)
-        tile_rows = min(tile_rows, cap)
-
-    import numpy as np
-    key = rng.derive_key(sim.seed, stream, 0x51AC)
-    sidx = jnp.arange(n_shifts * d, dtype=jnp.uint32)
-    bits, _ = rng.threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
-                               sidx, jnp.zeros_like(sidx))
-    if family == "sobol":
-        zvec = jnp.asarray(
-            q.sobol_directions(d).reshape(-1).astype(np.int32))
-        shifts = jax.lax.shift_right_logical(
-            bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, d)
-    else:
-        zvec = jnp.asarray(q.lattice_vector(n, d, gamma).astype(np.int32))
-        shifts = rng.bits_to_unit(bits).reshape(n_shifts, d)
-
+    n, method, tile_rows, zvec, shifts = _qmc_pointset(
+        po, sim, n_shifts, method, engine, family, bridge, tile_rows,
+        gamma, stream, sim.seed)
     return _qmc_sharded_impl(option.as_f32(), po, n, sim.n_steps, method,
                              engine, tile_rows, bridge, family, interpret,
                              mesh, zvec, shifts)

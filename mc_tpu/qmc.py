@@ -532,6 +532,57 @@ def _price_qmc_impl(option, payoff, n, n_steps, method, engine, tile_rows,
     )
 
 
+def _qmc_pointset(po, sim, n_shifts, method, engine, family, bridge,
+                  tile_rows, gamma, stream, seed):
+    """Validated point-set construction shared by price_qmc and the
+    sharded API (one code path keeps their bitwise-equality contract
+    safe): returns (n, method, tile_rows, zvec, shifts)."""
+    if engine not in ("pallas", "xla"):
+        raise ValueError(f"unknown engine {engine!r}; use 'pallas' or 'xla'")
+    if family not in ("lattice", "sobol"):
+        raise ValueError(f"unknown QMC family {family!r}")
+    if method is None:
+        method = "terminal" if po.terminal_only else "euler"
+    if po.n_state > 0 and method == "terminal":
+        raise ValueError(f"{po.name} is path-dependent; "
+                         "method='terminal' invalid")
+    if n_shifts < 2:
+        raise ValueError("n_shifts >= 2 required for an error estimate")
+    if bridge and method != "euler":
+        raise ValueError("bridge=True requires method='euler'")
+    if family == "sobol":
+        n = 1 << min(int(math.log2(max(sim.n_paths, 2))), 20)
+    else:
+        n = prev_prime(sim.n_paths)
+    d = 1 if method == "terminal" else sim.n_steps
+    if bridge:
+        # The bridge kernel holds a (n_steps+1, tile_rows, 128) f32 VMEM
+        # scratch; cap tile_rows at a ~4 MB budget.  Past ~1000 steps not
+        # even 8 rows fit — fail loudly instead of blowing VMEM.
+        cap = (8192 // (sim.n_steps + 1)) // 8 * 8
+        if cap < 8:
+            raise ValueError(
+                f"bridge=True needs a (n_steps+1, 8, 128) VMEM scratch; "
+                f"n_steps={sim.n_steps} exceeds the budget (max ~1023)")
+        tile_rows = min(tile_rows, cap)
+
+    key = rng.derive_key(seed, stream, 0x51AC)
+    sidx = jnp.arange(n_shifts * d, dtype=jnp.uint32)
+    bits, _ = rng.threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
+                               sidx, jnp.zeros_like(sidx))
+    if family == "sobol":
+        # flattened (d*30,) direction table + (R, d) 30-bit digital shifts
+        # — int32 throughout (values < 2^30; Mosaic has no u32 scalars).
+        zvec = jnp.asarray(sobol_directions(d).reshape(-1).astype(np.int32))
+        shifts = jax.lax.shift_right_logical(
+            bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, d)
+    else:
+        # int32 (values < 2^20): Mosaic kernels cannot cast u32 scalars
+        zvec = jnp.asarray(lattice_vector(n, d, gamma).astype(np.int32))
+        shifts = rng.bits_to_unit(bits).reshape(n_shifts, d)
+    return n, method, tile_rows, zvec, shifts
+
+
 def price_qmc(option: OptionParams = DEMO_OPTION,
               sim: SimParams = DEMO_SIM,
               payoff="vanilla_call",
@@ -559,42 +610,9 @@ def price_qmc(option: OptionParams = DEMO_OPTION,
     matrix in memory).
     """
     po = get_payoff(payoff)
-    if method is None:
-        method = "terminal" if po.terminal_only else "euler"
-    if po.n_state > 0 and method == "terminal":
-        raise ValueError(f"{po.name} is path-dependent; method='terminal' invalid")
-    if n_shifts < 2:
-        raise ValueError("n_shifts >= 2 required for an error estimate")
-    if bridge and method != "euler":
-        raise ValueError("bridge=True requires method='euler'")
-    if family not in ("lattice", "sobol"):
-        raise ValueError(f"unknown QMC family {family!r}")
-    if family == "sobol":
-        n = 1 << min(int(math.log2(max(sim.n_paths, 2))), 20)
-    else:
-        n = prev_prime(sim.n_paths)
-    d = 1 if method == "terminal" else sim.n_steps
-    if bridge:
-        # The bridge kernel holds a (n_steps+1, tile_rows, 128) f32 VMEM
-        # scratch; cap it at ~4 MB so Mosaic's VMEM budget is respected at
-        # any step count (tile_rows=256 with n_steps=100 would be ~13 MB).
-        cap = max(8, (8192 // (sim.n_steps + 1)) // 8 * 8)
-        tile_rows = min(tile_rows, cap)
-    key = rng.derive_key(sim.seed, stream, 0x51AC)
-    sidx = jnp.arange(n_shifts * d, dtype=jnp.uint32)
-    bits, _ = rng.threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
-                               sidx, jnp.zeros_like(sidx))
-    if family == "sobol":
-        # flattened (d*30,) direction table + (R, d) 30-bit digital shifts
-        # — int32 throughout (values < 2^30; Mosaic has no u32 scalars).
-        zvec = jnp.asarray(sobol_directions(d).reshape(-1).astype(np.int32))
-        shifts = jax.lax.shift_right_logical(
-            bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, d)
-    else:
-        # int32 (values < 2^20): Mosaic kernels cannot cast u32 scalars
-        zvec = jnp.asarray(lattice_vector(n, d, gamma).astype(np.int32))
-        shifts = rng.bits_to_unit(bits).reshape(n_shifts, d)
-
+    n, method, tile_rows, zvec, shifts = _qmc_pointset(
+        po, sim, n_shifts, method, engine, family, bridge, tile_rows,
+        gamma, stream, sim.seed)
     return _price_qmc_impl(option.as_f32(), po, n, sim.n_steps, method,
                            engine, tile_rows, bridge, interpret, zvec,
                            shifts, family)

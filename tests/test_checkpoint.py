@@ -100,3 +100,15 @@ def test_engine_typo_rejected(tmp_path):
     with pytest.raises(ValueError, match="engine"):
         chunked_price(sim=SIM, chunk_paths=CHUNK, engine="palas",
                       tile_rows=8)
+
+
+def test_resume_rejects_changed_rng_source(tmp_path):
+    """Regression (review): the stream (round count) is part of the
+    resume contract — merging 13- and 20-round chunks must fail loudly."""
+    ck = str(tmp_path / "run.npz")
+    chunked_price(sim=SIM, chunk_paths=CHUNK, checkpoint_path=ck,
+                  engine="xla", tile_rows=8)
+    with pytest.raises(ValueError, match="rng_source"):
+        chunked_price(sim=SIM, chunk_paths=CHUNK, checkpoint_path=ck,
+                      resume=True, engine="xla", tile_rows=8,
+                      rng_source="threefry")

@@ -191,3 +191,24 @@ def test_heston_trajectories_grids():
         np.testing.assert_allclose(np.asarray(v_g[j]).ravel(),
                                    np.asarray(v).ravel(),
                                    rtol=1e-4, atol=1e-7)
+
+
+def test_two_pass_key_follows_explicit_key():
+    """Regression (review): the pricing-pass key must be folded from the
+    ACTUAL regression key, so distinct explicit keys give decorrelated
+    two-pass estimates (previously key_b depended only on seed/stream)."""
+    import jax.numpy as jnp
+
+    from mc_tpu import rng
+    sim = SimParams(n_paths=8192, n_steps=10)
+    k1 = jnp.asarray(rng.derive_key(111, 0), jnp.uint32)
+    k2 = jnp.asarray(rng.derive_key(222, 0), jnp.uint32)
+    a = price_american(sim=sim, key=k1)
+    b = price_american(sim=sim, key=k2)
+    assert float(a.price) != float(b.price)
+    # default path unchanged: key=None reproduces derive_key chaining
+    c = price_american(sim=sim)
+    d = price_american(sim=sim,
+                       key=jnp.asarray(rng.derive_key(sim.seed, 0),
+                                       jnp.uint32))
+    assert float(c.price) == float(d.price)

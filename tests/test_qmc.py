@@ -221,3 +221,21 @@ def test_sobol_bridge_asian():
 def test_sobol_family_guard():
     with pytest.raises(ValueError, match="family"):
         price_qmc(family="halton")
+
+
+def test_qmc_engine_typo_rejected():
+    """Regression (review): a typo'd engine silently priced on the XLA
+    path; both QMC APIs must raise like price() does."""
+    with pytest.raises(ValueError, match="engine"):
+        price_qmc(engine="palas")
+    from mc_tpu.parallel import price_qmc_sharded
+    with pytest.raises(ValueError, match="engine"):
+        price_qmc_sharded(engine="palas")
+
+
+def test_bridge_rejects_oversized_step_count():
+    """Regression (review): past ~1000 steps not even 8 rows of the
+    bridge scratch fit the VMEM budget — fail loudly, don't blow VMEM."""
+    with pytest.raises(ValueError, match="budget"):
+        price_qmc(sim=SimParams(n_paths=4096, n_steps=2000),
+                  method="euler", bridge=True)
