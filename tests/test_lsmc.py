@@ -212,3 +212,26 @@ def test_two_pass_key_follows_explicit_key():
                        key=jnp.asarray(rng.derive_key(sim.seed, 0),
                                        jnp.uint32))
     assert float(c.price) == float(d.price)
+
+
+def test_american_bounds_bracket_oracle():
+    """Andersen-Broadie duality: [lower-3se, upper+3se] must contain the
+    Bermudan value (<= the CRR American oracle, within a small
+    exercise-grid gap), with a tight measured gap at N=10/J=128."""
+    from mc_tpu.lsmc import american_bounds
+    lo, up = american_bounds(sim=SimParams(n_paths=50_000, n_steps=10),
+                             n_outer=2048, n_inner=128)
+    oracle = binomial_american(100.0, 100.0, 1.0, 0.1, 0.2, kind="put")
+    assert float(up.price) + 3 * float(up.stderr) >= oracle - 0.06
+    assert float(lo.price) - 3 * float(lo.stderr) <= oracle
+    gap = float(up.price) - float(lo.price)
+    assert -0.05 < gap < 0.35, gap
+    # upper must dominate lower beyond joint noise going the wrong way
+    assert float(up.price) >= float(lo.price) - 2 * (
+        float(up.stderr) + float(lo.stderr))
+
+
+def test_american_bounds_guard():
+    from mc_tpu.lsmc import american_bounds
+    with pytest.raises(ValueError, match="terminal"):
+        american_bounds(payoff="asian_call")
