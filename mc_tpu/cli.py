@@ -174,9 +174,18 @@ def cmd_nmc(args):
     from mc_tpu.nmc import price_nmc
 
     option, sim = _parse(args)
-    res = price_nmc(option, sim, payoff=args.payoff,
-                    strategy=args.strategy, engine=args.engine,
-                    discount=args.discount)
+    if args.model == "heston":
+        from mc_tpu.models.heston import HestonDynamics
+        from mc_tpu.nmc_heston import price_nmc_heston
+        dyn = HestonDynamics(v0=args.v0, kappa=args.kappa,
+                             theta=args.theta_v, xi=args.xi,
+                             rho=args.rho_sv)
+        res = price_nmc_heston(option, dyn, sim, payoff=args.payoff,
+                               engine=args.engine)
+    else:
+        res = price_nmc(option, sim, payoff=args.payoff,
+                        strategy=args.strategy, engine=args.engine,
+                        discount=args.discount)
     out = {
         "outer_price": float(res.outer.price),
         "outer_stderr": float(res.outer.stderr),
@@ -487,6 +496,12 @@ def main(argv=None):
     p.add_argument("--exposure", action="store_true",
                    help="emit EE/PFE exposure profiles from the surface")
     p.add_argument("--pfe-quantile", type=float, default=0.95)
+    p.add_argument("--model", choices=("gbm", "heston"), default="gbm")
+    p.add_argument("--v0", type=float, default=0.04)
+    p.add_argument("--kappa", type=float, default=2.0)
+    p.add_argument("--theta-v", type=float, default=0.04)
+    p.add_argument("--xi", type=float, default=0.3)
+    p.add_argument("--rho-sv", type=float, default=-0.7)
     p.set_defaults(fn=cmd_nmc)
 
     p = sub.add_parser("traj", help="dump trajectories CSV (testing.cu)")

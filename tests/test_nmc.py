@@ -119,3 +119,49 @@ def test_inner_counter_space_guard():
     with pytest.raises(ValueError, match="counter"):
         NMCConfig(n_paths=1024, n_steps=4096, n_inner=1024)
     NMCConfig(n_paths=1024, n_steps=100, n_inner=1000)  # demo config ok
+
+
+# --- nested MC under Heston (model-family x NMC composition) --------------
+
+def test_nmc_heston_engines_bitwise():
+    from mc_tpu.nmc_heston import price_nmc_heston
+    sim = SimParams(n_paths=2048, n_steps=8, n_paths_inner=8)
+    a = price_nmc_heston(sim=sim, engine="pallas")
+    b = price_nmc_heston(sim=sim, engine="xla")
+    assert float(a.outer.price) == float(b.outer.price)
+    np.testing.assert_array_equal(np.asarray(a.surface),
+                                  np.asarray(b.surface))
+
+
+def test_nmc_heston_tower_property():
+    """With the full e^{-rT} discount, the mean surface value at EVERY
+    step is an unbiased estimate of the European Heston price (tower
+    property), and so is the outer estimate — gate both against the CF
+    oracle."""
+    from mc_tpu.models.heston import DEMO_HESTON, heston_call_cf
+    from mc_tpu.nmc_heston import price_nmc_heston
+    sim = SimParams(n_paths=16384, n_steps=8, n_paths_inner=32)
+    r = price_nmc_heston(sim=sim, engine="xla")
+    cf = heston_call_cf(100.0, 100.0, 1.0, 0.1, *DEMO_HESTON.astuple())
+    # Euler bias at 8 steps + MC noise: generous combined tolerance
+    assert abs(float(r.surface_mean) - cf) < 0.02 * cf + 4 * 0.15, (
+        float(r.surface_mean), cf)
+    assert abs(float(r.outer.price) - cf) <= \
+        4.0 * float(r.outer.stderr) + 0.02 * cf
+
+
+def test_nmc_heston_exposure_profile():
+    """EE under stochastic vol: positive, finite, PFE above EE."""
+    from mc_tpu.nmc_heston import price_nmc_heston
+    sim = SimParams(n_paths=4096, n_steps=8, n_paths_inner=16)
+    r = price_nmc_heston(sim=sim, engine="xla", payoff="vanilla_call")
+    ee, pfe = r.exposure_profile()
+    assert np.all(np.asarray(ee) > 0) and np.all(np.isfinite(np.asarray(ee)))
+    assert np.all(np.asarray(pfe) >= np.asarray(ee) - 1e-5)
+
+
+def test_nmc_heston_counter_guard():
+    from mc_tpu.nmc_heston import price_nmc_heston
+    with pytest.raises(ValueError, match="counter"):
+        price_nmc_heston(sim=SimParams(n_paths=64, n_steps=4096,
+                                       n_paths_inner=1024))

@@ -205,3 +205,14 @@ def test_qmc_sobol_bridge():
     sim = SimParams(n_paths=2048, n_steps=8)
     _assert_tri(*_tri(price_qmc, sim=sim, method="euler", n_shifts=4,
                       tile_rows=8, family="sobol", bridge=True))
+
+
+def test_nmc_heston():
+    from mc_tpu.nmc_heston import price_nmc_heston
+    sim = SimParams(n_paths=2048, n_steps=4, n_paths_inner=8)
+    c, i, x = _tri(price_nmc_heston, sim=sim, tile_rows=8)
+    _assert_tri(c.outer, i.outer, x.outer)
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(i.surface))
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(x.surface))
