@@ -81,19 +81,26 @@ def _summ(v, valid, n_paths):
 
 
 def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
-                  inv_k, disc, immediate):
+                  inv_k, disc, immediate, every=1):
     """One-pass backward induction: returns (in-sample cashflows v at
-    date 0 pre-discount, per-date continuation betas (n_steps-1, B))."""
+    date 0 pre-discount, per-date continuation betas (n_steps-1, B)).
+
+    ``every``: exercise allowed only at grid dates t with (t+1) % every
+    == 0 plus maturity — a Bermudan schedule decoupled from the
+    simulation grid (every=1: every date, the American limit).
+    """
     v = immediate(s_flat, c_flat, n_steps - 1)
     betas0 = jnp.zeros((max(n_steps - 1, 1), degree + 1), jnp.float32)
 
     def step_back(j, carry):
-        # j runs n_steps-2 .. 0 (exercise allowed at every grid date).
+        # j runs n_steps-2 .. 0 backward over grid dates.
         v, betas = carry
         t = n_steps - 2 - j
         v = v * disc
         ex = immediate(s_flat, c_flat, t)
-        itm = jnp.logical_and(ex > 0.0, valid)
+        is_ex_date = ((t + 1) % every) == 0
+        itm = jnp.logical_and(jnp.logical_and(ex > 0.0, valid),
+                              is_ex_date)
         w = itm.astype(jnp.float32)
         x = _basis(s_flat[t] * inv_k, degree)          # (P, B)
         xw = x * w[:, None]
@@ -112,9 +119,9 @@ def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "sim", "degree", "tile_rows", "interpret",
-                     "two_pass"))
+                     "two_pass", "every"))
 def _price_american_impl(option, payoff, sim, degree, tile_rows, interpret,
-                         two_pass, key, key_b):
+                         two_pass, key, key_b, every=1):
     p = _payoff_namespace(option, sim.n_steps)
     cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
                           tile_rows=tile_rows)
@@ -133,7 +140,8 @@ def _price_american_impl(option, payoff, sim, degree, tile_rows, interpret,
 
     # --- regression pass: backward induction, refitting beta per date ---
     v, betas = _backward_fit(payoff, p, s_flat, c_flat, valid,
-                             sim.n_steps, degree, inv_k, disc, immediate)
+                             sim.n_steps, degree, inv_k, disc, immediate,
+                             every)
     if not two_pass:
         return _summ(v * disc, valid, sim.n_paths)
 
@@ -151,7 +159,9 @@ def _price_american_impl(option, payoff, sim, degree, tile_rows, interpret,
         t = sim.n_steps - 2 - j
         vb = vb * disc
         ex = immediate(s_b, c_b, t)
-        itm = jnp.logical_and(ex > 0.0, valid_b)
+        is_ex_date = ((t + 1) % every) == 0
+        itm = jnp.logical_and(jnp.logical_and(ex > 0.0, valid_b),
+                              is_ex_date)
         x = _basis(s_b[t] * inv_k, degree)
         cont = jnp.dot(x, betas[t], preferred_element_type=jnp.float32)
         exercise = jnp.logical_and(itm, ex > cont)
@@ -167,11 +177,16 @@ def price_american(option: OptionParams = DEMO_OPTION,
                    *,
                    degree: int = 3,
                    two_pass: bool = True,
+                   exercise_every: int = 1,
                    tile_rows: int = 8,
                    stream: int = STREAM_OUTER,
                    key=None,
                    interpret: Optional[bool] = None) -> PriceResult:
-    """Longstaff-Schwartz price with exercise at every simulation date.
+    """Longstaff-Schwartz price (Bermudan/American).
+
+    ``exercise_every=k`` restricts exercise to every k-th simulation date
+    (+ maturity): a Bermudan schedule on a fine simulation grid.  The
+    default 1 exercises at every date (the American limit).
 
     ``two_pass=True`` (default, Longstaff & Schwartz's own protocol): the
     regression is fitted on one path set and the resulting exercise
@@ -189,10 +204,12 @@ def price_american(option: OptionParams = DEMO_OPTION,
         key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
     # pricing-pass key folded from the ACTUAL regression key so explicit
     # keys keep the two passes independent (fold_key == derive_key chain)
+    if exercise_every < 1:
+        raise ValueError("exercise_every must be >= 1")
     key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
     return _price_american_impl(option.as_f32(), po, sim.replace(seed=0),
                                 degree, tile_rows, interpret, two_pass,
-                                key, key_b)
+                                key, key_b, exercise_every)
 
 
 def binomial_american(s0, k, t, r, sigma, n_steps=2000, kind="put",
@@ -366,9 +383,10 @@ def price_american_heston(option: OptionParams = DEMO_OPTION,
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "sim", "degree", "tile_rows", "n_outer",
-                     "n_inner", "interpret"))
+                     "n_inner", "interpret", "every"))
 def _ab_upper_impl(option, payoff, sim, degree, tile_rows, n_outer,
-                   n_inner, interpret, key_fit, key_outer, key_inner):
+                   n_inner, interpret, key_fit, key_outer, key_inner,
+                   every=1):
     p = _payoff_namespace(option, sim.n_steps)
     n = sim.n_steps
     disc = jnp.exp(-p.r * p.dt)
@@ -386,7 +404,7 @@ def _ab_upper_impl(option, payoff, sim, degree, tile_rows, n_outer,
     valid_a = (jnp.arange(n_pad_a, dtype=jnp.uint32)
                < jnp.uint32(sim.n_paths))
     _, betas = _backward_fit(payoff, p, s_a, c_a, valid_a, n, degree,
-                             inv_k, disc, immediate)
+                             inv_k, disc, immediate, every)
 
     # 2) independent outer set B
     cfg_b = pk.KernelConfig(n_paths=n_outer, n_steps=n,
@@ -417,8 +435,10 @@ def _ab_upper_impl(option, payoff, sim, degree, tile_rows, n_outer,
             x = _basis(s * inv_k, degree)
             cont = jnp.dot(x, betas[u],
                            preferred_element_type=jnp.float32)
-            trig = jnp.logical_and(jnp.logical_and(ex > 0.0, ex > cont),
-                                   jnp.logical_not(done))
+            is_ex_date = ((u + 1) % every) == 0
+            trig = jnp.logical_and(
+                jnp.logical_and(jnp.logical_and(ex > 0.0, ex > cont),
+                                jnp.logical_not(done)), is_ex_date)
             val = jnp.where(trig,
                             ex * disc ** (jnp.float32(u) + 1.0), val)
             done = jnp.logical_or(done, trig)
@@ -431,31 +451,55 @@ def _ab_upper_impl(option, payoff, sim, degree, tile_rows, n_outer,
         ex = payoff.terminal((), s, p)
         return jnp.where(done, val, ex * disc ** jnp.float32(n))
 
+    two_j_total = n * 2 * n_inner  # transition branches live past these
+
     def date_step(carry, t):
         m, run_max = carry
         base = t * (2 * n_inner)
+        is_ex_date = ((t + 1) % every) == 0
 
-        # policy value from the realized state: n_inner fresh rollouts
-        # (a single rollout would inject a random walk into M whose
-        # running max inflates the bound far past the true value)
-        def here_j(j, acc):
-            return acc + rollout(t, s_b[t], base + j)
+        def delta_fn(_):
+            # policy value from the realized state: n_inner fresh
+            # rollouts (a single rollout would inject a random walk into
+            # M whose running max inflates the bound far past the value)
+            def here_j(j, acc):
+                return acc + rollout(t, s_b[t], base + j)
 
-        l_here = jax.lax.fori_loop(0, n_inner, here_j,
-                                   jnp.zeros_like(s_b[0])) / jn
+            l_here = jax.lax.fori_loop(0, n_inner, here_j,
+                                       jnp.zeros_like(s_b[0])) / jn
 
-        def inner_j(j, acc):
-            branch = base + n_inner + j
-            # one fresh transition S_{t-1} -> S~_t, then a policy rollout
-            z = draw(branch, t - 1)
-            s_t = s_b[t - 1] * jnp.exp(p.drift_dt + p.vol_dt * z)
-            return acc + rollout(t, s_t, branch)
+            # The conditioning point is the PREVIOUS EXERCISE DATE (one
+            # sim step back only when every == 1): conditioning on t-1
+            # would leave the value moves of the in-between steps
+            # un-hedged by M and blow the bound wide open.
+            prev_s = jnp.where(
+                t >= every,
+                s_b[jnp.maximum(t - every, 0)],
+                jnp.full_like(s_b[0], p.s0))
 
-        e_t = jax.lax.fori_loop(0, n_inner, inner_j,
-                                jnp.zeros_like(l_here)) / jn
-        m = m + jnp.where(t >= 1, l_here - e_t, 0.0)
+            def inner_j(j, acc):
+                branch = base + n_inner + j
+                branch_tr = two_j_total + branch
+
+                def tr_step(k, s):
+                    z = draw(branch_tr, k)
+                    return s * jnp.exp(p.drift_dt + p.vol_dt * z)
+
+                # `every` fresh transition steps prev-ex-date -> date t
+                s_t = jax.lax.fori_loop(0, every, tr_step, prev_s)
+                return acc + rollout(t, s_t, branch)
+
+            e_t = jax.lax.fori_loop(0, n_inner, inner_j,
+                                    jnp.zeros_like(l_here)) / jn
+            return jnp.where(t >= 1, l_here - e_t, 0.0)
+
+        # non-exercise dates contribute nothing: skip their 2J rollouts
+        m = m + jax.lax.cond(jnp.logical_and(is_ex_date, t >= 1),
+                             delta_fn,
+                             lambda _: jnp.zeros_like(m), 0)
         hd = immediate(s_b, c_b, t) * disc ** (jnp.float32(t) + 1.0)
-        run_max = jnp.maximum(run_max, hd - m)
+        run_max = jnp.maximum(run_max,
+                              jnp.where(is_ex_date, hd - m, -1e30))
         return (m, run_max), None
 
     zeros = jnp.zeros((n_pad_b,), jnp.float32)
@@ -478,6 +522,7 @@ def american_bounds(option: OptionParams = DEMO_OPTION,
                     degree: int = 3,
                     n_outer: int = 4096,
                     n_inner: int = 128,
+                    exercise_every: int = 1,
                     tile_rows: int = 8,
                     stream: int = STREAM_OUTER,
                     interpret: Optional[bool] = None):
@@ -505,9 +550,12 @@ def american_bounds(option: OptionParams = DEMO_OPTION,
         raise ValueError("american_bounds supports terminal payoffs "
                          "(n_state == 0); path-state rollout resume is "
                          "not implemented")
+    if exercise_every < 1:
+        raise ValueError("exercise_every must be >= 1")
     lower = price_american(option, sim, payoff, degree=degree,
                            tile_rows=tile_rows, stream=stream,
-                           two_pass=True, interpret=interpret)
+                           two_pass=True, interpret=interpret,
+                           exercise_every=exercise_every)
     key_fit = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
     key_outer = jnp.asarray(rng.derive_key(sim.seed, stream, 0xAB01),
                             jnp.uint32)
@@ -515,5 +563,5 @@ def american_bounds(option: OptionParams = DEMO_OPTION,
                             jnp.uint32)
     upper = _ab_upper_impl(option.as_f32(), po, sim.replace(seed=0),
                            degree, tile_rows, n_outer, n_inner, interpret,
-                           key_fit, key_outer, key_inner)
+                           key_fit, key_outer, key_inner, exercise_every)
     return lower, upper

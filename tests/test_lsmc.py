@@ -235,3 +235,17 @@ def test_american_bounds_guard():
     from mc_tpu.lsmc import american_bounds
     with pytest.raises(ValueError, match="terminal"):
         american_bounds(payoff="asian_call")
+
+
+def test_american_bounds_bermudan_schedule():
+    """exercise_every decouples the exercise grid from the simulation
+    grid: on a 50-step grid with 10 exercise dates the AB bracket stays
+    tight (the martingale conditions on the previous EXERCISE date, not
+    the previous sim step) and contains the oracle."""
+    from mc_tpu.lsmc import american_bounds
+    lo, up = american_bounds(sim=SimParams(n_paths=50_000, n_steps=50),
+                             n_outer=2048, n_inner=128, exercise_every=5)
+    oracle = binomial_american(100.0, 100.0, 1.0, 0.1, 0.2, kind="put")
+    assert float(up.price) + 3 * float(up.stderr) >= oracle - 0.06
+    assert float(lo.price) - 3 * float(lo.stderr) <= oracle
+    assert 0.0 < float(up.price) - float(lo.price) < 0.4
