@@ -166,6 +166,10 @@ def cmd_price(args):
     if args.payoff in ("vanilla_call", "vanilla_put"):
         out["black_scholes"] = float(
             bs_call(args.s0, args.k, args.t, args.r, args.sigma, args.q))
+    elif args.payoff == "digital_call":
+        from mc_tpu.oracle import bs_digital_call
+        out["closed_form"] = float(bs_digital_call(
+            args.s0, args.k, args.t, args.r, args.sigma, args.q))
     print(json.dumps(out))
     return 0
 
@@ -296,10 +300,24 @@ def cmd_american(args):
                "one_pass_stderr": float(one.stderr)}
         print(json.dumps(out))
         return 0
+    if args.bounds:
+        from mc_tpu.lsmc import american_bounds
+        lo, up = american_bounds(option, sim, payoff=args.payoff,
+                                 degree=args.degree,
+                                 n_inner=args.bounds_inner,
+                                 exercise_every=args.exercise_every)
+        print(json.dumps({
+            "payoff": args.payoff,
+            "lower": float(lo.price), "lower_stderr": float(lo.stderr),
+            "upper": float(up.price), "upper_stderr": float(up.stderr),
+            "gap": float(up.price) - float(lo.price)}))
+        return 0
     res = price_american(option, sim, payoff=args.payoff,
-                         degree=args.degree, two_pass=True)
+                         degree=args.degree, two_pass=True,
+                         exercise_every=args.exercise_every)
     one = price_american(option, sim, payoff=args.payoff,
-                         degree=args.degree, two_pass=False)
+                         degree=args.degree, two_pass=False,
+                         exercise_every=args.exercise_every)
     out = {"payoff": args.payoff, "price": float(res.price),
            "stderr": float(res.stderr),
            # in-sample estimator: the (price, one_pass) spread brackets
@@ -536,6 +554,11 @@ def main(argv=None):
                    help="Heston long-run variance")
     p.add_argument("--xi", type=float, default=0.5)
     p.add_argument("--rho", type=float, default=-0.7)
+    p.add_argument("--exercise-every", type=int, default=1,
+                   help="Bermudan: exercise every k-th grid date")
+    p.add_argument("--bounds", action="store_true",
+                   help="emit the Andersen-Broadie [lower, upper] bracket")
+    p.add_argument("--bounds-inner", type=int, default=128)
     p.set_defaults(fn=cmd_american)
 
     p = sub.add_parser("ladder", help="strike ladder on shared paths")

@@ -91,6 +91,21 @@ class VanillaPut(PathPayoff):
         return jnp.maximum(p.k - s, 0.0)
 
 
+class DigitalCall(PathPayoff):
+    """Cash-or-nothing digital call: pays 1 iff S_T > K.
+
+    The canonical DISCONTINUOUS payoff: zero-a.e. pathwise derivative
+    (LRM/FD Greeks only) and the sharpest test of estimator bias — the
+    closed form is e^{-rT} N(d2) (oracle.bs_digital_call).
+    """
+
+    name = "digital_call"
+    terminal_only = True
+
+    def terminal(self, state, s, p):
+        return jnp.where(s > p.k, 1.0, 0.0)
+
+
 class BulletCall(PathPayoff):
     """Barrier-window call (trajectories.cuh:144-153).
 
@@ -246,8 +261,9 @@ class AsianCallGeoCV(AsianCall):
 PAYOFFS: Dict[str, PathPayoff] = {
     po.name: po
     for po in (
-        VanillaCall(), VanillaPut(), BulletCall(), AsianCall(),
-        AsianCallGeoCV(), UpOutCall(), DownInCall(), LookbackFixedCall(),
+        VanillaCall(), VanillaPut(), DigitalCall(), BulletCall(),
+        AsianCall(), AsianCallGeoCV(), UpOutCall(), DownInCall(),
+        LookbackFixedCall(),
     )
 }
 

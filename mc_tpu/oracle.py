@@ -23,6 +23,7 @@ from jax.scipy.stats import norm
 
 __all__ = [
     "bs_call",
+    "bs_digital_call",
     "bs_put",
     "bs_delta_call",
     "cnd_as",
@@ -47,6 +48,14 @@ def bs_put(s0, k, t, r, sigma, q=0.0):
     call = bs_call(s0, k, t, r, sigma, q)
     return (call - s0 * jnp.exp(-jnp.asarray(q) * t)
             + k * jnp.exp(-jnp.asarray(r) * t))
+
+
+def bs_digital_call(s0, k, t, r, sigma, q=0.0):
+    """Cash-or-nothing digital call: e^{-rT} N(d2)."""
+    s0, k, t, r, sigma, q = map(jnp.float32, (s0, k, t, r, sigma, q))
+    st = sigma * jnp.sqrt(t)
+    d2 = (jnp.log(s0 / k) + (r - q - 0.5 * sigma * sigma) * t) / st
+    return jnp.exp(-r * t) * norm.cdf(d2)
 
 
 def bs_delta_call(s0, k, t, r, sigma, q=0.0):

@@ -100,3 +100,42 @@ def test_registry_complete():
                             "lookback_call"}
     for po in PAYOFFS.values():
         assert hash(po) == hash(type(po)())  # static singletons
+
+
+def test_digital_call_vs_closed_form():
+    """Cash-or-nothing digital: price within noise of e^{-rT} N(d2) on
+    both engines (bitwise pair), terminal and euler methods."""
+    import numpy as np
+
+    from mc_tpu import SimParams, price
+    from mc_tpu.oracle import bs_digital_call
+    cf = float(bs_digital_call(100.0, 100.0, 1.0, 0.1, 0.2))
+    sim = SimParams(n_paths=1 << 20, n_steps=10)
+    a = price(sim=sim, payoff="digital_call", engine="pallas", tile_rows=8)
+    b = price(sim=sim, payoff="digital_call", engine="xla", tile_rows=8)
+    assert float(a.price) == float(b.price)
+    assert abs(float(a.price) - cf) <= 4.0 * float(a.stderr), (
+        float(a.price), cf)
+
+
+def test_digital_lrm_delta_vs_closed_form():
+    """The digital is the canonical LRM showcase (pathwise derivative is
+    a.e. zero): LRM delta must match the closed form
+    e^{-rT} phi(d2) / (S0 sigma sqrt(T))."""
+    import math
+
+    import numpy as np
+
+    from mc_tpu import SimParams
+    from mc_tpu.greeks import greeks
+    s0, k, t, r, sig = 100.0, 100.0, 1.0, 0.1, 0.2
+    d2 = (math.log(s0 / k) + (r - 0.5 * sig**2) * t) / (sig * math.sqrt(t))
+    want = (math.exp(-r * t) * math.exp(-0.5 * d2 * d2)
+            / math.sqrt(2 * math.pi) / (s0 * sig * math.sqrt(t)))
+    g = greeks(sim=SimParams(n_paths=1 << 20, n_steps=1),
+               payoff="digital_call", method="lrm", which=("delta",))
+    assert abs(float(g["delta"]) - want) <= 4.0 * float(g["delta_stderr"])
+    # pathwise must refuse
+    import pytest
+    with pytest.raises(ValueError, match="lrm"):
+        greeks(payoff="digital_call", method="pathwise")
