@@ -91,6 +91,11 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
     po = get_payoff(payoff)
     if engine not in ("pallas", "xla"):
         raise ValueError(f"unknown engine {engine!r}; use 'pallas' or 'xla'")
+    if rng_source not in ("threefry", "threefry13"):
+        # 'hw' is stateful: resumed runs could not be bit-identical to
+        # uninterrupted ones, which is this module's core contract
+        raise ValueError(f"rng_source {rng_source!r} not resumable; use "
+                         "'threefry13' or 'threefry'")
     if method is None:
         method = "terminal" if po.terminal_only else "euler"
     chunk_paths = round_up(min(chunk_paths, sim.n_paths), tile_rows * LANES)

@@ -179,6 +179,9 @@ def cmd_nmc(args):
 
     option, sim = _parse(args)
     if args.model == "heston":
+        if args.discount != "full" or args.strategy != "fused":
+            raise SystemExit("--discount / --strategy are fixed "
+                             "(full / grid) with --model heston")
         from mc_tpu.models.heston import HestonDynamics
         from mc_tpu.nmc_heston import price_nmc_heston
         dyn = HestonDynamics(v0=args.v0, kappa=args.kappa,
@@ -287,6 +290,9 @@ def cmd_american(args):
 
     option, sim = _parse(args)
     if args.model == "heston":
+        if args.bounds or args.exercise_every != 1:
+            raise SystemExit("--bounds / --exercise-every are not "
+                             "supported with --model heston yet")
         from mc_tpu.models.heston import HestonDynamics
         hes = HestonDynamics(v0=args.v0, kappa=args.kappa,
                              theta=args.theta_h, xi=args.xi, rho=args.rho)

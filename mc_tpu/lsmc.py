@@ -97,21 +97,28 @@ def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
         v, betas = carry
         t = n_steps - 2 - j
         v = v * disc
-        ex = immediate(s_flat, c_flat, t)
-        is_ex_date = ((t + 1) % every) == 0
-        itm = jnp.logical_and(jnp.logical_and(ex > 0.0, valid),
-                              is_ex_date)
-        w = itm.astype(jnp.float32)
-        x = _basis(s_flat[t] * inv_k, degree)          # (P, B)
-        xw = x * w[:, None]
-        # Normal equations on the MXU; ridge epsilon for conditioning.
-        xtx = jnp.dot(xw.T, x, preferred_element_type=jnp.float32)
-        xty = jnp.dot(xw.T, v, preferred_element_type=jnp.float32)
-        eye = jnp.eye(degree + 1, dtype=jnp.float32)
-        beta = jnp.linalg.solve(xtx + 1e-4 * eye, xty)
-        cont = jnp.dot(x, beta, preferred_element_type=jnp.float32)
-        exercise = jnp.logical_and(itm, ex > cont)
-        return (jnp.where(exercise, ex, v), betas.at[t].set(beta))
+
+        def fit_and_exercise(v):
+            ex = immediate(s_flat, c_flat, t)
+            itm = jnp.logical_and(ex > 0.0, valid)
+            w = itm.astype(jnp.float32)
+            x = _basis(s_flat[t] * inv_k, degree)      # (P, B)
+            xw = x * w[:, None]
+            # Normal equations on the MXU; ridge eps for conditioning.
+            xtx = jnp.dot(xw.T, x, preferred_element_type=jnp.float32)
+            xty = jnp.dot(xw.T, v, preferred_element_type=jnp.float32)
+            eye = jnp.eye(degree + 1, dtype=jnp.float32)
+            beta = jnp.linalg.solve(xtx + 1e-4 * eye, xty)
+            cont = jnp.dot(x, beta, preferred_element_type=jnp.float32)
+            exercise = jnp.logical_and(itm, ex > cont)
+            return jnp.where(exercise, ex, v), beta
+
+        # non-exercise dates: skip the regression entirely (itm would be
+        # identically False — the matmuls and solve would compute beta=0)
+        v, beta = jax.lax.cond(
+            ((t + 1) % every) == 0, fit_and_exercise,
+            lambda v: (v, jnp.zeros((degree + 1,), jnp.float32)), v)
+        return (v, betas.at[t].set(beta))
 
     return jax.lax.fori_loop(0, n_steps - 1, step_back, (v, betas0))
 
@@ -420,7 +427,8 @@ def _ab_upper_impl(option, payoff, sim, degree, tile_rows, n_outer,
 
     def draw(branch, u):
         # inner normal for (outer path, branch, step u): counter
-        # branch*n + u  (< n^2*(J+1): far below 2^32 at sane configs)
+        # branch*n + u with branch < 4*n*n_inner (rollout + transition
+        # blocks) — the public wrapper guards 4*n^2*n_inner < 2^32
         c1 = (jnp.asarray(branch, jnp.uint32) * jnp.uint32(n)
               + jnp.asarray(u, jnp.uint32))
         z, _ = rng.normal_pair(ki0, ki1, ids_b,
@@ -452,11 +460,15 @@ def _ab_upper_impl(option, payoff, sim, degree, tile_rows, n_outer,
         return jnp.where(done, val, ex * disc ** jnp.float32(n))
 
     two_j_total = n * 2 * n_inner  # transition branches live past these
+    # maturity is ALWAYS an exercise date; when n is not divisible by
+    # `every` its distance to the previous exercise date is shorter
+    gap_mat = n - every * ((n - 1) // every)
 
     def date_step(carry, t):
         m, run_max = carry
         base = t * (2 * n_inner)
-        is_ex_date = ((t + 1) % every) == 0
+        is_ex_date = jnp.logical_or(((t + 1) % every) == 0, t == n - 1)
+        gap = jnp.where(t == n - 1, jnp.int32(gap_mat), jnp.int32(every))
 
         def delta_fn(_):
             # policy value from the realized state: n_inner fresh
@@ -472,9 +484,10 @@ def _ab_upper_impl(option, payoff, sim, degree, tile_rows, n_outer,
             # sim step back only when every == 1): conditioning on t-1
             # would leave the value moves of the in-between steps
             # un-hedged by M and blow the bound wide open.
+            prev_idx = t - gap
             prev_s = jnp.where(
-                t >= every,
-                s_b[jnp.maximum(t - every, 0)],
+                prev_idx >= 0,
+                s_b[jnp.maximum(prev_idx, 0)],
                 jnp.full_like(s_b[0], p.s0))
 
             def inner_j(j, acc):
@@ -485,13 +498,13 @@ def _ab_upper_impl(option, payoff, sim, degree, tile_rows, n_outer,
                     z = draw(branch_tr, k)
                     return s * jnp.exp(p.drift_dt + p.vol_dt * z)
 
-                # `every` fresh transition steps prev-ex-date -> date t
-                s_t = jax.lax.fori_loop(0, every, tr_step, prev_s)
+                # `gap` fresh transition steps prev-ex-date -> date t
+                s_t = jax.lax.fori_loop(0, gap, tr_step, prev_s)
                 return acc + rollout(t, s_t, branch)
 
             e_t = jax.lax.fori_loop(0, n_inner, inner_j,
                                     jnp.zeros_like(l_here)) / jn
-            return jnp.where(t >= 1, l_here - e_t, 0.0)
+            return l_here - e_t
 
         # non-exercise dates contribute nothing: skip their 2J rollouts
         m = m + jax.lax.cond(jnp.logical_and(is_ex_date, t >= 1),
@@ -552,6 +565,11 @@ def american_bounds(option: OptionParams = DEMO_OPTION,
                          "not implemented")
     if exercise_every < 1:
         raise ValueError("exercise_every must be >= 1")
+    span = 4 * sim.n_steps * sim.n_steps * n_inner
+    if span >= 1 << 32:
+        raise ValueError(
+            "inner RNG counter space exhausted: 4 * n_steps^2 * n_inner "
+            f"= {span} >= 2^32; reduce n_steps or n_inner")
     lower = price_american(option, sim, payoff, degree=degree,
                            tile_rows=tile_rows, stream=stream,
                            two_pass=True, interpret=interpret,

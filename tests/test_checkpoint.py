@@ -112,3 +112,15 @@ def test_resume_rejects_changed_rng_source(tmp_path):
         chunked_price(sim=SIM, chunk_paths=CHUNK, checkpoint_path=ck,
                       resume=True, engine="xla", tile_rows=8,
                       rng_source="threefry")
+
+
+def test_hw_rng_source_rejected():
+    """Regression (review): the stateful hardware PRNG cannot honor the
+    bit-identical-resume contract and unknown strings must not silently
+    map to 20-round threefry."""
+    with pytest.raises(ValueError, match="resumable"):
+        chunked_price(sim=SIM, chunk_paths=CHUNK, rng_source="hw",
+                      tile_rows=8)
+    with pytest.raises(ValueError, match="resumable"):
+        chunked_price(sim=SIM, chunk_paths=CHUNK, rng_source="threefry31",
+                      tile_rows=8)

@@ -249,3 +249,28 @@ def test_american_bounds_bermudan_schedule():
     assert float(up.price) + 3 * float(up.stderr) >= oracle - 0.06
     assert float(lo.price) - 3 * float(lo.stderr) <= oracle
     assert 0.0 < float(up.price) - float(lo.price) < 0.4
+
+
+def test_american_bounds_maturity_always_included():
+    """Regression (review): with n_steps not divisible by exercise_every
+    the maturity date dropped out of the dual's pathwise max, letting the
+    'upper' bound fall below the true price.  10 steps / every=3 (dates
+    3,6,9 + maturity): the bracket must still contain the oracle."""
+    from mc_tpu.lsmc import american_bounds
+    lo, up = american_bounds(sim=SimParams(n_paths=30_000, n_steps=10),
+                             n_outer=2048, n_inner=96, exercise_every=3)
+    oracle = binomial_american(100.0, 100.0, 1.0, 0.1, 0.2, kind="put")
+    assert float(up.price) >= float(lo.price) - 2 * (
+        float(up.stderr) + float(lo.stderr))
+    # Bermudan-4-dates <= American oracle; upper must not sit below the
+    # Bermudan value, which the lower bound estimates
+    assert float(up.price) + 3 * float(up.stderr) >= \
+        float(lo.price) - 3 * float(lo.stderr)
+    assert float(lo.price) - 3 * float(lo.stderr) <= oracle
+
+
+def test_american_bounds_counter_guard():
+    from mc_tpu.lsmc import american_bounds
+    with pytest.raises(ValueError, match="counter"):
+        american_bounds(sim=SimParams(n_paths=1024, n_steps=2048),
+                        n_inner=1024)
