@@ -153,9 +153,13 @@ def cmd_price(args):
     from mc_tpu.oracle import bs_call
 
     option, sim = _parse(args)
+    shift = args.importance_shift
+    if shift not in (None, "auto"):
+        shift = float(shift)
     res = price(option, sim, payoff=args.payoff, engine=args.engine,
                 antithetic=args.antithetic,
                 control_variate=args.control_variate,
+                importance_shift=shift if shift is not None else 0.0,
                 tile_rows=args.tile_rows)
     out = {
         "payoff": args.payoff,
@@ -507,6 +511,8 @@ def main(argv=None):
     p.add_argument("--payoff", default="vanilla_call")
     p.add_argument("--antithetic", action="store_true")
     p.add_argument("--control-variate", action="store_true")
+    p.add_argument("--importance-shift", default=None,
+                   help="drift shift in sd units, or 'auto' (aim at K)")
     p.set_defaults(fn=cmd_price)
 
     p = sub.add_parser("nmc", help="nested MC price surface, JSON output")

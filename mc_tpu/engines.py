@@ -214,13 +214,23 @@ def price(option: OptionParams = DEMO_OPTION,
     sigma*sqrt(T) standard deviations with exact likelihood-ratio
     re-weighting (unbiased).  Aim the paths at the money for deep-OTM
     strikes: shift ~= log(K/S0)/(sigma*sqrt(T)) collapses the stderr by
-    orders of magnitude.
+    orders of magnitude.  ``importance_shift="auto"`` centers the
+    terminal log-price distribution AT the strike (the standard
+    aim-at-the-money heuristic — near-optimal for OTM vanillas/digitals,
+    a no-op-ish small shift ATM).
     """
     po = get_payoff(payoff)
     if method is None:
         method = "terminal" if po.terminal_only else "euler"
     if po.n_state > 0 and method == "terminal":
         raise ValueError(f"{po.name} is path-dependent; method='terminal' invalid")
+    if importance_shift == "auto":
+        # center E[log S_T] at log K: shift = (log(K/S0) - mu T)/(sigma vT)
+        import math
+        mu = option.r - option.q - 0.5 * option.sigma ** 2
+        importance_shift = float(
+            (math.log(option.k / option.s0) - mu * option.t)
+            / (option.sigma * math.sqrt(option.t)))
     if rng_source not in ("threefry", "threefry13", "hw"):
         raise ValueError(f"unknown rng_source {rng_source!r}")
     if rng_source == "hw" and antithetic:
