@@ -294,16 +294,18 @@ def cmd_american(args):
 
     option, sim = _parse(args)
     if args.model == "heston":
-        if args.bounds or args.exercise_every != 1:
-            raise SystemExit("--bounds / --exercise-every are not "
-                             "supported with --model heston yet")
+        if args.bounds:
+            raise SystemExit("--bounds is not supported with "
+                             "--model heston yet")
         from mc_tpu.models.heston import HestonDynamics
         hes = HestonDynamics(v0=args.v0, kappa=args.kappa,
                              theta=args.theta_h, xi=args.xi, rho=args.rho)
         res = price_american_heston(option, hes, sim, payoff=args.payoff,
-                                    degree=args.degree, two_pass=True)
+                                    degree=args.degree, two_pass=True,
+                                    exercise_every=args.exercise_every)
         one = price_american_heston(option, hes, sim, payoff=args.payoff,
-                                    degree=args.degree, two_pass=False)
+                                    degree=args.degree, two_pass=False,
+                                    exercise_every=args.exercise_every)
         out = {"payoff": args.payoff, "model": "heston",
                "price": float(res.price), "stderr": float(res.stderr),
                "one_pass": float(one.price),

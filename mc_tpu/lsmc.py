@@ -267,9 +267,10 @@ def _basis_sv(s_norm, v, degree: int):
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "sim", "degree", "tile_rows", "interpret",
-                     "two_pass"))
+                     "two_pass", "every"))
 def _price_american_heston_impl(option, heston, payoff, sim, degree,
-                                tile_rows, interpret, two_pass, key, key_b):
+                                tile_rows, interpret, two_pass, key, key_b,
+                                every=1):
     from mc_tpu.models.heston import (_pack_heston, _unpack_heston,
                                       heston_trajectories_kernel)
     params = _pack_heston(option, heston, sim.n_steps)
@@ -303,18 +304,25 @@ def _price_american_heston_impl(option, heston, payoff, sim, degree,
         vv, betas = carry
         t = sim.n_steps - 2 - j
         vv = vv * disc
-        ex = immediate(s_a, c_a, t)
-        itm = jnp.logical_and(ex > 0.0, valid)
-        w = itm.astype(jnp.float32)
-        x = _basis_sv(s_a[t] * inv_k, v_a[t], degree)
-        xw = x * w[:, None]
-        xtx = jnp.dot(xw.T, x, preferred_element_type=jnp.float32)
-        xty = jnp.dot(xw.T, vv, preferred_element_type=jnp.float32)
-        eye = jnp.eye(n_basis, dtype=jnp.float32)
-        beta = jnp.linalg.solve(xtx + 1e-4 * eye, xty)
-        cont = jnp.dot(x, beta, preferred_element_type=jnp.float32)
-        exercise = jnp.logical_and(itm, ex > cont)
-        return (jnp.where(exercise, ex, vv), betas.at[t].set(beta))
+
+        def fit_and_exercise(vv):
+            ex = immediate(s_a, c_a, t)
+            itm = jnp.logical_and(ex > 0.0, valid)
+            w = itm.astype(jnp.float32)
+            x = _basis_sv(s_a[t] * inv_k, v_a[t], degree)
+            xw = x * w[:, None]
+            xtx = jnp.dot(xw.T, x, preferred_element_type=jnp.float32)
+            xty = jnp.dot(xw.T, vv, preferred_element_type=jnp.float32)
+            eye = jnp.eye(n_basis, dtype=jnp.float32)
+            beta = jnp.linalg.solve(xtx + 1e-4 * eye, xty)
+            cont = jnp.dot(x, beta, preferred_element_type=jnp.float32)
+            exercise = jnp.logical_and(itm, ex > cont)
+            return jnp.where(exercise, ex, vv), beta
+
+        vv, beta = jax.lax.cond(
+            ((t + 1) % every) == 0, fit_and_exercise,
+            lambda vv: (vv, jnp.zeros((n_basis,), jnp.float32)), vv)
+        return (vv, betas.at[t].set(beta))
 
     v_val, betas = jax.lax.fori_loop(0, sim.n_steps - 1, step_back,
                                      (v_val, betas0))
@@ -330,7 +338,9 @@ def _price_american_heston_impl(option, heston, payoff, sim, degree,
         t = sim.n_steps - 2 - j
         vb = vb * disc
         ex = immediate(s_b, c_b, t)
-        itm = jnp.logical_and(ex > 0.0, valid_b)
+        is_ex_date = ((t + 1) % every) == 0
+        itm = jnp.logical_and(jnp.logical_and(ex > 0.0, valid_b),
+                              is_ex_date)
         x = _basis_sv(s_b[t] * inv_k, v_b[t], degree)
         cont = jnp.dot(x, betas[t], preferred_element_type=jnp.float32)
         return jnp.where(jnp.logical_and(itm, ex > cont), ex, vb)
@@ -346,11 +356,12 @@ def price_american_heston(option: OptionParams = DEMO_OPTION,
                           *,
                           degree: int = 3,
                           two_pass: bool = True,
+                          exercise_every: int = 1,
                           tile_rows: int = 8,
                           stream: int = STREAM_OUTER,
                           key=None,
                           interpret: Optional[bool] = None) -> PriceResult:
-    """Longstaff-Schwartz American price under Heston stochastic vol.
+    """Longstaff-Schwartz American/Bermudan price under Heston.
 
     Composes the Heston trajectory kernel (full-truncation Euler,
     materialized (S_t, v_t) grids) with the LSMC backward induction; the
@@ -372,10 +383,12 @@ def price_american_heston(option: OptionParams = DEMO_OPTION,
         key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x4E57),
                           jnp.uint32)
     key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
+    if exercise_every < 1:
+        raise ValueError("exercise_every must be >= 1")
     return _price_american_heston_impl(option.as_f32(), heston.as_f32(),
                                        po, sim.replace(seed=0), degree,
                                        tile_rows, interpret, two_pass,
-                                       key, key_b)
+                                       key, key_b, exercise_every)
 
 
 # ---------------------------------------------------------------------------

@@ -274,3 +274,16 @@ def test_american_bounds_counter_guard():
     with pytest.raises(ValueError, match="counter"):
         american_bounds(sim=SimParams(n_paths=1024, n_steps=2048),
                         n_inner=1024)
+
+
+def test_heston_bermudan_schedule():
+    """exercise_every under Heston: Bermudan <= American (same noise
+    budget, paired keys), default unchanged."""
+    from mc_tpu.lsmc import price_american_heston
+    sim = SimParams(n_paths=50_000, n_steps=20)
+    amer = price_american_heston(sim=sim)
+    berm = price_american_heston(sim=sim, exercise_every=4)
+    tol = 3.0 * (float(amer.stderr) + float(berm.stderr))
+    assert float(berm.price) <= float(amer.price) + tol
+    d = price_american_heston(sim=sim, exercise_every=1)
+    assert float(d.price) == float(amer.price)
