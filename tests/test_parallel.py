@@ -178,3 +178,27 @@ def test_sharded_book_matches_single_chip(mesh):
                                rtol=2e-6)
     # CRN: the two k=100 contracts are bit-equal even across the mesh
     assert float(a.price[1]) == float(a.price[3])
+
+
+def test_sharded_lsmc_matches_single_chip(mesh):
+    """Distributed LSMC: psum'd normal equations give one global policy;
+    a 1-chip mesh is bitwise the single-chip estimator and an 8-chip
+    mesh agrees to gram-sum reduction-order tolerance."""
+    from mc_tpu.lsmc import price_american
+    from mc_tpu.parallel import price_american_sharded
+    sim = SimParams(n_paths=50_000, n_steps=20)
+    a = price_american_sharded(sim=sim, mesh=mesh)
+    b = price_american_sharded(sim=sim, mesh=make_mesh(jax.devices()[:1]))
+    c = price_american(sim=sim)
+    assert float(b.price) == float(c.price)
+    assert abs(float(a.price) - float(c.price)) <= 0.02
+    assert float(a.stderr) > 0
+
+
+def test_sharded_lsmc_bermudan(mesh):
+    from mc_tpu.parallel import price_american_sharded
+    sim = SimParams(n_paths=30_000, n_steps=20)
+    amer = price_american_sharded(sim=sim, mesh=mesh)
+    berm = price_american_sharded(sim=sim, mesh=mesh, exercise_every=4)
+    tol = 3.0 * (float(amer.stderr) + float(berm.stderr))
+    assert float(berm.price) <= float(amer.price) + tol
