@@ -162,6 +162,36 @@ def _lrm_moments(option, payoff, sim, sim_method, tile_rows, key):
             for i, name in enumerate(names)}
 
 
+@functools.partial(
+    jax.jit, static_argnames=("payoff", "sim", "sim_method", "tile_rows",
+                              "interpret"))
+def _pathwise_kernel_moments(option, payoff, sim, sim_method, tile_rows,
+                             interpret, key):
+    """Pathwise greeks through the PRODUCTION Pallas engine: one fused
+    pass emits (pay, delta, vega, rho, epsilon) moment slabs (manual GBM
+    tangents + jvp'd payoff updates — see pk._greek_leg)."""
+    from mc_tpu.oracle import summarize
+    from mc_tpu.ops import path_kernels as pk
+    from mc_tpu.ops.reduce import finish_sum
+
+    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
+                          tile_rows=tile_rows, method=sim_method)
+    params = pk.pack_params(option, sim.n_steps)
+    slabs = pk.simulate_greek_partials(payoff, cfg, key, params,
+                                       interpret)
+    r = jnp.asarray(option.r, jnp.float32)
+    t = jnp.asarray(option.t, jnp.float32)
+    disc = jnp.exp(-r * t)
+    n = jnp.asarray(sim.n_paths, jnp.float32)
+    names = ("price", "delta", "vega", "rho", "epsilon")
+    return {name: summarize(finish_sum(slabs[2 * i]),
+                            finish_sum(slabs[2 * i + 1]), n, disc)
+            for i, name in enumerate(names)}
+
+
+_PATHWISE_KERNEL_OK = {"delta", "vega", "rho", "epsilon"}
+
+
 def greeks(option: OptionParams = DEMO_OPTION,
            sim: SimParams = DEMO_SIM,
            payoff="vanilla_call",
@@ -222,6 +252,26 @@ def greeks(option: OptionParams = DEMO_OPTION,
         return out
     f = _price_fn(po, sim.replace(seed=0), sim_method, engine, antithetic,
                   tile_rows, key)
+
+    if method == "pathwise" and engine == "pallas":
+        bad_k = set(which) - _PATHWISE_KERNEL_OK
+        if bad_k:
+            raise ValueError(
+                f"the fused pathwise kernel computes "
+                f"{sorted(_PATHWISE_KERNEL_OK)}; for {sorted(bad_k)} use "
+                "engine='xla' (jax.grad) or method='fd'")
+        if antithetic:
+            raise ValueError("antithetic is not supported by the fused "
+                             "pathwise kernel; use engine='xla'")
+        res = _pathwise_kernel_moments(opt32, po, sim.replace(seed=0),
+                                       sim_method, tile_rows, None, key)
+        out = {}
+        for g in which:
+            out[g] = res[g].price
+            out[f"{g}_stderr"] = res[g].stderr
+        out["price"] = res["price"].price
+        out["price_stderr"] = res["price"].stderr
+        return out
 
     if method == "pathwise":
         grads = jax.grad(f)(opt32)

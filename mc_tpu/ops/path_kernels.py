@@ -748,3 +748,151 @@ def book_tile_rows(tile_rows: int, n_steps: int, method: str,
     n_pairs = 1 if method == "terminal" else (n_steps + 1) // 2
     cap = budget_bytes // (2 * n_pairs * LANES * 4)
     return max(8, min(tile_rows, (cap // 8) * 8))
+
+
+# ---------------------------------------------------------------------------
+# Pathwise-Greek kernel: price + delta/vega/rho/epsilon moments in ONE
+# fused pass at production-engine speed.
+# ---------------------------------------------------------------------------
+
+
+def _greek_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair):
+    """Forward-mode leg: primal + tangents w.r.t. (s0, sigma, r, q).
+
+    The GBM tangents are closed-form in the carried (w, sum_z) — after j
+    steps (elapsed t_j = j*dt):
+        ds/ds0   = s / s0
+        ds/dsigma = s * (-sigma t_j + sqrt(dt) * sum_z)
+        ds/dr    =  s * t_j
+        ds/dq    = -s * t_j
+    Payoff-state tangents propagate by jax.jvp of the (elementwise)
+    ``payoff.update`` per step — Mosaic compiles elementwise jvp fine
+    (jvp THROUGH fori_loop does not lower, hence the manual carry).
+    Returns (pay, dpay) with dpay a dict over the four parameters.
+    """
+    names = ("s0", "sigma", "r", "q")
+
+    def ds_all(s, t_j, sum_z, sqrt_dt):
+        return {
+            "s0": s / p.s0,
+            "sigma": s * (-p.sigma * t_j + sqrt_dt * sum_z),
+            "r": s * t_j,
+            "q": -(s * t_j),
+        }
+
+    if cfg.method == "terminal":
+        z, _ = draw_pair(0)
+        s_t = s0 * jnp.exp(p.drift_t + p.vol_t * z)
+        sqrt_t = p.vol_t / p.sigma
+        ds = ds_all(s_t, p.t, z, sqrt_t)
+        out = {}
+        for g in names:
+            pay, dpay = jax.jvp(lambda ss: payoff.terminal((), ss, p),
+                                (s_t,), (ds[g],))
+            out[g] = dpay
+        return pay, out
+
+    sqrt_dt = p.vol_dt / p.sigma
+    state0 = payoff.init(p, jnp.zeros_like(s0))
+    dstate0 = {g: jax.tree_util.tree_map(jnp.zeros_like, state0)
+               for g in names}
+
+    def one_step(j, w, sum_z, state, dstate, z):
+        w = w + (p.drift_dt + p.vol_dt * z)
+        sum_z = sum_z + z
+        s = s0 * jnp.exp(w)
+        t_j = (jnp.asarray(j, jnp.float32) + 1.0) * p.dt
+        ds = ds_all(s, t_j, sum_z, sqrt_dt)
+        new_dstate = {}
+        for g in names:
+            # primal recomputed per tangent; XLA CSE collapses the copies
+            new_state, dst = jax.jvp(
+                lambda st, ss: payoff.update(st, ss, p),
+                (state, s), (dstate[g], ds[g]))
+            new_dstate[g] = dst
+        return w, sum_z, new_state, new_dstate
+
+    def body(m, carry):
+        w, sum_z, state, dstate = carry
+        z0, z1 = draw_pair(m)
+        w, sum_z, state, dstate = one_step(2 * m, w, sum_z, state,
+                                           dstate, z0)
+        w, sum_z, state, dstate = one_step(2 * m + 1, w, sum_z, state,
+                                           dstate, z1)
+        return (w, sum_z, state, dstate)
+
+    zero = jnp.zeros_like(s0)
+    w, sum_z, state, dstate = jax.lax.fori_loop(
+        0, cfg.n_steps // 2, body, (zero, zero, state0, dstate0))
+    if cfg.n_steps % 2:
+        z0, _ = draw_pair(cfg.n_steps // 2)
+        w, sum_z, state, dstate = one_step(cfg.n_steps - 1, w, sum_z,
+                                           state, dstate, z0)
+    s_t = s0 * jnp.exp(w)
+    ds = ds_all(s_t, p.t, sum_z, sqrt_dt)
+    out = {}
+    for g in names:
+        pay, dpay = jax.jvp(
+            lambda st, ss: payoff.terminal(st, ss, p),
+            (state, s_t), (dstate[g], ds[g]))
+        out[g] = dpay
+    return pay, out
+
+
+def _greek_moment_values(payoff, cfg, p, ids, valid, draw_pair):
+    """The 10 moment tiles [pay, pay^2, g_d, g_d^2, ...] shared by the
+    Pallas kernel and the XLA dual (one definition keeps them bitwise)."""
+    s0 = jnp.full(ids.shape, p.s0, jnp.float32)
+    pay, dpay = _greek_leg(payoff, cfg, p, s0, draw_pair)
+    # rho folds the discount derivative -T*pay; epsilon has none (q does
+    # not enter e^{-rT})
+    vals = [pay, dpay["s0"], dpay["sigma"], dpay["r"] - p.t * pay,
+            dpay["q"]]
+    out = []
+    for v in vals:
+        v = jnp.where(valid, v, 0.0)
+        out += [v, v * v]
+    return out
+
+
+def _make_greek_kernel(payoff: PathPayoff, cfg: KernelConfig):
+    def kernel(key_ref, params_ref, meta_ref, *out_and_scratch):
+        outs, comp_ref = out_and_scratch[:-1], out_and_scratch[-1]
+        p = unpack_params(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        k0, k1 = key_ref[0], key_ref[1]
+        draw_pair = lambda m: _tile_normals_threefry(
+            k0, k1, ids, m, rounds=cfg.rng_rounds)
+        vals = _greek_moment_values(payoff, cfg, p, ids, valid, draw_pair)
+        _accumulate_moments(outs, comp_ref, vals, i, cfg.tile_rows)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("payoff", "cfg", "interpret"))
+def simulate_greek_partials(payoff: PathPayoff, cfg: KernelConfig, key,
+                            params, interpret=None):
+    """(pay, delta, vega, rho', epsilon) x (sum, sumsq) accumulators —
+    10 (8,128) slabs from one fused pass."""
+    if interpret is None:
+        interpret = use_interpret()
+    n_out = 10
+    acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_greek_kernel(payoff, cfg),
+        grid=(cfg.n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=[acc_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((SUBLANES, LANES),
+                                        jnp.float32)] * n_out,
+        scratch_shapes=[pltpu.VMEM((n_out, SUBLANES, LANES), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(key, jnp.uint32), params,
+      jnp.stack([jnp.uint32(0), jnp.uint32(cfg.n_paths)]))

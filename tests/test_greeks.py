@@ -170,3 +170,43 @@ def test_lrm_odd_step_count():
     g = greeks(opt, SimParams(n_paths=1 << 16, n_steps=5), "bullet_call",
                method="lrm", which=("delta",))
     assert np.isfinite(float(g["delta"]))
+
+
+# --- fused pathwise-greek Pallas kernel -----------------------------------
+
+def test_pathwise_kernel_matches_grad():
+    """The fused kernel's manual GBM tangents + jvp'd payoff updates
+    compute the same pathwise estimator as jax.grad through the XLA
+    dual, on the same draws, for every smooth payoff family."""
+    sim = SimParams(n_paths=1 << 17, n_steps=16)
+    for payoff in ("vanilla_call", "asian_call", "lookback_call"):
+        gk = greeks(sim=sim, payoff=payoff, method="pathwise",
+                    engine="pallas", sim_method="euler",
+                    which=("delta", "vega", "rho", "epsilon"))
+        gx = greeks(sim=sim, payoff=payoff, method="pathwise",
+                    engine="xla", sim_method="euler",
+                    which=("delta", "vega", "rho"))
+        for k in ("delta", "vega", "rho"):
+            a, b = float(gk[k]), float(gx[k])
+            assert abs(a - b) <= 1e-3 * max(1.0, abs(b)) + 1e-4, (
+                payoff, k, a, b)
+
+
+def test_pathwise_kernel_terminal_vs_closed_form():
+    g = greeks(sim=SimParams(n_paths=1 << 20, n_steps=1),
+               method="pathwise", engine="pallas",
+               which=("delta", "vega", "rho", "epsilon"))
+    cf = bs_closed_forms()
+    for k in ("delta", "vega", "rho"):
+        assert abs(float(g[k]) - cf[k]) <= 4.0 * float(g[f"{k}_stderr"]), (
+            k, float(g[k]), cf[k])
+    assert abs(float(g["epsilon"]) - (-S0 * T * cf["delta"])) <= \
+        4.0 * float(g["epsilon_stderr"])
+
+
+def test_pathwise_kernel_guards():
+    with pytest.raises(ValueError, match="fused pathwise"):
+        greeks(method="pathwise", engine="pallas", which=("theta",))
+    with pytest.raises(ValueError, match="antithetic"):
+        greeks(method="pathwise", engine="pallas", which=("delta",),
+               antithetic=True)

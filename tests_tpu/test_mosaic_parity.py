@@ -216,3 +216,26 @@ def test_nmc_heston():
                                   np.asarray(i.surface))
     np.testing.assert_array_equal(np.asarray(c.surface),
                                   np.asarray(x.surface))
+
+
+def test_pathwise_greek_kernel():
+    """Fused pathwise-greek kernel: compiled == interpret (the interpret
+    flag is a jit-static arg of the impl, so both really run)."""
+    import jax.numpy as jnp
+
+    from mc_tpu import rng
+    from mc_tpu.greeks import _pathwise_kernel_moments
+    from mc_tpu.ops.payoffs import get_payoff
+    sim = SimParams(n_paths=8192, n_steps=8)
+    po = get_payoff("asian_call")
+    key = jnp.asarray(rng.derive_key(sim.seed, 0), jnp.uint32)
+    c = _pathwise_kernel_moments(OptionParams().as_f32(), po,
+                                 sim.replace(seed=0), "euler", 8, False,
+                                 key)
+    i = _pathwise_kernel_moments(OptionParams().as_f32(), po,
+                                 sim.replace(seed=0), "euler", 8, True,
+                                 key)
+    for name in ("price", "delta", "vega", "rho", "epsilon"):
+        np.testing.assert_array_equal(np.asarray(c[name].price),
+                                      np.asarray(i[name].price),
+                                      err_msg=name)
