@@ -372,8 +372,15 @@ def cmd_greeks(args):
         args.which = ("delta,vega,rho" if args.method == "lrm"
                       else "delta,vega,rho,theta")
     which = tuple(args.which.split(","))
+    engine = args.engine
+    if args.method == "pathwise" and engine == "pallas":
+        # the fused kernel computes the density-parameter set only
+        which = tuple(w for w in which
+                      if w in ("delta", "vega", "rho", "epsilon")) or             ("delta", "vega", "rho")
+    elif args.method == "pathwise":
+        engine = "xla"
     g = greeks(option, sim, payoff=args.payoff, method=args.method,
-               which=which, antithetic=args.antithetic,
+               which=which, antithetic=args.antithetic, engine=engine,
                tile_rows=args.tile_rows)
     print(json.dumps({k: float(v) for k, v in g.items()}))
     return 0
