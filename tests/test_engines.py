@@ -217,3 +217,39 @@ def test_geometric_asian_control_variate():
     cvp = price(sim=sim, payoff="asian_call_geo_cv", engine="pallas",
                 control_variate=True, tile_rows=8)
     assert float(cvp.price) == float(cv.price)
+
+
+def test_engine_duality_fuzz():
+    """Property sweep: random (payoff, geometry, market, flags) configs —
+    the pallas/xla bitwise duality must hold on every one of them, not
+    just the hand-picked test points."""
+    import numpy as np
+
+    from mc_tpu.ops.payoffs import PAYOFFS
+    rng_np = np.random.default_rng(42)
+    names = sorted(PAYOFFS)
+    for trial in range(12):
+        name = names[int(rng_np.integers(len(names)))]
+        po_obj = PAYOFFS[name]
+        n_steps = int(rng_np.integers(1, 13))
+        method = ("terminal" if (po_obj.terminal_only
+                                 and rng_np.random() < 0.5) else "euler")
+        opt = OptionParams(
+            s0=float(rng_np.uniform(50, 150)),
+            k=float(rng_np.uniform(50, 150)),
+            t=float(rng_np.uniform(0.1, 3.0)),
+            r=float(rng_np.uniform(-0.02, 0.15)),
+            sigma=float(rng_np.uniform(0.05, 0.8)),
+            barrier=float(rng_np.uniform(80, 160)),
+            p1=float(rng_np.integers(0, max(n_steps // 2, 1) + 1)),
+            p2=float(rng_np.integers(n_steps // 2, n_steps + 1)),
+            q=float(rng_np.uniform(0.0, 0.05)))
+        sim = SimParams(n_paths=int(rng_np.integers(1, 4)) * 2048,
+                        n_steps=n_steps, seed=int(rng_np.integers(1e6)))
+        kw = dict(method=method, tile_rows=8,
+                  antithetic=bool(rng_np.random() < 0.3))
+        a = price(opt, sim, name, engine="pallas", **kw)
+        b = price(opt, sim, name, engine="xla", **kw)
+        assert float(a.price) == float(b.price), (trial, name, kw)
+        assert float(a.stderr) == float(b.stderr), (trial, name, kw)
+        assert np.isfinite(float(a.price)), (trial, name)
