@@ -374,11 +374,14 @@ def cmd_greeks(args):
     which = tuple(args.which.split(","))
     engine = args.engine
     if args.method == "pathwise" and engine == "pallas":
-        # the fused kernel computes the density-parameter set only
-        which = tuple(w for w in which
-                      if w in ("delta", "vega", "rho", "epsilon")) or             ("delta", "vega", "rho")
-    elif args.method == "pathwise":
-        engine = "xla"
+        # the fused kernel serves the density-parameter set without
+        # antithetic pairing; anything else falls back to the jax.grad
+        # XLA path, which computes EXACTLY what was asked (never filter
+        # the user's greek list silently)
+        fits = (set(which) <= {"delta", "vega", "rho", "epsilon"}
+                and not args.antithetic)
+        if not fits:
+            engine = "xla"
     g = greeks(option, sim, payoff=args.payoff, method=args.method,
                which=which, antithetic=args.antithetic, engine=engine,
                tile_rows=args.tile_rows)

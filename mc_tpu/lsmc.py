@@ -81,14 +81,19 @@ def _summ(v, valid, n_paths):
 
 
 def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
-                  inv_k, disc, immediate, every=1):
+                  inv_k, disc, immediate, every=1, reduce_fn=None):
     """One-pass backward induction: returns (in-sample cashflows v at
     date 0 pre-discount, per-date continuation betas (n_steps-1, B)).
 
     ``every``: exercise allowed only at grid dates t with (t+1) % every
     == 0 plus maturity — a Bermudan schedule decoupled from the
     simulation grid (every=1: every date, the American limit).
+    ``reduce_fn``: optional cross-chip reduction applied to the gram
+    sums (lax.psum over the mesh axis in the sharded engine) — the ONE
+    difference between single-chip and distributed LSMC.
     """
+    if reduce_fn is None:
+        reduce_fn = lambda x: x
     v = immediate(s_flat, c_flat, n_steps - 1)
     betas0 = jnp.zeros((max(n_steps - 1, 1), degree + 1), jnp.float32)
 
@@ -105,8 +110,10 @@ def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
             x = _basis(s_flat[t] * inv_k, degree)      # (P, B)
             xw = x * w[:, None]
             # Normal equations on the MXU; ridge eps for conditioning.
-            xtx = jnp.dot(xw.T, x, preferred_element_type=jnp.float32)
-            xty = jnp.dot(xw.T, v, preferred_element_type=jnp.float32)
+            xtx = reduce_fn(
+                jnp.dot(xw.T, x, preferred_element_type=jnp.float32))
+            xty = reduce_fn(
+                jnp.dot(xw.T, v, preferred_element_type=jnp.float32))
             eye = jnp.eye(degree + 1, dtype=jnp.float32)
             beta = jnp.linalg.solve(xtx + 1e-4 * eye, xty)
             cont = jnp.dot(x, beta, preferred_element_type=jnp.float32)
@@ -121,6 +128,25 @@ def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
         return (v, betas.at[t].set(beta))
 
     return jax.lax.fori_loop(0, n_steps - 1, step_back, (v, betas0))
+
+
+def _apply_policy_pass(payoff, p, s_b, c_b, valid_b, betas, n_steps,
+                       degree, inv_k, disc, immediate, every=1):
+    """Forward application of a FROZEN policy (betas) to a path set."""
+    vb = immediate(s_b, c_b, n_steps - 1)
+
+    def apply_policy(j, vb):
+        t = n_steps - 2 - j
+        vb = vb * disc
+        ex = immediate(s_b, c_b, t)
+        is_ex_date = ((t + 1) % every) == 0
+        itm = jnp.logical_and(jnp.logical_and(ex > 0.0, valid_b),
+                              is_ex_date)
+        x = _basis(s_b[t] * inv_k, degree)
+        cont = jnp.dot(x, betas[t], preferred_element_type=jnp.float32)
+        return jnp.where(jnp.logical_and(itm, ex > cont), ex, vb)
+
+    return jax.lax.fori_loop(0, n_steps - 1, apply_policy, vb)
 
 
 @functools.partial(
@@ -160,21 +186,9 @@ def _price_american_impl(option, payoff, sim, degree, tile_rows, interpret,
                                     interpret)
     valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
                < jnp.uint32(sim.n_paths))
-    vb = immediate(s_b, c_b, sim.n_steps - 1)
-
-    def apply_policy(j, vb):
-        t = sim.n_steps - 2 - j
-        vb = vb * disc
-        ex = immediate(s_b, c_b, t)
-        is_ex_date = ((t + 1) % every) == 0
-        itm = jnp.logical_and(jnp.logical_and(ex > 0.0, valid_b),
-                              is_ex_date)
-        x = _basis(s_b[t] * inv_k, degree)
-        cont = jnp.dot(x, betas[t], preferred_element_type=jnp.float32)
-        exercise = jnp.logical_and(itm, ex > cont)
-        return jnp.where(exercise, ex, vb)
-
-    vb = jax.lax.fori_loop(0, sim.n_steps - 1, apply_policy, vb)
+    vb = _apply_policy_pass(payoff, p, s_b, c_b, valid_b, betas,
+                            sim.n_steps, degree, inv_k, disc, immediate,
+                            every)
     return _summ(vb * disc, valid_b, sim.n_paths)
 
 

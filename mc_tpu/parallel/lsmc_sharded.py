@@ -28,7 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from mc_tpu import rng
 from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
 from mc_tpu.engines import _payoff_namespace
-from mc_tpu.lsmc import _basis
+from mc_tpu.lsmc import _apply_policy_pass, _backward_fit
 from mc_tpu.oracle import PriceResult
 from mc_tpu.ops import path_kernels as pk
 from mc_tpu.ops._pallas import LANES
@@ -73,55 +73,19 @@ def _impl(option, payoff, sim, mesh, degree, tile_rows, every, two_pass,
             st = (c_f[j],) if payoff.n_state else ()
             return payoff.terminal(st, s_f[j], p)
 
-        v = immediate(s_a, c_a, n - 1)
-        betas0 = jnp.zeros((max(n - 1, 1), degree + 1), jnp.float32)
-
-        def step_back(j, carry):
-            v, betas = carry
-            t = n - 2 - j
-            v = v * disc
-            ex = immediate(s_a, c_a, t)
-            is_ex_date = ((t + 1) % every) == 0
-            itm = jnp.logical_and(jnp.logical_and(ex > 0.0, valid),
-                                  is_ex_date)
-            w = itm.astype(jnp.float32)
-            x = _basis(s_a[t] * inv_k, degree)
-            xw = x * w[:, None]
-            # GLOBAL normal equations: two psums over the paths axis,
-            # then every chip solves the same (B,B) system — the fitted
-            # policy is identical on all chips by construction.
-            xtx = jax.lax.psum(
-                jnp.dot(xw.T, x, preferred_element_type=jnp.float32),
-                PATHS_AXIS)
-            xty = jax.lax.psum(
-                jnp.dot(xw.T, v, preferred_element_type=jnp.float32),
-                PATHS_AXIS)
-            eye = jnp.eye(degree + 1, dtype=jnp.float32)
-            beta = jnp.linalg.solve(xtx + 1e-4 * eye, xty)
-            cont = jnp.dot(x, beta, preferred_element_type=jnp.float32)
-            exercise = jnp.logical_and(itm, ex > cont)
-            return (jnp.where(exercise, ex, v), betas.at[t].set(beta))
-
-        v, betas = jax.lax.fori_loop(0, n - 1, step_back, (v, betas0))
+        # the SAME backward induction as single-chip LSMC; the psum hook
+        # turns the per-chip gram sums into the GLOBAL normal equations,
+        # so every chip solves one system and fits one policy.
+        v, betas = _backward_fit(
+            payoff, p, s_a, c_a, valid, n, degree, inv_k, disc, immediate,
+            every, reduce_fn=lambda x: jax.lax.psum(x, PATHS_AXIS))
         v_final, valid_f = v, valid
 
         if two_pass:
             s_b, c_b, valid_b = grids(key_b)
-            vb = immediate(s_b, c_b, n - 1)
-
-            def apply_policy(j, vb):
-                t = n - 2 - j
-                vb = vb * disc
-                ex = immediate(s_b, c_b, t)
-                is_ex_date = ((t + 1) % every) == 0
-                itm = jnp.logical_and(
-                    jnp.logical_and(ex > 0.0, valid_b), is_ex_date)
-                x = _basis(s_b[t] * inv_k, degree)
-                cont = jnp.dot(x, betas[t],
-                               preferred_element_type=jnp.float32)
-                return jnp.where(jnp.logical_and(itm, ex > cont), ex, vb)
-
-            v_final = jax.lax.fori_loop(0, n - 1, apply_policy, vb)
+            v_final = _apply_policy_pass(payoff, p, s_b, c_b, valid_b,
+                                         betas, n, degree, inv_k, disc,
+                                         immediate, every)
             valid_f = valid_b
 
         v_final = jnp.where(valid_f, v_final * disc, 0.0)
