@@ -14,11 +14,18 @@ snapshot after each chunk; `chunked_price(resume=...)` continues from the
 newest snapshot and produces BIT-IDENTICAL results to an uninterrupted
 run (tests/test_checkpoint.py), because the chunk boundaries — not wall
 clock — define the summation tree.
+
+ELASTIC restarts: pass ``mesh=`` to fan the chunks over a device mesh —
+the CHUNK stays the atomic unit (chip r of a round computes chunk
+c0 + r; the host combines the gathered slabs in chunk-index order), so
+the result is bit-identical across ANY mesh size, and a run checkpointed
+on N chips resumes on M chips without so much as a rounding difference.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Optional
 
@@ -69,6 +76,38 @@ def load_checkpoint(path: str) -> Checkpoint:
                           acc=z["acc"], comp=z["comp"], meta=meta)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "cfg", "engine", "mesh", "interpret"))
+def _chunk_slabs_mesh(payoff, cfg, engine, mesh, interpret, key, params,
+                      option, c0, n_total):
+    """One elastic round: chip r computes the (8,128) moment slabs of
+    chunk c0 + r; the gathered (D, 8, 128) stacks come back in rank
+    (= chunk) order."""
+    from jax.sharding import PartitionSpec as P
+
+    from mc_tpu.parallel.mesh import PATHS_AXIS
+
+    def shard_fn(key, params, c0, n_total):
+        rank = jax.lax.axis_index(PATHS_AXIS).astype(jnp.uint32)
+        offset = (c0 + rank) * jnp.uint32(cfg.n_paths)
+        if engine == "pallas":
+            parts = pk.simulate_partials(
+                payoff, cfg, key, params, path_offset=offset,
+                n_valid=n_total, interpret=interpret)
+        else:
+            parts = _xla_partials(payoff, cfg, key, option, offset,
+                                  n_valid=n_total)
+        return tuple(jax.lax.all_gather(x, PATHS_AXIS) for x in parts)
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(key, params, c0, n_total)
+
+
 def chunked_price(option: OptionParams = DEMO_OPTION,
                   sim: SimParams = DEMO_SIM,
                   payoff="vanilla_call",
@@ -81,6 +120,7 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
                   rng_source: str = "threefry13",
                   tile_rows: int = 256,
                   stream: int = STREAM_OUTER,
+                  mesh=None,
                   interpret: Optional[bool] = None) -> PriceResult:
     """Price `sim.n_paths` paths in chunks with optional checkpointing.
 
@@ -133,6 +173,44 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
     params = pk.pack_params(option.as_f32(), sim.n_steps)
     opt32 = option.as_f32()
 
+    def combine(slab_tuple):
+        nonlocal acc, comp
+        for m in range(n_out):
+            p8 = np.asarray(slab_tuple[m], np.float32)
+            y = p8 - comp[m]
+            t = acc[m] + y
+            comp[m] = (t - acc[m]) - y
+            acc[m] = t
+
+    if mesh is not None and mesh.devices.size > 1:
+        # Elastic path: rounds of D full chunks in parallel, combined in
+        # chunk-index order (chunk = atomic unit -> mesh-size-invariant
+        # bitwise).  A trailing partial chunk falls through to the
+        # sequential loop below.
+        if start % chunk_paths:
+            raise ValueError(
+                "elastic resume requires the checkpoint to sit on a "
+                f"chunk boundary (paths_done={start}, "
+                f"chunk_paths={chunk_paths})")
+        d = mesh.devices.size
+        cfg_full = pk.KernelConfig(n_paths=chunk_paths, n_steps=sim.n_steps,
+                                   tile_rows=tile_rows, method=method,
+                                   rng_source=rng_source)
+        while start + chunk_paths <= sim.n_paths:
+            n_chunks_left = (sim.n_paths - start) // chunk_paths
+            d_used = min(d, n_chunks_left)
+            slabs = _chunk_slabs_mesh(po, cfg_full, engine, mesh,
+                                      interpret, key, params, opt32,
+                                      jnp.uint32(start // chunk_paths),
+                                      jnp.uint32(sim.n_paths))
+            slabs = [np.asarray(x, np.float32) for x in slabs]
+            for kk in range(d_used):
+                combine([slabs[m][kk] for m in range(n_out)])
+            start += d_used * chunk_paths
+            if checkpoint_path:
+                Checkpoint(paths_done=start, n_paths=sim.n_paths, acc=acc,
+                           comp=comp, meta=meta).save(checkpoint_path)
+
     while start < sim.n_paths:
         n_local = min(chunk_paths, round_up(sim.n_paths - start,
                                             tile_rows * LANES))
@@ -148,12 +226,7 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
                                   n_valid=jnp.uint32(sim.n_paths))
         # Kahan-combine the chunk slab into the running accumulators
         # (numpy f32, same update the kernels apply per tile).
-        for m in range(n_out):
-            p8 = np.asarray(parts[m], np.float32)
-            y = p8 - comp[m]
-            t = acc[m] + y
-            comp[m] = (t - acc[m]) - y
-            acc[m] = t
+        combine(parts)
         start += n_local
         if checkpoint_path:
             Checkpoint(paths_done=start, n_paths=sim.n_paths, acc=acc,

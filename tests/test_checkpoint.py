@@ -124,3 +124,55 @@ def test_hw_rng_source_rejected():
     with pytest.raises(ValueError, match="resumable"):
         chunked_price(sim=SIM, chunk_paths=CHUNK, rng_source="threefry31",
                       tile_rows=8)
+
+
+def test_elastic_mesh_bitwise_invariance(tmp_path):
+    """Elastic restarts (SURVEY section 5): the CHUNK is the atomic unit
+    and slabs combine in chunk-index order, so chunked_price is
+    bit-identical across ANY mesh size, and a run interrupted on N chips
+    resumes on M chips with zero rounding difference."""
+    import jax
+
+    from mc_tpu.checkpoint import Checkpoint, load_checkpoint
+    from mc_tpu.parallel import make_mesh
+    sim = SimParams(n_paths=40_000, n_steps=10)
+    ch = 8192
+    seq = chunked_price(sim=sim, chunk_paths=ch, engine="xla", tile_rows=8)
+    m8 = chunked_price(sim=sim, chunk_paths=ch, engine="xla", tile_rows=8,
+                       mesh=make_mesh(jax.devices()[:8]))
+    m3 = chunked_price(sim=sim, chunk_paths=ch, engine="xla", tile_rows=8,
+                       mesh=make_mesh(jax.devices()[:3]))
+    assert float(seq.price) == float(m8.price) == float(m3.price)
+
+    # interruption: checkpoint the EXACT state after chunks 0..1 (a
+    # 2-chunk run on the 8-mesh writes it), bump n_paths back to the full
+    # target, then resume the remaining chunks on a 3-chip mesh
+    ck = str(tmp_path / "elastic.npz")
+    chunked_price(sim=SimParams(n_paths=2 * ch, n_steps=10),
+                  chunk_paths=ch, engine="xla", tile_rows=8,
+                  mesh=make_mesh(jax.devices()[:8]), checkpoint_path=ck)
+    mid = load_checkpoint(ck)
+    mid.n_paths = sim.n_paths
+    mid.save(ck)
+    resumed = chunked_price(sim=sim, chunk_paths=ch, engine="xla",
+                            tile_rows=8, mesh=make_mesh(jax.devices()[:3]),
+                            checkpoint_path=ck, resume=True)
+    assert float(resumed.price) == float(seq.price)
+
+
+def test_elastic_resume_rejects_off_boundary(tmp_path):
+    import jax
+
+    from mc_tpu.checkpoint import Checkpoint, load_checkpoint
+    from mc_tpu.parallel import make_mesh
+    sim = SimParams(n_paths=40_000, n_steps=10)
+    ck = str(tmp_path / "off.npz")
+    chunked_price(sim=sim, chunk_paths=8192, engine="xla", tile_rows=8,
+                  checkpoint_path=ck)
+    bad = load_checkpoint(ck)
+    bad.paths_done = 5000  # not a chunk boundary
+    bad.save(ck)
+    with pytest.raises(ValueError, match="chunk boundary"):
+        chunked_price(sim=sim, chunk_paths=8192, engine="xla", tile_rows=8,
+                      mesh=make_mesh(jax.devices()[:4]),
+                      checkpoint_path=ck, resume=True)
