@@ -500,26 +500,57 @@ def price_portfolio(options: OptionParams,
         return jax.vmap(one)(opts32)
     if engine != "pallas":
         raise ValueError(f"unknown engine {engine!r}")
-    if control_variate:
-        return jax.lax.map(one, opts32)
     return _book_pallas(po, opts32, sim.replace(seed=0), method,
-                        antithetic, tile_rows, key)
+                        antithetic, control_variate, tile_rows, key)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("payoff", "sim", "method", "antithetic", "tile_rows"))
-def _book_pallas(payoff, opts32, sim, method, antithetic, tile_rows, key):
+    static_argnames=("payoff", "sim", "method", "antithetic",
+                     "control_variate", "tile_rows"))
+def _book_pallas(payoff, opts32, sim, method, antithetic, control_variate,
+                 tile_rows, key):
     """One batched Pallas kernel for the whole book (B launches -> 1)."""
     b = jax.tree_util.tree_leaves(opts32)[0].shape[0]
     cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
                           tile_rows=tile_rows, antithetic=antithetic,
-                          method=method)
+                          with_cv=control_variate, method=method)
     params_rows = jax.vmap(lambda o: pk.pack_params(o, sim.n_steps))(opts32)
-    sums, sqs = pk.simulate_book_partials(payoff, cfg, b, key, params_rows)
-    s = jax.vmap(finish_sum)(sums)
-    sq = jax.vmap(finish_sum)(sqs)
+    parts = pk.simulate_book_partials(payoff, cfg, b, key, params_rows)
+    sums = [jax.vmap(finish_sum)(x) for x in parts]
     r = jnp.asarray(opts32.r, jnp.float32)
     t = jnp.asarray(opts32.t, r.dtype)
+    discount = jnp.exp(-r * t)
     n = jnp.full((b,), sim.n_paths, jnp.float32)
-    return summarize(s, sq, n, jnp.exp(-r * t))
+    if not control_variate:
+        return summarize(sums[0], sums[1], n, discount)
+    # per-contract CV finish — the same elementwise formulas the vmapped
+    # XLA dual applies, so the bitwise book duality extends to CV books
+    sum_p, sum_p2, sum_x, sum_x2, sum_px = sums
+    mean_p = sum_p / n
+    mean_x = sum_x / n
+    var_p = jnp.maximum(sum_p2 / n - mean_p * mean_p, 0.0)
+    var_x = jnp.maximum(sum_x2 / n - mean_x * mean_x, 1e-30)
+    cov = sum_px / n - mean_p * mean_x
+    beta = cov / var_x
+    if payoff.has_control:
+        ex = payoff.control_expectation(
+            _payoff_namespace_book(opts32, sim.n_steps))
+    else:
+        q = jnp.asarray(opts32.q, r.dtype)
+        ex = jnp.asarray(opts32.s0, n.dtype) * jnp.exp((r - q) * t)
+    adj_mean = mean_p - beta * (mean_x - ex)
+    adj_var = jnp.maximum(var_p - cov * cov / var_x, 0.0)
+    return PriceResult(
+        price=discount * adj_mean,
+        stderr=jnp.sqrt(adj_var / n) * discount,
+        n_paths=n,
+        payoff_mean=adj_mean,
+        payoff_var=adj_var,
+    )
+
+
+def _payoff_namespace_book(opts32, n_steps):
+    """Vectorized (B,)-leaf params namespace for book-level CV closed
+    forms (elementwise, so identical to the vmapped scalar namespace)."""
+    return _payoff_namespace(opts32, n_steps)

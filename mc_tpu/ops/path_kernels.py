@@ -644,8 +644,9 @@ def _make_book_kernel(payoff: PathPayoff, cfg: KernelConfig,
     """
     n_pairs = 1 if cfg.method == "terminal" else (cfg.n_steps + 1) // 2
 
-    def kernel(key_ref, params_ref, meta_ref, sum_ref, sq_ref, comp_ref,
-               zbuf_ref):
+    def kernel(key_ref, params_ref, meta_ref, *outs_and_scratch):
+        comp_ref, zbuf_ref = outs_and_scratch[-2:]
+        outs = outs_and_scratch[:-2]
         i = pl.program_id(0)
         shape = (cfg.tile_rows, LANES)
         base = jnp.uint32(i * cfg.paths_per_tile)
@@ -667,30 +668,31 @@ def _make_book_kernel(payoff: PathPayoff, cfg: KernelConfig,
 
         @pl.when(i == 0)
         def _init():
-            sum_ref[:] = jnp.zeros_like(sum_ref)
-            sq_ref[:] = jnp.zeros_like(sq_ref)
+            for o in outs:
+                o[:] = jnp.zeros_like(o)
             comp_ref[:] = jnp.zeros_like(comp_ref)
+
+        n_mom = 5 if cfg.with_cv else 2
 
         # fori_loop (not a static unroll) over contracts: one trace of the
         # step loop regardless of B, keeping Mosaic compile time flat.
         def contract_body(b, _):
             p = unpack_params_row(params_ref, b)
             s0 = jnp.full(shape, p.s0, jnp.float32)
-            s_t, state, wgt = _simulate_leg(payoff, cfg, p, s0, draw_pair)
-            pay = payoff.terminal(state, s_t, p)
-            if wgt is not None:
-                pay = pay * wgt
+            pay, x = _payoff_leg(payoff, cfg, p, s0, draw_pair)
             if cfg.antithetic:
                 draw_neg = lambda m: tuple(-z for z in draw_pair(m))
-                s_t2, state2, wgt2 = _simulate_leg(payoff, cfg, p, s0,
-                                                   draw_neg)
-                pay2 = payoff.terminal(state2, s_t2, p)
-                if wgt2 is not None:
-                    pay2 = pay2 * wgt2
+                pay2, x2 = _payoff_leg(payoff, cfg, p, s0, draw_neg)
                 pay = 0.5 * (pay + pay2)
+                x = 0.5 * (x + x2)
             pay = jnp.where(valid, pay, 0.0)
-            for out_ref, cslot, v in ((sum_ref, 2 * b, pay),
-                                      (sq_ref, 2 * b + 1, pay * pay)):
+            vals = [pay, pay * pay]
+            if cfg.with_cv:
+                x = jnp.where(valid, x, 0.0)
+                vals += [x, x * x, pay * x]
+            for m, v in enumerate(vals):
+                out_ref = outs[m]
+                cslot = n_mom * b + m
                 p8 = _fold_to_sublanes(v, cfg.tile_rows)
                 acc = out_ref[b]
                 y = p8 - comp_ref[cslot]
@@ -712,10 +714,12 @@ def simulate_book_partials(payoff: PathPayoff, cfg: KernelConfig,
     """Moment accumulators for a B-contract book in one kernel pass.
 
     ``params_rows``: (B, P) f32 — one pack_params row per contract.
-    Returns (sum_acc, sq_acc), each (B, 8, 128) f32.
+    Returns n_mom (B, 8, 128) f32 accumulators: (sum, sumsq) or, with
+    cfg.with_cv, (sum, sumsq, x, x^2, pay*x).
     """
     if interpret is None:
         interpret = use_interpret()
+    n_mom = 5 if cfg.with_cv else 2
     offset = jnp.asarray(path_offset, jnp.uint32)
     bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
              else jnp.asarray(n_valid, jnp.uint32))
@@ -726,10 +730,10 @@ def simulate_book_partials(payoff: PathPayoff, cfg: KernelConfig,
         _make_book_kernel(payoff, cfg, n_contracts),
         grid=(cfg.n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-        out_specs=[acc_spec, acc_spec],
+        out_specs=[acc_spec] * n_mom,
         out_shape=[jax.ShapeDtypeStruct((n_contracts, SUBLANES, LANES),
-                                        jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM((2 * n_contracts, SUBLANES, LANES),
+                                        jnp.float32)] * n_mom,
+        scratch_shapes=[pltpu.VMEM((n_mom * n_contracts, SUBLANES, LANES),
                                    jnp.float32),
                         pltpu.VMEM((2, n_pairs, cfg.tile_rows, LANES),
                                    jnp.float32)],
