@@ -209,6 +209,9 @@ def cmd_nmc(args):
         out["expected_exposure"] = [round(float(x), 6)
                                     for x in np.asarray(ee)]
         out["pfe"] = [round(float(x), 6) for x in np.asarray(pfe)]
+        if args.cva_hazard is not None:
+            out["cva"] = float(res.cva(args.cva_hazard, args.cva_recovery,
+                                       t_horizon=args.t))
     if args.surface_npz:
         import numpy as np
         np.savez_compressed(args.surface_npz,
@@ -538,6 +541,9 @@ def main(argv=None):
     p.add_argument("--exposure", action="store_true",
                    help="emit EE/PFE exposure profiles from the surface")
     p.add_argument("--pfe-quantile", type=float, default=0.95)
+    p.add_argument("--cva-hazard", type=float, default=None,
+                   help="flat hazard rate: emit unilateral CVA")
+    p.add_argument("--cva-recovery", type=float, default=0.4)
     p.add_argument("--model", choices=("gbm", "heston"), default="gbm")
     p.add_argument("--v0", type=float, default=0.04)
     p.add_argument("--kappa", type=float, default=2.0)

@@ -81,6 +81,23 @@ class NMCResult:
         pfe = jnp.quantile(pos, quantile, axis=0)
         return ee, pfe
 
+    def cva(self, hazard_rate: float, recovery: float = 0.4,
+            t_horizon: float = 1.0):
+        """Unilateral CVA from the expected-exposure profile.
+
+        CVA = (1 - R) * sum_j EE(t_j) * [PD(t_{j-1}, t_j)] with a flat
+        hazard rate: PD over (a, b] = e^{-lambda a} - e^{-lambda b}.
+        The surface values are already discounted, so no extra discount
+        factor is applied (the standard EE* convention).
+        """
+        ee, _ = self.exposure_profile()
+        n = ee.shape[0]
+        t = jnp.arange(1, n + 1, dtype=jnp.float32) * (t_horizon / n)
+        t_prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), t[:-1]])
+        lam = jnp.float32(hazard_rate)
+        dpd = jnp.exp(-lam * t_prev) - jnp.exp(-lam * t)
+        return (1.0 - jnp.float32(recovery)) * jnp.sum(ee * dpd)
+
 
 def _xla_nmc(payoff, cfg: nk.NMCConfig, key_outer, key_inner, option,
              path_offset=0, n_valid=None):

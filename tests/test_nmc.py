@@ -165,3 +165,22 @@ def test_nmc_heston_counter_guard():
     with pytest.raises(ValueError, match="counter"):
         price_nmc_heston(sim=SimParams(n_paths=64, n_steps=4096,
                                        n_paths_inner=1024))
+
+
+def test_cva_from_exposure():
+    """Unilateral CVA rollup: matches a hand-computed sum over the EE
+    profile, scales linearly in (1-R), and vanishes at zero hazard."""
+    from mc_tpu.nmc import price_nmc
+    sim = SimParams(n_paths=2048, n_steps=8, n_paths_inner=8)
+    res = price_nmc(OptionParams(p1=1.0, p2=6.0), sim, engine="xla")
+    ee, _ = res.exposure_profile()
+    lam, rec = 0.02, 0.4
+    t = np.arange(1, 9) / 8.0
+    tp = np.concatenate([[0.0], t[:-1]])
+    want = (1 - rec) * np.sum(np.asarray(ee)
+                              * (np.exp(-lam * tp) - np.exp(-lam * t)))
+    got = float(res.cva(lam, rec))
+    assert got == pytest.approx(want, rel=1e-5)
+    assert float(res.cva(0.0)) == 0.0
+    assert float(res.cva(lam, 0.0)) == pytest.approx(got / (1 - rec),
+                                                     rel=1e-5)
