@@ -42,7 +42,8 @@ from mc_tpu.ops._pallas import LANES
 from mc_tpu.ops.payoffs import get_payoff
 
 __all__ = ["price_american", "price_american_heston",
-           "american_bounds", "binomial_american"]
+           "price_american_basket", "american_bounds",
+           "binomial_american"]
 
 
 def _basis(s_norm, degree: int):
@@ -610,3 +611,93 @@ def american_bounds(option: OptionParams = DEMO_OPTION,
                            degree, tile_rows, n_outer, n_inner, interpret,
                            key_fit, key_outer, key_inner, exercise_every)
     return lower, upper
+
+
+# ---------------------------------------------------------------------------
+# American exercise on a correlated basket: the basket trajectory kernel
+# composed with the shared LSMC machinery (regression on the basket level).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "d", "degree", "tile_rows",
+                     "interpret", "two_pass", "every"))
+def _price_american_basket_impl(option, basket, payoff, sim, d, degree,
+                                tile_rows, interpret, two_pass, key, key_b,
+                                every=1):
+    from mc_tpu.models.basket import (_basket_namespace, _pack_basket,
+                                      basket_trajectories_kernel)
+    ns = _basket_namespace(option, basket, sim.n_steps)
+    params = _pack_basket(ns, d)
+    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
+                          tile_rows=tile_rows)
+    disc = jnp.exp(-ns.r * ns.dt)
+    inv_k = 1.0 / ns.k
+
+    def grids(k):
+        b_g, c_g, _, _ = basket_trajectories_kernel(
+            payoff, cfg, d, k, params, interpret=interpret)
+        n_pad = b_g.shape[1] * LANES
+        return (b_g.reshape(sim.n_steps, n_pad),
+                c_g.reshape(sim.n_steps, n_pad), n_pad)
+
+    b_a, c_a, n_pad = grids(key)
+    valid = (jnp.arange(n_pad, dtype=jnp.uint32)
+             < jnp.uint32(sim.n_paths))
+
+    def immediate(b_f, c_f, j):
+        st = (c_f[j],) if payoff.n_state else ()
+        return payoff.terminal(st, b_f[j], ns)
+
+    v, betas = _backward_fit(payoff, ns, b_a, c_a, valid, sim.n_steps,
+                             degree, inv_k, disc, immediate, every)
+    if not two_pass:
+        return _summ(v * disc, valid, sim.n_paths)
+
+    b_b, c_b, n_pad_b = grids(key_b)
+    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
+               < jnp.uint32(sim.n_paths))
+    vb = _apply_policy_pass(payoff, ns, b_b, c_b, valid_b, betas,
+                            sim.n_steps, degree, inv_k, disc, immediate,
+                            every)
+    return _summ(vb * disc, valid_b, sim.n_paths)
+
+
+def price_american_basket(option: OptionParams = DEMO_OPTION,
+                          basket=None,
+                          sim: SimParams = DEMO_SIM,
+                          payoff="vanilla_put",
+                          *,
+                          degree: int = 3,
+                          two_pass: bool = True,
+                          exercise_every: int = 1,
+                          tile_rows: int = 8,
+                          stream: int = STREAM_OUTER,
+                          key=None,
+                          interpret: Optional[bool] = None) -> PriceResult:
+    """Longstaff-Schwartz American/Bermudan option on a correlated
+    basket: exercise decisions regress on the BASKET level (the standard
+    1-D design — the basket value is the payoff's only state variable).
+
+    Oracle gate (tests): with d=1 the basket collapses to a single GBM
+    asset, so the price must match the CRR binomial American for
+    sigma = sigmas[0].
+    """
+    from mc_tpu.models.basket import DEMO_BASKET
+    basket = DEMO_BASKET if basket is None else basket
+    po = get_payoff(payoff)
+    if po.n_state > 1:
+        raise ValueError("LSMC supports payoffs with at most one state "
+                         "array")
+    if exercise_every < 1:
+        raise ValueError("exercise_every must be >= 1")
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream, 0xBA5C),
+                          jnp.uint32)
+    key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
+    return _price_american_basket_impl(option.as_f32(), basket.as_f32(),
+                                       po, sim.replace(seed=0), basket.d,
+                                       degree, tile_rows, interpret,
+                                       two_pass, key, key_b,
+                                       exercise_every)

@@ -80,7 +80,7 @@ DEMO_BASKET = _demo_basket()
 
 
 def _basket_leg(payoff, d: int, n_steps: int, p, draw_pair,
-                antithetic_sign=1.0):
+                antithetic_sign=1.0, on_step=None):
     """Correlated log-Euler leg; basket value drives the payoff.
 
     ``p`` carries per-asset scalars: p.s0s, p.weights (d-tuples of SMEM
@@ -120,7 +120,10 @@ def _basket_leg(payoff, d: int, n_steps: int, p, draw_pair,
         ws, state = carry
         ws = step(j, ws)
         b = basket_of(ws)
-        return (ws, payoff.update(state, b, p))
+        state = payoff.update(state, b, p)
+        if on_step is not None:
+            on_step(j, b, state)
+        return (ws, state)
 
     z_probe, _ = draw_pair(0)  # fixes the tile shape
     zeros = jnp.zeros_like(z_probe)
@@ -305,3 +308,79 @@ def price_basket(option: OptionParams = DEMO_OPTION,
     return _price_basket_impl(option.as_f32(), b32, po,
                               sim.replace(seed=0), b32.d, engine,
                               antithetic, tile_rows, interpret, key)
+
+
+# ---------------------------------------------------------------------------
+# Basket trajectory materialization: the step-major (B_t, state_t) grids
+# that feed LSMC — American/Bermudan exercise on a correlated basket.
+# ---------------------------------------------------------------------------
+
+
+def _make_basket_traj_kernel(payoff, cfg: pk.KernelConfig, d: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert payoff.n_state <= 1, "trajectory kernel stores one state array"
+
+    def kernel(key_ref, params_ref, meta_ref, b_out, st_out, pay_sum,
+               pay_sq, comp_ref):
+        p = _unpack_basket(params_ref, d)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        k0, k1 = key_ref[0], key_ref[1]
+
+        def draw_pair(m):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
+            return rng.normal_pair(k0, k1, ids, c1, bitcast=pltpu.bitcast)
+
+        def persist(j, b, state):
+            b_out[j] = b
+            st_out[j] = state[0] if payoff.n_state else jnp.zeros_like(b)
+
+        pay = _basket_leg(payoff, d, cfg.n_steps, p, draw_pair,
+                          on_step=persist)
+        pay = jnp.where(valid, pay, 0.0)
+        pk._accumulate_moments((pay_sum, pay_sq), comp_ref,
+                               [pay, pay * pay], i, cfg.tile_rows)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("payoff", "cfg", "d",
+                                             "interpret"))
+def basket_trajectories_kernel(payoff, cfg: pk.KernelConfig, d: int, key,
+                               params, n_valid=None, interpret=None):
+    """Materialize (basket level, payoff state) grids + terminal payoff
+    partials — step-major (n_steps, n_tiles*tile_rows, 128)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = use_interpret()
+    rows = cfg.n_tiles * cfg.tile_rows
+    grid_spec = pl.BlockSpec((cfg.n_steps, cfg.tile_rows, LANES),
+                             lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    bound = (jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    return pl.pallas_call(
+        _make_basket_traj_kernel(payoff, cfg, d),
+        grid=(cfg.n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=[grid_spec, grid_spec, part_spec, part_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(key, jnp.uint32), params,
+      jnp.stack([jnp.uint32(0), bound]))

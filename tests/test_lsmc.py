@@ -287,3 +287,33 @@ def test_heston_bermudan_schedule():
     assert float(berm.price) <= float(amer.price) + tol
     d = price_american_heston(sim=sim, exercise_every=1)
     assert float(d.price) == float(amer.price)
+
+
+# --- American exercise on a correlated basket ----------------------------
+
+def test_basket_american_d1_degenerate():
+    """d=1 basket == single GBM asset: the basket LSMC price must sit in
+    the same place as the plain GBM LSMC relative to the CRR oracle."""
+    from mc_tpu.lsmc import price_american_basket
+    from mc_tpu.models.basket import BasketDynamics
+    b1 = BasketDynamics(s0s=np.array([100.0], np.float32),
+                        sigmas=np.array([0.2], np.float32),
+                        weights=np.array([1.0], np.float32),
+                        corr=np.array([[1.0]], np.float32))
+    sim = SimParams(n_paths=100_000, n_steps=50)
+    r = price_american_basket(basket=b1, sim=sim)
+    oracle = binomial_american(100.0, 100.0, 1.0, 0.1, 0.2, kind="put")
+    assert float(r.price) <= oracle + 3.0 * float(r.stderr)
+    assert float(r.price) >= oracle - 4.0 * float(r.stderr) - 0.06
+
+
+def test_basket_american_premium():
+    """4-asset basket: American put dominates the European basket put."""
+    from mc_tpu.lsmc import price_american_basket
+    from mc_tpu.models.basket import price_basket
+    sim = SimParams(n_paths=100_000, n_steps=50)
+    amer = price_american_basket(sim=sim)
+    euro = price_basket(sim=sim, payoff="vanilla_put", engine="xla",
+                        tile_rows=8)
+    assert float(amer.price) > float(euro.price) + 5.0 * (
+        float(amer.stderr) + float(euro.stderr))

@@ -239,3 +239,11 @@ def test_pathwise_greek_kernel():
         np.testing.assert_array_equal(np.asarray(c[name].price),
                                       np.asarray(i[name].price),
                                       err_msg=name)
+
+
+def test_basket_american_compiled_vs_interpret():
+    from mc_tpu.lsmc import price_american_basket
+    sim = SimParams(n_paths=8192, n_steps=8)
+    c = price_american_basket(sim=sim, tile_rows=8, interpret=False)
+    i = price_american_basket(sim=sim, tile_rows=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(c.price), np.asarray(i.price))
