@@ -293,16 +293,41 @@ def cmd_heston(args):
 
 def cmd_american(args):
     from mc_tpu.lsmc import (binomial_american, price_american,
-                             price_american_heston)
+                             price_american_basket, price_american_heston)
 
     option, sim = _parse(args)
-    if args.model == "heston":
+    if args.model == "basket":
         if args.bounds:
             raise SystemExit("--bounds is not supported with "
-                             "--model heston yet")
+                             "--model basket yet")
+        from mc_tpu.models.basket import _demo_basket
+        dyn = _demo_basket(d=args.n_assets, rho=args.corr)
+        res = price_american_basket(option, dyn, sim, payoff=args.payoff,
+                                    degree=args.degree, two_pass=True,
+                                    exercise_every=args.exercise_every)
+        print(json.dumps({"payoff": args.payoff, "model": "basket",
+                          "n_assets": args.n_assets,
+                          "price": float(res.price),
+                          "stderr": float(res.stderr)}))
+        return 0
+    if args.model == "heston":
         from mc_tpu.models.heston import HestonDynamics
         hes = HestonDynamics(v0=args.v0, kappa=args.kappa,
                              theta=args.theta_h, xi=args.xi, rho=args.rho)
+        if args.bounds:
+            from mc_tpu.lsmc import american_bounds
+            lo, up = american_bounds(option, sim, payoff=args.payoff,
+                                     heston=hes, degree=args.degree,
+                                     n_inner=args.bounds_inner,
+                                     exercise_every=args.exercise_every)
+            print(json.dumps({
+                "payoff": args.payoff, "model": "heston",
+                "lower": float(lo.price),
+                "lower_stderr": float(lo.stderr),
+                "upper": float(up.price),
+                "upper_stderr": float(up.stderr),
+                "gap": float(up.price) - float(lo.price)}))
+            return 0
         res = price_american_heston(option, hes, sim, payoff=args.payoff,
                                     degree=args.degree, two_pass=True,
                                     exercise_every=args.exercise_every)
@@ -577,7 +602,10 @@ def main(argv=None):
     _add_option_flags(p)
     p.add_argument("--payoff", default="vanilla_put")
     p.add_argument("--degree", type=int, default=3)
-    p.add_argument("--model", choices=("gbm", "heston"), default="gbm")
+    p.add_argument("--model", choices=("gbm", "heston", "basket"),
+                   default="gbm")
+    p.add_argument("--n-assets", type=int, default=4)
+    p.add_argument("--corr", type=float, default=0.5)
     p.add_argument("--v0", type=float, default=0.04)
     p.add_argument("--kappa", type=float, default=2.0)
     p.add_argument("--theta-h", type=float, default=0.04,

@@ -82,7 +82,8 @@ def _summ(v, valid, n_paths):
 
 
 def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
-                  inv_k, disc, immediate, every=1, reduce_fn=None):
+                  inv_k, disc, immediate, every=1, reduce_fn=None,
+                  design_fn=None, n_basis=None):
     """One-pass backward induction: returns (in-sample cashflows v at
     date 0 pre-discount, per-date continuation betas (n_steps-1, B)).
 
@@ -95,8 +96,12 @@ def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
     """
     if reduce_fn is None:
         reduce_fn = lambda x: x
+    if design_fn is None:
+        design_fn = lambda t: _basis(s_flat[t] * inv_k, degree)
+    if n_basis is None:
+        n_basis = degree + 1
     v = immediate(s_flat, c_flat, n_steps - 1)
-    betas0 = jnp.zeros((max(n_steps - 1, 1), degree + 1), jnp.float32)
+    betas0 = jnp.zeros((max(n_steps - 1, 1), n_basis), jnp.float32)
 
     def step_back(j, carry):
         # j runs n_steps-2 .. 0 backward over grid dates.
@@ -108,14 +113,14 @@ def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
             ex = immediate(s_flat, c_flat, t)
             itm = jnp.logical_and(ex > 0.0, valid)
             w = itm.astype(jnp.float32)
-            x = _basis(s_flat[t] * inv_k, degree)      # (P, B)
+            x = design_fn(t)                           # (P, B)
             xw = x * w[:, None]
             # Normal equations on the MXU; ridge eps for conditioning.
             xtx = reduce_fn(
                 jnp.dot(xw.T, x, preferred_element_type=jnp.float32))
             xty = reduce_fn(
                 jnp.dot(xw.T, v, preferred_element_type=jnp.float32))
-            eye = jnp.eye(degree + 1, dtype=jnp.float32)
+            eye = jnp.eye(n_basis, dtype=jnp.float32)
             beta = jnp.linalg.solve(xtx + 1e-4 * eye, xty)
             cont = jnp.dot(x, beta, preferred_element_type=jnp.float32)
             exercise = jnp.logical_and(itm, ex > cont)
@@ -125,15 +130,18 @@ def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
         # identically False — the matmuls and solve would compute beta=0)
         v, beta = jax.lax.cond(
             ((t + 1) % every) == 0, fit_and_exercise,
-            lambda v: (v, jnp.zeros((degree + 1,), jnp.float32)), v)
+            lambda v: (v, jnp.zeros((n_basis,), jnp.float32)), v)
         return (v, betas.at[t].set(beta))
 
     return jax.lax.fori_loop(0, n_steps - 1, step_back, (v, betas0))
 
 
 def _apply_policy_pass(payoff, p, s_b, c_b, valid_b, betas, n_steps,
-                       degree, inv_k, disc, immediate, every=1):
+                       degree, inv_k, disc, immediate, every=1,
+                       design_fn=None):
     """Forward application of a FROZEN policy (betas) to a path set."""
+    if design_fn is None:
+        design_fn = lambda t: _basis(s_b[t] * inv_k, degree)
     vb = immediate(s_b, c_b, n_steps - 1)
 
     def apply_policy(j, vb):
@@ -143,7 +151,7 @@ def _apply_policy_pass(payoff, p, s_b, c_b, valid_b, betas, n_steps,
         is_ex_date = ((t + 1) % every) == 0
         itm = jnp.logical_and(jnp.logical_and(ex > 0.0, valid_b),
                               is_ex_date)
-        x = _basis(s_b[t] * inv_k, degree)
+        x = design_fn(t)
         cont = jnp.dot(x, betas[t], preferred_element_type=jnp.float32)
         return jnp.where(jnp.logical_and(itm, ex > cont), ex, vb)
 
@@ -312,55 +320,21 @@ def _price_american_heston_impl(option, heston, payoff, sim, degree,
         st = (c_f[j],) if payoff.n_state else ()
         return payoff.terminal(st, s_f[j], p)
 
-    v_val = immediate(s_a, c_a, sim.n_steps - 1)
-    betas0 = jnp.zeros((max(sim.n_steps - 1, 1), n_basis), jnp.float32)
-
-    def step_back(j, carry):
-        vv, betas = carry
-        t = sim.n_steps - 2 - j
-        vv = vv * disc
-
-        def fit_and_exercise(vv):
-            ex = immediate(s_a, c_a, t)
-            itm = jnp.logical_and(ex > 0.0, valid)
-            w = itm.astype(jnp.float32)
-            x = _basis_sv(s_a[t] * inv_k, v_a[t], degree)
-            xw = x * w[:, None]
-            xtx = jnp.dot(xw.T, x, preferred_element_type=jnp.float32)
-            xty = jnp.dot(xw.T, vv, preferred_element_type=jnp.float32)
-            eye = jnp.eye(n_basis, dtype=jnp.float32)
-            beta = jnp.linalg.solve(xtx + 1e-4 * eye, xty)
-            cont = jnp.dot(x, beta, preferred_element_type=jnp.float32)
-            exercise = jnp.logical_and(itm, ex > cont)
-            return jnp.where(exercise, ex, vv), beta
-
-        vv, beta = jax.lax.cond(
-            ((t + 1) % every) == 0, fit_and_exercise,
-            lambda vv: (vv, jnp.zeros((n_basis,), jnp.float32)), vv)
-        return (vv, betas.at[t].set(beta))
-
-    v_val, betas = jax.lax.fori_loop(0, sim.n_steps - 1, step_back,
-                                     (v_val, betas0))
+    v_val, betas = _backward_fit(
+        payoff, p, s_a, c_a, valid, sim.n_steps, degree, inv_k, disc,
+        immediate, every,
+        design_fn=lambda t: _basis_sv(s_a[t] * inv_k, v_a[t], degree),
+        n_basis=n_basis)
     if not two_pass:
         return _summ(v_val * disc, valid, sim.n_paths)
 
     s_b, v_b, c_b, n_pad_b = grids(key_b)
     valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
                < jnp.uint32(sim.n_paths))
-    vb = immediate(s_b, c_b, sim.n_steps - 1)
-
-    def apply_policy(j, vb):
-        t = sim.n_steps - 2 - j
-        vb = vb * disc
-        ex = immediate(s_b, c_b, t)
-        is_ex_date = ((t + 1) % every) == 0
-        itm = jnp.logical_and(jnp.logical_and(ex > 0.0, valid_b),
-                              is_ex_date)
-        x = _basis_sv(s_b[t] * inv_k, v_b[t], degree)
-        cont = jnp.dot(x, betas[t], preferred_element_type=jnp.float32)
-        return jnp.where(jnp.logical_and(itm, ex > cont), ex, vb)
-
-    vb = jax.lax.fori_loop(0, sim.n_steps - 1, apply_policy, vb)
+    vb = _apply_policy_pass(
+        payoff, p, s_b, c_b, valid_b, betas, sim.n_steps, degree, inv_k,
+        disc, immediate, every,
+        design_fn=lambda t: _basis_sv(s_b[t] * inv_k, v_b[t], degree))
     return _summ(vb * disc, valid_b, sim.n_paths)
 
 
@@ -560,6 +534,7 @@ def american_bounds(option: OptionParams = DEMO_OPTION,
                     sim: SimParams = DEMO_SIM,
                     payoff="vanilla_put",
                     *,
+                    heston=None,
                     degree: int = 3,
                     n_outer: int = 4096,
                     n_inner: int = 128,
@@ -598,6 +573,25 @@ def american_bounds(option: OptionParams = DEMO_OPTION,
         raise ValueError(
             "inner RNG counter space exhausted: 4 * n_steps^2 * n_inner "
             f"= {span} >= 2^32; reduce n_steps or n_inner")
+    if heston is not None:
+        # stochastic-vol bracket: the Heston LSMC lower bound + a dual
+        # whose rollouts resume from the full (S, v) state
+        lower = price_american_heston(option, heston, sim, payoff,
+                                      degree=degree, tile_rows=tile_rows,
+                                      stream=stream, two_pass=True,
+                                      interpret=interpret,
+                                      exercise_every=exercise_every)
+        key_fit = jnp.asarray(rng.derive_key(sim.seed, stream, 0x4E57),
+                              jnp.uint32)
+        key_outer = jnp.asarray(
+            rng.derive_key(sim.seed, stream, 0x4E57, 0xAB01), jnp.uint32)
+        key_inner = jnp.asarray(
+            rng.derive_key(sim.seed, stream, 0x4E57, 0xAB02), jnp.uint32)
+        upper = _ab_upper_heston_impl(
+            option.as_f32(), heston.as_f32(), po, sim.replace(seed=0),
+            degree, tile_rows, n_outer, n_inner, interpret, key_fit,
+            key_outer, key_inner, exercise_every)
+        return lower, upper
     lower = price_american(option, sim, payoff, degree=degree,
                            tile_rows=tile_rows, stream=stream,
                            two_pass=True, interpret=interpret,
@@ -701,3 +695,150 @@ def price_american_basket(option: OptionParams = DEMO_OPTION,
                                        degree, tile_rows, interpret,
                                        two_pass, key, key_b,
                                        exercise_every)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "degree", "tile_rows", "n_outer",
+                     "n_inner", "interpret", "every"))
+def _ab_upper_heston_impl(option, heston, payoff, sim, degree, tile_rows,
+                          n_outer, n_inner, interpret, key_fit, key_outer,
+                          key_inner, every=1):
+    """Andersen-Broadie dual under Heston: rollouts resume from the full
+    (S, v) state and the policy regresses on the (S, v) basis."""
+    from mc_tpu.models.heston import (_pack_heston, _unpack_heston,
+                                      heston_euler_step,
+                                      heston_trajectories_kernel)
+    params = _pack_heston(option, heston, sim.n_steps)
+    p = _unpack_heston(params)
+    n = sim.n_steps
+    disc = jnp.exp(-p.r * p.dt)
+    inv_k = 1.0 / p.k
+    n_basis = degree + 4
+
+    def grids(cfg, k):
+        s_g, v_g, c_g, _, _ = heston_trajectories_kernel(
+            payoff, cfg, k, params, interpret=interpret)
+        n_pad = s_g.shape[1] * LANES
+        return (s_g.reshape(n, n_pad), v_g.reshape(n, n_pad),
+                c_g.reshape(n, n_pad), n_pad)
+
+    def immediate(s_f, c_f, j):
+        return payoff.terminal((), s_f[j], p)
+
+    # 1) the policy the lower bound prices
+    cfg_a = pk.KernelConfig(n_paths=sim.n_paths, n_steps=n,
+                            tile_rows=tile_rows)
+    s_a, v_a, c_a, n_pad_a = grids(cfg_a, key_fit)
+    valid_a = (jnp.arange(n_pad_a, dtype=jnp.uint32)
+               < jnp.uint32(sim.n_paths))
+    _, betas = _backward_fit(
+        payoff, p, s_a, c_a, valid_a, n, degree, inv_k, disc, immediate,
+        every,
+        design_fn=lambda t: _basis_sv(s_a[t] * inv_k, v_a[t], degree),
+        n_basis=n_basis)
+
+    # 2) independent outer set
+    cfg_b = pk.KernelConfig(n_paths=n_outer, n_steps=n,
+                            tile_rows=tile_rows)
+    s_b, v_b, c_b, n_pad_b = grids(cfg_b, key_outer)
+    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
+               < jnp.uint32(n_outer))
+    ids_b = jnp.arange(n_pad_b, dtype=jnp.uint32)
+    ki0 = jnp.asarray(key_inner[0], jnp.uint32)
+    ki1 = jnp.asarray(key_inner[1], jnp.uint32)
+    jn = jnp.float32(n_inner)
+
+    def draw(branch, u):
+        c1 = (jnp.asarray(branch, jnp.uint32) * jnp.uint32(n)
+              + jnp.asarray(u, jnp.uint32))
+        return rng.normal_pair(ki0, ki1, ids_b,
+                               jnp.full(ids_b.shape, 0, jnp.uint32) + c1)
+
+    def rollout(t, s_t, v_t, branch):
+        def body(u, carry):
+            w, vv, done, val = carry
+            s = s_t * jnp.exp(w)
+            ex = payoff.terminal((), s, p)
+            x = _basis_sv(s * inv_k, vv, degree)
+            cont = jnp.dot(x, betas[u],
+                           preferred_element_type=jnp.float32)
+            is_ex_date = ((u + 1) % every) == 0
+            trig = jnp.logical_and(
+                jnp.logical_and(jnp.logical_and(ex > 0.0, ex > cont),
+                                jnp.logical_not(done)), is_ex_date)
+            val = jnp.where(trig,
+                            ex * disc ** (jnp.float32(u) + 1.0), val)
+            done = jnp.logical_or(done, trig)
+            z_v, z_p = draw(branch, u)
+            w, vv = heston_euler_step(p, w, vv, z_v, z_p, p.dt, p.sqrt_dt)
+            return (w, vv, done, val)
+
+        w, vv, done, val = jax.lax.fori_loop(
+            t, n - 1, body,
+            (jnp.zeros_like(s_t), v_t, jnp.zeros_like(s_t, bool),
+             jnp.zeros_like(s_t)))
+        ex = payoff.terminal((), s_t * jnp.exp(w), p)
+        return jnp.where(done, val, ex * disc ** jnp.float32(n))
+
+    two_j_total = n * 2 * n_inner
+    gap_mat = n - every * ((n - 1) // every)
+
+    def date_step(carry, t):
+        m, run_max = carry
+        base = t * (2 * n_inner)
+        is_ex_date = jnp.logical_or(((t + 1) % every) == 0, t == n - 1)
+        gap = jnp.where(t == n - 1, jnp.int32(gap_mat), jnp.int32(every))
+
+        def delta_fn(_):
+            def here_j(j, acc):
+                return acc + rollout(t, s_b[t], v_b[t], base + j)
+
+            l_here = jax.lax.fori_loop(0, n_inner, here_j,
+                                       jnp.zeros_like(s_b[0])) / jn
+
+            prev_idx = t - gap
+            prev_s = jnp.where(prev_idx >= 0,
+                               s_b[jnp.maximum(prev_idx, 0)],
+                               jnp.full_like(s_b[0], p.s0))
+            prev_v = jnp.where(prev_idx >= 0,
+                               v_b[jnp.maximum(prev_idx, 0)],
+                               jnp.full_like(s_b[0], p.v0))
+
+            def inner_j(j, acc):
+                branch = base + n_inner + j
+                branch_tr = two_j_total + branch
+
+                def tr_step(k, carry2):
+                    w, vv = carry2
+                    z_v, z_p = draw(branch_tr, k)
+                    return heston_euler_step(p, w, vv, z_v, z_p, p.dt,
+                                             p.sqrt_dt)
+
+                w, vv = jax.lax.fori_loop(
+                    0, gap, tr_step, (jnp.zeros_like(prev_s), prev_v))
+                return acc + rollout(t, prev_s * jnp.exp(w), vv, branch)
+
+            e_t = jax.lax.fori_loop(0, n_inner, inner_j,
+                                    jnp.zeros_like(l_here)) / jn
+            return l_here - e_t
+
+        m = m + jax.lax.cond(jnp.logical_and(is_ex_date, t >= 1),
+                             delta_fn,
+                             lambda _: jnp.zeros_like(m), 0)
+        hd = immediate(s_b, c_b, t) * disc ** (jnp.float32(t) + 1.0)
+        run_max = jnp.maximum(run_max,
+                              jnp.where(is_ex_date, hd - m, -1e30))
+        return (m, run_max), None
+
+    zeros = jnp.zeros((n_pad_b,), jnp.float32)
+    (m, run_max), _ = jax.lax.scan(date_step,
+                                   (zeros, jnp.full_like(zeros, -1e30)),
+                                   jnp.arange(n, dtype=jnp.int32))
+    u = jnp.where(valid_b, run_max, 0.0)
+    nn = jnp.float32(n_outer)
+    mean = jnp.sum(u) / nn
+    var = jnp.sum(jnp.where(valid_b, (u - mean) ** 2, 0.0)) / jnp.maximum(
+        nn - 1.0, 1.0)
+    return PriceResult(price=mean, stderr=jnp.sqrt(var / nn), n_paths=nn,
+                       payoff_mean=mean, payoff_var=var)

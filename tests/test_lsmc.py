@@ -317,3 +317,21 @@ def test_basket_american_premium():
                         tile_rows=8)
     assert float(amer.price) > float(euro.price) + 5.0 * (
         float(amer.stderr) + float(euro.stderr))
+
+
+def test_heston_american_bounds_bracket():
+    """AB duality under stochastic vol: in the degenerate (xi->0,
+    v0=theta) limit the [lower-3se, upper+3se] bracket must contain the
+    CRR American oracle; in the general model upper >= lower."""
+    from mc_tpu.lsmc import american_bounds
+    from mc_tpu.models.heston import DEMO_HESTON, HestonDynamics
+    h0 = HestonDynamics(v0=0.04, kappa=1.0, theta=0.04, xi=1e-4, rho=0.0)
+    sim = SimParams(n_paths=30_000, n_steps=10)
+    lo, up = american_bounds(sim=sim, heston=h0, n_outer=2048, n_inner=96)
+    oracle = binomial_american(100.0, 100.0, 1.0, 0.1, 0.2, kind="put")
+    assert float(lo.price) - 3 * float(lo.stderr) <= oracle
+    assert float(up.price) + 3 * float(up.stderr) >= oracle - 0.06
+    lo2, up2 = american_bounds(sim=sim, heston=DEMO_HESTON, n_outer=2048,
+                               n_inner=96)
+    assert float(up2.price) >= float(lo2.price) - 2 * (
+        float(up2.stderr) + float(lo2.stderr))
