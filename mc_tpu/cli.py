@@ -174,6 +174,13 @@ def cmd_price(args):
         from mc_tpu.oracle import bs_digital_call
         out["closed_form"] = float(bs_digital_call(
             args.s0, args.k, args.t, args.r, args.sigma, args.q))
+    elif args.payoff in ("up_out_call_bb", "down_out_call_bb"):
+        from mc_tpu.oracle import bs_down_out_call, bs_up_out_call
+        fn = (bs_up_out_call if args.payoff == "up_out_call_bb"
+              else bs_down_out_call)
+        out["closed_form_continuous_barrier"] = fn(
+            args.s0, args.k, args.t, args.r, args.sigma, args.barrier,
+            q=args.q)
     print(json.dumps(out))
     return 0
 
@@ -468,6 +475,25 @@ def cmd_cev(args):
     return 0
 
 
+def cmd_merton(args):
+    from mc_tpu.models.merton import (MertonDynamics,
+                                      merton_call_closed_form, price_merton)
+
+    option, sim = _parse(args)
+    dyn = MertonDynamics(lam=args.lam, mu_j=args.mu_j, sigma_j=args.sigma_j)
+    res = price_merton(option, dyn, sim, payoff=args.payoff,
+                       method=args.method, engine=args.engine,
+                       antithetic=args.antithetic, tile_rows=args.tile_rows)
+    out = {"payoff": args.payoff, "price": float(res.price),
+           "stderr": float(res.stderr), "lam": args.lam}
+    if args.payoff == "vanilla_call":
+        out["merton_series_oracle"] = merton_call_closed_form(
+            args.s0, args.k, args.t, args.r, args.sigma,
+            lam=args.lam, mu_j=args.mu_j, sigma_j=args.sigma_j, q=args.q)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_basket(args):
     from mc_tpu.models.basket import _demo_basket, price_basket
 
@@ -654,6 +680,21 @@ def main(argv=None):
     p.add_argument("--sigma-atm", type=float, default=0.2)
     p.add_argument("--beta", type=float, default=0.5)
     p.set_defaults(fn=cmd_cev)
+
+    p = sub.add_parser("merton",
+                       help="Merton jump-diffusion price (series oracle)")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--method", choices=("euler", "terminal"),
+                   default="euler")
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--lam", type=float, default=0.3,
+                   help="jump intensity (per year)")
+    p.add_argument("--mu-j", type=float, default=-0.10,
+                   help="mean log jump size")
+    p.add_argument("--sigma-j", type=float, default=0.15,
+                   help="std of log jump size")
+    p.set_defaults(fn=cmd_merton)
 
     p = sub.add_parser("basket", help="correlated multi-asset basket price")
     _add_option_flags(p)

@@ -5,8 +5,12 @@ from mc_tpu.models.heston import (DEMO_HESTON, HestonDynamics,
 from mc_tpu.models.basket import BasketDynamics, DEMO_BASKET, price_basket
 from mc_tpu.models.cev import (CEVDynamics, DEMO_CEV, cev_call_closed_form,
                                price_cev)
+from mc_tpu.models.merton import (DEMO_MERTON, MertonDynamics,
+                                  merton_call_closed_form, price_merton)
 
 __all__ = ["GBM", "gbm_exact_terminal", "gbm_log_euler_step",
            "HestonDynamics", "DEMO_HESTON", "heston_call_cf",
            "price_heston", "BasketDynamics", "DEMO_BASKET", "price_basket",
-           "CEVDynamics", "DEMO_CEV", "cev_call_closed_form", "price_cev"]
+           "CEVDynamics", "DEMO_CEV", "cev_call_closed_form", "price_cev",
+           "MertonDynamics", "DEMO_MERTON", "merton_call_closed_form",
+           "price_merton"]

@@ -172,6 +172,94 @@ class UpOutCall(PathPayoff):
         return alive * jnp.maximum(s - p.k, 0.0)
 
 
+class DownOutCall(PathPayoff):
+    """Down-and-out knock-out call: dies if S ever < B (discrete monitoring).
+
+    Complements `DownInCall` — in-out parity: down_in + down_out = vanilla,
+    path by path, under the same draws.
+    """
+
+    name = "down_out_call"
+    n_state = 1
+
+    def init(self, p, like):
+        return (jnp.ones_like(like),)
+
+    def update(self, state, s, p):
+        (alive,) = state
+        return (alive * jnp.where(s >= p.barrier, 1.0, 0.0).astype(alive.dtype),)
+
+    def terminal(self, state, s, p):
+        (alive,) = state
+        return alive * jnp.maximum(s - p.k, 0.0)
+
+
+class UpOutCallBB(PathPayoff):
+    """Up-and-out call with the Brownian-bridge barrier correction.
+
+    Discrete monitoring at n steps over-prices a continuously monitored
+    knock-out by O(1/sqrt(n)) (the path can cross and come back between
+    steps).  Under GBM, log S is a Brownian bridge between step points, so
+    the conditional one-step survival probability is closed-form
+    (Glasserman, *MC Methods in Fin. Eng.*, section 6.4):
+
+        P(no cross | S_{i-1}, S_i) = 1 - exp(-2 ln(B/S_{i-1}) ln(B/S_i)
+                                              / (sigma^2 dt))
+
+    and weighting the payoff by the product of these survivals gives an
+    UNBIASED estimator of the continuous-barrier price at ANY step count.
+    state = (prev S, survival weight).  GBM-specific: the bridge variance
+    uses p.sigma/p.dt (constant-vol log dynamics).
+    """
+
+    name = "up_out_call_bb"
+    n_state = 2
+
+    def init(self, p, like):
+        return (jnp.zeros_like(like) + p.s0, jnp.ones_like(like))
+
+    def update(self, state, s, p):
+        prev_s, surv = state
+        a = jnp.log(p.barrier / prev_s)
+        bb = jnp.log(p.barrier / s)
+        p_cross = jnp.exp(-2.0 * a * bb / (p.sigma * p.sigma * p.dt))
+        below = jnp.logical_and(prev_s < p.barrier, s < p.barrier)
+        surv = surv * jnp.where(below, 1.0 - p_cross, 0.0)
+        return (s, surv)
+
+    def terminal(self, state, s, p):
+        _, surv = state
+        return surv * jnp.maximum(s - p.k, 0.0)
+
+
+class DownOutCallBB(PathPayoff):
+    """Down-and-out call with the Brownian-bridge barrier correction.
+
+    Same construction as `UpOutCallBB` with the crossing measured downward:
+    both endpoints above B, bridge crossing probability
+    exp(-2 ln(S_{i-1}/B) ln(S_i/B) / (sigma^2 dt)).
+    """
+
+    name = "down_out_call_bb"
+    n_state = 2
+
+    def init(self, p, like):
+        return (jnp.zeros_like(like) + p.s0, jnp.ones_like(like))
+
+    def update(self, state, s, p):
+        prev_s, surv = state
+        a = jnp.log(prev_s / p.barrier)
+        bb = jnp.log(s / p.barrier)
+        p_cross = jnp.exp(-2.0 * a * bb / (p.sigma * p.sigma * p.dt))
+        above = jnp.logical_and(prev_s > p.barrier, s > p.barrier)
+        surv = surv * jnp.where(above, 1.0 - p_cross, 0.0)
+        return (s, surv)
+
+    def terminal(self, state, s, p):
+        _, surv = state
+        return surv * jnp.maximum(s - p.k, 0.0)
+
+
 class DownInCall(PathPayoff):
     """Down-and-in call: pays only if S ever < B (knock-in at the barrier)."""
 
@@ -263,6 +351,7 @@ PAYOFFS: Dict[str, PathPayoff] = {
     for po in (
         VanillaCall(), VanillaPut(), DigitalCall(), BulletCall(),
         AsianCall(), AsianCallGeoCV(), UpOutCall(), DownInCall(),
+        DownOutCall(), UpOutCallBB(), DownOutCallBB(),
         LookbackFixedCall(),
     )
 }

@@ -26,6 +26,8 @@ __all__ = [
     "bs_digital_call",
     "bs_put",
     "bs_delta_call",
+    "bs_up_out_call",
+    "bs_down_out_call",
     "cnd_as",
     "bs_call_as",
     "PriceResult",
@@ -91,6 +93,77 @@ def bs_call_as(s0, k, t, r, sigma):
     d1 = (jnp.log(s0 / k) + (r + 0.5 * sigma * sigma) * t) / (sigma * sqrt_t)
     d2 = d1 - sigma * sqrt_t
     return s0 * cnd_as(d1) - k * jnp.exp(-r * t) * cnd_as(d2)
+
+
+# ---------------------------------------------------------------------------
+# Continuously monitored barrier closed forms (reflection principle) — the
+# oracles for the Brownian-bridge-corrected barrier payoffs.  Host-side f64.
+# ---------------------------------------------------------------------------
+
+
+def _call_segment_f64(x, k, t, r, sigma, q, lo, hi):
+    """e^{-rT} E_x[(S_T - k) 1{lo < S_T < hi}] under GBM, host f64.
+
+    Direct truncated-lognormal expectation — numerically stable where the
+    'call-spread + digital' decomposition catastrophically cancels (the
+    reflection argument can sit orders of magnitude past the barrier).
+    ``hi=None`` means +infinity.
+    """
+    import math
+    st = sigma * math.sqrt(t)
+    nd = lambda v: 0.5 * (1.0 + math.erf(v / math.sqrt(2.0)))
+
+    def d1(y):
+        return (math.log(x / y) + (r - q + 0.5 * sigma * sigma) * t) / st
+
+    n1_lo, n2_lo = nd(d1(lo)), nd(d1(lo) - st)
+    n1_hi = nd(d1(hi)) if hi is not None else 0.0
+    n2_hi = nd(d1(hi) - st) if hi is not None else 0.0
+    return (x * math.exp(-q * t) * (n1_lo - n1_hi)
+            - k * math.exp(-r * t) * (n2_lo - n2_hi))
+
+
+def bs_up_out_call(s0, k, t, r, sigma, b, q=0.0) -> float:
+    """Up-and-out call with a CONTINUOUSLY monitored barrier b (> s0, > k).
+
+    Reflection principle for drifted Brownian motion: with
+    mu = r - q - sigma^2/2,
+
+        P_{s0}(S_T in dz, max S > b) = (b/s0)^{2mu/sigma^2}
+                                       P_{b^2/s0}(S_T in dz)    (z < b)
+
+    so  C_uo = seg(s0) - (b/s0)^{2mu/sigma^2} seg(b^2/s0)  with
+    seg(x) = e^{-rT} E_x[(S_T-K) 1{K < S_T < b}]  (equivalent to the
+    Rubinstein-Reiner form).  Host-side f64; the oracle for the
+    `up_out_call_bb` payoff.
+    """
+    s0, k, t, r, sigma, b, q = map(float, (s0, k, t, r, sigma, b, q))
+    if s0 >= b or k >= b:
+        return 0.0
+    mu = r - q - 0.5 * sigma * sigma
+    refl = (b / s0) ** (2.0 * mu / (sigma * sigma))
+    return (_call_segment_f64(s0, k, t, r, sigma, q, k, b)
+            - refl * _call_segment_f64(b * b / s0, k, t, r, sigma, q, k, b))
+
+
+def bs_down_out_call(s0, k, t, r, sigma, b, q=0.0) -> float:
+    """Down-and-out call, CONTINUOUSLY monitored barrier b (< s0).
+
+    Same reflection identity with the crossing measured downward; the
+    surviving payoff region is S_T > max(k, b):
+        C_do = seg(s0) - (b/s0)^{2mu/sigma^2} seg(b^2/s0),
+        seg(x) = e^{-rT} E_x[(S_T-K) 1{S_T > max(k, b)}].
+    Host-side f64; the oracle for `down_out_call_bb`.
+    """
+    s0, k, t, r, sigma, b, q = map(float, (s0, k, t, r, sigma, b, q))
+    if s0 <= b:
+        return 0.0
+    mu = r - q - 0.5 * sigma * sigma
+    refl = (b / s0) ** (2.0 * mu / (sigma * sigma))
+    lo = max(k, b)
+    return (_call_segment_f64(s0, k, t, r, sigma, q, lo, None)
+            - refl * _call_segment_f64(b * b / s0, k, t, r, sigma, q,
+                                       lo, None))
 
 
 @jax.tree_util.register_dataclass

@@ -70,6 +70,13 @@ def test_antithetic():
                       method="euler", tile_rows=8, antithetic=True))
 
 
+def test_barrier_bridge_payoff():
+    """Bridge-corrected knock-out (2-state payoff, log/exp in update)."""
+    from mc_tpu import price
+    _assert_tri(*_tri(price, option=OptionParams(barrier=120.0), sim=SIM,
+                      payoff="up_out_call_bb", method="euler", tile_rows=8))
+
+
 def test_control_variate():
     from mc_tpu import price
     _assert_tri(*_tri(price, option=OPT, sim=SIM, payoff="vanilla_call",
@@ -151,6 +158,11 @@ def test_cev():
 def test_basket():
     from mc_tpu.models.basket import price_basket
     _assert_tri(*_tri(price_basket, option=OPT, sim=SIM, tile_rows=8))
+
+
+def test_merton():
+    from mc_tpu.models.merton import price_merton
+    _assert_tri(*_tri(price_merton, option=OPT, sim=SIM, tile_rows=8))
 
 
 # --- LSMC (pallas trajectory backend; no full XLA dual) ------------------
