@@ -46,7 +46,7 @@ def _add_option_flags(p: argparse.ArgumentParser):
                    help="inner paths per NMC point")
     g.add_argument("--seed", type=int, default=1234)
     g.add_argument("--engine", choices=("pallas", "xla"), default="pallas")
-    g.add_argument("--tile-rows", type=int, default=256)
+    g.add_argument("--tile-rows", type=int, default=128)
 
 
 def _parse(args):
@@ -170,6 +170,10 @@ def cmd_price(args):
     if args.payoff in ("vanilla_call", "vanilla_put"):
         out["black_scholes"] = float(
             bs_call(args.s0, args.k, args.t, args.r, args.sigma, args.q))
+        if args.payoff == "vanilla_call":
+            from mc_tpu.oracle import bs_implied_vol
+            out["implied_vol"] = float(bs_implied_vol(
+                res.price, args.s0, args.k, args.t, args.r, args.q))
     elif args.payoff == "digital_call":
         from mc_tpu.oracle import bs_digital_call
         out["closed_form"] = float(bs_digital_call(
@@ -494,6 +498,33 @@ def cmd_merton(args):
     return 0
 
 
+def cmd_sabr(args):
+    from mc_tpu.models.sabr import (SABRDynamics, price_sabr,
+                                    sabr_call_hagan, sabr_implied_vol)
+    from mc_tpu.oracle import bs_implied_vol
+
+    option, sim = _parse(args)
+    dyn = SABRDynamics(alpha=args.alpha, beta=args.beta, nu=args.nu,
+                       rho=args.rho_fv)
+    res = price_sabr(option, dyn, sim, payoff=args.payoff,
+                     engine=args.engine, antithetic=args.antithetic,
+                     tile_rows=args.tile_rows)
+    out = {"payoff": args.payoff, "price": float(res.price),
+           "stderr": float(res.stderr)}
+    if args.payoff == "vanilla_call":
+        import math
+        out["hagan_oracle"] = sabr_call_hagan(
+            args.s0, args.k, args.t, args.r, alpha=args.alpha,
+            beta=args.beta, nu=args.nu, rho=args.rho_fv, q=args.q)
+        f = args.s0 * math.exp((args.r - args.q) * args.t)
+        out["hagan_implied_vol"] = sabr_implied_vol(
+            f, args.k, args.t, args.alpha, args.beta, args.nu, args.rho_fv)
+        out["mc_implied_vol"] = float(bs_implied_vol(
+            res.price, args.s0, args.k, args.t, args.r, args.q))
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_basket(args):
     from mc_tpu.models.basket import _demo_basket, price_basket
 
@@ -695,6 +726,20 @@ def main(argv=None):
     p.add_argument("--sigma-j", type=float, default=0.15,
                    help="std of log jump size")
     p.set_defaults(fn=cmd_merton)
+
+    p = sub.add_parser("sabr",
+                       help="SABR stochastic-vol price (Hagan oracle)")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--alpha", type=float, default=0.2,
+                   help="initial forward vol")
+    p.add_argument("--beta", type=float, default=1.0,
+                   help="CEV backbone exponent")
+    p.add_argument("--nu", type=float, default=0.4, help="vol-of-vol")
+    p.add_argument("--rho-fv", type=float, default=-0.4,
+                   help="forward-vol correlation")
+    p.set_defaults(fn=cmd_sabr)
 
     p = sub.add_parser("basket", help="correlated multi-asset basket price")
     _add_option_flags(p)

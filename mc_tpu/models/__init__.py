@@ -7,10 +7,13 @@ from mc_tpu.models.cev import (CEVDynamics, DEMO_CEV, cev_call_closed_form,
                                price_cev)
 from mc_tpu.models.merton import (DEMO_MERTON, MertonDynamics,
                                   merton_call_closed_form, price_merton)
+from mc_tpu.models.sabr import (DEMO_SABR, SABRDynamics, price_sabr,
+                                sabr_call_hagan, sabr_implied_vol)
 
 __all__ = ["GBM", "gbm_exact_terminal", "gbm_log_euler_step",
            "HestonDynamics", "DEMO_HESTON", "heston_call_cf",
            "price_heston", "BasketDynamics", "DEMO_BASKET", "price_basket",
            "CEVDynamics", "DEMO_CEV", "cev_call_closed_form", "price_cev",
            "MertonDynamics", "DEMO_MERTON", "merton_call_closed_form",
-           "price_merton"]
+           "price_merton", "SABRDynamics", "DEMO_SABR", "price_sabr",
+           "sabr_call_hagan", "sabr_implied_vol"]

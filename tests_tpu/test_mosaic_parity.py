@@ -165,6 +165,11 @@ def test_merton():
     _assert_tri(*_tri(price_merton, option=OPT, sim=SIM, tile_rows=8))
 
 
+def test_sabr():
+    from mc_tpu.models.sabr import price_sabr
+    _assert_tri(*_tri(price_sabr, option=OPT, sim=SIM, tile_rows=8))
+
+
 # --- LSMC (pallas trajectory backend; no full XLA dual) ------------------
 
 def test_lsmc_compiled_vs_interpret():
