@@ -18,8 +18,9 @@ the same counter-based draws (no RNG state to replay).
   differentiates the path DENSITY instead of the payoff, so it is
   unbiased for any payoff including the discontinuous ones pathwise
   rejects (bullet window ``trajectories.cuh:149-153``, barriers).
-  delta / vega / rho / epsilon; the scores are simple polynomials of the
-  standard normals the engines already draw (Glasserman ch. 7.3).
+  delta / vega / rho / epsilon / gamma (second-order score); the scores
+  are simple polynomials of the standard normals the engines already draw
+  (Glasserman ch. 7.3).
 """
 
 from __future__ import annotations
@@ -54,7 +55,9 @@ _PATHWISE_OK = {"vanilla_call", "vanilla_put", "asian_call", "lookback_call"}
 
 # Greeks the likelihood-ratio estimator supports: parameters that enter the
 # path DENSITY.  (K and T do not: dual_delta/theta have no LRM form here.)
-_LRM_OK = {"delta", "vega", "rho", "epsilon"}
+# gamma uses the second-order score — the only UNBIASED gamma for
+# discontinuous payoffs (pathwise is a.e. zero, FD is biased).
+_LRM_OK = {"delta", "vega", "rho", "epsilon", "gamma"}
 
 
 def _price_fn(payoff, sim, method, engine, antithetic, tile_rows, key):
@@ -138,25 +141,34 @@ def _lrm_moments(option, payoff, sim, sim_method, tile_rows, key):
         sc_delta = z1 / (p.s0 * vol_unit)
         sc_vega = (sum_z2 - n_z) / p.sigma - sq_dt * sum_z
         sc_r = sq_dt * sum_z / p.sigma
+        # Second-order score (Glasserman 7.3): the density depends on s0
+        # only through the FIRST increment, so
+        #   W = d2 log p/ds0^2 + (d log p/ds0)^2
+        #     = ((z1^2 - 1)/vol_unit^2 - z1/vol_unit) / s0^2.
+        # Variance grows like 1/vol_unit^2 = 1/(sigma^2 dt) — fine at the
+        # terminal method, noisy for very fine grids (documented).
+        sc_gamma = ((z1 * z1 - 1.0) / (vol_unit * vol_unit)
+                    - z1 / vol_unit) / (p.s0 * p.s0)
         vals = [pay,
                 pay * sc_delta,
                 pay * sc_vega,
                 pay * (sc_r - p.t),   # d(e^{-rT})/dr folds in the -T
-                pay * (-sc_r)]
+                pay * (-sc_r),
+                pay * sc_gamma]
         out = []
         for v in vals:
             v = jnp.where(valid, v, 0.0)
             out += [v, v * v]
         return out
 
-    slabs = xla_moment_scan(tile_fn, sim.n_paths, tile_rows, 10)
+    slabs = xla_moment_scan(tile_fn, sim.n_paths, tile_rows, 12)
     r = jnp.asarray(option.r, jnp.float32)
     t = jnp.asarray(option.t, jnp.float32)
     disc = jnp.exp(-r * t)
     n = jnp.asarray(sim.n_paths, jnp.float32)
     from mc_tpu.oracle import summarize
     from mc_tpu.ops.reduce import finish_sum
-    names = ("price", "delta", "vega", "rho", "epsilon")
+    names = ("price", "delta", "vega", "rho", "epsilon", "gamma")
     return {name: summarize(finish_sum(slabs[2 * i]),
                             finish_sum(slabs[2 * i + 1]), n, disc)
             for i, name in enumerate(names)}
@@ -201,7 +213,7 @@ def greeks(option: OptionParams = DEMO_OPTION,
            sim_method: Optional[str] = None,
            engine: str = "xla",
            antithetic: bool = False,
-           tile_rows: int = 256,
+           tile_rows: int = 128,
            rel_bump: float = 1e-3,
            stream: int = STREAM_OUTER,
            key=None) -> Dict[str, Any]:
@@ -327,7 +339,7 @@ def heston_greeks(option=None, heston=None,
                   *,
                   which: Sequence[str] = ("delta", "vega_v0", "rho"),
                   antithetic: bool = False,
-                  tile_rows: int = 256,
+                  tile_rows: int = 128,
                   rel_bump: float = 1e-3,
                   stream: int = STREAM_OUTER) -> Dict[str, Any]:
     """Heston-model sensitivities by common-random-number central

@@ -140,6 +140,51 @@ def test_lrm_bullet_vs_crn_fd():
             k, float(gl[k]), float(gf[k]), tol)
 
 
+def test_lrm_gamma_vanilla_vs_closed_form():
+    """Second-order score at the terminal method vs BS gamma."""
+    from mc_tpu.oracle import bs_gamma
+    sim = SimParams(n_paths=1 << 21, n_steps=1)
+    g = greeks(sim=sim, method="lrm", which=("gamma",))
+    cf = float(bs_gamma(S0, K, T, R, SIG))
+    se = float(g["gamma_stderr"])
+    assert abs(float(g["gamma"]) - cf) <= 4.0 * se, (
+        float(g["gamma"]), cf, se)
+
+
+def test_lrm_gamma_digital_vs_closed_form():
+    """Unbiased gamma on a DISCONTINUOUS payoff — the estimator pathwise
+    and plain FD cannot deliver.  Digital-call gamma closed form:
+    e^{-rT} d/ds0[phi(d2)/(s0 sigma sqrt(T))]."""
+    import math
+    sim = SimParams(n_paths=1 << 21, n_steps=1)
+    g = greeks(sim=sim, payoff="digital_call", method="lrm",
+               which=("gamma",))
+    st = SIG * math.sqrt(T)
+    d2 = (math.log(S0 / K) + (R - 0.5 * SIG ** 2) * T) / st
+    phi = math.exp(-0.5 * d2 * d2) / math.sqrt(2.0 * math.pi)
+    # d2P/ds0^2 = -e^{-rT} phi(d2) (d2 + st) / (s0^2 st^2) ... via
+    # P = e^{-rT} N(d2), dP/ds0 = e^{-rT} phi(d2)/(s0 st),
+    # d2P/ds0^2 = e^{-rT} [-phi d2 / (s0 st) * 1/(s0 st) - phi/(s0^2 st)]
+    cf = math.exp(-R * T) * phi * (-d2 / st - 1.0) / (S0 * S0 * st)
+    se = float(g["gamma_stderr"])
+    assert abs(float(g["gamma"]) - cf) <= 4.0 * se, (
+        float(g["gamma"]), cf, se)
+
+
+def test_lrm_gamma_bullet_euler_sane():
+    """Path-method LRM gamma on the bullet payoff: finite, and consistent
+    with a big-bump CRN second difference within joint noise."""
+    opt = OptionParams(p1=2.0, p2=10.0)
+    sim = SimParams(n_paths=1 << 19, n_steps=20)
+    gl = greeks(opt, sim, "bullet_call", method="lrm", which=("gamma",))
+    gf = greeks(opt, sim, "bullet_call", method="fd", which=("gamma",),
+                rel_bump=8e-2)
+    se = float(gl["gamma_stderr"])
+    tol = 5.0 * se + 0.15 * abs(float(gl["gamma"])) + 1e-4
+    assert abs(float(gl["gamma"]) - float(gf["gamma"])) <= tol, (
+        float(gl["gamma"]), float(gf["gamma"]), tol)
+
+
 def test_lrm_price_bitwise_with_engine():
     """The LRM pass consumes the identical threefry stream as the XLA
     engine: its implied price must be bit-identical to price()."""
