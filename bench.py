@@ -104,7 +104,7 @@ def heston_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4):
     from mc_tpu.models.heston import (DEMO_HESTON, _heston_partials_pallas,
                                       _pack_heston)
     payoff = get_payoff("vanilla_call")
-    cfg = pk.KernelConfig(n_paths=n_paths, n_steps=n_steps, tile_rows=256)
+    cfg = pk.KernelConfig(n_paths=n_paths, n_steps=n_steps, tile_rows=128)
     params = _pack_heston(OPT, DEMO_HESTON.as_f32(), n_steps)
 
     @jax.jit
@@ -129,6 +129,67 @@ def heston_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4):
         if dt * (k - 1) > 10e-3 or k >= 512:
             return dt
         k *= 4
+
+
+def _model_kernel_seconds(price_scalar_fn, k=8, reps=4):
+    """T(K)-T(1) differential of a model-family pricing kernel.
+
+    ``price_scalar_fn(key) -> scalar`` must be jit-safe (everything static
+    except the key).
+    """
+    @jax.jit
+    def multi(keys):
+        return jnp.sum(jax.lax.map(price_scalar_fn, keys))
+
+    def best_of(keys):
+        float(multi(keys))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(multi(keys))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(_keys(1))
+    while True:
+        dt = max((best_of(_keys(k)) - t1) / (k - 1), 1e-9)
+        if dt * (k - 1) > 10e-3 or k >= 512:
+            return dt
+        k *= 4
+
+
+def merton_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS):
+    """Fused Merton jump-diffusion step kernel (3 threefry + Poisson scan
+    per step pair)."""
+    from mc_tpu import SimParams
+    from mc_tpu.models.merton import DEMO_MERTON, _price_merton_impl, \
+        poisson_kmax
+    from mc_tpu.ops.payoffs import get_payoff
+    sim = SimParams(n_paths=n_paths, n_steps=n_steps)
+    kmax = poisson_kmax(float(DEMO_MERTON.lam) / n_steps)
+    po = get_payoff("vanilla_call")
+
+    def one(key):
+        return _price_merton_impl(OPT, DEMO_MERTON.as_f32(), po, sim,
+                                  "euler", kmax, "pallas", False, 128,
+                                  False, key).price
+
+    return _model_kernel_seconds(one)
+
+
+def sabr_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS):
+    """Fused SABR two-factor step kernel (1 threefry per step)."""
+    from mc_tpu import SimParams
+    from mc_tpu.models.sabr import DEMO_SABR, _price_sabr_impl
+    from mc_tpu.ops.payoffs import get_payoff
+    sim = SimParams(n_paths=n_paths, n_steps=n_steps)
+    po = get_payoff("vanilla_call")
+
+    def one(key):
+        return _price_sabr_impl(OPT, DEMO_SABR.as_f32(), po, sim, "pallas",
+                                False, 128, False, key).price
+
+    return _model_kernel_seconds(one)
 
 
 def qmc_kernel_seconds(n_steps=1, k=8, reps=4):
@@ -284,6 +345,8 @@ def main():
 
     # Model-family + technique kernels.
     dt_heston = heston_kernel_seconds()
+    dt_merton = merton_kernel_seconds()
+    dt_sabr = sabr_kernel_seconds()
     dt_qmc, qmc_n = qmc_kernel_seconds()
 
     # Reference demo NMC workload (hello.cu defaults, ~5e11 inner steps).
@@ -319,6 +382,10 @@ def main():
                 round(N_PATHS * N_STEPS / dt_bhw, 1),
             "heston_path_steps_per_sec":
                 round(N_PATHS * N_STEPS / dt_heston, 1),
+            "merton_path_steps_per_sec":
+                round(N_PATHS * N_STEPS / dt_merton, 1),
+            "sabr_path_steps_per_sec":
+                round(N_PATHS * N_STEPS / dt_sabr, 1),
             "qmc_paths_per_sec": round(qmc_n / dt_qmc, 1),
             "nmc_demo_seconds_device": round(nmc_dt, 3),
             "nmc_demo_inner_path_steps_per_sec":

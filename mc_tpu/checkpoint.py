@@ -118,7 +118,7 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
                   engine: str = "pallas",
                   method: Optional[str] = None,
                   rng_source: str = "threefry13",
-                  tile_rows: int = 256,
+                  tile_rows: int = 128,
                   stream: int = STREAM_OUTER,
                   mesh=None,
                   interpret: Optional[bool] = None) -> PriceResult:

@@ -187,7 +187,7 @@ def price(option: OptionParams = DEMO_OPTION,
           engine: str = "pallas",
           antithetic: bool = False,
           control_variate: bool = False,
-          tile_rows: int = 256,
+          tile_rows: int = 128,
           rng_source: str = "threefry13",
           stream: int = STREAM_OUTER,
           key=None,
@@ -419,7 +419,7 @@ def price_ladder(strikes,
                  method: Optional[str] = None,
                  engine: str = "pallas",
                  antithetic: bool = False,
-                 tile_rows: int = 256,
+                 tile_rows: int = 128,
                  stream: int = STREAM_OUTER,
                  key=None,
                  interpret: Optional[bool] = None) -> PriceResult:
@@ -454,7 +454,7 @@ def price_portfolio(options: OptionParams,
                     engine: str = "xla",
                     antithetic: bool = False,
                     control_variate: bool = False,
-                    tile_rows: int = 256,
+                    tile_rows: int = 128,
                     stream: int = STREAM_OUTER,
                     key=None) -> PriceResult:
     """Price a whole book in one jitted program.

@@ -233,6 +233,41 @@ def _make_basket_kernel(payoff, cfg: pk.KernelConfig, d: int):
     return kernel
 
 
+def _basket_partials(payoff, cfg, d, key, ns, path_offset=0, n_valid=None,
+                     engine="pallas", interpret=None):
+    """(sum, sumsq) (8,128) slabs for this shard's global path-id range."""
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    if engine == "pallas":
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        params = _pack_basket(ns, d)
+        acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _make_basket_kernel(payoff, cfg, d),
+            grid=(cfg.n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=[acc_spec, acc_spec],
+            out_shape=[jax.ShapeDtypeStruct((SUBLANES, LANES),
+                                            jnp.float32)] * 2,
+            scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)],
+            interpret=interpret,
+        )(jnp.asarray(key, jnp.uint32), params, jnp.stack([offset, bound]))
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+
+    def tile_fn(ids, valid):
+        pay = _basket_tile(payoff, d, cfg.n_steps, cfg.antithetic, ns,
+                           ids, valid, k0, k1,
+                           jax.lax.bitcast_convert_type)
+        return [pay, pay * pay]
+
+    return xla_moment_scan(tile_fn, cfg.n_paths, cfg.tile_rows, 2,
+                           offset=offset, bound=bound)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "sim", "d", "engine", "antithetic",
@@ -244,38 +279,8 @@ def _price_basket_impl(option, basket, payoff, sim, d, engine, antithetic,
     cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
                           tile_rows=tile_rows, antithetic=antithetic)
     ns = _basket_namespace(option, basket, sim.n_steps)
-
-    if engine == "pallas":
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-        params = _pack_basket(ns, d)
-        acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)
-        offset = jnp.uint32(0)
-        bound = jnp.uint32(sim.n_paths)
-        s, sq = pl.pallas_call(
-            _make_basket_kernel(payoff, cfg, d),
-            grid=(cfg.n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-            out_specs=[acc_spec, acc_spec],
-            out_shape=[jax.ShapeDtypeStruct((SUBLANES, LANES),
-                                            jnp.float32)] * 2,
-            scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)],
-            interpret=interpret,
-        )(jnp.asarray(key, jnp.uint32), params,
-          jnp.stack([offset, bound]))
-    else:
-        k0 = jnp.asarray(key[0], jnp.uint32)
-        k1 = jnp.asarray(key[1], jnp.uint32)
-
-        def tile_fn(ids, valid):
-            pay = _basket_tile(payoff, d, cfg.n_steps, cfg.antithetic, ns,
-                               ids, valid, k0, k1,
-                               jax.lax.bitcast_convert_type)
-            return [pay, pay * pay]
-
-        s, sq = xla_moment_scan(tile_fn, sim.n_paths, cfg.tile_rows, 2)
-
+    s, sq = _basket_partials(payoff, cfg, d, key, ns, engine=engine,
+                             interpret=interpret)
     r = jnp.float32(option.r)
     t = jnp.float32(option.t)
     return summarize(finish_sum(s), finish_sum(sq),
@@ -290,7 +295,7 @@ def price_basket(option: OptionParams = DEMO_OPTION,
                  *,
                  engine: str = "pallas",
                  antithetic: bool = False,
-                 tile_rows: int = 256,
+                 tile_rows: int = 128,
                  stream: int = STREAM_OUTER,
                  key=None,
                  interpret: Optional[bool] = None) -> PriceResult:

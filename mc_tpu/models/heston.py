@@ -229,7 +229,7 @@ def price_heston(option: OptionParams = DEMO_OPTION,
                  *,
                  engine: str = "pallas",
                  antithetic: bool = False,
-                 tile_rows: int = 256,
+                 tile_rows: int = 128,
                  stream: int = STREAM_OUTER,
                  key=None,
                  interpret: Optional[bool] = None) -> PriceResult:

@@ -252,6 +252,41 @@ def _make_merton_kernel(payoff, cfg: pk.KernelConfig, kmax: int):
     return kernel
 
 
+def _merton_partials(payoff, cfg, kmax, key, params, path_offset=0,
+                     n_valid=None, engine="pallas", interpret=None):
+    """(sum, sumsq) (8,128) slabs for this shard's global path-id range."""
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    if engine == "pallas":
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _make_merton_kernel(payoff, cfg, kmax),
+            grid=(cfg.n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=[acc_spec, acc_spec],
+            out_shape=[jax.ShapeDtypeStruct((SUBLANES, LANES),
+                                            jnp.float32)] * 2,
+            scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)],
+            interpret=interpret,
+        )(jnp.asarray(key, jnp.uint32), params, jnp.stack([offset, bound]))
+    p = _unpack_merton(params)
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+
+    def tile_fn(ids, valid):
+        pay = _merton_tile(payoff, cfg.method, cfg.n_steps, kmax,
+                           cfg.antithetic, p, ids, valid, k0, k1,
+                           jax.lax.bitcast_convert_type)
+        return [pay, pay * pay]
+
+    return xla_moment_scan(tile_fn, cfg.n_paths, cfg.tile_rows, 2,
+                           offset=offset, bound=bound)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "sim", "method", "kmax", "engine",
@@ -264,35 +299,8 @@ def _price_merton_impl(option, dyn, payoff, sim, method, kmax, engine,
                           tile_rows=tile_rows, antithetic=antithetic,
                           method=method)
     params = _pack_merton(option, dyn, sim.n_steps)
-    if engine == "pallas":
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-        acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)
-        s, sq = pl.pallas_call(
-            _make_merton_kernel(payoff, cfg, kmax),
-            grid=(cfg.n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-            out_specs=[acc_spec, acc_spec],
-            out_shape=[jax.ShapeDtypeStruct((SUBLANES, LANES),
-                                            jnp.float32)] * 2,
-            scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)],
-            interpret=interpret,
-        )(jnp.asarray(key, jnp.uint32), params,
-          jnp.stack([jnp.uint32(0), jnp.uint32(sim.n_paths)]))
-    else:
-        p = _unpack_merton(params)
-        k0 = jnp.asarray(key[0], jnp.uint32)
-        k1 = jnp.asarray(key[1], jnp.uint32)
-
-        def tile_fn(ids, valid):
-            pay = _merton_tile(payoff, cfg.method, cfg.n_steps, kmax,
-                               cfg.antithetic, p, ids, valid, k0, k1,
-                               jax.lax.bitcast_convert_type)
-            return [pay, pay * pay]
-
-        s, sq = xla_moment_scan(tile_fn, sim.n_paths, cfg.tile_rows, 2)
-
+    s, sq = _merton_partials(payoff, cfg, kmax, key, params,
+                             engine=engine, interpret=interpret)
     r = jnp.float32(option.r)
     t = jnp.float32(option.t)
     return summarize(finish_sum(s), finish_sum(sq),
@@ -308,7 +316,7 @@ def price_merton(option: OptionParams = DEMO_OPTION,
                  method: str = "euler",
                  engine: str = "pallas",
                  antithetic: bool = False,
-                 tile_rows: int = 256,
+                 tile_rows: int = 128,
                  stream: int = STREAM_OUTER,
                  key=None,
                  interpret: Optional[bool] = None) -> PriceResult:

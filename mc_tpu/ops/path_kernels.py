@@ -92,7 +92,7 @@ def unpack_params(params_ref) -> SimpleNamespace:
 class KernelConfig:
     n_paths: int
     n_steps: int
-    tile_rows: int = 256          # paths per tile = tile_rows * 128
+    tile_rows: int = 128          # paths per tile = tile_rows * 128
     antithetic: bool = False
     with_cv: bool = False         # emit control-variate moment partials
     rng_source: str = "threefry13"  # "threefry13" | "threefry"(20) | "hw"

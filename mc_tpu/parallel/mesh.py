@@ -156,7 +156,7 @@ def price_sharded(option: OptionParams = DEMO_OPTION,
                   method: Optional[str] = None,
                   antithetic: bool = False,
                   control_variate: bool = False,
-                  tile_rows: int = 256,
+                  tile_rows: int = 128,
                   rng_source: str = "threefry13",
                   stream: int = 0,
                   key=None,
@@ -245,7 +245,7 @@ def price_qmc_sharded(option: OptionParams = DEMO_OPTION,
                       method: Optional[str] = None,
                       engine: str = "pallas",
                       family: str = "lattice",
-                      tile_rows: int = 256,
+                      tile_rows: int = 128,
                       gamma: float = 0.1,
                       bridge: bool = False,
                       stream: int = 0,
@@ -326,7 +326,7 @@ def price_portfolio_sharded(options: OptionParams,
                             mesh: Optional[Mesh] = None,
                             method: Optional[str] = None,
                             antithetic: bool = False,
-                            tile_rows: int = 256,
+                            tile_rows: int = 128,
                             stream: int = 0,
                             key=None) -> PriceResult:
     """Multi-chip book pricing: paths sharded, one batched kernel per chip.
