@@ -55,4 +55,21 @@ def __getattr__(name):
     if name in ("price_american", "binomial_american"):
         from mc_tpu import lsmc
         return getattr(lsmc, name)
+    if name in ("price_merton", "MertonDynamics", "merton_call_closed_form"):
+        from mc_tpu.models import merton
+        return getattr(merton, name)
+    if name in ("price_sabr", "SABRDynamics", "sabr_implied_vol",
+                "sabr_call_hagan"):
+        from mc_tpu.models import sabr
+        return getattr(sabr, name)
+    if name in ("price_cev", "CEVDynamics", "cev_call_closed_form"):
+        from mc_tpu.models import cev
+        return getattr(cev, name)
+    if name in ("calibrate_sabr", "hagan_iv"):
+        from mc_tpu import calibrate
+        return getattr(calibrate, name)
+    if name in ("bs_implied_vol", "bs_vega", "bs_gamma", "bs_digital_call",
+                "bs_up_out_call", "bs_down_out_call"):
+        from mc_tpu import oracle
+        return getattr(oracle, name)
     raise AttributeError(f"module 'mc_tpu' has no attribute {name!r}")

@@ -525,6 +525,44 @@ def cmd_sabr(args):
     return 0
 
 
+def cmd_calibrate(args):
+    """The full production loop on one command: MC prices under the given
+    SABR dynamics -> implied vols -> Gauss-Newton fit -> recovered params."""
+    import math
+
+    import numpy as np
+
+    from mc_tpu.calibrate import calibrate_sabr
+    from mc_tpu.models.sabr import SABRDynamics, price_sabr
+    from mc_tpu.oracle import bs_implied_vol
+
+    option, sim = _parse(args)
+    dyn = SABRDynamics(alpha=args.alpha, beta=args.beta, nu=args.nu,
+                       rho=args.rho_fv)
+    ks = np.linspace(args.k_min, args.k_max, args.n_strikes,
+                     dtype=np.float32)
+    ivs = []
+    for k in ks:
+        res = price_sabr(
+            OptionParams(s0=args.s0, t=args.t, k=float(k), r=args.r,
+                         q=args.q),
+            dyn, sim, engine=args.engine, antithetic=True,
+            tile_rows=args.tile_rows)
+        ivs.append(float(bs_implied_vol(res.price, args.s0, k, args.t,
+                                        args.r, args.q)))
+    f = args.s0 * math.exp((args.r - args.q) * args.t)
+    fit = calibrate_sabr(f, args.t, ks, np.asarray(ivs, np.float32),
+                         beta=args.beta)
+    print(json.dumps({
+        "strikes": [float(k) for k in ks],
+        "mc_implied_vols": ivs,
+        "true": {"alpha": args.alpha, "nu": args.nu, "rho": args.rho_fv},
+        "fitted": {"alpha": float(fit.alpha), "nu": float(fit.nu),
+                   "rho": float(fit.rho)},
+        "iv_rmse": float(fit.rmse)}))
+    return 0
+
+
 def cmd_basket(args):
     from mc_tpu.models.basket import _demo_basket, price_basket
 
@@ -740,6 +778,18 @@ def main(argv=None):
     p.add_argument("--rho-fv", type=float, default=-0.4,
                    help="forward-vol correlation")
     p.set_defaults(fn=cmd_sabr)
+
+    p = sub.add_parser("calibrate",
+                       help="MC smile -> implied vols -> SABR fit")
+    _add_option_flags(p)
+    p.add_argument("--alpha", type=float, default=0.2)
+    p.add_argument("--beta", type=float, default=1.0)
+    p.add_argument("--nu", type=float, default=0.4)
+    p.add_argument("--rho-fv", type=float, default=-0.4)
+    p.add_argument("--k-min", type=float, default=85.0)
+    p.add_argument("--k-max", type=float, default=115.0)
+    p.add_argument("--n-strikes", type=int, default=5)
+    p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("basket", help="correlated multi-asset basket price")
     _add_option_flags(p)

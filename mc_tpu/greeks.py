@@ -37,8 +37,9 @@ from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
 from mc_tpu.engines import STREAM_OUTER, _price_impl
 from mc_tpu.ops.payoffs import get_payoff
 
-__all__ = ["greeks", "heston_greeks", "GREEK_FIELDS",
-           "HESTON_GREEK_FIELDS"]
+__all__ = ["greeks", "heston_greeks", "merton_greeks", "sabr_greeks",
+           "GREEK_FIELDS", "HESTON_GREEK_FIELDS", "MERTON_GREEK_FIELDS",
+           "SABR_GREEK_FIELDS"]
 
 # greek name -> (OptionParams field, sign)
 GREEK_FIELDS = {
@@ -317,6 +318,113 @@ def greeks(option: OptionParams = DEMO_OPTION,
         dn = f(dataclasses.replace(opt32, **{fld: base - h}))
         out[g] = jnp.float32(sgn) * (up - dn) / (2.0 * h)
     return out
+
+
+def _fd_model_greeks(f, option, dyn, fields, which, rel_bump):
+    """CRN central differences over (option, dynamics) fields.
+
+    ``f(option, dyn) -> price`` must consume a FIXED key so both sides of
+    each bump ride the same draws (the variance-collapsing trick every
+    model-family greek here uses).
+    """
+    bad = set(which) - set(fields)
+    if bad:
+        raise ValueError(f"unknown greeks {sorted(bad)}; "
+                         f"available: {sorted(fields)}")
+    out = {}
+    for g in which:
+        tree, fld, sgn = fields[g]
+        base_obj = option if tree == "option" else dyn
+        base = getattr(base_obj, fld)
+        h = jnp.float32(rel_bump) * jnp.maximum(jnp.abs(base), 1e-2)
+        up_obj = dataclasses.replace(base_obj, **{fld: base + h})
+        dn_obj = dataclasses.replace(base_obj, **{fld: base - h})
+        if tree == "option":
+            up, dn = f(up_obj, dyn), f(dn_obj, dyn)
+        else:
+            up, dn = f(option, up_obj), f(option, dn_obj)
+        out[g] = jnp.float32(sgn) * (up - dn) / (2.0 * h)
+    return out
+
+
+MERTON_GREEK_FIELDS = {
+    "delta": ("option", "s0", 1.0),
+    "vega": ("option", "sigma", 1.0),       # diffusion-vol sensitivity
+    "rho": ("option", "r", 1.0),
+    "theta": ("option", "t", -1.0),
+    "dual_delta": ("option", "k", 1.0),
+    "lam_sens": ("dyn", "lam", 1.0),        # dP/d(jump intensity)
+    "mu_j_sens": ("dyn", "mu_j", 1.0),      # dP/d(mean log jump)
+    "sigma_j_sens": ("dyn", "sigma_j", 1.0),  # dP/d(jump-size vol)
+}
+
+
+def merton_greeks(option=None, merton=None,
+                  sim: SimParams = DEMO_SIM,
+                  payoff="vanilla_call",
+                  *,
+                  which: Sequence[str] = ("delta", "vega", "lam_sens"),
+                  antithetic: bool = False,
+                  tile_rows: int = 128,
+                  rel_bump: float = 1e-3,
+                  stream: int = STREAM_OUTER) -> Dict[str, Any]:
+    """Merton-model sensitivities by CRN central differences — market
+    greeks plus the jump-parameter sensitivities calibration needs.
+    (Pathwise gradients through the branch-free Poisson inverse-CDF scan
+    are a.e. zero in the count, so FD+CRN is the robust choice.)"""
+    from mc_tpu.config import DEMO_OPTION
+    from mc_tpu.models.merton import DEMO_MERTON, price_merton
+
+    option = (DEMO_OPTION if option is None else option).as_f32()
+    merton = (DEMO_MERTON if merton is None else merton).as_f32()
+    key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x3E44), jnp.uint32)
+
+    def f(opt, dyn):
+        return price_merton(opt, dyn, sim, payoff, method="euler",
+                            engine="xla", antithetic=antithetic,
+                            tile_rows=tile_rows, key=key).price
+
+    return _fd_model_greeks(f, option, merton, MERTON_GREEK_FIELDS, which,
+                            rel_bump)
+
+
+SABR_GREEK_FIELDS = {
+    "delta": ("option", "s0", 1.0),
+    "rho": ("option", "r", 1.0),
+    "theta": ("option", "t", -1.0),
+    "dual_delta": ("option", "k", 1.0),
+    "alpha_sens": ("dyn", "alpha", 1.0),    # dP/d(initial forward vol)
+    "beta_sens": ("dyn", "beta", 1.0),      # dP/d(backbone exponent)
+    "nu_sens": ("dyn", "nu", 1.0),          # dP/d(vol-of-vol)
+    "rho_fv_sens": ("dyn", "rho", 1.0),     # dP/d(forward-vol corr)
+}
+
+
+def sabr_greeks(option=None, sabr=None,
+                sim: SimParams = DEMO_SIM,
+                payoff="vanilla_call",
+                *,
+                which: Sequence[str] = ("delta", "alpha_sens", "nu_sens"),
+                antithetic: bool = False,
+                tile_rows: int = 128,
+                rel_bump: float = 1e-3,
+                stream: int = STREAM_OUTER) -> Dict[str, Any]:
+    """SABR-model sensitivities by CRN central differences — the smile
+    calibration set (alpha, beta, nu, rho) plus spot/rate/maturity."""
+    from mc_tpu.config import DEMO_OPTION
+    from mc_tpu.models.sabr import DEMO_SABR, price_sabr
+
+    option = (DEMO_OPTION if option is None else option).as_f32()
+    sabr = (DEMO_SABR if sabr is None else sabr).as_f32()
+    key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x5AB4), jnp.uint32)
+
+    def f(opt, dyn):
+        return price_sabr(opt, dyn, sim, payoff, engine="xla",
+                          antithetic=antithetic, tile_rows=tile_rows,
+                          key=key).price
+
+    return _fd_model_greeks(f, option, sabr, SABR_GREEK_FIELDS, which,
+                            rel_bump)
 
 
 HESTON_GREEK_FIELDS = {
