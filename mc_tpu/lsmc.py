@@ -380,6 +380,100 @@ def price_american_heston(option: OptionParams = DEMO_OPTION,
                                        key, key_b, exercise_every)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "kmax", "degree", "tile_rows",
+                     "interpret", "two_pass", "every"))
+def _price_american_merton_impl(option, dyn, payoff, sim, kmax, degree,
+                                tile_rows, interpret, two_pass, key, key_b,
+                                every=1):
+    from mc_tpu.models.merton import (_pack_merton, _unpack_merton,
+                                      merton_trajectories_kernel)
+    params = _pack_merton(option, dyn, sim.n_steps)
+    p = _unpack_merton(params)
+    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
+                          tile_rows=tile_rows)
+
+    def grids(k):
+        s, c, _, _ = merton_trajectories_kernel(payoff, cfg, kmax, k,
+                                                params, interpret=interpret)
+        n_pad = s.shape[1] * LANES
+        return (s.reshape(sim.n_steps, n_pad),
+                c.reshape(sim.n_steps, n_pad), n_pad)
+
+    s_a, c_a, n_pad = grids(key)
+    valid = (jnp.arange(n_pad, dtype=jnp.uint32)
+             < jnp.uint32(sim.n_paths))
+    disc = jnp.exp(-p.r * p.dt)
+    inv_k = 1.0 / p.k
+
+    def immediate(s_f, c_f, j):
+        st = (c_f[j],) if payoff.n_state else ()
+        return payoff.terminal(st, s_f[j], p)
+
+    # The jump state is Markov in S alone (i.i.d. increments), so the
+    # plain S-monomial basis of the GBM engine applies unchanged — only
+    # the trajectory law differs.
+    v_val, betas = _backward_fit(payoff, p, s_a, c_a, valid, sim.n_steps,
+                                 degree, inv_k, disc, immediate, every)
+    if not two_pass:
+        return _summ(v_val * disc, valid, sim.n_paths)
+
+    s_b, c_b, n_pad_b = grids(key_b)
+    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
+               < jnp.uint32(sim.n_paths))
+    vb = _apply_policy_pass(payoff, p, s_b, c_b, valid_b, betas,
+                            sim.n_steps, degree, inv_k, disc, immediate,
+                            every)
+    return _summ(vb * disc, valid_b, sim.n_paths)
+
+
+def price_american_merton(option: OptionParams = DEMO_OPTION,
+                          merton=None,
+                          sim: SimParams = DEMO_SIM,
+                          payoff="vanilla_put",
+                          *,
+                          degree: int = 3,
+                          two_pass: bool = True,
+                          exercise_every: int = 1,
+                          tile_rows: int = 8,
+                          stream: int = STREAM_OUTER,
+                          key=None,
+                          interpret: Optional[bool] = None) -> PriceResult:
+    """Longstaff-Schwartz American/Bermudan price under Merton jumps.
+
+    Composes the Merton trajectory kernel (exact-in-law compound-Poisson
+    log increments, materialized S_t grids) with the LSMC backward
+    induction on the standard S-monomial basis (the jump-diffusion is
+    Markov in S).  Same two-pass protocol as `price_american`.
+
+    Oracle gates (tests): lam -> 0 degenerates to GBM and must match the
+    CRR binomial American; downward jumps (mu_j < 0) must RAISE the
+    American put above its no-jump value; American >= European (series
+    oracle via put-call parity).
+    """
+    from mc_tpu.models.merton import DEMO_MERTON, poisson_kmax
+    merton = DEMO_MERTON if merton is None else merton
+    po = get_payoff(payoff)
+    if po.n_state > 1:
+        raise ValueError("LSMC supports payoffs with at most one state "
+                         "array")
+    if sim.n_steps % 2:
+        raise ValueError("Merton requires an even n_steps")
+    if exercise_every < 1:
+        raise ValueError("exercise_every must be >= 1")
+    kmax = poisson_kmax(float(merton.lam) * float(option.t) / sim.n_steps)
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x3E44),
+                          jnp.uint32)
+    key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
+    return _price_american_merton_impl(option.as_f32(), merton.as_f32(),
+                                       po, sim.replace(seed=0), kmax,
+                                       degree, tile_rows, interpret,
+                                       two_pass, key, key_b,
+                                       exercise_every)
+
+
 # ---------------------------------------------------------------------------
 # Andersen-Broadie duality: an UPPER bound to pair with the two-pass LSMC
 # lower bound, so the American price is bracketed with statistical error

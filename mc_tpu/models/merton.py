@@ -308,6 +308,97 @@ def _price_merton_impl(option, dyn, payoff, sim, method, kmax, engine,
                      jnp.exp(-r * t))
 
 
+def _make_merton_traj_kernel(payoff, cfg: pk.KernelConfig, kmax: int):
+    """Trajectory materialization under jumps: persist (S_t, state_t) at
+    every step (the LSMC/exposure feed, like the GBM kernel in
+    ops/path_kernels and the Heston variant in models/heston)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert payoff.n_state <= 1, "trajectory kernel stores one state array"
+
+    def kernel(key_ref, params_ref, meta_ref, s_out, st_out, pay_sum,
+               pay_sq, comp_ref):
+        p = _unpack_merton(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        k0, k1 = key_ref[0], key_ref[1]
+        draw3 = lambda m: _merton_draw3(k0, k1, ids, m, pltpu.bitcast)
+
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        state0 = payoff.init(p, jnp.zeros_like(s0))
+
+        def persist(j, s, state):
+            s_out[j] = s
+            st_out[j] = state[0] if payoff.n_state else jnp.zeros_like(s)
+
+        def one_step(w, state, z, e, u):
+            n = _poisson_inv_cdf(u, p.lam_dt, kmax)
+            w = w + p.drift_dt + p.vol_dt * z + _jump_increment(p, n, e)
+            s = s0 * jnp.exp(w)
+            return w, s, payoff.update(state, s, p)
+
+        def body(m, carry):
+            w, s, state = carry
+            z0, z1, e0, e1, u0, u1 = draw3(m)
+            w, s, state = one_step(w, state, z0, e0, u0)
+            persist(2 * m, s, state)
+            w, s, state = one_step(w, state, z1, e1, u1)
+            persist(2 * m + 1, s, state)
+            return (w, s, state)
+
+        zero = jnp.zeros_like(s0)
+        w, s_t, state = jax.lax.fori_loop(0, cfg.n_steps // 2, body,
+                                          (zero, s0, state0))
+        pay = jnp.where(valid, payoff.terminal(state, s_t, p), 0.0)
+        pk._accumulate_moments((pay_sum, pay_sq), comp_ref,
+                               [pay, pay * pay], i, cfg.tile_rows)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("payoff", "cfg", "kmax",
+                                             "interpret"))
+def merton_trajectories_kernel(payoff, cfg: pk.KernelConfig, kmax: int,
+                               key, params, path_offset=0, n_valid=None,
+                               interpret=None):
+    """(s_grid, state_grid, pay_partials, pay_sq): step-major HBM grids
+    under Merton jump-diffusion."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = use_interpret()
+    assert cfg.n_steps % 2 == 0, "merton trajectory kernel needs even steps"
+    rows = cfg.n_tiles * cfg.tile_rows
+    grid_spec = pl.BlockSpec((cfg.n_steps, cfg.tile_rows, LANES),
+                             lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    return pl.pallas_call(
+        _make_merton_traj_kernel(payoff, cfg, kmax),
+        grid=(cfg.n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=[grid_spec, grid_spec, part_spec, part_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(key, jnp.uint32), params, jnp.stack([offset, bound]))
+
+
 def price_merton(option: OptionParams = DEMO_OPTION,
                  dyn: MertonDynamics = DEMO_MERTON,
                  sim: SimParams = DEMO_SIM,

@@ -258,6 +258,17 @@ def test_pathwise_greek_kernel():
                                       err_msg=name)
 
 
+def test_merton_american_compiled_vs_interpret():
+    """Merton trajectory kernel + LSMC on the real chip."""
+    from mc_tpu.lsmc import price_american_merton
+    sim = SimParams(n_paths=8192, n_steps=8)
+    c = price_american_merton(sim=sim, tile_rows=8, interpret=False)
+    i = price_american_merton(sim=sim, tile_rows=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(c.price), np.asarray(i.price))
+    np.testing.assert_array_equal(np.asarray(c.stderr),
+                                  np.asarray(i.stderr))
+
+
 def test_basket_american_compiled_vs_interpret():
     from mc_tpu.lsmc import price_american_basket
     sim = SimParams(n_paths=8192, n_steps=8)
