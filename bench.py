@@ -300,8 +300,8 @@ def book_kernel_seconds(n_contracts=64, n_paths=1 << 20, n_steps=N_STEPS,
     def multi(keys):
         return jnp.sum(jax.lax.map(
             lambda kk: jnp.sum(_book_pallas(
-                payoff, opts32, sim.replace(seed=0), "euler", False, tr,
-                kk).price),
+                payoff, opts32, sim.replace(seed=0), "euler", False, False,
+                tr, kk).price),
             keys))
 
     def best_of(keys):
