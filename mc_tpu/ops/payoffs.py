@@ -278,6 +278,36 @@ class DownInCall(PathPayoff):
         return hit * jnp.maximum(s - p.k, 0.0)
 
 
+class VarianceSwap(PathPayoff):
+    """Realized-variance swap: pays (annualized realized variance - K).
+
+    state = (prev S, running sum of squared log returns); the terminal
+    value is sum((log S_i/S_{i-1})^2)/T - K, where the strike field K is
+    the VARIANCE strike (e.g. 0.04 for a 20-vol strike).  Signed payoff
+    (a swap, not an option).
+
+    Sharp oracle gates per model: E[RV] = sigma^2 under GBM (up to
+    O(mu^2 dt)), theta + (v0-theta)(1-e^{-kT})/(kT) under Heston, and
+    sigma^2 + lam (mu_j^2 + sigma_j^2) under Merton — the jump
+    contribution to quadratic variation the diffusion models miss.
+    """
+
+    name = "variance_swap"
+    n_state = 2
+
+    def init(self, p, like):
+        return (jnp.zeros_like(like) + p.s0, jnp.zeros_like(like))
+
+    def update(self, state, s, p):
+        prev_s, acc = state
+        lr = jnp.log(s / prev_s)
+        return (s, acc + lr * lr)
+
+    def terminal(self, state, s, p):
+        _, acc = state
+        return acc / p.t - p.k
+
+
 class LookbackFixedCall(PathPayoff):
     """Fixed-strike lookback call: max(max_t S_t - K, 0). state = (running max,)."""
 
@@ -352,7 +382,7 @@ PAYOFFS: Dict[str, PathPayoff] = {
         VanillaCall(), VanillaPut(), DigitalCall(), BulletCall(),
         AsianCall(), AsianCallGeoCV(), UpOutCall(), DownInCall(),
         DownOutCall(), UpOutCallBB(), DownOutCallBB(),
-        LookbackFixedCall(),
+        LookbackFixedCall(), VarianceSwap(),
     )
 }
 
