@@ -204,6 +204,16 @@ def cmd_nmc(args):
                              rho=args.rho_sv)
         res = price_nmc_heston(option, dyn, sim, payoff=args.payoff,
                                engine=args.engine)
+    elif args.model == "merton":
+        if args.discount != "full" or args.strategy != "fused":
+            raise SystemExit("--discount / --strategy are fixed "
+                             "(full / grid) with --model merton")
+        from mc_tpu.models.merton import MertonDynamics
+        from mc_tpu.nmc_merton import price_nmc_merton
+        dyn = MertonDynamics(lam=args.lam, mu_j=args.mu_j,
+                             sigma_j=args.sigma_j)
+        res = price_nmc_merton(option, dyn, sim, payoff=args.payoff,
+                               engine=args.engine)
     else:
         res = price_nmc(option, sim, payoff=args.payoff,
                         strategy=args.strategy, engine=args.engine,
@@ -664,12 +674,17 @@ def main(argv=None):
     p.add_argument("--cva-hazard", type=float, default=None,
                    help="flat hazard rate: emit unilateral CVA")
     p.add_argument("--cva-recovery", type=float, default=0.4)
-    p.add_argument("--model", choices=("gbm", "heston"), default="gbm")
+    p.add_argument("--model", choices=("gbm", "heston", "merton"),
+                   default="gbm")
     p.add_argument("--v0", type=float, default=0.04)
     p.add_argument("--kappa", type=float, default=2.0)
     p.add_argument("--theta-v", type=float, default=0.04)
     p.add_argument("--xi", type=float, default=0.3)
     p.add_argument("--rho-sv", type=float, default=-0.7)
+    p.add_argument("--lam", type=float, default=0.3,
+                   help="merton jump intensity")
+    p.add_argument("--mu-j", type=float, default=-0.10)
+    p.add_argument("--sigma-j", type=float, default=0.15)
     p.set_defaults(fn=cmd_nmc)
 
     p = sub.add_parser("traj", help="dump trajectories CSV (testing.cu)")

@@ -258,6 +258,17 @@ def test_pathwise_greek_kernel():
                                       err_msg=name)
 
 
+def test_nmc_merton():
+    from mc_tpu.nmc_merton import price_nmc_merton
+    sim = SimParams(n_paths=2048, n_steps=4, n_paths_inner=8)
+    c, i, x = _tri(price_nmc_merton, sim=sim, tile_rows=8)
+    _assert_tri(c.outer, i.outer, x.outer)
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(i.surface))
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(x.surface))
+
+
 def test_merton_american_compiled_vs_interpret():
     """Merton trajectory kernel + LSMC on the real chip."""
     from mc_tpu.lsmc import price_american_merton
