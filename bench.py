@@ -166,7 +166,7 @@ def merton_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS):
         poisson_kmax
     from mc_tpu.ops.payoffs import get_payoff
     sim = SimParams(n_paths=n_paths, n_steps=n_steps)
-    kmax = poisson_kmax(float(DEMO_MERTON.lam) / n_steps)
+    kmax = poisson_kmax(float(DEMO_MERTON.lam) * float(OPT.t) / n_steps)
     po = get_payoff("vanilla_call")
 
     def one(key):

@@ -196,7 +196,7 @@ def cmd_nmc(args):
     if args.model == "heston":
         if args.discount != "full" or args.strategy != "fused":
             raise SystemExit("--discount / --strategy are fixed "
-                             "(full / grid) with --model heston")
+                             "(full / fused) with --model heston")
         from mc_tpu.models.heston import HestonDynamics
         from mc_tpu.nmc_heston import price_nmc_heston
         dyn = HestonDynamics(v0=args.v0, kappa=args.kappa,
@@ -207,7 +207,7 @@ def cmd_nmc(args):
     elif args.model == "merton":
         if args.discount != "full" or args.strategy != "fused":
             raise SystemExit("--discount / --strategy are fixed "
-                             "(full / grid) with --model merton")
+                             "(full / fused) with --model merton")
         from mc_tpu.models.merton import MertonDynamics
         from mc_tpu.nmc_merton import price_nmc_merton
         dyn = MertonDynamics(lam=args.lam, mu_j=args.mu_j,

@@ -471,8 +471,8 @@ def price_portfolio(options: OptionParams,
     fori_loop over contracts inside the kernel re-uses the tile's
     threefry draws, so a B-contract book costs ~one kernel launch
     instead of B (bit-identical per contract to the vmapped dual).
-    With control_variate=True the pallas engine falls back to
-    sequential per-contract kernels (`lax.map`).
+    control_variate=True books run through the same batched kernel
+    (per-contract CV columns in the moment slab).
     """
     po = get_payoff(payoff)
     if method is None:

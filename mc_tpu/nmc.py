@@ -60,6 +60,7 @@ class NMCResult:
     outer: PriceResult
     surface_mean: Any
     n_points: Any
+    t_horizon: Any = 1.0  # option maturity T (years); set by the pricers
 
     def surface_matrix(self):
         """(n_paths, n_steps) view (drops lane padding)."""
@@ -82,15 +83,18 @@ class NMCResult:
         return ee, pfe
 
     def cva(self, hazard_rate: float, recovery: float = 0.4,
-            t_horizon: float = 1.0):
+            t_horizon: float | None = None):
         """Unilateral CVA from the expected-exposure profile.
 
         CVA = (1 - R) * sum_j EE(t_j) * [PD(t_{j-1}, t_j)] with a flat
         hazard rate: PD over (a, b] = e^{-lambda a} - e^{-lambda b}.
         The surface values are already discounted, so no extra discount
-        factor is applied (the standard EE* convention).
+        factor is applied (the standard EE* convention).  ``t_horizon``
+        defaults to the priced option's maturity (``self.t_horizon``).
         """
-        ee, _ = self.exposure_profile()
+        if t_horizon is None:
+            t_horizon = self.t_horizon
+        ee = jnp.mean(jnp.maximum(self.surface_matrix(), 0.0), axis=0)
         n = ee.shape[0]
         t = jnp.arange(1, n + 1, dtype=jnp.float32) * (t_horizon / n)
         t_prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), t[:-1]])
@@ -215,7 +219,8 @@ def _price_nmc_impl(option, payoff, sim, strategy, engine, tile_rows,
     surface_mean = jnp.sum(surface, dtype=jnp.float32) / n_points
     return NMCResult(surface=surface, outer=outer,
                      surface_mean=surface_mean,
-                     n_points=jnp.asarray(n_points, jnp.float32))
+                     n_points=jnp.asarray(n_points, jnp.float32),
+                     t_horizon=jnp.asarray(option.t, jnp.float32))
 
 
 def nmc_auto_tile_rows(n_steps: int, budget_bytes: int = 8 << 20) -> int:

@@ -234,7 +234,8 @@ def _price_nmc_heston_impl(option, heston, payoff, sim, engine, tile_rows,
     surface_mean = jnp.sum(surface, dtype=jnp.float32) / n_points
     return NMCResult(surface=surface, outer=outer,
                      surface_mean=surface_mean,
-                     n_points=jnp.asarray(n_points, jnp.float32))
+                     n_points=jnp.asarray(n_points, jnp.float32),
+                     t_horizon=jnp.asarray(option.t, jnp.float32))
 
 
 def price_nmc_heston(option: OptionParams = DEMO_OPTION,

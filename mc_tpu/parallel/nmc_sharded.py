@@ -78,7 +78,8 @@ def _impl(option, payoff, sim, mesh, engine, tile_rows, discount, interpret,
     n_points = sim.n_paths * sim.n_steps
     return NMCResult(surface=surf, outer=outer,
                      surface_mean=ssum / n_points,
-                     n_points=jnp.asarray(n_points, jnp.float32))
+                     n_points=jnp.asarray(n_points, jnp.float32),
+                     t_horizon=jnp.asarray(option.t, jnp.float32))
 
 
 def price_nmc_sharded(option: OptionParams = DEMO_OPTION,

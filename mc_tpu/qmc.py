@@ -591,7 +591,7 @@ def price_qmc(option: OptionParams = DEMO_OPTION,
               method: Optional[str] = None,
               engine: str = "pallas",
               family: str = "lattice",
-              tile_rows: int = 256,
+              tile_rows: int = 128,
               gamma: float = 0.1,
               bridge: bool = False,
               stream: int = STREAM_OUTER,

@@ -184,3 +184,18 @@ def test_cva_from_exposure():
     assert float(res.cva(0.0)) == 0.0
     assert float(res.cva(lam, 0.0)) == pytest.approx(got / (1 - rec),
                                                      rel=1e-5)
+
+
+def test_cva_uses_option_maturity():
+    """t_horizon defaults to the traded option's T, not 1.0: a T=2 trade
+    spreads default probability over [0, 2]."""
+    from mc_tpu.nmc import price_nmc
+    sim = SimParams(n_paths=1024, n_steps=8, n_paths_inner=8)
+    res = price_nmc(OptionParams(t=2.0, p1=1.0, p2=6.0), sim, engine="xla")
+    assert float(res.t_horizon) == 2.0
+    assert float(res.cva(0.02)) == pytest.approx(
+        float(res.cva(0.02, t_horizon=2.0)), rel=1e-6)
+    # The wrong-horizon answer differs: flat-hazard PDs over [0,1] put
+    # more weight on early (lower-EE) steps.
+    assert float(res.cva(0.02)) != pytest.approx(
+        float(res.cva(0.02, t_horizon=1.0)), rel=1e-4)
