@@ -587,6 +587,46 @@ def cmd_basket(args):
     return 0
 
 
+def cmd_rainbow(args):
+    from mc_tpu.models.rainbow import BasketDynamics, price_rainbow
+
+    import numpy as np
+
+    option, sim = _parse(args)
+    d = args.n_assets
+    corr = np.full((d, d), args.corr, np.float32)
+    np.fill_diagonal(corr, 1.0)
+    sigmas = np.linspace(args.sigma, args.sigma2, d).astype(np.float32)
+    s0s = np.linspace(args.s0, args.s02, d).astype(np.float32)
+    dyn = BasketDynamics(s0s=s0s, sigmas=sigmas,
+                         weights=np.full(d, 1.0 / d, np.float32),
+                         corr=corr)
+    res = price_rainbow(option, dyn, sim, payoff=args.payoff,
+                        engine=args.engine, antithetic=args.antithetic,
+                        tile_rows=args.tile_rows)
+    out = {"payoff": args.payoff, "n_assets": d,
+           "price": float(res.price), "stderr": float(res.stderr)}
+    if d == 2:  # closed-form oracle column (Margrabe / Stulz)
+        from mc_tpu import oracle
+        a = (float(s0s[0]), float(s0s[1]))
+        if args.payoff == "exchange":
+            out["oracle"] = oracle.margrabe(a[0], a[1], args.t,
+                                            sigmas[0], sigmas[1],
+                                            args.corr, args.q, args.q)
+        elif args.payoff != "best_of_cash":
+            fn = {"call_on_min": oracle.stulz_min_call,
+                  "call_on_max": oracle.stulz_max_call,
+                  "put_on_min": oracle.stulz_min_put,
+                  "put_on_max": oracle.stulz_max_put}[args.payoff]
+            out["oracle"] = fn(a[0], a[1], args.k, args.t, args.r,
+                               sigmas[0], sigmas[1], args.corr,
+                               args.q, args.q)
+        if "oracle" in out:
+            out["z_score"] = (out["price"] - out["oracle"]) / out["stderr"]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_mlmc(args):
     from mc_tpu.mlmc import price_heston_mlmc
     from mc_tpu.models.heston import HestonDynamics
@@ -813,6 +853,22 @@ def main(argv=None):
     p.add_argument("--n-assets", type=int, default=4)
     p.add_argument("--corr", type=float, default=0.5)
     p.set_defaults(fn=cmd_basket)
+
+    p = sub.add_parser("rainbow",
+                       help="best-of/worst-of rainbow (Stulz/Margrabe "
+                            "oracle at d=2)")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="call_on_max",
+                   help="call_on_max|call_on_min|put_on_max|put_on_min|"
+                        "exchange|best_of_cash")
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--n-assets", type=int, default=2)
+    p.add_argument("--corr", type=float, default=0.5)
+    p.add_argument("--s02", type=float, default=105.0,
+                   help="last asset's spot (spots interpolate s0..s02)")
+    p.add_argument("--sigma2", type=float, default=0.25,
+                   help="last asset's vol (vols interpolate sigma..sigma2)")
+    p.set_defaults(fn=cmd_rainbow)
 
     p = sub.add_parser("mlmc", help="multilevel MC under Heston")
     _add_option_flags(p)

@@ -7,6 +7,7 @@ from mc_tpu.models.cev import (CEVDynamics, DEMO_CEV, cev_call_closed_form,
                                price_cev)
 from mc_tpu.models.merton import (DEMO_MERTON, MertonDynamics,
                                   merton_call_closed_form, price_merton)
+from mc_tpu.models.rainbow import RAINBOW_PAYOFFS, price_rainbow
 from mc_tpu.models.sabr import (DEMO_SABR, SABRDynamics, price_sabr,
                                 sabr_call_hagan, sabr_implied_vol)
 
@@ -16,4 +17,5 @@ __all__ = ["GBM", "gbm_exact_terminal", "gbm_log_euler_step",
            "CEVDynamics", "DEMO_CEV", "cev_call_closed_form", "price_cev",
            "MertonDynamics", "DEMO_MERTON", "merton_call_closed_form",
            "price_merton", "SABRDynamics", "DEMO_SABR", "price_sabr",
-           "sabr_call_hagan", "sabr_implied_vol"]
+           "sabr_call_hagan", "sabr_implied_vol", "price_rainbow",
+           "RAINBOW_PAYOFFS"]

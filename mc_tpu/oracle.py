@@ -34,6 +34,12 @@ __all__ = [
     "bs_implied_vol",
     "cnd_as",
     "bs_call_as",
+    "bvn_cdf",
+    "margrabe",
+    "stulz_min_call",
+    "stulz_max_call",
+    "stulz_min_put",
+    "stulz_max_put",
     "PriceResult",
 ]
 
@@ -168,6 +174,186 @@ def bs_down_out_call(s0, k, t, r, sigma, b, q=0.0) -> float:
     return (_call_segment_f64(s0, k, t, r, sigma, q, lo, None)
             - refl * _call_segment_f64(b * b / s0, k, t, r, sigma, q,
                                        lo, None))
+
+
+# ---------------------------------------------------------------------------
+# Two-asset rainbow closed forms (Margrabe 1978, Stulz 1982) — the oracles
+# for the `models.rainbow` payoffs.  Host-side f64, built on the bivariate
+# normal CDF (Genz's BVND quadrature, accurate to ~1e-15).
+# ---------------------------------------------------------------------------
+
+# Gauss-Legendre half-rule (weights, nodes on [0,1] mapped from [-1,1]).
+_GL_RULES = {
+    6: ((0.1713244923791704, 0.3607615730481386, 0.4679139345726910),
+        (0.9324695142031521, 0.6612093864662645, 0.2386191860831969)),
+    12: ((0.04717533638651183, 0.1069393259953184, 0.1600783285433462,
+          0.2031674267230659, 0.2334925365383548, 0.2491470458134028),
+         (0.9815606342467192, 0.9041172563704749, 0.7699026741943047,
+          0.5873179542866175, 0.3678314989981802, 0.1252334085114689)),
+    20: ((0.01761400713915212, 0.04060142980038694, 0.06267204833410906,
+          0.08327674157670475, 0.1019301198172404, 0.1181945319615184,
+          0.1316886384491766, 0.1420961093183821, 0.1491729864726037,
+          0.1527533871307259),
+         (0.9931285991850949, 0.9639719272779138, 0.9122344282513259,
+          0.8391169718222188, 0.7463319064601508, 0.6360536807265150,
+          0.5108670019508271, 0.3737060887154196, 0.2277858511416451,
+          0.07652652113349733)),
+}
+
+
+def _phid(z: float) -> float:
+    import math
+    return 0.5 * math.erfc(-z / math.sqrt(2.0))
+
+
+def _bvnu(dh: float, dk: float, r: float) -> float:
+    """Upper-tail P(X > dh, Y > dk), standard bivariate normal, corr r.
+
+    Genz (2004) BVND: for |r| < 0.925 a Gauss-Legendre quadrature of
+    Drezner-Wesolowsky's single integral over arcsin(r); near |r|=1 the
+    Owen-like expansion in sqrt(1-r^2) with a quadrature remainder.
+    """
+    import math
+    twopi = 2.0 * math.pi
+    if abs(r) < 0.3:
+        w, xgl = _GL_RULES[6]
+    elif abs(r) < 0.75:
+        w, xgl = _GL_RULES[12]
+    else:
+        w, xgl = _GL_RULES[20]
+    h, k = dh, dk
+    hk = h * k
+    bvn = 0.0
+    if abs(r) < 0.925:
+        hs = (h * h + k * k) / 2.0
+        asr = math.asin(r)
+        for wi, xi in zip(w, xgl):
+            for sn in (math.sin(asr * (1.0 - xi) / 2.0),
+                       math.sin(asr * (1.0 + xi) / 2.0)):
+                bvn += wi * math.exp((sn * hk - hs) / (1.0 - sn * sn))
+        return bvn * asr / (2.0 * twopi) + _phid(-h) * _phid(-k)
+    if r < 0.0:
+        k = -k
+        hk = -hk
+    if abs(r) < 1.0:
+        a_s = (1.0 - r) * (1.0 + r)
+        a = math.sqrt(a_s)
+        bs = (h - k) ** 2
+        c = (4.0 - hk) / 8.0
+        d = (12.0 - hk) / 16.0
+        asr = -(bs / a_s + hk) / 2.0
+        if asr > -100.0:
+            bvn = (a * math.exp(asr)
+                   * (1.0 - c * (bs - a_s) * (1.0 - d * bs / 5.0) / 3.0
+                      + c * d * a_s * a_s / 5.0))
+        if -hk < 100.0:
+            b = math.sqrt(bs)
+            sp = math.sqrt(twopi) * _phid(-b / a)
+            bvn -= (math.exp(-hk / 2.0) * sp * b
+                    * (1.0 - c * bs * (1.0 - d * bs / 5.0) / 3.0))
+        a = a / 2.0
+        for wi, xi in zip(w, xgl):
+            for xs in ((a * (1.0 - xi)) ** 2, (a * (1.0 + xi)) ** 2):
+                rs = math.sqrt(1.0 - xs)
+                asr = -(bs / xs + hk) / 2.0
+                if asr > -100.0:
+                    sp = 1.0 + c * xs * (1.0 + d * xs)
+                    ep = math.exp(-hk * (1.0 - rs)
+                                  / (2.0 * (1.0 + rs))) / rs
+                    bvn += a * wi * math.exp(asr) * (ep - sp)
+        bvn = -bvn / twopi
+    if r > 0.0:
+        return bvn + _phid(-max(h, k))
+    bvn = -bvn
+    if k > h:
+        bvn += _phid(k) - _phid(h)
+    return bvn
+
+
+def bvn_cdf(x, y, rho) -> float:
+    """P(X <= x, Y <= y) for a standard bivariate normal with corr rho."""
+    return _bvnu(-float(x), -float(y), float(rho))
+
+
+def margrabe(s1, s2, t, sigma1, sigma2, rho, q1=0.0, q2=0.0) -> float:
+    """Margrabe (1978) exchange option: e^{-rT} E[max(S1_T - S2_T, 0)].
+
+    Rate-free: the option to exchange asset 2 for asset 1 prices with
+    sigma^2 = sigma1^2 + sigma2^2 - 2 rho sigma1 sigma2 and no r.
+    """
+    import math
+    s1, s2, t, sigma1, sigma2, rho, q1, q2 = map(
+        float, (s1, s2, t, sigma1, sigma2, rho, q1, q2))
+    sig = math.sqrt(sigma1 * sigma1 + sigma2 * sigma2
+                    - 2.0 * rho * sigma1 * sigma2)
+    st = sig * math.sqrt(t)
+    d1 = (math.log(s1 / s2) + (q2 - q1 + 0.5 * sig * sig) * t) / st
+    d2 = d1 - st
+    return (s1 * math.exp(-q1 * t) * _phid(d1)
+            - s2 * math.exp(-q2 * t) * _phid(d2))
+
+
+def stulz_min_call(s1, s2, k, t, r, sigma1, sigma2, rho,
+                   q1=0.0, q2=0.0) -> float:
+    """Stulz (1982) call on the MINIMUM of two assets:
+    e^{-rT} E[max(min(S1_T, S2_T) - K, 0)], K > 0."""
+    import math
+    s1, s2, k, t, r, sigma1, sigma2, rho, q1, q2 = map(
+        float, (s1, s2, k, t, r, sigma1, sigma2, rho, q1, q2))
+    sig = math.sqrt(sigma1 * sigma1 + sigma2 * sigma2
+                    - 2.0 * rho * sigma1 * sigma2)
+    st = sig * math.sqrt(t)
+    rt = math.sqrt(t)
+    d = (math.log(s1 / s2) + (q2 - q1 + 0.5 * sig * sig) * t) / st
+    y1 = (math.log(s1 / k) + (r - q1 + 0.5 * sigma1 * sigma1) * t) \
+        / (sigma1 * rt)
+    y2 = (math.log(s2 / k) + (r - q2 + 0.5 * sigma2 * sigma2) * t) \
+        / (sigma2 * rt)
+    rho1 = (sigma1 - rho * sigma2) / sig
+    rho2 = (sigma2 - rho * sigma1) / sig
+    return (s1 * math.exp(-q1 * t) * bvn_cdf(y1, -d, -rho1)
+            + s2 * math.exp(-q2 * t) * bvn_cdf(y2, d - st, -rho2)
+            - k * math.exp(-r * t) * bvn_cdf(y1 - sigma1 * rt,
+                                             y2 - sigma2 * rt, rho))
+
+
+def stulz_max_call(s1, s2, k, t, r, sigma1, sigma2, rho,
+                   q1=0.0, q2=0.0) -> float:
+    """Call on the MAXIMUM of two assets, via the multiset identity
+    max(M-K,0) + max(m-K,0) = max(S1-K,0) + max(S2-K,0)."""
+    c1 = float(bs_call(s1, k, t, r, sigma1, q1))
+    c2 = float(bs_call(s2, k, t, r, sigma2, q2))
+    return c1 + c2 - stulz_min_call(s1, s2, k, t, r, sigma1, sigma2, rho,
+                                    q1, q2)
+
+
+def _min_forward(s1, s2, t, sigma1, sigma2, rho, q1, q2) -> float:
+    """e^{-rT} E[min(S1_T, S2_T)] = S1 e^{-q1 T} - Margrabe(S1 -> S2)."""
+    import math
+    return (float(s1) * math.exp(-float(q1) * float(t))
+            - margrabe(s1, s2, t, sigma1, sigma2, rho, q1, q2))
+
+
+def stulz_min_put(s1, s2, k, t, r, sigma1, sigma2, rho,
+                  q1=0.0, q2=0.0) -> float:
+    """Put on the minimum via parity:
+    p_min(K) = K e^{-rT} - c_min(0) + c_min(K)."""
+    import math
+    return (float(k) * math.exp(-float(r) * float(t))
+            - _min_forward(s1, s2, t, sigma1, sigma2, rho, q1, q2)
+            + stulz_min_call(s1, s2, k, t, r, sigma1, sigma2, rho, q1, q2))
+
+
+def stulz_max_put(s1, s2, k, t, r, sigma1, sigma2, rho,
+                  q1=0.0, q2=0.0) -> float:
+    """Put on the maximum via parity with
+    c_max(0) = S1 e^{-q1 T} + S2 e^{-q2 T} - c_min(0)."""
+    import math
+    fwd_max = (float(s1) * math.exp(-float(q1) * float(t))
+               + float(s2) * math.exp(-float(q2) * float(t))
+               - _min_forward(s1, s2, t, sigma1, sigma2, rho, q1, q2))
+    return (float(k) * math.exp(-float(r) * float(t)) - fwd_max
+            + stulz_max_call(s1, s2, k, t, r, sigma1, sigma2, rho, q1, q2))
 
 
 def bs_vega(s0, k, t, r, sigma, q=0.0):

@@ -30,12 +30,12 @@ from mc_tpu.parallel.mesh import PATHS_AXIS, make_mesh, shard_bounds
 
 __all__ = ["price_model_sharded", "SHARDED_MODELS"]
 
-SHARDED_MODELS = ("heston", "cev", "merton", "sabr")
+SHARDED_MODELS = ("heston", "cev", "merton", "sabr", "rainbow")
 
 # Same per-model stream tags as the single-chip price_* entry points —
 # what makes the 1-device-mesh result bit-identical to them.
 _STREAM_TAGS = {"heston": 0x4E57, "cev": 0xCE4, "merton": 0x3E44,
-                "sabr": 0x5AB4}
+                "sabr": 0x5AB4, "rainbow": 0xBE0F}
 
 
 @functools.partial(
@@ -48,7 +48,9 @@ def _model_sharded_impl(model, option, dyn, payoff, sim, mesh, engine,
         interpret = use_interpret()
     n_shards = mesh.devices.size
     n_local = shard_bounds(sim.n_paths, n_shards, tile_rows)
-    cfg = pk.KernelConfig(n_paths=n_local, n_steps=sim.n_steps,
+    # Rainbow payoffs are terminal-only: one exact draw over the horizon.
+    n_steps = 1 if model == "rainbow" else sim.n_steps
+    cfg = pk.KernelConfig(n_paths=n_local, n_steps=n_steps,
                           tile_rows=tile_rows, antithetic=antithetic)
 
     if model == "heston":
@@ -83,6 +85,16 @@ def _model_sharded_impl(model, option, dyn, payoff, sim, mesh, engine,
         def partials(key, params, offset, bound):
             return _sabr_partials(payoff, cfg, key, params, offset, bound,
                                   engine, interpret)
+    elif model == "rainbow":
+        from mc_tpu.models.basket import _basket_namespace, _pack_basket
+        from mc_tpu.models.rainbow import _rainbow_partials
+        d = int(dyn.s0s.shape[0])
+        params = _pack_basket(_basket_namespace(option, dyn, 1), d)
+
+        def partials(key, params, offset, bound):
+            # `payoff` is the rainbow payoff NAME (static string)
+            return _rainbow_partials(payoff, cfg, d, key, params, offset,
+                                     bound, engine, interpret)
     else:
         raise ValueError(f"unknown model {model!r}; "
                          f"sharded models: {SHARDED_MODELS}")
@@ -133,7 +145,17 @@ def price_model_sharded(model: str,
     if model not in SHARDED_MODELS:
         raise ValueError(f"unknown model {model!r}; "
                          f"sharded models: {SHARDED_MODELS}")
-    po = get_payoff(payoff)
+    if model == "rainbow":
+        # rainbow payoffs live in their own registry, keyed by NAME
+        from mc_tpu.models.rainbow import RAINBOW_PAYOFFS
+        if payoff == "vanilla_call":
+            payoff = "call_on_max"
+        if payoff not in RAINBOW_PAYOFFS:
+            raise KeyError(f"unknown rainbow payoff {payoff!r}; "
+                           f"available: {sorted(RAINBOW_PAYOFFS)}")
+        po = payoff
+    else:
+        po = get_payoff(payoff)
     mesh = mesh if mesh is not None else make_mesh()
     kmax = 0
     if dyn is None:
@@ -143,6 +165,8 @@ def price_model_sharded(model: str,
             from mc_tpu.models.cev import DEMO_CEV as dyn
         elif model == "merton":
             from mc_tpu.models.merton import DEMO_MERTON as dyn
+        elif model == "rainbow":
+            from mc_tpu.models.basket import DEMO_BASKET as dyn
         else:
             from mc_tpu.models.sabr import DEMO_SABR as dyn
     if model in ("cev", "merton") and sim.n_steps % 2:

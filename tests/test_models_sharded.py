@@ -20,6 +20,8 @@ def _single_chip(model, **kw):
         from mc_tpu.models.cev import price_cev as fn
     elif model == "merton":
         from mc_tpu.models.merton import price_merton as fn
+    elif model == "rainbow":
+        from mc_tpu.models.rainbow import price_rainbow as fn
     else:
         from mc_tpu.models.sabr import price_sabr as fn
     return fn(OPT, sim=SIM, **kw)

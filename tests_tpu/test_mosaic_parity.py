@@ -170,6 +170,13 @@ def test_sabr():
     _assert_tri(*_tri(price_sabr, option=OPT, sim=SIM, tile_rows=8))
 
 
+def test_rainbow():
+    """Two-asset call-on-max: correlated terminal draws + max fold."""
+    from mc_tpu.models.rainbow import price_rainbow
+    _assert_tri(*_tri(price_rainbow, option=OPT, sim=SIM,
+                      payoff="call_on_max", tile_rows=8))
+
+
 # --- LSMC (pallas trajectory backend; no full XLA dual) ------------------
 
 def test_lsmc_compiled_vs_interpret():
