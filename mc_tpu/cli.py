@@ -627,6 +627,31 @@ def cmd_rainbow(args):
     return 0
 
 
+def cmd_vasicek(args):
+    from mc_tpu import oracle
+    from mc_tpu.models.vasicek import VasicekDynamics, price_vasicek
+
+    option, sim = _parse(args)
+    dyn = VasicekDynamics(a=args.a, b=args.b, sigma_r=args.sigma_r,
+                          rho=args.rho_r)
+    res = price_vasicek(option, dyn, sim, payoff=args.payoff,
+                        engine=args.engine, antithetic=args.antithetic,
+                        tile_rows=args.tile_rows)
+    out = {"payoff": args.payoff, "price": float(res.price),
+           "stderr": float(res.stderr)}
+    if args.payoff == "zcb":
+        out["oracle"] = oracle.vasicek_zcb(args.r, args.a, args.b,
+                                           args.sigma_r, args.t)
+    elif args.payoff == "vanilla_call":
+        out["oracle"] = oracle.bsv_call(args.s0, args.k, args.t, args.r,
+                                        args.sigma, args.a, args.b,
+                                        args.sigma_r, args.rho_r, args.q)
+    if "oracle" in out:
+        out["z_score"] = (out["price"] - out["oracle"]) / out["stderr"]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_mlmc(args):
     from mc_tpu.mlmc import price_heston_mlmc
     from mc_tpu.models.heston import HestonDynamics
@@ -869,6 +894,22 @@ def main(argv=None):
     p.add_argument("--sigma2", type=float, default=0.25,
                    help="last asset's vol (vols interpolate sigma..sigma2)")
     p.set_defaults(fn=cmd_rainbow)
+
+    p = sub.add_parser("vasicek",
+                       help="stochastic-rate (Black-Scholes-Vasicek) "
+                            "price, pathwise discounting")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call",
+                   help="any registry payoff; 'zcb' prices the bond")
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--a", type=float, default=0.3,
+                   help="rate mean-reversion speed")
+    p.add_argument("--b", type=float, default=0.05,
+                   help="long-run rate level (r0 is --rate)")
+    p.add_argument("--sigma-r", type=float, default=0.015)
+    p.add_argument("--rho-r", type=float, default=-0.3,
+                   help="equity/rate correlation")
+    p.set_defaults(fn=cmd_vasicek)
 
     p = sub.add_parser("mlmc", help="multilevel MC under Heston")
     _add_option_flags(p)

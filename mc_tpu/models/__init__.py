@@ -10,6 +10,8 @@ from mc_tpu.models.merton import (DEMO_MERTON, MertonDynamics,
 from mc_tpu.models.rainbow import RAINBOW_PAYOFFS, price_rainbow
 from mc_tpu.models.sabr import (DEMO_SABR, SABRDynamics, price_sabr,
                                 sabr_call_hagan, sabr_implied_vol)
+from mc_tpu.models.vasicek import (DEMO_VASICEK, VasicekDynamics,
+                                   price_vasicek)
 
 __all__ = ["GBM", "gbm_exact_terminal", "gbm_log_euler_step",
            "HestonDynamics", "DEMO_HESTON", "heston_call_cf",
@@ -18,4 +20,5 @@ __all__ = ["GBM", "gbm_exact_terminal", "gbm_log_euler_step",
            "MertonDynamics", "DEMO_MERTON", "merton_call_closed_form",
            "price_merton", "SABRDynamics", "DEMO_SABR", "price_sabr",
            "sabr_call_hagan", "sabr_implied_vol", "price_rainbow",
-           "RAINBOW_PAYOFFS"]
+           "RAINBOW_PAYOFFS", "VasicekDynamics", "DEMO_VASICEK",
+           "price_vasicek"]

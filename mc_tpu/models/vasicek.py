@@ -1,0 +1,277 @@
+"""Hybrid Black-Scholes–Vasicek: equity under STOCHASTIC short rates.
+
+Beyond the reference (constant r, scalar discount e^{-rT},
+`inc/wrappers.cuh:51`): the short rate follows the Vasicek/Hull-White OU
+process and every payoff is discounted PATHWISE by exp(-int_0^T r_u du):
+
+    dr = a (b - r) dt + sigma_r dW_r
+    dS/S = (r_t - q) dt + sigma_s dW_s,      d<W_s, W_r> = rho dt
+
+EXACT-IN-LAW stepping (no discretization bias at ANY step count): per
+step the triple (eps, eta, u) = (OU shock, integrated-rate shock, equity
+diffusion) is jointly Gaussian with known covariance from the OU kernels
+
+    Var(eps)     = sigma_r^2 C2
+    Cov(eps,eta) = (sigma_r^2/a)(B - C2)
+    Var(eta)     = (sigma_r^2/a^2)(dt - 2B + C2)
+    Cov(eps,u)   = rho sigma_s sigma_r B
+    Cov(eta,u)   = rho sigma_s (sigma_r/a)(dt - B)
+    Var(u)       = sigma_s^2 dt,
+
+B = (1-e^{-a dt})/a, C2 = (1-e^{-2a dt})/(2a); the 3x3 Cholesky is
+computed once at trace time and shipped in SMEM.  State per path is
+(x = r - b, y = int r du, w = log S/S0): exact updates
+
+    y += b dt + x B + eta;  w += (same) - (q + sigma_s^2/2) dt + u;
+    x  = x e^{-a dt} + eps.
+
+TPU mapping: 3 normals/step => the step loop consumes PAIRS two steps at
+a time (3 threefry pairs per step pair, like the Merton/CEV kernels), so
+n_steps must be even.  Registry payoffs plug in unchanged on the S path;
+the `zcb` payoff (pays 1) prices the discount bond itself.
+
+Oracles: `oracle.vasicek_zcb` (affine closed form) and `oracle.bsv_call`
+(Merton 1973 — Black formula under the T-forward measure).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from types import SimpleNamespace
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mc_tpu import rng
+from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
+from mc_tpu.engines import STREAM_OUTER
+from mc_tpu.oracle import PriceResult, summarize
+from mc_tpu.ops import path_kernels as pk
+from mc_tpu.ops._pallas import (LANES, SUBLANES, use_interpret,
+                                xla_moment_scan)
+from mc_tpu.ops.payoffs import get_payoff
+from mc_tpu.ops.reduce import finish_sum
+
+__all__ = ["VasicekDynamics", "price_vasicek", "DEMO_VASICEK"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VasicekDynamics:
+    """Short-rate parameters (traced pytree leaves).  The INITIAL rate r0
+    is `option.r` — the option record's rate field becomes the rate
+    process's starting point."""
+
+    a: Any = 0.3         # mean-reversion speed
+    b: Any = 0.05        # long-run rate level
+    sigma_r: Any = 0.015  # absolute rate volatility
+    rho: Any = -0.3      # equity/rate correlation
+
+    def astuple(self):
+        return (self.a, self.b, self.sigma_r, self.rho)
+
+    def as_f32(self) -> "VasicekDynamics":
+        return VasicekDynamics(*(jnp.float32(x) for x in self.astuple()))
+
+
+DEMO_VASICEK = VasicekDynamics()
+
+_VAS_FIELDS = ("s0", "k", "r", "barrier", "p1", "p2", "t", "dt",
+               "inv_n_steps", "sqrt_dt", "sigma", "x0", "bdt", "e1",
+               "big_b", "drift_adj", "l11", "l21", "l22", "l31", "l32",
+               "l33")
+
+
+def _pack_vasicek(option, dyn, n_steps):
+    s0, t, k, r0, sigma_s, barrier, p1, p2, q = (
+        jnp.float32(v) for v in option.astuple())
+    a, b, sigma_r, rho = (jnp.float32(v) for v in dyn.astuple())
+    n = jnp.float32(n_steps)
+    dt = t / n
+    e1 = jnp.exp(-a * dt)
+    big_b = -jnp.expm1(-a * dt) / a
+    c2 = -jnp.expm1(-2.0 * a * dt) / (2.0 * a)
+    sr2 = sigma_r * sigma_r
+    cov = jnp.array(
+        [[sr2 * c2, (sr2 / a) * (big_b - c2),
+          rho * sigma_s * sigma_r * big_b],
+         [(sr2 / a) * (big_b - c2), (sr2 / (a * a)) * (dt - 2 * big_b + c2),
+          rho * sigma_s * (sigma_r / a) * (dt - big_b)],
+         [rho * sigma_s * sigma_r * big_b,
+          rho * sigma_s * (sigma_r / a) * (dt - big_b),
+          sigma_s * sigma_s * dt]], jnp.float32)
+    # relative jitter keeps the Cholesky finite at rho = +-1 (rank-2
+    # covariance) and guards f32 rounding of the tiny eta variance
+    jitter = 1e-6 * jnp.mean(jnp.diag(cov))
+    chol = jnp.linalg.cholesky(cov + jitter * jnp.eye(3, dtype=jnp.float32))
+    vals = dict(s0=s0, k=k, r=r0, barrier=barrier, p1=p1, p2=p2, t=t,
+                dt=dt, inv_n_steps=1.0 / n, sqrt_dt=jnp.sqrt(dt),
+                sigma=sigma_s, x0=r0 - b, bdt=b * dt, e1=e1, big_b=big_b,
+                drift_adj=(q + 0.5 * sigma_s * sigma_s) * dt,
+                l11=chol[0, 0], l21=chol[1, 0], l22=chol[1, 1],
+                l31=chol[2, 0], l32=chol[2, 1], l33=chol[2, 2])
+    return jnp.stack([vals[f] for f in _VAS_FIELDS])
+
+
+def _unpack_vasicek(ref):
+    return SimpleNamespace(**{f: ref[i] for i, f in enumerate(_VAS_FIELDS)})
+
+
+def _vasicek_leg(payoff, n_steps: int, p, s0, draw_pair,
+                 antithetic_sign=1.0):
+    """Exact Gaussian leg; 3 pairs per TWO steps (even n_steps)."""
+    sign = jnp.float32(antithetic_sign)
+    state0 = payoff.init(p, jnp.zeros_like(s0))
+
+    def one_step(carry, za, zb, zc):
+        w, x, y, state = carry
+        eps = p.l11 * za
+        eta = p.l21 * za + p.l22 * zb
+        u = p.l31 * za + p.l32 * zb + p.l33 * zc
+        dy = p.bdt + x * p.big_b + eta
+        w = w + dy - p.drift_adj + u
+        y = y + dy
+        x = x * p.e1 + eps
+        s = s0 * jnp.exp(w)  # log-space: one exp rounding per S_t
+        return (w, x, y, payoff.update(state, s, p)), s
+
+    def pair_body(j, carry):
+        z0, z1 = draw_pair(3 * j)
+        z2, z3 = draw_pair(3 * j + 1)
+        z4, z5 = draw_pair(3 * j + 2)
+        carry, _ = one_step(carry, sign * z0, sign * z1, sign * z2)
+        carry, s = one_step(carry, sign * z3, sign * z4, sign * z5)
+        return carry
+
+    zeros = jnp.zeros_like(s0)
+    x0 = jnp.full_like(s0, p.x0)
+    (w, _, y, state) = jax.lax.fori_loop(
+        0, n_steps // 2, pair_body, (zeros, x0, zeros, state0))
+    s_t = s0 * jnp.exp(w)
+    # pathwise stochastic discount replaces the reference's scalar
+    # e^{-rT} finish (wrappers.cuh:51)
+    return payoff.terminal(state, s_t, p) * jnp.exp(-y)
+
+
+def _vasicek_tile(payoff, n_steps, antithetic, p, ids, valid, k0, k1,
+                  bitcast):
+    shape = ids.shape
+
+    def draw_pair(m):
+        c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
+        return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast)
+
+    s0 = jnp.full(shape, p.s0, jnp.float32)
+    pay = _vasicek_leg(payoff, n_steps, p, s0, draw_pair)
+    if antithetic:
+        pay = 0.5 * (pay + _vasicek_leg(payoff, n_steps, p, s0, draw_pair,
+                                        antithetic_sign=-1.0))
+    return jnp.where(valid, pay, 0.0)
+
+
+def _make_vasicek_kernel(payoff, cfg: pk.KernelConfig):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(key_ref, params_ref, meta_ref, sum_ref, sq_ref, comp_ref):
+        p = _unpack_vasicek(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        pay = _vasicek_tile(payoff, cfg.n_steps, cfg.antithetic, p, ids,
+                            valid, key_ref[0], key_ref[1], pltpu.bitcast)
+        pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
+                               [pay, pay * pay], i, cfg.tile_rows)
+
+    return kernel
+
+
+def _vasicek_partials(payoff, cfg, key, params, path_offset=0,
+                      n_valid=None, engine="pallas", interpret=None):
+    """(sum, sumsq) (8,128) slabs of PATHWISE-DISCOUNTED payoffs."""
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    if engine == "pallas":
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _make_vasicek_kernel(payoff, cfg),
+            grid=(cfg.n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=[acc_spec, acc_spec],
+            out_shape=[jax.ShapeDtypeStruct((SUBLANES, LANES),
+                                            jnp.float32)] * 2,
+            scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)],
+            interpret=interpret,
+        )(jnp.asarray(key, jnp.uint32), params, jnp.stack([offset, bound]))
+    p = _unpack_vasicek(params)
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+
+    def tile_fn(ids, valid):
+        pay = _vasicek_tile(payoff, cfg.n_steps, cfg.antithetic, p, ids,
+                            valid, k0, k1, jax.lax.bitcast_convert_type)
+        return [pay, pay * pay]
+
+    return xla_moment_scan(tile_fn, cfg.n_paths, cfg.tile_rows, 2,
+                           offset=offset, bound=bound)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "engine", "antithetic", "tile_rows",
+                     "interpret"))
+def _price_vasicek_impl(option, dyn, payoff, sim, engine, antithetic,
+                        tile_rows, interpret, key):
+    if interpret is None:
+        interpret = use_interpret()
+    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
+                          tile_rows=tile_rows, antithetic=antithetic)
+    params = _pack_vasicek(option, dyn, sim.n_steps)
+    s, sq = _vasicek_partials(payoff, cfg, key, params, engine=engine,
+                              interpret=interpret)
+    # discount already applied pathwise inside the leg
+    return summarize(finish_sum(s), finish_sum(sq),
+                     jnp.asarray(sim.n_paths, jnp.float32),
+                     jnp.float32(1.0))
+
+
+def price_vasicek(option: OptionParams = DEMO_OPTION,
+                  dyn: VasicekDynamics = DEMO_VASICEK,
+                  sim: SimParams = DEMO_SIM,
+                  payoff="vanilla_call",
+                  *,
+                  engine: str = "pallas",
+                  antithetic: bool = False,
+                  tile_rows: int = 128,
+                  stream: int = STREAM_OUTER,
+                  key=None,
+                  interpret: Optional[bool] = None) -> PriceResult:
+    """Monte Carlo price under Black-Scholes–Vasicek stochastic rates.
+
+    `option.r` is the INITIAL short rate r0; every registry payoff works
+    and is discounted pathwise by exp(-int r dt).  `payoff="zcb"` prices
+    the zero-coupon bond itself (gate: `oracle.vasicek_zcb`); vanilla
+    calls gate against `oracle.bsv_call` (Merton 1973).  The scheme is
+    exact in law — n_steps only controls payoff monitoring dates, not
+    discretization bias.
+    """
+    po = get_payoff(payoff)
+    if sim.n_steps % 2:
+        raise ValueError("vasicek requires an even n_steps "
+                         "(pair-consuming step loop)")
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x7A51),
+                          jnp.uint32)
+    return _price_vasicek_impl(option.as_f32(), dyn.as_f32(), po,
+                               sim.replace(seed=0), engine, antithetic,
+                               tile_rows, interpret, key)

@@ -106,6 +106,20 @@ class DigitalCall(PathPayoff):
         return jnp.where(s > p.k, 1.0, 0.0)
 
 
+class ZeroCouponBond(PathPayoff):
+    """Pays 1 at maturity.  Trivial under deterministic rates (price is
+    e^{-rT} exactly); under the stochastic-rate model (`models.vasicek`,
+    which discounts PATHWISE by exp(-int r dt)) it prices the zero-coupon
+    bond — the gate against the Vasicek affine closed form
+    (`oracle.vasicek_zcb`)."""
+
+    name = "zcb"
+    terminal_only = True
+
+    def terminal(self, state, s, p):
+        return jnp.ones_like(s)
+
+
 class BulletCall(PathPayoff):
     """Barrier-window call (trajectories.cuh:144-153).
 
@@ -382,7 +396,7 @@ PAYOFFS: Dict[str, PathPayoff] = {
         VanillaCall(), VanillaPut(), DigitalCall(), BulletCall(),
         AsianCall(), AsianCallGeoCV(), UpOutCall(), DownInCall(),
         DownOutCall(), UpOutCallBB(), DownOutCallBB(),
-        LookbackFixedCall(), VarianceSwap(),
+        LookbackFixedCall(), VarianceSwap(), ZeroCouponBond(),
     )
 }
 

@@ -40,6 +40,8 @@ __all__ = [
     "stulz_max_call",
     "stulz_min_put",
     "stulz_max_put",
+    "vasicek_zcb",
+    "bsv_call",
     "PriceResult",
 ]
 
@@ -354,6 +356,49 @@ def stulz_max_put(s1, s2, k, t, r, sigma1, sigma2, rho,
                - _min_forward(s1, s2, t, sigma1, sigma2, rho, q1, q2))
     return (float(k) * math.exp(-float(r) * float(t)) - fwd_max
             + stulz_max_call(s1, s2, k, t, r, sigma1, sigma2, rho, q1, q2))
+
+
+# ---------------------------------------------------------------------------
+# Vasicek stochastic-rate closed forms — the oracles for `models.vasicek`
+# (hybrid Black-Scholes–Vasicek with pathwise stochastic discounting).
+# Host-side f64.
+# ---------------------------------------------------------------------------
+
+
+def vasicek_zcb(r0, a, b, sigma_r, t) -> float:
+    """Zero-coupon bond P(0,T) = E[exp(-int_0^T r_u du)] under
+    dr = a (b - r) dt + sigma_r dW (affine closed form)."""
+    import math
+    r0, a, b, sigma_r, t = map(float, (r0, a, b, sigma_r, t))
+    bt = -math.expm1(-a * t) / a
+    loga = ((b - sigma_r * sigma_r / (2.0 * a * a)) * (bt - t)
+            - sigma_r * sigma_r * bt * bt / (4.0 * a))
+    return math.exp(loga - bt * r0)
+
+
+def bsv_call(s0, k, t, r0, sigma_s, a, b, sigma_r, rho, q=0.0) -> float:
+    """European equity call under Black-Scholes–Vasicek (Merton 1973).
+
+    Under the T-forward measure the forward F = S e^{-qT}/P(0,T) is
+    lognormal with integrated variance
+        Sigma^2 = sigma_s^2 T + (sigma_r^2/a^2)(T - 2B + C2)
+                  + 2 rho sigma_s (sigma_r/a)(T - B),
+    B = (1-e^{-aT})/a, C2 = (1-e^{-2aT})/(2a); the price is the Black
+    formula  S0 e^{-qT} N(d1) - K P(0,T) N(d2).
+    """
+    import math
+    s0, k, t, r0, sigma_s, a, b, sigma_r, rho, q = map(
+        float, (s0, k, t, r0, sigma_s, a, b, sigma_r, rho, q))
+    p0t = vasicek_zcb(r0, a, b, sigma_r, t)
+    bt = -math.expm1(-a * t) / a
+    c2 = -math.expm1(-2.0 * a * t) / (2.0 * a)
+    var = (sigma_s * sigma_s * t
+           + (sigma_r * sigma_r / (a * a)) * (t - 2.0 * bt + c2)
+           + 2.0 * rho * sigma_s * (sigma_r / a) * (t - bt))
+    sig = math.sqrt(var)
+    d1 = (math.log(s0 * math.exp(-q * t) / (k * p0t)) + 0.5 * var) / sig
+    d2 = d1 - sig
+    return s0 * math.exp(-q * t) * _phid(d1) - k * p0t * _phid(d2)
 
 
 def bs_vega(s0, k, t, r, sigma, q=0.0):

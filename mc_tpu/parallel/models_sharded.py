@@ -30,12 +30,12 @@ from mc_tpu.parallel.mesh import PATHS_AXIS, make_mesh, shard_bounds
 
 __all__ = ["price_model_sharded", "SHARDED_MODELS"]
 
-SHARDED_MODELS = ("heston", "cev", "merton", "sabr", "rainbow")
+SHARDED_MODELS = ("heston", "cev", "merton", "sabr", "rainbow", "vasicek")
 
 # Same per-model stream tags as the single-chip price_* entry points —
 # what makes the 1-device-mesh result bit-identical to them.
 _STREAM_TAGS = {"heston": 0x4E57, "cev": 0xCE4, "merton": 0x3E44,
-                "sabr": 0x5AB4, "rainbow": 0xBE0F}
+                "sabr": 0x5AB4, "rainbow": 0xBE0F, "vasicek": 0x7A51}
 
 
 @functools.partial(
@@ -95,6 +95,13 @@ def _model_sharded_impl(model, option, dyn, payoff, sim, mesh, engine,
             # `payoff` is the rainbow payoff NAME (static string)
             return _rainbow_partials(payoff, cfg, d, key, params, offset,
                                      bound, engine, interpret)
+    elif model == "vasicek":
+        from mc_tpu.models.vasicek import _pack_vasicek, _vasicek_partials
+        params = _pack_vasicek(option, dyn, sim.n_steps)
+
+        def partials(key, params, offset, bound):
+            return _vasicek_partials(payoff, cfg, key, params, offset,
+                                     bound, engine, interpret)
     else:
         raise ValueError(f"unknown model {model!r}; "
                          f"sharded models: {SHARDED_MODELS}")
@@ -116,9 +123,12 @@ def _model_sharded_impl(model, option, dyn, payoff, sim, mesh, engine,
 
     r = jnp.float32(option.r)
     t = jnp.float32(option.t)
+    # vasicek discounts pathwise inside the leg; everything else scalar
+    discount = (jnp.float32(1.0) if model == "vasicek"
+                else jnp.exp(-r * t))
     return summarize(finish_sum(s), finish_sum(sq),
                      jnp.asarray(sim.n_paths, jnp.float32),
-                     jnp.exp(-r * t))
+                     discount)
 
 
 def price_model_sharded(model: str,
@@ -167,9 +177,11 @@ def price_model_sharded(model: str,
             from mc_tpu.models.merton import DEMO_MERTON as dyn
         elif model == "rainbow":
             from mc_tpu.models.basket import DEMO_BASKET as dyn
+        elif model == "vasicek":
+            from mc_tpu.models.vasicek import DEMO_VASICEK as dyn
         else:
             from mc_tpu.models.sabr import DEMO_SABR as dyn
-    if model in ("cev", "merton") and sim.n_steps % 2:
+    if model in ("cev", "merton", "vasicek") and sim.n_steps % 2:
         raise ValueError(f"{model} requires an even n_steps "
                          "(pair-consuming step loop)")
     if model == "merton":

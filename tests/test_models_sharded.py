@@ -22,6 +22,8 @@ def _single_chip(model, **kw):
         from mc_tpu.models.merton import price_merton as fn
     elif model == "rainbow":
         from mc_tpu.models.rainbow import price_rainbow as fn
+    elif model == "vasicek":
+        from mc_tpu.models.vasicek import price_vasicek as fn
     else:
         from mc_tpu.models.sabr import price_sabr as fn
     return fn(OPT, sim=SIM, **kw)
@@ -75,7 +77,7 @@ def test_sharded_bullet_payoff_under_heston():
 
 def test_unknown_model_rejected():
     with pytest.raises(ValueError, match="unknown model"):
-        price_model_sharded("vasicek")
+        price_model_sharded("bachelier")
 
 
 def test_merton_odd_steps_rejected():

@@ -177,6 +177,13 @@ def test_rainbow():
                       payoff="call_on_max", tile_rows=8))
 
 
+def test_vasicek():
+    """Stochastic rates: exact OU triple + pathwise discount."""
+    from mc_tpu.models.vasicek import price_vasicek
+    _assert_tri(*_tri(price_vasicek, option=OPT, sim=SIM,
+                      payoff="vanilla_call", tile_rows=8))
+
+
 # --- LSMC (pallas trajectory backend; no full XLA dual) ------------------
 
 def test_lsmc_compiled_vs_interpret():
