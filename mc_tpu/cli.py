@@ -204,6 +204,16 @@ def cmd_nmc(args):
                              rho=args.rho_sv)
         res = price_nmc_heston(option, dyn, sim, payoff=args.payoff,
                                engine=args.engine)
+    elif args.model == "vasicek":
+        if args.discount != "full" or args.strategy != "fused":
+            raise SystemExit("--discount / --strategy are fixed "
+                             "(full / fused) with --model vasicek")
+        from mc_tpu.models.vasicek import VasicekDynamics
+        from mc_tpu.nmc_vasicek import price_nmc_vasicek
+        dyn = VasicekDynamics(a=args.a, b=args.b, sigma_r=args.sigma_r,
+                              rho=args.rho_r)
+        res = price_nmc_vasicek(option, dyn, sim, payoff=args.payoff,
+                                engine=args.engine)
     elif args.model == "merton":
         if args.discount != "full" or args.strategy != "fused":
             raise SystemExit("--discount / --strategy are fixed "
@@ -739,7 +749,8 @@ def main(argv=None):
     p.add_argument("--cva-hazard", type=float, default=None,
                    help="flat hazard rate: emit unilateral CVA")
     p.add_argument("--cva-recovery", type=float, default=0.4)
-    p.add_argument("--model", choices=("gbm", "heston", "merton"),
+    p.add_argument("--model",
+                   choices=("gbm", "heston", "merton", "vasicek"),
                    default="gbm")
     p.add_argument("--v0", type=float, default=0.04)
     p.add_argument("--kappa", type=float, default=2.0)
@@ -750,6 +761,13 @@ def main(argv=None):
                    help="merton jump intensity")
     p.add_argument("--mu-j", type=float, default=-0.10)
     p.add_argument("--sigma-j", type=float, default=0.15)
+    p.add_argument("--a", type=float, default=0.3,
+                   help="vasicek rate mean-reversion speed")
+    p.add_argument("--b", type=float, default=0.05,
+                   help="vasicek long-run rate level")
+    p.add_argument("--sigma-r", type=float, default=0.015)
+    p.add_argument("--rho-r", type=float, default=-0.3,
+                   help="equity/rate correlation")
     p.set_defaults(fn=cmd_nmc)
 
     p = sub.add_parser("traj", help="dump trajectories CSV (testing.cu)")

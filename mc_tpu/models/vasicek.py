@@ -119,36 +119,49 @@ def _unpack_vasicek(ref):
     return SimpleNamespace(**{f: ref[i] for i, f in enumerate(_VAS_FIELDS)})
 
 
+def vasicek_step(p, carry, za, zb, zc, s0):
+    """One exact substep from three iid normals — THE single definition
+    of the scheme (pricing leg, trajectory kernel, and the NMC inner
+    legs all call it)."""
+    w, x, y = carry
+    eps = p.l11 * za
+    eta = p.l21 * za + p.l22 * zb
+    u = p.l31 * za + p.l32 * zb + p.l33 * zc
+    dy = p.bdt + x * p.big_b + eta
+    w = w + dy - p.drift_adj + u
+    y = y + dy
+    x = x * p.e1 + eps
+    s = s0 * jnp.exp(w)  # log-space: one exp rounding per S_t
+    return (w, x, y), s
+
+
 def _vasicek_leg(payoff, n_steps: int, p, s0, draw_pair,
-                 antithetic_sign=1.0):
+                 antithetic_sign=1.0, on_step=None):
     """Exact Gaussian leg; 3 pairs per TWO steps (even n_steps)."""
     sign = jnp.float32(antithetic_sign)
     state0 = payoff.init(p, jnp.zeros_like(s0))
 
     def one_step(carry, za, zb, zc):
-        w, x, y, state = carry
-        eps = p.l11 * za
-        eta = p.l21 * za + p.l22 * zb
-        u = p.l31 * za + p.l32 * zb + p.l33 * zc
-        dy = p.bdt + x * p.big_b + eta
-        w = w + dy - p.drift_adj + u
-        y = y + dy
-        x = x * p.e1 + eps
-        s = s0 * jnp.exp(w)  # log-space: one exp rounding per S_t
-        return (w, x, y, payoff.update(state, s, p)), s
+        wxy, state = carry
+        wxy, s = vasicek_step(p, wxy, za, zb, zc, s0)
+        return (wxy, payoff.update(state, s, p)), s
 
     def pair_body(j, carry):
         z0, z1 = draw_pair(3 * j)
         z2, z3 = draw_pair(3 * j + 1)
         z4, z5 = draw_pair(3 * j + 2)
-        carry, _ = one_step(carry, sign * z0, sign * z1, sign * z2)
+        carry, s = one_step(carry, sign * z0, sign * z1, sign * z2)
+        if on_step is not None:
+            on_step(2 * j, s, carry)
         carry, s = one_step(carry, sign * z3, sign * z4, sign * z5)
+        if on_step is not None:
+            on_step(2 * j + 1, s, carry)
         return carry
 
     zeros = jnp.zeros_like(s0)
     x0 = jnp.full_like(s0, p.x0)
-    (w, _, y, state) = jax.lax.fori_loop(
-        0, n_steps // 2, pair_body, (zeros, x0, zeros, state0))
+    ((w, _, y), state) = jax.lax.fori_loop(
+        0, n_steps // 2, pair_body, ((zeros, x0, zeros), state0))
     s_t = s0 * jnp.exp(w)
     # pathwise stochastic discount replaces the reference's scalar
     # e^{-rT} finish (wrappers.cuh:51)
@@ -275,3 +288,80 @@ def price_vasicek(option: OptionParams = DEMO_OPTION,
     return _price_vasicek_impl(option.as_f32(), dyn.as_f32(), po,
                                sim.replace(seed=0), engine, antithetic,
                                tile_rows, interpret, key)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory materialization: step-major (S, x = r-b, y = int r, state)
+# grids — the full market state the NMC exposure engine resumes from
+# (the Vasicek analogue of the C9 state-grid kernel,
+# trajectories.cuh:273-351, whose state is the rate path as well).
+# ---------------------------------------------------------------------------
+
+
+def _make_vasicek_traj_kernel(payoff, cfg: pk.KernelConfig):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert payoff.n_state <= 1, "trajectory kernel stores one state array"
+
+    def kernel(key_ref, params_ref, meta_ref, s_out, x_out, y_out, st_out,
+               pay_sum, pay_sq, comp_ref):
+        p = _unpack_vasicek(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        k0, k1 = key_ref[0], key_ref[1]
+
+        def draw_pair(m):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
+            return rng.normal_pair(k0, k1, ids, c1, bitcast=pltpu.bitcast)
+
+        def persist(j, s, carry):
+            (w, x, y), state = carry
+            s_out[j] = s
+            x_out[j] = x
+            y_out[j] = y
+            st_out[j] = state[0] if payoff.n_state else jnp.zeros_like(s)
+
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        pay = _vasicek_leg(payoff, cfg.n_steps, p, s0, draw_pair,
+                           on_step=persist)
+        pay = jnp.where(valid, pay, 0.0)
+        pk._accumulate_moments((pay_sum, pay_sq), comp_ref,
+                               [pay, pay * pay], i, cfg.tile_rows)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("payoff", "cfg", "interpret"))
+def vasicek_trajectories_kernel(payoff, cfg: pk.KernelConfig, key, params,
+                                n_valid=None, interpret=None):
+    """(S, x, y, state) grids + PATHWISE-DISCOUNTED payoff partials."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = use_interpret()
+    rows = cfg.n_tiles * cfg.tile_rows
+    grid_spec = pl.BlockSpec((cfg.n_steps, cfg.tile_rows, LANES),
+                             lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    bound = (jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    g = jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32)
+    s = jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32)
+    return pl.pallas_call(
+        _make_vasicek_traj_kernel(payoff, cfg),
+        grid=(cfg.n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=[grid_spec] * 4 + [part_spec] * 2,
+        out_shape=[g, g, g, g, s, s],
+        scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(key, jnp.uint32), params,
+      jnp.stack([jnp.uint32(0), bound]))

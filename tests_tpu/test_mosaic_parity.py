@@ -184,6 +184,18 @@ def test_vasicek():
                       payoff="vanilla_call", tile_rows=8))
 
 
+def test_nmc_vasicek():
+    """Stochastic-discounting NMC: (S, x, y, state) grids + inner legs."""
+    from mc_tpu.nmc_vasicek import price_nmc_vasicek
+    sim = SimParams(n_paths=2048, n_steps=4, n_paths_inner=8)
+    c, i, x = _tri(price_nmc_vasicek, sim=sim, tile_rows=8)
+    _assert_tri(c.outer, i.outer, x.outer)
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(i.surface))
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(x.surface))
+
+
 # --- LSMC (pallas trajectory backend; no full XLA dual) ------------------
 
 def test_lsmc_compiled_vs_interpret():
