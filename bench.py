@@ -192,6 +192,37 @@ def sabr_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS):
     return _model_kernel_seconds(one)
 
 
+def vasicek_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS):
+    """Fused Black-Scholes-Vasicek kernel (exact OU triple, 3 pairs per
+    step pair, pathwise discount)."""
+    from mc_tpu import SimParams
+    from mc_tpu.models.vasicek import DEMO_VASICEK, _price_vasicek_impl
+    from mc_tpu.ops.payoffs import get_payoff
+    sim = SimParams(n_paths=n_paths, n_steps=n_steps)
+    po = get_payoff("vanilla_call")
+
+    def one(key):
+        return _price_vasicek_impl(OPT, DEMO_VASICEK.as_f32(), po, sim,
+                                   "pallas", False, 128, False, key).price
+
+    return _model_kernel_seconds(one)
+
+
+def rainbow_kernel_seconds(n_paths=N_PATHS, d=4):
+    """Correlated terminal-draw rainbow kernel (call-on-max, d assets)."""
+    from mc_tpu import SimParams
+    from mc_tpu.models.basket import _demo_basket
+    from mc_tpu.models.rainbow import _price_rainbow_impl
+    sim = SimParams(n_paths=n_paths, n_steps=1)
+    dyn = _demo_basket(d=d).as_f32()
+
+    def one(key):
+        return _price_rainbow_impl(OPT, dyn, "call_on_max", sim, d,
+                                   "pallas", False, 128, False, key).price
+
+    return _model_kernel_seconds(one)
+
+
 def qmc_kernel_seconds(n_steps=1, k=8, reps=4):
     """Per-lattice-pass device seconds (terminal QMC, n ~ 1M points).
 
@@ -347,6 +378,8 @@ def main():
     dt_heston = heston_kernel_seconds()
     dt_merton = merton_kernel_seconds()
     dt_sabr = sabr_kernel_seconds()
+    dt_vasicek = vasicek_kernel_seconds()
+    dt_rainbow = rainbow_kernel_seconds()
     dt_qmc, qmc_n = qmc_kernel_seconds()
 
     # Reference demo NMC workload (hello.cu defaults, ~5e11 inner steps).
@@ -386,6 +419,9 @@ def main():
                 round(N_PATHS * N_STEPS / dt_merton, 1),
             "sabr_path_steps_per_sec":
                 round(N_PATHS * N_STEPS / dt_sabr, 1),
+            "vasicek_path_steps_per_sec":
+                round(N_PATHS * N_STEPS / dt_vasicek, 1),
+            "rainbow4_paths_per_sec": round(N_PATHS / dt_rainbow, 1),
             "qmc_paths_per_sec": round(qmc_n / dt_qmc, 1),
             "nmc_demo_seconds_device": round(nmc_dt, 3),
             "nmc_demo_inner_path_steps_per_sec":

@@ -341,6 +341,21 @@ def cmd_american(args):
                           "price": float(res.price),
                           "stderr": float(res.stderr)}))
         return 0
+    if args.model == "vasicek":
+        if args.bounds:
+            raise SystemExit("--bounds is not supported with "
+                             "--model vasicek yet")
+        from mc_tpu.lsmc import price_american_vasicek
+        from mc_tpu.models.vasicek import VasicekDynamics
+        dyn = VasicekDynamics(a=args.a, b=args.b, sigma_r=args.sigma_r,
+                              rho=args.rho_r)
+        res = price_american_vasicek(option, dyn, sim, payoff=args.payoff,
+                                     degree=args.degree, two_pass=True,
+                                     exercise_every=args.exercise_every)
+        print(json.dumps({"payoff": args.payoff, "model": "vasicek",
+                          "price": float(res.price),
+                          "stderr": float(res.stderr)}))
+        return 0
     if args.model == "heston":
         from mc_tpu.models.heston import HestonDynamics
         hes = HestonDynamics(v0=args.v0, kappa=args.kappa,
@@ -795,10 +810,18 @@ def main(argv=None):
     _add_option_flags(p)
     p.add_argument("--payoff", default="vanilla_put")
     p.add_argument("--degree", type=int, default=3)
-    p.add_argument("--model", choices=("gbm", "heston", "basket"),
+    p.add_argument("--model",
+                   choices=("gbm", "heston", "basket", "vasicek"),
                    default="gbm")
     p.add_argument("--n-assets", type=int, default=4)
     p.add_argument("--corr", type=float, default=0.5)
+    p.add_argument("--a", type=float, default=0.3,
+                   help="vasicek rate mean-reversion speed")
+    p.add_argument("--b", type=float, default=0.05,
+                   help="vasicek long-run rate level")
+    p.add_argument("--sigma-r", type=float, default=0.015)
+    p.add_argument("--rho-r", type=float, default=-0.3,
+                   help="equity/rate correlation")
     p.add_argument("--v0", type=float, default=0.04)
     p.add_argument("--kappa", type=float, default=2.0)
     p.add_argument("--theta-h", type=float, default=0.04,

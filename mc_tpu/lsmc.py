@@ -42,8 +42,8 @@ from mc_tpu.ops._pallas import LANES
 from mc_tpu.ops.payoffs import get_payoff
 
 __all__ = ["price_american", "price_american_heston",
-           "price_american_basket", "american_bounds",
-           "binomial_american"]
+           "price_american_basket", "price_american_vasicek",
+           "american_bounds", "binomial_american"]
 
 
 def _basis(s_norm, degree: int):
@@ -83,7 +83,7 @@ def _summ(v, valid, n_paths):
 
 def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
                   inv_k, disc, immediate, every=1, reduce_fn=None,
-                  design_fn=None, n_basis=None):
+                  design_fn=None, n_basis=None, disc_fn=None):
     """One-pass backward induction: returns (in-sample cashflows v at
     date 0 pre-discount, per-date continuation betas (n_steps-1, B)).
 
@@ -93,6 +93,8 @@ def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
     ``reduce_fn``: optional cross-chip reduction applied to the gram
     sums (lax.psum over the mesh axis in the sharded engine) — the ONE
     difference between single-chip and distributed LSMC.
+    ``disc_fn(t)``: discount from date t+1 back to t — scalar by default;
+    the stochastic-rate engine passes per-path exp(-(y_{t+1}-y_t)).
     """
     if reduce_fn is None:
         reduce_fn = lambda x: x
@@ -100,6 +102,8 @@ def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
         design_fn = lambda t: _basis(s_flat[t] * inv_k, degree)
     if n_basis is None:
         n_basis = degree + 1
+    if disc_fn is None:
+        disc_fn = lambda t: disc
     v = immediate(s_flat, c_flat, n_steps - 1)
     betas0 = jnp.zeros((max(n_steps - 1, 1), n_basis), jnp.float32)
 
@@ -107,7 +111,7 @@ def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
         # j runs n_steps-2 .. 0 backward over grid dates.
         v, betas = carry
         t = n_steps - 2 - j
-        v = v * disc
+        v = v * disc_fn(t)
 
         def fit_and_exercise(v):
             ex = immediate(s_flat, c_flat, t)
@@ -138,15 +142,17 @@ def _backward_fit(payoff, p, s_flat, c_flat, valid, n_steps, degree,
 
 def _apply_policy_pass(payoff, p, s_b, c_b, valid_b, betas, n_steps,
                        degree, inv_k, disc, immediate, every=1,
-                       design_fn=None):
+                       design_fn=None, disc_fn=None):
     """Forward application of a FROZEN policy (betas) to a path set."""
     if design_fn is None:
         design_fn = lambda t: _basis(s_b[t] * inv_k, degree)
+    if disc_fn is None:
+        disc_fn = lambda t: disc
     vb = immediate(s_b, c_b, n_steps - 1)
 
     def apply_policy(j, vb):
         t = n_steps - 2 - j
-        vb = vb * disc
+        vb = vb * disc_fn(t)
         ex = immediate(s_b, c_b, t)
         is_ex_date = ((t + 1) % every) == 0
         itm = jnp.logical_and(jnp.logical_and(ex > 0.0, valid_b),
@@ -472,6 +478,124 @@ def price_american_merton(option: OptionParams = DEMO_OPTION,
                                        degree, tile_rows, interpret,
                                        two_pass, key, key_b,
                                        exercise_every)
+
+
+def _basis_sr(s_norm, x_r, degree: int):
+    """Monomials of x = s/K - 1 up to ``degree``, augmented with the
+    short-rate regressors (x_r, x_r^2, x_r*x).  x_r = r - b is NOT
+    clipped — rates legitimately go below their long-run level (and can
+    go negative)."""
+    x = s_norm - 1.0
+    cols = [jnp.ones_like(x)]
+    p = x
+    for _ in range(degree):
+        cols.append(p)
+        p = p * x
+    cols += [x_r, x_r * x_r, x_r * x]
+    return jnp.stack(cols, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "degree", "tile_rows", "interpret",
+                     "two_pass", "every"))
+def _price_american_vasicek_impl(option, dyn, payoff, sim, degree,
+                                 tile_rows, interpret, two_pass, key,
+                                 key_b, every=1):
+    from mc_tpu.models.vasicek import (_pack_vasicek, _unpack_vasicek,
+                                       vasicek_trajectories_kernel)
+    params = _pack_vasicek(option, dyn, sim.n_steps)
+    p = _unpack_vasicek(params)
+    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
+                          tile_rows=tile_rows)
+
+    def grids(k):
+        s, x, y, c, _, _ = vasicek_trajectories_kernel(
+            payoff, cfg, k, params, interpret=interpret)
+        n_pad = s.shape[1] * LANES
+        shape = (sim.n_steps, n_pad)
+        return (s.reshape(shape), x.reshape(shape), y.reshape(shape),
+                c.reshape(shape), n_pad)
+
+    s_a, x_a, y_a, c_a, n_pad = grids(key)
+    valid = (jnp.arange(n_pad, dtype=jnp.uint32)
+             < jnp.uint32(sim.n_paths))
+    inv_k = 1.0 / p.k
+    n_basis = degree + 4
+
+    def immediate(s_f, c_f, j):
+        st = (c_f[j],) if payoff.n_state else ()
+        return payoff.terminal(st, s_f[j], p)
+
+    # STOCHASTIC per-path discounting: date t+1 -> t along the stored
+    # integrated-rate grid (the scalar e^{-r dt} of the GBM engine is
+    # the degenerate case).
+    def disc_fn_of(y_g):
+        return lambda t: jnp.exp(-(y_g[t + 1] - y_g[t]))
+
+    v_val, betas = _backward_fit(
+        payoff, p, s_a, c_a, valid, sim.n_steps, degree, inv_k, None,
+        immediate, every,
+        design_fn=lambda t: _basis_sr(s_a[t] * inv_k, x_a[t], degree),
+        n_basis=n_basis, disc_fn=disc_fn_of(y_a))
+    if not two_pass:
+        return _summ(v_val * jnp.exp(-y_a[0]), valid, sim.n_paths)
+
+    s_b, x_b, y_b, c_b, n_pad_b = grids(key_b)
+    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
+               < jnp.uint32(sim.n_paths))
+    vb = _apply_policy_pass(
+        payoff, p, s_b, c_b, valid_b, betas, sim.n_steps, degree, inv_k,
+        None, immediate, every,
+        design_fn=lambda t: _basis_sr(s_b[t] * inv_k, x_b[t], degree),
+        disc_fn=disc_fn_of(y_b))
+    return _summ(vb * jnp.exp(-y_b[0]), valid_b, sim.n_paths)
+
+
+def price_american_vasicek(option: OptionParams = DEMO_OPTION,
+                           dyn=None,
+                           sim: SimParams = DEMO_SIM,
+                           payoff="vanilla_put",
+                           *,
+                           degree: int = 3,
+                           two_pass: bool = True,
+                           exercise_every: int = 1,
+                           tile_rows: int = 8,
+                           stream: int = STREAM_OUTER,
+                           key=None,
+                           interpret: Optional[bool] = None) -> PriceResult:
+    """Longstaff-Schwartz American/Bermudan price under STOCHASTIC rates.
+
+    Composes the Vasicek trajectory kernel (exact-in-law hybrid steps,
+    materialized (S, r, int r) grids) with the LSMC backward induction:
+    the continuation regression runs on the (S, r) basis and cashflows
+    discount PATHWISE along each path's own rate — both the exercise
+    decision and the value see the stochastic discounting.  Same
+    two-pass protocol as `price_american`.
+
+    Oracle gates (tests): sigma_r -> 0, b = r0 degenerates to constant
+    rates and must match the CRR binomial American; in the general model
+    the price dominates the European put (parity closed form from
+    oracle.bsv_call) by a positive early-exercise premium.
+    """
+    from mc_tpu.models.vasicek import DEMO_VASICEK
+    dyn = DEMO_VASICEK if dyn is None else dyn
+    po = get_payoff(payoff)
+    if po.n_state > 1:
+        raise ValueError("LSMC supports payoffs with at most one state "
+                         "array")
+    if sim.n_steps % 2:
+        raise ValueError("vasicek requires an even n_steps")
+    if exercise_every < 1:
+        raise ValueError("exercise_every must be >= 1")
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x7A51),
+                          jnp.uint32)
+    key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
+    return _price_american_vasicek_impl(option.as_f32(), dyn.as_f32(),
+                                        po, sim.replace(seed=0), degree,
+                                        tile_rows, interpret, two_pass,
+                                        key, key_b, exercise_every)
 
 
 # ---------------------------------------------------------------------------

@@ -184,6 +184,18 @@ def test_vasicek():
                       payoff="vanilla_call", tile_rows=8))
 
 
+def test_vasicek_american_compiled_vs_interpret():
+    """Vasicek trajectory kernel + (S, r)-basis LSMC with pathwise
+    discounting on the real chip."""
+    from mc_tpu.lsmc import price_american_vasicek
+    sim = SimParams(n_paths=4096, n_steps=8)
+    c = price_american_vasicek(sim=sim, interpret=False)
+    i = price_american_vasicek(sim=sim, interpret=True)
+    np.testing.assert_array_equal(np.asarray(c.price), np.asarray(i.price))
+    np.testing.assert_array_equal(np.asarray(c.stderr),
+                                  np.asarray(i.stderr))
+
+
 def test_nmc_vasicek():
     """Stochastic-discounting NMC: (S, x, y, state) grids + inner legs."""
     from mc_tpu.nmc_vasicek import price_nmc_vasicek
