@@ -134,6 +134,29 @@ def _basket_leg(payoff, d: int, n_steps: int, p, draw_pair,
     return payoff.terminal(state, b_t, p)
 
 
+def chol_scalars(cov, d: int):
+    """Unrolled scalar Cholesky (Banachiewicz) of a tiny static-d SPD
+    matrix -> nested lower-triangular tuples of traced scalars.
+
+    Replaces ``jnp.linalg.cholesky``, whose TPU lowering is a custom call
+    with ~1.5 ms invocation latency — measured to DOMINATE terminal-draw
+    kernels (the whole 1M-path rainbow kernel is ~0.2 ms of real work).
+    For the d <= ~16 of practical baskets the d^3/6 scalar ops fuse into
+    the surrounding program for free.
+    """
+    L = [[None] * (i + 1) for i in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            acc = cov[i, j]
+            for k in range(j):
+                acc = acc - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(acc, 1e-30))
+            else:
+                L[i][j] = acc / L[j][j]
+    return tuple(tuple(row) for row in L)
+
+
 def _basket_namespace(option, basket, n_steps: int):
     """Scalar-ized parameters (python tuples of traced scalars) shared by
     the XLA dual and the kernel (which reads them from SMEM refs)."""
@@ -144,7 +167,7 @@ def _basket_namespace(option, basket, n_steps: int):
     # corr=1 boundary (rank-deficient covariance); 1e-6 relative is far
     # below any market calibration precision
     jitter = 1e-6 * jnp.mean(jnp.diag(cov))
-    chol = jnp.linalg.cholesky(cov + jitter * jnp.eye(basket.d))
+    chol_t = chol_scalars(cov + jitter * jnp.eye(basket.d), d)
     t = jnp.float32(option.t)
     r = jnp.float32(option.r)
     dt = t / jnp.float32(n_steps)
@@ -160,8 +183,7 @@ def _basket_namespace(option, basket, n_steps: int):
         weights=tuple(basket.weights[i] for i in range(d)),
         drifts=tuple((r - jnp.float32(option.q)
                       - 0.5 * sig[i] * sig[i]) * dt for i in range(d)),
-        chol=tuple(tuple(chol[i, k] for k in range(i + 1))
-                   for i in range(d)),
+        chol=chol_t,
     )
     return ns
 

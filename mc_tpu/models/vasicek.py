@@ -94,24 +94,29 @@ def _pack_vasicek(option, dyn, n_steps):
     big_b = -jnp.expm1(-a * dt) / a
     c2 = -jnp.expm1(-2.0 * a * dt) / (2.0 * a)
     sr2 = sigma_r * sigma_r
-    cov = jnp.array(
-        [[sr2 * c2, (sr2 / a) * (big_b - c2),
-          rho * sigma_s * sigma_r * big_b],
-         [(sr2 / a) * (big_b - c2), (sr2 / (a * a)) * (dt - 2 * big_b + c2),
-          rho * sigma_s * (sigma_r / a) * (dt - big_b)],
-         [rho * sigma_s * sigma_r * big_b,
-          rho * sigma_s * (sigma_r / a) * (dt - big_b),
-          sigma_s * sigma_s * dt]], jnp.float32)
+    # covariance of (eps, eta, u) — see module docstring
+    c00 = sr2 * c2
+    c10 = (sr2 / a) * (big_b - c2)
+    c11 = (sr2 / (a * a)) * (dt - 2 * big_b + c2)
+    c20 = rho * sigma_s * sigma_r * big_b
+    c21 = rho * sigma_s * (sigma_r / a) * (dt - big_b)
+    c22 = sigma_s * sigma_s * dt
     # relative jitter keeps the Cholesky finite at rho = +-1 (rank-2
-    # covariance) and guards f32 rounding of the tiny eta variance
-    jitter = 1e-6 * jnp.mean(jnp.diag(cov))
-    chol = jnp.linalg.cholesky(cov + jitter * jnp.eye(3, dtype=jnp.float32))
+    # covariance) and guards f32 rounding of the tiny eta variance.
+    # Unrolled scalar Cholesky — jnp.linalg.cholesky's TPU custom call
+    # costs ~1.5 ms of invocation latency (see basket.chol_scalars).
+    jit3 = 1e-6 * (c00 + c11 + c22) / 3.0
+    l11 = jnp.sqrt(c00 + jit3)
+    l21 = c10 / l11
+    l22 = jnp.sqrt(jnp.maximum(c11 + jit3 - l21 * l21, 1e-30))
+    l31 = c20 / l11
+    l32 = (c21 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(c22 + jit3 - l31 * l31 - l32 * l32, 1e-30))
     vals = dict(s0=s0, k=k, r=r0, barrier=barrier, p1=p1, p2=p2, t=t,
                 dt=dt, inv_n_steps=1.0 / n, sqrt_dt=jnp.sqrt(dt),
                 sigma=sigma_s, x0=r0 - b, bdt=b * dt, e1=e1, big_b=big_b,
                 drift_adj=(q + 0.5 * sigma_s * sigma_s) * dt,
-                l11=chol[0, 0], l21=chol[1, 0], l22=chol[1, 1],
-                l31=chol[2, 0], l32=chol[2, 1], l33=chol[2, 2])
+                l11=l11, l21=l21, l22=l22, l31=l31, l32=l32, l33=l33)
     return jnp.stack([vals[f] for f in _VAS_FIELDS])
 
 

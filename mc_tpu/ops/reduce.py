@@ -99,28 +99,47 @@ def tile_partials(x, tile_rows: int = 256, interpret: bool | None = None):
     )(x2d)
 
 
+def _df_add(ah, al, bh, bl):
+    """Double-float addition: Knuth TwoSum on the high parts + renorm.
+
+    (ah, al) + (bh, bl) -> (hi, lo) with ~2^-47 relative error — two f32
+    words emulate near-f64 precision with plain vector flops.
+    """
+    s = ah + bh
+    bb = s - ah
+    err = (ah - (s - bb)) + (bh - bb)
+    lo = err + al + bl
+    hi = s + lo
+    lo = lo - (hi - s)
+    return hi, lo
+
+
 def finish_sum(partials, dtype=jnp.float64):
     """Combine the (8,128) accumulator block exactly.
 
     With x64 enabled this is a plain f64 tree-sum.  Without it (the TPU
-    default), a Neumaier-compensated f32 scan over the 1024 cells gives the
-    correctly-rounded result — the cells themselves are already Kahan-exact,
-    so the whole 1e9-path sum carries ~1 ulp of error end to end.
+    default), a double-float (TwoSum-compensated) BINARY TREE over the
+    1024 cells carries ~47 bits of precision — the cells themselves are
+    already Kahan-exact, so the whole 1e9-path sum ends within ~1-2 ulp.
+    The tree is 10 fully-vectorized levels; the sequential Neumaier scan
+    it replaces cost ~1 ms of latency per call on TPU (1024 dependent
+    steps), which dominated terminal-draw pricing kernels.
     """
     flat = jnp.ravel(partials)
     if dtype == jnp.float64 and jax.config.jax_enable_x64:
         return jnp.sum(flat.astype(jnp.float64))
 
-    def body(carry, v):
-        s, c = carry
-        t = s + v
-        c = c + jnp.where(jnp.abs(s) >= jnp.abs(v),
-                          (s - t) + v, (v - t) + s)
-        return (t, c), None
-
-    (s, c), _ = jax.lax.scan(
-        body, (jnp.float32(0), jnp.float32(0)), flat.astype(jnp.float32))
-    return s + c
+    n = flat.shape[0]
+    pad = 1
+    while pad < n:
+        pad *= 2
+    hi = jnp.pad(flat.astype(jnp.float32), (0, pad - n))
+    lo = jnp.zeros_like(hi)
+    while hi.shape[0] > 1:
+        h2 = hi.reshape(-1, 2)
+        l2 = lo.reshape(-1, 2)
+        hi, lo = _df_add(h2[:, 0], l2[:, 0], h2[:, 1], l2[:, 1])
+    return (hi + lo)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
