@@ -322,6 +322,71 @@ class VarianceSwap(PathPayoff):
         return acc / p.t - p.k
 
 
+class ForwardStartCall(PathPayoff):
+    """Forward-start call: pays max(S_T - k * S_{t1}, 0).
+
+    The strike is set at the DETERMINATION DATE t1 as a ratio ``k`` of
+    the then-spot (use e.g. OptionParams(k=1.0) for at-the-money-forward;
+    k here is a RATIO, not an absolute level).  ``p1`` is the
+    determination STEP index (1-based: the strike fixes after step p1;
+    p1=0 fixes at S0, reducing to a vanilla with strike k*S0 — the test
+    gate).  state = (step count, S at t1).
+
+    Closed form under GBM: Rubinstein (1991) —
+    `oracle.bs_forward_start_call`.
+    """
+
+    name = "forward_start_call"
+    n_state = 2
+
+    def init(self, p, like):
+        return (jnp.zeros_like(like), jnp.zeros_like(like) + p.s0)
+
+    def update(self, state, s, p):
+        count, s_ref = state
+        count = count + 1.0
+        s_ref = jnp.where(count == p.p1, s, s_ref)
+        return (count, s_ref)
+
+    def terminal(self, state, s, p):
+        _, s_ref = state
+        return jnp.maximum(s - p.k * s_ref, 0.0)
+
+
+class Cliquet(PathPayoff):
+    """Ratchet cliquet: sum of clamped simple period returns.
+
+    Pays  sum_i  clamp(S_{t_i}/S_{t_{i-1}} - 1, floor, cap)  with resets
+    every ``k`` steps (k = PERIOD LENGTH in steps here — the strike field
+    is unused by a cliquet), floor = ``p1``, cap = ``p2``.  Signed payoff
+    (a ratchet note leg, not an option).
+
+    Under GBM the period returns are iid, so the fair value has a FULL
+    closed form (a Black call-spread per period):
+    `oracle.bs_cliquet`.  state = (step count, S at last reset, acc).
+    """
+
+    name = "cliquet"
+    n_state = 3
+
+    def init(self, p, like):
+        return (jnp.zeros_like(like), jnp.zeros_like(like) + p.s0,
+                jnp.zeros_like(like))
+
+    def update(self, state, s, p):
+        count, s_ref, acc = state
+        count = count + 1.0
+        reset = (count % p.k) == 0.0
+        ret = jnp.clip(s / s_ref - 1.0, p.p1, p.p2)
+        acc = jnp.where(reset, acc + ret, acc)
+        s_ref = jnp.where(reset, s, s_ref)
+        return (count, s_ref, acc)
+
+    def terminal(self, state, s, p):
+        _, _, acc = state
+        return acc
+
+
 class LookbackFixedCall(PathPayoff):
     """Fixed-strike lookback call: max(max_t S_t - K, 0). state = (running max,)."""
 
@@ -397,6 +462,7 @@ PAYOFFS: Dict[str, PathPayoff] = {
         AsianCall(), AsianCallGeoCV(), UpOutCall(), DownInCall(),
         DownOutCall(), UpOutCallBB(), DownOutCallBB(),
         LookbackFixedCall(), VarianceSwap(), ZeroCouponBond(),
+        ForwardStartCall(), Cliquet(),
     )
 }
 

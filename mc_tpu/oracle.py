@@ -42,6 +42,8 @@ __all__ = [
     "stulz_max_put",
     "vasicek_zcb",
     "bsv_call",
+    "bs_forward_start_call",
+    "bs_cliquet",
     "PriceResult",
 ]
 
@@ -356,6 +358,63 @@ def stulz_max_put(s1, s2, k, t, r, sigma1, sigma2, rho,
                - _min_forward(s1, s2, t, sigma1, sigma2, rho, q1, q2))
     return (float(k) * math.exp(-float(r) * float(t)) - fwd_max
             + stulz_max_call(s1, s2, k, t, r, sigma1, sigma2, rho, q1, q2))
+
+
+# ---------------------------------------------------------------------------
+# Forward-start / cliquet closed forms (GBM) — oracles for the
+# `forward_start_call` and `cliquet` payoffs.  Host-side f64.
+# ---------------------------------------------------------------------------
+
+
+def bs_forward_start_call(s0, k_ratio, t1, t, r, sigma, q=0.0) -> float:
+    """Rubinstein (1991) forward-start call:
+    e^{-rT} E[max(S_T - k S_{t1}, 0)] = S0 e^{-q t1} * BS(1, k, T-t1).
+
+    Homogeneity: at t1 the contract is a vanilla call on S/S_{t1} struck
+    at the ratio k, so its t1-value is S_{t1} times a constant.
+    """
+    import math
+    s0, k_ratio, t1, t, r, sigma, q = map(
+        float, (s0, k_ratio, t1, t, r, sigma, q))
+    tau = t - t1
+    if tau <= 0.0:
+        raise ValueError("need t1 < t")
+    st = sigma * math.sqrt(tau)
+    d1 = (math.log(1.0 / k_ratio) + (r - q + 0.5 * sigma * sigma) * tau) \
+        / st
+    d2 = d1 - st
+    unit = (math.exp(-q * tau) * _phid(d1)
+            - k_ratio * math.exp(-r * tau) * _phid(d2))
+    return s0 * math.exp(-q * t1) * unit
+
+
+def bs_cliquet(n_periods, dt_period, floor, cap, t, r, sigma,
+               q=0.0) -> float:
+    """Ratchet cliquet fair value under GBM:
+    e^{-rT} * n * E[clamp(R - 1, floor, cap)] with iid period returns
+    R = S_e/S_s lognormal over dt_period.
+
+    E[clamp(R-1, f, c)] = f + E[(R-(1+f))+] - E[(R-(1+c))+], each term a
+    Black (undiscounted) call on the unit forward.
+    """
+    import math
+    n_periods = int(n_periods)
+    dt_period, floor, cap, t, r, sigma, q = map(
+        float, (dt_period, floor, cap, t, r, sigma, q))
+
+    def fwd_call(strike):
+        if strike <= 0.0:
+            return math.exp((r - q) * dt_period) - strike
+        st = sigma * math.sqrt(dt_period)
+        d1 = (math.log(1.0 / strike)
+              + (r - q + 0.5 * sigma * sigma) * dt_period) / st
+        d2 = d1 - st
+        return (math.exp((r - q) * dt_period) * _phid(d1)
+                - strike * _phid(d2))
+
+    e_clamp = floor + fwd_call(1.0 + floor) - (
+        fwd_call(1.0 + cap) if math.isfinite(cap) else 0.0)
+    return math.exp(-r * t) * n_periods * e_clamp
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,14 @@ def test_antithetic():
                       method="euler", tile_rows=8, antithetic=True))
 
 
+def test_cliquet_payoff():
+    """3-state payoff (count, reset ref, acc) with modular resets."""
+    from mc_tpu import price
+    _assert_tri(*_tri(price, option=OptionParams(k=2.0, p1=-0.02, p2=0.04),
+                      sim=SIM, payoff="cliquet", method="euler",
+                      tile_rows=8))
+
+
 def test_barrier_bridge_payoff():
     """Bridge-corrected knock-out (2-state payoff, log/exp in update)."""
     from mc_tpu import price
