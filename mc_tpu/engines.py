@@ -224,6 +224,7 @@ def price(option: OptionParams = DEMO_OPTION,
         method = "terminal" if po.terminal_only else "euler"
     if po.n_state > 0 and method == "terminal":
         raise ValueError(f"{po.name} is path-dependent; method='terminal' invalid")
+    po.validate(option, sim.n_steps)
     if importance_shift == "auto":
         # center E[log S_T] at log K: shift = (log(K/S0) - mu T)/(sigma vT)
         import math

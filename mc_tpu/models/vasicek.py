@@ -284,6 +284,7 @@ def price_vasicek(option: OptionParams = DEMO_OPTION,
     discretization bias.
     """
     po = get_payoff(payoff)
+    po.validate(option, sim.n_steps)
     if sim.n_steps % 2:
         raise ValueError("vasicek requires an even n_steps "
                          "(pair-consuming step loop)")

@@ -288,7 +288,8 @@ def price_nmc_vasicek(option: OptionParams = DEMO_OPTION,
     span = 2 * (sim.n_steps + 1) * sim.n_paths_inner * sim.n_steps
     if span >= 1 << 32:
         raise ValueError(
-            "inner RNG counter space exhausted: 2*n_steps^2*n_inner = "
+            "inner RNG counter space exhausted: "
+            "2*(n_steps+1)*n_inner*n_steps = "
             f"{span} >= 2^32; reduce n_steps or n_paths_inner")
     key_outer = jnp.asarray(
         rng.derive_key(sim.seed, stream_outer, 0x7A51), jnp.uint32)

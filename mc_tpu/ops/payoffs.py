@@ -52,6 +52,11 @@ class PathPayoff:
     # one-shot terminal draw (trajectories.cuh:74-75).
     terminal_only: bool = False
 
+    def validate(self, option, n_steps: int) -> None:
+        """Entry-point validation with CONCRETE option fields (called by
+        the host pricers before tracing).  Implementations must silently
+        skip traced/array-valued fields (book pricing)."""
+
     # Optional payoff-specific control variate: ``control(state, s, p)``
     # returns the per-path control X and ``control_expectation(p)`` its
     # exact expectation (engines fall back to X = S_T, E[X] = S0 e^{rT}).
@@ -339,6 +344,18 @@ class ForwardStartCall(PathPayoff):
     name = "forward_start_call"
     n_state = 2
 
+    def validate(self, option, n_steps):
+        try:
+            p1 = float(option.p1)
+        except TypeError:
+            return  # traced/array field (book pricing) — can't check
+        if p1 != int(p1) or not 0 <= p1 <= n_steps:
+            raise ValueError(
+                f"forward_start_call: p1 (determination step) must be an "
+                f"integer in [0, n_steps={n_steps}], got {p1} — a "
+                f"non-matching p1 would silently price a vanilla struck "
+                f"at k*S0")
+
     def init(self, p, like):
         return (jnp.zeros_like(like), jnp.zeros_like(like) + p.s0)
 
@@ -368,6 +385,19 @@ class Cliquet(PathPayoff):
 
     name = "cliquet"
     n_state = 3
+
+    def validate(self, option, n_steps):
+        try:
+            k = float(option.k)
+            p1, p2 = float(option.p1), float(option.p2)
+        except TypeError:
+            return  # traced/array fields (book pricing) — can't check
+        if k != int(k) or not 1 <= k <= n_steps:
+            raise ValueError(
+                f"cliquet: k (period length in steps) must be an integer "
+                f"in [1, n_steps={n_steps}], got {k}")
+        if p1 > p2:
+            raise ValueError(f"cliquet: floor p1={p1} > cap p2={p2}")
 
     def init(self, p, like):
         return (jnp.zeros_like(like), jnp.zeros_like(like) + p.s0,

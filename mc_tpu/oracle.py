@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Any
 
 import jax
@@ -123,7 +124,6 @@ def _call_segment_f64(x, k, t, r, sigma, q, lo, hi):
     reflection argument can sit orders of magnitude past the barrier).
     ``hi=None`` means +infinity.
     """
-    import math
     st = sigma * math.sqrt(t)
     nd = lambda v: 0.5 * (1.0 + math.erf(v / math.sqrt(2.0)))
 
@@ -206,7 +206,6 @@ _GL_RULES = {
 
 
 def _phid(z: float) -> float:
-    import math
     return 0.5 * math.erfc(-z / math.sqrt(2.0))
 
 
@@ -217,7 +216,6 @@ def _bvnu(dh: float, dk: float, r: float) -> float:
     Drezner-Wesolowsky's single integral over arcsin(r); near |r|=1 the
     Owen-like expansion in sqrt(1-r^2) with a quadrature remainder.
     """
-    import math
     twopi = 2.0 * math.pi
     if abs(r) < 0.3:
         w, xgl = _GL_RULES[6]
@@ -285,7 +283,6 @@ def margrabe(s1, s2, t, sigma1, sigma2, rho, q1=0.0, q2=0.0) -> float:
     Rate-free: the option to exchange asset 2 for asset 1 prices with
     sigma^2 = sigma1^2 + sigma2^2 - 2 rho sigma1 sigma2 and no r.
     """
-    import math
     s1, s2, t, sigma1, sigma2, rho, q1, q2 = map(
         float, (s1, s2, t, sigma1, sigma2, rho, q1, q2))
     sig = math.sqrt(sigma1 * sigma1 + sigma2 * sigma2
@@ -301,7 +298,6 @@ def stulz_min_call(s1, s2, k, t, r, sigma1, sigma2, rho,
                    q1=0.0, q2=0.0) -> float:
     """Stulz (1982) call on the MINIMUM of two assets:
     e^{-rT} E[max(min(S1_T, S2_T) - K, 0)], K > 0."""
-    import math
     s1, s2, k, t, r, sigma1, sigma2, rho, q1, q2 = map(
         float, (s1, s2, k, t, r, sigma1, sigma2, rho, q1, q2))
     sig = math.sqrt(sigma1 * sigma1 + sigma2 * sigma2
@@ -333,7 +329,6 @@ def stulz_max_call(s1, s2, k, t, r, sigma1, sigma2, rho,
 
 def _min_forward(s1, s2, t, sigma1, sigma2, rho, q1, q2) -> float:
     """e^{-rT} E[min(S1_T, S2_T)] = S1 e^{-q1 T} - Margrabe(S1 -> S2)."""
-    import math
     return (float(s1) * math.exp(-float(q1) * float(t))
             - margrabe(s1, s2, t, sigma1, sigma2, rho, q1, q2))
 
@@ -342,7 +337,6 @@ def stulz_min_put(s1, s2, k, t, r, sigma1, sigma2, rho,
                   q1=0.0, q2=0.0) -> float:
     """Put on the minimum via parity:
     p_min(K) = K e^{-rT} - c_min(0) + c_min(K)."""
-    import math
     return (float(k) * math.exp(-float(r) * float(t))
             - _min_forward(s1, s2, t, sigma1, sigma2, rho, q1, q2)
             + stulz_min_call(s1, s2, k, t, r, sigma1, sigma2, rho, q1, q2))
@@ -352,7 +346,6 @@ def stulz_max_put(s1, s2, k, t, r, sigma1, sigma2, rho,
                   q1=0.0, q2=0.0) -> float:
     """Put on the maximum via parity with
     c_max(0) = S1 e^{-q1 T} + S2 e^{-q2 T} - c_min(0)."""
-    import math
     fwd_max = (float(s1) * math.exp(-float(q1) * float(t))
                + float(s2) * math.exp(-float(q2) * float(t))
                - _min_forward(s1, s2, t, sigma1, sigma2, rho, q1, q2))
@@ -373,7 +366,6 @@ def bs_forward_start_call(s0, k_ratio, t1, t, r, sigma, q=0.0) -> float:
     Homogeneity: at t1 the contract is a vanilla call on S/S_{t1} struck
     at the ratio k, so its t1-value is S_{t1} times a constant.
     """
-    import math
     s0, k_ratio, t1, t, r, sigma, q = map(
         float, (s0, k_ratio, t1, t, r, sigma, q))
     tau = t - t1
@@ -397,7 +389,6 @@ def bs_cliquet(n_periods, dt_period, floor, cap, t, r, sigma,
     E[clamp(R-1, f, c)] = f + E[(R-(1+f))+] - E[(R-(1+c))+], each term a
     Black (undiscounted) call on the unit forward.
     """
-    import math
     n_periods = int(n_periods)
     dt_period, floor, cap, t, r, sigma, q = map(
         float, (dt_period, floor, cap, t, r, sigma, q))
@@ -427,7 +418,6 @@ def bs_cliquet(n_periods, dt_period, floor, cap, t, r, sigma,
 def vasicek_zcb(r0, a, b, sigma_r, t) -> float:
     """Zero-coupon bond P(0,T) = E[exp(-int_0^T r_u du)] under
     dr = a (b - r) dt + sigma_r dW (affine closed form)."""
-    import math
     r0, a, b, sigma_r, t = map(float, (r0, a, b, sigma_r, t))
     bt = -math.expm1(-a * t) / a
     loga = ((b - sigma_r * sigma_r / (2.0 * a * a)) * (bt - t)
@@ -445,7 +435,6 @@ def bsv_call(s0, k, t, r0, sigma_s, a, b, sigma_r, rho, q=0.0) -> float:
     B = (1-e^{-aT})/a, C2 = (1-e^{-2aT})/(2a); the price is the Black
     formula  S0 e^{-qT} N(d1) - K P(0,T) N(d2).
     """
-    import math
     s0, k, t, r0, sigma_s, a, b, sigma_r, rho, q = map(
         float, (s0, k, t, r0, sigma_s, a, b, sigma_r, rho, q))
     p0t = vasicek_zcb(r0, a, b, sigma_r, t)

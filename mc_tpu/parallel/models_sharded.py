@@ -135,7 +135,7 @@ def price_model_sharded(model: str,
                         option: OptionParams = DEMO_OPTION,
                         dyn=None,
                         sim: SimParams = DEMO_SIM,
-                        payoff="vanilla_call",
+                        payoff=None,
                         *,
                         mesh: Optional[Mesh] = None,
                         engine: str = "pallas",
@@ -147,7 +147,10 @@ def price_model_sharded(model: str,
     """Multi-chip Monte Carlo price under a non-GBM model family.
 
     ``model``: one of `SHARDED_MODELS`.  ``dyn`` defaults to the model's
-    demo dynamics.  The per-model stream tag matches the single-chip
+    demo dynamics.  ``payoff=None`` picks the model's default contract
+    (vanilla_call; call_on_max for "rainbow", whose payoffs come from
+    `RAINBOW_PAYOFFS` — registry names like "vanilla_call" are rejected
+    there rather than silently remapped).  The per-model stream tag matches the single-chip
     `price_<model>` entry point, so a 1-device mesh reproduces it bitwise
     and larger meshes reproduce its statistics exactly (global-path-id
     keyed counters).
@@ -158,14 +161,14 @@ def price_model_sharded(model: str,
     if model == "rainbow":
         # rainbow payoffs live in their own registry, keyed by NAME
         from mc_tpu.models.rainbow import RAINBOW_PAYOFFS
-        if payoff == "vanilla_call":
+        if payoff is None:
             payoff = "call_on_max"
         if payoff not in RAINBOW_PAYOFFS:
             raise KeyError(f"unknown rainbow payoff {payoff!r}; "
                            f"available: {sorted(RAINBOW_PAYOFFS)}")
         po = payoff
     else:
-        po = get_payoff(payoff)
+        po = get_payoff("vanilla_call" if payoff is None else payoff)
     mesh = mesh if mesh is not None else make_mesh()
     kmax = 0
     if dyn is None:

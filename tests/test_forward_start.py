@@ -73,6 +73,24 @@ def test_cliquet_cap_monotone():
     assert float(hi.price) >= float(lo.price)
 
 
+def test_validation():
+    """Out-of-range / non-integer step parameters are rejected at entry
+    instead of silently mispricing."""
+    sim = SimParams(n_paths=1024, n_steps=20)
+    with pytest.raises(ValueError, match="determination step"):
+        price(OptionParams(k=1.0, p1=50.0), sim,
+              payoff="forward_start_call", method="euler")
+    with pytest.raises(ValueError, match="determination step"):
+        price(OptionParams(k=1.0, p1=10.5), sim,
+              payoff="forward_start_call", method="euler")
+    with pytest.raises(ValueError, match="period length"):
+        price(OptionParams(k=0.0, p1=-0.02, p2=0.04), sim,
+              payoff="cliquet", method="euler")
+    with pytest.raises(ValueError, match="floor"):
+        price(OptionParams(k=5.0, p1=0.04, p2=-0.02), sim,
+              payoff="cliquet", method="euler")
+
+
 def test_engines_bitwise():
     sim = SimParams(n_paths=50_000, n_steps=20)
     for payoff, opt in (("forward_start_call",
