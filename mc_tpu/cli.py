@@ -677,6 +677,34 @@ def cmd_vasicek(args):
     return 0
 
 
+def cmd_term(args):
+    import numpy as np
+
+    from mc_tpu.models.term import TermStructure, price_term
+    from mc_tpu.oracle import bs_call
+
+    option, sim = _parse(args)
+    rates = [float(x) for x in args.rate_knots.split(",")]
+    sigmas = [float(x) for x in args.sigma_knots.split(",")]
+    term = TermStructure.from_knots(rates, sigmas, sim.n_steps)
+    res = price_term(option, term, sim, payoff=args.payoff,
+                     engine=args.engine, antithetic=args.antithetic,
+                     tile_rows=args.tile_rows)
+    out = {"payoff": args.payoff, "rate_knots": rates,
+           "sigma_knots": sigmas, "price": float(res.price),
+           "stderr": float(res.stderr)}
+    if args.payoff == "vanilla_call":
+        rs = np.asarray(term.rates, np.float64)
+        sg = np.asarray(term.sigmas, np.float64)
+        out["oracle"] = float(bs_call(args.s0, args.k, args.t,
+                                      float(rs.mean()),
+                                      float(np.sqrt((sg ** 2).mean())),
+                                      args.q))
+        out["z_score"] = (out["price"] - out["oracle"]) / out["stderr"]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_mlmc(args):
     from mc_tpu.mlmc import price_heston_mlmc
     from mc_tpu.models.heston import HestonDynamics
@@ -951,6 +979,17 @@ def main(argv=None):
     p.add_argument("--rho-r", type=float, default=-0.3,
                    help="equity/rate correlation")
     p.set_defaults(fn=cmd_vasicek)
+
+    p = sub.add_parser("term",
+                       help="rate/vol term-structure price (averaged-BS "
+                            "oracle)")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--rate-knots", default="0.10,0.07,0.05",
+                   help="comma list spread evenly over the steps")
+    p.add_argument("--sigma-knots", default="0.15,0.22,0.30")
+    p.set_defaults(fn=cmd_term)
 
     p = sub.add_parser("mlmc", help="multilevel MC under Heston")
     _add_option_flags(p)

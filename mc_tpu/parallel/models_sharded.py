@@ -30,12 +30,14 @@ from mc_tpu.parallel.mesh import PATHS_AXIS, make_mesh, shard_bounds
 
 __all__ = ["price_model_sharded", "SHARDED_MODELS"]
 
-SHARDED_MODELS = ("heston", "cev", "merton", "sabr", "rainbow", "vasicek")
+SHARDED_MODELS = ("heston", "cev", "merton", "sabr", "rainbow", "vasicek",
+                  "term")
 
 # Same per-model stream tags as the single-chip price_* entry points —
 # what makes the 1-device-mesh result bit-identical to them.
 _STREAM_TAGS = {"heston": 0x4E57, "cev": 0xCE4, "merton": 0x3E44,
-                "sabr": 0x5AB4, "rainbow": 0xBE0F, "vasicek": 0x7A51}
+                "sabr": 0x5AB4, "rainbow": 0xBE0F, "vasicek": 0x7A51,
+                "term": 0x7E53}
 
 
 @functools.partial(
@@ -102,6 +104,13 @@ def _model_sharded_impl(model, option, dyn, payoff, sim, mesh, engine,
         def partials(key, params, offset, bound):
             return _vasicek_partials(payoff, cfg, key, params, offset,
                                      bound, engine, interpret)
+    elif model == "term":
+        from mc_tpu.models.term import _pack_term, _term_partials
+        params = _pack_term(option, dyn, sim.n_steps)
+
+        def partials(key, params, offset, bound):
+            return _term_partials(payoff, cfg, key, params, offset,
+                                  bound, engine, interpret)
     else:
         raise ValueError(f"unknown model {model!r}; "
                          f"sharded models: {SHARDED_MODELS}")
@@ -123,9 +132,14 @@ def _model_sharded_impl(model, option, dyn, payoff, sim, mesh, engine,
 
     r = jnp.float32(option.r)
     t = jnp.float32(option.t)
-    # vasicek discounts pathwise inside the leg; everything else scalar
-    discount = (jnp.float32(1.0) if model == "vasicek"
-                else jnp.exp(-r * t))
+    # vasicek discounts pathwise inside the leg; term discounts off its
+    # rate curve (r_bar packed at slot 9); everything else scalar e^{-rT}
+    if model == "vasicek":
+        discount = jnp.float32(1.0)
+    elif model == "term":
+        discount = jnp.exp(-params[9] * t)
+    else:
+        discount = jnp.exp(-r * t)
     return summarize(finish_sum(s), finish_sum(sq),
                      jnp.asarray(sim.n_paths, jnp.float32),
                      discount)
@@ -182,9 +196,18 @@ def price_model_sharded(model: str,
             from mc_tpu.models.basket import DEMO_BASKET as dyn
         elif model == "vasicek":
             from mc_tpu.models.vasicek import DEMO_VASICEK as dyn
+        elif model == "term":
+            from mc_tpu.models.term import TermStructure
+            dyn = TermStructure.from_knots([0.10, 0.07, 0.05],
+                                           [0.15, 0.22, 0.30],
+                                           sim.n_steps)
         else:
             from mc_tpu.models.sabr import DEMO_SABR as dyn
-    if model in ("cev", "merton", "vasicek") and sim.n_steps % 2:
+    if model == "term" and dyn.rates.shape[0] != sim.n_steps:
+        raise ValueError(
+            f"term structure has {dyn.rates.shape[0]} steps, sim has "
+            f"{sim.n_steps}")
+    if model in ("cev", "merton", "vasicek", "term") and sim.n_steps % 2:
         raise ValueError(f"{model} requires an even n_steps "
                          "(pair-consuming step loop)")
     if model == "merton":

@@ -14,6 +14,11 @@ _SINGLE = {}
 
 
 def _single_chip(model, **kw):
+    if model == "term":
+        from mc_tpu.models.term import TermStructure, price_term
+        dyn = TermStructure.from_knots([0.10, 0.07, 0.05],
+                                       [0.15, 0.22, 0.30], SIM.n_steps)
+        return price_term(OPT, dyn, sim=SIM, **kw)
     if model == "heston":
         from mc_tpu.models.heston import price_heston as fn
     elif model == "cev":

@@ -185,6 +185,15 @@ def test_rainbow():
                       payoff="call_on_max", tile_rows=8))
 
 
+def test_term_structure():
+    """Per-step curve lookups: dynamic SMEM scalar loads in the loop."""
+    from mc_tpu.models.term import TermStructure, price_term
+    term = TermStructure.from_knots([0.10, 0.05], [0.15, 0.30],
+                                    SIM.n_steps)
+    _assert_tri(*_tri(price_term, option=OPT, term=term, sim=SIM,
+                      tile_rows=8))
+
+
 def test_vasicek():
     """Stochastic rates: exact OU triple + pathwise discount."""
     from mc_tpu.models.vasicek import price_vasicek
