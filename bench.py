@@ -223,6 +223,27 @@ def rainbow_kernel_seconds(n_paths=N_PATHS, d=4):
     return _model_kernel_seconds(one)
 
 
+def localvol_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS,
+                            n_knots=9):
+    """Local-vol surface kernel (K-1 clamped-ramp FMAs per step)."""
+    from mc_tpu import SimParams
+    from mc_tpu.models.localvol import (LocalVolSurface,
+                                        _price_localvol_impl)
+    from mc_tpu.ops.payoffs import get_payoff
+    sim = SimParams(n_paths=n_paths, n_steps=n_steps)
+    surf = LocalVolSurface.from_function(
+        lambda x, t: 0.2 + 0.1 * x * x + 0.05 * t, n_steps,
+        n_knots=n_knots).as_f32()
+    po = get_payoff("vanilla_call")
+
+    def one(key):
+        return _price_localvol_impl(OPT, surf, po, sim, n_knots,
+                                    "pallas", False, 128, False,
+                                    key).price
+
+    return _model_kernel_seconds(one)
+
+
 def qmc_kernel_seconds(n_steps=1, k=8, reps=4):
     """Per-lattice-pass device seconds (terminal QMC, n ~ 1M points).
 
@@ -380,6 +401,7 @@ def main():
     dt_sabr = sabr_kernel_seconds()
     dt_vasicek = vasicek_kernel_seconds()
     dt_rainbow = rainbow_kernel_seconds()
+    dt_lv = localvol_kernel_seconds()
     dt_qmc, qmc_n = qmc_kernel_seconds()
 
     # Reference demo NMC workload (hello.cu defaults, ~5e11 inner steps).
@@ -422,6 +444,8 @@ def main():
             "vasicek_path_steps_per_sec":
                 round(N_PATHS * N_STEPS / dt_vasicek, 1),
             "rainbow4_paths_per_sec": round(N_PATHS / dt_rainbow, 1),
+            "localvol_path_steps_per_sec":
+                round(N_PATHS * N_STEPS / dt_lv, 1),
             "qmc_paths_per_sec": round(qmc_n / dt_qmc, 1),
             "nmc_demo_seconds_device": round(nmc_dt, 3),
             "nmc_demo_inner_path_steps_per_sec":

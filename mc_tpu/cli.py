@@ -705,6 +705,35 @@ def cmd_term(args):
     return 0
 
 
+def cmd_localvol(args):
+    import math
+
+    from mc_tpu.models.localvol import LocalVolSurface, price_localvol
+
+    option, sim = _parse(args)
+    if args.beta is not None:
+        beta = args.beta
+        fn = lambda x, t: args.sigma * math.exp((beta - 1.0) * x)
+    else:
+        fn = (lambda x, t: args.sigma + args.smile_curv * x * x
+              + args.term_slope * t)
+    surf = LocalVolSurface.from_function(fn, sim.n_steps,
+                                         n_knots=args.n_knots)
+    res = price_localvol(option, surf, sim, payoff=args.payoff,
+                         engine=args.engine, antithetic=args.antithetic,
+                         tile_rows=args.tile_rows)
+    out = {"payoff": args.payoff, "price": float(res.price),
+           "stderr": float(res.stderr)}
+    if args.beta is not None and args.payoff == "vanilla_call":
+        from mc_tpu.models.cev import cev_call_closed_form
+        out["cev_oracle"] = cev_call_closed_form(
+            args.s0, args.k, args.t, args.r,
+            args.sigma * args.s0 ** (1.0 - args.beta), args.beta, args.q)
+        out["z_score"] = (out["price"] - out["cev_oracle"]) / out["stderr"]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_mlmc(args):
     from mc_tpu.mlmc import price_heston_mlmc
     from mc_tpu.models.heston import HestonDynamics
@@ -990,6 +1019,21 @@ def main(argv=None):
                    help="comma list spread evenly over the steps")
     p.add_argument("--sigma-knots", default="0.15,0.22,0.30")
     p.set_defaults(fn=cmd_term)
+
+    p = sub.add_parser("localvol",
+                       help="local-volatility surface price (CEV oracle "
+                            "with --beta)")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--smile-curv", type=float, default=0.1,
+                   help="sigma(x,t) = sigma + curv*x^2 + slope*t")
+    p.add_argument("--term-slope", type=float, default=0.05)
+    p.add_argument("--beta", type=float, default=None,
+                   help="CEV-shaped surface sigma*e^{(beta-1)x} instead "
+                        "(prints the noncentral-chi^2 oracle z-score)")
+    p.add_argument("--n-knots", type=int, default=9)
+    p.set_defaults(fn=cmd_localvol)
 
     p = sub.add_parser("mlmc", help="multilevel MC under Heston")
     _add_option_flags(p)

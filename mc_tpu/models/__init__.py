@@ -10,6 +10,8 @@ from mc_tpu.models.merton import (DEMO_MERTON, MertonDynamics,
 from mc_tpu.models.rainbow import RAINBOW_PAYOFFS, price_rainbow
 from mc_tpu.models.sabr import (DEMO_SABR, SABRDynamics, price_sabr,
                                 sabr_call_hagan, sabr_implied_vol)
+from mc_tpu.models.localvol import (DEMO_LOCALVOL, LocalVolSurface,
+                                    price_localvol)
 from mc_tpu.models.term import DEMO_TERM, TermStructure, price_term
 from mc_tpu.models.vasicek import (DEMO_VASICEK, VasicekDynamics,
                                    price_vasicek)
@@ -22,4 +24,5 @@ __all__ = ["GBM", "gbm_exact_terminal", "gbm_log_euler_step",
            "price_merton", "SABRDynamics", "DEMO_SABR", "price_sabr",
            "sabr_call_hagan", "sabr_implied_vol", "price_rainbow",
            "RAINBOW_PAYOFFS", "VasicekDynamics", "DEMO_VASICEK",
-           "price_vasicek", "TermStructure", "DEMO_TERM", "price_term"]
+           "price_vasicek", "TermStructure", "DEMO_TERM", "price_term",
+           "LocalVolSurface", "DEMO_LOCALVOL", "price_localvol"]

@@ -1,0 +1,310 @@
+"""Local volatility (Dupire-style): sigma = sigma(S, t) on a knot grid.
+
+Beyond the reference (flat sigma) and the parametric CEV family: the
+practitioner's local-vol model prices with an ARBITRARY surface
+sigma(S, t), here piecewise-linear in log-moneyness x = log(S/S0) over K
+knots, per simulation step:
+
+    d log S = (r - q - sigma(x, t_j)^2 / 2) dt + sigma(x, t_j) sqrt(dt) dW.
+
+TPU mapping — gather-free interpolation: a piecewise-linear function
+with flat extrapolation is a sum of clamped ramps,
+
+    sigma(x) = v_0 + sum_k m_k * clamp(x - x_k, 0, x_{k+1} - x_k),
+
+so the per-step lookup is K-1 FMA+clamp VECTOR ops on the (tile_rows,
+128) registers — no dynamic gather (which the VPU has no fast path
+for).  Knots are shared across steps; the per-step left value v_0 and
+segment slopes m_k are read from the flat SMEM params vector by dynamic
+scalar index, like the term-structure kernel.
+
+Gates: a flat surface is EXACT log-Euler GBM (plain BS); an S-independent
+surface matches the averaged-parameter BS; and the CEV-shaped surface
+sigma(S) = sigma0 (S/S0)^(beta-1) reproduces the CEV noncentral-chi^2
+closed form (`oracle` via models.cev) — a cross-model consistency check
+through a completely different discretization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from types import SimpleNamespace
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mc_tpu import rng
+from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
+from mc_tpu.engines import STREAM_OUTER
+from mc_tpu.oracle import PriceResult, summarize
+from mc_tpu.ops import path_kernels as pk
+from mc_tpu.ops._pallas import (LANES, SUBLANES, use_interpret,
+                                xla_moment_scan)
+from mc_tpu.ops.payoffs import get_payoff
+from mc_tpu.ops.reduce import finish_sum
+
+__all__ = ["LocalVolSurface", "price_localvol", "DEMO_LOCALVOL"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LocalVolSurface:
+    """sigma(log-moneyness, step) on a (n_steps, K) knot grid.
+
+    ``x_knots``: (K,) log-moneyness knots (ascending);
+    ``vols``: (n_steps, K) positive vols at the knots.  Between knots
+    the vol is linear in x; beyond the ends it is flat.
+    """
+
+    x_knots: Any
+    vols: Any
+
+    @property
+    def n_steps(self) -> int:
+        return int(self.vols.shape[0])
+
+    @property
+    def n_knots(self) -> int:
+        return int(self.x_knots.shape[0])
+
+    def as_f32(self) -> "LocalVolSurface":
+        return LocalVolSurface(
+            x_knots=jnp.asarray(self.x_knots, jnp.float32),
+            vols=jnp.asarray(self.vols, jnp.float32))
+
+    @staticmethod
+    def from_function(fn, n_steps: int, x_lo=-1.0, x_hi=1.0,
+                      n_knots: int = 9):
+        """Sample ``fn(x, t_frac) -> sigma`` on the knot grid
+        (t_frac = (j + 1) / n_steps, the step's END time fraction)."""
+        xs = np.linspace(x_lo, x_hi, n_knots).astype(np.float32)
+        vols = np.stack([
+            np.asarray([fn(float(x), (j + 1.0) / n_steps) for x in xs],
+                       np.float32)
+            for j in range(n_steps)])
+        return LocalVolSurface(x_knots=xs, vols=vols)
+
+    @staticmethod
+    def flat(sigma: float, n_steps: int, n_knots: int = 9):
+        return LocalVolSurface.from_function(
+            lambda x, t: sigma, n_steps, n_knots=n_knots)
+
+
+DEMO_LOCALVOL = LocalVolSurface.from_function(
+    # a mild smile deepening with time
+    lambda x, t: 0.2 + 0.1 * x * x + 0.05 * t, 100)
+
+# SMEM layout:
+# [s0, k, t, barrier, p1, p2, q, dt, inv_n, r, sigma_ref,
+#  x_knots(K), dx(K-1), v0(n_steps), slopes(n_steps*(K-1))]
+_HDR = 11
+
+
+def _pack_localvol(option, surf, n_steps):
+    s0, t, k, r, sigma0, barrier, p1, p2, q = (
+        jnp.float32(v) for v in option.astuple())
+    xs = jnp.asarray(surf.x_knots, jnp.float32)
+    vols = jnp.asarray(surf.vols, jnp.float32)
+    n = jnp.float32(n_steps)
+    dt = t / n
+    # sigma_ref: time-averaged ATM vol (payoffs that read p.sigma, e.g.
+    # bridge-barrier weights, see this)
+    k_atm = surf.n_knots // 2
+    sigma_ref = jnp.sqrt(jnp.mean(vols[:, k_atm] ** 2))
+    head = jnp.stack([s0, k, t, barrier, p1, p2, q, dt, 1.0 / n, r,
+                      sigma_ref])
+    dx = xs[1:] - xs[:-1]
+    slopes = (vols[:, 1:] - vols[:, :-1]) / dx[None, :]
+    return jnp.concatenate([head, xs, dx, vols[:, 0],
+                            slopes.reshape(-1)])
+
+
+def _unpack_localvol_head(ref):
+    names = ("s0", "k", "t", "barrier", "p1", "p2", "q", "dt",
+             "inv_n_steps", "r", "sigma")
+    return SimpleNamespace(**{nm: ref[i] for i, nm in enumerate(names)})
+
+
+def _make_sigma_at(params, n_steps: int, n_knots: int):
+    """sigma(w_tile, j) from the packed vector — K-1 clamped-ramp FMAs."""
+    km1 = n_knots - 1
+    o_x = _HDR
+    o_dx = o_x + n_knots
+    o_v0 = o_dx + km1
+    o_m = o_v0 + n_steps
+
+    def sigma_at(w, j):
+        s = params[o_v0 + j]
+        for kk in range(km1):
+            m = params[o_m + j * km1 + kk]
+            s = s + m * jnp.clip(w - params[o_x + kk], 0.0,
+                                 params[o_dx + kk])
+        return jnp.maximum(s, 1e-4)
+
+    return sigma_at
+
+
+def _localvol_leg(payoff, n_steps: int, p, s0, draw_pair, sigma_at,
+                  antithetic_sign=1.0):
+    """Log-Euler leg with the local-vol lookup; one pair per step pair."""
+    sign = jnp.float32(antithetic_sign)
+    state0 = payoff.init(p, jnp.zeros_like(s0))
+    base_drift = (p.r - p.q) * p.dt
+    sdt = jnp.sqrt(p.dt)
+
+    def one_step(carry, j, z):
+        w, state = carry
+        sg = sigma_at(w, j)
+        w = w + (base_drift - 0.5 * sg * sg * p.dt) + sg * sdt * z
+        s = s0 * jnp.exp(w)  # log-space: one exp rounding per S_t
+        return (w, payoff.update(state, s, p)), s
+
+    def pair_body(j, carry):
+        z0, z1 = draw_pair(j)
+        carry, _ = one_step(carry, 2 * j, sign * z0)
+        carry, s = one_step(carry, 2 * j + 1, sign * z1)
+        return carry
+
+    zeros = jnp.zeros_like(s0)
+    (w, state) = jax.lax.fori_loop(0, n_steps // 2, pair_body,
+                                   (zeros, state0))
+    return payoff.terminal(state, s0 * jnp.exp(w), p)
+
+
+def _localvol_tile(payoff, n_steps, antithetic, p, ids, valid, k0, k1,
+                   sigma_at, bitcast):
+    shape = ids.shape
+
+    def draw_pair(m):
+        c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
+        return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast)
+
+    s0 = jnp.full(shape, p.s0, jnp.float32)
+    pay = _localvol_leg(payoff, n_steps, p, s0, draw_pair, sigma_at)
+    if antithetic:
+        pay = 0.5 * (pay + _localvol_leg(payoff, n_steps, p, s0,
+                                         draw_pair, sigma_at,
+                                         antithetic_sign=-1.0))
+    return jnp.where(valid, pay, 0.0)
+
+
+def _make_localvol_kernel(payoff, cfg: pk.KernelConfig, n_knots: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(key_ref, params_ref, meta_ref, sum_ref, sq_ref, comp_ref):
+        p = _unpack_localvol_head(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        sigma_at = _make_sigma_at(params_ref, cfg.n_steps, n_knots)
+        pay = _localvol_tile(payoff, cfg.n_steps, cfg.antithetic, p, ids,
+                             valid, key_ref[0], key_ref[1], sigma_at,
+                             pltpu.bitcast)
+        pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
+                               [pay, pay * pay], i, cfg.tile_rows)
+
+    return kernel
+
+
+def _localvol_partials(payoff, cfg, n_knots, key, params, path_offset=0,
+                       n_valid=None, engine="pallas", interpret=None):
+    """(sum, sumsq) (8,128) slabs for this shard's global path-id range."""
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    if engine == "pallas":
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _make_localvol_kernel(payoff, cfg, n_knots),
+            grid=(cfg.n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=[acc_spec, acc_spec],
+            out_shape=[jax.ShapeDtypeStruct((SUBLANES, LANES),
+                                            jnp.float32)] * 2,
+            scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)],
+            interpret=interpret,
+        )(jnp.asarray(key, jnp.uint32), params, jnp.stack([offset, bound]))
+    p = _unpack_localvol_head(params)
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+    sigma_at = _make_sigma_at(params, cfg.n_steps, n_knots)
+
+    def tile_fn(ids, valid):
+        pay = _localvol_tile(payoff, cfg.n_steps, cfg.antithetic, p, ids,
+                             valid, k0, k1, sigma_at,
+                             jax.lax.bitcast_convert_type)
+        return [pay, pay * pay]
+
+    return xla_moment_scan(tile_fn, cfg.n_paths, cfg.tile_rows, 2,
+                           offset=offset, bound=bound)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "n_knots", "engine", "antithetic",
+                     "tile_rows", "interpret"))
+def _price_localvol_impl(option, surf, payoff, sim, n_knots, engine,
+                         antithetic, tile_rows, interpret, key):
+    if interpret is None:
+        interpret = use_interpret()
+    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
+                          tile_rows=tile_rows, antithetic=antithetic)
+    params = _pack_localvol(option, surf, sim.n_steps)
+    s, sq = _localvol_partials(payoff, cfg, n_knots, key, params,
+                               engine=engine, interpret=interpret)
+    r = jnp.float32(option.r)
+    t = jnp.float32(option.t)
+    return summarize(finish_sum(s), finish_sum(sq),
+                     jnp.asarray(sim.n_paths, jnp.float32),
+                     jnp.exp(-r * t))
+
+
+def price_localvol(option: OptionParams = DEMO_OPTION,
+                   surf: LocalVolSurface = DEMO_LOCALVOL,
+                   sim: SimParams = DEMO_SIM,
+                   payoff="vanilla_call",
+                   *,
+                   engine: str = "pallas",
+                   antithetic: bool = False,
+                   tile_rows: int = 128,
+                   stream: int = STREAM_OUTER,
+                   key=None,
+                   interpret: Optional[bool] = None) -> PriceResult:
+    """Monte Carlo price under a local-volatility surface sigma(S, t).
+
+    ``surf.vols`` must have ``sim.n_steps`` rows (build with
+    `LocalVolSurface.from_function`); every registry payoff works.  The
+    discretization is log-Euler (weak order 1 in dt) — unlike the GBM /
+    term-structure kernels it is NOT exact in law unless the surface is
+    S-independent.
+    """
+    po = get_payoff(payoff)
+    po.validate(option, sim.n_steps)
+    s32 = surf.as_f32()
+    if s32.n_steps != sim.n_steps:
+        raise ValueError(
+            f"surface has {s32.n_steps} steps, sim has {sim.n_steps}; "
+            f"build with LocalVolSurface.from_function(..., "
+            f"n_steps={sim.n_steps})")
+    if s32.n_knots < 2:
+        raise ValueError("need at least 2 knots")
+    if sim.n_steps % 2:
+        raise ValueError("localvol requires an even n_steps "
+                         "(pair-consuming step loop)")
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x10CA),
+                          jnp.uint32)
+    return _price_localvol_impl(option.as_f32(), s32, po,
+                                sim.replace(seed=0), s32.n_knots, engine,
+                                antithetic, tile_rows, interpret, key)

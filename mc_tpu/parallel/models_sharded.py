@@ -31,13 +31,13 @@ from mc_tpu.parallel.mesh import PATHS_AXIS, make_mesh, shard_bounds
 __all__ = ["price_model_sharded", "SHARDED_MODELS"]
 
 SHARDED_MODELS = ("heston", "cev", "merton", "sabr", "rainbow", "vasicek",
-                  "term")
+                  "term", "localvol")
 
 # Same per-model stream tags as the single-chip price_* entry points —
 # what makes the 1-device-mesh result bit-identical to them.
 _STREAM_TAGS = {"heston": 0x4E57, "cev": 0xCE4, "merton": 0x3E44,
                 "sabr": 0x5AB4, "rainbow": 0xBE0F, "vasicek": 0x7A51,
-                "term": 0x7E53}
+                "term": 0x7E53, "localvol": 0x10CA}
 
 
 @functools.partial(
@@ -111,6 +111,15 @@ def _model_sharded_impl(model, option, dyn, payoff, sim, mesh, engine,
         def partials(key, params, offset, bound):
             return _term_partials(payoff, cfg, key, params, offset,
                                   bound, engine, interpret)
+    elif model == "localvol":
+        from mc_tpu.models.localvol import (_localvol_partials,
+                                            _pack_localvol)
+        n_knots = int(dyn.x_knots.shape[0])
+        params = _pack_localvol(option, dyn, sim.n_steps)
+
+        def partials(key, params, offset, bound):
+            return _localvol_partials(payoff, cfg, n_knots, key, params,
+                                      offset, bound, engine, interpret)
     else:
         raise ValueError(f"unknown model {model!r}; "
                          f"sharded models: {SHARDED_MODELS}")
@@ -201,13 +210,22 @@ def price_model_sharded(model: str,
             dyn = TermStructure.from_knots([0.10, 0.07, 0.05],
                                            [0.15, 0.22, 0.30],
                                            sim.n_steps)
+        elif model == "localvol":
+            from mc_tpu.models.localvol import LocalVolSurface
+            dyn = LocalVolSurface.from_function(
+                lambda x, t: 0.2 + 0.1 * x * x + 0.05 * t, sim.n_steps)
         else:
             from mc_tpu.models.sabr import DEMO_SABR as dyn
     if model == "term" and dyn.rates.shape[0] != sim.n_steps:
         raise ValueError(
             f"term structure has {dyn.rates.shape[0]} steps, sim has "
             f"{sim.n_steps}")
-    if model in ("cev", "merton", "vasicek", "term") and sim.n_steps % 2:
+    if model == "localvol" and dyn.vols.shape[0] != sim.n_steps:
+        raise ValueError(
+            f"surface has {dyn.vols.shape[0]} steps, sim has "
+            f"{sim.n_steps}")
+    if model in ("cev", "merton", "vasicek", "term",
+                 "localvol") and sim.n_steps % 2:
         raise ValueError(f"{model} requires an even n_steps "
                          "(pair-consuming step loop)")
     if model == "merton":
