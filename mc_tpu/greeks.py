@@ -38,8 +38,9 @@ from mc_tpu.engines import STREAM_OUTER, _price_impl
 from mc_tpu.ops.payoffs import get_payoff
 
 __all__ = ["greeks", "heston_greeks", "merton_greeks", "sabr_greeks",
-           "GREEK_FIELDS", "HESTON_GREEK_FIELDS", "MERTON_GREEK_FIELDS",
-           "SABR_GREEK_FIELDS"]
+           "vasicek_greeks", "GREEK_FIELDS", "HESTON_GREEK_FIELDS",
+           "MERTON_GREEK_FIELDS", "SABR_GREEK_FIELDS",
+           "VASICEK_GREEK_FIELDS"]
 
 # greek name -> (OptionParams field, sign)
 GREEK_FIELDS = {
@@ -488,3 +489,52 @@ def heston_greeks(option=None, heston=None,
             up, dn = f(option, up_obj), f(option, dn_obj)
         out[g] = jnp.float32(sgn) * (up - dn) / (2.0 * h)
     return out
+
+
+VASICEK_GREEK_FIELDS = {
+    "delta": ("option", "s0", 1.0),
+    "vega": ("option", "sigma", 1.0),      # equity diffusion vol
+    "theta": ("option", "t", -1.0),
+    "dual_delta": ("option", "k", 1.0),
+    "rho0": ("option", "r", 1.0),          # dP/d(initial short rate)
+    "a_sens": ("dyn", "a", 1.0),           # dP/d(mean-reversion speed)
+    "b_sens": ("dyn", "b", 1.0),           # dP/d(long-run rate level)
+    "sigma_r_sens": ("dyn", "sigma_r", 1.0),
+    "rho_sr_sens": ("dyn", "rho", 1.0),    # dP/d(equity/rate corr)
+}
+
+
+def vasicek_greeks(option=None, dyn=None,
+                   sim: SimParams = DEMO_SIM,
+                   payoff="vanilla_call",
+                   *,
+                   which: Sequence[str] = ("delta", "rho0",
+                                           "sigma_r_sens"),
+                   antithetic: bool = False,
+                   tile_rows: int = 128,
+                   rel_bump: float = 1e-3,
+                   stream: int = STREAM_OUTER) -> Dict[str, Any]:
+    """Stochastic-rate sensitivities by CRN central differences.
+
+    ``rho0`` is the true rate greek under stochastic rates: the
+    sensitivity to the INITIAL short rate (the constant-rate rho's
+    analogue); the curve-shape exposures (a, b, sigma_r, equity/rate
+    correlation) are what a rates-hybrid desk hedges.  Every greek is
+    checkable against finite differences of `oracle.bsv_call`
+    (tests/test_model_greeks.py).
+    """
+    from mc_tpu.config import DEMO_OPTION
+    from mc_tpu.models.vasicek import DEMO_VASICEK, price_vasicek
+
+    option = (DEMO_OPTION if option is None else option).as_f32()
+    dyn = (DEMO_VASICEK if dyn is None else dyn).as_f32()
+    key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x7A51),
+                      jnp.uint32)
+
+    def f(opt, d):
+        return price_vasicek(opt, d, sim, payoff, engine="xla",
+                             antithetic=antithetic, tile_rows=tile_rows,
+                             key=key).price
+
+    return _fd_model_greeks(f, option, dyn, VASICEK_GREEK_FIELDS, which,
+                            rel_bump)

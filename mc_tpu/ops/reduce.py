@@ -117,17 +117,37 @@ def _df_add(ah, al, bh, bl):
 def finish_sum(partials, dtype=jnp.float64):
     """Combine the (8,128) accumulator block exactly.
 
-    With x64 enabled this is a plain f64 tree-sum.  Without it (the TPU
-    default), a double-float (TwoSum-compensated) BINARY TREE over the
-    1024 cells carries ~47 bits of precision — the cells themselves are
-    already Kahan-exact, so the whole 1e9-path sum ends within ~1-2 ulp.
-    The tree is 10 fully-vectorized levels; the sequential Neumaier scan
-    it replaces cost ~1 ms of latency per call on TPU (1024 dependent
-    steps), which dominated terminal-draw pricing kernels.
+    With x64 enabled this is a plain f64 tree-sum.  On TPU (x64 off), a
+    double-float (TwoSum-compensated) BINARY TREE over the 1024 cells
+    carries ~47 bits of precision — the cells are already Kahan-exact,
+    so the whole 1e9-path sum ends within ~1-2 ulp.  The tree is 10
+    fully-vectorized levels; the sequential Neumaier scan it replaced
+    cost ~1 ms of latency per call (1024 dependent VPU steps), which
+    DOMINATED terminal-draw pricing (measured: the full 1M-path vanilla
+    impl dropped 1.98 -> 0.060 ms/call).
+
+    On the CPU backend the scan is kept: latency is irrelevant there,
+    and XLA:CPU's compiler was observed to segfault nondeterministically
+    compiling large vmapped programs containing the unrolled tree late
+    in long-lived processes (reproduced 4/4 full-suite runs with the
+    tree — both reshape and slice forms — and 0/3 with the scan).
     """
     flat = jnp.ravel(partials)
     if dtype == jnp.float64 and jax.config.jax_enable_x64:
         return jnp.sum(flat.astype(jnp.float64))
+
+    if jax.default_backend() == "cpu":
+        def body(carry, v):
+            s, c = carry
+            t = s + v
+            c = c + jnp.where(jnp.abs(s) >= jnp.abs(v),
+                              (s - t) + v, (v - t) + s)
+            return (t, c), None
+
+        (s, c), _ = jax.lax.scan(
+            body, (jnp.float32(0), jnp.float32(0)),
+            flat.astype(jnp.float32))
+        return s + c
 
     n = flat.shape[0]
     pad = 1
@@ -135,10 +155,10 @@ def finish_sum(partials, dtype=jnp.float64):
         pad *= 2
     hi = jnp.pad(flat.astype(jnp.float32), (0, pad - n))
     lo = jnp.zeros_like(hi)
+    # fold-in-half levels (contiguous slices; no strided reshapes)
     while hi.shape[0] > 1:
-        h2 = hi.reshape(-1, 2)
-        l2 = lo.reshape(-1, 2)
-        hi, lo = _df_add(h2[:, 0], l2[:, 0], h2[:, 1], l2[:, 1])
+        half = hi.shape[0] // 2
+        hi, lo = _df_add(hi[:half], lo[:half], hi[half:], lo[half:])
     return (hi + lo)[0]
 
 

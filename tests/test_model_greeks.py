@@ -69,3 +69,41 @@ def test_sabr_calibration_sens_vs_hagan():
 def test_sabr_unknown_greek():
     with pytest.raises(ValueError, match="unknown greeks"):
         sabr_greeks(which=("vega",))
+
+
+def _oracle_fd_bsv(field, h, **over):
+    from mc_tpu.oracle import bsv_call
+    base = dict(s0=100.0, k=100.0, t=1.0, r0=0.1, sigma_s=0.2,
+                a=0.3, b=0.05, sigma_r=0.015, rho=-0.3)
+    base.update(over)
+    up = dict(base)
+    dn = dict(base)
+    up[field] += h
+    dn[field] -= h
+    return (bsv_call(**up) - bsv_call(**dn)) / (2 * h)
+
+
+def test_vasicek_market_and_curve_sens_vs_merton73():
+    """MC CRN-FD sensitivities under stochastic rates vs FD of the exact
+    Merton-1973 closed form — spot, initial-rate, long-run level, rate
+    vol and equity/rate correlation."""
+    from mc_tpu.greeks import vasicek_greeks
+    sim = SimParams(n_paths=200_000, n_steps=20)
+    g = vasicek_greeks(sim=sim, antithetic=True,
+                       which=("delta", "rho0", "b_sens", "sigma_r_sens",
+                              "rho_sr_sens"))
+    for name, field, h in (("delta", "s0", 0.1),
+                           ("rho0", "r0", 1e-3),
+                           ("b_sens", "b", 1e-3),
+                           ("sigma_r_sens", "sigma_r", 1e-4),
+                           ("rho_sr_sens", "rho", 1e-3)):
+        want = _oracle_fd_bsv(field, h)
+        got = float(g[name])
+        assert got == pytest.approx(want, rel=0.15, abs=0.03), (
+            name, got, want)
+
+
+def test_vasicek_unknown_greek():
+    from mc_tpu.greeks import vasicek_greeks
+    with pytest.raises(ValueError, match="unknown greeks"):
+        vasicek_greeks(which=("vanna",))
