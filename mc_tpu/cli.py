@@ -341,6 +341,22 @@ def cmd_american(args):
                           "price": float(res.price),
                           "stderr": float(res.stderr)}))
         return 0
+    if args.model == "localvol":
+        if args.bounds:
+            raise SystemExit("--bounds is not supported with "
+                             "--model localvol yet")
+        from mc_tpu.lsmc import price_american_localvol
+        from mc_tpu.models.localvol import LocalVolSurface
+        surf = LocalVolSurface.from_function(
+            lambda x, t: (args.sigma + args.smile_curv * x * x), sim.n_steps)
+        res = price_american_localvol(option, surf, sim,
+                                      payoff=args.payoff,
+                                      degree=args.degree, two_pass=True,
+                                      exercise_every=args.exercise_every)
+        print(json.dumps({"payoff": args.payoff, "model": "localvol",
+                          "price": float(res.price),
+                          "stderr": float(res.stderr)}))
+        return 0
     if args.model == "vasicek":
         if args.bounds:
             raise SystemExit("--bounds is not supported with "
@@ -868,7 +884,8 @@ def main(argv=None):
     p.add_argument("--payoff", default="vanilla_put")
     p.add_argument("--degree", type=int, default=3)
     p.add_argument("--model",
-                   choices=("gbm", "heston", "basket", "vasicek"),
+                   choices=("gbm", "heston", "basket", "vasicek",
+                            "localvol"),
                    default="gbm")
     p.add_argument("--n-assets", type=int, default=4)
     p.add_argument("--corr", type=float, default=0.5)
@@ -885,6 +902,8 @@ def main(argv=None):
                    help="Heston long-run variance")
     p.add_argument("--xi", type=float, default=0.5)
     p.add_argument("--rho", type=float, default=-0.7)
+    p.add_argument("--smile-curv", type=float, default=0.1,
+                   help="localvol: sigma(x) = sigma + curv*x^2")
     p.add_argument("--exercise-every", type=int, default=1,
                    help="Bermudan: exercise every k-th grid date")
     p.add_argument("--bounds", action="store_true",

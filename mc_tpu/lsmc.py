@@ -43,7 +43,8 @@ from mc_tpu.ops.payoffs import get_payoff
 
 __all__ = ["price_american", "price_american_heston",
            "price_american_basket", "price_american_vasicek",
-           "american_bounds", "binomial_american"]
+           "price_american_localvol", "american_bounds",
+           "binomial_american"]
 
 
 def _basis(s_norm, degree: int):
@@ -596,6 +597,108 @@ def price_american_vasicek(option: OptionParams = DEMO_OPTION,
                                         po, sim.replace(seed=0), degree,
                                         tile_rows, interpret, two_pass,
                                         key, key_b, exercise_every)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "n_knots", "degree", "tile_rows",
+                     "interpret", "two_pass", "every"))
+def _price_american_localvol_impl(option, surf, payoff, sim, n_knots,
+                                  degree, tile_rows, interpret, two_pass,
+                                  key, key_b, every=1):
+    from mc_tpu.models.localvol import (_pack_localvol,
+                                        _unpack_localvol_head,
+                                        localvol_trajectories_kernel)
+    params = _pack_localvol(option, surf, sim.n_steps)
+    p = _unpack_localvol_head(params)
+    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
+                          tile_rows=tile_rows)
+
+    def grids(k):
+        s, c, _, _ = localvol_trajectories_kernel(
+            payoff, cfg, n_knots, k, params, interpret=interpret)
+        n_pad = s.shape[1] * LANES
+        return (s.reshape(sim.n_steps, n_pad),
+                c.reshape(sim.n_steps, n_pad), n_pad)
+
+    s_a, c_a, n_pad = grids(key)
+    valid = (jnp.arange(n_pad, dtype=jnp.uint32)
+             < jnp.uint32(sim.n_paths))
+    disc = jnp.exp(-p.r * p.dt)
+    inv_k = 1.0 / p.k
+
+    def immediate(s_f, c_f, j):
+        st = (c_f[j],) if payoff.n_state else ()
+        return payoff.terminal(st, s_f[j], p)
+
+    # Local vol is Markov in S, so the plain S-monomial basis applies —
+    # only the trajectory law (the surface) differs from the GBM engine.
+    v_val, betas = _backward_fit(payoff, p, s_a, c_a, valid, sim.n_steps,
+                                 degree, inv_k, disc, immediate, every)
+    if not two_pass:
+        return _summ(v_val * disc, valid, sim.n_paths)
+
+    s_b, c_b, n_pad_b = grids(key_b)
+    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
+               < jnp.uint32(sim.n_paths))
+    vb = _apply_policy_pass(payoff, p, s_b, c_b, valid_b, betas,
+                            sim.n_steps, degree, inv_k, disc, immediate,
+                            every)
+    return _summ(vb * disc, valid_b, sim.n_paths)
+
+
+def price_american_localvol(option: OptionParams = DEMO_OPTION,
+                            surf=None,
+                            sim: SimParams = DEMO_SIM,
+                            payoff="vanilla_put",
+                            *,
+                            degree: int = 3,
+                            two_pass: bool = True,
+                            exercise_every: int = 1,
+                            tile_rows: int = 8,
+                            stream: int = STREAM_OUTER,
+                            key=None,
+                            interpret: Optional[bool] = None
+                            ) -> PriceResult:
+    """Longstaff-Schwartz American/Bermudan price under a LOCAL-VOL
+    surface sigma(S, t).
+
+    Composes the local-vol trajectory kernel (gather-free clamped-ramp
+    interpolation, materialized S_t grids) with the LSMC backward
+    induction on the S-monomial basis (local vol is Markov in S).  Same
+    two-pass protocol as `price_american`.
+
+    Oracle gates (tests): a FLAT surface is exact GBM and must match the
+    CRR binomial American; a skewed surface (more vol below spot) must
+    RAISE the American put above its flat-ATM-vol value.
+    """
+    from mc_tpu.models.localvol import DEMO_LOCALVOL, LocalVolSurface
+    if surf is None:
+        surf = (DEMO_LOCALVOL if sim.n_steps == 100 else
+                LocalVolSurface.from_function(
+                    lambda x, t: 0.2 + 0.1 * x * x + 0.05 * t,
+                    sim.n_steps))
+    po = get_payoff(payoff)
+    if po.n_state > 1:
+        raise ValueError("LSMC supports payoffs with at most one state "
+                         "array")
+    s32 = surf.as_f32()
+    if s32.n_steps != sim.n_steps:
+        raise ValueError(f"surface has {s32.n_steps} steps, sim has "
+                         f"{sim.n_steps}")
+    if sim.n_steps % 2:
+        raise ValueError("localvol requires an even n_steps")
+    if exercise_every < 1:
+        raise ValueError("exercise_every must be >= 1")
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x10CA),
+                          jnp.uint32)
+    key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
+    return _price_american_localvol_impl(option.as_f32(), s32, po,
+                                         sim.replace(seed=0),
+                                         s32.n_knots, degree, tile_rows,
+                                         interpret, two_pass, key, key_b,
+                                         exercise_every)
 
 
 # ---------------------------------------------------------------------------

@@ -148,7 +148,7 @@ def _make_sigma_at(params, n_steps: int, n_knots: int):
 
 
 def _localvol_leg(payoff, n_steps: int, p, s0, draw_pair, sigma_at,
-                  antithetic_sign=1.0):
+                  antithetic_sign=1.0, on_step=None):
     """Log-Euler leg with the local-vol lookup; one pair per step pair."""
     sign = jnp.float32(antithetic_sign)
     state0 = payoff.init(p, jnp.zeros_like(s0))
@@ -160,7 +160,10 @@ def _localvol_leg(payoff, n_steps: int, p, s0, draw_pair, sigma_at,
         sg = sigma_at(w, j)
         w = w + (base_drift - 0.5 * sg * sg * p.dt) + sg * sdt * z
         s = s0 * jnp.exp(w)  # log-space: one exp rounding per S_t
-        return (w, payoff.update(state, s, p)), s
+        carry = (w, payoff.update(state, s, p))
+        if on_step is not None:
+            on_step(j, s, carry)
+        return carry, s
 
     def pair_body(j, carry):
         z0, z1 = draw_pair(j)
@@ -308,3 +311,81 @@ def price_localvol(option: OptionParams = DEMO_OPTION,
     return _price_localvol_impl(option.as_f32(), s32, po,
                                 sim.replace(seed=0), s32.n_knots, engine,
                                 antithetic, tile_rows, interpret, key)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory materialization: step-major (S, state) grids feeding LSMC —
+# American exercise under a local-vol surface (the localvol analogue of
+# the C9 state-grid kernel, trajectories.cuh:273-351).
+# ---------------------------------------------------------------------------
+
+
+def _make_localvol_traj_kernel(payoff, cfg: pk.KernelConfig,
+                               n_knots: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert payoff.n_state <= 1, "trajectory kernel stores one state array"
+
+    def kernel(key_ref, params_ref, meta_ref, s_out, st_out, pay_sum,
+               pay_sq, comp_ref):
+        p = _unpack_localvol_head(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        k0, k1 = key_ref[0], key_ref[1]
+
+        def draw_pair(m):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
+            return rng.normal_pair(k0, k1, ids, c1, bitcast=pltpu.bitcast)
+
+        def persist(j, s, carry):
+            _, state = carry
+            s_out[j] = s
+            st_out[j] = state[0] if payoff.n_state else jnp.zeros_like(s)
+
+        sigma_at = _make_sigma_at(params_ref, cfg.n_steps, n_knots)
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        pay = _localvol_leg(payoff, cfg.n_steps, p, s0, draw_pair,
+                            sigma_at, on_step=persist)
+        pay = jnp.where(valid, pay, 0.0)
+        pk._accumulate_moments((pay_sum, pay_sq), comp_ref,
+                               [pay, pay * pay], i, cfg.tile_rows)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("payoff", "cfg", "n_knots",
+                                             "interpret"))
+def localvol_trajectories_kernel(payoff, cfg: pk.KernelConfig,
+                                 n_knots: int, key, params, n_valid=None,
+                                 interpret=None):
+    """(S, state) step-major grids + terminal payoff partials."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = use_interpret()
+    rows = cfg.n_tiles * cfg.tile_rows
+    grid_spec = pl.BlockSpec((cfg.n_steps, cfg.tile_rows, LANES),
+                             lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    bound = (jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    g = jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32)
+    s = jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32)
+    return pl.pallas_call(
+        _make_localvol_traj_kernel(payoff, cfg, n_knots),
+        grid=(cfg.n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=[grid_spec, grid_spec, part_spec, part_spec],
+        out_shape=[g, g, s, s],
+        scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(key, jnp.uint32), params,
+      jnp.stack([jnp.uint32(0), bound]))

@@ -113,3 +113,30 @@ def test_validation():
     with pytest.raises(ValueError, match="even n_steps"):
         price_localvol(surf=LocalVolSurface.flat(0.2, 7),
                        sim=SimParams(n_paths=1024, n_steps=7))
+
+
+def test_american_flat_surface_matches_binomial():
+    """Flat surface = GBM: the local-vol LSMC must land where the plain
+    GBM LSMC does relative to the CRR American oracle."""
+    from mc_tpu.lsmc import binomial_american, price_american_localvol
+    sim = SimParams(n_paths=100_000, n_steps=50)
+    r = price_american_localvol(surf=LocalVolSurface.flat(0.2, 50),
+                                sim=sim)
+    oracle = binomial_american(100.0, 100.0, 1.0, 0.1, 0.2, kind="put")
+    assert float(r.price) <= oracle + 3.0 * float(r.stderr)
+    assert float(r.price) >= oracle - 4.0 * float(r.stderr) - 0.06
+
+
+def test_american_dominates_european_same_surface():
+    """American put >= European put under the SAME smile surface, with
+    the clearly positive early-exercise premium r=0.1 commands."""
+    from mc_tpu.lsmc import price_american_localvol
+    sim = SimParams(n_paths=100_000, n_steps=50)
+    surf = LocalVolSurface.from_function(
+        lambda x, t: 0.2 + 0.3 * x * x, 50)
+    amer = price_american_localvol(surf=surf, sim=sim)
+    euro = price_localvol(OptionParams(), surf, sim,
+                          payoff="vanilla_put", engine="xla",
+                          antithetic=True, tile_rows=8)
+    assert float(amer.price) > float(euro.price) + 0.2, (
+        float(amer.price), float(euro.price))

@@ -210,6 +210,20 @@ def test_vasicek():
                       payoff="vanilla_call", tile_rows=8))
 
 
+def test_localvol_american_compiled_vs_interpret():
+    """Local-vol trajectory kernel + S-basis LSMC on the real chip."""
+    from mc_tpu.lsmc import price_american_localvol
+    from mc_tpu.models.localvol import LocalVolSurface
+    sim = SimParams(n_paths=4096, n_steps=8)
+    surf = LocalVolSurface.from_function(
+        lambda x, t: 0.2 + 0.1 * x * x, 8)
+    c = price_american_localvol(surf=surf, sim=sim, interpret=False)
+    i = price_american_localvol(surf=surf, sim=sim, interpret=True)
+    np.testing.assert_array_equal(np.asarray(c.price), np.asarray(i.price))
+    np.testing.assert_array_equal(np.asarray(c.stderr),
+                                  np.asarray(i.stderr))
+
+
 def test_vasicek_american_compiled_vs_interpret():
     """Vasicek trajectory kernel + (S, r)-basis LSMC with pathwise
     discounting on the real chip."""
