@@ -231,9 +231,7 @@ def localvol_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS,
                                         _price_localvol_impl)
     from mc_tpu.ops.payoffs import get_payoff
     sim = SimParams(n_paths=n_paths, n_steps=n_steps)
-    surf = LocalVolSurface.from_function(
-        lambda x, t: 0.2 + 0.1 * x * x + 0.05 * t, n_steps,
-        n_knots=n_knots).as_f32()
+    surf = LocalVolSurface.demo(n_steps).as_f32()
     po = get_payoff("vanilla_call")
 
     def one(key):

@@ -740,7 +740,8 @@ def cmd_localvol(args):
                          tile_rows=args.tile_rows)
     out = {"payoff": args.payoff, "price": float(res.price),
            "stderr": float(res.stderr)}
-    if args.beta is not None and args.payoff == "vanilla_call":
+    if (args.beta is not None and args.payoff == "vanilla_call"
+            and 0.0 < args.beta < 1.0):  # the ncx2 form's validity range
         from mc_tpu.models.cev import cev_call_closed_form
         out["cev_oracle"] = cev_call_closed_form(
             args.s0, args.k, args.t, args.r,

@@ -672,12 +672,9 @@ def price_american_localvol(option: OptionParams = DEMO_OPTION,
     CRR binomial American; a skewed surface (more vol below spot) must
     RAISE the American put above its flat-ATM-vol value.
     """
-    from mc_tpu.models.localvol import DEMO_LOCALVOL, LocalVolSurface
+    from mc_tpu.models.localvol import LocalVolSurface
     if surf is None:
-        surf = (DEMO_LOCALVOL if sim.n_steps == 100 else
-                LocalVolSurface.from_function(
-                    lambda x, t: 0.2 + 0.1 * x * x + 0.05 * t,
-                    sim.n_steps))
+        surf = LocalVolSurface.demo(sim.n_steps)
     po = get_payoff(payoff)
     if po.n_state > 1:
         raise ValueError("LSMC supports payoffs with at most one state "

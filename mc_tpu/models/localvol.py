@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from types import SimpleNamespace
+
 from typing import Any, Optional
 
 import jax
@@ -39,6 +39,7 @@ import numpy as np
 from mc_tpu import rng
 from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
 from mc_tpu.engines import STREAM_OUTER
+from mc_tpu.models.term import _unpack_term_head
 from mc_tpu.oracle import PriceResult, summarize
 from mc_tpu.ops import path_kernels as pk
 from mc_tpu.ops._pallas import (LANES, SUBLANES, use_interpret,
@@ -92,10 +93,18 @@ class LocalVolSurface:
         return LocalVolSurface.from_function(
             lambda x, t: sigma, n_steps, n_knots=n_knots)
 
+    @staticmethod
+    def demo(n_steps: int = 100):
+        """The demo surface (a mild smile deepening with time) at any
+        step count — the ONE definition the single-chip default, the
+        sharded default, the LSMC default, tests and bench all share
+        (their 1-device bitwise-parity checks require identical
+        values)."""
+        return LocalVolSurface.from_function(
+            lambda x, t: 0.2 + 0.1 * x * x + 0.05 * t, n_steps)
 
-DEMO_LOCALVOL = LocalVolSurface.from_function(
-    # a mild smile deepening with time
-    lambda x, t: 0.2 + 0.1 * x * x + 0.05 * t, 100)
+
+DEMO_LOCALVOL = LocalVolSurface.demo(100)
 
 # SMEM layout:
 # [s0, k, t, barrier, p1, p2, q, dt, inv_n, r, sigma_ref,
@@ -110,22 +119,22 @@ def _pack_localvol(option, surf, n_steps):
     vols = jnp.asarray(surf.vols, jnp.float32)
     n = jnp.float32(n_steps)
     dt = t / n
-    # sigma_ref: time-averaged ATM vol (payoffs that read p.sigma, e.g.
-    # bridge-barrier weights, see this)
-    k_atm = surf.n_knots // 2
-    sigma_ref = jnp.sqrt(jnp.mean(vols[:, k_atm] ** 2))
-    head = jnp.stack([s0, k, t, barrier, p1, p2, q, dt, 1.0 / n, r,
-                      sigma_ref])
     dx = xs[1:] - xs[:-1]
     slopes = (vols[:, 1:] - vols[:, :-1]) / dx[None, :]
+    # sigma_ref: time-rms of the TRUE at-the-money vol (the surface
+    # interpolated at x = 0, correct for asymmetric knot grids) —
+    # payoffs that read p.sigma (e.g. bridge-barrier weights) see this
+    atm = vols[:, 0] + jnp.sum(
+        slopes * jnp.clip(0.0 - xs[:-1], 0.0, dx)[None, :], axis=1)
+    sigma_ref = jnp.sqrt(jnp.mean(atm * atm))
+    head = jnp.stack([s0, k, t, barrier, p1, p2, q, dt, 1.0 / n, r,
+                      sigma_ref])
     return jnp.concatenate([head, xs, dx, vols[:, 0],
                             slopes.reshape(-1)])
 
 
-def _unpack_localvol_head(ref):
-    names = ("s0", "k", "t", "barrier", "p1", "p2", "q", "dt",
-             "inv_n_steps", "r", "sigma")
-    return SimpleNamespace(**{nm: ref[i] for i, nm in enumerate(names)})
+# identical head layout as the term-structure kernel — ONE definition
+_unpack_localvol_head = _unpack_term_head
 
 
 def _make_sigma_at(params, n_steps: int, n_knots: int):
@@ -302,6 +311,13 @@ def price_localvol(option: OptionParams = DEMO_OPTION,
             f"n_steps={sim.n_steps})")
     if s32.n_knots < 2:
         raise ValueError("need at least 2 knots")
+    try:  # concrete knots: catch non-ascending grids (dx<=0 => inf/NaN)
+        xs = np.asarray(surf.x_knots, np.float64)
+        if not np.all(np.diff(xs) > 0.0):
+            raise ValueError(
+                f"x_knots must be strictly ascending, got {xs.tolist()}")
+    except TypeError:
+        pass  # traced knots — cannot check at entry
     if sim.n_steps % 2:
         raise ValueError("localvol requires an even n_steps "
                          "(pair-consuming step loop)")

@@ -212,8 +212,7 @@ def price_model_sharded(model: str,
                                            sim.n_steps)
         elif model == "localvol":
             from mc_tpu.models.localvol import LocalVolSurface
-            dyn = LocalVolSurface.from_function(
-                lambda x, t: 0.2 + 0.1 * x * x + 0.05 * t, sim.n_steps)
+            dyn = LocalVolSurface.demo(sim.n_steps)
         else:
             from mc_tpu.models.sabr import DEMO_SABR as dyn
     if model == "term" and dyn.rates.shape[0] != sim.n_steps:

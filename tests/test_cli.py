@@ -112,3 +112,28 @@ def test_model_family_commands(capsys):
         assert main(argv) == 0, argv
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert key in out, (argv, out)
+
+
+def test_model_family_commands_round2(capsys):
+    """Round-2 model subcommands: each emits its oracle column (merton,
+    sabr, vasicek, term, localvol) and the localvol/vasicek American
+    variants run end to end."""
+    import json
+
+    from mc_tpu.cli import main
+    small = ["--n-paths", "8192", "--n-steps", "8"]
+    for argv, key in (
+            (["merton", *small], "merton_series_oracle"),
+            (["sabr", *small], "hagan_oracle"),
+            (["vasicek", "--payoff", "zcb", *small], "oracle"),
+            (["term", *small], "oracle"),
+            (["localvol", "--beta", "0.7", *small], "cev_oracle"),
+            # out-of-range beta: price still printed, oracle skipped
+            (["localvol", "--beta", "1.2", *small], "price"),
+            (["american", "--model", "localvol", "--n-paths", "4096",
+              "--n-steps", "8"], "price"),
+            (["american", "--model", "vasicek", "--n-paths", "4096",
+              "--n-steps", "8"], "price")):
+        assert main(argv) == 0, argv
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert key in out, (argv, out)

@@ -21,8 +21,7 @@ def _single_chip(model, **kw):
         return price_term(OPT, dyn, sim=SIM, **kw)
     if model == "localvol":
         from mc_tpu.models.localvol import LocalVolSurface, price_localvol
-        dyn = LocalVolSurface.from_function(
-            lambda x, t: 0.2 + 0.1 * x * x + 0.05 * t, SIM.n_steps)
+        dyn = LocalVolSurface.demo(SIM.n_steps)
         return price_localvol(OPT, dyn, sim=SIM, **kw)
     if model == "heston":
         from mc_tpu.models.heston import price_heston as fn

@@ -197,8 +197,7 @@ def test_term_structure():
 def test_localvol():
     """Clamped-ramp surface interpolation inside the step loop."""
     from mc_tpu.models.localvol import LocalVolSurface, price_localvol
-    surf = LocalVolSurface.from_function(
-        lambda x, t: 0.2 + 0.1 * x * x + 0.05 * t, SIM.n_steps)
+    surf = LocalVolSurface.demo(SIM.n_steps)
     _assert_tri(*_tri(price_localvol, option=OPT, surf=surf, sim=SIM,
                       tile_rows=8))
 
