@@ -204,6 +204,17 @@ def cmd_nmc(args):
                              rho=args.rho_sv)
         res = price_nmc_heston(option, dyn, sim, payoff=args.payoff,
                                engine=args.engine)
+    elif args.model == "localvol":
+        if args.discount != "full" or args.strategy != "fused":
+            raise SystemExit("--discount / --strategy are fixed "
+                             "(full / fused) with --model localvol")
+        from mc_tpu.models.localvol import LocalVolSurface
+        from mc_tpu.nmc_localvol import price_nmc_localvol
+        surf = LocalVolSurface.from_function(
+            lambda x, t: args.sigma + args.smile_curv * x * x,
+            sim.n_steps)
+        res = price_nmc_localvol(option, surf, sim, payoff=args.payoff,
+                                 engine=args.engine)
     elif args.model == "vasicek":
         if args.discount != "full" or args.strategy != "fused":
             raise SystemExit("--discount / --strategy are fixed "
@@ -839,7 +850,8 @@ def main(argv=None):
                    help="flat hazard rate: emit unilateral CVA")
     p.add_argument("--cva-recovery", type=float, default=0.4)
     p.add_argument("--model",
-                   choices=("gbm", "heston", "merton", "vasicek"),
+                   choices=("gbm", "heston", "merton", "vasicek",
+                            "localvol"),
                    default="gbm")
     p.add_argument("--v0", type=float, default=0.04)
     p.add_argument("--kappa", type=float, default=2.0)
@@ -857,6 +869,8 @@ def main(argv=None):
     p.add_argument("--sigma-r", type=float, default=0.015)
     p.add_argument("--rho-r", type=float, default=-0.3,
                    help="equity/rate correlation")
+    p.add_argument("--smile-curv", type=float, default=0.1,
+                   help="localvol: sigma(x) = sigma + curv*x^2")
     p.set_defaults(fn=cmd_nmc)
 
     p = sub.add_parser("traj", help="dump trajectories CSV (testing.cu)")

@@ -235,6 +235,20 @@ def test_vasicek_american_compiled_vs_interpret():
                                   np.asarray(i.stderr))
 
 
+def test_nmc_localvol():
+    """Smile NMC: surface lookups in both outer and inner kernels."""
+    from mc_tpu.models.localvol import LocalVolSurface
+    from mc_tpu.nmc_localvol import price_nmc_localvol
+    sim = SimParams(n_paths=2048, n_steps=4, n_paths_inner=8)
+    surf = LocalVolSurface.demo(4)
+    c, i, x = _tri(price_nmc_localvol, surf=surf, sim=sim, tile_rows=8)
+    _assert_tri(c.outer, i.outer, x.outer)
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(i.surface))
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(x.surface))
+
+
 def test_nmc_vasicek():
     """Stochastic-discounting NMC: (S, x, y, state) grids + inner legs."""
     from mc_tpu.nmc_vasicek import price_nmc_vasicek
