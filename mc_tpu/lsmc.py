@@ -672,17 +672,14 @@ def price_american_localvol(option: OptionParams = DEMO_OPTION,
     CRR binomial American; a skewed surface (more vol below spot) must
     RAISE the American put above its flat-ATM-vol value.
     """
-    from mc_tpu.models.localvol import LocalVolSurface
+    from mc_tpu.models.localvol import LocalVolSurface, validate_surface
     if surf is None:
         surf = LocalVolSurface.demo(sim.n_steps)
     po = get_payoff(payoff)
     if po.n_state > 1:
         raise ValueError("LSMC supports payoffs with at most one state "
                          "array")
-    s32 = surf.as_f32()
-    if s32.n_steps != sim.n_steps:
-        raise ValueError(f"surface has {s32.n_steps} steps, sim has "
-                         f"{sim.n_steps}")
+    s32 = validate_surface(surf, sim.n_steps)
     if sim.n_steps % 2:
         raise ValueError("localvol requires an even n_steps")
     if exercise_every < 1:

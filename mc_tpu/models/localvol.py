@@ -106,6 +106,28 @@ class LocalVolSurface:
 
 DEMO_LOCALVOL = LocalVolSurface.demo(100)
 
+
+def validate_surface(surf: LocalVolSurface, n_steps: int) -> LocalVolSurface:
+    """Shared entry-point validation (price / NMC / LSMC): step count,
+    knot count, and strictly-ascending knots (dx <= 0 would produce
+    infinite slopes and silent NaN prices).  Returns surf.as_f32()."""
+    s32 = surf.as_f32()
+    if s32.n_steps != n_steps:
+        raise ValueError(
+            f"surface has {s32.n_steps} steps, sim has {n_steps}; "
+            f"build with LocalVolSurface.from_function(..., "
+            f"n_steps={n_steps})")
+    if s32.n_knots < 2:
+        raise ValueError("need at least 2 knots")
+    try:  # concrete knots: catch non-ascending grids
+        xs = np.asarray(surf.x_knots, np.float64)
+        if not np.all(np.diff(xs) > 0.0):
+            raise ValueError(
+                f"x_knots must be strictly ascending, got {xs.tolist()}")
+    except TypeError:
+        pass  # traced knots — cannot check at entry
+    return s32
+
 # SMEM layout:
 # [s0, k, t, barrier, p1, p2, q, dt, inv_n, r, sigma_ref,
 #  x_knots(K), dx(K-1), v0(n_steps), slopes(n_steps*(K-1))]
@@ -303,21 +325,7 @@ def price_localvol(option: OptionParams = DEMO_OPTION,
     """
     po = get_payoff(payoff)
     po.validate(option, sim.n_steps)
-    s32 = surf.as_f32()
-    if s32.n_steps != sim.n_steps:
-        raise ValueError(
-            f"surface has {s32.n_steps} steps, sim has {sim.n_steps}; "
-            f"build with LocalVolSurface.from_function(..., "
-            f"n_steps={sim.n_steps})")
-    if s32.n_knots < 2:
-        raise ValueError("need at least 2 knots")
-    try:  # concrete knots: catch non-ascending grids (dx<=0 => inf/NaN)
-        xs = np.asarray(surf.x_knots, np.float64)
-        if not np.all(np.diff(xs) > 0.0):
-            raise ValueError(
-                f"x_knots must be strictly ascending, got {xs.tolist()}")
-    except TypeError:
-        pass  # traced knots — cannot check at entry
+    s32 = validate_surface(surf, sim.n_steps)
     if sim.n_steps % 2:
         raise ValueError("localvol requires an even n_steps "
                          "(pair-consuming step loop)")

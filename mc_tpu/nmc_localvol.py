@@ -16,10 +16,11 @@ a NON-NEGATIVE payoff is a martingale, so a vanilla call's expected-
 exposure profile must be FLAT at the time-0 price at EVERY step — the
 smile moves the PFE quantiles, never the EE mean.
 
-Inner-draw convention: point (i, j), inner path m, substep u consumes
-threefry pair ``((j+1)*n_inner + m)*n_steps + u`` on the inner key and
-uses its FIRST normal (one normal per substep; the local-vol step needs
-only one).
+Inner-draw convention: point (i, j), inner path m consumes threefry
+pairs ``((j+1)*n_inner + m)*pair_cap + q`` on the inner key,
+pair_cap = ceil(n_steps/2), two substeps per pair with the trailing odd
+substep dropped by a uniform predicated select (the
+`nmc_kernels._simulate_resumed` scheme — both normals used).
 """
 
 from __future__ import annotations
@@ -35,7 +36,8 @@ from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
 from mc_tpu.models.localvol import (DEMO_LOCALVOL, LocalVolSurface,
                                     _make_sigma_at, _pack_localvol,
                                     _unpack_localvol_head,
-                                    localvol_trajectories_kernel)
+                                    localvol_trajectories_kernel,
+                                    validate_surface)
 from mc_tpu.nmc import NMCResult
 from mc_tpu.oracle import summarize
 from mc_tpu.ops import path_kernels as pk
@@ -52,30 +54,48 @@ def _localvol_point_tile(payoff: PathPayoff, n_steps: int, n_inner: int,
                          p, sigma_at, ki0, ki1, ids, j, s_t, state_t,
                          bitcast):
     """Inner-MC payoff SUM over n_inner local-vol legs resumed from one
-    (path-tile, step j) point; the caller divides and discounts."""
+    (path-tile, step j) point; the caller divides and discounts.
+
+    Both normals of each threefry pair are consumed (two substeps per
+    pair, the established `nmc_kernels._simulate_resumed` scheme); the
+    trailing odd substep is dropped by a uniform predicated select.
+    """
     remaining = jnp.int32(n_steps) - j - 1
+    pair_cap = (n_steps + 1) // 2  # static counter stride per inner path
     t_base = ((jnp.asarray(j, jnp.uint32) + jnp.uint32(1))
               * jnp.uint32(n_inner))
     base_drift = (p.r - p.q) * p.dt
     sdt = jnp.sqrt(p.dt)
     w0 = jnp.log(s_t / p.s0)  # absolute log-moneyness at the point
+    last = jnp.int32(n_steps - 1)
+
+    def substep(w, state, z, u):
+        # clamp the (masked-out) overrun substep's surface index in-range
+        sg = sigma_at(w, jnp.minimum(u, last))
+        w = w + (base_drift - 0.5 * sg * sg * p.dt) + sg * sdt * z
+        return w, payoff.update(state, p.s0 * jnp.exp(w), p)
 
     def inner(m, carry):
         acc, comp = carry
         c_base = ((t_base + jnp.asarray(m, jnp.uint32))
-                  * jnp.uint32(n_steps))
+                  * jnp.uint32(pair_cap))
 
-        def step(u, carry2):
+        def body(q, carry2):
             w, state = carry2
             c1 = (jnp.full(ids.shape, 0, jnp.uint32) + c_base
-                  + jnp.asarray(u, jnp.uint32))
-            z, _ = rng.normal_pair(ki0, ki1, ids, c1, bitcast=bitcast)
-            sg = sigma_at(w, j + 1 + u)
-            w = w + (base_drift - 0.5 * sg * sg * p.dt) + sg * sdt * z
-            s = p.s0 * jnp.exp(w)
-            return (w, payoff.update(state, s, p))
+                  + jnp.asarray(q, jnp.uint32))
+            z0, z1 = rng.normal_pair(ki0, ki1, ids, c1, bitcast=bitcast)
+            u1 = j + 1 + 2 * q
+            w1, st1 = substep(w, state, z0, u1)
+            w2, st2 = substep(w1, st1, z1, u1 + 1)
+            take2 = (2 * q + 1) < remaining
+            w = jnp.where(take2, w2, w1)
+            state = tuple(jnp.where(take2, b, a)
+                          for a, b in zip(st1, st2))
+            return (w, state)
 
-        w, state = jax.lax.fori_loop(0, remaining, step, (w0, state_t))
+        n_pairs = (remaining + 1) // 2
+        w, state = jax.lax.fori_loop(0, n_pairs, body, (w0, state_t))
         pay = payoff.terminal(state, p.s0 * jnp.exp(w), p)
         y = pay - comp
         t = acc + y
@@ -275,18 +295,16 @@ def price_nmc_localvol(option: OptionParams = DEMO_OPTION,
     if po.n_state > 1:
         raise ValueError("NMC supports payoffs with at most one state "
                          "array")
-    s32 = surf.as_f32()
-    if s32.n_steps != sim.n_steps:
-        raise ValueError(f"surface has {s32.n_steps} steps, sim has "
-                         f"{sim.n_steps}")
+    s32 = validate_surface(surf, sim.n_steps)
     if sim.n_steps % 2:
         raise ValueError("localvol requires an even n_steps "
                          "(pair-consuming outer loop)")
-    span = (sim.n_steps + 1) * sim.n_paths_inner * sim.n_steps
+    span = ((sim.n_steps + 1) * sim.n_paths_inner
+            * ((sim.n_steps + 1) // 2))
     if span >= 1 << 32:
         raise ValueError(
             "inner RNG counter space exhausted: "
-            "(n_steps+1)*n_inner*n_steps = "
+            "(n_steps+1)*n_inner*ceil(n_steps/2) = "
             f"{span} >= 2^32; reduce n_steps or n_paths_inner")
     key_outer = jnp.asarray(
         rng.derive_key(sim.seed, stream_outer, 0x10CA), jnp.uint32)

@@ -78,3 +78,7 @@ def test_validation():
         price_nmc_localvol(surf=LocalVolSurface.flat(0.2, 4096),
                            sim=SimParams(n_paths=256, n_steps=4096,
                                          n_paths_inner=512))
+    bad = LocalVolSurface(x_knots=np.array([0.5, -0.5], np.float32),
+                          vols=np.full((8, 2), 0.2, np.float32))
+    with pytest.raises(ValueError, match="ascending"):
+        price_nmc_localvol(surf=bad, sim=SIM)
