@@ -111,6 +111,21 @@ class DigitalCall(PathPayoff):
         return jnp.where(s > p.k, 1.0, 0.0)
 
 
+class DigitalPut(PathPayoff):
+    """Cash-or-nothing digital put: pays 1 iff S_T < K.
+
+    Complement of the digital call (pathwise: put + call + 1{S_T==K}
+    = 1), so the closed form is e^{-rT} N(-d2) and the MC pair sums to
+    the discount bond exactly — the parity gate in test_payoffs.
+    """
+
+    name = "digital_put"
+    terminal_only = True
+
+    def terminal(self, state, s, p):
+        return jnp.where(s < p.k, 1.0, 0.0)
+
+
 class ZeroCouponBond(PathPayoff):
     """Pays 1 at maturity.  Trivial under deterministic rates (price is
     e^{-rT} exactly); under the stochastic-rate model (`models.vasicek`,
@@ -492,7 +507,7 @@ PAYOFFS: Dict[str, PathPayoff] = {
         AsianCall(), AsianCallGeoCV(), UpOutCall(), DownInCall(),
         DownOutCall(), UpOutCallBB(), DownOutCallBB(),
         LookbackFixedCall(), VarianceSwap(), ZeroCouponBond(),
-        ForwardStartCall(), Cliquet(),
+        ForwardStartCall(), Cliquet(), DigitalPut(),
     )
 }
 

@@ -26,6 +26,7 @@ from jax.scipy.stats import norm
 __all__ = [
     "bs_call",
     "bs_digital_call",
+    "bs_digital_put",
     "bs_put",
     "bs_delta_call",
     "bs_up_out_call",
@@ -73,6 +74,15 @@ def bs_digital_call(s0, k, t, r, sigma, q=0.0):
     st = sigma * jnp.sqrt(t)
     d2 = (jnp.log(s0 / k) + (r - q - 0.5 * sigma * sigma) * t) / st
     return jnp.exp(-r * t) * norm.cdf(d2)
+
+
+def bs_digital_put(s0, k, t, r, sigma, q=0.0):
+    """Cash-or-nothing digital put: e^{-rT} N(-d2) (digital parity:
+    call + put = e^{-rT})."""
+    s0, k, t, r, sigma, q = map(jnp.float32, (s0, k, t, r, sigma, q))
+    st = sigma * jnp.sqrt(t)
+    d2 = (jnp.log(s0 / k) + (r - q - 0.5 * sigma * sigma) * t) / st
+    return jnp.exp(-r * t) * norm.cdf(-d2)
 
 
 def bs_delta_call(s0, k, t, r, sigma, q=0.0):

@@ -7,6 +7,8 @@ strategy (SURVEY.md section 4) made quantitative:
 3. variance-reduction contracts (new scope, BASELINE.json config 3).
 """
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -244,6 +246,17 @@ def test_engine_duality_fuzz():
             p1=float(rng_np.integers(0, max(n_steps // 2, 1) + 1)),
             p2=float(rng_np.integers(n_steps // 2, n_steps + 1)),
             q=float(rng_np.uniform(0.0, 0.05)))
+        if name == "cliquet":
+            # k/p1/p2 are repurposed (period length / floor / cap) and
+            # validated — draw them from their own legal ranges
+            opt = dataclasses.replace(
+                opt, k=float(rng_np.integers(1, n_steps + 1)),
+                p1=float(rng_np.uniform(-0.1, 0.0)),
+                p2=float(rng_np.uniform(0.0, 0.1)))
+        elif name == "forward_start_call":
+            opt = dataclasses.replace(
+                opt, k=float(rng_np.uniform(0.8, 1.2)),
+                p1=float(rng_np.integers(0, n_steps + 1)))
         sim = SimParams(n_paths=int(rng_np.integers(1, 4)) * 2048,
                         n_steps=n_steps, seed=int(rng_np.integers(1e6)))
         kw = dict(method=method, tile_rows=8,

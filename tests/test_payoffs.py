@@ -139,3 +139,25 @@ def test_digital_lrm_delta_vs_closed_form():
     import pytest
     with pytest.raises(ValueError, match="lrm"):
         greeks(payoff="digital_call", method="pathwise")
+
+
+def test_digital_put_parity_and_closed_form():
+    """digital_put == e^{-rT} N(-d2), and put + call on the SAME key sum
+    to the discount bond exactly (pathwise complement)."""
+    import numpy as np
+
+    from mc_tpu import SimParams, price
+    from mc_tpu.oracle import bs_digital_put
+    cf = float(bs_digital_put(100.0, 100.0, 1.0, 0.1, 0.2))
+    sim = SimParams(n_paths=1 << 20, n_steps=10)
+    p = price(sim=sim, payoff="digital_put", engine="pallas", tile_rows=8)
+    c = price(sim=sim, payoff="digital_call", engine="pallas", tile_rows=8)
+    x = price(sim=sim, payoff="digital_put", engine="xla", tile_rows=8)
+    assert float(p.price) == float(x.price)
+    assert abs(float(p.price) - cf) <= 4.0 * float(p.stderr), (
+        float(p.price), cf)
+    # pathwise complement (P(S_T == K) = 0 a.s. in f32 here)
+    import math
+    bond = math.exp(-0.1)
+    assert float(p.price) + float(c.price) == pytest.approx(bond,
+                                                            rel=2e-6)
