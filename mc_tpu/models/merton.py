@@ -122,6 +122,11 @@ def poisson_kmax(lam: float, tail: float = 1e-12) -> int:
         k += 1
         pmf *= lam / k
         cdf += pmf
+    if cdf < 1.0 - tail:
+        raise ValueError(
+            f"Poisson scan depth would exceed 256 at intensity lam={lam} "
+            f"(truncated tail {1.0 - cdf:.3e} > {tail:.0e} design target); "
+            "reduce lam*dt by using more steps or a lower jump intensity")
     return max(k, 1)
 
 
@@ -418,6 +423,7 @@ def price_merton(option: OptionParams = DEMO_OPTION,
     path-dependent payoffs see the jumps at step resolution.
     """
     po = get_payoff(payoff)
+    po.validate(option, sim.n_steps)
     if method == "terminal" and not po.terminal_only:
         raise ValueError(f"payoff {po.name!r} is path-dependent; "
                          "method='terminal' would ignore its path state")

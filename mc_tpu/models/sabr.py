@@ -227,6 +227,7 @@ def price_sabr(option: OptionParams = DEMO_OPTION,
     """Monte Carlo price under SABR (payoffs evaluated on the FORWARD
     path; European payoffs discounted at e^{-rT})."""
     po = get_payoff(payoff)
+    po.validate(option, sim.n_steps)
     if key is None:
         key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x5AB4),
                           jnp.uint32)

@@ -275,10 +275,13 @@ def price_nmc_merton(option: OptionParams = DEMO_OPTION,
                          "array")
     if sim.n_steps % 2:
         raise ValueError("Merton requires an even n_steps")
-    span = sim.n_steps * sim.n_paths_inner * 2 * sim.n_steps
+    # t_base uses j+1 (max n_steps), so the counter layout spans
+    # 2*(n_steps+1)*n_inner per step-row — same form as nmc_vasicek.
+    span = 2 * (sim.n_steps + 1) * sim.n_paths_inner * sim.n_steps
     if span >= 1 << 32:
         raise ValueError(
-            "inner RNG counter space exhausted: 2 * n_steps^2 * n_inner = "
+            "inner RNG counter space exhausted: "
+            "2*(n_steps+1)*n_inner*n_steps = "
             f"{span} >= 2^32; reduce n_steps or n_paths_inner")
     kmax = poisson_kmax(float(dyn.lam) * float(option.t) / sim.n_steps)
     key_outer = jnp.asarray(

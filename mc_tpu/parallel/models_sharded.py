@@ -192,6 +192,7 @@ def price_model_sharded(model: str,
         po = payoff
     else:
         po = get_payoff("vanilla_call" if payoff is None else payoff)
+        po.validate(option, sim.n_steps)
     mesh = mesh if mesh is not None else make_mesh()
     kmax = 0
     if dyn is None:
@@ -219,10 +220,9 @@ def price_model_sharded(model: str,
         raise ValueError(
             f"term structure has {dyn.rates.shape[0]} steps, sim has "
             f"{sim.n_steps}")
-    if model == "localvol" and dyn.vols.shape[0] != sim.n_steps:
-        raise ValueError(
-            f"surface has {dyn.vols.shape[0]} steps, sim has "
-            f"{sim.n_steps}")
+    if model == "localvol":
+        from mc_tpu.models.localvol import validate_surface
+        dyn = validate_surface(dyn, sim.n_steps)
     if model in ("cev", "merton", "vasicek", "term",
                  "localvol") and sim.n_steps % 2:
         raise ValueError(f"{model} requires an even n_steps "

@@ -121,6 +121,22 @@ def test_poisson_kmax_tail():
     assert poisson_kmax(100.0) < 256
 
 
+def test_poisson_kmax_depth_overflow_raises():
+    """Intensities whose 1e-12 tail needs >256 scan steps must raise,
+    not silently truncate (the bias would be invisible otherwise)."""
+    with pytest.raises(ValueError, match="scan depth"):
+        poisson_kmax(250.0)
+
+
+def test_price_merton_validates_payoff():
+    """price_merton runs the payoff validate hook (forward_start_call
+    with an out-of-range determination step must not silently price the
+    degenerate vanilla)."""
+    opt = OptionParams(p1=999.0)
+    with pytest.raises(ValueError, match="determination step"):
+        price_merton(opt, DEMO_MERTON, SIM, payoff="forward_start_call")
+
+
 def test_dividend_yield_through_merton():
     """q shifts the forward; series oracle and MC agree."""
     opt = OptionParams(q=0.03)

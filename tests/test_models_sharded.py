@@ -93,3 +93,25 @@ def test_merton_odd_steps_rejected():
     with pytest.raises(ValueError, match="even n_steps"):
         price_model_sharded("merton", OPT,
                             sim=SimParams(n_paths=2048, n_steps=9))
+
+
+def test_sharded_localvol_rejects_bad_knots():
+    """The sharded localvol path must run the full validate_surface
+    check (ADVICE r2): non-ascending knots raise instead of pricing NaN."""
+    from mc_tpu.models.localvol import LocalVolSurface
+    sim = SimParams(n_paths=2048, n_steps=10)
+    good = LocalVolSurface.demo(sim.n_steps)
+    import numpy as np
+    xs = np.asarray(good.x_knots)[::-1].copy()  # descending
+    bad = LocalVolSurface(x_knots=xs, vols=good.vols)
+    with pytest.raises(ValueError, match="ascending"):
+        price_model_sharded("localvol", OPT, bad, sim)
+
+
+def test_sharded_validates_payoff():
+    """price_model_sharded runs the payoff validate hook (ADVICE r2)."""
+    opt = OptionParams(p1=999.0)
+    with pytest.raises(ValueError, match="determination step"):
+        price_model_sharded("heston", opt,
+                            sim=SimParams(n_paths=2048, n_steps=10),
+                            payoff="forward_start_call")

@@ -101,3 +101,12 @@ def test_path_payoff_on_forward():
     # forward path drifts from S0 e^{(r-q)T}: the running mean sits ABOVE
     # the spot-path mean, but still below the terminal-payoff call value
     assert float(asian.price) < 1.5 * float(vanilla.price)
+
+
+def test_price_sabr_validates_payoff():
+    """price_sabr runs the payoff validate hook (ADVICE r2): a cliquet
+    with floor > cap must raise instead of pricing the degenerate leg."""
+    opt = OptionParams(k=10.0, p1=0.5, p2=0.1)
+    with pytest.raises(ValueError, match="floor"):
+        price_sabr(opt, DEMO_SABR, SimParams(n_paths=2048, n_steps=10),
+                   payoff="cliquet")
