@@ -87,6 +87,21 @@ def kernel_seconds(payoff_name="vanilla_call", method="terminal",
         k *= 4
 
 
+def median_of(fn, m=5):
+    """Repeat a full measurement m times; return (median, rel_spread).
+
+    BASELINE.md documents 18-25e9 paths/s run-to-run spread on the
+    headline through the tunnel — a single draw is noise, the median of
+    m independent T(K)-T(1) measurements is signal.  rel_spread =
+    (max - min) / median over the m samples.
+    """
+    samples = sorted(fn() for _ in range(m))
+    med = samples[m // 2] if m % 2 else 0.5 * (samples[m // 2 - 1]
+                                               + samples[m // 2])
+    spread = (samples[-1] - samples[0]) / med if med > 0 else 0.0
+    return med, spread
+
+
 def _trivial_fetch_overhead(reps=5):
     """Seconds of fixed per-call overhead (dispatch + tunnel fetch)."""
     f = jax.jit(lambda x: x + 1.0)
@@ -382,16 +397,22 @@ def billion_path_run(payoff="vanilla_call", n_steps=N_STEPS):
 
 def main():
     # Headline: 1M-path European call (exact terminal draw).
-    dt = kernel_seconds()
+    # Median of 5 independent measurements — the tunnel's run-to-run
+    # spread (documented 18-25e9 paths/s, BASELINE.md) makes single
+    # draws noise; spread is recorded so round-over-round deltas in
+    # BENCH_r*.json can be read against it.
+    dt, dt_spread = median_of(kernel_seconds, 5)
     paths_per_sec = N_PATHS / dt
 
     # Step-loop workload at all three RNG sources (trajectories.cuh:144-148
     # analogue): BigCrush-minimal 13-round threefry (the default),
     # 20-round safety-margin stream, hardware PRNG.
-    dt_bullet = kernel_seconds("bullet_call", "euler")  # threefry13 default
+    dt_bullet, bullet_spread = median_of(
+        lambda: kernel_seconds("bullet_call", "euler"), 5)  # threefry13
     bullet_ps = N_PATHS * N_STEPS / dt_bullet
     dt_b20 = kernel_seconds("bullet_call", "euler", rng_source="threefry")
-    dt_bhw = kernel_seconds("bullet_call", "euler", rng_source="hw")
+    dt_bhw, hw_spread = median_of(
+        lambda: kernel_seconds("bullet_call", "euler", rng_source="hw"), 3)
 
     # Model-family + technique kernels.
     dt_heston = heston_kernel_seconds()
@@ -428,6 +449,10 @@ def main():
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "kernel_ms_1M_call": round(dt * 1e3, 4),
+            "headline_median_of": 5,
+            "headline_rel_spread": round(dt_spread, 4),
+            "bullet_rel_spread": round(bullet_spread, 4),
+            "bullet_hw_rel_spread": round(hw_spread, 4),
             "bullet_path_steps_per_sec": round(bullet_ps, 1),
             "bullet_path_steps_per_sec_threefry20":
                 round(N_PATHS * N_STEPS / dt_b20, 1),
