@@ -3,10 +3,13 @@
 
 PY ?= python
 
-.PHONY: test tpu-smoke bench demo native clean
+.PHONY: test test-fast tpu-smoke bench demo native clean
 
-test:  ## CPU test suite on the 8-device virtual mesh
+test:  ## full CPU test suite on the 8-device virtual mesh (merge gate)
 	$(PY) -m pytest tests/ -q
+
+test-fast:  ## inner-loop tier: skips the statistically heavy `slow` tests
+	$(PY) -m pytest tests/ -q -m "not slow"
 
 tpu-smoke:  ## compiled-Mosaic parity gate on the real chip (all kernel families)
 	$(PY) -m pytest tests_tpu/ -q

@@ -235,6 +235,15 @@ def cmd_nmc(args):
                              sigma_j=args.sigma_j)
         res = price_nmc_merton(option, dyn, sim, payoff=args.payoff,
                                engine=args.engine)
+    elif args.model == "cev":
+        if args.discount != "full" or args.strategy != "fused":
+            raise SystemExit("--discount / --strategy are fixed "
+                             "(full / fused) with --model cev")
+        from mc_tpu.models.cev import CEVDynamics
+        from mc_tpu.nmc_cev import price_nmc_cev
+        dyn = CEVDynamics.from_atm_vol(args.sigma_atm, args.beta, args.s0)
+        res = price_nmc_cev(option, dyn, sim, payoff=args.payoff,
+                            engine=args.engine)
     else:
         res = price_nmc(option, sim, payoff=args.payoff,
                         strategy=args.strategy, engine=args.engine,
@@ -851,8 +860,12 @@ def main(argv=None):
     p.add_argument("--cva-recovery", type=float, default=0.4)
     p.add_argument("--model",
                    choices=("gbm", "heston", "merton", "vasicek",
-                            "localvol"),
+                            "localvol", "cev"),
                    default="gbm")
+    p.add_argument("--sigma-atm", type=float, default=0.2,
+                   help="cev at-the-money vol")
+    p.add_argument("--beta", type=float, default=0.5,
+                   help="cev elasticity")
     p.add_argument("--v0", type=float, default=0.04)
     p.add_argument("--kappa", type=float, default=2.0)
     p.add_argument("--theta-v", type=float, default=0.04)

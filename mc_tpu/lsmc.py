@@ -249,6 +249,88 @@ def price_american(option: OptionParams = DEMO_OPTION,
                                 key, key_b, exercise_every)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("fam", "payoff", "sim", "degree", "tile_rows",
+                     "interpret", "two_pass", "every"))
+def _price_american_family_impl(fam, option, dyn, payoff, sim, degree,
+                                tile_rows, interpret, two_pass, key, key_b,
+                                every=1):
+    """Generic Longstaff-Schwartz client over the `nmc_engine.NMCFamily`
+    protocol: the family supplies its trajectory grids, continuation
+    basis (`lsmc_design`) and discounting (`lsmc_discount`); the
+    backward induction, two-pass protocol, and summarization are shared.
+    """
+    params = fam.pack(option, dyn, sim.n_steps)
+    p = fam.unpack(params)
+    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
+                          tile_rows=tile_rows)
+
+    def grids(k):
+        *gs, _, _ = fam.trajectories(payoff, cfg, k, params, interpret)
+        n_pad = gs[0].shape[1] * LANES
+        return (tuple(g.reshape(sim.n_steps, n_pad) for g in gs), n_pad)
+
+    gs_a, n_pad = grids(key)
+    valid = (jnp.arange(n_pad, dtype=jnp.uint32)
+             < jnp.uint32(sim.n_paths))
+    inv_k = 1.0 / p.k
+
+    def immediate(s_f, c_f, j):
+        st = (c_f[j],) if payoff.n_state else ()
+        return payoff.terminal(st, s_f[j], p)
+
+    design_fn, n_basis = fam.lsmc_design(p, gs_a, degree, inv_k)
+    disc, disc_fn, disc0 = fam.lsmc_discount(p, gs_a)
+    v_val, betas = _backward_fit(
+        payoff, p, gs_a[0], gs_a[-1], valid, sim.n_steps, degree, inv_k,
+        disc, immediate, every, design_fn=design_fn, n_basis=n_basis,
+        disc_fn=disc_fn)
+    if not two_pass:
+        return _summ(v_val * disc0, valid, sim.n_paths)
+
+    gs_b, n_pad_b = grids(key_b)
+    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
+               < jnp.uint32(sim.n_paths))
+    design_fn_b, _ = fam.lsmc_design(p, gs_b, degree, inv_k)
+    disc_b, disc_fn_b, disc0_b = fam.lsmc_discount(p, gs_b)
+    vb = _apply_policy_pass(
+        payoff, p, gs_b[0], gs_b[-1], valid_b, betas, sim.n_steps, degree,
+        inv_k, disc_b, immediate, every, design_fn=design_fn_b,
+        disc_fn=disc_fn_b)
+    return _summ(vb * disc0_b, valid_b, sim.n_paths)
+
+
+def price_american_family(fam, option, dyn,
+                          sim: SimParams = DEMO_SIM,
+                          payoff="vanilla_put",
+                          *,
+                          degree: int = 3,
+                          two_pass: bool = True,
+                          exercise_every: int = 1,
+                          tile_rows: int = 8,
+                          stream: int = STREAM_OUTER,
+                          key=None,
+                          interpret: Optional[bool] = None) -> PriceResult:
+    """Shared LSMC entry point over a model family: validation + keys."""
+    po = get_payoff(payoff) if isinstance(payoff, str) else payoff
+    if po.n_state > 1:
+        raise ValueError("LSMC supports payoffs with at most one state "
+                         "array")
+    if fam.even_steps and sim.n_steps % 2:
+        raise ValueError(f"{fam.name} requires an even n_steps")
+    if exercise_every < 1:
+        raise ValueError("exercise_every must be >= 1")
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream, fam.tag),
+                          jnp.uint32)
+    key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
+    return _price_american_family_impl(fam, option.as_f32(), dyn, po,
+                                       sim.replace(seed=0), degree,
+                                       tile_rows, interpret, two_pass,
+                                       key, key_b, exercise_every)
+
+
 def binomial_american(s0, k, t, r, sigma, n_steps=2000, kind="put",
                       div_yield=0.0):
     """CRR binomial-tree American option price (host numpy oracle)."""
@@ -294,57 +376,6 @@ def _basis_sv(s_norm, v, degree: int):
     return jnp.stack(cols, axis=-1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("payoff", "sim", "degree", "tile_rows", "interpret",
-                     "two_pass", "every"))
-def _price_american_heston_impl(option, heston, payoff, sim, degree,
-                                tile_rows, interpret, two_pass, key, key_b,
-                                every=1):
-    from mc_tpu.models.heston import (_pack_heston, _unpack_heston,
-                                      heston_trajectories_kernel)
-    params = _pack_heston(option, heston, sim.n_steps)
-    p = _unpack_heston(params)
-    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
-                          tile_rows=tile_rows)
-
-    def grids(k):
-        s, v, c, _, _ = heston_trajectories_kernel(payoff, cfg, k, params,
-                                                   interpret=interpret)
-        n_pad = s.shape[1] * LANES
-        return (s.reshape(sim.n_steps, n_pad),
-                v.reshape(sim.n_steps, n_pad),
-                c.reshape(sim.n_steps, n_pad), n_pad)
-
-    s_a, v_a, c_a, n_pad = grids(key)
-    valid = (jnp.arange(n_pad, dtype=jnp.uint32)
-             < jnp.uint32(sim.n_paths))
-    disc = jnp.exp(-p.r * p.dt)
-    inv_k = 1.0 / p.k
-    n_basis = degree + 4
-
-    def immediate(s_f, c_f, j):
-        st = (c_f[j],) if payoff.n_state else ()
-        return payoff.terminal(st, s_f[j], p)
-
-    v_val, betas = _backward_fit(
-        payoff, p, s_a, c_a, valid, sim.n_steps, degree, inv_k, disc,
-        immediate, every,
-        design_fn=lambda t: _basis_sv(s_a[t] * inv_k, v_a[t], degree),
-        n_basis=n_basis)
-    if not two_pass:
-        return _summ(v_val * disc, valid, sim.n_paths)
-
-    s_b, v_b, c_b, n_pad_b = grids(key_b)
-    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
-               < jnp.uint32(sim.n_paths))
-    vb = _apply_policy_pass(
-        payoff, p, s_b, c_b, valid_b, betas, sim.n_steps, degree, inv_k,
-        disc, immediate, every,
-        design_fn=lambda t: _basis_sv(s_b[t] * inv_k, v_b[t], degree))
-    return _summ(vb * disc, valid_b, sim.n_paths)
-
-
 def price_american_heston(option: OptionParams = DEMO_OPTION,
                           heston=None,
                           sim: SimParams = DEMO_SIM,
@@ -370,69 +401,14 @@ def price_american_heston(option: OptionParams = DEMO_OPTION,
     European CF price with a positive early-exercise premium.
     """
     from mc_tpu.models.heston import DEMO_HESTON
+    from mc_tpu.nmc_heston import HestonNMC
     heston = DEMO_HESTON if heston is None else heston
-    po = get_payoff(payoff)
-    if po.n_state > 1:
-        raise ValueError("LSMC supports payoffs with at most one state "
-                         "array")
-    if key is None:
-        key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x4E57),
-                          jnp.uint32)
-    key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
-    if exercise_every < 1:
-        raise ValueError("exercise_every must be >= 1")
-    return _price_american_heston_impl(option.as_f32(), heston.as_f32(),
-                                       po, sim.replace(seed=0), degree,
-                                       tile_rows, interpret, two_pass,
-                                       key, key_b, exercise_every)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("payoff", "sim", "kmax", "degree", "tile_rows",
-                     "interpret", "two_pass", "every"))
-def _price_american_merton_impl(option, dyn, payoff, sim, kmax, degree,
-                                tile_rows, interpret, two_pass, key, key_b,
-                                every=1):
-    from mc_tpu.models.merton import (_pack_merton, _unpack_merton,
-                                      merton_trajectories_kernel)
-    params = _pack_merton(option, dyn, sim.n_steps)
-    p = _unpack_merton(params)
-    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
-                          tile_rows=tile_rows)
-
-    def grids(k):
-        s, c, _, _ = merton_trajectories_kernel(payoff, cfg, kmax, k,
-                                                params, interpret=interpret)
-        n_pad = s.shape[1] * LANES
-        return (s.reshape(sim.n_steps, n_pad),
-                c.reshape(sim.n_steps, n_pad), n_pad)
-
-    s_a, c_a, n_pad = grids(key)
-    valid = (jnp.arange(n_pad, dtype=jnp.uint32)
-             < jnp.uint32(sim.n_paths))
-    disc = jnp.exp(-p.r * p.dt)
-    inv_k = 1.0 / p.k
-
-    def immediate(s_f, c_f, j):
-        st = (c_f[j],) if payoff.n_state else ()
-        return payoff.terminal(st, s_f[j], p)
-
-    # The jump state is Markov in S alone (i.i.d. increments), so the
-    # plain S-monomial basis of the GBM engine applies unchanged — only
-    # the trajectory law differs.
-    v_val, betas = _backward_fit(payoff, p, s_a, c_a, valid, sim.n_steps,
-                                 degree, inv_k, disc, immediate, every)
-    if not two_pass:
-        return _summ(v_val * disc, valid, sim.n_paths)
-
-    s_b, c_b, n_pad_b = grids(key_b)
-    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
-               < jnp.uint32(sim.n_paths))
-    vb = _apply_policy_pass(payoff, p, s_b, c_b, valid_b, betas,
-                            sim.n_steps, degree, inv_k, disc, immediate,
-                            every)
-    return _summ(vb * disc, valid_b, sim.n_paths)
+    return price_american_family(HestonNMC(), option, heston.as_f32(),
+                                 sim, payoff, degree=degree,
+                                 two_pass=two_pass,
+                                 exercise_every=exercise_every,
+                                 tile_rows=tile_rows, stream=stream,
+                                 key=key, interpret=interpret)
 
 
 def price_american_merton(option: OptionParams = DEMO_OPTION,
@@ -460,25 +436,18 @@ def price_american_merton(option: OptionParams = DEMO_OPTION,
     oracle via put-call parity).
     """
     from mc_tpu.models.merton import DEMO_MERTON, poisson_kmax
+    from mc_tpu.nmc_merton import MertonNMC
     merton = DEMO_MERTON if merton is None else merton
-    po = get_payoff(payoff)
-    if po.n_state > 1:
-        raise ValueError("LSMC supports payoffs with at most one state "
-                         "array")
-    if sim.n_steps % 2:
-        raise ValueError("Merton requires an even n_steps")
-    if exercise_every < 1:
-        raise ValueError("exercise_every must be >= 1")
+    # The jump state is Markov in S alone (i.i.d. increments), so the
+    # default S-monomial basis applies unchanged — only the trajectory
+    # law differs.
     kmax = poisson_kmax(float(merton.lam) * float(option.t) / sim.n_steps)
-    if key is None:
-        key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x3E44),
-                          jnp.uint32)
-    key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
-    return _price_american_merton_impl(option.as_f32(), merton.as_f32(),
-                                       po, sim.replace(seed=0), kmax,
-                                       degree, tile_rows, interpret,
-                                       two_pass, key, key_b,
-                                       exercise_every)
+    return price_american_family(MertonNMC(extras=(kmax,)), option,
+                                 merton.as_f32(), sim, payoff,
+                                 degree=degree, two_pass=two_pass,
+                                 exercise_every=exercise_every,
+                                 tile_rows=tile_rows, stream=stream,
+                                 key=key, interpret=interpret)
 
 
 def _basis_sr(s_norm, x_r, degree: int):
@@ -494,63 +463,6 @@ def _basis_sr(s_norm, x_r, degree: int):
         p = p * x
     cols += [x_r, x_r * x_r, x_r * x]
     return jnp.stack(cols, axis=-1)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("payoff", "sim", "degree", "tile_rows", "interpret",
-                     "two_pass", "every"))
-def _price_american_vasicek_impl(option, dyn, payoff, sim, degree,
-                                 tile_rows, interpret, two_pass, key,
-                                 key_b, every=1):
-    from mc_tpu.models.vasicek import (_pack_vasicek, _unpack_vasicek,
-                                       vasicek_trajectories_kernel)
-    params = _pack_vasicek(option, dyn, sim.n_steps)
-    p = _unpack_vasicek(params)
-    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
-                          tile_rows=tile_rows)
-
-    def grids(k):
-        s, x, y, c, _, _ = vasicek_trajectories_kernel(
-            payoff, cfg, k, params, interpret=interpret)
-        n_pad = s.shape[1] * LANES
-        shape = (sim.n_steps, n_pad)
-        return (s.reshape(shape), x.reshape(shape), y.reshape(shape),
-                c.reshape(shape), n_pad)
-
-    s_a, x_a, y_a, c_a, n_pad = grids(key)
-    valid = (jnp.arange(n_pad, dtype=jnp.uint32)
-             < jnp.uint32(sim.n_paths))
-    inv_k = 1.0 / p.k
-    n_basis = degree + 4
-
-    def immediate(s_f, c_f, j):
-        st = (c_f[j],) if payoff.n_state else ()
-        return payoff.terminal(st, s_f[j], p)
-
-    # STOCHASTIC per-path discounting: date t+1 -> t along the stored
-    # integrated-rate grid (the scalar e^{-r dt} of the GBM engine is
-    # the degenerate case).
-    def disc_fn_of(y_g):
-        return lambda t: jnp.exp(-(y_g[t + 1] - y_g[t]))
-
-    v_val, betas = _backward_fit(
-        payoff, p, s_a, c_a, valid, sim.n_steps, degree, inv_k, None,
-        immediate, every,
-        design_fn=lambda t: _basis_sr(s_a[t] * inv_k, x_a[t], degree),
-        n_basis=n_basis, disc_fn=disc_fn_of(y_a))
-    if not two_pass:
-        return _summ(v_val * jnp.exp(-y_a[0]), valid, sim.n_paths)
-
-    s_b, x_b, y_b, c_b, n_pad_b = grids(key_b)
-    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
-               < jnp.uint32(sim.n_paths))
-    vb = _apply_policy_pass(
-        payoff, p, s_b, c_b, valid_b, betas, sim.n_steps, degree, inv_k,
-        None, immediate, every,
-        design_fn=lambda t: _basis_sr(s_b[t] * inv_k, x_b[t], degree),
-        disc_fn=disc_fn_of(y_b))
-    return _summ(vb * jnp.exp(-y_b[0]), valid_b, sim.n_paths)
 
 
 def price_american_vasicek(option: OptionParams = DEMO_OPTION,
@@ -580,71 +492,13 @@ def price_american_vasicek(option: OptionParams = DEMO_OPTION,
     oracle.bsv_call) by a positive early-exercise premium.
     """
     from mc_tpu.models.vasicek import DEMO_VASICEK
+    from mc_tpu.nmc_vasicek import VasicekNMC
     dyn = DEMO_VASICEK if dyn is None else dyn
-    po = get_payoff(payoff)
-    if po.n_state > 1:
-        raise ValueError("LSMC supports payoffs with at most one state "
-                         "array")
-    if sim.n_steps % 2:
-        raise ValueError("vasicek requires an even n_steps")
-    if exercise_every < 1:
-        raise ValueError("exercise_every must be >= 1")
-    if key is None:
-        key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x7A51),
-                          jnp.uint32)
-    key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
-    return _price_american_vasicek_impl(option.as_f32(), dyn.as_f32(),
-                                        po, sim.replace(seed=0), degree,
-                                        tile_rows, interpret, two_pass,
-                                        key, key_b, exercise_every)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("payoff", "sim", "n_knots", "degree", "tile_rows",
-                     "interpret", "two_pass", "every"))
-def _price_american_localvol_impl(option, surf, payoff, sim, n_knots,
-                                  degree, tile_rows, interpret, two_pass,
-                                  key, key_b, every=1):
-    from mc_tpu.models.localvol import (_pack_localvol,
-                                        _unpack_localvol_head,
-                                        localvol_trajectories_kernel)
-    params = _pack_localvol(option, surf, sim.n_steps)
-    p = _unpack_localvol_head(params)
-    cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
-                          tile_rows=tile_rows)
-
-    def grids(k):
-        s, c, _, _ = localvol_trajectories_kernel(
-            payoff, cfg, n_knots, k, params, interpret=interpret)
-        n_pad = s.shape[1] * LANES
-        return (s.reshape(sim.n_steps, n_pad),
-                c.reshape(sim.n_steps, n_pad), n_pad)
-
-    s_a, c_a, n_pad = grids(key)
-    valid = (jnp.arange(n_pad, dtype=jnp.uint32)
-             < jnp.uint32(sim.n_paths))
-    disc = jnp.exp(-p.r * p.dt)
-    inv_k = 1.0 / p.k
-
-    def immediate(s_f, c_f, j):
-        st = (c_f[j],) if payoff.n_state else ()
-        return payoff.terminal(st, s_f[j], p)
-
-    # Local vol is Markov in S, so the plain S-monomial basis applies —
-    # only the trajectory law (the surface) differs from the GBM engine.
-    v_val, betas = _backward_fit(payoff, p, s_a, c_a, valid, sim.n_steps,
-                                 degree, inv_k, disc, immediate, every)
-    if not two_pass:
-        return _summ(v_val * disc, valid, sim.n_paths)
-
-    s_b, c_b, n_pad_b = grids(key_b)
-    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
-               < jnp.uint32(sim.n_paths))
-    vb = _apply_policy_pass(payoff, p, s_b, c_b, valid_b, betas,
-                            sim.n_steps, degree, inv_k, disc, immediate,
-                            every)
-    return _summ(vb * disc, valid_b, sim.n_paths)
+    return price_american_family(VasicekNMC(), option, dyn.as_f32(), sim,
+                                 payoff, degree=degree, two_pass=two_pass,
+                                 exercise_every=exercise_every,
+                                 tile_rows=tile_rows, stream=stream,
+                                 key=key, interpret=interpret)
 
 
 def price_american_localvol(option: OptionParams = DEMO_OPTION,
@@ -673,26 +527,18 @@ def price_american_localvol(option: OptionParams = DEMO_OPTION,
     RAISE the American put above its flat-ATM-vol value.
     """
     from mc_tpu.models.localvol import LocalVolSurface, validate_surface
+    from mc_tpu.nmc_localvol import LocalVolNMC
     if surf is None:
         surf = LocalVolSurface.demo(sim.n_steps)
-    po = get_payoff(payoff)
-    if po.n_state > 1:
-        raise ValueError("LSMC supports payoffs with at most one state "
-                         "array")
     s32 = validate_surface(surf, sim.n_steps)
-    if sim.n_steps % 2:
-        raise ValueError("localvol requires an even n_steps")
-    if exercise_every < 1:
-        raise ValueError("exercise_every must be >= 1")
-    if key is None:
-        key = jnp.asarray(rng.derive_key(sim.seed, stream, 0x10CA),
-                          jnp.uint32)
-    key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
-    return _price_american_localvol_impl(option.as_f32(), s32, po,
-                                         sim.replace(seed=0),
-                                         s32.n_knots, degree, tile_rows,
-                                         interpret, two_pass, key, key_b,
-                                         exercise_every)
+    # Local vol is Markov in S, so the default S-monomial basis applies —
+    # only the trajectory law (the surface) differs from the GBM engine.
+    return price_american_family(LocalVolNMC(extras=(s32.n_knots,)),
+                                 option, s32, sim, payoff, degree=degree,
+                                 two_pass=two_pass,
+                                 exercise_every=exercise_every,
+                                 tile_rows=tile_rows, stream=stream,
+                                 key=key, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,407 @@
+"""Generic nested-Monte-Carlo engine over a model-family protocol.
+
+The reference hand-writes one NMC scheduler per strategy for ONE model
+(``/root/reference/inc/nmc.cuh:12-386``, GBM only).  Round 2 of this
+framework generalized NMC to four model families — but by cloning the
+whole grid-strategy skeleton per family (~300 LoC each).  This module is
+the round-3 unification: ONE engine owning everything that is model-
+independent, driven by a small per-family physics object:
+
+- `NMCFamily` — the protocol.  A family subclass supplies parameter
+  packing, the inner-leg step physics (resume carry + per-substep draw
+  scheme + terminal value), the trajectory kernel that materializes its
+  outer state grids, the matching XLA outer scan, and its discount
+  conventions.  Instances are frozen/hashable so they ride through
+  ``jax.jit`` as static arguments (per-call static specializations like
+  Merton's Poisson scan depth live in ``extras``).
+- `family_point_tile` — the shared inner-MC driver: the Kahan-compensated
+  loop over ``n_inner`` legs with the C10 counter layout
+  ``c_base = ((j+1)*n_inner + m) * stride`` (nmc.cuh:53-66 analogue).
+- `family_inner_kernel` — the shared Pallas inner kernel: grid over
+  (step, path-tile), outer state tiles streamed from HBM, inner legs kept
+  in registers.
+- `_xla_nmc_family` — the shared pure-jnp dual rebuilding identical
+  streams (bit-for-bit engine parity, the framework-wide invariant).
+- `price_nmc_family` — the shared entry point: payoff/state validation,
+  even-step and RNG-counter-span guards, per-family key derivation.
+
+Adding family number N+1 is now a dynamics definition: subclass
+`NMCFamily`, point it at the model's step function and trajectory
+kernel, and register it (see `nmc_cev.py` — under 100 lines).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mc_tpu import rng
+from mc_tpu.config import OptionParams, SimParams
+from mc_tpu.nmc import NMCResult
+from mc_tpu.oracle import summarize
+from mc_tpu.ops import path_kernels as pk
+from mc_tpu.ops._pallas import LANES, SUBLANES, use_interpret
+from mc_tpu.ops.payoffs import PathPayoff, get_payoff
+from mc_tpu.ops.reduce import finish_sum
+
+__all__ = ["NMCFamily", "family_point_tile", "family_inner_kernel",
+           "price_nmc_family", "NMC_FAMILIES", "register_nmc_family"]
+
+STREAM_OUTER, STREAM_INNER = 0, 1
+
+
+@dataclasses.dataclass(frozen=True)
+class NMCFamily:
+    """Per-model-family physics consumed by the generic NMC engine.
+
+    Subclasses override the class attributes and methods; ``extras``
+    carries static per-call specializations (they participate in
+    equality, so the jit cache keys on them correctly).
+    """
+
+    extras: tuple = ()
+
+    # --- identity ------------------------------------------------------
+    name = "?"
+    tag = 0            # rng.derive_key stream tag (must match price_<m>)
+    n_grids = 1        # market-state grids incl. S (heston 2, vasicek 3)
+    even_steps = True  # pair-consuming outer loop -> n_steps % 2 == 0
+
+    # --- entry guards --------------------------------------------------
+    def span(self, n_steps: int, n_inner: int):
+        """(max inner counter, formula description) for the wrap guard."""
+        raise NotImplementedError
+
+    # --- parameter packing --------------------------------------------
+    def pack(self, option, dyn, n_steps: int):
+        raise NotImplementedError
+
+    def unpack(self, params):
+        raise NotImplementedError
+
+    def make_ctx(self, params, n_steps: int):
+        """Optional per-kernel context built from the packed params
+        (e.g. the local-vol surface lookup closure)."""
+        return None
+
+    # --- RNG layout ----------------------------------------------------
+    def counter_stride(self, n_steps: int) -> int:
+        """Counter budget per inner leg (uint32s of threefry pairs)."""
+        return n_steps
+
+    # --- physics -------------------------------------------------------
+    def leg(self, payoff: PathPayoff, p, ctx, ki0, ki1, ids, c_base, j,
+            remaining, grids_j, state_t, bitcast, n_steps: int):
+        """One inner leg resumed from the stored point state ``grids_j``:
+        run ``remaining`` substeps and return the terminal payoff value
+        (including any pathwise inner discount)."""
+        raise NotImplementedError
+
+    # --- discounting ---------------------------------------------------
+    def point_scale(self, p, grids_j):
+        """Per-point factor applied to the inner mean (reference parity:
+        the full e^{-rT}, nmc.cuh:100-104; pathwise families override)."""
+        return jnp.exp(-p.r * p.t)
+
+    def outer_discount(self, p):
+        """Discount used by the outer-path summarize."""
+        return jnp.exp(-p.r * p.t)
+
+    # --- kernels -------------------------------------------------------
+    def trajectories(self, payoff, cfg, key, params, interpret):
+        """Materialize the outer state grids: returns
+        ``(*market_grids, c_grid, outer_sum, outer_sq)`` step-major.
+
+        Default: build the grids with the family's `xla_outer` scan —
+        bitwise-identical to a dedicated Pallas trajectories kernel by
+        the engine-parity contract, and only O(1/n_inner) of the total
+        NMC work (the hot inner re-pricing stays in Pallas).  Families
+        with a dedicated trajectories kernel override this.
+        """
+        return xla_family_trajectories(self, payoff, cfg, params, key)
+
+    def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0,
+                  n_steps: int):
+        """Pure-jnp outer scan for one path tile: returns
+        ``(market_hists, c_hist, pay)`` with hists shaped
+        (n_steps, *tile); ``pay`` is the terminal outer payoff value
+        (incl. any pathwise discount), unmasked."""
+        raise NotImplementedError
+
+    # --- LSMC hooks (generic Longstaff-Schwartz client, lsmc.py) -------
+    def lsmc_design(self, p, grids_flat, degree: int, inv_k):
+        """(design_fn(t) | None, n_basis) continuation regressors from
+        the family's flattened market grids.  Default: the S/K monomial
+        basis (families Markov in S); stochastic-state families augment
+        with their extra regressors."""
+        return None, degree + 1
+
+    def lsmc_discount(self, p, grids_flat):
+        """(disc, disc_fn | None, disc0): per-step discount for the
+        backward induction and the date-0 factor applied to the final
+        cashflows.  Default: the scalar e^{-r dt}; pathwise-discounting
+        families return per-path factors from their grids."""
+        d = jnp.exp(-p.r * p.dt)
+        return d, None, d
+
+
+def family_point_tile(fam: NMCFamily, payoff: PathPayoff, n_steps: int,
+                      n_inner: int, p, ctx, ki0, ki1, ids, j, grids_j,
+                      state_t, bitcast):
+    """Inner-MC payoff SUM over n_inner legs resumed from one
+    (path-tile, step j) point; the caller divides and discounts.
+
+    The Kahan-compensated accumulation order is part of the bitwise
+    engine-parity contract — do not reorder.
+    """
+    remaining = jnp.int32(n_steps) - j - 1
+    t_base = ((jnp.asarray(j, jnp.uint32) + jnp.uint32(1))
+              * jnp.uint32(n_inner))
+    stride = jnp.uint32(fam.counter_stride(n_steps))
+
+    def inner(m, carry):
+        acc, comp = carry
+        c_base = (t_base + jnp.asarray(m, jnp.uint32)) * stride
+        pay = fam.leg(payoff, p, ctx, ki0, ki1, ids, c_base, j, remaining,
+                      grids_j, state_t, bitcast, n_steps)
+        y = pay - comp
+        t = acc + y
+        comp = (t - acc) - y
+        return (t, comp)
+
+    zeros = jnp.zeros_like(grids_j[0])
+    acc, _ = jax.lax.fori_loop(0, n_inner, inner, (zeros, zeros))
+    return acc
+
+
+def _make_family_inner_kernel(fam: NMCFamily, payoff: PathPayoff,
+                              n_steps: int, n_inner: int, tile_rows: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(ki_ref, params_ref, meta_ref, *refs):
+        grid_refs = refs[:fam.n_grids]
+        c_ref = refs[fam.n_grids]
+        surf_ref = refs[fam.n_grids + 1]
+        p = fam.unpack(params_ref)
+        ctx = fam.make_ctx(params_ref, n_steps)
+        t_idx = pl.program_id(0)
+        i = pl.program_id(1)
+        shape = (tile_rows, LANES)
+        base = jnp.uint32(i * tile_rows * LANES)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        st_j = (c_ref[0],) if payoff.n_state else ()
+        grids_j = tuple(r[0] for r in grid_refs)
+        inner_sum = family_point_tile(
+            fam, payoff, n_steps, n_inner, p, ctx, ki_ref[0], ki_ref[1],
+            ids, t_idx, grids_j, st_j, pltpu.bitcast)
+        v = inner_sum * (1.0 / n_inner) * fam.point_scale(p, grids_j)
+        surf_ref[0] = jnp.where(valid, v, 0.0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fam", "payoff", "n_steps", "n_inner", "tile_rows",
+                     "n_tiles", "interpret"))
+def family_inner_kernel(fam, payoff, n_steps, n_inner, tile_rows, n_tiles,
+                        key_inner, params, grids, n_valid, interpret=None):
+    """Grid-strategy inner kernel (C10 analogue): grid over
+    (step, path-tile); re-prices every stored point with the family's
+    inner legs kept in registers."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = use_interpret()
+    rows = n_tiles * tile_rows
+    tile3 = pl.BlockSpec((1, tile_rows, LANES), lambda t, i: (t, i, 0),
+                         memory_space=pltpu.VMEM)
+    meta = jnp.stack([jnp.uint32(0), jnp.asarray(n_valid, jnp.uint32)])
+    return pl.pallas_call(
+        _make_family_inner_kernel(fam, payoff, n_steps, n_inner, tile_rows),
+        grid=(n_steps, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + [tile3] * (fam.n_grids + 1),
+        out_specs=tile3,
+        out_shape=jax.ShapeDtypeStruct((n_steps, rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(key_inner, jnp.uint32), params, meta, *grids)
+
+
+def xla_family_trajectories(fam, payoff, cfg, params, key_outer):
+    """Step-major outer state grids + outer moment slabs via the family's
+    XLA outer scan (same streams and Kahan order as the Pallas
+    trajectory kernels — the C9 materialization, trajectories.cuh:273-351
+    analogue)."""
+    p = fam.unpack(params)
+    ctx = fam.make_ctx(params, cfg.n_steps)
+    n = cfg.n_steps
+    ko0, ko1 = (jnp.asarray(key_outer[i], jnp.uint32) for i in (0, 1))
+    shape = (cfg.tile_rows, LANES)
+    flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+    per_tile = cfg.tile_rows * LANES
+    n_tiles = cfg.n_tiles
+    bound = jnp.uint32(cfg.n_paths)
+
+    def one_tile(carry, i):
+        acc, comp = carry
+        ids = jnp.uint32(i * per_tile) + flat
+        valid = ids < bound
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        state0 = payoff.init(p, jnp.zeros_like(s0))
+        hists, c_hist, pay = fam.xla_outer(payoff, p, ctx, ids, ko0, ko1,
+                                           s0, state0, n)
+        pay = jnp.where(valid, pay, 0.0)
+        for m, val in enumerate([pay, pay * pay]):
+            acc, comp = pk.kahan_xla_update(
+                acc, comp, m, pk.fold_to_sublanes(val, cfg.tile_rows))
+        return (acc, comp), hists + (c_hist,)
+
+    zeros = jnp.zeros((2, SUBLANES, LANES), jnp.float32)
+    (acc, _), stacked = jax.lax.scan(
+        one_tile, (zeros, zeros), jnp.arange(n_tiles, dtype=jnp.uint32))
+
+    def to_grid(h):  # (n_tiles, n_steps, tile, LANES) -> step-major
+        return jnp.moveaxis(h, 0, 1).reshape(
+            n, n_tiles * cfg.tile_rows, LANES)
+
+    grids = tuple(to_grid(h) for h in stacked)
+    return (*grids, acc[0], acc[1])
+
+
+def _xla_nmc_family(fam, payoff, sim, params, key_outer, key_inner,
+                    tile_rows):
+    """Pure-jnp dual: identical outer/inner streams and Kahan order."""
+    p = fam.unpack(params)
+    ctx = fam.make_ctx(params, sim.n_steps)
+    n = sim.n_steps
+    ko0, ko1 = (jnp.asarray(key_outer[i], jnp.uint32) for i in (0, 1))
+    ki0, ki1 = (jnp.asarray(key_inner[i], jnp.uint32) for i in (0, 1))
+    shape = (tile_rows, LANES)
+    flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+    per_tile = tile_rows * LANES
+    n_tiles = -(-sim.n_paths // per_tile)
+    bound = jnp.uint32(sim.n_paths)
+
+    def one_tile(carry, i):
+        acc, comp = carry
+        ids = jnp.uint32(i * per_tile) + flat
+        valid = ids < bound
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        state0 = payoff.init(p, jnp.zeros_like(s0))
+        hists, c_hist, pay = fam.xla_outer(payoff, p, ctx, ids, ko0, ko1,
+                                           s0, state0, n)
+        pay = jnp.where(valid, pay, 0.0)
+        for m, val in enumerate([pay, pay * pay]):
+            acc, comp = pk.kahan_xla_update(
+                acc, comp, m, pk.fold_to_sublanes(val, tile_rows))
+
+        def step_fn(j):
+            st_j = (c_hist[j],) if payoff.n_state else ()
+            grids_j = tuple(h[j] for h in hists)
+            inner_sum = family_point_tile(
+                fam, payoff, n, sim.n_paths_inner, p, ctx, ki0, ki1, ids,
+                j.astype(jnp.int32), grids_j, st_j,
+                jax.lax.bitcast_convert_type)
+            val = (inner_sum * (1.0 / sim.n_paths_inner)
+                   * fam.point_scale(p, grids_j))
+            return jnp.where(valid, val, 0.0)
+
+        surf = jax.lax.map(step_fn, jnp.arange(n))
+        return (acc, comp), surf
+
+    zeros = jnp.zeros((2, SUBLANES, LANES), jnp.float32)
+    (acc, _), surfs = jax.lax.scan(
+        one_tile, (zeros, zeros), jnp.arange(n_tiles, dtype=jnp.uint32))
+    surface = jnp.moveaxis(surfs, 0, 1).reshape(
+        n, n_tiles * tile_rows, LANES)
+    return surface, acc[0], acc[1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fam", "payoff", "sim", "engine", "tile_rows",
+                     "interpret"))
+def _price_nmc_family_impl(fam, option, dyn, payoff, sim, engine,
+                           tile_rows, interpret, key_outer, key_inner):
+    params = fam.pack(option, dyn, sim.n_steps)
+    p = fam.unpack(params)
+
+    if engine == "xla":
+        surface, osum, osq = _xla_nmc_family(fam, payoff, sim, params,
+                                             key_outer, key_inner,
+                                             tile_rows)
+    elif engine == "pallas":
+        cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
+                              tile_rows=tile_rows)
+        *grids, osum, osq = fam.trajectories(payoff, cfg, key_outer,
+                                             params, interpret)
+        surface = family_inner_kernel(
+            fam, payoff, sim.n_steps, sim.n_paths_inner, tile_rows,
+            cfg.n_tiles, key_inner, params, tuple(grids), sim.n_paths,
+            interpret=interpret)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
+    outer = summarize(finish_sum(osum), finish_sum(osq),
+                      jnp.asarray(sim.n_paths, jnp.float32),
+                      fam.outer_discount(p))
+    n_points = sim.n_paths * sim.n_steps
+    surface_mean = jnp.sum(surface, dtype=jnp.float32) / n_points
+    return NMCResult(surface=surface, outer=outer,
+                     surface_mean=surface_mean,
+                     n_points=jnp.asarray(n_points, jnp.float32),
+                     t_horizon=jnp.asarray(option.t, jnp.float32))
+
+
+def price_nmc_family(fam: NMCFamily,
+                     option: OptionParams,
+                     dyn,
+                     sim: SimParams,
+                     payoff="vanilla_call",
+                     *,
+                     engine: str = "pallas",
+                     tile_rows: int = 8,
+                     stream_outer: int = STREAM_OUTER,
+                     stream_inner: int = STREAM_INNER,
+                     interpret: Optional[bool] = None) -> NMCResult:
+    """Shared NMC entry point: validation, guards, key derivation."""
+    po = get_payoff(payoff) if isinstance(payoff, str) else payoff
+    if po.n_state > 1:
+        raise ValueError("NMC supports payoffs with at most one state "
+                         "array")
+    if fam.even_steps and sim.n_steps % 2:
+        raise ValueError(f"{fam.name} requires an even n_steps "
+                         "(pair-consuming outer loop)")
+    span, desc = fam.span(sim.n_steps, sim.n_paths_inner)
+    if span >= 1 << 32:
+        raise ValueError(
+            f"inner RNG counter space exhausted: {desc} = "
+            f"{span} >= 2^32; reduce n_steps or n_paths_inner")
+    key_outer = jnp.asarray(
+        rng.derive_key(sim.seed, stream_outer, fam.tag), jnp.uint32)
+    key_inner = jnp.asarray(
+        rng.derive_key(sim.seed, stream_inner, fam.tag), jnp.uint32)
+    return _price_nmc_family_impl(fam, option.as_f32(), dyn, po,
+                                  sim.replace(seed=0), engine, tile_rows,
+                                  interpret, key_outer, key_inner)
+
+
+# name -> price_nmc_<model> callable; populated by the family modules at
+# import (single source for the CLI's `nmc --model` dispatch).
+NMC_FAMILIES: Dict[str, Callable[..., Any]] = {}
+
+
+def register_nmc_family(name: str, price_fn) -> None:
+    NMC_FAMILIES[name] = price_fn

@@ -28,3 +28,88 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()
+
+
+# --- slow-test tier -------------------------------------------------------
+# The full suite is the merge gate (`make test`); the inner development
+# loop runs `make test-fast` (-m "not slow", < ~2 min).  Tests whose
+# measured CPU runtime exceeds ~5 s are listed here and auto-marked; a
+# stale entry (renamed/removed test) is harmless.
+
+SLOW_TESTS = {
+    "test_basket.py::test_path_dependent_on_basket",
+    "test_calibrate.py::test_full_mc_loop_recovers_dynamics",
+    "test_calibrate.py::test_round_trip_recovers_parameters",
+    "test_checkpoint.py::test_resume_bitwise_identical",
+    "test_cli.py::test_model_family_commands",
+    "test_cli.py::test_model_family_commands_round2",
+    "test_engines.py::test_engine_duality_fuzz",
+    "test_engines.py::test_engines_bitwise_identical",
+    "test_forward_start.py::test_engines_bitwise",
+    "test_greeks.py::test_lrm_bullet_vs_crn_fd",
+    "test_greeks.py::test_pathwise_first_order",
+    "test_greeks.py::test_pathwise_kernel_matches_grad",
+    "test_lsmc.py::test_american_bounds_bermudan_schedule",
+    "test_lsmc.py::test_american_bounds_maturity_always_included",
+    "test_lsmc.py::test_basket_american_premium",
+    "test_lsmc.py::test_heston_american_bounds_bracket",
+    "test_lsmc.py::test_heston_bermudan_schedule",
+    "test_lsmc_vasicek.py::test_bermudan_schedule",
+    "test_lsmc_vasicek.py::test_degenerate_matches_binomial",
+    "test_lsmc_vasicek.py::test_two_pass_ordering",
+    "test_merton.py::test_antithetic_unbiased_and_tighter",
+    "test_merton.py::test_pallas_xla_bitwise",
+    "test_mlmc.py::test_mlmc_asian_matches_fine_single_level",
+    "test_mlmc.py::test_mlmc_lookback_sane",
+    "test_mlmc.py::test_mlmc_matches_cf_oracle",
+    "test_mlmc.py::test_n0_one_prices_sanely",
+    "test_model_greeks.py::test_merton_market_and_jump_sens_vs_series_oracle",
+    "test_model_greeks.py::test_sabr_calibration_sens_vs_hagan",
+    "test_model_greeks.py::test_vasicek_market_and_curve_sens_vs_merton73",
+    "test_models_sharded.py::test_sharded_bullet_payoff_under_heston",
+    "test_nmc.py::test_cva_from_exposure",
+    "test_nmc.py::test_cva_uses_option_maturity",
+    "test_nmc.py::test_engines_bitwise_identical",
+    "test_nmc.py::test_nmc_heston_engines_bitwise",
+    "test_nmc.py::test_nmc_heston_exposure_profile",
+    "test_nmc.py::test_nmc_heston_tower_property",
+    "test_nmc.py::test_remaining_discount",
+    "test_nmc.py::test_strategies_bitwise_identical",
+    "test_nmc.py::test_vanilla_nmc_tower",
+    "test_nmc_cev.py::test_ee_flat_at_cev_price",
+    "test_nmc_cev.py::test_beta_one_limit_matches_bs",
+    "test_nmc_localvol.py::test_engines_bitwise",
+    "test_nmc_localvol.py::test_flat_surface_ee_flat_at_bs",
+    "test_nmc_localvol.py::test_path_dependent_state_resumes",
+    "test_nmc_localvol.py::test_smile_widens_exposure_quantiles",
+    "test_nmc_localvol.py::test_tower_property_under_smile",
+    "test_nmc_merton.py::test_engines_bitwise",
+    "test_nmc_merton.py::test_jumps_fatten_the_exposure_tail",
+    "test_nmc_merton.py::test_tower_property",
+    "test_nmc_vasicek.py::test_engines_bitwise",
+    "test_nmc_vasicek.py::test_tower_property_vanilla",
+    "test_nmc_vasicek.py::test_zcb_exposure_flat_at_closed_form",
+    "test_parallel.py::test_sharded_book_matches_single_chip",
+    "test_parallel.py::test_sharded_lsmc_bermudan",
+    "test_parallel.py::test_sharded_lsmc_matches_single_chip",
+    "test_portfolio.py::test_portfolio_cv_book_bitwise",
+    "test_portfolio.py::test_portfolio_pallas_batched_bitwise",
+    "test_qmc.py::test_qmc_engines_bitwise",
+    "test_rainbow.py::test_engines_bitwise",
+    "test_sabr.py::test_mc_smile_slope_matches_hagan",
+    "test_vasicek.py::test_engines_bitwise",
+    "test_vasicek.py::test_path_dependent_payoffs_run",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: statistically heavy test (excluded by "
+        "`make test-fast`)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("/")[-1].split("[")[0]
+        if rel in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

@@ -377,3 +377,16 @@ def test_basket_american_compiled_vs_interpret():
     c = price_american_basket(sim=sim, tile_rows=8, interpret=False)
     i = price_american_basket(sim=sim, tile_rows=8, interpret=True)
     np.testing.assert_array_equal(np.asarray(c.price), np.asarray(i.price))
+
+
+def test_nmc_cev():
+    """Generic-engine new family (CEV): XLA-materialized grids feeding
+    the compiled Pallas inner kernel, all three routes bitwise."""
+    from mc_tpu.nmc_cev import price_nmc_cev
+    sim = SimParams(n_paths=2048, n_steps=4, n_paths_inner=8)
+    c, i, x = _tri(price_nmc_cev, sim=sim, tile_rows=8)
+    _assert_tri(c.outer, i.outer, x.outer)
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(i.surface))
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(x.surface))
