@@ -193,6 +193,46 @@ def cmd_nmc(args):
     from mc_tpu.nmc import price_nmc
 
     option, sim = _parse(args)
+    if args.book_strikes:
+        # Netting-set NMC: one contract per strike, netted EE/PFE/CVA.
+        import numpy as np
+
+        from mc_tpu.nmc_book import price_nmc_book
+        if args.model != "gbm":
+            raise SystemExit("--book-strikes prices a GBM netting set "
+                             "(model-family books: future work)")
+        ks = [float(x) for x in args.book_strikes.split(",")]
+        ws = ([float(x) for x in args.book_weights.split(",")]
+              if args.book_weights else None)
+        book = OptionParams(
+            s0=np.full(len(ks), args.s0, np.float32),
+            k=np.asarray(ks, np.float32),
+            t=np.full(len(ks), args.t, np.float32),
+            r=np.full(len(ks), args.r, np.float32),
+            sigma=np.full(len(ks), args.sigma, np.float32),
+            barrier=np.full(len(ks), args.barrier, np.float32),
+            p1=np.full(len(ks), args.p1, np.float32),
+            p2=np.full(len(ks), args.p2, np.float32),
+            q=np.full(len(ks), args.q, np.float32))
+        res = price_nmc_book(book, sim, payoff=args.payoff, weights=ws,
+                             engine=args.engine)
+        ee, pfe = res.exposure_profile(args.pfe_quantile)
+        out = {
+            "n_contracts": len(ks),
+            "net_outer_price": float(res.net_outer_price),
+            "per_contract_price": [round(float(x), 6)
+                                   for x in np.asarray(res.outers.price)],
+            "netted_ee": [round(float(x), 6) for x in np.asarray(ee)],
+            "netted_pfe": [round(float(x), 6) for x in np.asarray(pfe)],
+            "sum_of_standalone_ee": [
+                round(float(x), 6)
+                for x in np.asarray(res.ee_contract).sum(axis=0)],
+        }
+        if args.cva_hazard is not None:
+            out["netted_cva"] = float(res.cva(args.cva_hazard,
+                                              args.cva_recovery))
+        print(json.dumps(out))
+        return 0
     if args.model == "heston":
         if args.discount != "full" or args.strategy != "fused":
             raise SystemExit("--discount / --strategy are fixed "
@@ -866,6 +906,12 @@ def main(argv=None):
                    help="cev at-the-money vol")
     p.add_argument("--beta", type=float, default=0.5,
                    help="cev elasticity")
+    p.add_argument("--book-strikes", default=None,
+                   help="comma list of strikes: netting-set NMC (netted "
+                        "EE/PFE/CVA over the book)")
+    p.add_argument("--book-weights", default=None,
+                   help="comma list of +/- position sizes (with "
+                        "--book-strikes; default all +1)")
     p.add_argument("--v0", type=float, default=0.04)
     p.add_argument("--kappa", type=float, default=2.0)
     p.add_argument("--theta-v", type=float, default=0.04)
