@@ -21,7 +21,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["hagan_iv", "calibrate_sabr", "SABRFit"]
+__all__ = ["hagan_iv", "calibrate_sabr", "SABRFit",
+           "calibrate_heston", "HestonFit",
+           "calibrate_localvol"]
 
 
 def hagan_iv(f, k, t, alpha, beta, nu, rho):
@@ -118,3 +120,227 @@ def calibrate_sabr(f, t, strikes, target_ivs, *, beta: float = 1.0,
     alpha, nu, rho = _theta_to_params(theta)
     rmse = jnp.sqrt(jnp.mean(residuals(theta) ** 2))
     return SABRFit(alpha=alpha, nu=nu, rho=rho, rmse=rmse, n_iter=n_iter)
+
+
+# ---------------------------------------------------------------------------
+# Heston calibration: fit (v0, kappa, theta, xi, rho) to an implied-vol
+# surface through the semi-analytic CF oracle.  Host-side float64 (market-
+# data prep, runs once per surface); the fitted dynamics feed the MC/NMC/
+# LSMC engines, which is where the TPU cycles go.
+# ---------------------------------------------------------------------------
+
+
+class HestonFit(NamedTuple):
+    v0: float
+    kappa: float
+    theta: float
+    xi: float
+    rho: float
+    rmse: float               # IV-space RMSE at the fit
+    n_iter: int
+
+
+def _bs_iv_host(price, s0, k, t, r, q=0.0):
+    """Host f64 Black-Scholes implied vol (safeguarded Newton)."""
+    import numpy as np
+    from scipy.stats import norm as _norm
+
+    price, s0, k, t, r, q = map(float, (price, s0, k, t, r, q))
+    intrinsic = max(s0 * np.exp(-q * t) - k * np.exp(-r * t), 0.0)
+    if not intrinsic <= price < s0 * np.exp(-q * t):
+        return float("nan")
+
+    def call(sig):
+        sq = sig * np.sqrt(t)
+        d1 = (np.log(s0 / k) + (r - q + 0.5 * sig * sig) * t) / sq
+        return (s0 * np.exp(-q * t) * _norm.cdf(d1)
+                - k * np.exp(-r * t) * _norm.cdf(d1 - sq))
+
+    lo, hi = 1e-6, 5.0
+    sig = 0.25
+    for _ in range(80):
+        diff = call(sig) - price
+        if diff > 0:
+            hi = sig
+        else:
+            lo = sig
+        sq = sig * np.sqrt(t)
+        d1 = (np.log(s0 / k) + (r - q + 0.5 * sig * sig) * t) / sq
+        vega = s0 * np.exp(-q * t) * _norm.pdf(d1) * np.sqrt(t)
+        step = diff / max(vega, 1e-12)
+        cand = sig - step
+        sig = cand if lo < cand < hi else 0.5 * (lo + hi)
+    return sig
+
+
+def _heston_theta_to_params(th):
+    import numpy as np
+    return (np.exp(th[0]), np.exp(th[1]), np.exp(th[2]), np.exp(th[3]),
+            0.999 * np.tanh(th[4]))
+
+
+def calibrate_heston(strikes, mats, target_ivs, *, s0=100.0, r=0.1,
+                     q=0.0, init=(0.04, 2.0, 0.04, 0.3, -0.5),
+                     n_iter: int = 60) -> HestonFit:
+    """Fit Heston (v0, kappa, theta, xi, rho) to an implied-vol surface.
+
+    ``strikes``: (M,), ``mats``: (J,) maturities, ``target_ivs``: (J, M)
+    Black-Scholes implied vols.  Multiple maturities identify the
+    mean-reversion split (kappa/theta vs v0) that a single smile cannot.
+    Levenberg-Marquardt on IV-space residuals with an unconstrained
+    reparameterization (log for the positive parameters, scaled tanh for
+    rho) so every iterate is feasible; Jacobians by central differences
+    on the CF oracle (host f64 — this runs once per surface).
+
+    Round-trip gate (tests): IVs generated from known dynamics are
+    recovered to <1e-3 IV RMSE and the refit prices an exotic within
+    tolerance of the true-dynamics price.
+    """
+    import numpy as np
+
+    from mc_tpu.models.heston import heston_call_cf
+
+    strikes = np.asarray(strikes, np.float64)
+    mats = np.atleast_1d(np.asarray(mats, np.float64))
+    target = np.asarray(target_ivs, np.float64).reshape(len(mats),
+                                                        len(strikes))
+
+    def model_ivs(th):
+        v0, kappa, theta, xi, rho = _heston_theta_to_params(th)
+        out = np.empty_like(target)
+        for j, t in enumerate(mats):
+            for i, k in enumerate(strikes):
+                px = heston_call_cf(s0, k, t, r, v0, kappa, theta, xi,
+                                    rho, q=q)
+                out[j, i] = _bs_iv_host(px, s0, k, t, r, q)
+        return out
+
+    def residuals(th):
+        return (model_ivs(th) - target).ravel()
+
+    th = np.array([np.log(init[0]), np.log(init[1]), np.log(init[2]),
+                   np.log(init[3]), np.arctanh(init[4] / 0.999)])
+    lam = 1e-3
+    r_cur = residuals(th)
+    for _ in range(n_iter):
+        jac = np.empty((r_cur.size, 5))
+        for m in range(5):
+            h = 1e-4
+            tp, tm = th.copy(), th.copy()
+            tp[m] += h
+            tm[m] -= h
+            jac[:, m] = (residuals(tp) - residuals(tm)) / (2 * h)
+        g = jac.T @ r_cur
+        hmat = jac.T @ jac
+        try:
+            step = np.linalg.solve(hmat + lam * np.eye(5), g)
+        except np.linalg.LinAlgError:
+            lam *= 4.0
+            continue
+        th_new = th - step
+        r_new = residuals(th_new)
+        if np.nansum(r_new ** 2) < np.nansum(r_cur ** 2):
+            th, r_cur, lam = th_new, r_new, max(lam * 0.5, 1e-8)
+        else:
+            lam = min(lam * 4.0, 1e4)
+    v0, kappa, theta, xi, rho = _heston_theta_to_params(th)
+    rmse = float(np.sqrt(np.nanmean(r_cur ** 2)))
+    return HestonFit(v0=float(v0), kappa=float(kappa), theta=float(theta),
+                     xi=float(xi), rho=float(rho), rmse=rmse,
+                     n_iter=n_iter)
+
+
+# ---------------------------------------------------------------------------
+# Local-volatility calibration: Dupire's formula in total-variance form
+# (Gatheral) on a smooth fit of the implied-vol surface -> the sigma(x, t)
+# knot grid that models/localvol prices from.  Closes the market-data ->
+# surface -> exotic/XVA loop for the non-parametric family.
+# ---------------------------------------------------------------------------
+
+
+def calibrate_localvol(strikes, mats, target_ivs, *, s0=100.0, r=0.1,
+                       q=0.0, n_steps: int = 100, n_knots: int = 9,
+                       x_lo: float = -1.0, x_hi: float = 1.0,
+                       smile_degree: int = 2, min_vol: float = 0.01,
+                       max_vol: float = 2.0):
+    """Extract a local-vol surface from implied vols via Dupire.
+
+    ``strikes`` (M,), ``mats`` (J,) ascending maturities, ``target_ivs``
+    (J, M).  Per maturity the total variance w = iv^2 T is fitted as a
+    degree-``smile_degree`` polynomial in forward log-moneyness
+    y = log(K/F_T) (host f64 least squares); between maturities w is
+    linear in T (flat-extrapolated outside).  The local variance at
+    (y, t) is Gatheral's total-variance Dupire ratio
+
+        sigma_loc^2 = dw/dT / (1 - y/w dw/dy
+                      + 1/4 (-1/4 - 1/w + y^2/w^2) (dw/dy)^2
+                      + 1/2 d2w/dy2),
+
+    evaluated at every (x knot, step-end time) of the returned
+    `LocalVolSurface` (x = log(S/S0) absolute log-moneyness, the
+    surface's native coordinate; y = x - (r-q) t).  Results are clipped
+    to [min_vol, max_vol] — Dupire ratios go degenerate where the input
+    surface is extrapolated far off-grid.
+
+    Round-trip gate (tests): a flat IV surface returns the flat local
+    vol exactly; re-pricing vanillas under the fitted surface recovers
+    the input smile within MC + fit tolerance.
+    """
+    import numpy as np
+
+    from mc_tpu.models.localvol import LocalVolSurface
+
+    strikes = np.asarray(strikes, np.float64)
+    mats = np.atleast_1d(np.asarray(mats, np.float64))
+    ivs = np.asarray(target_ivs, np.float64).reshape(len(mats),
+                                                     len(strikes))
+    if np.any(np.diff(mats) <= 0):
+        raise ValueError("mats must be strictly ascending")
+    t_max = mats[-1]
+
+    # per-maturity polynomial fit of w(y) = iv^2 T
+    coefs = []
+    for j, t in enumerate(mats):
+        f_t = s0 * np.exp((r - q) * t)
+        y = np.log(strikes / f_t)
+        w = ivs[j] ** 2 * t
+        deg = min(smile_degree, len(strikes) - 1)
+        coefs.append(np.polyfit(y, w, deg))
+
+    def w_slice(j, y):
+        c = coefs[j]
+        return (np.polyval(c, y), np.polyval(np.polyder(c), y),
+                np.polyval(np.polyder(c, 2), y))
+
+    def w_at(t, y):
+        """(w, dw/dy, d2w/dy2, dw/dT) linear-in-T between slices."""
+        if t <= mats[0]:
+            w0, wy, wyy = w_slice(0, y)
+            # short end: scale total variance linearly from 0 at t=0
+            frac = t / mats[0]
+            return (w0 * frac, wy * frac, wyy * frac, w0 / mats[0])
+        j = int(np.searchsorted(mats, t, side="left"))
+        j = min(max(j, 1), len(mats) - 1)
+        t0, t1 = mats[j - 1], mats[j]
+        a = (t - t0) / (t1 - t0)
+        wa, wya, wyya = w_slice(j - 1, y)
+        wb, wyb, wyyb = w_slice(j, y)
+        return ((1 - a) * wa + a * wb, (1 - a) * wya + a * wyb,
+                (1 - a) * wyya + a * wyyb, (wb - wa) / (t1 - t0))
+
+    xs = np.linspace(x_lo, x_hi, n_knots)
+    vols = np.empty((n_steps, n_knots))
+    for step in range(n_steps):
+        t = (step + 1) / n_steps * t_max
+        for i, x in enumerate(xs):
+            y = x - (r - q) * t   # x = log(S/S0) -> y = log(S/F_t)
+            w, wy, wyy, wt = w_at(t, y)
+            w = max(w, 1e-8)
+            denom = (1.0 - y / w * wy
+                     + 0.25 * (-0.25 - 1.0 / w + y * y / (w * w)) * wy * wy
+                     + 0.5 * wyy)
+            var = wt / max(denom, 1e-8)
+            vols[step, i] = np.sqrt(min(max(var, min_vol ** 2),
+                                        max_vol ** 2))
+    return LocalVolSurface(x_knots=xs.astype(np.float32),
+                           vols=vols.astype(np.float32))

@@ -284,6 +284,15 @@ def cmd_nmc(args):
         dyn = CEVDynamics.from_atm_vol(args.sigma_atm, args.beta, args.s0)
         res = price_nmc_cev(option, dyn, sim, payoff=args.payoff,
                             engine=args.engine)
+    elif args.model == "basket":
+        if args.discount != "full" or args.strategy != "fused":
+            raise SystemExit("--discount / --strategy are fixed "
+                             "(full / fused) with --model basket")
+        from mc_tpu.models.basket import _demo_basket
+        from mc_tpu.nmc_basket import price_nmc_basket
+        dyn = _demo_basket(d=args.n_assets, rho=args.corr)
+        res = price_nmc_basket(option, dyn, sim, payoff=args.payoff,
+                               engine=args.engine)
     else:
         res = price_nmc(option, sim, payoff=args.payoff,
                         strategy=args.strategy, engine=args.engine,
@@ -900,8 +909,12 @@ def main(argv=None):
     p.add_argument("--cva-recovery", type=float, default=0.4)
     p.add_argument("--model",
                    choices=("gbm", "heston", "merton", "vasicek",
-                            "localvol", "cev"),
+                            "localvol", "cev", "basket"),
                    default="gbm")
+    p.add_argument("--n-assets", type=int, default=4,
+                   help="basket size (with --model basket)")
+    p.add_argument("--corr", type=float, default=0.5,
+                   help="basket pairwise correlation")
     p.add_argument("--sigma-atm", type=float, default=0.2,
                    help="cev at-the-money vol")
     p.add_argument("--beta", type=float, default=0.5,

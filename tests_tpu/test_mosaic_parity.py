@@ -390,3 +390,16 @@ def test_nmc_cev():
                                   np.asarray(i.surface))
     np.testing.assert_array_equal(np.asarray(c.surface),
                                   np.asarray(x.surface))
+
+
+def test_nmc_basket():
+    """Multi-asset NMC: d per-asset grids feeding the compiled Pallas
+    inner kernel (Cholesky mixing in-register), all routes bitwise."""
+    from mc_tpu.nmc_basket import price_nmc_basket
+    sim = SimParams(n_paths=2048, n_steps=4, n_paths_inner=8)
+    c, i, x = _tri(price_nmc_basket, sim=sim, tile_rows=8)
+    _assert_tri(c.outer, i.outer, x.outer)
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(i.surface))
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(x.surface))
