@@ -140,35 +140,36 @@ class HestonFit(NamedTuple):
     n_iter: int
 
 
-def _bs_iv_host(price, s0, k, t, r, q=0.0):
-    """Host f64 Black-Scholes implied vol (safeguarded Newton)."""
-    import numpy as np
-    from scipy.stats import norm as _norm
+def _bs_iv_host(price, s0, k, t, r, q=0.0, n_iter=40):
+    """Host f64 Black-Scholes implied vol (safeguarded Newton,
+    erf-based — hot inside the calibration loop, so no scipy)."""
+    import math
 
     price, s0, k, t, r, q = map(float, (price, s0, k, t, r, q))
-    intrinsic = max(s0 * np.exp(-q * t) - k * np.exp(-r * t), 0.0)
-    if not intrinsic <= price < s0 * np.exp(-q * t):
+    disc_s = s0 * math.exp(-q * t)
+    disc_k = k * math.exp(-r * t)
+    if not max(disc_s - disc_k, 0.0) <= price < disc_s:
         return float("nan")
+    sqrt_t = math.sqrt(t)
+    lnsk = math.log(s0 / k)
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    inv_sqrt2pi = 1.0 / math.sqrt(2.0 * math.pi)
 
-    def call(sig):
-        sq = sig * np.sqrt(t)
-        d1 = (np.log(s0 / k) + (r - q + 0.5 * sig * sig) * t) / sq
-        return (s0 * np.exp(-q * t) * _norm.cdf(d1)
-                - k * np.exp(-r * t) * _norm.cdf(d1 - sq))
+    def cnd(x):
+        return 0.5 * (1.0 + math.erf(x * inv_sqrt2))
 
     lo, hi = 1e-6, 5.0
     sig = 0.25
-    for _ in range(80):
-        diff = call(sig) - price
+    for _ in range(n_iter):
+        sq = sig * sqrt_t
+        d1 = (lnsk + (r - q + 0.5 * sig * sig) * t) / sq
+        diff = disc_s * cnd(d1) - disc_k * cnd(d1 - sq) - price
         if diff > 0:
             hi = sig
         else:
             lo = sig
-        sq = sig * np.sqrt(t)
-        d1 = (np.log(s0 / k) + (r - q + 0.5 * sig * sig) * t) / sq
-        vega = s0 * np.exp(-q * t) * _norm.pdf(d1) * np.sqrt(t)
-        step = diff / max(vega, 1e-12)
-        cand = sig - step
+        vega = disc_s * inv_sqrt2pi * math.exp(-0.5 * d1 * d1) * sqrt_t
+        cand = sig - diff / max(vega, 1e-12)
         sig = cand if lo < cand < hi else 0.5 * (lo + hi)
     return sig
 
@@ -181,7 +182,7 @@ def _heston_theta_to_params(th):
 
 def calibrate_heston(strikes, mats, target_ivs, *, s0=100.0, r=0.1,
                      q=0.0, init=(0.04, 2.0, 0.04, 0.3, -0.5),
-                     n_iter: int = 60) -> HestonFit:
+                     n_iter: int = 30, n_quad: int = 512) -> HestonFit:
     """Fit Heston (v0, kappa, theta, xi, rho) to an implied-vol surface.
 
     ``strikes``: (M,), ``mats``: (J,) maturities, ``target_ivs``: (J, M)
@@ -211,7 +212,7 @@ def calibrate_heston(strikes, mats, target_ivs, *, s0=100.0, r=0.1,
         for j, t in enumerate(mats):
             for i, k in enumerate(strikes):
                 px = heston_call_cf(s0, k, t, r, v0, kappa, theta, xi,
-                                    rho, q=q)
+                                    rho, q=q, n_quad=n_quad)
                 out[j, i] = _bs_iv_host(px, s0, k, t, r, q)
         return out
 

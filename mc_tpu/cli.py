@@ -647,7 +647,9 @@ def cmd_sabr(args):
 
 def cmd_calibrate(args):
     """The full production loop on one command: MC prices under the given
-    SABR dynamics -> implied vols -> Gauss-Newton fit -> recovered params."""
+    SABR dynamics -> implied vols -> Gauss-Newton fit -> recovered params.
+    ``--model heston`` round-trips the CF oracle; ``--model localvol``
+    extracts a Dupire surface and re-prices the smile under it."""
     import math
 
     import numpy as np
@@ -657,6 +659,49 @@ def cmd_calibrate(args):
     from mc_tpu.oracle import bs_implied_vol
 
     option, sim = _parse(args)
+    if args.model == "heston":
+        from mc_tpu.calibrate import _bs_iv_host, calibrate_heston
+        from mc_tpu.models.heston import heston_call_cf
+        true = dict(v0=args.v0, kappa=args.kappa, theta=args.theta_v,
+                    xi=args.xi, rho=args.rho_sv)
+        ks = np.linspace(args.k_min, args.k_max, args.n_strikes)
+        mats = np.array([0.5 * args.t, args.t, 2.0 * args.t])
+        ivs = np.array([[_bs_iv_host(
+            heston_call_cf(args.s0, k, t, args.r, q=args.q, **true),
+            args.s0, k, t, args.r, args.q) for k in ks] for t in mats])
+        fit = calibrate_heston(ks, mats, ivs, s0=args.s0, r=args.r,
+                               q=args.q)
+        print(json.dumps({"model": "heston", "true": true,
+                          "fit": {"v0": fit.v0, "kappa": fit.kappa,
+                                  "theta": fit.theta, "xi": fit.xi,
+                                  "rho": fit.rho},
+                          "iv_rmse": fit.rmse}))
+        return 0
+    if args.model == "localvol":
+        from mc_tpu.calibrate import calibrate_localvol
+        from mc_tpu.models.localvol import price_localvol
+        ks = np.linspace(args.k_min, args.k_max, args.n_strikes)
+        mats = np.array([0.5 * args.t, args.t])
+
+        def iv_fn(k):
+            y = math.log(k / args.s0)
+            return args.sigma - args.smile_skew * y + args.smile_curv * y * y
+
+        ivs = np.array([[iv_fn(k) for k in ks] for _ in mats])
+        surf = calibrate_localvol(ks, mats, ivs, s0=args.s0, r=args.r,
+                                  q=args.q, n_steps=sim.n_steps,
+                                  x_lo=-0.8, x_hi=0.8, n_knots=33)
+        out = {"model": "localvol", "strikes": [float(k) for k in ks],
+               "target_ivs": [iv_fn(k) for k in ks], "repriced_ivs": []}
+        for k in ks:
+            res = price_localvol(
+                OptionParams(s0=args.s0, t=args.t, k=float(k), r=args.r,
+                             q=args.q), surf, sim, engine=args.engine,
+                tile_rows=args.tile_rows)
+            out["repriced_ivs"].append(float(bs_implied_vol(
+                res.price, args.s0, float(k), args.t, args.r, args.q)))
+        print(json.dumps(out))
+        return 0
     dyn = SABRDynamics(alpha=args.alpha, beta=args.beta, nu=args.nu,
                        rho=args.rho_fv)
     ks = np.linspace(args.k_min, args.k_max, args.n_strikes,
@@ -1064,8 +1109,11 @@ def main(argv=None):
     p.set_defaults(fn=cmd_sabr)
 
     p = sub.add_parser("calibrate",
-                       help="MC smile -> implied vols -> SABR fit")
+                       help="MC smile -> implied vols -> model fit "
+                            "(sabr | heston | localvol)")
     _add_option_flags(p)
+    p.add_argument("--model", choices=("sabr", "heston", "localvol"),
+                   default="sabr")
     p.add_argument("--alpha", type=float, default=0.2)
     p.add_argument("--beta", type=float, default=1.0)
     p.add_argument("--nu", type=float, default=0.4)
@@ -1073,6 +1121,15 @@ def main(argv=None):
     p.add_argument("--k-min", type=float, default=85.0)
     p.add_argument("--k-max", type=float, default=115.0)
     p.add_argument("--n-strikes", type=int, default=5)
+    p.add_argument("--v0", type=float, default=0.04)
+    p.add_argument("--kappa", type=float, default=2.0)
+    p.add_argument("--theta-v", type=float, default=0.04)
+    p.add_argument("--xi", type=float, default=0.3)
+    p.add_argument("--rho-sv", type=float, default=-0.7)
+    p.add_argument("--smile-skew", type=float, default=0.08,
+                   help="localvol target smile slope")
+    p.add_argument("--smile-curv", type=float, default=0.15,
+                   help="localvol target smile curvature")
     p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("basket", help="correlated multi-asset basket price")

@@ -39,6 +39,8 @@ def devices():
 SLOW_TESTS = {
     "test_basket.py::test_path_dependent_on_basket",
     "test_calibrate.py::test_full_mc_loop_recovers_dynamics",
+    "test_calibrate.py::test_heston_fit_reprices_exotic",
+    "test_calibrate.py::test_localvol_round_trip_reprices_smile",
     "test_calibrate.py::test_round_trip_recovers_parameters",
     "test_checkpoint.py::test_resume_bitwise_identical",
     "test_cli.py::test_model_family_commands",

@@ -5,6 +5,7 @@ import math
 import numpy as np
 import pytest
 
+from mc_tpu import OptionParams, SimParams
 from mc_tpu.calibrate import calibrate_sabr, hagan_iv
 from mc_tpu.models.sabr import sabr_implied_vol
 
@@ -79,3 +80,112 @@ def test_full_mc_loop_recovers_dynamics():
     assert float(fit.rho) == pytest.approx(-0.4, abs=0.15)
     assert float(fit.nu) == pytest.approx(0.4, abs=0.15)
     assert float(fit.rmse) < 5e-3
+
+
+# --- Heston calibration (round 3) -----------------------------------------
+
+def test_heston_round_trip_recovers_parameters():
+    """IVs generated from known Heston dynamics are recovered to
+    sub-bp IV RMSE across a 3-maturity surface."""
+    import numpy as np
+
+    from mc_tpu.calibrate import _bs_iv_host, calibrate_heston
+    from mc_tpu.models.heston import heston_call_cf
+    true = dict(v0=0.05, kappa=1.5, theta=0.06, xi=0.4, rho=-0.6)
+    s0, r = 100.0, 0.1
+    strikes = np.array([80.0, 90.0, 100.0, 110.0, 125.0])
+    mats = np.array([0.5, 1.0, 2.0])
+    ivs = np.array([[_bs_iv_host(heston_call_cf(s0, k, t, r, **true),
+                                 s0, k, t, r)
+                     for k in strikes] for t in mats])
+    fit = calibrate_heston(strikes, mats, ivs, s0=s0, r=r)
+    assert fit.rmse < 1e-4
+    assert fit.v0 == pytest.approx(true["v0"], rel=0.02)
+    assert fit.theta == pytest.approx(true["theta"], rel=0.05)
+    assert fit.xi == pytest.approx(true["xi"], rel=0.05)
+    assert fit.rho == pytest.approx(true["rho"], abs=0.02)
+
+
+def test_heston_fit_reprices_exotic():
+    """The fitted dynamics re-price a path-dependent contract within MC
+    tolerance of the true dynamics (the reason calibration exists)."""
+    import numpy as np
+
+    from mc_tpu.calibrate import _bs_iv_host, calibrate_heston
+    from mc_tpu.models.heston import (HestonDynamics, heston_call_cf,
+                                      price_heston)
+    true = dict(v0=0.05, kappa=1.5, theta=0.06, xi=0.4, rho=-0.6)
+    s0, r = 100.0, 0.1
+    strikes = np.array([85.0, 95.0, 100.0, 105.0, 120.0])
+    mats = np.array([0.5, 1.0])
+    ivs = np.array([[_bs_iv_host(heston_call_cf(s0, k, t, r, **true),
+                                 s0, k, t, r)
+                     for k in strikes] for t in mats])
+    fit = calibrate_heston(strikes, mats, ivs, s0=s0, r=r)
+    sim = SimParams(n_paths=100_000, n_steps=50)
+    a = price_heston(OptionParams(), HestonDynamics(**true), sim,
+                     payoff="asian_call", engine="xla")
+    b = price_heston(OptionParams(),
+                     HestonDynamics(v0=fit.v0, kappa=fit.kappa,
+                                    theta=fit.theta, xi=fit.xi,
+                                    rho=fit.rho),
+                     sim, payoff="asian_call", engine="xla")
+    # CRN (same seed/stream): difference is the dynamics mismatch alone
+    assert float(a.price) == pytest.approx(float(b.price), rel=0.02)
+
+
+# --- Dupire local-vol calibration (round 3) --------------------------------
+
+def test_localvol_flat_surface_exact():
+    """A flat IV surface must produce the flat local vol exactly."""
+    import numpy as np
+
+    from mc_tpu.calibrate import calibrate_localvol
+    strikes = np.array([80.0, 90.0, 100.0, 110.0, 125.0])
+    surf = calibrate_localvol(strikes, np.array([0.5, 1.0]),
+                              np.full((2, 5), 0.2), s0=100.0, r=0.1,
+                              n_steps=8)
+    np.testing.assert_allclose(np.asarray(surf.vols), 0.2, atol=1e-6)
+
+
+def test_localvol_skew_shape():
+    """A downward-sloping smile produces local vols higher below spot
+    than above (the smile's local-vol image), monotone through ATM."""
+    import numpy as np
+
+    from mc_tpu.calibrate import calibrate_localvol
+    strikes = np.array([80.0, 90.0, 100.0, 110.0, 125.0])
+    ivs = np.array([[0.2 - 0.08 * np.log(k / 100.0) for k in strikes]
+                    for _ in range(2)])
+    surf = calibrate_localvol(strikes, np.array([0.5, 1.0]), ivs,
+                              s0=100.0, r=0.1, n_steps=8,
+                              x_lo=-0.3, x_hi=0.3)
+    mid = np.asarray(surf.vols)[4]  # mid-horizon slice
+    assert mid[0] > mid[-1]         # more vol below spot
+
+
+def test_localvol_round_trip_reprices_smile():
+    """Dupire consistency: vanillas re-priced under the extracted
+    surface recover the input smile within fit + MC tolerance."""
+    import numpy as np
+
+    from mc_tpu.calibrate import calibrate_localvol
+    from mc_tpu.models.localvol import price_localvol
+    from mc_tpu.oracle import bs_implied_vol
+    s0, r = 100.0, 0.1
+    strikes = np.array([80.0, 90.0, 100.0, 110.0, 125.0])
+    mats = np.array([0.5, 1.0])
+
+    def iv_fn(k):
+        y = np.log(k / s0)
+        return 0.2 - 0.08 * y + 0.15 * y * y
+
+    ivs = np.array([[iv_fn(k) for k in strikes] for _ in mats])
+    surf = calibrate_localvol(strikes, mats, ivs, s0=s0, r=r,
+                              n_steps=50, x_lo=-0.8, x_hi=0.8,
+                              n_knots=33)
+    sim = SimParams(n_paths=400_000, n_steps=50)
+    for k in (80.0, 100.0, 125.0):
+        res = price_localvol(OptionParams(k=k), surf, sim, engine="xla")
+        iv = float(bs_implied_vol(float(res.price), s0, k, 1.0, r))
+        assert iv == pytest.approx(iv_fn(k), abs=0.006)
