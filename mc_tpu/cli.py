@@ -396,6 +396,31 @@ def cmd_american(args):
                              price_american_basket, price_american_heston)
 
     option, sim = _parse(args)
+    if args.greeks:
+        if args.model not in ("gbm", "heston"):
+            raise SystemExit("--greeks supports --model gbm|heston")
+        from mc_tpu.lsmc import american_greeks
+        g = american_greeks(option, sim, payoff=args.payoff,
+                            model=args.model, degree=args.degree,
+                            exercise_every=args.exercise_every)
+        out = {"payoff": args.payoff, "model": args.model}
+        out.update({k: round(v, 6) for k, v in g.items()})
+        if args.model == "gbm" and args.payoff in ("vanilla_put",
+                                                   "vanilla_call"):
+            kind = "put" if args.payoff == "vanilla_put" else "call"
+            h, hv = 0.5, 0.005
+            f = lambda s: binomial_american(s, args.k, args.t, args.r,
+                                            args.sigma, kind=kind,
+                                            div_yield=args.q)
+            fv = lambda sg: binomial_american(args.s0, args.k, args.t,
+                                              args.r, sg, kind=kind,
+                                              div_yield=args.q)
+            out["crr_delta"] = round((f(args.s0 + h) - f(args.s0 - h))
+                                     / (2 * h), 6)
+            out["crr_vega"] = round((fv(args.sigma + hv)
+                                     - fv(args.sigma - hv)) / (2 * hv), 6)
+        print(json.dumps(out))
+        return 0
     if args.model == "basket":
         if args.bounds:
             raise SystemExit("--bounds is not supported with "
@@ -549,10 +574,26 @@ def cmd_greeks(args):
 
 
 def cmd_qmc(args):
-    from mc_tpu.qmc import price_qmc
     from mc_tpu.oracle import bs_call
+    from mc_tpu.qmc import price_qmc, price_qmc_model
 
     option, sim = _parse(args)
+    if args.model != "gbm":
+        res = price_qmc_model(args.model, option, None, sim,
+                              payoff=args.payoff, family=args.family,
+                              n_shifts=args.n_shifts, engine=args.engine,
+                              tile_rows=args.tile_rows)
+        out = {"model": args.model, "price": float(res.price),
+               "stderr": float(res.stderr),
+               "point_n": int(float(res.n_paths)) // args.n_shifts,
+               "n_shifts": args.n_shifts}
+        if args.model == "heston" and args.payoff == "vanilla_call":
+            from mc_tpu.models.heston import DEMO_HESTON, heston_call_cf
+            out["cf_oracle"] = float(heston_call_cf(
+                args.s0, args.k, args.t, args.r,
+                *DEMO_HESTON.astuple(), q=args.q))
+        print(json.dumps(out))
+        return 0
     res = price_qmc(option, sim, payoff=args.payoff, family=args.family,
                     n_shifts=args.n_shifts, engine=args.engine,
                     tile_rows=args.tile_rows)
@@ -1015,6 +1056,9 @@ def main(argv=None):
     _add_option_flags(p)
     p.add_argument("--payoff", default="vanilla_put")
     p.add_argument("--degree", type=int, default=3)
+    p.add_argument("--greeks", action="store_true",
+                   help="frozen-policy pathwise delta/vega (+ CRR-FD "
+                        "reference for gbm vanilla)")
     p.add_argument("--model",
                    choices=("gbm", "heston", "basket", "vasicek",
                             "localvol"),
@@ -1069,6 +1113,10 @@ def main(argv=None):
     p.add_argument("--n-shifts", type=int, default=16)
     p.add_argument("--family", choices=("lattice", "sobol"),
                    default="lattice")
+    p.add_argument("--model", choices=("gbm", "heston", "basket"),
+                   default="gbm",
+                   help="drive a model family's step loop from the "
+                        "low-discrepancy points")
     p.set_defaults(fn=cmd_qmc)
 
     p = sub.add_parser("cev", help="CEV local-vol price (ncx2 oracle)")

@@ -26,6 +26,7 @@ numpy) — the American analogue of the Black-Scholes check.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -41,7 +42,7 @@ from mc_tpu.ops import path_kernels as pk
 from mc_tpu.ops._pallas import LANES
 from mc_tpu.ops.payoffs import get_payoff
 
-__all__ = ["price_american", "price_american_heston",
+__all__ = ["price_american", "american_greeks", "price_american_heston",
            "price_american_basket", "price_american_vasicek",
            "price_american_localvol", "american_bounds",
            "binomial_american"]
@@ -1003,3 +1004,171 @@ def _ab_upper_heston_impl(option, heston, payoff, sim, degree, tile_rows,
         nn - 1.0, 1.0)
     return PriceResult(price=mean, stderr=jnp.sqrt(var / nn), n_paths=nn,
                        payoff_mean=mean, payoff_var=var)
+
+
+# ---------------------------------------------------------------------------
+# American Greeks: frozen-exercise-policy pathwise differentiation
+# (round 3).  Fit the LSMC policy on one path set, FREEZE it, and
+# differentiate the frozen-policy value on an independent set — the
+# standard two-pass construction: at the fitted boundary the exercise
+# value equals the continuation value, so the policy's own derivative
+# contributes nothing to first order, and the pathwise derivative
+# through max/where (which never differentiates the exercise indicator)
+# is a consistent estimator of the American delta/vega.
+# ---------------------------------------------------------------------------
+
+
+def _diff_gbm_grids(payoff, p, n_steps, n_pad, k0, k1, s0, sigma, r, q, t):
+    """Differentiable GBM trajectory grids (pure jnp, one normal per
+    step — an independent pricing stream; no kernel-parity contract)."""
+    ids = jnp.arange(n_pad, dtype=jnp.uint32)
+    dt = t / n_steps
+    drift_dt = (r - q - 0.5 * sigma * sigma) * dt
+    vol_dt = sigma * jnp.sqrt(dt)
+    s0v = jnp.full((n_pad,), 1.0, jnp.float32) * s0
+    state0 = payoff.init(p, jnp.zeros((n_pad,), jnp.float32))
+
+    def step(carry, m):
+        w, state = carry
+        z, _ = rng.normal_pair(k0, k1, ids,
+                               jnp.full((n_pad,), 0, jnp.uint32) + m)
+        w = w + drift_dt + vol_dt * z
+        s = s0v * jnp.exp(w)
+        state = payoff.update(state, s, p)
+        cv = state[0] if payoff.n_state else jnp.zeros_like(s)
+        return (w, state), (s, cv)
+
+    (_, _), (s_hist, c_hist) = jax.lax.scan(
+        step, (jnp.zeros((n_pad,), jnp.float32), state0),
+        jnp.arange(n_steps, dtype=jnp.uint32))
+    return s_hist, c_hist
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("payoff", "sim", "model", "degree", "every"))
+def _american_greeks_impl(option, dyn, payoff, sim, model, degree, every,
+                          key, key_b):
+    n_pad = -(-sim.n_paths // LANES) * LANES
+    valid = jnp.arange(n_pad, dtype=jnp.uint32) < jnp.uint32(sim.n_paths)
+    n = sim.n_steps
+    ka0, ka1 = (jnp.asarray(key[i], jnp.uint32) for i in (0, 1))
+    kb0, kb1 = (jnp.asarray(key_b[i], jnp.uint32) for i in (0, 1))
+    t = jnp.float32(option.t)
+    r = jnp.float32(option.r)
+    q = jnp.float32(option.q)
+
+    if model == "heston":
+        from mc_tpu.models.heston import _pack_heston, _unpack_heston
+        from mc_tpu.nmc_heston import HestonNMC
+        fam = HestonNMC()
+
+        def simulate(s0v, sigv, k0, k1):
+            # sigma is unused under Heston (vol comes from the v-process)
+            opt2 = dataclasses.replace(option, s0=s0v)
+            p2 = _unpack_heston(_pack_heston(opt2, dyn, n))
+            ids = jnp.arange(n_pad, dtype=jnp.uint32)
+            s0a = jnp.full((n_pad,), 1.0, jnp.float32) * s0v
+            state0 = payoff.init(p2, jnp.zeros((n_pad,), jnp.float32))
+            hists, c_hist, _ = fam.xla_outer(payoff, p2, None, ids, k0,
+                                             k1, s0a, state0, n)
+            return p2, hists, c_hist
+
+        def design_of(p2, hists):
+            inv_k = 1.0 / p2.k
+            s_h, v_h = hists
+            return lambda tt: _basis_sv(s_h[tt] * inv_k, v_h[tt], degree)
+
+        n_basis = degree + 4
+    else:
+
+        def simulate(s0v, sigv, k0, k1):
+            p2 = _payoff_namespace(
+                dataclasses.replace(option, s0=s0v, sigma=sigv), n)
+            s_hist, c_hist = _diff_gbm_grids(payoff, p2, n, n_pad, k0, k1,
+                                             s0v, sigv, r, q, t)
+            return p2, (s_hist,), c_hist
+
+        def design_of(p2, hists):
+            inv_k = 1.0 / p2.k
+            return lambda tt: _basis(hists[0][tt] * inv_k, degree)
+
+        n_basis = degree + 1
+
+    def immediate_of(p2, hists, c_hist):
+        def immediate(s_f, c_f, j):
+            st = (c_hist[j],) if payoff.n_state else ()
+            return payoff.terminal(st, hists[0][j], p2)
+        return immediate
+
+    disc = jnp.exp(-r * t / n)
+
+    # --- pass A: fit the policy (no gradients flow) --------------------
+    s0_0 = jnp.float32(option.s0)
+    sig_0 = jnp.float32(option.sigma)
+    p_a, hists_a, c_a = simulate(s0_0, sig_0, ka0, ka1)
+    _, betas = _backward_fit(
+        payoff, p_a, hists_a[0], c_a, valid, n, degree, 1.0 / p_a.k, disc,
+        immediate_of(p_a, hists_a, c_a), every,
+        design_fn=design_of(p_a, hists_a), n_basis=n_basis)
+    betas = jax.lax.stop_gradient(betas)
+
+    # --- pass B: frozen-policy value, differentiable in (s0, sigma) ----
+    def value(s0v, sigv):
+        p_b, hists_b, c_b = simulate(s0v, sigv, kb0, kb1)
+        vb = _apply_policy_pass(
+            payoff, p_b, hists_b[0], c_b, valid, betas, n, degree,
+            1.0 / p_b.k, disc, immediate_of(p_b, hists_b, c_b), every,
+            design_fn=design_of(p_b, hists_b))
+        vb = jnp.where(valid, vb * disc, 0.0)
+        return jnp.sum(vb) / jnp.float32(sim.n_paths)
+
+    price, (delta, vega) = jax.value_and_grad(value, argnums=(0, 1))(
+        s0_0, sig_0)
+    return {"price": price, "delta": delta, "vega": vega}
+
+
+def american_greeks(option: OptionParams = DEMO_OPTION,
+                    sim: SimParams = DEMO_SIM,
+                    payoff="vanilla_put",
+                    *,
+                    model: str = "gbm",
+                    dyn=None,
+                    degree: int = 3,
+                    exercise_every: int = 1,
+                    stream: int = STREAM_OUTER,
+                    key=None) -> dict:
+    """Frozen-policy pathwise Greeks of an American/Bermudan option.
+
+    Returns ``{"price", "delta", "vega"}`` — the price is the two-pass
+    (low-biased) frozen-policy value, delta/vega its pathwise
+    derivatives on the independent pricing pass.  ``model="heston"``
+    prices under Heston dynamics (``dyn``); there ``vega`` is the
+    sensitivity to the (unused) flat-vol field and is ~0 — the vol risk
+    lives in the v-process parameters.
+
+    Gate (tests): CRR binomial central differences on the reference put
+    config agree within MC tolerance.
+    """
+    po = get_payoff(payoff)
+    if po.n_state > 1:
+        raise ValueError("LSMC supports payoffs with at most one state "
+                         "array")
+    if exercise_every < 1:
+        raise ValueError("exercise_every must be >= 1")
+    if model not in ("gbm", "heston"):
+        raise ValueError(f"model must be 'gbm' or 'heston', got {model!r}")
+    if model == "heston":
+        from mc_tpu.models.heston import DEMO_HESTON
+        dyn = (DEMO_HESTON if dyn is None else dyn).as_f32()
+        tag = (0x4E57,)
+    else:
+        tag = ()
+    if key is None:
+        key = jnp.asarray(rng.derive_key(sim.seed, stream, *tag),
+                          jnp.uint32)
+    key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
+    out = _american_greeks_impl(option.as_f32(), dyn, po,
+                                sim.replace(seed=0), model, degree,
+                                exercise_every, key, key_b)
+    return {k: float(v) for k, v in out.items()}

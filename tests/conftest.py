@@ -52,6 +52,8 @@ SLOW_TESTS = {
     "test_greeks.py::test_pathwise_first_order",
     "test_greeks.py::test_pathwise_kernel_matches_grad",
     "test_lsmc.py::test_american_bounds_bermudan_schedule",
+    "test_lsmc.py::test_american_greeks_match_crr_fd",
+    "test_lsmc.py::test_american_greeks_heston_delta",
     "test_lsmc.py::test_american_bounds_maturity_always_included",
     "test_lsmc.py::test_basket_american_premium",
     "test_lsmc.py::test_heston_american_bounds_bracket",
@@ -100,6 +102,9 @@ SLOW_TESTS = {
     "test_portfolio.py::test_portfolio_cv_book_bitwise",
     "test_portfolio.py::test_portfolio_pallas_batched_bitwise",
     "test_qmc.py::test_qmc_engines_bitwise",
+    "test_qmc.py::test_qmc_heston_matches_cf",
+    "test_qmc.py::test_qmc_basket_matches_mc",
+    "test_qmc.py::test_qmc_model_engines_bitwise",
     "test_rainbow.py::test_engines_bitwise",
     "test_sabr.py::test_mc_smile_slope_matches_hagan",
     "test_vasicek.py::test_engines_bitwise",

@@ -335,3 +335,51 @@ def test_heston_american_bounds_bracket():
                                n_inner=96)
     assert float(up2.price) >= float(lo2.price) - 2 * (
         float(up2.stderr) + float(lo2.stderr))
+
+
+# --- American Greeks (round 3): frozen-policy pathwise -------------------
+
+def test_american_greeks_match_crr_fd():
+    """Frozen-policy pathwise delta/vega vs CRR binomial central
+    differences on the reference put config."""
+    from mc_tpu.lsmc import american_greeks, binomial_american
+    g = american_greeks(sim=SimParams(n_paths=200_000, n_steps=50))
+    h, hv = 0.5, 0.005
+
+    def f(s):
+        return binomial_american(s, 100.0, 1.0, 0.1, 0.2, kind="put")
+
+    def fv(sg):
+        return binomial_american(100.0, 100.0, 1.0, 0.1, sg, kind="put")
+
+    crr_delta = (f(100 + h) - f(100 - h)) / (2 * h)
+    crr_vega = (fv(0.2 + hv) - fv(0.2 - hv)) / (2 * hv)
+    assert g["delta"] == pytest.approx(crr_delta, abs=0.025)
+    assert g["vega"] == pytest.approx(crr_vega, rel=0.04)
+    assert g["price"] == pytest.approx(f(100.0), rel=0.02)
+
+
+def test_american_greeks_heston_delta():
+    """Heston-American delta smoke: negative for a put, in (-1, 0);
+    the flat-vol vega is ~0 (vol risk lives in the v-process)."""
+    from mc_tpu.lsmc import american_greeks
+    g = american_greeks(sim=SimParams(n_paths=100_000, n_steps=50),
+                        model="heston")
+    assert -1.0 < g["delta"] < -0.05
+    assert abs(g["vega"]) < 1e-6
+    assert g["price"] > 0.0
+
+
+def test_american_greeks_call_delta_positive():
+    from mc_tpu.lsmc import american_greeks
+    g = american_greeks(sim=SimParams(n_paths=50_000, n_steps=20),
+                        payoff="vanilla_call")
+    assert 0.05 < g["delta"] < 1.0
+
+
+def test_american_greeks_validation():
+    from mc_tpu.lsmc import american_greeks
+    with pytest.raises(ValueError, match="model"):
+        american_greeks(model="vasicek")
+    with pytest.raises(ValueError, match="exercise_every"):
+        american_greeks(exercise_every=0)
