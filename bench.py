@@ -429,6 +429,9 @@ def main():
     # 64-contract book through the batched shared-RNG kernel.
     book_dt, book_steps = book_kernel_seconds()
 
+    # Roofline: measured primitive ceilings -> peak-fraction estimate.
+    roof = roofline()
+
     # Billion-path end-to-end runs (BASELINE config 5, single chip).
     b_call = billion_path_run("vanilla_call")
     b_bullet = billion_path_run("bullet_call")
@@ -474,6 +477,7 @@ def main():
             "nmc_demo_inner_path_steps_per_sec":
                 round(nmc_inner_steps / nmc_dt, 1),
             "book64_path_steps_per_sec": round(book_steps / book_dt, 1),
+            "roofline": roof,
             "e2e_1b_call": b_call,
             "e2e_1b_bullet": b_bullet,
             "price": float(res.price),
@@ -487,3 +491,100 @@ def main():
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+# ---------------------------------------------------------------------------
+# Roofline microbenchmarks (round 3): measured VPU ceilings for the
+# primitives the bullet step is built from, composed into a roofline
+# prediction so the achieved throughput has a denominator.  Every
+# measurement is the same T(K)-T(1) differential as the kernels above.
+# ---------------------------------------------------------------------------
+
+_ROOF_SHAPE = (512, 128)     # one VMEM-resident f32 tile
+_ROOF_ITERS = 512            # chained iterations inside one jitted program
+
+
+def _chain_seconds(body, iters=_ROOF_ITERS, k=8, reps=4):
+    """Seconds per chained iteration of ``body(x) -> x`` over a
+    (512, 128) f32 tile; serial dependency between iterations, full
+    data parallelism within the tile (how real kernels run)."""
+    import numpy as np
+
+    @jax.jit
+    def multi(seeds):  # fold K chains into one scalar
+        def one(s):
+            x = jnp.full(_ROOF_SHAPE, 0.5, jnp.float32) + s
+            x = jax.lax.fori_loop(0, iters, lambda i, x: body(x), x)
+            return jnp.sum(x)
+        return jnp.sum(jax.lax.map(one, seeds))
+
+    def best_of(kk):
+        seeds = jnp.arange(kk, dtype=jnp.float32) * 1e-6
+        float(multi(seeds))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(multi(seeds))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(1)
+    while True:
+        dt = max((best_of(k) - t1) / (k - 1), 1e-12)
+        if dt * (k - 1) > 10e-3 or k >= 512:
+            return dt / iters
+        k *= 4
+
+
+def roofline():
+    """Measured per-element primitive times + the bullet-step roofline.
+
+    Per path-step the euler bullet kernel costs (pair-amortized):
+    1/2 threefry13 pair + 1/2 Box-Muller pair (log, sqrt, cos+sin on two
+    uniforms) + 1 exp + ~4 fma/cmp ops.  peak_fraction = predicted
+    roofline time / measured per-step time; the remainder is the true
+    optimization headroom (and which primitive dominates says where).
+    """
+    from mc_tpu import rng as mc_rng
+    n_elems = _ROOF_SHAPE[0] * _ROOF_SHAPE[1]
+
+    t_fma = _chain_seconds(lambda x: x * 1.000001 + 1e-7) / n_elems
+
+    t_exp = _chain_seconds(
+        lambda x: jnp.exp(x) * 0.367879 + 1e-7) / n_elems  # keep x ~ 1
+
+    # Box-Muller pair core: both normals from two uniforms-in-(0,1)
+    def bm(x):
+        u1 = x * 0.5 + 0.25
+        u2 = x * 0.25 + 0.125
+        rad = jnp.sqrt(-2.0 * jnp.log(u1))
+        ang = jnp.float32(2.0 * 3.14159265) * u2
+        z0 = rad * jnp.cos(ang)
+        z1 = rad * jnp.sin(ang)
+        return z0 * 1e-7 + z1 * 1e-7 + 0.5
+    t_bm_pair = _chain_seconds(bm) / n_elems
+
+    # threefry13 pair: serialized by feeding bits back into the counter
+    def tf(x):
+        c = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        b0, b1 = mc_rng.threefry2x32(jnp.uint32(0x1234), jnp.uint32(0x5678),
+                                     c, c, rounds=13)
+        y = jax.lax.bitcast_convert_type(
+            (b0 >> jnp.uint32(9)) | jnp.uint32(0x3F800000), jnp.float32)
+        return y  # in [1, 2): keeps the chain numerically stable
+    t_tf_pair = _chain_seconds(tf) / n_elems
+
+    # measured bullet step time (threefry13 default config)
+    dt_bullet = kernel_seconds("bullet_call", "euler")
+    t_step = dt_bullet / (N_PATHS * N_STEPS)
+
+    roof = 0.5 * t_tf_pair + 0.5 * t_bm_pair + t_exp + 4.0 * t_fma
+    return {
+        "fma_gops": round(1e-9 / t_fma, 1),
+        "exp_gops": round(1e-9 / t_exp, 1),
+        "boxmuller_pairs_gps": round(1e-9 / t_bm_pair, 2),
+        "threefry13_pairs_gps": round(1e-9 / t_tf_pair, 2),
+        "bullet_step_ns": round(t_step * 1e9, 4),
+        "roofline_step_ns": round(roof * 1e9, 4),
+        "vpu_peak_fraction": round(roof / t_step, 3),
+    }

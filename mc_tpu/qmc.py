@@ -41,8 +41,8 @@ from mc_tpu.ops import path_kernels as pk
 from mc_tpu.ops._pallas import LANES, SUBLANES, use_interpret
 from mc_tpu.ops.payoffs import get_payoff
 
-__all__ = ["price_qmc", "lattice_vector", "prev_prime",
-           "sobol_directions", "SOBOL_BITS"]
+__all__ = ["price_qmc", "price_qmc_model", "lattice_vector",
+           "prev_prime", "sobol_directions", "SOBOL_BITS"]
 
 MAX_LATTICE_N = 1 << 20  # uint32 10-bit-split modmul validity bound
 
@@ -616,3 +616,222 @@ def price_qmc(option: OptionParams = DEMO_OPTION,
     return _price_qmc_impl(option.as_f32(), po, n, sim.n_steps, method,
                            engine, tile_rows, bridge, interpret, zvec,
                            shifts, family)
+
+
+# ---------------------------------------------------------------------------
+# QMC over model families (round 3): the same randomized point sets drive
+# the Heston and correlated-basket legs.  The model legs already consume a
+# generic draw_pair(m) -> normals for dimensions (2m, 2m+1), so the QMC
+# low-discrepancy structure slots in where the threefry stream was — the
+# variance win compounds with the families' higher per-path cost.
+# ---------------------------------------------------------------------------
+
+
+def _model_qmc_hooks(model: str, dyn, n_steps: int):
+    """(pack, unpack, leg, n_dims) for a QMC-capable model family."""
+    if model == "heston":
+        from mc_tpu.models.heston import (_heston_leg, _pack_heston,
+                                          _unpack_heston)
+
+        def leg(payoff, p, ids, draw_pair):
+            s0 = jnp.full(ids.shape, p.s0, jnp.float32)
+            return _heston_leg(payoff, n_steps, p, s0, draw_pair)
+
+        return _pack_heston, _unpack_heston, leg, 2 * n_steps
+    if model == "basket":
+        from mc_tpu.models.basket import (_basket_leg, _basket_namespace,
+                                          _pack_basket, _unpack_basket)
+        d = int(dyn.s0s.shape[0])
+
+        def pack(option, dyn, n_steps):
+            return _pack_basket(_basket_namespace(option, dyn, n_steps), d)
+
+        def unpack(ref):
+            return _unpack_basket(ref, d)
+
+        def leg(payoff, p, ids, draw_pair):
+            return _basket_leg(payoff, d, n_steps, p, draw_pair)
+
+        return pack, unpack, leg, 2 * ((d + 1) // 2) * n_steps
+    raise ValueError(f"QMC model must be 'heston' or 'basket', got "
+                     f"{model!r}")
+
+
+def _make_qmc_model_kernel(model, payoff, cfg: pk.KernelConfig, n: int,
+                           n_dims: int, d_assets: int, family: str):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(zvec_ref, shift_ref, params_ref, acc_ref, comp_ref):
+        if model == "basket":
+            from mc_tpu.models.basket import _unpack_basket
+            p = _unpack_basket(params_ref, d_assets)
+        else:
+            from mc_tpu.models.heston import _unpack_heston
+            p = _unpack_heston(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = base + flat
+        valid = ids < jnp.uint32(n)
+        draw_pair = _qmc_draw_pair_factory(ids, zvec_ref, shift_ref, n,
+                                           "euler", bitcast=pltpu.bitcast,
+                                           family=family)
+        if model == "basket":
+            from mc_tpu.models.basket import _basket_leg
+            pay = _basket_leg(payoff, d_assets, cfg.n_steps, p, draw_pair)
+        else:
+            from mc_tpu.models.heston import _heston_leg
+            s0 = jnp.full(shape, p.s0, jnp.float32)
+            pay = _heston_leg(payoff, cfg.n_steps, p, s0, draw_pair)
+        pay = jnp.where(valid, pay, 0.0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            comp_ref[:] = jnp.zeros_like(comp_ref)
+
+        p8 = pk._fold_to_sublanes(pay, cfg.tile_rows)
+        acc = acc_ref[:]
+        y = p8 - comp_ref[0]
+        t = acc + y
+        comp_ref[0] = (t - acc) - y
+        acc_ref[:] = t
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "payoff", "n", "n_steps", "d_assets",
+                     "engine", "tile_rows", "interpret", "family"))
+def _price_qmc_model_impl(model, option, dyn, payoff, n, n_steps,
+                          d_assets, engine, tile_rows, interpret, zvec,
+                          shifts, family):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = use_interpret()
+    pack, unpack, leg, n_dims = _model_qmc_hooks(model, dyn, n_steps)
+    cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=tile_rows)
+    params = pack(option, dyn, n_steps)
+    p = unpack(params)
+    shape = (cfg.tile_rows, LANES)
+    flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+
+    def one_shift(shift):
+        if engine == "pallas":
+            acc = pl.pallas_call(
+                _make_qmc_model_kernel(model, payoff, cfg, n, n_dims,
+                                       d_assets, family),
+                grid=(cfg.n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+                out_specs=pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((SUBLANES, LANES),
+                                               jnp.float32),
+                scratch_shapes=[pltpu.VMEM((1, SUBLANES, LANES),
+                                           jnp.float32)],
+                interpret=interpret,
+            )(zvec, shift, params)
+            return jnp.sum(acc) / jnp.float32(n)
+
+        def one_tile(carry, i):
+            acc, comp = carry
+            ids = jnp.uint32(i * cfg.paths_per_tile) + flat
+            valid = ids < jnp.uint32(n)
+            draw_pair = _qmc_draw_pair_factory(ids, zvec, shift, n,
+                                               "euler", family=family)
+            pay = jnp.where(valid, leg(payoff, p, ids, draw_pair), 0.0)
+            p8 = pk.fold_to_sublanes(pay, cfg.tile_rows)
+            y = p8 - comp
+            t = acc + y
+            return (t, (t - acc) - y), None
+
+        zeros = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        (acc, _), _ = jax.lax.scan(
+            one_tile, (zeros, zeros),
+            jnp.arange(cfg.n_tiles, dtype=jnp.uint32))
+        return jnp.sum(acc.astype(jnp.float32)) / jnp.float32(n)
+
+    means = jax.lax.map(one_shift, shifts)
+    r_reps = shifts.shape[0]
+    mean = jnp.mean(means)
+    var = jnp.sum((means - mean) ** 2) / jnp.float32(max(r_reps - 1, 1))
+    r = jnp.asarray(option.r, jnp.float32)
+    t = jnp.asarray(option.t, jnp.float32)
+    discount = jnp.exp(-r * t)
+    return PriceResult(price=discount * mean,
+                       stderr=discount * jnp.sqrt(var / r_reps),
+                       n_paths=jnp.float32(n * r_reps),
+                       payoff_mean=mean, payoff_var=var)
+
+
+def price_qmc_model(model: str,
+                    option: OptionParams = DEMO_OPTION,
+                    dyn=None,
+                    sim: SimParams = DEMO_SIM,
+                    payoff="vanilla_call",
+                    *,
+                    n_shifts: int = 16,
+                    engine: str = "pallas",
+                    family: str = "sobol",
+                    tile_rows: int = 128,
+                    gamma: float = 0.1,
+                    stream: int = STREAM_OUTER,
+                    interpret: Optional[bool] = None) -> PriceResult:
+    """Randomized-QMC price under a model family ("heston" | "basket").
+
+    Dimension layout: QMC pair m supplies the normals the model leg
+    draws as pair m — Heston uses 2*n_steps dimensions (z_v, z_perp per
+    step), a d-asset basket 2*ceil(d/2)*n_steps.  Default
+    family="sobol": digital nets hold their rate better in the hundreds
+    of dimensions the step loops produce than rank-1 lattices tuned for
+    low dimension.  stderr from n_shifts independent randomizations, as
+    in `price_qmc`.
+    """
+    po = get_payoff(payoff)
+    if model == "heston":
+        from mc_tpu.models.heston import DEMO_HESTON
+        dyn = (DEMO_HESTON if dyn is None else dyn).as_f32()
+        d_assets = 0
+    elif model == "basket":
+        from mc_tpu.models.basket import DEMO_BASKET
+        dyn = (DEMO_BASKET if dyn is None else dyn).as_f32()
+        d_assets = int(dyn.s0s.shape[0])
+    else:
+        raise ValueError(f"QMC model must be 'heston' or 'basket', got "
+                         f"{model!r}")
+    if engine not in ("pallas", "xla"):
+        raise ValueError(f"unknown engine {engine!r}; use 'pallas' or "
+                         "'xla'")
+    if family not in ("lattice", "sobol"):
+        raise ValueError(f"unknown QMC family {family!r}")
+    if n_shifts < 2:
+        raise ValueError("n_shifts >= 2 required for an error estimate")
+    _, _, _, n_dims = _model_qmc_hooks(model, dyn, sim.n_steps)
+    if family == "sobol":
+        n = 1 << min(int(math.log2(max(sim.n_paths, 2))), 20)
+    else:
+        n = prev_prime(sim.n_paths)
+    key = rng.derive_key(sim.seed, stream, 0x51AC)
+    sidx = jnp.arange(n_shifts * n_dims, dtype=jnp.uint32)
+    bits, _ = rng.threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
+                               sidx, jnp.zeros_like(sidx))
+    if family == "sobol":
+        zvec = jnp.asarray(
+            sobol_directions(n_dims).reshape(-1).astype(np.int32))
+        shifts = jax.lax.shift_right_logical(
+            bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts,
+                                                           n_dims)
+    else:
+        zvec = jnp.asarray(lattice_vector(n, n_dims, gamma).astype(
+            np.int32))
+        shifts = rng.bits_to_unit(bits).reshape(n_shifts, n_dims)
+    return _price_qmc_model_impl(model, option.as_f32(), dyn, po, n,
+                                 sim.n_steps, d_assets, engine, tile_rows,
+                                 interpret, zvec, shifts, family)

@@ -239,3 +239,64 @@ def test_bridge_rejects_oversized_step_count():
     with pytest.raises(ValueError, match="budget"):
         price_qmc(sim=SimParams(n_paths=4096, n_steps=2000),
                   method="euler", bridge=True)
+
+
+# --- QMC over model families (round 3) -------------------------------------
+
+def test_qmc_heston_matches_cf():
+    """Heston QMC agrees with the CF oracle within its own stderr and
+    beats plain MC variance at equal budget (the measured reduction)."""
+    from mc_tpu.models.heston import (DEMO_HESTON, heston_call_cf,
+                                      price_heston)
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 14, n_steps=16)
+    q = price_qmc_model("heston", sim=sim, n_shifts=8, engine="xla")
+    cf = heston_call_cf(100.0, 100.0, 1.0, 0.1, *DEMO_HESTON.astuple())
+    assert abs(float(q.price) - cf) <= 3.5 * float(q.stderr)
+    mc = price_heston(sim=SimParams(n_paths=8 * (1 << 14), n_steps=16),
+                      engine="xla")
+    assert float(q.stderr) < 0.55 * float(mc.stderr)  # measured ~3x
+
+
+def test_qmc_basket_matches_mc():
+    """Basket QMC agrees with plain MC within joint stderr; variance
+    reduction is large (measured ~10x at 16 steps, 4 assets)."""
+    from mc_tpu.models.basket import price_basket
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 14, n_steps=16)
+    q = price_qmc_model("basket", sim=sim, n_shifts=8, engine="xla")
+    mc = price_basket(sim=SimParams(n_paths=8 * (1 << 14), n_steps=16),
+                      engine="xla")
+    joint = (float(q.stderr) ** 2 + float(mc.stderr) ** 2) ** 0.5
+    assert abs(float(q.price) - float(mc.price)) <= 3.5 * joint
+    assert float(q.stderr) < 0.4 * float(mc.stderr)
+
+
+def test_qmc_model_engines_bitwise():
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 12, n_steps=8)
+    for model in ("heston", "basket"):
+        a = price_qmc_model(model, sim=sim, n_shifts=4, engine="pallas",
+                            tile_rows=8)
+        b = price_qmc_model(model, sim=sim, n_shifts=4, engine="xla",
+                            tile_rows=8)
+        assert float(a.price) == float(b.price), model
+        assert float(a.stderr) == float(b.stderr), model
+
+
+def test_qmc_model_path_dependent_payoff():
+    """Path-dependent payoffs ride the same legs (asian under Heston)."""
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 13, n_steps=16)
+    r = price_qmc_model("heston", sim=sim, payoff="asian_call",
+                        n_shifts=8, engine="xla")
+    assert 0.0 < float(r.price) < 15.0
+    assert float(r.stderr) > 0.0
+
+
+def test_qmc_model_validation():
+    from mc_tpu.qmc import price_qmc_model
+    with pytest.raises(ValueError, match="heston"):
+        price_qmc_model("vasicek")
+    with pytest.raises(ValueError, match="n_shifts"):
+        price_qmc_model("heston", n_shifts=1)

@@ -403,3 +403,17 @@ def test_nmc_basket():
                                   np.asarray(i.surface))
     np.testing.assert_array_equal(np.asarray(c.surface),
                                   np.asarray(x.surface))
+
+
+def test_qmc_heston():
+    """Model-family QMC: Sobol points driving the Heston leg in the
+    compiled kernel, all three routes bitwise."""
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 12, n_steps=8)
+
+    def fn(engine, interpret=None, **kw):
+        return price_qmc_model("heston", sim=sim, n_shifts=4,
+                               engine=engine, interpret=interpret,
+                               tile_rows=8)
+
+    _assert_tri(*_tri(fn))
