@@ -134,6 +134,10 @@ def _basket_leg(payoff, d: int, n_steps: int, p, draw_pair,
     return payoff.terminal(state, b_t, p)
 
 
+MAX_BASKET_D = 32  # unrolled Cholesky/mixing compile as O(d^2) scalar
+                   # ops; past this the compile time dwarfs the kernel
+
+
 def chol_scalars(cov, d: int):
     """Unrolled scalar Cholesky (Banachiewicz) of a tiny static-d SPD
     matrix -> nested lower-triangular tuples of traced scalars.
@@ -144,6 +148,12 @@ def chol_scalars(cov, d: int):
     For the d <= ~16 of practical baskets the d^3/6 scalar ops fuse into
     the surrounding program for free.
     """
+    if d > MAX_BASKET_D:
+        raise ValueError(
+            f"basket dimension d={d} exceeds MAX_BASKET_D={MAX_BASKET_D}: "
+            "the unrolled Cholesky mixing compiles O(d^2) scalar FMAs per "
+            "step, which dominates compile time and VREG pressure past "
+            "~32 assets; factor the basket or raise the bound knowingly")
     L = [[None] * (i + 1) for i in range(d)]
     for i in range(d):
         for j in range(i + 1):

@@ -92,3 +92,22 @@ def test_correlation_is_traced():
         prices.append(float(res.price))
     # more correlation -> more basket variance -> pricier ATM call
     assert prices == sorted(prices)
+
+
+def test_basket_dimension_guard():
+    """The unrolled Cholesky mixing is O(d^2) compile-time: oversized
+    baskets must fail loudly, not hang the compiler."""
+    import numpy as np
+    import pytest
+
+    from mc_tpu.models.basket import MAX_BASKET_D, BasketDynamics, \
+        price_basket
+    d = MAX_BASKET_D + 1
+    corr = np.eye(d, dtype=np.float32)
+    dyn = BasketDynamics(s0s=np.full(d, 100.0, np.float32),
+                         sigmas=np.full(d, 0.2, np.float32),
+                         weights=np.full(d, 1.0 / d, np.float32),
+                         corr=corr)
+    with pytest.raises(ValueError, match="MAX_BASKET_D"):
+        price_basket(basket=dyn, sim=SimParams(n_paths=1024, n_steps=2),
+                     engine="xla")
