@@ -514,7 +514,10 @@ def _chain_seconds(body, iters=_ROOF_ITERS, k=8, reps=4):
     def multi(seeds):  # fold K chains into one scalar
         def one(s):
             x = jnp.full(_ROOF_SHAPE, 0.5, jnp.float32) + s
-            x = jax.lax.fori_loop(0, iters, lambda i, x: body(x), x)
+            # 4x-unrolled body amortizes the fori_loop overhead that
+            # would otherwise make cheap primitives look slow
+            x = jax.lax.fori_loop(
+                0, iters, lambda i, x: body(body(body(body(x)))), x)
             return jnp.sum(x)
         return jnp.sum(jax.lax.map(one, seeds))
 
@@ -532,7 +535,7 @@ def _chain_seconds(body, iters=_ROOF_ITERS, k=8, reps=4):
     while True:
         dt = max((best_of(k) - t1) / (k - 1), 1e-12)
         if dt * (k - 1) > 10e-3 or k >= 512:
-            return dt / iters
+            return dt / (4 * iters)
         k *= 4
 
 

@@ -38,7 +38,7 @@ from mc_tpu.config import DEMO_OPTION, DEMO_SIM, OptionParams, SimParams
 from mc_tpu.engines import STREAM_OUTER, _xla_partials
 from mc_tpu.oracle import PriceResult, summarize
 from mc_tpu.ops import path_kernels as pk
-from mc_tpu.ops._pallas import LANES, SUBLANES, round_up
+from mc_tpu.ops._pallas import LANES, SUBLANES, round_up, use_interpret
 from mc_tpu.ops.payoffs import get_payoff
 from mc_tpu.ops.reduce import finish_sum
 
@@ -78,9 +78,10 @@ def load_checkpoint(path: str) -> Checkpoint:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("payoff", "cfg", "engine", "mesh", "interpret"))
+    static_argnames=("payoff", "cfg", "engine", "mesh", "interpret",
+                     "model", "kmax"))
 def _chunk_slabs_mesh(payoff, cfg, engine, mesh, interpret, key, params,
-                      option, c0, n_total):
+                      option, c0, n_total, model="gbm", kmax=0, dyn=None):
     """One elastic round: chip r computes the (8,128) moment slabs of
     chunk c0 + r; the gathered (D, 8, 128) stacks come back in rank
     (= chunk) order."""
@@ -88,10 +89,16 @@ def _chunk_slabs_mesh(payoff, cfg, engine, mesh, interpret, key, params,
 
     from mc_tpu.parallel.mesh import PATHS_AXIS
 
-    def shard_fn(key, params, c0, n_total):
+    def shard_fn(key, params, c0, n_total, dyn):
         rank = jax.lax.axis_index(PATHS_AXIS).astype(jnp.uint32)
         offset = (c0 + rank) * jnp.uint32(cfg.n_paths)
-        if engine == "pallas":
+        if model != "gbm":
+            from mc_tpu.parallel.models_sharded import _model_def
+            params_m, partials = _model_def(model).build(
+                payoff, cfg, option, dyn, cfg.n_steps, engine, interpret,
+                kmax)
+            parts = partials(key, params_m, offset, n_total)
+        elif engine == "pallas":
             parts = pk.simulate_partials(
                 payoff, cfg, key, params, path_offset=offset,
                 n_valid=n_total, interpret=interpret)
@@ -102,10 +109,22 @@ def _chunk_slabs_mesh(payoff, cfg, engine, mesh, interpret, key, params,
 
     return jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
-    )(key, params, c0, n_total)
+    )(key, params, c0, n_total, dyn)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "payoff", "cfg", "engine", "interpret",
+                     "kmax", "n_steps"))
+def _model_chunk_slabs(model, payoff, cfg, engine, interpret, kmax,
+                       n_steps, key, option, dyn, offset, bound):
+    from mc_tpu.parallel.models_sharded import _model_def
+    params, partials = _model_def(model).build(
+        payoff, cfg, option, dyn, n_steps, engine, interpret, kmax)
+    return partials(key, params, offset, bound)
 
 
 def chunked_price(option: OptionParams = DEMO_OPTION,
@@ -121,12 +140,22 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
                   tile_rows: int = 128,
                   stream: int = STREAM_OUTER,
                   mesh=None,
+                  model: str = "gbm",
+                  dyn=None,
                   interpret: Optional[bool] = None) -> PriceResult:
     """Price `sim.n_paths` paths in chunks with optional checkpointing.
 
     The per-chunk (8,128) moment slabs are combined across chunks with the
     same Kahan update the kernels use internally, so the final sums do not
     depend on where the run was interrupted.
+
+    ``model`` extends the same contract to the model families (any
+    path-kernel entry of `parallel.SHARDED_MODELS`): the family kernels
+    key their counters by global path id, so a chunk range is
+    recomputable from (seed, offset) under ANY dynamics and resume stays
+    bit-identical across mesh sizes.  ``dyn`` defaults to the family's
+    demo dynamics; its parameter fingerprint joins the checkpoint meta
+    (resuming under different dynamics fails loudly).
     """
     po = get_payoff(payoff)
     if engine not in ("pallas", "xla"):
@@ -136,10 +165,36 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
         # uninterrupted ones, which is this module's core contract
         raise ValueError(f"rng_source {rng_source!r} not resumable; use "
                          "'threefry13' or 'threefry'")
-    if method is None:
+    mdef, kmax, dyn32 = None, 0, None
+    if model != "gbm":
+        from mc_tpu.parallel.models_sharded import _model_def
+        try:
+            mdef = _model_def(model)
+        except KeyError:
+            from mc_tpu.parallel.models_sharded import SHARDED_MODELS
+            raise ValueError(f"unknown model {model!r}; chunked models: "
+                             f"{tuple(m for m in SHARDED_MODELS)}")
+        if mdef.payoff_registry or mdef.terminal_only:
+            raise ValueError(f"chunked_price supports step-loop families; "
+                             f"{model!r} is a terminal-draw family")
+        po.validate(option, sim.n_steps)
+        if dyn is None:
+            dyn = mdef.default_dyn(sim)
+        if mdef.prepare is not None:
+            dyn, kmax = mdef.prepare(option, dyn, sim)
+        if mdef.even_steps and sim.n_steps % 2:
+            raise ValueError(f"{model} requires an even n_steps "
+                             "(pair-consuming step loop)")
+        if interpret is None:
+            interpret = use_interpret()
+        dyn32 = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32), dyn)
+        method = "euler"
+    elif method is None:
         method = "terminal" if po.terminal_only else "euler"
     chunk_paths = round_up(min(chunk_paths, sim.n_paths), tile_rows * LANES)
-    key = jnp.asarray(rng.derive_key(sim.seed, stream), jnp.uint32)
+    tag = () if mdef is None else (mdef.tag,)
+    key = jnp.asarray(rng.derive_key(sim.seed, stream, *tag), jnp.uint32)
     n_out = 2
 
     start = 0
@@ -155,7 +210,12 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
                 # full market-data fingerprint: resuming under different
                 # dynamics must fail loudly, not merge distributions
                 option=",".join(f"{v:.9g}" for v in
-                                (float(x) for x in option.astuple())))
+                                (float(x) for x in option.astuple())),
+                model=model,
+                dyn="" if dyn32 is None else ",".join(
+                    f"{float(v):.9g}"
+                    for leaf in jax.tree_util.tree_leaves(dyn32)
+                    for v in np.asarray(leaf, np.float64).ravel()))
 
     if resume:
         if not (checkpoint_path and os.path.exists(checkpoint_path)):
@@ -172,6 +232,14 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
 
     params = pk.pack_params(option.as_f32(), sim.n_steps)
     opt32 = option.as_f32()
+
+    def model_slabs(n_local, start):
+        cfg_m = pk.KernelConfig(n_paths=n_local, n_steps=sim.n_steps,
+                                tile_rows=tile_rows)
+        return _model_chunk_slabs(model, po, cfg_m, engine, interpret,
+                                  kmax, sim.n_steps, key, opt32, dyn32,
+                                  jnp.uint32(start),
+                                  jnp.uint32(sim.n_paths))
 
     def combine(slab_tuple):
         nonlocal acc, comp
@@ -202,7 +270,8 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
             slabs = _chunk_slabs_mesh(po, cfg_full, engine, mesh,
                                       interpret, key, params, opt32,
                                       jnp.uint32(start // chunk_paths),
-                                      jnp.uint32(sim.n_paths))
+                                      jnp.uint32(sim.n_paths),
+                                      model=model, kmax=kmax, dyn=dyn32)
             slabs = [np.asarray(x, np.float32) for x in slabs]
             for kk in range(d_used):
                 combine([slabs[m][kk] for m in range(n_out)])
@@ -217,7 +286,9 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
         cfg = pk.KernelConfig(n_paths=n_local, n_steps=sim.n_steps,
                               tile_rows=tile_rows, method=method,
                               rng_source=rng_source)
-        if engine == "pallas":
+        if model != "gbm":
+            parts = model_slabs(n_local, start)
+        elif engine == "pallas":
             parts = pk.simulate_partials(
                 po, cfg, key, params, path_offset=jnp.uint32(start),
                 n_valid=jnp.uint32(sim.n_paths), interpret=interpret)
@@ -235,6 +306,14 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
     sums = [finish_sum(jnp.asarray(acc[m])) for m in range(n_out)]
     r = jnp.float32(option.r)
     t = jnp.float32(option.t)
+    if mdef is not None and mdef.discount is not None:
+        cfg_d = pk.KernelConfig(n_paths=tile_rows * LANES,
+                                n_steps=sim.n_steps, tile_rows=tile_rows)
+        params_m, _ = mdef.build(po, cfg_d, opt32, dyn32, sim.n_steps,
+                                 "xla", False, kmax)
+        discount = mdef.discount(params_m, r, t)
+    else:
+        discount = jnp.exp(-r * t)
     return summarize(sums[0], sums[1],
                      jnp.asarray(sim.n_paths, jnp.float32),
-                     jnp.exp(-r * t))
+                     discount)

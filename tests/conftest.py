@@ -43,6 +43,8 @@ SLOW_TESTS = {
     "test_calibrate.py::test_localvol_round_trip_reprices_smile",
     "test_calibrate.py::test_round_trip_recovers_parameters",
     "test_checkpoint.py::test_resume_bitwise_identical",
+    "test_checkpoint.py::test_chunked_model_matches_plain",
+    "test_checkpoint.py::test_chunked_model_elastic_bitwise",
     "test_cli.py::test_model_family_commands",
     "test_cli.py::test_model_family_commands_round2",
     "test_engines.py::test_engine_duality_fuzz",

@@ -176,3 +176,75 @@ def test_elastic_resume_rejects_off_boundary(tmp_path):
         chunked_price(sim=sim, chunk_paths=8192, engine="xla", tile_rows=8,
                       mesh=make_mesh(jax.devices()[:4]),
                       checkpoint_path=ck, resume=True)
+
+
+# --- chunked_price over model families (round 3) ---------------------------
+
+def test_chunked_model_matches_plain():
+    """Family chunked accumulation equals the one-shot price within fp
+    noise (heston), exactly (vasicek pathwise discount)."""
+    from mc_tpu.models.heston import price_heston
+    from mc_tpu.models.vasicek import price_vasicek
+    sim = SimParams(n_paths=40_000, n_steps=10)
+    a = chunked_price(sim=sim, chunk_paths=CHUNK, model="heston",
+                      engine="xla", tile_rows=8)
+    b = price_heston(sim=sim, engine="xla", tile_rows=8)
+    assert float(a.price) == pytest.approx(float(b.price), rel=1e-6)
+    av = chunked_price(sim=sim, chunk_paths=CHUNK, model="vasicek",
+                       engine="xla", tile_rows=8)
+    bv = price_vasicek(sim=sim, engine="xla", tile_rows=8)
+    assert float(av.price) == pytest.approx(float(bv.price), rel=1e-6)
+
+
+def test_chunked_model_elastic_bitwise(tmp_path):
+    """A heston run interrupted on 8 chips resumes on 3 with
+    bit-identical totals (the chunk stays the atomic unit under any
+    dynamics)."""
+    import jax
+
+    from mc_tpu.parallel import make_mesh
+    sim = SimParams(n_paths=40_000, n_steps=10)
+    ch = 8192
+    seq = chunked_price(sim=sim, chunk_paths=ch, model="heston",
+                        engine="xla", tile_rows=8)
+    m8 = chunked_price(sim=sim, chunk_paths=ch, model="heston",
+                       engine="xla", tile_rows=8,
+                       mesh=make_mesh(jax.devices()[:8]))
+    assert float(seq.price) == float(m8.price)
+    ck = str(tmp_path / "model.npz")
+    chunked_price(sim=SimParams(n_paths=2 * ch, n_steps=10),
+                  chunk_paths=ch, model="heston", engine="xla",
+                  tile_rows=8, mesh=make_mesh(jax.devices()[:8]),
+                  checkpoint_path=ck)
+    mid = load_checkpoint(ck)
+    mid.n_paths = sim.n_paths
+    mid.save(ck)
+    resumed = chunked_price(sim=sim, chunk_paths=ch, model="heston",
+                            engine="xla", tile_rows=8,
+                            mesh=make_mesh(jax.devices()[:3]),
+                            checkpoint_path=ck, resume=True)
+    assert float(resumed.price) == float(seq.price)
+
+
+def test_chunked_model_rejects_changed_dynamics(tmp_path):
+    """Resuming under different dynamics merges distributions — must
+    fail loudly (dyn fingerprint in the checkpoint meta)."""
+    from mc_tpu.models.heston import HestonDynamics
+    sim = SimParams(n_paths=2 * CHUNK, n_steps=10)
+    ck = str(tmp_path / "dyn.npz")
+    chunked_price(sim=sim, chunk_paths=CHUNK, model="heston",
+                  engine="xla", tile_rows=8, checkpoint_path=ck)
+    with pytest.raises(ValueError, match="mismatch for 'dyn'"):
+        chunked_price(sim=sim, chunk_paths=CHUNK, model="heston",
+                      dyn=HestonDynamics(v0=0.09), engine="xla",
+                      tile_rows=8, checkpoint_path=ck, resume=True)
+
+
+def test_chunked_model_validation():
+    with pytest.raises(ValueError, match="unknown model"):
+        chunked_price(model="bachelier")
+    with pytest.raises(ValueError, match="terminal-draw"):
+        chunked_price(model="rainbow")
+    with pytest.raises(ValueError, match="even n_steps"):
+        chunked_price(sim=SimParams(n_paths=2048, n_steps=9),
+                      model="merton", engine="xla", tile_rows=8)
