@@ -284,6 +284,16 @@ def cmd_nmc(args):
         dyn = CEVDynamics.from_atm_vol(args.sigma_atm, args.beta, args.s0)
         res = price_nmc_cev(option, dyn, sim, payoff=args.payoff,
                             engine=args.engine)
+    elif args.model == "sabr":
+        if args.discount != "full" or args.strategy != "fused":
+            raise SystemExit("--discount / --strategy are fixed "
+                             "(full / fused) with --model sabr")
+        from mc_tpu.models.sabr import SABRDynamics
+        from mc_tpu.nmc_sabr import price_nmc_sabr
+        dyn = SABRDynamics(alpha=args.alpha, nu=args.nu,
+                           rho=args.rho_sv)
+        res = price_nmc_sabr(option, dyn, sim, payoff=args.payoff,
+                             engine=args.engine)
     elif args.model == "basket":
         if args.discount != "full" or args.strategy != "fused":
             raise SystemExit("--discount / --strategy are fixed "
@@ -995,8 +1005,12 @@ def main(argv=None):
     p.add_argument("--cva-recovery", type=float, default=0.4)
     p.add_argument("--model",
                    choices=("gbm", "heston", "merton", "vasicek",
-                            "localvol", "cev", "basket"),
+                            "localvol", "cev", "basket", "sabr"),
                    default="gbm")
+    p.add_argument("--alpha", type=float, default=0.2,
+                   help="sabr initial vol")
+    p.add_argument("--nu", type=float, default=0.4,
+                   help="sabr vol-of-vol")
     p.add_argument("--n-assets", type=int, default=4,
                    help="basket size (with --model basket)")
     p.add_argument("--corr", type=float, default=0.5,

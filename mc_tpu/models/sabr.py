@@ -92,6 +92,20 @@ def _unpack_sabr(ref):
     return SimpleNamespace(**{f: ref[i] for i, f in enumerate(_SABR_FIELDS)})
 
 
+def sabr_step(p, logf, sig, z_vol, z_perp):
+    """One SABR substep: log-forward + exact lognormal vol factor —
+    THE single scheme definition (pricing leg and NMC legs share it)."""
+    z_f = p.rho * z_vol + p.rho_perp * z_perp
+    # local lognormal vol of F: sigma * F^(beta-1)
+    vol_loc = sig * jnp.exp((p.beta - 1.0) * logf)
+    logf = logf + vol_loc * p.sqrt_dt * z_f \
+        - 0.5 * vol_loc * vol_loc * p.dt
+    # exact vol-factor update (GBM with zero drift)
+    sig = sig * jnp.exp(p.nu * p.sqrt_dt * z_vol
+                        - 0.5 * p.nu * p.nu * p.dt)
+    return logf, sig
+
+
 def _sabr_leg(payoff, n_steps: int, p, f0, draw_pair, antithetic_sign=1.0):
     """Log-space forward + exact lognormal vol factor.
 
@@ -104,15 +118,7 @@ def _sabr_leg(payoff, n_steps: int, p, f0, draw_pair, antithetic_sign=1.0):
     def body(m, carry):
         logf, sig, state = carry
         z_vol, z_perp = draw_pair(m)
-        z_vol = sign * z_vol
-        z_f = p.rho * z_vol + p.rho_perp * (sign * z_perp)
-        # local lognormal vol of F: sigma * F^(beta-1)
-        vol_loc = sig * jnp.exp((p.beta - 1.0) * logf)
-        logf = logf + vol_loc * p.sqrt_dt * z_f \
-            - 0.5 * vol_loc * vol_loc * p.dt
-        # exact vol-factor update (GBM with zero drift)
-        sig = sig * jnp.exp(p.nu * p.sqrt_dt * z_vol
-                            - 0.5 * p.nu * p.nu * p.dt)
+        logf, sig = sabr_step(p, logf, sig, sign * z_vol, sign * z_perp)
         f = jnp.exp(logf)
         return (logf, sig, payoff.update(state, f, p))
 

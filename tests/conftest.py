@@ -83,6 +83,8 @@ SLOW_TESTS = {
     "test_nmc.py::test_strategies_bitwise_identical",
     "test_nmc.py::test_vanilla_nmc_tower",
     "test_nmc_cev.py::test_ee_flat_at_cev_price",
+    "test_nmc_sabr.py::test_ee_flat_at_sabr_price",
+    "test_nmc_sabr.py::test_lognormal_limit_matches_bs",
     "test_nmc_basket.py::test_ee_flat_at_basket_call_price",
     "test_nmc_basket.py::test_margrabe_exposure_flat_at_closed_form",
     "test_nmc_basket.py::test_correlation_moves_exposure_tail",

@@ -417,3 +417,16 @@ def test_qmc_heston():
                                tile_rows=8)
 
     _assert_tri(*_tri(fn))
+
+
+def test_nmc_sabr():
+    """SABR NMC on the generic engine: (F, sigma) grids + compiled
+    Pallas inner legs, all routes bitwise."""
+    from mc_tpu.nmc_sabr import price_nmc_sabr
+    sim = SimParams(n_paths=2048, n_steps=4, n_paths_inner=8)
+    c, i, x = _tri(price_nmc_sabr, sim=sim, tile_rows=8)
+    _assert_tri(c.outer, i.outer, x.outer)
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(i.surface))
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(x.surface))
