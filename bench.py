@@ -544,9 +544,7 @@ def roofline():
 
     Per path-step the euler bullet kernel costs (pair-amortized):
     1/2 threefry13 pair + 1/2 Box-Muller pair (log, sqrt, cos+sin on two
-    uniforms) + 1 exp + ~4 fma/cmp ops.  peak_fraction = predicted
-    roofline time / measured per-step time; the remainder is the true
-    optimization headroom (and which primitive dominates says where).
+    uniforms) + 1 exp + ~4 fma/cmp ops.
     """
     from mc_tpu import rng as mc_rng
     n_elems = _ROOF_SHAPE[0] * _ROOF_SHAPE[1]
@@ -581,6 +579,12 @@ def roofline():
     dt_bullet = kernel_seconds("bullet_call", "euler")
     t_step = dt_bullet / (N_PATHS * N_STEPS)
 
+    # The composed roofline uses SERIALIZED primitive rates, so it is a
+    # conservative (lower) throughput bound: achieved/serial > 1 measures
+    # how much multi-issue ILP the fused kernel extracts beyond what the
+    # dependent-chain microbenches can.  >= 1 here means the kernel is at
+    # the practical VPU ceiling and remaining headroom is OP COUNT (e.g.
+    # cheaper RNG), not scheduling — see BASELINE.md "Roofline".
     roof = 0.5 * t_tf_pair + 0.5 * t_bm_pair + t_exp + 4.0 * t_fma
     return {
         "fma_gops": round(1e-9 / t_fma, 1),
@@ -588,6 +592,6 @@ def roofline():
         "boxmuller_pairs_gps": round(1e-9 / t_bm_pair, 2),
         "threefry13_pairs_gps": round(1e-9 / t_tf_pair, 2),
         "bullet_step_ns": round(t_step * 1e9, 4),
-        "roofline_step_ns": round(roof * 1e9, 4),
-        "vpu_peak_fraction": round(roof / t_step, 3),
+        "serial_roofline_step_ns": round(roof * 1e9, 4),
+        "achieved_over_serial_roofline": round(roof / t_step, 3),
     }
