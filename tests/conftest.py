@@ -37,6 +37,85 @@ def devices():
 # stale entry (renamed/removed test) is harmless.
 
 SLOW_TESTS = {
+    "test_barrier_bridge.py::test_in_out_parity_discrete",
+    "test_basket.py::test_diversification_lowers_price",
+    "test_calibrate.py::test_heston_round_trip_recovers_parameters",
+    "test_checkpoint.py::test_chunked_matches_plain_price",
+    "test_engines.py::test_put_call_parity_mc",
+    "test_greeks.py::test_pathwise_gamma_via_crn",
+    "test_heston.py::test_mc_gbm_limit",
+    "test_heston.py::test_path_dependent_payoffs_work",
+    "test_merton.py::test_euler_matches_series",
+    "test_nmc.py::test_outer_matches_plain_price",
+    "test_nmc_book.py::test_b1_bitwise_equals_price_nmc",
+    "test_nmc_book.py::test_netting_subadditivity",
+    "test_nmc_merton.py::test_deterministic_last_step",
+    "test_nmc_vasicek.py::test_path_dependent_state_resumes",
+    "test_oracle.py::test_cnd_as_matches_exact_cdf",
+    "test_parallel.py::test_sharded_qmc_sobol_bridge",
+    "test_payoffs.py::test_digital_lrm_delta_vs_closed_form",
+    "test_qmc.py::test_bridge_engines_bitwise",
+    "test_qmc.py::test_bridge_improves_asian",
+    "test_qmc.py::test_bridge_marginals_match_plain",
+    "test_reduce.py::test_kahan_accumulation_beats_naive_f32",
+    "test_rng.py::test_independent_streams_uncorrelated",
+    "test_term.py::test_engines_bitwise",
+    "test_trajectories.py::test_resume_from_trajectory_state",
+    "test_variance_swap.py::test_heston_fair_variance",
+    "test_barrier_bridge.py::test_bb_pallas_xla_bitwise",
+    "test_basket.py::test_engines_bitwise",
+    "test_checkpoint.py::test_elastic_mesh_bitwise_invariance",
+    "test_cli.py::test_demo_table",
+    "test_dividends.py::test_cv_expectation_with_q",
+    "test_engines.py::test_geometric_asian_control_variate",
+    "test_engines.py::test_no_systematic_cv_bias",
+    "test_engines.py::test_threefry13_source",
+    "test_greeks.py::test_lrm_gamma_bullet_euler_sane",
+    "test_greeks.py::test_lrm_gamma_digital_vs_closed_form",
+    "test_greeks.py::test_lrm_gamma_vanilla_vs_closed_form",
+    "test_greeks.py::test_lrm_odd_step_count",
+    "test_greeks.py::test_lrm_price_bitwise_with_engine",
+    "test_greeks.py::test_lrm_vanilla_vs_closed_forms",
+    "test_greeks.py::test_pathwise_kernel_terminal_vs_closed_form",
+    "test_heston.py::test_mc_matches_cf_oracle",
+    "test_localvol.py::test_american_flat_surface_matches_binomial",
+    "test_localvol.py::test_cev_cross_model_gate",
+    "test_lsmc.py::test_american_bounds_bracket_oracle",
+    "test_lsmc.py::test_basket_american_d1_degenerate",
+    "test_lsmc.py::test_heston_american_degenerate_limit",
+    "test_lsmc.py::test_heston_american_two_pass_ordering",
+    "test_lsmc.py::test_heston_trajectories_grids",
+    "test_lsmc.py::test_lsmc_degree_insensitivity",
+    "test_lsmc.py::test_two_pass_key_follows_explicit_key",
+    "test_lsmc.py::test_two_pass_removes_foresight_bias",
+    "test_lsmc_merton.py::test_bermudan_schedule_ordering",
+    "test_lsmc_merton.py::test_downward_jumps_raise_the_put",
+    "test_lsmc_merton.py::test_no_jump_limit_matches_crr",
+    "test_lsmc_merton.py::test_one_pass_dominates_two_pass",
+    "test_lsmc_vasicek.py::test_american_dominates_european",
+    "test_lsmc_vasicek.py::test_rate_level_monotonicity",
+    "test_mlmc.py::test_level_variance_decays",
+    "test_models_sharded.py::test_mesh_size_invariance",
+    "test_models_sharded.py::test_one_device_mesh_bitwise_equals_single_chip",
+    "test_nmc_basket.py::test_engines_bitwise",
+    "test_nmc_basket.py::test_path_dependent_state_resumes",
+    "test_nmc_cev.py::test_engines_bitwise",
+    "test_nmc_merton.py::test_cva_under_jumps_exceeds_no_jump",
+    "test_nmc_vasicek.py::test_cva_under_stochastic_discounting",
+    "test_nmc_vasicek.py::test_rate_vol_fattens_exposure_tail",
+    "test_parallel.py::test_sharded_bullet_and_variance_reduction",
+    "test_parallel.py::test_sharded_nmc_matches_single",
+    "test_parallel.py::test_sharded_qmc_bitwise_mesh_invariant",
+    "test_portfolio.py::test_portfolio_large_book",
+    "test_qmc.py::test_qmc_model_path_dependent_payoff",
+    "test_qmc.py::test_sobol_bridge_asian",
+    "test_qmc.py::test_sobol_engines_bitwise",
+    "test_sabr.py::test_mc_lognormal_limit_matches_bs",
+    "test_sabr.py::test_path_payoff_on_forward",
+    "test_variance_swap.py::test_merton_jumps_add_quadratic_variation",
+    "test_variance_swap.py::test_pallas_xla_bitwise",
+    "test_vasicek.py::test_equity_call_merton73_gate",
+    "test_vasicek.py::test_put_call_parity_pathwise",
     "test_basket.py::test_path_dependent_on_basket",
     "test_calibrate.py::test_full_mc_loop_recovers_dynamics",
     "test_calibrate.py::test_heston_fit_reprices_exotic",
