@@ -1046,9 +1046,12 @@ def _diff_gbm_grids(payoff, p, n_steps, n_pad, k0, k1, s0, sigma, r, q, t):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("payoff", "sim", "model", "degree", "every"))
-def _american_greeks_impl(option, dyn, payoff, sim, model, degree, every,
+    static_argnames=("payoff", "sim", "fam", "degree", "every"))
+def _american_greeks_impl(option, dyn, payoff, sim, fam, degree, every,
                           key, key_b):
+    """fam=None: differentiable GBM grids.  fam=NMCFamily instance: the
+    family's `xla_outer` simulation + its `lsmc_design`/`lsmc_discount`
+    hooks — one construction covers every model family."""
     n_pad = -(-sim.n_paths // LANES) * LANES
     valid = jnp.arange(n_pad, dtype=jnp.uint32) < jnp.uint32(sim.n_paths)
     n = sim.n_steps
@@ -1058,28 +1061,32 @@ def _american_greeks_impl(option, dyn, payoff, sim, model, degree, every,
     r = jnp.float32(option.r)
     q = jnp.float32(option.q)
 
-    if model == "heston":
-        from mc_tpu.models.heston import _pack_heston, _unpack_heston
-        from mc_tpu.nmc_heston import HestonNMC
-        fam = HestonNMC()
+    if fam is not None:
 
         def simulate(s0v, sigv, k0, k1):
-            # sigma is unused under Heston (vol comes from the v-process)
+            # sigma drives nothing under stochastic-vol/surface families
+            # (their vol state is part of the dynamics); it IS the vol
+            # for families packing option.sigma (none currently do).
             opt2 = dataclasses.replace(option, s0=s0v)
-            p2 = _unpack_heston(_pack_heston(opt2, dyn, n))
+            params2 = fam.pack(opt2, dyn, n)
+            p2 = fam.unpack(params2)
+            ctx = fam.make_ctx(params2, n)
             ids = jnp.arange(n_pad, dtype=jnp.uint32)
             s0a = jnp.full((n_pad,), 1.0, jnp.float32) * s0v
             state0 = payoff.init(p2, jnp.zeros((n_pad,), jnp.float32))
-            hists, c_hist, _ = fam.xla_outer(payoff, p2, None, ids, k0,
+            hists, c_hist, _ = fam.xla_outer(payoff, p2, ctx, ids, k0,
                                              k1, s0a, state0, n)
             return p2, hists, c_hist
 
-        def design_of(p2, hists):
+        def hooks_of(p2, hists):
             inv_k = 1.0 / p2.k
-            s_h, v_h = hists
-            return lambda tt: _basis_sv(s_h[tt] * inv_k, v_h[tt], degree)
-
-        n_basis = degree + 4
+            design_fn, n_basis = fam.lsmc_design(p2, hists, degree, inv_k)
+            if design_fn is None:
+                design_fn = lambda tt: _basis(hists[0][tt] * inv_k, degree)
+            disc, disc_fn, disc0 = fam.lsmc_discount(p2, hists)
+            if disc_fn is None:
+                disc_fn = lambda tt: disc
+            return design_fn, n_basis, disc, disc_fn, disc0
     else:
 
         def simulate(s0v, sigv, k0, k1):
@@ -1089,11 +1096,11 @@ def _american_greeks_impl(option, dyn, payoff, sim, model, degree, every,
                                              s0v, sigv, r, q, t)
             return p2, (s_hist,), c_hist
 
-        def design_of(p2, hists):
+        def hooks_of(p2, hists):
             inv_k = 1.0 / p2.k
-            return lambda tt: _basis(hists[0][tt] * inv_k, degree)
-
-        n_basis = degree + 1
+            d = jnp.exp(-r * t / n)
+            return (lambda tt: _basis(hists[0][tt] * inv_k, degree),
+                    degree + 1, d, lambda tt: d, d)
 
     def immediate_of(p2, hists, c_hist):
         def immediate(s_f, c_f, j):
@@ -1101,26 +1108,26 @@ def _american_greeks_impl(option, dyn, payoff, sim, model, degree, every,
             return payoff.terminal(st, hists[0][j], p2)
         return immediate
 
-    disc = jnp.exp(-r * t / n)
-
     # --- pass A: fit the policy (no gradients flow) --------------------
     s0_0 = jnp.float32(option.s0)
     sig_0 = jnp.float32(option.sigma)
     p_a, hists_a, c_a = simulate(s0_0, sig_0, ka0, ka1)
+    design_a, n_basis, disc_a, disc_fn_a, _ = hooks_of(p_a, hists_a)
     _, betas = _backward_fit(
-        payoff, p_a, hists_a[0], c_a, valid, n, degree, 1.0 / p_a.k, disc,
-        immediate_of(p_a, hists_a, c_a), every,
-        design_fn=design_of(p_a, hists_a), n_basis=n_basis)
+        payoff, p_a, hists_a[0], c_a, valid, n, degree, 1.0 / p_a.k,
+        disc_a, immediate_of(p_a, hists_a, c_a), every,
+        design_fn=design_a, n_basis=n_basis, disc_fn=disc_fn_a)
     betas = jax.lax.stop_gradient(betas)
 
     # --- pass B: frozen-policy value, differentiable in (s0, sigma) ----
     def value(s0v, sigv):
         p_b, hists_b, c_b = simulate(s0v, sigv, kb0, kb1)
+        design_b, _, disc_b, disc_fn_b, disc0_b = hooks_of(p_b, hists_b)
         vb = _apply_policy_pass(
             payoff, p_b, hists_b[0], c_b, valid, betas, n, degree,
-            1.0 / p_b.k, disc, immediate_of(p_b, hists_b, c_b), every,
-            design_fn=design_of(p_b, hists_b))
-        vb = jnp.where(valid, vb * disc, 0.0)
+            1.0 / p_b.k, disc_b, immediate_of(p_b, hists_b, c_b), every,
+            design_fn=design_b, disc_fn=disc_fn_b)
+        vb = jnp.where(valid, vb * disc0_b, 0.0)
         return jnp.sum(vb) / jnp.float32(sim.n_paths)
 
     price, (delta, vega) = jax.value_and_grad(value, argnums=(0, 1))(
@@ -1142,10 +1149,13 @@ def american_greeks(option: OptionParams = DEMO_OPTION,
 
     Returns ``{"price", "delta", "vega"}`` — the price is the two-pass
     (low-biased) frozen-policy value, delta/vega its pathwise
-    derivatives on the independent pricing pass.  ``model="heston"``
-    prices under Heston dynamics (``dyn``); there ``vega`` is the
-    sensitivity to the (unused) flat-vol field and is ~0 — the vol risk
-    lives in the v-process parameters.
+    derivatives on the independent pricing pass.  ``model`` may be any
+    NMC family with LSMC hooks ("heston", "vasicek", "cev", "sabr",
+    "localvol") — the family's `xla_outer` simulation, basis, and
+    discounting are reused.  Every family's vol lives in its dynamics
+    object, so the flat-vol ``vega`` is ~0 there by construction (the
+    vol risk sits in the dynamics parameters); it is the true BS vega
+    only for model="gbm".
 
     Gate (tests): CRR binomial central differences on the reference put
     config agree within MC tolerance.
@@ -1156,19 +1166,45 @@ def american_greeks(option: OptionParams = DEMO_OPTION,
                          "array")
     if exercise_every < 1:
         raise ValueError("exercise_every must be >= 1")
-    if model not in ("gbm", "heston"):
-        raise ValueError(f"model must be 'gbm' or 'heston', got {model!r}")
+    fam = None
     if model == "heston":
         from mc_tpu.models.heston import DEMO_HESTON
+        from mc_tpu.nmc_heston import HestonNMC
         dyn = (DEMO_HESTON if dyn is None else dyn).as_f32()
-        tag = (0x4E57,)
-    else:
-        tag = ()
+        fam = HestonNMC()
+    elif model == "vasicek":
+        from mc_tpu.models.vasicek import DEMO_VASICEK
+        from mc_tpu.nmc_vasicek import VasicekNMC
+        dyn = (DEMO_VASICEK if dyn is None else dyn).as_f32()
+        fam = VasicekNMC()
+    elif model == "cev":
+        from mc_tpu.models.cev import DEMO_CEV
+        from mc_tpu.nmc_cev import CEVNMC
+        dyn = (DEMO_CEV if dyn is None else dyn).as_f32()
+        fam = CEVNMC()
+    elif model == "sabr":
+        from mc_tpu.models.sabr import DEMO_SABR
+        from mc_tpu.nmc_sabr import SABRNMC
+        dyn = (DEMO_SABR if dyn is None else dyn).as_f32()
+        fam = SABRNMC()
+    elif model == "localvol":
+        from mc_tpu.models.localvol import LocalVolSurface, \
+            validate_surface
+        from mc_tpu.nmc_localvol import LocalVolNMC
+        if dyn is None:
+            dyn = LocalVolSurface.demo(sim.n_steps)
+        dyn = validate_surface(dyn, sim.n_steps)
+        fam = LocalVolNMC(extras=(dyn.n_knots,))
+    elif model != "gbm":
+        raise ValueError(f"unknown model {model!r} for american_greeks")
+    if fam is not None and fam.even_steps and sim.n_steps % 2:
+        raise ValueError(f"{fam.name} requires an even n_steps")
+    tag = () if fam is None else (fam.tag,)
     if key is None:
         key = jnp.asarray(rng.derive_key(sim.seed, stream, *tag),
                           jnp.uint32)
     key_b = jnp.stack(rng.fold_key(key[0], key[1], 0x25A55))
     out = _american_greeks_impl(option.as_f32(), dyn, po,
-                                sim.replace(seed=0), model, degree,
+                                sim.replace(seed=0), fam, degree,
                                 exercise_every, key, key_b)
     return {k: float(v) for k, v in out.items()}

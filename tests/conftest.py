@@ -37,6 +37,7 @@ def devices():
 # stale entry (renamed/removed test) is harmless.
 
 SLOW_TESTS = {
+    "test_lsmc.py::test_american_greeks_all_families",
     "test_barrier_bridge.py::test_in_out_parity_discrete",
     "test_basket.py::test_diversification_lowers_price",
     "test_calibrate.py::test_heston_round_trip_recovers_parameters",

@@ -383,3 +383,15 @@ def test_american_greeks_validation():
         american_greeks(model="vasicek")
     with pytest.raises(ValueError, match="exercise_every"):
         american_greeks(exercise_every=0)
+
+
+def test_american_greeks_all_families():
+    """The frozen-policy construction runs under every family with LSMC
+    hooks; deltas are put-shaped and family vega is ~0 by construction."""
+    from mc_tpu.lsmc import american_greeks
+    sim = SimParams(n_paths=20_000, n_steps=10)
+    for model in ("vasicek", "cev", "sabr", "localvol"):
+        g = american_greeks(sim=sim, model=model)
+        assert -1.0 < g["delta"] < -0.02, (model, g)
+        assert g["price"] > 0.0, model
+        assert abs(g["vega"]) < 1e-6, model
