@@ -380,7 +380,7 @@ def test_american_greeks_call_delta_positive():
 def test_american_greeks_validation():
     from mc_tpu.lsmc import american_greeks
     with pytest.raises(ValueError, match="model"):
-        american_greeks(model="vasicek")
+        american_greeks(model="bachelier")
     with pytest.raises(ValueError, match="exercise_every"):
         american_greeks(exercise_every=0)
 
