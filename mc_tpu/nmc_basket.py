@@ -169,4 +169,9 @@ def price_nmc_basket(option: OptionParams = DEMO_OPTION,
                             stream_inner=stream_inner, interpret=interpret)
 
 
-register_nmc_family("basket", price_nmc_basket)
+def _basket_builder(option, dyn, sim):
+    b32 = (DEMO_BASKET if dyn is None else dyn).as_f32()
+    return BasketNMC(extras=(b32.d,)), b32
+
+
+register_nmc_family("basket", price_nmc_basket, _basket_builder)

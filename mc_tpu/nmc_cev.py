@@ -124,4 +124,8 @@ def price_nmc_cev(option: OptionParams = DEMO_OPTION,
                             stream_inner=stream_inner, interpret=interpret)
 
 
-register_nmc_family("cev", price_nmc_cev)
+register_nmc_family(
+    "cev", price_nmc_cev,
+    lambda option, dyn, sim: (CEVNMC(),
+                              (DEMO_CEV if dyn is None
+                               else dyn).as_f32()))

@@ -49,7 +49,8 @@ from mc_tpu.ops.payoffs import PathPayoff, get_payoff
 from mc_tpu.ops.reduce import finish_sum
 
 __all__ = ["NMCFamily", "family_point_tile", "family_inner_kernel",
-           "price_nmc_family", "NMC_FAMILIES", "register_nmc_family"]
+           "price_nmc_family", "price_nmc_family_sharded",
+           "NMC_FAMILIES", "NMC_FAMILY_BUILDERS", "register_nmc_family"]
 
 STREAM_OUTER, STREAM_INNER = 0, 1
 
@@ -213,10 +214,12 @@ def _make_family_inner_kernel(fam: NMCFamily, payoff: PathPayoff,
     static_argnames=("fam", "payoff", "n_steps", "n_inner", "tile_rows",
                      "n_tiles", "interpret"))
 def family_inner_kernel(fam, payoff, n_steps, n_inner, tile_rows, n_tiles,
-                        key_inner, params, grids, n_valid, interpret=None):
+                        key_inner, params, grids, n_valid, interpret=None,
+                        path_offset=0):
     """Grid-strategy inner kernel (C10 analogue): grid over
     (step, path-tile); re-prices every stored point with the family's
-    inner legs kept in registers."""
+    inner legs kept in registers.  ``path_offset`` shifts the global
+    path ids (multi-chip shards)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -225,7 +228,8 @@ def family_inner_kernel(fam, payoff, n_steps, n_inner, tile_rows, n_tiles,
     rows = n_tiles * tile_rows
     tile3 = pl.BlockSpec((1, tile_rows, LANES), lambda t, i: (t, i, 0),
                          memory_space=pltpu.VMEM)
-    meta = jnp.stack([jnp.uint32(0), jnp.asarray(n_valid, jnp.uint32)])
+    meta = jnp.stack([jnp.asarray(path_offset, jnp.uint32),
+                      jnp.asarray(n_valid, jnp.uint32)])
     return pl.pallas_call(
         _make_family_inner_kernel(fam, payoff, n_steps, n_inner, tile_rows),
         grid=(n_steps, n_tiles),
@@ -237,11 +241,13 @@ def family_inner_kernel(fam, payoff, n_steps, n_inner, tile_rows, n_tiles,
     )(jnp.asarray(key_inner, jnp.uint32), params, meta, *grids)
 
 
-def xla_family_trajectories(fam, payoff, cfg, params, key_outer):
+def xla_family_trajectories(fam, payoff, cfg, params, key_outer,
+                            path_offset=0, n_valid=None):
     """Step-major outer state grids + outer moment slabs via the family's
     XLA outer scan (same streams and Kahan order as the Pallas
     trajectory kernels — the C9 materialization, trajectories.cuh:273-351
-    analogue)."""
+    analogue).  ``path_offset``/``n_valid``: this shard's global path-id
+    range (multi-chip sharding keys the streams by GLOBAL id)."""
     p = fam.unpack(params)
     ctx = fam.make_ctx(params, cfg.n_steps)
     n = cfg.n_steps
@@ -251,11 +257,13 @@ def xla_family_trajectories(fam, payoff, cfg, params, key_outer):
             + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
     per_tile = cfg.tile_rows * LANES
     n_tiles = cfg.n_tiles
-    bound = jnp.uint32(cfg.n_paths)
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
 
     def one_tile(carry, i):
         acc, comp = carry
-        ids = jnp.uint32(i * per_tile) + flat
+        ids = offset + jnp.uint32(i * per_tile) + flat
         valid = ids < bound
         s0 = jnp.full(shape, p.s0, jnp.float32)
         state0 = payoff.init(p, jnp.zeros_like(s0))
@@ -280,7 +288,7 @@ def xla_family_trajectories(fam, payoff, cfg, params, key_outer):
 
 
 def _xla_nmc_family(fam, payoff, sim, params, key_outer, key_inner,
-                    tile_rows):
+                    tile_rows, path_offset=0, n_valid=None):
     """Pure-jnp dual: identical outer/inner streams and Kahan order."""
     p = fam.unpack(params)
     ctx = fam.make_ctx(params, sim.n_steps)
@@ -292,11 +300,13 @@ def _xla_nmc_family(fam, payoff, sim, params, key_outer, key_inner,
             + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
     per_tile = tile_rows * LANES
     n_tiles = -(-sim.n_paths // per_tile)
-    bound = jnp.uint32(sim.n_paths)
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(sim.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
 
     def one_tile(carry, i):
         acc, comp = carry
-        ids = jnp.uint32(i * per_tile) + flat
+        ids = offset + jnp.uint32(i * per_tile) + flat
         valid = ids < bound
         s0 = jnp.full(shape, p.s0, jnp.float32)
         state0 = payoff.init(p, jnp.zeros_like(s0))
@@ -400,8 +410,116 @@ def price_nmc_family(fam: NMCFamily,
 
 # name -> price_nmc_<model> callable; populated by the family modules at
 # import (single source for the CLI's `nmc --model` dispatch).
+# NMC_FAMILY_BUILDERS: name -> builder(option, dyn, sim) -> (fam, dyn32)
+# for the generic sharded/greeks consumers.
 NMC_FAMILIES: Dict[str, Callable[..., Any]] = {}
+NMC_FAMILY_BUILDERS: Dict[str, Callable[..., Any]] = {}
 
 
-def register_nmc_family(name: str, price_fn) -> None:
+def register_nmc_family(name: str, price_fn, builder=None) -> None:
     NMC_FAMILIES[name] = price_fn
+    if builder is not None:
+        NMC_FAMILY_BUILDERS[name] = builder
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip family NMC: outer paths sharded over the mesh.  The engine's
+# path-offset plumbing keys every stream by GLOBAL path id, so the result
+# is mesh-size invariant and a 1-device mesh is bitwise-identical to the
+# single-chip engine.  Grids are built with the XLA outer scan per shard
+# (bitwise-equal to the dedicated trajectory kernels by the parity
+# contract); the hot inner re-pricing stays in Pallas.  The surface comes
+# back sharded along the path axis — the layout a downstream exposure
+# pipeline wants.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fam", "payoff", "sim", "mesh", "engine", "tile_rows",
+                     "interpret"))
+def _nmc_family_sharded_impl(fam, option, dyn, payoff, sim, mesh, engine,
+                             tile_rows, interpret, key_outer, key_inner):
+    from jax.sharding import PartitionSpec as P
+
+    from mc_tpu.parallel.mesh import PATHS_AXIS, shard_bounds
+
+    n_shards = mesh.devices.size
+    n_local = shard_bounds(sim.n_paths, n_shards, tile_rows)
+    params = fam.pack(option, dyn, sim.n_steps)
+    p = fam.unpack(params)
+    cfg = pk.KernelConfig(n_paths=n_local, n_steps=sim.n_steps,
+                          tile_rows=tile_rows)
+    sim_local = sim.replace(n_paths=n_local)
+    n_total = jnp.uint32(sim.n_paths)
+
+    def shard_fn(ko, ki, params, dyn_sh, n_total):
+        rank = jax.lax.axis_index(PATHS_AXIS).astype(jnp.uint32)
+        offset = rank * jnp.uint32(n_local)
+        if engine == "pallas":
+            *grids, osum, osq = xla_family_trajectories(
+                fam, payoff, cfg, params, ko, path_offset=offset,
+                n_valid=n_total)
+            surf = family_inner_kernel(
+                fam, payoff, sim.n_steps, sim.n_paths_inner, tile_rows,
+                cfg.n_tiles, ki, params, tuple(grids), n_total,
+                interpret=interpret, path_offset=offset)
+        else:
+            surf, osum, osq = _xla_nmc_family(
+                fam, payoff, sim_local, params, ko, ki, tile_rows,
+                path_offset=offset, n_valid=n_total)
+        osum = jax.lax.psum(osum, PATHS_AXIS)
+        osq = jax.lax.psum(osq, PATHS_AXIS)
+        ssum = jax.lax.psum(jnp.sum(surf, dtype=jnp.float32), PATHS_AXIS)
+        return surf, osum, osq, ssum
+
+    surf, osum, osq, ssum = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(None, PATHS_AXIS, None), P(), P(), P()),
+        check_vma=False,
+    )(key_outer, key_inner, params, dyn, n_total)
+
+    outer = summarize(finish_sum(osum), finish_sum(osq),
+                      jnp.asarray(sim.n_paths, jnp.float32),
+                      fam.outer_discount(p))
+    n_points = sim.n_paths * sim.n_steps
+    return NMCResult(surface=surf, outer=outer,
+                     surface_mean=ssum / n_points,
+                     n_points=jnp.asarray(n_points, jnp.float32),
+                     t_horizon=jnp.asarray(option.t, jnp.float32))
+
+
+def price_nmc_family_sharded(fam: NMCFamily, option, dyn, sim, payoff,
+                             *,
+                             mesh=None,
+                             engine: str = "pallas",
+                             tile_rows: int = 8,
+                             stream_outer: int = STREAM_OUTER,
+                             stream_inner: int = STREAM_INNER,
+                             interpret: Optional[bool] = None) -> NMCResult:
+    """Family NMC with outer paths sharded across the mesh (validation +
+    keys shared with the single-chip entry)."""
+    from mc_tpu.parallel.mesh import make_mesh
+
+    po = get_payoff(payoff) if isinstance(payoff, str) else payoff
+    if po.n_state > 1:
+        raise ValueError("NMC supports payoffs with at most one state "
+                         "array")
+    if fam.even_steps and sim.n_steps % 2:
+        raise ValueError(f"{fam.name} requires an even n_steps "
+                         "(pair-consuming outer loop)")
+    span, desc = fam.span(sim.n_steps, sim.n_paths_inner)
+    if span >= 1 << 32:
+        raise ValueError(
+            f"inner RNG counter space exhausted: {desc} = "
+            f"{span} >= 2^32; reduce n_steps or n_paths_inner")
+    mesh = mesh if mesh is not None else make_mesh()
+    key_outer = jnp.asarray(
+        rng.derive_key(sim.seed, stream_outer, fam.tag), jnp.uint32)
+    key_inner = jnp.asarray(
+        rng.derive_key(sim.seed, stream_inner, fam.tag), jnp.uint32)
+    return _nmc_family_sharded_impl(fam, option.as_f32(), dyn, po,
+                                    sim.replace(seed=0), mesh, engine,
+                                    tile_rows, interpret, key_outer,
+                                    key_inner)

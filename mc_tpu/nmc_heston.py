@@ -125,4 +125,8 @@ def price_nmc_heston(option: OptionParams = DEMO_OPTION,
                             stream_inner=stream_inner, interpret=interpret)
 
 
-register_nmc_family("heston", price_nmc_heston)
+register_nmc_family(
+    "heston", price_nmc_heston,
+    lambda option, dyn, sim: (HestonNMC(),
+                              (DEMO_HESTON if dyn is None
+                               else dyn).as_f32()))

@@ -173,4 +173,12 @@ def price_nmc_localvol(option: OptionParams = DEMO_OPTION,
                             stream_inner=stream_inner, interpret=interpret)
 
 
-register_nmc_family("localvol", price_nmc_localvol)
+def _localvol_builder(option, dyn, sim):
+    if dyn is None:
+        dyn = (DEMO_LOCALVOL if sim.n_steps == 100
+               else LocalVolSurface.demo(sim.n_steps))
+    s32 = validate_surface(dyn, sim.n_steps)
+    return LocalVolNMC(extras=(s32.n_knots,)), s32
+
+
+register_nmc_family("localvol", price_nmc_localvol, _localvol_builder)

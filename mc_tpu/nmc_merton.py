@@ -152,4 +152,10 @@ def price_nmc_merton(option: OptionParams = DEMO_OPTION,
                             stream_inner=stream_inner, interpret=interpret)
 
 
-register_nmc_family("merton", price_nmc_merton)
+def _merton_builder(option, dyn, sim):
+    dyn = DEMO_MERTON if dyn is None else dyn
+    kmax = poisson_kmax(float(dyn.lam) * float(option.t) / sim.n_steps)
+    return MertonNMC(extras=(kmax,)), dyn.as_f32()
+
+
+register_nmc_family("merton", price_nmc_merton, _merton_builder)

@@ -108,4 +108,8 @@ def price_nmc_sabr(option: OptionParams = DEMO_OPTION,
                             stream_inner=stream_inner, interpret=interpret)
 
 
-register_nmc_family("sabr", price_nmc_sabr)
+register_nmc_family(
+    "sabr", price_nmc_sabr,
+    lambda option, dyn, sim: (SABRNMC(),
+                              (DEMO_SABR if dyn is None
+                               else dyn).as_f32()))

@@ -171,4 +171,8 @@ def price_nmc_vasicek(option: OptionParams = DEMO_OPTION,
                             stream_inner=stream_inner, interpret=interpret)
 
 
-register_nmc_family("vasicek", price_nmc_vasicek)
+register_nmc_family(
+    "vasicek", price_nmc_vasicek,
+    lambda option, dyn, sim: (VasicekNMC(),
+                              (DEMO_VASICEK if dyn is None
+                               else dyn).as_f32()))

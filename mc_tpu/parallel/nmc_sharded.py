@@ -31,7 +31,7 @@ from mc_tpu.ops.payoffs import get_payoff
 from mc_tpu.ops.reduce import finish_sum
 from mc_tpu.parallel.mesh import PATHS_AXIS, make_mesh, shard_bounds
 
-__all__ = ["price_nmc_sharded"]
+__all__ = ["price_nmc_sharded", "price_nmc_model_sharded"]
 
 
 @functools.partial(
@@ -114,3 +114,49 @@ def price_nmc_sharded(option: OptionParams = DEMO_OPTION,
                                 jnp.uint32)
     return _impl(option.as_f32(), po, sim.replace(seed=0), mesh, engine,
                  tile_rows, discount, interpret, key_outer, key_inner)
+
+
+# ---------------------------------------------------------------------------
+# Model-family NMC over the mesh (round 3): the generic engine's
+# path-offset plumbing makes every family's exposure surface shardable
+# with the same construction — one dispatcher over the family registry.
+# ---------------------------------------------------------------------------
+
+_NMC_MODEL_MODULES = {
+    "heston": "mc_tpu.nmc_heston", "merton": "mc_tpu.nmc_merton",
+    "vasicek": "mc_tpu.nmc_vasicek", "localvol": "mc_tpu.nmc_localvol",
+    "cev": "mc_tpu.nmc_cev", "sabr": "mc_tpu.nmc_sabr",
+    "basket": "mc_tpu.nmc_basket",
+}
+
+
+def price_nmc_model_sharded(model: str,
+                            option: OptionParams = DEMO_OPTION,
+                            dyn=None,
+                            sim: SimParams = DEMO_SIM,
+                            payoff="vanilla_call",
+                            *,
+                            mesh: Optional[Mesh] = None,
+                            engine: str = "pallas",
+                            tile_rows: int = 8,
+                            interpret: Optional[bool] = None) -> NMCResult:
+    """Family NMC surface with outer paths sharded across the mesh.
+
+    ``model``: any registered NMC family.  Streams key by GLOBAL path id,
+    so the result is mesh-size invariant and a 1-device mesh is bitwise
+    identical to the single-chip `price_nmc_<model>`; the surface comes
+    back sharded along the path axis.
+    """
+    import importlib
+
+    from mc_tpu.nmc_engine import (NMC_FAMILY_BUILDERS,
+                                   price_nmc_family_sharded)
+    if model not in _NMC_MODEL_MODULES:
+        raise ValueError(f"unknown NMC model {model!r}; available: "
+                         f"{tuple(_NMC_MODEL_MODULES)}")
+    importlib.import_module(_NMC_MODEL_MODULES[model])
+    fam, dyn32 = NMC_FAMILY_BUILDERS[model](option, dyn, sim)
+    return price_nmc_family_sharded(fam, option, dyn32, sim, payoff,
+                                    mesh=mesh, engine=engine,
+                                    tile_rows=tile_rows,
+                                    interpret=interpret)

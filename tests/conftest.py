@@ -37,6 +37,8 @@ def devices():
 # stale entry (renamed/removed test) is harmless.
 
 SLOW_TESTS = {
+    "test_nmc_models_sharded.py::test_one_device_mesh_bitwise",
+    "test_nmc_models_sharded.py::test_mesh_size_invariance",
     "test_lsmc.py::test_american_greeks_all_families",
     "test_barrier_bridge.py::test_in_out_parity_discrete",
     "test_basket.py::test_diversification_lowers_price",
