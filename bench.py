@@ -489,8 +489,6 @@ def main():
     return 0 if ok else 1
 
 
-if __name__ == "__main__":
-    sys.exit(main())
 
 
 # ---------------------------------------------------------------------------
@@ -595,3 +593,6 @@ def roofline():
         "serial_roofline_step_ns": round(roof * 1e9, 4),
         "achieved_over_serial_roofline": round(roof / t_step, 3),
     }
+
+if __name__ == "__main__":
+    sys.exit(main())

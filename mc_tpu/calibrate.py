@@ -213,11 +213,23 @@ def calibrate_heston(strikes, mats, target_ivs, *, s0=100.0, r=0.1,
             for i, k in enumerate(strikes):
                 px = heston_call_cf(s0, k, t, r, v0, kappa, theta, xi,
                                     rho, q=q, n_quad=n_quad)
-                out[j, i] = _bs_iv_host(px, s0, k, t, r, q)
+                iv = _bs_iv_host(px, s0, k, t, r, q)
+                if np.isnan(iv):
+                    # out of the no-arb band: saturate at the vol-space
+                    # boundary the violation points at, so LM keeps a
+                    # monotone gradient back toward validity instead of
+                    # a flat (or rewarded) NaN region
+                    iv = 5.0 if px >= s0 * np.exp(-q * t) else 1e-6
+                out[j, i] = iv
         return out
 
     def residuals(th):
-        return (model_ivs(th) - target).ravel()
+        res = (model_ivs(th) - target).ravel()
+        # NaN model IVs mean the trial parameters priced outside the
+        # no-arbitrage band: PENALIZE (1.0 = a 100-vol-pt error) instead
+        # of ignoring, so LM steps into invalid regions are rejected
+        # rather than rewarded for removing points from the objective.
+        return np.nan_to_num(res, nan=1.0)
 
     th = np.array([np.log(init[0]), np.log(init[1]), np.log(init[2]),
                    np.log(init[3]), np.arctanh(init[4] / 0.999)])
@@ -240,12 +252,12 @@ def calibrate_heston(strikes, mats, target_ivs, *, s0=100.0, r=0.1,
             continue
         th_new = th - step
         r_new = residuals(th_new)
-        if np.nansum(r_new ** 2) < np.nansum(r_cur ** 2):
+        if np.sum(r_new ** 2) < np.sum(r_cur ** 2):
             th, r_cur, lam = th_new, r_new, max(lam * 0.5, 1e-8)
         else:
             lam = min(lam * 4.0, 1e4)
     v0, kappa, theta, xi, rho = _heston_theta_to_params(th)
-    rmse = float(np.sqrt(np.nanmean(r_cur ** 2)))
+    rmse = float(np.sqrt(np.mean(r_cur ** 2)))
     return HestonFit(v0=float(v0), kappa=float(kappa), theta=float(theta),
                      xi=float(xi), rho=float(rho), rmse=rmse,
                      n_iter=n_iter)

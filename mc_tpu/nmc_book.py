@@ -115,34 +115,38 @@ def _price_nmc_book_impl(options, weights, payoff, sim, n_contracts,
                              dtype=jnp.uint32).reshape(
                       cfg.n_tiles * tile_rows, LANES)
                   < jnp.uint32(sim.n_paths))
-    net = None
-    outers, ees = [], []
-    for b in range(n_contracts):
-        opt_b = jax.tree_util.tree_map(lambda x: x[b], options)
+    if engine not in ("pallas", "xla"):
+        raise ValueError(f"unknown engine {engine!r}")
+
+    # lax.scan over the contract rows: the trajectory + inner kernels
+    # compile ONCE (only the traced SMEM params vector differs per
+    # contract), so compile time stays flat in B.
+    def body(net, xs):
+        opt_b, w = xs
         params = pk.pack_params(opt_b, sim.n_steps)
         if engine == "xla":
             surface, osum, osq = _xla_nmc(payoff, cfg, key_outer,
                                           key_inner, opt_b)
-        elif engine == "pallas":
+        else:
             s_g, c_g, osum, osq = pk.simulate_trajectories_kernel(
                 payoff, kcfg, key_outer, params, interpret=interpret)
             surface = nk.nmc_inner_kernel(payoff, cfg, key_inner, params,
                                           s_g, c_g, interpret=interpret)
-        else:
-            raise ValueError(f"unknown engine {engine!r}")
-        outers.append(summarize(
+        outer_b = summarize(
             finish_sum(osum), finish_sum(osq), n_pathsf,
-            jnp.exp(-jnp.float32(opt_b.r) * jnp.float32(opt_b.t))))
-        w_surface = surface * weights[b]
+            jnp.exp(-jnp.float32(opt_b.r) * jnp.float32(opt_b.t)))
+        w_surface = surface * w
         # standalone EE of the weighted position (padding contributes 0)
         pos = jnp.maximum(jnp.where(valid_rows[None], w_surface, 0.0), 0.0)
-        ees.append(jnp.sum(pos, axis=(1, 2)) / n_pathsf)
-        net = w_surface if net is None else net + w_surface
-    outer_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                         *outers)
+        ee_b = jnp.sum(pos, axis=(1, 2)) / n_pathsf
+        return net + w_surface, (outer_b, ee_b)
+
+    rows = cfg.n_tiles * tile_rows
+    net0 = jnp.zeros((sim.n_steps, rows, LANES), jnp.float32)
+    net, (outer_stack, ees) = jax.lax.scan(body, net0, (options, weights))
     net_outer = jnp.sum(weights * outer_stack.price)
     return NMCBookResult(net_surface=net, outers=outer_stack,
-                         ee_contract=jnp.stack(ees),
+                         ee_contract=ees,
                          net_outer_price=net_outer,
                          n_paths=jnp.asarray(sim.n_paths, jnp.float32),
                          t_horizon=jnp.asarray(options.t, jnp.float32)[0])
@@ -169,6 +173,7 @@ def price_nmc_book(options: OptionParams,
     if po.n_state > 1:
         raise ValueError("NMC supports payoffs with at most one state "
                          "array")
+    po.validate(options, sim.n_steps)
     b = np.asarray(options.k).shape
     if len(b) != 1 or b[0] < 1:
         raise ValueError("options fields must be 1-D (B,) arrays; got "

@@ -375,18 +375,9 @@ def _price_nmc_family_impl(fam, option, dyn, payoff, sim, engine,
                      t_horizon=jnp.asarray(option.t, jnp.float32))
 
 
-def price_nmc_family(fam: NMCFamily,
-                     option: OptionParams,
-                     dyn,
-                     sim: SimParams,
-                     payoff="vanilla_call",
-                     *,
-                     engine: str = "pallas",
-                     tile_rows: int = 8,
-                     stream_outer: int = STREAM_OUTER,
-                     stream_inner: int = STREAM_INNER,
-                     interpret: Optional[bool] = None) -> NMCResult:
-    """Shared NMC entry point: validation, guards, key derivation."""
+def _validate_and_keys(fam, sim, payoff, stream_outer, stream_inner):
+    """Entry guards + per-family key derivation shared by the
+    single-chip and sharded entry points."""
     po = get_payoff(payoff) if isinstance(payoff, str) else payoff
     if po.n_state > 1:
         raise ValueError("NMC supports payoffs with at most one state "
@@ -403,6 +394,23 @@ def price_nmc_family(fam: NMCFamily,
         rng.derive_key(sim.seed, stream_outer, fam.tag), jnp.uint32)
     key_inner = jnp.asarray(
         rng.derive_key(sim.seed, stream_inner, fam.tag), jnp.uint32)
+    return po, key_outer, key_inner
+
+
+def price_nmc_family(fam: NMCFamily,
+                     option: OptionParams,
+                     dyn,
+                     sim: SimParams,
+                     payoff="vanilla_call",
+                     *,
+                     engine: str = "pallas",
+                     tile_rows: int = 8,
+                     stream_outer: int = STREAM_OUTER,
+                     stream_inner: int = STREAM_INNER,
+                     interpret: Optional[bool] = None) -> NMCResult:
+    """Shared NMC entry point: validation, guards, key derivation."""
+    po, key_outer, key_inner = _validate_and_keys(
+        fam, sim, payoff, stream_outer, stream_inner)
     return _price_nmc_family_impl(fam, option.as_f32(), dyn, po,
                                   sim.replace(seed=0), engine, tile_rows,
                                   interpret, key_outer, key_inner)
@@ -453,7 +461,7 @@ def _nmc_family_sharded_impl(fam, option, dyn, payoff, sim, mesh, engine,
     sim_local = sim.replace(n_paths=n_local)
     n_total = jnp.uint32(sim.n_paths)
 
-    def shard_fn(ko, ki, params, dyn_sh, n_total):
+    def shard_fn(ko, ki, params, n_total):
         rank = jax.lax.axis_index(PATHS_AXIS).astype(jnp.uint32)
         offset = rank * jnp.uint32(n_local)
         if engine == "pallas":
@@ -475,10 +483,10 @@ def _nmc_family_sharded_impl(fam, option, dyn, payoff, sim, mesh, engine,
 
     surf, osum, osq, ssum = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P()),
         out_specs=(P(None, PATHS_AXIS, None), P(), P(), P()),
         check_vma=False,
-    )(key_outer, key_inner, params, dyn, n_total)
+    )(key_outer, key_inner, params, n_total)
 
     outer = summarize(finish_sum(osum), finish_sum(osq),
                       jnp.asarray(sim.n_paths, jnp.float32),
@@ -502,23 +510,9 @@ def price_nmc_family_sharded(fam: NMCFamily, option, dyn, sim, payoff,
     keys shared with the single-chip entry)."""
     from mc_tpu.parallel.mesh import make_mesh
 
-    po = get_payoff(payoff) if isinstance(payoff, str) else payoff
-    if po.n_state > 1:
-        raise ValueError("NMC supports payoffs with at most one state "
-                         "array")
-    if fam.even_steps and sim.n_steps % 2:
-        raise ValueError(f"{fam.name} requires an even n_steps "
-                         "(pair-consuming outer loop)")
-    span, desc = fam.span(sim.n_steps, sim.n_paths_inner)
-    if span >= 1 << 32:
-        raise ValueError(
-            f"inner RNG counter space exhausted: {desc} = "
-            f"{span} >= 2^32; reduce n_steps or n_paths_inner")
+    po, key_outer, key_inner = _validate_and_keys(
+        fam, sim, payoff, stream_outer, stream_inner)
     mesh = mesh if mesh is not None else make_mesh()
-    key_outer = jnp.asarray(
-        rng.derive_key(sim.seed, stream_outer, fam.tag), jnp.uint32)
-    key_inner = jnp.asarray(
-        rng.derive_key(sim.seed, stream_inner, fam.tag), jnp.uint32)
     return _nmc_family_sharded_impl(fam, option.as_f32(), dyn, po,
                                     sim.replace(seed=0), mesh, engine,
                                     tile_rows, interpret, key_outer,

@@ -795,6 +795,7 @@ def price_qmc_model(model: str,
     in `price_qmc`.
     """
     po = get_payoff(payoff)
+    po.validate(option, sim.n_steps)
     if model == "heston":
         from mc_tpu.models.heston import DEMO_HESTON
         dyn = (DEMO_HESTON if dyn is None else dyn).as_f32()

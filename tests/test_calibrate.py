@@ -189,3 +189,31 @@ def test_localvol_round_trip_reprices_smile():
         res = price_localvol(OptionParams(k=k), surf, sim, engine="xla")
         iv = float(bs_implied_vol(float(res.price), s0, k, 1.0, r))
         assert iv == pytest.approx(iv_fn(k), abs=0.006)
+
+
+def test_heston_nan_steps_rejected():
+    """Trial parameters that push points outside the no-arb band (NaN
+    IVs) must be penalized, not rewarded: the fit from an extreme start
+    still lands on finite parameters with finite RMSE."""
+    import numpy as np
+
+    from mc_tpu.calibrate import _bs_iv_host, calibrate_heston
+    from mc_tpu.models.heston import heston_call_cf
+    true = dict(v0=0.04, kappa=2.0, theta=0.04, xi=0.3, rho=-0.5)
+    s0, r = 100.0, 0.1
+    strikes = np.array([90.0, 100.0, 110.0])
+    mats = np.array([0.5, 1.0])
+    ivs = np.array([[_bs_iv_host(heston_call_cf(s0, k, t, r, **true),
+                                 s0, k, t, r)
+                     for k in strikes] for t in mats])
+    fit = calibrate_heston(strikes, mats, ivs, s0=s0, r=r,
+                           init=(0.5, 0.1, 0.5, 2.0, 0.9), n_iter=40)
+    # the extreme basin need not fully converge; the contract is NO NaN
+    # poisoning: finite parameters and a penalized-but-improving RMSE
+    assert np.isfinite([fit.v0, fit.kappa, fit.theta, fit.xi, fit.rho,
+                        fit.rmse]).all()
+    assert fit.rmse < 0.5
+    # a merely-bad (in-band) start must still converge
+    fit2 = calibrate_heston(strikes, mats, ivs, s0=s0, r=r,
+                            init=(0.09, 0.8, 0.09, 0.8, 0.3), n_iter=40)
+    assert fit2.rmse < 1e-3

@@ -300,3 +300,11 @@ def test_qmc_model_validation():
         price_qmc_model("vasicek")
     with pytest.raises(ValueError, match="n_shifts"):
         price_qmc_model("heston", n_shifts=1)
+
+
+def test_qmc_model_validates_payoff():
+    from mc_tpu.qmc import price_qmc_model
+    with pytest.raises(ValueError, match="determination step"):
+        price_qmc_model("heston", OptionParams(p1=999.0),
+                        payoff="forward_start_call",
+                        sim=SimParams(n_paths=1 << 12, n_steps=8))
