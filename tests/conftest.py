@@ -209,3 +209,22 @@ def pytest_collection_modifyitems(config, items):
         rel = item.nodeid.split("/")[-1].split("[")[0]
         if rel in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+
+
+# XLA:CPU's compiler can segfault late in a LONG process (hundreds of
+# compiled executables resident — observed in rounds 2 and 3 deep into
+# the full suite, always inside backend_compile_and_load, never in the
+# same test).  Dropping the jit caches between modules bounds the
+# resident compiled-program count; within-module sharing (where the
+# real reuse is) is unaffected.
+
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_between_modules(request):
+    mod = request.module.__name__
+    if _last_module[0] is not None and _last_module[0] != mod:
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield
