@@ -779,6 +779,36 @@ def cmd_calibrate(args):
     return 0
 
 
+def cmd_divs(args):
+    from mc_tpu.models.dividends import (bs_call_cash_div, div_schedule,
+                                         price_divs)
+
+    option, sim = _parse(args)
+    steps = ([int(x) for x in args.div_steps.split(",")]
+             if args.div_steps else [])
+    amounts = ([float(x) for x in args.div_amounts.split(",")]
+               if args.div_amounts else [])
+    if len(steps) != len(amounts):
+        raise SystemExit("--div-steps and --div-amounts must pair up")
+    divs = div_schedule(sim.n_steps, steps, amounts)
+    res = price_divs(option, divs, sim, payoff=args.payoff,
+                     engine=args.engine, antithetic=args.antithetic,
+                     tile_rows=args.tile_rows)
+    out = {"payoff": args.payoff, "price": float(res.price),
+           "stderr": float(res.stderr),
+           "dividends": [[int(j), float(a)]
+                         for j, a in zip(steps, amounts)]}
+    if args.payoff == "vanilla_call" and len(steps) == 1:
+        tau = (steps[0] + 1) / sim.n_steps * args.t
+        out["quadrature_oracle"] = bs_call_cash_div(
+            args.s0, args.k, args.t, args.r, args.sigma, amounts[0], tau,
+            q=args.q)
+        out["z_score"] = ((out["price"] - out["quadrature_oracle"])
+                          / out["stderr"])
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_basket(args):
     from mc_tpu.models.basket import _demo_basket, price_basket
 
@@ -1193,6 +1223,18 @@ def main(argv=None):
     p.add_argument("--smile-curv", type=float, default=0.15,
                    help="localvol target smile curvature")
     p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("divs",
+                       help="GBM with discrete cash dividends "
+                            "(quadrature oracle)")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--div-steps", default="24",
+                   help="comma list of dividend step indices")
+    p.add_argument("--div-amounts", default="5.0",
+                   help="comma list of cash amounts")
+    p.set_defaults(fn=cmd_divs)
 
     p = sub.add_parser("basket", help="correlated multi-asset basket price")
     _add_option_flags(p)

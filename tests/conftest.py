@@ -37,6 +37,10 @@ def devices():
 # stale entry (renamed/removed test) is harmless.
 
 SLOW_TESTS = {
+    "test_dividends_cash.py::test_zero_schedule_is_gbm",
+    "test_dividends_cash.py::test_one_dividend_matches_quadrature_oracle",
+    "test_dividends_cash.py::test_put_call_parity_two_dividends",
+    "test_dividends_cash.py::test_dividends_lower_calls_raise_puts",
     "test_nmc_models_sharded.py::test_one_device_mesh_bitwise",
     "test_nmc_models_sharded.py::test_mesh_size_invariance",
     "test_lsmc.py::test_american_greeks_all_families",

@@ -430,3 +430,12 @@ def test_nmc_sabr():
                                   np.asarray(i.surface))
     np.testing.assert_array_equal(np.asarray(c.surface),
                                   np.asarray(x.surface))
+
+
+def test_divs():
+    """Discrete-cash-dividend kernel: per-step SMEM amounts, all three
+    routes bitwise."""
+    from mc_tpu.models.dividends import div_schedule, price_divs
+    sim = SimParams(n_paths=4096, n_steps=10)
+    divs = div_schedule(10, [4], [5.0])
+    _assert_tri(*_tri(price_divs, divs=divs, sim=sim, tile_rows=8))
