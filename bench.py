@@ -547,10 +547,12 @@ def roofline():
     from mc_tpu import rng as mc_rng
     n_elems = _ROOF_SHAPE[0] * _ROOF_SHAPE[1]
 
-    t_fma = _chain_seconds(lambda x: x * 1.000001 + 1e-7) / n_elems
+    def med(body):  # tunnel noise: median of 3 full chain measurements
+        return median_of(lambda: _chain_seconds(body), 3)[0] / n_elems
 
-    t_exp = _chain_seconds(
-        lambda x: jnp.exp(x) * 0.367879 + 1e-7) / n_elems  # keep x ~ 1
+    t_fma = med(lambda x: x * 1.000001 + 1e-7)
+
+    t_exp = med(lambda x: jnp.exp(x) * 0.367879 + 1e-7)  # keep x ~ 1
 
     # Box-Muller pair core: both normals from two uniforms-in-(0,1)
     def bm(x):
@@ -561,7 +563,7 @@ def roofline():
         z0 = rad * jnp.cos(ang)
         z1 = rad * jnp.sin(ang)
         return z0 * 1e-7 + z1 * 1e-7 + 0.5
-    t_bm_pair = _chain_seconds(bm) / n_elems
+    t_bm_pair = med(bm)
 
     # threefry13 pair: serialized by feeding bits back into the counter
     def tf(x):
@@ -571,7 +573,7 @@ def roofline():
         y = jax.lax.bitcast_convert_type(
             (b0 >> jnp.uint32(9)) | jnp.uint32(0x3F800000), jnp.float32)
         return y  # in [1, 2): keeps the chain numerically stable
-    t_tf_pair = _chain_seconds(tf) / n_elems
+    t_tf_pair = med(tf)
 
     # measured bullet step time (threefry13 default config)
     dt_bullet = kernel_seconds("bullet_call", "euler")
