@@ -900,3 +900,90 @@ def simulate_greek_partials(payoff: PathPayoff, cfg: KernelConfig, key,
         interpret=interpret,
     )(jnp.asarray(key, jnp.uint32), params,
       jnp.stack([jnp.uint32(0), jnp.uint32(cfg.n_paths)]))
+
+
+# ---------------------------------------------------------------------------
+# Paired terminal kernel: BOTH Box-Muller halves become paths.
+#
+# The classic terminal kernel (trajectories.cuh:74-75 analogue) burns one
+# threefry + one full Box-Muller pair per path and discards z1 — the
+# measured roofline (BASELINE.md) shows that pair is ~70% of the per-path
+# budget, so the discard leaves ~1.8x on the table.  Here element e
+# carries paths (2e, 2e+1): one threefry + one Box-Muller pair prices
+# TWO exact terminal draws, and the moment accumulators take per-path
+# [pay_a + pay_b, pay_a^2 + pay_b^2] so the stderr stays exact.
+# Terminal-only payoffs, counter-based RNG, no antithetic/CV/IS (those
+# route through the classic kernel).
+# ---------------------------------------------------------------------------
+
+
+def _terminal_pair_vals(payoff, p, ids_e, bound_paths, z0, z1):
+    """Per-element [sum, sumsq] of the two terminal-path payoffs."""
+
+    def one(z, pid):
+        s_t = p.s0 * jnp.exp(p.drift_t + p.vol_t * z)
+        pay = payoff.terminal((), s_t, p)
+        return jnp.where(pid < bound_paths, pay, 0.0)
+
+    two = jnp.uint32(2)
+    pa = one(z0, two * ids_e)
+    pb = one(z1, two * ids_e + jnp.uint32(1))
+    return [pa + pb, pa * pa + pb * pb]
+
+
+def _make_terminal_pair_kernel(payoff: PathPayoff, cfg: KernelConfig):
+    def kernel(key_ref, params_ref, meta_ref, sum_ref, sq_ref, comp_ref):
+        from jax.experimental.pallas import tpu as pltpu
+
+        p = unpack_params(params_ref)
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids_e = meta_ref[0] + base + flat
+        z0, z1 = _tile_normals_threefry(key_ref[0], key_ref[1], ids_e,
+                                        0, rounds=cfg.rng_rounds)
+        vals = _terminal_pair_vals(payoff, p, ids_e, meta_ref[1], z0, z1)
+        _accumulate_moments((sum_ref, sq_ref), comp_ref, vals, i,
+                            cfg.tile_rows)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("payoff", "cfg", "engine",
+                                             "interpret"))
+def terminal_pair_partials(payoff: PathPayoff, cfg: KernelConfig, key,
+                           params, n_paths_total: jnp.uint32,
+                           engine: str = "pallas", interpret=None):
+    """(sum, sumsq) (8,128) slabs over ``cfg.n_paths`` ELEMENTS (= two
+    terminal paths each); ``n_paths_total`` masks the trailing odd path."""
+    if interpret is None:
+        interpret = use_interpret()
+    bound = jnp.asarray(n_paths_total, jnp.uint32)
+    if engine == "pallas":
+        acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _make_terminal_pair_kernel(payoff, cfg),
+            grid=(cfg.n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=[acc_spec, acc_spec],
+            out_shape=[jax.ShapeDtypeStruct((SUBLANES, LANES),
+                                            jnp.float32)] * 2,
+            scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)],
+            interpret=interpret,
+        )(jnp.asarray(key, jnp.uint32), params,
+          jnp.stack([jnp.uint32(0), bound]))
+    p = unpack_params(params)
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+
+    def tile_fn(ids_e, valid):
+        del valid  # per-PATH masking happens inside (bound is in paths)
+        c1 = jnp.zeros_like(ids_e)
+        z0, z1 = rng.normal_pair(k0, k1, ids_e, c1,
+                                 rounds=cfg.rng_rounds)
+        return _terminal_pair_vals(payoff, p, ids_e, bound, z0, z1)
+
+    return xla_moment_scan(tile_fn, cfg.n_paths, cfg.tile_rows, 2)

@@ -266,3 +266,51 @@ def test_engine_duality_fuzz():
         assert float(a.price) == float(b.price), (trial, name, kw)
         assert float(a.stderr) == float(b.stderr), (trial, name, kw)
         assert np.isfinite(float(a.price)), (trial, name)
+
+
+# --- paired terminal kernel (round 3) -------------------------------------
+
+def test_terminal_pair_matches_bs():
+    """Both-halves terminal kernel: same estimator quality, BS gate."""
+    from mc_tpu.oracle import bs_call
+    sim = SimParams(n_paths=1_000_000, n_steps=100)
+    r = price(sim=sim, method="terminal_pair", engine="xla")
+    bs = float(bs_call(100.0, 100.0, 1.0, 0.1, 0.2))
+    assert abs(float(r.price) - bs) <= 3.5 * float(r.stderr)
+    # stderr magnitude matches the classic kernel's (same n, same law)
+    c = price(sim=sim, method="terminal", engine="xla")
+    assert 0.7 < float(r.stderr) / float(c.stderr) < 1.4
+
+
+def test_terminal_pair_engines_bitwise():
+    sim = SimParams(n_paths=100_000, n_steps=10)
+    a = price(sim=sim, method="terminal_pair", engine="pallas",
+              tile_rows=8)
+    b = price(sim=sim, method="terminal_pair", engine="xla", tile_rows=8)
+    assert float(a.price) == float(b.price)
+    assert float(a.stderr) == float(b.stderr)
+
+
+def test_terminal_pair_odd_path_count():
+    """The trailing odd path is masked, not silently priced twice."""
+    a = price(sim=SimParams(n_paths=99_999, n_steps=10),
+              method="terminal_pair", engine="xla")
+    from mc_tpu.oracle import bs_call
+    bs = float(bs_call(100.0, 100.0, 1.0, 0.1, 0.2))
+    assert abs(float(a.price) - bs) <= 4.0 * float(a.stderr)
+    assert float(a.n_paths) == 99_999.0
+
+
+def test_terminal_pair_validation():
+    with pytest.raises(ValueError, match="path-dependent"):
+        price(payoff="asian_call", method="terminal_pair",
+              sim=SimParams(n_paths=1024, n_steps=4))
+    with pytest.raises(ValueError, match="fast path"):
+        price(method="terminal_pair", antithetic=True,
+              sim=SimParams(n_paths=1024, n_steps=4))
+    with pytest.raises(ValueError, match="path_offset"):
+        price(method="terminal_pair", path_offset=128,
+              sim=SimParams(n_paths=1024, n_steps=4))
+    with pytest.raises(ValueError, match="counter-based"):
+        price(method="terminal_pair", rng_source="hw",
+              sim=SimParams(n_paths=1024, n_steps=4))

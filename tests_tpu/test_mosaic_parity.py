@@ -439,3 +439,12 @@ def test_divs():
     sim = SimParams(n_paths=4096, n_steps=10)
     divs = div_schedule(10, [4], [5.0])
     _assert_tri(*_tri(price_divs, divs=divs, sim=sim, tile_rows=8))
+
+
+def test_terminal_pair():
+    """Paired terminal kernel (both Box-Muller halves -> two paths per
+    element): all three routes bitwise."""
+    from mc_tpu import price
+    sim = SimParams(n_paths=100_000, n_steps=10)
+    _assert_tri(*_tri(price, option=OPT, sim=sim,
+                      method="terminal_pair", tile_rows=8))
