@@ -42,7 +42,8 @@ from mc_tpu.ops import path_kernels as pk
 from mc_tpu.ops._pallas import LANES
 from mc_tpu.ops.payoffs import get_payoff
 
-__all__ = ["price_american", "american_greeks", "price_american_heston",
+__all__ = ["price_american", "american_greeks", "american_bounds_family",
+           "price_american_heston",
            "price_american_basket", "price_american_vasicek",
            "price_american_localvol", "american_bounds",
            "binomial_american"]
@@ -736,24 +737,13 @@ def american_bounds(option: OptionParams = DEMO_OPTION,
             "inner RNG counter space exhausted: 4 * n_steps^2 * n_inner "
             f"= {span} >= 2^32; reduce n_steps or n_inner")
     if heston is not None:
-        # stochastic-vol bracket: the Heston LSMC lower bound + a dual
-        # whose rollouts resume from the full (S, v) state
-        lower = price_american_heston(option, heston, sim, payoff,
-                                      degree=degree, tile_rows=tile_rows,
-                                      stream=stream, two_pass=True,
-                                      interpret=interpret,
-                                      exercise_every=exercise_every)
-        key_fit = jnp.asarray(rng.derive_key(sim.seed, stream, 0x4E57),
-                              jnp.uint32)
-        key_outer = jnp.asarray(
-            rng.derive_key(sim.seed, stream, 0x4E57, 0xAB01), jnp.uint32)
-        key_inner = jnp.asarray(
-            rng.derive_key(sim.seed, stream, 0x4E57, 0xAB02), jnp.uint32)
-        upper = _ab_upper_heston_impl(
-            option.as_f32(), heston.as_f32(), po, sim.replace(seed=0),
-            degree, tile_rows, n_outer, n_inner, interpret, key_fit,
-            key_outer, key_inner, exercise_every)
-        return lower, upper
+        # stochastic-vol bracket — the generic family dual (verified
+        # bitwise-identical to the retired dedicated Heston impl)
+        return american_bounds_family(
+            "heston", option, heston, sim, payoff, degree=degree,
+            n_outer=n_outer, n_inner=n_inner,
+            exercise_every=exercise_every, tile_rows=tile_rows,
+            stream=stream, interpret=interpret)
     lower = price_american(option, sim, payoff, degree=degree,
                            tile_rows=tile_rows, stream=stream,
                            two_pass=True, interpret=interpret,
@@ -857,153 +847,6 @@ def price_american_basket(option: OptionParams = DEMO_OPTION,
                                        degree, tile_rows, interpret,
                                        two_pass, key, key_b,
                                        exercise_every)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("payoff", "sim", "degree", "tile_rows", "n_outer",
-                     "n_inner", "interpret", "every"))
-def _ab_upper_heston_impl(option, heston, payoff, sim, degree, tile_rows,
-                          n_outer, n_inner, interpret, key_fit, key_outer,
-                          key_inner, every=1):
-    """Andersen-Broadie dual under Heston: rollouts resume from the full
-    (S, v) state and the policy regresses on the (S, v) basis."""
-    from mc_tpu.models.heston import (_pack_heston, _unpack_heston,
-                                      heston_euler_step,
-                                      heston_trajectories_kernel)
-    params = _pack_heston(option, heston, sim.n_steps)
-    p = _unpack_heston(params)
-    n = sim.n_steps
-    disc = jnp.exp(-p.r * p.dt)
-    inv_k = 1.0 / p.k
-    n_basis = degree + 4
-
-    def grids(cfg, k):
-        s_g, v_g, c_g, _, _ = heston_trajectories_kernel(
-            payoff, cfg, k, params, interpret=interpret)
-        n_pad = s_g.shape[1] * LANES
-        return (s_g.reshape(n, n_pad), v_g.reshape(n, n_pad),
-                c_g.reshape(n, n_pad), n_pad)
-
-    def immediate(s_f, c_f, j):
-        return payoff.terminal((), s_f[j], p)
-
-    # 1) the policy the lower bound prices
-    cfg_a = pk.KernelConfig(n_paths=sim.n_paths, n_steps=n,
-                            tile_rows=tile_rows)
-    s_a, v_a, c_a, n_pad_a = grids(cfg_a, key_fit)
-    valid_a = (jnp.arange(n_pad_a, dtype=jnp.uint32)
-               < jnp.uint32(sim.n_paths))
-    _, betas = _backward_fit(
-        payoff, p, s_a, c_a, valid_a, n, degree, inv_k, disc, immediate,
-        every,
-        design_fn=lambda t: _basis_sv(s_a[t] * inv_k, v_a[t], degree),
-        n_basis=n_basis)
-
-    # 2) independent outer set
-    cfg_b = pk.KernelConfig(n_paths=n_outer, n_steps=n,
-                            tile_rows=tile_rows)
-    s_b, v_b, c_b, n_pad_b = grids(cfg_b, key_outer)
-    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
-               < jnp.uint32(n_outer))
-    ids_b = jnp.arange(n_pad_b, dtype=jnp.uint32)
-    ki0 = jnp.asarray(key_inner[0], jnp.uint32)
-    ki1 = jnp.asarray(key_inner[1], jnp.uint32)
-    jn = jnp.float32(n_inner)
-
-    def draw(branch, u):
-        c1 = (jnp.asarray(branch, jnp.uint32) * jnp.uint32(n)
-              + jnp.asarray(u, jnp.uint32))
-        return rng.normal_pair(ki0, ki1, ids_b,
-                               jnp.full(ids_b.shape, 0, jnp.uint32) + c1)
-
-    def rollout(t, s_t, v_t, branch):
-        def body(u, carry):
-            w, vv, done, val = carry
-            s = s_t * jnp.exp(w)
-            ex = payoff.terminal((), s, p)
-            x = _basis_sv(s * inv_k, vv, degree)
-            cont = jnp.dot(x, betas[u],
-                           preferred_element_type=jnp.float32)
-            is_ex_date = ((u + 1) % every) == 0
-            trig = jnp.logical_and(
-                jnp.logical_and(jnp.logical_and(ex > 0.0, ex > cont),
-                                jnp.logical_not(done)), is_ex_date)
-            val = jnp.where(trig,
-                            ex * disc ** (jnp.float32(u) + 1.0), val)
-            done = jnp.logical_or(done, trig)
-            z_v, z_p = draw(branch, u)
-            w, vv = heston_euler_step(p, w, vv, z_v, z_p, p.dt, p.sqrt_dt)
-            return (w, vv, done, val)
-
-        w, vv, done, val = jax.lax.fori_loop(
-            t, n - 1, body,
-            (jnp.zeros_like(s_t), v_t, jnp.zeros_like(s_t, bool),
-             jnp.zeros_like(s_t)))
-        ex = payoff.terminal((), s_t * jnp.exp(w), p)
-        return jnp.where(done, val, ex * disc ** jnp.float32(n))
-
-    two_j_total = n * 2 * n_inner
-    gap_mat = n - every * ((n - 1) // every)
-
-    def date_step(carry, t):
-        m, run_max = carry
-        base = t * (2 * n_inner)
-        is_ex_date = jnp.logical_or(((t + 1) % every) == 0, t == n - 1)
-        gap = jnp.where(t == n - 1, jnp.int32(gap_mat), jnp.int32(every))
-
-        def delta_fn(_):
-            def here_j(j, acc):
-                return acc + rollout(t, s_b[t], v_b[t], base + j)
-
-            l_here = jax.lax.fori_loop(0, n_inner, here_j,
-                                       jnp.zeros_like(s_b[0])) / jn
-
-            prev_idx = t - gap
-            prev_s = jnp.where(prev_idx >= 0,
-                               s_b[jnp.maximum(prev_idx, 0)],
-                               jnp.full_like(s_b[0], p.s0))
-            prev_v = jnp.where(prev_idx >= 0,
-                               v_b[jnp.maximum(prev_idx, 0)],
-                               jnp.full_like(s_b[0], p.v0))
-
-            def inner_j(j, acc):
-                branch = base + n_inner + j
-                branch_tr = two_j_total + branch
-
-                def tr_step(k, carry2):
-                    w, vv = carry2
-                    z_v, z_p = draw(branch_tr, k)
-                    return heston_euler_step(p, w, vv, z_v, z_p, p.dt,
-                                             p.sqrt_dt)
-
-                w, vv = jax.lax.fori_loop(
-                    0, gap, tr_step, (jnp.zeros_like(prev_s), prev_v))
-                return acc + rollout(t, prev_s * jnp.exp(w), vv, branch)
-
-            e_t = jax.lax.fori_loop(0, n_inner, inner_j,
-                                    jnp.zeros_like(l_here)) / jn
-            return l_here - e_t
-
-        m = m + jax.lax.cond(jnp.logical_and(is_ex_date, t >= 1),
-                             delta_fn,
-                             lambda _: jnp.zeros_like(m), 0)
-        hd = immediate(s_b, c_b, t) * disc ** (jnp.float32(t) + 1.0)
-        run_max = jnp.maximum(run_max,
-                              jnp.where(is_ex_date, hd - m, -1e30))
-        return (m, run_max), None
-
-    zeros = jnp.zeros((n_pad_b,), jnp.float32)
-    (m, run_max), _ = jax.lax.scan(date_step,
-                                   (zeros, jnp.full_like(zeros, -1e30)),
-                                   jnp.arange(n, dtype=jnp.int32))
-    u = jnp.where(valid_b, run_max, 0.0)
-    nn = jnp.float32(n_outer)
-    mean = jnp.sum(u) / nn
-    var = jnp.sum(jnp.where(valid_b, (u - mean) ** 2, 0.0)) / jnp.maximum(
-        nn - 1.0, 1.0)
-    return PriceResult(price=mean, stderr=jnp.sqrt(var / nn), n_paths=nn,
-                       payoff_mean=mean, payoff_var=var)
 
 
 # ---------------------------------------------------------------------------
@@ -1208,3 +1051,255 @@ def american_greeks(option: OptionParams = DEMO_OPTION,
                                 sim.replace(seed=0), fam, degree,
                                 exercise_every, key, key_b)
     return {k: float(v) for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# Generic Andersen-Broadie dual over the NMC family protocol (round 3):
+# the same value-process-martingale construction as the GBM/Heston duals,
+# with the family's rollout hooks supplying the physics.  Rollouts are
+# fresh estimators on their own stream, so every family shares one
+# uniform counter layout (see NMCFamily rollout hooks).  Scalar-discount
+# families only (Vasicek's pathwise-discount dual needs different
+# algebra and is not offered).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fam", "payoff", "sim", "degree", "tile_rows",
+                     "n_outer", "n_inner", "interpret", "every"))
+def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
+                          n_outer, n_inner, interpret, key_fit, key_outer,
+                          key_inner, every=1):
+    from types import SimpleNamespace
+
+    from mc_tpu.nmc_engine import xla_family_trajectories
+
+    params = fam.pack(option, dyn, sim.n_steps)
+    p = fam.unpack(params)
+    ctx = fam.make_ctx(params, sim.n_steps)
+    n = sim.n_steps
+    disc = jnp.exp(-p.r * p.dt)
+    inv_k = 1.0 / p.k
+
+    def grids(n_paths_g, k):
+        cfg = pk.KernelConfig(n_paths=n_paths_g, n_steps=n,
+                              tile_rows=tile_rows)
+        *gs, _, _ = xla_family_trajectories(fam, payoff, cfg, params, k)
+        n_pad = gs[0].shape[1] * LANES
+        return tuple(g.reshape(n, n_pad) for g in gs[:-1]), n_pad
+
+    def immediate_of(gs):
+        return lambda s_f, c_f, j: payoff.terminal((), gs[0][j], p)
+
+    # 1) the policy the lower bound prices
+    gs_a, n_pad_a = grids(sim.n_paths, key_fit)
+    valid_a = (jnp.arange(n_pad_a, dtype=jnp.uint32)
+               < jnp.uint32(sim.n_paths))
+    design_a, n_basis = fam.lsmc_design(p, gs_a, degree, inv_k)
+    if design_a is None:
+        design_a = lambda t: _basis(gs_a[0][t] * inv_k, degree)
+    _, betas = _backward_fit(
+        payoff, p, gs_a[0], gs_a[0], valid_a, n, degree, inv_k, disc,
+        immediate_of(gs_a), every, design_fn=design_a, n_basis=n_basis)
+
+    # 2) independent outer set
+    gs_b, n_pad_b = grids(n_outer, key_outer)
+    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
+               < jnp.uint32(n_outer))
+    ids_b = jnp.arange(n_pad_b, dtype=jnp.uint32)
+    ki0 = jnp.asarray(key_inner[0], jnp.uint32)
+    ki1 = jnp.asarray(key_inner[1], jnp.uint32)
+    jn = jnp.float32(n_inner)
+    pps = fam.rollout_pairs_per_step
+
+    def mk_draw(branch, u):
+        base = ((jnp.asarray(branch, jnp.uint32) * jnp.uint32(n)
+                 + jnp.asarray(u, jnp.uint32)) * jnp.uint32(pps))
+
+        def pair(q):
+            c1 = (jnp.full(ids_b.shape, 0, jnp.uint32) + base
+                  + jnp.uint32(q))
+            return rng.normal_pair(ki0, ki1, ids_b, c1)
+
+        def unit(q):
+            c1 = (jnp.full(ids_b.shape, 0, jnp.uint32) + base
+                  + jnp.uint32(q))
+            b0, _ = rng.threefry2x32(ki0, ki1, ids_b, c1,
+                                     rounds=rng.DEFAULT_ROUNDS)
+            return rng.bits_to_unit(b0)
+
+        return SimpleNamespace(pair=pair, unit=unit)
+
+    def rollout(t, carry0, branch):
+        def body(u, st):
+            carry, done, val = st
+            s = fam.rollout_spot(p, ctx, carry)
+            ex = payoff.terminal((), s, p)
+            x = fam.lsmc_basis_point(p, carry, s, degree, inv_k)
+            cont = jnp.dot(x, betas[u],
+                           preferred_element_type=jnp.float32)
+            is_ex_date = ((u + 1) % every) == 0
+            trig = jnp.logical_and(
+                jnp.logical_and(jnp.logical_and(ex > 0.0, ex > cont),
+                                jnp.logical_not(done)), is_ex_date)
+            val = jnp.where(trig,
+                            ex * disc ** (jnp.float32(u) + 1.0), val)
+            done = jnp.logical_or(done, trig)
+            carry = fam.rollout_step(p, ctx, carry, mk_draw(branch, u), u)
+            return (carry, done, val)
+
+        zerosb = jnp.zeros((n_pad_b,), jnp.float32)
+        carry, done, val = jax.lax.fori_loop(
+            t, n - 1, body, (carry0, jnp.zeros((n_pad_b,), bool), zerosb))
+        ex = payoff.terminal((), fam.rollout_spot(p, ctx, carry), p)
+        return jnp.where(done, val, ex * disc ** jnp.float32(n))
+
+    two_j_total = n * 2 * n_inner
+    gap_mat = n - every * ((n - 1) // every)
+
+    def carry_at(t_idx):
+        return fam.rollout_carry(p, ctx,
+                                 tuple(g[t_idx] for g in gs_b))
+
+    def date_step(carry_scan, t):
+        m, run_max = carry_scan
+        base = t * (2 * n_inner)
+        is_ex_date = jnp.logical_or(((t + 1) % every) == 0, t == n - 1)
+        gap = jnp.where(t == n - 1, jnp.int32(gap_mat), jnp.int32(every))
+
+        def delta_fn(_):
+            def here_j(j, acc):
+                return acc + rollout(t, carry_at(t), base + j)
+
+            l_here = jax.lax.fori_loop(
+                0, n_inner, here_j,
+                jnp.zeros((n_pad_b,), jnp.float32)) / jn
+
+            prev_idx = t - gap
+            prev_safe = jnp.maximum(prev_idx, 0)
+            carry_prev_grid = carry_at(prev_safe)
+            carry_t0 = fam.rollout_carry(
+                p, ctx,
+                tuple(jnp.full((n_pad_b,), 1.0, jnp.float32) * g0
+                      for g0 in _family_t0_state(fam, p)))
+            carry_prev = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(prev_idx >= 0, a, b),
+                carry_prev_grid, carry_t0)
+
+            def inner_j(j, acc):
+                branch = base + n_inner + j
+                branch_tr = two_j_total + branch
+
+                def tr_step(k, c):
+                    # absolute move index (surface families index their
+                    # curves by it): from date prev, move k covers date
+                    # prev+k -> prev+k+1; from the t=0 anchor, move k.
+                    u_abs = jnp.where(prev_idx >= 0, prev_safe + 1 + k, k)
+                    return fam.rollout_step(p, ctx, c,
+                                            mk_draw(branch_tr, k), u_abs)
+
+                c = jax.lax.fori_loop(0, gap, tr_step, carry_prev)
+                return acc + rollout(t, c, branch)
+
+            e_t = jax.lax.fori_loop(
+                0, n_inner, inner_j,
+                jnp.zeros((n_pad_b,), jnp.float32)) / jn
+            return l_here - e_t
+
+        m = m + jax.lax.cond(jnp.logical_and(is_ex_date, t >= 1),
+                             delta_fn,
+                             lambda _: jnp.zeros_like(m), 0)
+        hd = (payoff.terminal((), gs_b[0][t], p)
+              * disc ** (jnp.float32(t) + 1.0))
+        run_max = jnp.maximum(run_max,
+                              jnp.where(is_ex_date, hd - m, -1e30))
+        return (m, run_max), None
+
+    zeros = jnp.zeros((n_pad_b,), jnp.float32)
+    (m, run_max), _ = jax.lax.scan(date_step,
+                                   (zeros, jnp.full_like(zeros, -1e30)),
+                                   jnp.arange(n, dtype=jnp.int32))
+    u = jnp.where(valid_b, run_max, 0.0)
+    nn = jnp.float32(n_outer)
+    mean = jnp.sum(u) / nn
+    var = jnp.sum(jnp.where(valid_b, (u - mean) ** 2, 0.0)) / jnp.maximum(
+        nn - 1.0, 1.0)
+    return PriceResult(price=mean, stderr=jnp.sqrt(var / nn), n_paths=nn,
+                       payoff_mean=mean, payoff_var=var)
+
+
+def _family_t0_state(fam, p):
+    """The family's date-0 market state (grid-row layout) for the t=0
+    transition anchor of the dual's E_t term."""
+    name = type(fam).__name__
+    if name == "HestonNMC":
+        return (p.s0, p.v0)
+    if name == "SABRNMC":
+        return (p.f0, p.alpha)
+    return (p.s0,)
+
+
+def american_bounds_family(model: str,
+                           option: OptionParams = DEMO_OPTION,
+                           dyn=None,
+                           sim: SimParams = DEMO_SIM,
+                           payoff="vanilla_put",
+                           *,
+                           degree: int = 3,
+                           n_outer: int = 2048,
+                           n_inner: int = 128,
+                           exercise_every: int = 1,
+                           tile_rows: int = 8,
+                           stream: int = STREAM_OUTER,
+                           interpret: Optional[bool] = None):
+    """Andersen-Broadie bracket under a model family: (lower, upper).
+
+    ``model``: "heston" | "merton" | "cev" | "localvol" | "sabr" — any
+    scalar-discount NMC family with LSMC hooks (Vasicek's pathwise
+    discounting needs a different dual and is not offered).  The lower
+    bound is the family's two-pass LSMC; the upper bound the duality gap
+    built from the SAME fitted policy with family-physics rollouts.
+    """
+    import importlib
+
+    from mc_tpu.nmc_engine import NMC_FAMILY_BUILDERS
+    _MODULES = {"heston": "mc_tpu.nmc_heston",
+                "merton": "mc_tpu.nmc_merton", "cev": "mc_tpu.nmc_cev",
+                "localvol": "mc_tpu.nmc_localvol",
+                "sabr": "mc_tpu.nmc_sabr"}
+    if model not in _MODULES:
+        raise ValueError(f"american_bounds_family supports "
+                         f"{tuple(_MODULES)}, got {model!r}")
+    importlib.import_module(_MODULES[model])
+    fam, dyn32 = NMC_FAMILY_BUILDERS[model](option, dyn, sim)
+    po = get_payoff(payoff)
+    if po.n_state != 0:
+        raise ValueError("american_bounds supports terminal payoffs "
+                         "(n_state == 0)")
+    if exercise_every < 1:
+        raise ValueError("exercise_every must be >= 1")
+    if fam.even_steps and sim.n_steps % 2:
+        raise ValueError(f"{fam.name} requires an even n_steps")
+    span = 4 * sim.n_steps * sim.n_steps * n_inner \
+        * fam.rollout_pairs_per_step
+    if span >= 1 << 32:
+        raise ValueError(
+            "rollout RNG counter space exhausted: "
+            f"4*n_steps^2*n_inner*pairs = {span} >= 2^32")
+    lower = price_american_family(fam, option, dyn32, sim, payoff,
+                                  degree=degree, two_pass=True,
+                                  exercise_every=exercise_every,
+                                  tile_rows=tile_rows, stream=stream,
+                                  interpret=interpret)
+    key_fit = jnp.asarray(rng.derive_key(sim.seed, stream, fam.tag),
+                          jnp.uint32)
+    key_outer = jnp.asarray(
+        rng.derive_key(sim.seed, stream, fam.tag, 0xAB01), jnp.uint32)
+    key_inner = jnp.asarray(
+        rng.derive_key(sim.seed, stream, fam.tag, 0xAB02), jnp.uint32)
+    upper = _ab_upper_family_impl(fam, option.as_f32(), dyn32, po,
+                                  sim.replace(seed=0), degree, tile_rows,
+                                  n_outer, n_inner, interpret, key_fit,
+                                  key_outer, key_inner, exercise_every)
+    return lower, upper

@@ -85,6 +85,21 @@ class CEVNMC(NMCFamily):
         s, state = jax.lax.fori_loop(0, n_pairs, body, (s_t, state_t))
         return payoff.terminal(state, s, p)
 
+    def rollout_carry(self, p, ctx, grids_j):
+        return (grids_j[0],)
+
+    def rollout_step(self, p, ctx, carry, d, u):
+        z0, _ = d.pair(0)
+        s = carry[0]
+        alive = s > 0.0
+        s_safe = jnp.maximum(s, 1e-12)
+        diff = p.sigma_lv * jnp.exp(p.beta * jnp.log(s_safe))
+        s_new = s + p.growth_dt * s + diff * p.sqrt_dt * z0
+        return (jnp.where(alive, jnp.maximum(s_new, 0.0), 0.0),)
+
+    def rollout_spot(self, p, ctx, carry):
+        return carry[0]
+
     def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0, n):
         def outer_pair(carry2, m):
             s, state = carry2

@@ -133,6 +133,33 @@ class NMCFamily:
         (incl. any pathwise discount), unmasked."""
         raise NotImplementedError
 
+    # --- Andersen-Broadie rollout hooks (lsmc.american_bounds) ---------
+    # Rollouts are FRESH estimators on their own stream (no bitwise
+    # contract with the pricing legs), so every family shares one
+    # uniform counter layout: substep u of branch b draws pairs
+    # (b*n_steps + u)*rollout_pairs_per_step + q.
+
+    rollout_pairs_per_step = 1
+
+    def rollout_carry(self, p, ctx, grids_j):
+        """Rollout state from the stored flat-grid rows at one date."""
+        raise NotImplementedError
+
+    def rollout_step(self, p, ctx, carry, zs, u):
+        """Advance one substep; ``zs`` = 2*rollout_pairs_per_step normals,
+        ``u`` the absolute substep index (surface families need it)."""
+        raise NotImplementedError
+
+    def rollout_spot(self, p, ctx, carry):
+        """Payoff-visible price at the current rollout state."""
+        raise NotImplementedError
+
+    def lsmc_basis_point(self, p, carry, s, degree: int, inv_k):
+        """Continuation-basis row at the CURRENT rollout state (default:
+        the S/K monomials; stochastic-state families add regressors)."""
+        from mc_tpu.lsmc import _basis
+        return _basis(s * inv_k, degree)
+
     # --- LSMC hooks (generic Longstaff-Schwartz client, lsmc.py) -------
     def lsmc_design(self, p, grids_flat, degree: int, inv_k):
         """(design_fn(t) | None, n_basis) continuation regressors from

@@ -76,6 +76,23 @@ class HestonNMC(NMCFamily):
         return heston_trajectories_kernel(payoff, cfg, key, params,
                                           interpret=interpret)
 
+    def rollout_carry(self, p, ctx, grids_j):
+        s_t, v_t = grids_j
+        return (s_t, jnp.zeros_like(s_t), v_t)
+
+    def rollout_step(self, p, ctx, carry, d, u):
+        s_t, w, v = carry
+        z_v, z_p = d.pair(0)
+        w, v = heston_euler_step(p, w, v, z_v, z_p, p.dt, p.sqrt_dt)
+        return (s_t, w, v)
+
+    def rollout_spot(self, p, ctx, carry):
+        return carry[0] * jnp.exp(carry[1])
+
+    def lsmc_basis_point(self, p, carry, s, degree, inv_k):
+        from mc_tpu.lsmc import _basis_sv
+        return _basis_sv(s * inv_k, carry[2], degree)
+
     def lsmc_design(self, p, grids_flat, degree, inv_k):
         # stochastic-vol LSMC: continuation regressed on (S, v)
         from mc_tpu.lsmc import _basis_sv

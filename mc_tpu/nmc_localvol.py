@@ -111,6 +111,27 @@ class LocalVolNMC(NMCFamily):
         w, state = jax.lax.fori_loop(0, n_pairs, body, (w0, state_t))
         return payoff.terminal(state, p.s0 * jnp.exp(w), p)
 
+    def rollout_carry(self, p, ctx, grids_j):
+        return (jnp.log(grids_j[0] / p.s0),)  # absolute log-moneyness
+
+    def rollout_step(self, p, ctx, carry, d, u):
+        z0, _ = d.pair(0)
+        (w,) = carry
+        sigma_at = ctx
+        # rollout from grid row u: the next move's surface index is u+1
+        sg = sigma_at(w, jnp.minimum(u + 1, jnp.int32(self._n_steps_of(p))))
+        w = (w + ((p.r - p.q) * p.dt - 0.5 * sg * sg * p.dt)
+             + sg * jnp.sqrt(p.dt) * z0)
+        return (w,)
+
+    @staticmethod
+    def _n_steps_of(p):
+        # surface rows run 0..n_steps-1; inv_n_steps packs 1/n
+        return jnp.round(1.0 / p.inv_n_steps).astype(jnp.int32) - 1
+
+    def rollout_spot(self, p, ctx, carry):
+        return p.s0 * jnp.exp(carry[0])
+
     def trajectories(self, payoff, cfg, key, params, interpret):
         return localvol_trajectories_kernel(payoff, cfg, self.n_knots, key,
                                             params, interpret=interpret)

@@ -92,6 +92,22 @@ class MertonNMC(NMCFamily):
                                      (jnp.zeros_like(s_t), state_t))
         return payoff.terminal(state, s_t * jnp.exp(w), p)
 
+    rollout_pairs_per_step = 2  # (z, e) pair + Poisson uniform
+
+    def rollout_carry(self, p, ctx, grids_j):
+        (s_t,) = grids_j
+        return (s_t, jnp.zeros_like(s_t))
+
+    def rollout_step(self, p, ctx, carry, d, u):
+        s_t, w = carry
+        z, e = d.pair(0)
+        nj = _poisson_inv_cdf(d.unit(1), p.lam_dt, self.kmax)
+        w = w + p.drift_dt + p.vol_dt * z + _jump_increment(p, nj, e)
+        return (s_t, w)
+
+    def rollout_spot(self, p, ctx, carry):
+        return carry[0] * jnp.exp(carry[1])
+
     def trajectories(self, payoff, cfg, key, params, interpret):
         return merton_trajectories_kernel(payoff, cfg, self.kmax, key,
                                           params, interpret=interpret)

@@ -66,6 +66,18 @@ class SABRNMC(NMCFamily):
             0, remaining, step, (jnp.log(f_t), sig_t, state_t))
         return payoff.terminal(state, jnp.exp(logf), p)
 
+    def rollout_carry(self, p, ctx, grids_j):
+        f_t, sig_t = grids_j
+        return (jnp.log(f_t), sig_t)
+
+    def rollout_step(self, p, ctx, carry, d, u):
+        z_vol, z_perp = d.pair(0)
+        logf, sig = sabr_step(p, carry[0], carry[1], z_vol, z_perp)
+        return (logf, sig)
+
+    def rollout_spot(self, p, ctx, carry):
+        return jnp.exp(carry[0])
+
     def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0, n):
         # the SABR path lives on the FORWARD, not the spot the engine's
         # s0 carries — start from p.f0 (price_sabr convention)

@@ -37,6 +37,7 @@ def devices():
 # stale entry (renamed/removed test) is harmless.
 
 SLOW_TESTS = {
+    "test_lsmc.py::test_american_bounds_family_brackets",
     "test_dividends_cash.py::test_zero_schedule_is_gbm",
     "test_dividends_cash.py::test_one_dividend_matches_quadrature_oracle",
     "test_dividends_cash.py::test_put_call_parity_two_dividends",

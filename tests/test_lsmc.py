@@ -395,3 +395,26 @@ def test_american_greeks_all_families():
         assert -1.0 < g["delta"] < -0.02, (model, g)
         assert g["price"] > 0.0, model
         assert abs(g["vega"]) < 1e-6, model
+
+
+def test_american_bounds_family_brackets():
+    """Generic AB dual: every scalar-discount family brackets its
+    two-pass lower bound (upper >= lower within joint noise)."""
+    from mc_tpu.lsmc import american_bounds_family
+    sim = SimParams(n_paths=20_000, n_steps=10)
+    for model in ("merton", "cev", "localvol", "sabr"):
+        lo, up = american_bounds_family(model, sim=sim, n_outer=1024,
+                                        n_inner=64)
+        assert (float(up.price) + 3 * float(up.stderr)
+                >= float(lo.price) - 3 * float(lo.stderr)), model
+        assert float(up.price) - float(lo.price) < 1.0, model
+        assert float(lo.stderr) > 0 and float(up.stderr) > 0, model
+
+
+def test_american_bounds_family_validation():
+    from mc_tpu.lsmc import american_bounds_family
+    with pytest.raises(ValueError, match="supports"):
+        american_bounds_family("vasicek")
+    with pytest.raises(ValueError, match="terminal payoffs"):
+        american_bounds_family("heston", payoff="asian_call",
+                               sim=SimParams(n_paths=1024, n_steps=4))
