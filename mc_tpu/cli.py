@@ -447,8 +447,22 @@ def cmd_american(args):
         return 0
     if args.model == "localvol":
         if args.bounds:
-            raise SystemExit("--bounds is not supported with "
-                             "--model localvol yet")
+            from mc_tpu.lsmc import american_bounds_family
+            from mc_tpu.models.localvol import LocalVolSurface
+            surf = LocalVolSurface.from_function(
+                lambda x, t: (args.sigma + args.smile_curv * x * x),
+                sim.n_steps)
+            lo, up = american_bounds_family(
+                "localvol", option, surf, sim, payoff=args.payoff,
+                degree=args.degree, n_inner=args.bounds_inner,
+                exercise_every=args.exercise_every)
+            print(json.dumps({
+                "payoff": args.payoff, "model": "localvol",
+                "lower": float(lo.price),
+                "lower_stderr": float(lo.stderr),
+                "upper": float(up.price),
+                "upper_stderr": float(up.stderr)}))
+            return 0
         from mc_tpu.lsmc import price_american_localvol
         from mc_tpu.models.localvol import LocalVolSurface
         surf = LocalVolSurface.from_function(
