@@ -1171,7 +1171,8 @@ def main(argv=None):
     p.add_argument("--n-shifts", type=int, default=16)
     p.add_argument("--family", choices=("lattice", "sobol"),
                    default="lattice")
-    p.add_argument("--model", choices=("gbm", "heston", "basket"),
+    p.add_argument("--model",
+                   choices=("gbm", "heston", "basket", "cev", "sabr"),
                    default="gbm",
                    help="drive a model family's step loop from the "
                         "low-discrepancy points")

@@ -653,8 +653,24 @@ def _model_qmc_hooks(model: str, dyn, n_steps: int):
             return _basket_leg(payoff, d, n_steps, p, draw_pair)
 
         return pack, unpack, leg, 2 * ((d + 1) // 2) * n_steps
-    raise ValueError(f"QMC model must be 'heston' or 'basket', got "
-                     f"{model!r}")
+    if model == "cev":
+        from mc_tpu.models.cev import _cev_leg, _pack_cev, _unpack_cev
+
+        def leg(payoff, p, ids, draw_pair):
+            s0 = jnp.full(ids.shape, 1.0, jnp.float32) * p.s0
+            return _cev_leg(payoff, n_steps, p, s0, draw_pair)
+
+        return _pack_cev, _unpack_cev, leg, n_steps  # 2 steps per pair
+    if model == "sabr":
+        from mc_tpu.models.sabr import _pack_sabr, _sabr_leg, _unpack_sabr
+
+        def leg(payoff, p, ids, draw_pair):
+            f0 = jnp.full(ids.shape, 1.0, jnp.float32) * p.f0
+            return _sabr_leg(payoff, n_steps, p, f0, draw_pair)
+
+        return _pack_sabr, _unpack_sabr, leg, 2 * n_steps
+    raise ValueError(f"QMC model must be one of 'heston', 'basket', "
+                     f"'cev', 'sabr'; got {model!r}")
 
 
 def _make_qmc_model_kernel(model, payoff, cfg: pk.KernelConfig, n: int,
@@ -666,6 +682,12 @@ def _make_qmc_model_kernel(model, payoff, cfg: pk.KernelConfig, n: int,
         if model == "basket":
             from mc_tpu.models.basket import _unpack_basket
             p = _unpack_basket(params_ref, d_assets)
+        elif model == "cev":
+            from mc_tpu.models.cev import _unpack_cev
+            p = _unpack_cev(params_ref)
+        elif model == "sabr":
+            from mc_tpu.models.sabr import _unpack_sabr
+            p = _unpack_sabr(params_ref)
         else:
             from mc_tpu.models.heston import _unpack_heston
             p = _unpack_heston(params_ref)
@@ -682,6 +704,14 @@ def _make_qmc_model_kernel(model, payoff, cfg: pk.KernelConfig, n: int,
         if model == "basket":
             from mc_tpu.models.basket import _basket_leg
             pay = _basket_leg(payoff, d_assets, cfg.n_steps, p, draw_pair)
+        elif model == "cev":
+            from mc_tpu.models.cev import _cev_leg
+            s0 = jnp.full(shape, 1.0, jnp.float32) * p.s0
+            pay = _cev_leg(payoff, cfg.n_steps, p, s0, draw_pair)
+        elif model == "sabr":
+            from mc_tpu.models.sabr import _sabr_leg
+            f0 = jnp.full(shape, 1.0, jnp.float32) * p.f0
+            pay = _sabr_leg(payoff, cfg.n_steps, p, f0, draw_pair)
         else:
             from mc_tpu.models.heston import _heston_leg
             s0 = jnp.full(shape, p.s0, jnp.float32)
@@ -804,9 +834,20 @@ def price_qmc_model(model: str,
         from mc_tpu.models.basket import DEMO_BASKET
         dyn = (DEMO_BASKET if dyn is None else dyn).as_f32()
         d_assets = int(dyn.s0s.shape[0])
+    elif model == "cev":
+        from mc_tpu.models.cev import DEMO_CEV
+        dyn = (DEMO_CEV if dyn is None else dyn).as_f32()
+        d_assets = 0
+        if sim.n_steps % 2:
+            raise ValueError("CEV requires an even n_steps "
+                             "(pair-consuming step loop)")
+    elif model == "sabr":
+        from mc_tpu.models.sabr import DEMO_SABR
+        dyn = (DEMO_SABR if dyn is None else dyn).as_f32()
+        d_assets = 0
     else:
-        raise ValueError(f"QMC model must be 'heston' or 'basket', got "
-                         f"{model!r}")
+        raise ValueError(f"QMC model must be one of 'heston', 'basket', "
+                         f"'cev', 'sabr'; got {model!r}")
     if engine not in ("pallas", "xla"):
         raise ValueError(f"unknown engine {engine!r}; use 'pallas' or "
                          "'xla'")

@@ -37,6 +37,8 @@ def devices():
 # stale entry (renamed/removed test) is harmless.
 
 SLOW_TESTS = {
+    "test_qmc.py::test_qmc_cev_and_sabr_match_mc",
+    "test_qmc.py::test_qmc_cev_engines_bitwise",
     "test_lsmc.py::test_american_bounds_family_brackets",
     "test_dividends_cash.py::test_zero_schedule_is_gbm",
     "test_dividends_cash.py::test_one_dividend_matches_quadrature_oracle",

@@ -308,3 +308,30 @@ def test_qmc_model_validates_payoff():
         price_qmc_model("heston", OptionParams(p1=999.0),
                         payoff="forward_start_call",
                         sim=SimParams(n_paths=1 << 12, n_steps=8))
+
+
+def test_qmc_cev_and_sabr_match_mc():
+    """CEV/SABR QMC agree with plain MC at the SAME discretization
+    within joint stderr, with a measured variance reduction."""
+    from mc_tpu.models.cev import price_cev
+    from mc_tpu.models.sabr import price_sabr
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 14, n_steps=16)
+    big = SimParams(n_paths=8 * (1 << 14), n_steps=16)
+    for model, mc_fn in (("cev", price_cev), ("sabr", price_sabr)):
+        q = price_qmc_model(model, sim=sim, n_shifts=8, engine="xla")
+        mc = mc_fn(sim=big, engine="xla")
+        joint = (float(q.stderr) ** 2 + float(mc.stderr) ** 2) ** 0.5
+        assert abs(float(q.price) - float(mc.price)) <= 3.5 * joint, model
+        assert float(q.stderr) < 0.6 * float(mc.stderr), model
+
+
+def test_qmc_cev_engines_bitwise():
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 12, n_steps=8)
+    for model in ("cev", "sabr"):
+        a = price_qmc_model(model, sim=sim, n_shifts=4, engine="pallas",
+                            tile_rows=8)
+        b = price_qmc_model(model, sim=sim, n_shifts=4, engine="xla",
+                            tile_rows=8)
+        assert float(a.price) == float(b.price), model
