@@ -114,6 +114,10 @@ def cmd_demo(args):
     print(_fmt("terminal (exact one-shot draw)",
                price(option, sim, engine=args.engine,
                      tile_rows=args.tile_rows), bs))
+    print(_fmt("terminal_pair (both BM halves)",
+               price(option, sim, engine=args.engine,
+                     method="terminal_pair",
+                     tile_rows=args.tile_rows), bs))
     print(_fmt("euler (step loop)",
                price(option, sim, engine=args.engine, method="euler",
                      tile_rows=args.tile_rows), bs))
