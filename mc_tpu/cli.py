@@ -450,12 +450,12 @@ def cmd_american(args):
                           "stderr": float(res.stderr)}))
         return 0
     if args.model == "localvol":
+        from mc_tpu.models.localvol import LocalVolSurface
+        surf = LocalVolSurface.from_function(
+            lambda x, t: (args.sigma + args.smile_curv * x * x),
+            sim.n_steps)
         if args.bounds:
             from mc_tpu.lsmc import american_bounds_family
-            from mc_tpu.models.localvol import LocalVolSurface
-            surf = LocalVolSurface.from_function(
-                lambda x, t: (args.sigma + args.smile_curv * x * x),
-                sim.n_steps)
             lo, up = american_bounds_family(
                 "localvol", option, surf, sim, payoff=args.payoff,
                 degree=args.degree, n_inner=args.bounds_inner,
@@ -465,12 +465,10 @@ def cmd_american(args):
                 "lower": float(lo.price),
                 "lower_stderr": float(lo.stderr),
                 "upper": float(up.price),
-                "upper_stderr": float(up.stderr)}))
+                "upper_stderr": float(up.stderr),
+                "gap": float(up.price) - float(lo.price)}))
             return 0
         from mc_tpu.lsmc import price_american_localvol
-        from mc_tpu.models.localvol import LocalVolSurface
-        surf = LocalVolSurface.from_function(
-            lambda x, t: (args.sigma + args.smile_curv * x * x), sim.n_steps)
         res = price_american_localvol(option, surf, sim,
                                       payoff=args.payoff,
                                       degree=args.degree, two_pass=True,
@@ -816,8 +814,10 @@ def cmd_divs(args):
            "stderr": float(res.stderr),
            "dividends": [[int(j), float(a)]
                          for j, a in zip(steps, amounts)]}
-    if args.payoff == "vanilla_call" and len(steps) == 1:
-        tau = (steps[0] + 1) / sim.n_steps * args.t
+    tau = ((steps[0] + 1) / sim.n_steps * args.t) if len(steps) == 1 \
+        else None
+    if (args.payoff == "vanilla_call" and tau is not None
+            and 0.0 < tau < args.t):
         out["quadrature_oracle"] = bs_call_cash_div(
             args.s0, args.k, args.t, args.r, args.sigma, amounts[0], tau,
             q=args.q)

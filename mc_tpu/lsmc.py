@@ -1129,7 +1129,12 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
                                      rounds=rng.DEFAULT_ROUNDS)
             return rng.bits_to_unit(b0)
 
-        return SimpleNamespace(pair=pair, unit=unit)
+        def normal1(q):
+            # ONE normal from one threefry call (inverse CDF) — the
+            # single-factor families' rollouts need no Box-Muller pair
+            return rng.inv_normal_cdf(unit(q))
+
+        return SimpleNamespace(pair=pair, unit=unit, normal1=normal1)
 
     def rollout(t, carry0, branch):
         def body(u, st):
@@ -1182,7 +1187,7 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
             carry_t0 = fam.rollout_carry(
                 p, ctx,
                 tuple(jnp.full((n_pad_b,), 1.0, jnp.float32) * g0
-                      for g0 in _family_t0_state(fam, p)))
+                      for g0 in fam.rollout_t0(p)))
             carry_prev = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(prev_idx >= 0, a, b),
                 carry_prev_grid, carry_t0)
@@ -1192,10 +1197,12 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
                 branch_tr = two_j_total + branch
 
                 def tr_step(k, c):
-                    # absolute move index (surface families index their
-                    # curves by it): from date prev, move k covers date
-                    # prev+k -> prev+k+1; from the t=0 anchor, move k.
-                    u_abs = jnp.where(prev_idx >= 0, prev_safe + 1 + k, k)
+                    # rollout_step's `u` is the DATE the step leaves
+                    # (its move has index u+1 — surface families index
+                    # their curves by that).  From date prev, step k
+                    # leaves date prev+k; from the t=0 anchor (one date
+                    # before grid row 0), step k leaves date k-1.
+                    u_abs = jnp.where(prev_idx >= 0, prev_safe + k, k - 1)
                     return fam.rollout_step(p, ctx, c,
                                             mk_draw(branch_tr, k), u_abs)
 
@@ -1227,17 +1234,6 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
         nn - 1.0, 1.0)
     return PriceResult(price=mean, stderr=jnp.sqrt(var / nn), n_paths=nn,
                        payoff_mean=mean, payoff_var=var)
-
-
-def _family_t0_state(fam, p):
-    """The family's date-0 market state (grid-row layout) for the t=0
-    transition anchor of the dual's E_t term."""
-    name = type(fam).__name__
-    if name == "HestonNMC":
-        return (p.s0, p.v0)
-    if name == "SABRNMC":
-        return (p.f0, p.alpha)
-    return (p.s0,)
 
 
 def american_bounds_family(model: str,

@@ -146,6 +146,9 @@ def _make_divs_kernel(payoff, cfg: pk.KernelConfig):
 def _divs_partials(payoff, cfg, key, params, path_offset=0, n_valid=None,
                    engine="pallas", interpret=None):
     """(sum, sumsq) (8,128) slabs for this shard's global path-id range."""
+    if engine not in ("pallas", "xla"):
+        raise ValueError(f"unknown engine {engine!r}; use 'pallas' or "
+                         "'xla'")
     offset = jnp.asarray(path_offset, jnp.uint32)
     bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
              else jnp.asarray(n_valid, jnp.uint32))

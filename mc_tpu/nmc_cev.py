@@ -89,7 +89,7 @@ class CEVNMC(NMCFamily):
         return (grids_j[0],)
 
     def rollout_step(self, p, ctx, carry, d, u):
-        z0, _ = d.pair(0)
+        z0 = d.normal1(0)
         s = carry[0]
         alive = s > 0.0
         s_safe = jnp.maximum(s, 1e-12)

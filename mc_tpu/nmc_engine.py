@@ -154,6 +154,11 @@ class NMCFamily:
         """Payoff-visible price at the current rollout state."""
         raise NotImplementedError
 
+    def rollout_t0(self, p):
+        """Date-0 market state in grid-row layout (the dual's t=0
+        transition anchor)."""
+        return (p.s0,)
+
     def lsmc_basis_point(self, p, carry, s, degree: int, inv_k):
         """Continuation-basis row at the CURRENT rollout state (default:
         the S/K monomials; stochastic-state families add regressors)."""

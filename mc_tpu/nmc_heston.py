@@ -89,6 +89,9 @@ class HestonNMC(NMCFamily):
     def rollout_spot(self, p, ctx, carry):
         return carry[0] * jnp.exp(carry[1])
 
+    def rollout_t0(self, p):
+        return (p.s0, p.v0)
+
     def lsmc_basis_point(self, p, carry, s, degree, inv_k):
         from mc_tpu.lsmc import _basis_sv
         return _basis_sv(s * inv_k, carry[2], degree)

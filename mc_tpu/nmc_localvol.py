@@ -115,7 +115,7 @@ class LocalVolNMC(NMCFamily):
         return (jnp.log(grids_j[0] / p.s0),)  # absolute log-moneyness
 
     def rollout_step(self, p, ctx, carry, d, u):
-        z0, _ = d.pair(0)
+        z0 = d.normal1(0)
         (w,) = carry
         sigma_at = ctx
         # rollout from grid row u: the next move's surface index is u+1

@@ -78,6 +78,9 @@ class SABRNMC(NMCFamily):
     def rollout_spot(self, p, ctx, carry):
         return jnp.exp(carry[0])
 
+    def rollout_t0(self, p):
+        return (p.f0, p.alpha)
+
     def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0, n):
         # the SABR path lives on the FORWARD, not the spot the engine's
         # s0 carries — start from p.f0 (price_sabr convention)

@@ -108,6 +108,16 @@ class KernelConfig:
         if self.tile_rows % 8 or self.tile_rows < 8:
             raise ValueError("tile_rows must be a positive multiple of 8 "
                              f"(f32 sublane tiling); got {self.tile_rows}")
+        if self.method not in ("euler", "terminal"):
+            # "terminal_pair" has its own kernel + entry validation in
+            # engines.price; reaching here means a sibling entry point
+            # (sharded/chunked/book/ladder) would silently run the euler
+            # loop instead — fail loudly.
+            raise ValueError(
+                f"unknown method {self.method!r} for the step-loop "
+                "kernels; use 'euler' or 'terminal' "
+                "(method='terminal_pair' is only available through "
+                "price())")
         if self.is_shift and self.start_step:
             raise ValueError("importance sampling with resume (start_step>0) "
                              "is not supported")
@@ -960,6 +970,9 @@ def terminal_pair_partials(payoff: PathPayoff, cfg: KernelConfig, key,
     terminal paths each); ``n_paths_total`` masks the trailing odd path."""
     if interpret is None:
         interpret = use_interpret()
+    if engine not in ("pallas", "xla"):
+        raise ValueError(f"unknown engine {engine!r}; use 'pallas' or "
+                         "'xla'")
     bound = jnp.asarray(n_paths_total, jnp.uint32)
     if engine == "pallas":
         acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
