@@ -1079,7 +1079,6 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
     p = fam.unpack(params)
     ctx = fam.make_ctx(params, sim.n_steps)
     n = sim.n_steps
-    disc = jnp.exp(-p.r * p.dt)
     inv_k = 1.0 / p.k
 
     def grids(n_paths_g, k):
@@ -1099,9 +1098,11 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
     design_a, n_basis = fam.lsmc_design(p, gs_a, degree, inv_k)
     if design_a is None:
         design_a = lambda t: _basis(gs_a[0][t] * inv_k, degree)
+    disc_a, disc_fn_a, _ = fam.lsmc_discount(p, gs_a)
     _, betas = _backward_fit(
-        payoff, p, gs_a[0], gs_a[0], valid_a, n, degree, inv_k, disc,
-        immediate_of(gs_a), every, design_fn=design_a, n_basis=n_basis)
+        payoff, p, gs_a[0], gs_a[0], valid_a, n, degree, inv_k, disc_a,
+        immediate_of(gs_a), every, design_fn=design_a, n_basis=n_basis,
+        disc_fn=disc_fn_a)
 
     # 2) independent outer set
     gs_b, n_pad_b = grids(n_outer, key_outer)
@@ -1136,9 +1137,13 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
 
         return SimpleNamespace(pair=pair, unit=unit, normal1=normal1)
 
-    def rollout(t, carry0, branch):
+    def rollout(t, carry0, df0, branch):
+        """Policy rollout from ``carry0`` at date t; ``df0`` the
+        discount-to-0 factor AT the rollout's start state (per path).
+        The discount accumulates multiplicatively through the family's
+        per-step factors, so pathwise-rate families discount exactly."""
         def body(u, st):
-            carry, done, val = st
+            carry, df, done, val = st
             s = fam.rollout_spot(p, ctx, carry)
             ex = payoff.terminal((), s, p)
             x = fam.lsmc_basis_point(p, carry, s, degree, inv_k)
@@ -1148,17 +1153,18 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
             trig = jnp.logical_and(
                 jnp.logical_and(jnp.logical_and(ex > 0.0, ex > cont),
                                 jnp.logical_not(done)), is_ex_date)
-            val = jnp.where(trig,
-                            ex * disc ** (jnp.float32(u) + 1.0), val)
+            val = jnp.where(trig, ex * df, val)
             done = jnp.logical_or(done, trig)
-            carry = fam.rollout_step(p, ctx, carry, mk_draw(branch, u), u)
-            return (carry, done, val)
+            carry, step_df = fam.rollout_step(p, ctx, carry,
+                                              mk_draw(branch, u), u)
+            return (carry, df * step_df, done, val)
 
         zerosb = jnp.zeros((n_pad_b,), jnp.float32)
-        carry, done, val = jax.lax.fori_loop(
-            t, n - 1, body, (carry0, jnp.zeros((n_pad_b,), bool), zerosb))
+        carry, df, done, val = jax.lax.fori_loop(
+            t, n - 1, body,
+            (carry0, df0, jnp.zeros((n_pad_b,), bool), zerosb))
         ex = payoff.terminal((), fam.rollout_spot(p, ctx, carry), p)
-        return jnp.where(done, val, ex * disc ** jnp.float32(n))
+        return jnp.where(done, val, ex * df)
 
     two_j_total = n * 2 * n_inner
     gap_mat = n - every * ((n - 1) // every)
@@ -1173,9 +1179,12 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
         is_ex_date = jnp.logical_or(((t + 1) % every) == 0, t == n - 1)
         gap = jnp.where(t == n - 1, jnp.int32(gap_mat), jnp.int32(every))
 
+        df_t = fam.ab_grid_df(p, gs_b, t) * jnp.ones((n_pad_b,),
+                                                      jnp.float32)
+
         def delta_fn(_):
             def here_j(j, acc):
-                return acc + rollout(t, carry_at(t), base + j)
+                return acc + rollout(t, carry_at(t), df_t, base + j)
 
             l_here = jax.lax.fori_loop(
                 0, n_inner, here_j,
@@ -1191,23 +1200,32 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
             carry_prev = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(prev_idx >= 0, a, b),
                 carry_prev_grid, carry_t0)
+            df_prev = jnp.where(
+                prev_idx >= 0,
+                fam.ab_grid_df(p, gs_b, prev_safe)
+                * jnp.ones((n_pad_b,), jnp.float32),
+                jnp.ones((n_pad_b,), jnp.float32))
 
             def inner_j(j, acc):
                 branch = base + n_inner + j
                 branch_tr = two_j_total + branch
 
-                def tr_step(k, c):
+                def tr_step(k, st):
+                    c, df = st
                     # rollout_step's `u` is the DATE the step leaves
                     # (its move has index u+1 — surface families index
                     # their curves by that).  From date prev, step k
                     # leaves date prev+k; from the t=0 anchor (one date
                     # before grid row 0), step k leaves date k-1.
                     u_abs = jnp.where(prev_idx >= 0, prev_safe + k, k - 1)
-                    return fam.rollout_step(p, ctx, c,
-                                            mk_draw(branch_tr, k), u_abs)
+                    c, step_df = fam.rollout_step(p, ctx, c,
+                                                  mk_draw(branch_tr, k),
+                                                  u_abs)
+                    return (c, df * step_df)
 
-                c = jax.lax.fori_loop(0, gap, tr_step, carry_prev)
-                return acc + rollout(t, c, branch)
+                c, df = jax.lax.fori_loop(0, gap, tr_step,
+                                          (carry_prev, df_prev))
+                return acc + rollout(t, c, df, branch)
 
             e_t = jax.lax.fori_loop(
                 0, n_inner, inner_j,
@@ -1217,8 +1235,7 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
         m = m + jax.lax.cond(jnp.logical_and(is_ex_date, t >= 1),
                              delta_fn,
                              lambda _: jnp.zeros_like(m), 0)
-        hd = (payoff.terminal((), gs_b[0][t], p)
-              * disc ** (jnp.float32(t) + 1.0))
+        hd = payoff.terminal((), gs_b[0][t], p) * df_t
         run_max = jnp.maximum(run_max,
                               jnp.where(is_ex_date, hd - m, -1e30))
         return (m, run_max), None
@@ -1251,9 +1268,11 @@ def american_bounds_family(model: str,
                            interpret: Optional[bool] = None):
     """Andersen-Broadie bracket under a model family: (lower, upper).
 
-    ``model``: "heston" | "merton" | "cev" | "localvol" | "sabr" — any
-    scalar-discount NMC family with LSMC hooks (Vasicek's pathwise
-    discounting needs a different dual and is not offered).  The lower
+    ``model``: "heston" | "merton" | "cev" | "localvol" | "sabr" |
+    "vasicek" — any NMC family with LSMC + rollout hooks; discounting
+    rides the rollout carry, so Vasicek's PATHWISE stochastic
+    discounting is exact (each rollout accumulates its own e^{-dy} and
+    anchors on the stored integrated-rate grid).  The lower
     bound is the family's two-pass LSMC; the upper bound the duality gap
     built from the SAME fitted policy with family-physics rollouts.
     """
@@ -1263,7 +1282,8 @@ def american_bounds_family(model: str,
     _MODULES = {"heston": "mc_tpu.nmc_heston",
                 "merton": "mc_tpu.nmc_merton", "cev": "mc_tpu.nmc_cev",
                 "localvol": "mc_tpu.nmc_localvol",
-                "sabr": "mc_tpu.nmc_sabr"}
+                "sabr": "mc_tpu.nmc_sabr",
+                "vasicek": "mc_tpu.nmc_vasicek"}
     if model not in _MODULES:
         raise ValueError(f"american_bounds_family supports "
                          f"{tuple(_MODULES)}, got {model!r}")

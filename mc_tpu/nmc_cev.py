@@ -95,7 +95,8 @@ class CEVNMC(NMCFamily):
         s_safe = jnp.maximum(s, 1e-12)
         diff = p.sigma_lv * jnp.exp(p.beta * jnp.log(s_safe))
         s_new = s + p.growth_dt * s + diff * p.sqrt_dt * z0
-        return (jnp.where(alive, jnp.maximum(s_new, 0.0), 0.0),)
+        return ((jnp.where(alive, jnp.maximum(s_new, 0.0), 0.0),),
+                jnp.exp(-p.r * p.dt))
 
     def rollout_spot(self, p, ctx, carry):
         return carry[0]

@@ -145,9 +145,12 @@ class NMCFamily:
         """Rollout state from the stored flat-grid rows at one date."""
         raise NotImplementedError
 
-    def rollout_step(self, p, ctx, carry, zs, u):
-        """Advance one substep; ``zs`` = 2*rollout_pairs_per_step normals,
-        ``u`` the absolute substep index (surface families need it)."""
+    def rollout_step(self, p, ctx, carry, d, u):
+        """Advance one substep; ``d`` supplies draws (d.pair/d.unit/
+        d.normal1), ``u`` is the DATE the step leaves (its move has
+        index u+1 — surface families index their curves by it).
+        Returns ``(carry, step_df)`` — the one-step discount factor
+        (scalar families: e^{-r dt}; pathwise families: e^{-dy})."""
         raise NotImplementedError
 
     def rollout_spot(self, p, ctx, carry):
@@ -158,6 +161,12 @@ class NMCFamily:
         """Date-0 market state in grid-row layout (the dual's t=0
         transition anchor)."""
         return (p.s0,)
+
+    def ab_grid_df(self, p, gs, t):
+        """Discount-to-0 factor of grid row ``t`` on the dual's outer
+        set (scalar default e^{-r dt (t+1)}; pathwise families read
+        their stored integrated-rate grid)."""
+        return jnp.exp(-p.r * p.dt) ** (jnp.float32(t) + 1.0)
 
     def lsmc_basis_point(self, p, carry, s, degree: int, inv_k):
         """Continuation-basis row at the CURRENT rollout state (default:

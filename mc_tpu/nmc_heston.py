@@ -84,7 +84,7 @@ class HestonNMC(NMCFamily):
         s_t, w, v = carry
         z_v, z_p = d.pair(0)
         w, v = heston_euler_step(p, w, v, z_v, z_p, p.dt, p.sqrt_dt)
-        return (s_t, w, v)
+        return (s_t, w, v), jnp.exp(-p.r * p.dt)
 
     def rollout_spot(self, p, ctx, carry):
         return carry[0] * jnp.exp(carry[1])

@@ -122,7 +122,7 @@ class LocalVolNMC(NMCFamily):
         sg = sigma_at(w, jnp.minimum(u + 1, jnp.int32(self._n_steps_of(p))))
         w = (w + ((p.r - p.q) * p.dt - 0.5 * sg * sg * p.dt)
              + sg * jnp.sqrt(p.dt) * z0)
-        return (w,)
+        return (w,), jnp.exp(-p.r * p.dt)
 
     @staticmethod
     def _n_steps_of(p):

@@ -103,7 +103,7 @@ class MertonNMC(NMCFamily):
         z, e = d.pair(0)
         nj = _poisson_inv_cdf(d.unit(1), p.lam_dt, self.kmax)
         w = w + p.drift_dt + p.vol_dt * z + _jump_increment(p, nj, e)
-        return (s_t, w)
+        return (s_t, w), jnp.exp(-p.r * p.dt)
 
     def rollout_spot(self, p, ctx, carry):
         return carry[0] * jnp.exp(carry[1])

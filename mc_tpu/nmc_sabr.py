@@ -73,7 +73,7 @@ class SABRNMC(NMCFamily):
     def rollout_step(self, p, ctx, carry, d, u):
         z_vol, z_perp = d.pair(0)
         logf, sig = sabr_step(p, carry[0], carry[1], z_vol, z_perp)
-        return (logf, sig)
+        return (logf, sig), jnp.exp(-p.r * p.dt)
 
     def rollout_spot(self, p, ctx, carry):
         return jnp.exp(carry[0])

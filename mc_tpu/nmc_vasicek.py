@@ -94,6 +94,35 @@ class VasicekNMC(NMCFamily):
             0, remaining, step, ((zeros, x_t, zeros), state_t))
         return payoff.terminal(state, s_t * jnp.exp(w), p) * jnp.exp(-yd)
 
+    # --- AB dual hooks: pathwise discounting rides the rollout carry ---
+    rollout_pairs_per_step = 2  # the exact OU triple needs 3 normals
+
+    def rollout_carry(self, p, ctx, grids_j):
+        s_t, x_t = grids_j[0], grids_j[1]
+        zeros = jnp.zeros_like(s_t)
+        return (s_t, (zeros, x_t, zeros))  # (anchor, (w, x, y_rel))
+
+    def rollout_step(self, p, ctx, carry, d, u):
+        s_t, wxy = carry
+        y_old = wxy[2]
+        za, zb = d.pair(0)
+        zc, _ = d.pair(1)
+        wxy, _s = vasicek_step(p, wxy, za, zb, zc, s_t)
+        return (s_t, wxy), jnp.exp(-(wxy[2] - y_old))
+
+    def rollout_spot(self, p, ctx, carry):
+        return carry[0] * jnp.exp(carry[1][0])
+
+    def rollout_t0(self, p):
+        return (p.s0, p.x0, jnp.float32(0.0))
+
+    def ab_grid_df(self, p, gs, t):
+        return jnp.exp(-gs[2][t])  # stored integrated rate
+
+    def lsmc_basis_point(self, p, carry, s, degree, inv_k):
+        from mc_tpu.lsmc import _basis_sr
+        return _basis_sr(s * inv_k, carry[1][1], degree)
+
     def trajectories(self, payoff, cfg, key, params, interpret):
         return vasicek_trajectories_kernel(payoff, cfg, key, params,
                                            interpret=interpret)

@@ -37,6 +37,7 @@ def devices():
 # stale entry (renamed/removed test) is harmless.
 
 SLOW_TESTS = {
+    "test_lsmc.py::test_american_bounds_vasicek_degenerate_crr",
     "test_qmc.py::test_qmc_cev_and_sabr_match_mc",
     "test_qmc.py::test_qmc_cev_engines_bitwise",
     "test_lsmc.py::test_american_bounds_family_brackets",

@@ -402,7 +402,7 @@ def test_american_bounds_family_brackets():
     two-pass lower bound (upper >= lower within joint noise)."""
     from mc_tpu.lsmc import american_bounds_family
     sim = SimParams(n_paths=20_000, n_steps=10)
-    for model in ("merton", "cev", "localvol", "sabr"):
+    for model in ("merton", "cev", "localvol", "sabr", "vasicek"):
         lo, up = american_bounds_family(model, sim=sim, n_outer=1024,
                                         n_inner=64)
         assert (float(up.price) + 3 * float(up.stderr)
@@ -414,7 +414,21 @@ def test_american_bounds_family_brackets():
 def test_american_bounds_family_validation():
     from mc_tpu.lsmc import american_bounds_family
     with pytest.raises(ValueError, match="supports"):
-        american_bounds_family("vasicek")
+        american_bounds_family("basket")
     with pytest.raises(ValueError, match="terminal payoffs"):
         american_bounds_family("heston", payoff="asian_call",
                                sim=SimParams(n_paths=1024, n_steps=4))
+
+
+def test_american_bounds_vasicek_degenerate_crr():
+    """sigma_r -> 0, b = r0: constant rates — the pathwise-discount dual
+    must bracket the CRR binomial American."""
+    from mc_tpu.lsmc import american_bounds_family
+    from mc_tpu.models.vasicek import VasicekDynamics
+    dyn0 = VasicekDynamics(a=0.3, b=0.1, sigma_r=1e-6, rho=0.0)
+    lo, up = american_bounds_family(
+        "vasicek", dyn=dyn0, sim=SimParams(n_paths=40_000, n_steps=10),
+        n_outer=2048, n_inner=128)
+    crr = binomial_american(100.0, 100.0, 1.0, 0.1, 0.2, kind="put")
+    assert float(lo.price) - 3 * float(lo.stderr) <= crr
+    assert crr <= float(up.price) + 3 * float(up.stderr)
