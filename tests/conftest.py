@@ -37,6 +37,11 @@ def devices():
 # stale entry (renamed/removed test) is harmless.
 
 SLOW_TESTS = {
+    "test_cli_round3.py::test_nmc_book",
+    "test_cli_round3.py::test_nmc_new_models",
+    "test_cli_round3.py::test_divs_oracle_zscore",
+    "test_cli_round3.py::test_american_greeks_cli",
+    "test_cli_round3.py::test_american_localvol_bounds_cli",
     "test_lsmc.py::test_american_bounds_vasicek_degenerate_crr",
     "test_qmc.py::test_qmc_cev_and_sabr_match_mc",
     "test_qmc.py::test_qmc_cev_engines_bitwise",
