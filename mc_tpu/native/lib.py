@@ -108,12 +108,16 @@ def price_cpu(payoff: str, key, n_paths: int, n_steps: int, *, s0=100.0,
     """Multithreaded native CPU pricer on the framework's threefry stream.
 
     The C5 equivalent (tool.cuh:104-173): payoff 'vanilla_call' uses the
-    exact terminal draw; 'bullet_call' the full log-Euler loop.
-    Returns (price, stderr).
+    exact terminal draw; 'bullet_call' the full log-Euler loop;
+    'vanilla_call_pair' mirrors the TPU method="terminal_pair" stream
+    (element e carries paths (2e, 2e+1) — pass the PATH count, it is
+    halved here).  Returns (price, stderr).
     """
-    kind = {"vanilla_call": 0, "bullet_call": 1}[payoff]
+    kind = {"vanilla_call": 0, "bullet_call": 1,
+            "vanilla_call_pair": 2}[payoff]
+    n_iter = (n_paths + 1) // 2 if kind == 2 else n_paths
     se = ctypes.c_double()
-    price = _load().price_cpu(kind, int(key[0]), int(key[1]), n_paths,
+    price = _load().price_cpu(kind, int(key[0]), int(key[1]), n_iter,
                               n_steps, s0, k, r, sigma, t, barrier, p1, p2,
                               q, rounds, n_threads, ctypes.byref(se))
     return price, se.value

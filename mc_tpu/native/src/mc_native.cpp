@@ -124,6 +124,9 @@ double black_scholes_call(double s0, double k, double t, double r,
 // CPU reference pricers (tool.cuh:104-173), multithreaded.
 // payoff_kind: 0 = vanilla call (terminal one-shot draw, tool.cuh:120-126)
 //              1 = bullet call  (log-Euler loop + window, tool.cuh:155-171)
+//              2 = vanilla call, PAIRED terminal scheme: element e carries
+//                  paths (2e, 2e+1) from both Box-Muller halves of pair 0
+//                  (the TPU method="terminal_pair" stream, mirrored)
 // Returns price; *stderr_out gets the standard error of the mean.
 // ---------------------------------------------------------------------------
 
@@ -145,6 +148,18 @@ static void price_slice(int payoff_kind, uint32_t k0, uint32_t k1,
   long double sum = 0.0L, sum2 = 0.0L;
   for (uint64_t i = begin; i < end; ++i) {
     float pay;
+    if (payoff_kind == 2) {
+      // element i covers paths (2i, 2i+1); caller passes element range
+      float z0, z1;
+      normal_pair(k0, k1, (uint32_t)i, 0, rounds, &z0, &z1);
+      float sa = s0 * expf(drift_t + vol_t * z0);
+      float sb = s0 * expf(drift_t + vol_t * z1);
+      float pa = sa > k ? sa - k : 0.0f;
+      float pb = sb > k ? sb - k : 0.0f;
+      sum += (long double)pa + (long double)pb;
+      sum2 += (long double)pa * pa + (long double)pb * pb;
+      continue;
+    }
     if (payoff_kind == 0) {
       float z = normal_draw(k0, k1, (uint32_t)i, 0, rounds);
       float st = s0 * expf(drift_t + vol_t * z);
@@ -196,7 +211,8 @@ double price_cpu(int payoff_kind, uint32_t k0, uint32_t k1, uint64_t n_paths,
     sum += m.sum;
     sum2 += m.sum2;
   }
-  long double n = (long double)n_paths;
+  // kind 2 prices TWO paths per loop element
+  long double n = (long double)n_paths * (payoff_kind == 2 ? 2.0L : 1.0L);
   long double mean = sum / n;
   long double var = sum2 / n - mean * mean;
   if (var < 0.0L) var = 0.0L;

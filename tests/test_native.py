@@ -107,3 +107,17 @@ def test_native_rounds_parity():
         j = R.threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
                            jnp.uint32(5), jnp.uint32(7), rounds=rounds)
         assert (o0.value, o1.value) == (int(j[0]), int(j[1])), rounds
+
+
+def test_cpu_pair_pricer_matches_engines():
+    """Native paired-terminal pricer on the same stream == the XLA
+    method='terminal_pair' engine within fp noise."""
+    from mc_tpu import SimParams, price
+    from mc_tpu import rng as _rng
+    key = _rng.derive_key(1234, 0)
+    n = 100_000
+    px, se = native.price_cpu("vanilla_call_pair", key, n, 10)
+    ours = price(sim=SimParams(n_paths=n, n_steps=10),
+                 method="terminal_pair", engine="xla", tile_rows=8)
+    assert px == pytest.approx(float(ours.price), rel=5e-5)
+    assert se == pytest.approx(float(ours.stderr), rel=1e-3)
