@@ -101,11 +101,11 @@ class NMCBookResult:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("payoff", "sim", "n_contracts", "engine", "tile_rows",
-                     "interpret"))
-def _price_nmc_book_impl(options, weights, payoff, sim, n_contracts,
+    static_argnames=("fam", "payoff", "sim", "n_contracts", "engine",
+                     "tile_rows", "interpret"))
+def _price_nmc_book_impl(options, dyn, weights, payoff, sim, n_contracts,
                          engine, tile_rows, interpret, key_outer,
-                         key_inner):
+                         key_inner, fam=None):
     cfg = nk.NMCConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
                        n_inner=sim.n_paths_inner, tile_rows=tile_rows)
     kcfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
@@ -123,18 +123,38 @@ def _price_nmc_book_impl(options, weights, payoff, sim, n_contracts,
     # contract), so compile time stays flat in B.
     def body(net, xs):
         opt_b, w = xs
-        params = pk.pack_params(opt_b, sim.n_steps)
-        if engine == "xla":
-            surface, osum, osq = _xla_nmc(payoff, cfg, key_outer,
-                                          key_inner, opt_b)
+        if fam is not None:
+            from mc_tpu.nmc_engine import (_xla_nmc_family,
+                                           family_inner_kernel)
+            params = fam.pack(opt_b, dyn, sim.n_steps)
+            p_b = fam.unpack(params)
+            if engine == "xla":
+                surface, osum, osq = _xla_nmc_family(
+                    fam, payoff, sim, params, key_outer, key_inner,
+                    tile_rows)
+            else:
+                *grids, osum, osq = fam.trajectories(
+                    payoff, kcfg, key_outer, params, interpret)
+                surface = family_inner_kernel(
+                    fam, payoff, sim.n_steps, sim.n_paths_inner,
+                    tile_rows, kcfg.n_tiles, key_inner, params,
+                    tuple(grids), sim.n_paths, interpret=interpret)
+            outer_b = summarize(finish_sum(osum), finish_sum(osq),
+                                n_pathsf, fam.outer_discount(p_b))
         else:
-            s_g, c_g, osum, osq = pk.simulate_trajectories_kernel(
-                payoff, kcfg, key_outer, params, interpret=interpret)
-            surface = nk.nmc_inner_kernel(payoff, cfg, key_inner, params,
-                                          s_g, c_g, interpret=interpret)
-        outer_b = summarize(
-            finish_sum(osum), finish_sum(osq), n_pathsf,
-            jnp.exp(-jnp.float32(opt_b.r) * jnp.float32(opt_b.t)))
+            params = pk.pack_params(opt_b, sim.n_steps)
+            if engine == "xla":
+                surface, osum, osq = _xla_nmc(payoff, cfg, key_outer,
+                                              key_inner, opt_b)
+            else:
+                s_g, c_g, osum, osq = pk.simulate_trajectories_kernel(
+                    payoff, kcfg, key_outer, params, interpret=interpret)
+                surface = nk.nmc_inner_kernel(payoff, cfg, key_inner,
+                                              params, s_g, c_g,
+                                              interpret=interpret)
+            outer_b = summarize(
+                finish_sum(osum), finish_sum(osq), n_pathsf,
+                jnp.exp(-jnp.float32(opt_b.r) * jnp.float32(opt_b.t)))
         w_surface = surface * w
         # standalone EE of the weighted position (padding contributes 0)
         pos = jnp.maximum(jnp.where(valid_rows[None], w_surface, 0.0), 0.0)
@@ -157,6 +177,8 @@ def price_nmc_book(options: OptionParams,
                    payoff="vanilla_call",
                    weights=None,
                    *,
+                   model: str = "gbm",
+                   dyn=None,
                    engine: str = "pallas",
                    tile_rows: int = 8,
                    stream_outer: int = STREAM_OUTER,
@@ -168,6 +190,10 @@ def price_nmc_book(options: OptionParams,
     (s0, r, sigma, q, t) must be equal across rows (one counterparty, one
     market state); contract terms (k, barrier, p1, p2) vary per row.
     ``weights``: (B,) position sizes (negative = short); default all +1.
+    ``model``: any single-asset NMC family ("heston", "merton", "cev",
+    "localvol", "sabr", "vasicek") nets the book under that family's
+    dynamics ``dyn`` — the scenarios stay CRN-shared across contracts,
+    and a B=1 book is bitwise-equal to `price_nmc_<model>`.
     """
     po = get_payoff(payoff)
     if po.n_state > 1:
@@ -196,10 +222,36 @@ def price_nmc_book(options: OptionParams,
     if weights.shape != (n_contracts,):
         raise ValueError(f"weights shape {weights.shape} != "
                          f"({n_contracts},)")
-    key_outer = jnp.asarray(rng.derive_key(sim.seed, stream_outer),
+    fam, dyn32 = None, None
+    tag = ()
+    if model != "gbm":
+        import importlib
+
+        from mc_tpu.nmc_engine import NMC_FAMILY_BUILDERS
+        _MODULES = {"heston": "mc_tpu.nmc_heston",
+                    "merton": "mc_tpu.nmc_merton",
+                    "cev": "mc_tpu.nmc_cev",
+                    "localvol": "mc_tpu.nmc_localvol",
+                    "sabr": "mc_tpu.nmc_sabr",
+                    "vasicek": "mc_tpu.nmc_vasicek"}
+        if model not in _MODULES:
+            raise ValueError(f"unknown book model {model!r}; available: "
+                             f"('gbm',) + {tuple(_MODULES)}")
+        importlib.import_module(_MODULES[model])
+        opt0 = jax.tree_util.tree_map(lambda x: x[0], opt32)
+        fam, dyn32 = NMC_FAMILY_BUILDERS[model](opt0, dyn, sim)
+        if fam.even_steps and sim.n_steps % 2:
+            raise ValueError(f"{fam.name} requires an even n_steps")
+        span, desc = fam.span(sim.n_steps, sim.n_paths_inner)
+        if span >= 1 << 32:
+            raise ValueError(f"inner RNG counter space exhausted: {desc} "
+                             f"= {span} >= 2^32")
+        tag = (fam.tag,)
+    key_outer = jnp.asarray(rng.derive_key(sim.seed, stream_outer, *tag),
                             jnp.uint32)
-    key_inner = jnp.asarray(rng.derive_key(sim.seed, stream_inner),
+    key_inner = jnp.asarray(rng.derive_key(sim.seed, stream_inner, *tag),
                             jnp.uint32)
-    return _price_nmc_book_impl(opt32, weights, po, sim.replace(seed=0),
-                                n_contracts, engine, tile_rows, interpret,
-                                key_outer, key_inner)
+    return _price_nmc_book_impl(opt32, dyn32, weights, po,
+                                sim.replace(seed=0), n_contracts, engine,
+                                tile_rows, interpret, key_outer,
+                                key_inner, fam=fam)

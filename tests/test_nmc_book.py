@@ -82,3 +82,35 @@ def test_validation():
         price_nmc_book(_book([90.0, 100.0]), SIM, weights=[1.0])
     with pytest.raises(ValueError, match="1-D"):
         price_nmc_book(OptionParams(), SIM)
+
+
+def test_book_under_model_families():
+    """Netting sets under family dynamics: B=1 bitwise to the family
+    NMC, CRN netting collapses long/short, engines bitwise."""
+    from mc_tpu.nmc_heston import price_nmc_heston
+    opt1 = _book([100.0])
+    b = price_nmc_book(opt1, SIM, model="heston", engine="xla",
+                       tile_rows=8)
+    s = price_nmc_heston(sim=SIM, engine="xla", tile_rows=8)
+    np.testing.assert_array_equal(np.asarray(b.net_surface),
+                                  np.asarray(s.surface))
+    assert float(b.outers.price[0]) == float(s.outer.price)
+
+    opt2 = _book([100.0, 100.0])
+    r = price_nmc_book(opt2, SIM, model="vasicek",
+                       weights=[1.0, -1.0], engine="xla", tile_rows=8)
+    np.testing.assert_array_equal(np.asarray(r.net_surface),
+                                  np.zeros_like(np.asarray(r.net_surface)))
+
+    opt3 = _book([90.0, 110.0])
+    a = price_nmc_book(opt3, SIM, model="merton", engine="pallas",
+                       tile_rows=8)
+    bx = price_nmc_book(opt3, SIM, model="merton", engine="xla",
+                        tile_rows=8)
+    np.testing.assert_array_equal(np.asarray(a.net_surface),
+                                  np.asarray(bx.net_surface))
+
+
+def test_book_model_validation():
+    with pytest.raises(ValueError, match="unknown book model"):
+        price_nmc_book(_book([100.0]), SIM, model="bachelier")
