@@ -1176,7 +1176,8 @@ def main(argv=None):
     p.add_argument("--family", choices=("lattice", "sobol"),
                    default="lattice")
     p.add_argument("--model",
-                   choices=("gbm", "heston", "basket", "cev", "sabr"),
+                   choices=("gbm", "heston", "basket", "cev", "sabr",
+                            "localvol"),
                    default="gbm",
                    help="drive a model family's step loop from the "
                         "low-discrepancy points")

@@ -628,16 +628,18 @@ def price_qmc(option: OptionParams = DEMO_OPTION,
 
 
 def _model_qmc_hooks(model: str, dyn, n_steps: int):
-    """(pack, unpack, leg, n_dims) for a QMC-capable model family."""
+    """(pack, leg, n_dims) for a QMC-capable model family; ``leg``
+    takes the PACKED params (SMEM ref in-kernel, array in the dual)."""
     if model == "heston":
         from mc_tpu.models.heston import (_heston_leg, _pack_heston,
                                           _unpack_heston)
 
-        def leg(payoff, p, ids, draw_pair):
+        def leg(payoff, params, ids, draw_pair):
+            p = _unpack_heston(params)
             s0 = jnp.full(ids.shape, p.s0, jnp.float32)
             return _heston_leg(payoff, n_steps, p, s0, draw_pair)
 
-        return _pack_heston, _unpack_heston, leg, 2 * n_steps
+        return _pack_heston, leg, 2 * n_steps
     if model == "basket":
         from mc_tpu.models.basket import (_basket_leg, _basket_namespace,
                                           _pack_basket, _unpack_basket)
@@ -646,51 +648,53 @@ def _model_qmc_hooks(model: str, dyn, n_steps: int):
         def pack(option, dyn, n_steps):
             return _pack_basket(_basket_namespace(option, dyn, n_steps), d)
 
-        def unpack(ref):
-            return _unpack_basket(ref, d)
-
-        def leg(payoff, p, ids, draw_pair):
+        def leg(payoff, params, ids, draw_pair):
+            p = _unpack_basket(params, d)
             return _basket_leg(payoff, d, n_steps, p, draw_pair)
 
-        return pack, unpack, leg, 2 * ((d + 1) // 2) * n_steps
+        return pack, leg, 2 * ((d + 1) // 2) * n_steps
     if model == "cev":
         from mc_tpu.models.cev import _cev_leg, _pack_cev, _unpack_cev
 
-        def leg(payoff, p, ids, draw_pair):
+        def leg(payoff, params, ids, draw_pair):
+            p = _unpack_cev(params)
             s0 = jnp.full(ids.shape, 1.0, jnp.float32) * p.s0
             return _cev_leg(payoff, n_steps, p, s0, draw_pair)
 
-        return _pack_cev, _unpack_cev, leg, n_steps  # 2 steps per pair
+        return _pack_cev, leg, n_steps  # 2 steps per pair
     if model == "sabr":
         from mc_tpu.models.sabr import _pack_sabr, _sabr_leg, _unpack_sabr
 
-        def leg(payoff, p, ids, draw_pair):
+        def leg(payoff, params, ids, draw_pair):
+            p = _unpack_sabr(params)
             f0 = jnp.full(ids.shape, 1.0, jnp.float32) * p.f0
             return _sabr_leg(payoff, n_steps, p, f0, draw_pair)
 
-        return _pack_sabr, _unpack_sabr, leg, 2 * n_steps
+        return _pack_sabr, leg, 2 * n_steps
+    if model == "localvol":
+        from mc_tpu.models.localvol import (_localvol_leg, _make_sigma_at,
+                                            _pack_localvol,
+                                            _unpack_localvol_head)
+        n_knots = int(dyn.x_knots.shape[0])
+
+        def leg(payoff, params, ids, draw_pair):
+            p = _unpack_localvol_head(params)
+            sigma_at = _make_sigma_at(params, n_steps, n_knots)
+            s0 = jnp.full(ids.shape, 1.0, jnp.float32) * p.s0
+            return _localvol_leg(payoff, n_steps, p, s0, draw_pair,
+                                 sigma_at)
+
+        return _pack_localvol, leg, n_steps  # one pair per 2 steps
     raise ValueError(f"QMC model must be one of 'heston', 'basket', "
-                     f"'cev', 'sabr'; got {model!r}")
+                     f"'cev', 'sabr', 'localvol'; got {model!r}")
 
 
 def _make_qmc_model_kernel(model, payoff, cfg: pk.KernelConfig, n: int,
-                           n_dims: int, d_assets: int, family: str):
+                           leg, family: str):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(zvec_ref, shift_ref, params_ref, acc_ref, comp_ref):
-        if model == "basket":
-            from mc_tpu.models.basket import _unpack_basket
-            p = _unpack_basket(params_ref, d_assets)
-        elif model == "cev":
-            from mc_tpu.models.cev import _unpack_cev
-            p = _unpack_cev(params_ref)
-        elif model == "sabr":
-            from mc_tpu.models.sabr import _unpack_sabr
-            p = _unpack_sabr(params_ref)
-        else:
-            from mc_tpu.models.heston import _unpack_heston
-            p = _unpack_heston(params_ref)
         i = pl.program_id(0)
         shape = (cfg.tile_rows, LANES)
         base = jnp.uint32(i * cfg.paths_per_tile)
@@ -701,22 +705,8 @@ def _make_qmc_model_kernel(model, payoff, cfg: pk.KernelConfig, n: int,
         draw_pair = _qmc_draw_pair_factory(ids, zvec_ref, shift_ref, n,
                                            "euler", bitcast=pltpu.bitcast,
                                            family=family)
-        if model == "basket":
-            from mc_tpu.models.basket import _basket_leg
-            pay = _basket_leg(payoff, d_assets, cfg.n_steps, p, draw_pair)
-        elif model == "cev":
-            from mc_tpu.models.cev import _cev_leg
-            s0 = jnp.full(shape, 1.0, jnp.float32) * p.s0
-            pay = _cev_leg(payoff, cfg.n_steps, p, s0, draw_pair)
-        elif model == "sabr":
-            from mc_tpu.models.sabr import _sabr_leg
-            f0 = jnp.full(shape, 1.0, jnp.float32) * p.f0
-            pay = _sabr_leg(payoff, cfg.n_steps, p, f0, draw_pair)
-        else:
-            from mc_tpu.models.heston import _heston_leg
-            s0 = jnp.full(shape, p.s0, jnp.float32)
-            pay = _heston_leg(payoff, cfg.n_steps, p, s0, draw_pair)
-        pay = jnp.where(valid, pay, 0.0)
+        pay = jnp.where(valid, leg(payoff, params_ref, ids, draw_pair),
+                        0.0)
 
         @pl.when(i == 0)
         def _():
@@ -745,10 +735,9 @@ def _price_qmc_model_impl(model, option, dyn, payoff, n, n_steps,
 
     if interpret is None:
         interpret = use_interpret()
-    pack, unpack, leg, n_dims = _model_qmc_hooks(model, dyn, n_steps)
+    pack, leg, n_dims = _model_qmc_hooks(model, dyn, n_steps)
     cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=tile_rows)
     params = pack(option, dyn, n_steps)
-    p = unpack(params)
     shape = (cfg.tile_rows, LANES)
     flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
             + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
@@ -756,8 +745,8 @@ def _price_qmc_model_impl(model, option, dyn, payoff, n, n_steps,
     def one_shift(shift):
         if engine == "pallas":
             acc = pl.pallas_call(
-                _make_qmc_model_kernel(model, payoff, cfg, n, n_dims,
-                                       d_assets, family),
+                _make_qmc_model_kernel(model, payoff, cfg, n, leg,
+                                       family),
                 grid=(cfg.n_tiles,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
                 out_specs=pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
@@ -776,7 +765,8 @@ def _price_qmc_model_impl(model, option, dyn, payoff, n, n_steps,
             valid = ids < jnp.uint32(n)
             draw_pair = _qmc_draw_pair_factory(ids, zvec, shift, n,
                                                "euler", family=family)
-            pay = jnp.where(valid, leg(payoff, p, ids, draw_pair), 0.0)
+            pay = jnp.where(valid, leg(payoff, params, ids, draw_pair),
+                            0.0)
             p8 = pk.fold_to_sublanes(pay, cfg.tile_rows)
             y = p8 - comp
             t = acc + y
@@ -845,9 +835,19 @@ def price_qmc_model(model: str,
         from mc_tpu.models.sabr import DEMO_SABR
         dyn = (DEMO_SABR if dyn is None else dyn).as_f32()
         d_assets = 0
+    elif model == "localvol":
+        from mc_tpu.models.localvol import LocalVolSurface, \
+            validate_surface
+        if dyn is None:
+            dyn = LocalVolSurface.demo(sim.n_steps)
+        dyn = validate_surface(dyn, sim.n_steps)
+        d_assets = 0
+        if sim.n_steps % 2:
+            raise ValueError("localvol requires an even n_steps "
+                             "(pair-consuming step loop)")
     else:
         raise ValueError(f"QMC model must be one of 'heston', 'basket', "
-                         f"'cev', 'sabr'; got {model!r}")
+                         f"'cev', 'sabr', 'localvol'; got {model!r}")
     if engine not in ("pallas", "xla"):
         raise ValueError(f"unknown engine {engine!r}; use 'pallas' or "
                          "'xla'")
@@ -855,7 +855,7 @@ def price_qmc_model(model: str,
         raise ValueError(f"unknown QMC family {family!r}")
     if n_shifts < 2:
         raise ValueError("n_shifts >= 2 required for an error estimate")
-    _, _, _, n_dims = _model_qmc_hooks(model, dyn, sim.n_steps)
+    _, _, n_dims = _model_qmc_hooks(model, dyn, sim.n_steps)
     if family == "sobol":
         n = 1 << min(int(math.log2(max(sim.n_paths, 2))), 20)
     else:

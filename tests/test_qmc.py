@@ -318,7 +318,14 @@ def test_qmc_cev_and_sabr_match_mc():
     from mc_tpu.qmc import price_qmc_model
     sim = SimParams(n_paths=1 << 14, n_steps=16)
     big = SimParams(n_paths=8 * (1 << 14), n_steps=16)
-    for model, mc_fn in (("cev", price_cev), ("sabr", price_sabr)):
+    from mc_tpu.models.localvol import LocalVolSurface, price_localvol
+
+    def lv(sim, engine):
+        return price_localvol(surf=LocalVolSurface.demo(sim.n_steps),
+                              sim=sim, engine=engine)
+
+    for model, mc_fn in (("cev", price_cev), ("sabr", price_sabr),
+                         ("localvol", lv)):
         q = price_qmc_model(model, sim=sim, n_shifts=8, engine="xla")
         mc = mc_fn(sim=big, engine="xla")
         joint = (float(q.stderr) ** 2 + float(mc.stderr) ** 2) ** 0.5
@@ -329,7 +336,7 @@ def test_qmc_cev_and_sabr_match_mc():
 def test_qmc_cev_engines_bitwise():
     from mc_tpu.qmc import price_qmc_model
     sim = SimParams(n_paths=1 << 12, n_steps=8)
-    for model in ("cev", "sabr"):
+    for model in ("cev", "sabr", "localvol"):
         a = price_qmc_model(model, sim=sim, n_shifts=4, engine="pallas",
                             tile_rows=8)
         b = price_qmc_model(model, sim=sim, n_shifts=4, engine="xla",
