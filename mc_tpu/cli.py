@@ -198,13 +198,11 @@ def cmd_nmc(args):
 
     option, sim = _parse(args)
     if args.book_strikes:
-        # Netting-set NMC: one contract per strike, netted EE/PFE/CVA.
+        # Netting-set NMC: one contract per strike, netted EE/PFE/CVA;
+        # --model nets the book under that family's dynamics.
         import numpy as np
 
         from mc_tpu.nmc_book import price_nmc_book
-        if args.model != "gbm":
-            raise SystemExit("--book-strikes prices a GBM netting set "
-                             "(model-family books: future work)")
         ks = [float(x) for x in args.book_strikes.split(",")]
         ws = ([float(x) for x in args.book_weights.split(",")]
               if args.book_weights else None)
@@ -219,7 +217,7 @@ def cmd_nmc(args):
             p2=np.full(len(ks), args.p2, np.float32),
             q=np.full(len(ks), args.q, np.float32))
         res = price_nmc_book(book, sim, payoff=args.payoff, weights=ws,
-                             engine=args.engine)
+                             model=args.model, engine=args.engine)
         ee, pfe = res.exposure_profile(args.pfe_quantile)
         out = {
             "n_contracts": len(ks),

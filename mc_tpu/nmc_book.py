@@ -190,10 +190,12 @@ def price_nmc_book(options: OptionParams,
     (s0, r, sigma, q, t) must be equal across rows (one counterparty, one
     market state); contract terms (k, barrier, p1, p2) vary per row.
     ``weights``: (B,) position sizes (negative = short); default all +1.
-    ``model``: any single-asset NMC family ("heston", "merton", "cev",
-    "localvol", "sabr", "vasicek") nets the book under that family's
+    ``model``: any NMC family ("heston", "merton", "cev", "localvol",
+    "sabr", "vasicek", "basket") nets the book under that family's
     dynamics ``dyn`` — the scenarios stay CRN-shared across contracts,
-    and a B=1 book is bitwise-equal to `price_nmc_<model>`.
+    and a B=1 book is bitwise-equal to `price_nmc_<model>` ("basket"
+    nets contracts on the SAME correlated d-asset state: a book of
+    basket options at different strikes).
     """
     po = get_payoff(payoff)
     if po.n_state > 1:
@@ -233,7 +235,8 @@ def price_nmc_book(options: OptionParams,
                     "cev": "mc_tpu.nmc_cev",
                     "localvol": "mc_tpu.nmc_localvol",
                     "sabr": "mc_tpu.nmc_sabr",
-                    "vasicek": "mc_tpu.nmc_vasicek"}
+                    "vasicek": "mc_tpu.nmc_vasicek",
+                    "basket": "mc_tpu.nmc_basket"}
         if model not in _MODULES:
             raise ValueError(f"unknown book model {model!r}; available: "
                              f"('gbm',) + {tuple(_MODULES)}")

@@ -37,6 +37,7 @@ def devices():
 # stale entry (renamed/removed test) is harmless.
 
 SLOW_TESTS = {
+    "test_nmc_book.py::test_book_under_basket",
     "test_nmc_book.py::test_book_under_model_families",
     "test_cli_round3.py::test_nmc_book",
     "test_cli_round3.py::test_nmc_new_models",

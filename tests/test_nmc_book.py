@@ -111,6 +111,20 @@ def test_book_under_model_families():
                                   np.asarray(bx.net_surface))
 
 
+def test_book_under_basket():
+    """Basket netting: B=1 bitwise to price_nmc_basket; contracts net on
+    the SAME correlated d-asset scenarios."""
+    from mc_tpu.nmc_basket import price_nmc_basket
+    b = price_nmc_book(_book([100.0]), SIM, model="basket", engine="xla",
+                       tile_rows=8)
+    s = price_nmc_basket(sim=SIM, engine="xla", tile_rows=8)
+    np.testing.assert_array_equal(np.asarray(b.net_surface),
+                                  np.asarray(s.surface))
+    r = price_nmc_book(_book([100.0, 100.0]), SIM, model="basket",
+                       weights=[1.0, -1.0], engine="xla", tile_rows=8)
+    assert float(r.net_outer_price) == 0.0
+
+
 def test_book_model_validation():
     with pytest.raises(ValueError, match="unknown book model"):
         price_nmc_book(_book([100.0]), SIM, model="bachelier")
