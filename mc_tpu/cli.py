@@ -277,6 +277,13 @@ def cmd_nmc(args):
                              sigma_j=args.sigma_j)
         res = price_nmc_merton(option, dyn, sim, payoff=args.payoff,
                                engine=args.engine)
+    elif args.model == "term":
+        if args.discount != "full" or args.strategy != "fused":
+            raise SystemExit("--discount / --strategy are fixed "
+                             "(full / fused) with --model term")
+        from mc_tpu.nmc_term import price_nmc_term
+        res = price_nmc_term(option, None, sim, payoff=args.payoff,
+                             engine=args.engine)
     elif args.model == "cev":
         if args.discount != "full" or args.strategy != "fused":
             raise SystemExit("--discount / --strategy are fixed "
@@ -1051,7 +1058,7 @@ def main(argv=None):
     p.add_argument("--cva-recovery", type=float, default=0.4)
     p.add_argument("--model",
                    choices=("gbm", "heston", "merton", "vasicek",
-                            "localvol", "cev", "basket", "sabr"),
+                            "localvol", "cev", "basket", "sabr", "term"),
                    default="gbm")
     p.add_argument("--alpha", type=float, default=0.2,
                    help="sabr initial vol")

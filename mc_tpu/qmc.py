@@ -41,8 +41,9 @@ from mc_tpu.ops import path_kernels as pk
 from mc_tpu.ops._pallas import LANES, SUBLANES, use_interpret
 from mc_tpu.ops.payoffs import get_payoff
 
-__all__ = ["price_qmc", "price_qmc_model", "lattice_vector",
-           "prev_prime", "sobol_directions", "SOBOL_BITS"]
+__all__ = ["price_qmc", "price_qmc_model", "price_qmc_model_sharded",
+           "lattice_vector", "prev_prime", "sobol_directions",
+           "SOBOL_BITS"]
 
 MAX_LATTICE_N = 1 << 20  # uint32 10-bit-split modmul validity bound
 
@@ -723,21 +724,14 @@ def _make_qmc_model_kernel(model, payoff, cfg: pk.KernelConfig, n: int,
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("model", "payoff", "n", "n_steps", "d_assets",
-                     "engine", "tile_rows", "interpret", "family"))
-def _price_qmc_model_impl(model, option, dyn, payoff, n, n_steps,
-                          d_assets, engine, tile_rows, interpret, zvec,
-                          shifts, family):
+def _model_shift_mean_fn(model, payoff, cfg, params, leg, zvec, n,
+                         engine, family, interpret):
+    """one_shift(shift) -> per-shift payoff mean for a model family —
+    shared by the single-chip impl and the shift-sharded multi-chip
+    impl (one code path keeps their bitwise-equality contract safe)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if interpret is None:
-        interpret = use_interpret()
-    pack, leg, n_dims = _model_qmc_hooks(model, dyn, n_steps)
-    cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=tile_rows)
-    params = pack(option, dyn, n_steps)
     shape = (cfg.tile_rows, LANES)
     flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
             + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
@@ -778,6 +772,23 @@ def _price_qmc_model_impl(model, option, dyn, payoff, n, n_steps,
             jnp.arange(cfg.n_tiles, dtype=jnp.uint32))
         return jnp.sum(acc.astype(jnp.float32)) / jnp.float32(n)
 
+    return one_shift
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "payoff", "n", "n_steps", "d_assets",
+                     "engine", "tile_rows", "interpret", "family"))
+def _price_qmc_model_impl(model, option, dyn, payoff, n, n_steps,
+                          d_assets, engine, tile_rows, interpret, zvec,
+                          shifts, family):
+    if interpret is None:
+        interpret = use_interpret()
+    pack, leg, n_dims = _model_qmc_hooks(model, dyn, n_steps)
+    cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=tile_rows)
+    params = pack(option, dyn, n_steps)
+    one_shift = _model_shift_mean_fn(model, payoff, cfg, params, leg,
+                                     zvec, n, engine, family, interpret)
     means = jax.lax.map(one_shift, shifts)
     r_reps = shifts.shape[0]
     mean = jnp.mean(means)
@@ -814,6 +825,20 @@ def price_qmc_model(model: str,
     low dimension.  stderr from n_shifts independent randomizations, as
     in `price_qmc`.
     """
+    po, dyn32, d_assets, n, zvec, shifts = _qmc_model_pointset(
+        model, option, dyn, sim, payoff=payoff, n_shifts=n_shifts,
+        engine=engine, family=family, tile_rows=tile_rows, gamma=gamma,
+        stream=stream)
+    return _price_qmc_model_impl(model, option.as_f32(), dyn32, po, n,
+                                 sim.n_steps, d_assets, engine, tile_rows,
+                                 interpret, zvec, shifts, family)
+
+
+def _qmc_model_pointset(model, option, dyn, sim, *, payoff, n_shifts,
+                        engine, family, tile_rows, gamma, stream):
+    """Validated model point-set construction shared by the single-chip
+    and shift-sharded entries (one code path keeps their per-shift
+    bitwise-equality contract safe)."""
     po = get_payoff(payoff)
     po.validate(option, sim.n_steps)
     if model == "heston":
@@ -874,6 +899,85 @@ def price_qmc_model(model: str,
         zvec = jnp.asarray(lattice_vector(n, n_dims, gamma).astype(
             np.int32))
         shifts = rng.bits_to_unit(bits).reshape(n_shifts, n_dims)
-    return _price_qmc_model_impl(model, option.as_f32(), dyn, po, n,
-                                 sim.n_steps, d_assets, engine, tile_rows,
-                                 interpret, zvec, shifts, family)
+    return po, dyn, d_assets, n, zvec, shifts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "payoff", "n", "n_steps", "engine",
+                     "tile_rows", "interpret", "family", "mesh"))
+def _qmc_model_sharded_impl(model, option, dyn, payoff, n, n_steps,
+                            engine, tile_rows, interpret, mesh, zvec,
+                            shifts, family):
+    from jax.sharding import PartitionSpec as P
+
+    from mc_tpu.parallel.mesh import PATHS_AXIS
+
+    if interpret is None:
+        interpret = use_interpret()
+    pack, leg, n_dims = _model_qmc_hooks(model, dyn, n_steps)
+    cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=tile_rows)
+    params = pack(option, dyn, n_steps)
+
+    def shard_fn(zvec, shifts_local, params):
+        one_shift = _model_shift_mean_fn(model, payoff, cfg, params, leg,
+                                         zvec, n, engine, family,
+                                         interpret)
+        means_local = jax.lax.map(one_shift, shifts_local)
+        return jax.lax.all_gather(means_local, PATHS_AXIS, tiled=True)
+
+    means = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(PATHS_AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(zvec, shifts, params)
+
+    r_reps = shifts.shape[0]
+    mean = jnp.mean(means)
+    var = jnp.sum((means - mean) ** 2) / jnp.float32(max(r_reps - 1, 1))
+    r = jnp.asarray(option.r, jnp.float32)
+    t = jnp.asarray(option.t, jnp.float32)
+    discount = jnp.exp(-r * t)
+    return PriceResult(price=discount * mean,
+                       stderr=discount * jnp.sqrt(var / r_reps),
+                       n_paths=jnp.float32(n * r_reps),
+                       payoff_mean=mean, payoff_var=var)
+
+
+def price_qmc_model_sharded(model: str,
+                            option: OptionParams = DEMO_OPTION,
+                            dyn=None,
+                            sim: SimParams = DEMO_SIM,
+                            payoff="vanilla_call",
+                            *,
+                            mesh=None,
+                            n_shifts: int = 16,
+                            engine: str = "pallas",
+                            family: str = "sobol",
+                            tile_rows: int = 128,
+                            gamma: float = 0.1,
+                            stream: int = STREAM_OUTER,
+                            interpret: Optional[bool] = None
+                            ) -> PriceResult:
+    """Model-family randomized QMC with shifts sharded over the mesh.
+
+    ``n_shifts`` is rounded up to a multiple of the mesh size; per-shift
+    means are BIT-identical to `price_qmc_model`'s, so at equal n_shifts
+    the two APIs agree exactly regardless of mesh size.
+    """
+    from mc_tpu.ops._pallas import cdiv as _cdiv
+    from mc_tpu.parallel.mesh import make_mesh
+
+    mesh = mesh if mesh is not None else make_mesh()
+    n_shifts = _cdiv(n_shifts, mesh.devices.size) * mesh.devices.size
+    # reuse the single-chip entry's validation + point-set construction
+    # by building it at the rounded shift count, then dispatch sharded
+    kwargs = dict(payoff=payoff, n_shifts=n_shifts, engine=engine,
+                  family=family, tile_rows=tile_rows, gamma=gamma,
+                  stream=stream)
+    po, dyn32, d_assets, n, zvec, shifts = _qmc_model_pointset(
+        model, option, dyn, sim, **kwargs)
+    return _qmc_model_sharded_impl(model, option.as_f32(), dyn32, po, n,
+                                   sim.n_steps, engine, tile_rows,
+                                   interpret, mesh, zvec, shifts, family)

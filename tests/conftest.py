@@ -37,6 +37,9 @@ def devices():
 # stale entry (renamed/removed test) is harmless.
 
 SLOW_TESTS = {
+    "test_qmc.py::test_qmc_model_sharded_bitwise_mesh_invariant",
+    "test_nmc_term.py::test_ee_flat_at_term_price",
+    "test_nmc_term.py::test_flat_curves_match_gbm_nmc_stats",
     "test_nmc_book.py::test_book_under_basket",
     "test_nmc_book.py::test_book_under_model_families",
     "test_cli_round3.py::test_nmc_book",

@@ -342,3 +342,24 @@ def test_qmc_cev_engines_bitwise():
         b = price_qmc_model(model, sim=sim, n_shifts=4, engine="xla",
                             tile_rows=8)
         assert float(a.price) == float(b.price), model
+
+
+def test_qmc_model_sharded_bitwise_mesh_invariant():
+    """Shift-sharded model QMC: 1-device mesh bitwise == single-chip;
+    mesh size never changes the bits (per-shift means identical)."""
+    import jax
+
+    from mc_tpu.parallel import make_mesh, price_qmc_model_sharded
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 13, n_steps=8)
+    single = price_qmc_model("heston", sim=sim, n_shifts=8,
+                             engine="pallas", tile_rows=8)
+    m1 = price_qmc_model_sharded("heston", sim=sim, n_shifts=8,
+                                 mesh=make_mesh(jax.devices()[:1]),
+                                 engine="pallas", tile_rows=8)
+    m8 = price_qmc_model_sharded("heston", sim=sim, n_shifts=8,
+                                 mesh=make_mesh(jax.devices()[:8]),
+                                 engine="pallas", tile_rows=8)
+    assert float(m1.price) == float(single.price)
+    assert float(m1.stderr) == float(single.stderr)
+    assert float(m8.price) == float(m1.price)

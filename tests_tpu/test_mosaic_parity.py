@@ -448,3 +448,18 @@ def test_terminal_pair():
     sim = SimParams(n_paths=100_000, n_steps=10)
     _assert_tri(*_tri(price, option=OPT, sim=sim,
                       method="terminal_pair", tile_rows=8))
+
+
+def test_nmc_term():
+    """Term-structure NMC: curve lookups in the compiled inner legs,
+    all three routes bitwise."""
+    from mc_tpu.models.term import TermStructure
+    from mc_tpu.nmc_term import price_nmc_term
+    sim = SimParams(n_paths=2048, n_steps=4, n_paths_inner=8)
+    dyn = TermStructure.from_knots([0.10, 0.05], [0.15, 0.30], 4)
+    c, i, x = _tri(price_nmc_term, dyn=dyn, sim=sim, tile_rows=8)
+    _assert_tri(c.outer, i.outer, x.outer)
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(i.surface))
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(x.surface))
