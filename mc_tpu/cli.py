@@ -236,82 +236,74 @@ def cmd_nmc(args):
         print(json.dumps(out))
         return 0
     if args.model == "heston":
-        if args.discount != "full" or args.strategy != "fused":
-            raise SystemExit("--discount / --strategy are fixed "
-                             "(full / fused) with --model heston")
+        if args.discount != "full":
+            raise SystemExit("--discount is fixed (full) with --model heston")
         from mc_tpu.models.heston import HestonDynamics
         from mc_tpu.nmc_heston import price_nmc_heston
         dyn = HestonDynamics(v0=args.v0, kappa=args.kappa,
                              theta=args.theta_v, xi=args.xi,
                              rho=args.rho_sv)
         res = price_nmc_heston(option, dyn, sim, payoff=args.payoff,
-                               engine=args.engine)
+                               engine=args.engine, strategy=args.strategy)
     elif args.model == "localvol":
-        if args.discount != "full" or args.strategy != "fused":
-            raise SystemExit("--discount / --strategy are fixed "
-                             "(full / fused) with --model localvol")
+        if args.discount != "full":
+            raise SystemExit("--discount is fixed (full) with --model localvol")
         from mc_tpu.models.localvol import LocalVolSurface
         from mc_tpu.nmc_localvol import price_nmc_localvol
         surf = LocalVolSurface.from_function(
             lambda x, t: args.sigma + args.smile_curv * x * x,
             sim.n_steps)
         res = price_nmc_localvol(option, surf, sim, payoff=args.payoff,
-                                 engine=args.engine)
+                                 engine=args.engine, strategy=args.strategy)
     elif args.model == "vasicek":
-        if args.discount != "full" or args.strategy != "fused":
-            raise SystemExit("--discount / --strategy are fixed "
-                             "(full / fused) with --model vasicek")
+        if args.discount != "full":
+            raise SystemExit("--discount is fixed (full) with --model vasicek")
         from mc_tpu.models.vasicek import VasicekDynamics
         from mc_tpu.nmc_vasicek import price_nmc_vasicek
         dyn = VasicekDynamics(a=args.a, b=args.b, sigma_r=args.sigma_r,
                               rho=args.rho_r)
         res = price_nmc_vasicek(option, dyn, sim, payoff=args.payoff,
-                                engine=args.engine)
+                                engine=args.engine, strategy=args.strategy)
     elif args.model == "merton":
-        if args.discount != "full" or args.strategy != "fused":
-            raise SystemExit("--discount / --strategy are fixed "
-                             "(full / fused) with --model merton")
+        if args.discount != "full":
+            raise SystemExit("--discount is fixed (full) with --model merton")
         from mc_tpu.models.merton import MertonDynamics
         from mc_tpu.nmc_merton import price_nmc_merton
         dyn = MertonDynamics(lam=args.lam, mu_j=args.mu_j,
                              sigma_j=args.sigma_j)
         res = price_nmc_merton(option, dyn, sim, payoff=args.payoff,
-                               engine=args.engine)
+                               engine=args.engine, strategy=args.strategy)
     elif args.model == "term":
-        if args.discount != "full" or args.strategy != "fused":
-            raise SystemExit("--discount / --strategy are fixed "
-                             "(full / fused) with --model term")
+        if args.discount != "full":
+            raise SystemExit("--discount is fixed (full) with --model term")
         from mc_tpu.nmc_term import price_nmc_term
         res = price_nmc_term(option, None, sim, payoff=args.payoff,
-                             engine=args.engine)
+                             engine=args.engine, strategy=args.strategy)
     elif args.model == "cev":
-        if args.discount != "full" or args.strategy != "fused":
-            raise SystemExit("--discount / --strategy are fixed "
-                             "(full / fused) with --model cev")
+        if args.discount != "full":
+            raise SystemExit("--discount is fixed (full) with --model cev")
         from mc_tpu.models.cev import CEVDynamics
         from mc_tpu.nmc_cev import price_nmc_cev
         dyn = CEVDynamics.from_atm_vol(args.sigma_atm, args.beta, args.s0)
         res = price_nmc_cev(option, dyn, sim, payoff=args.payoff,
-                            engine=args.engine)
+                            engine=args.engine, strategy=args.strategy)
     elif args.model == "sabr":
-        if args.discount != "full" or args.strategy != "fused":
-            raise SystemExit("--discount / --strategy are fixed "
-                             "(full / fused) with --model sabr")
+        if args.discount != "full":
+            raise SystemExit("--discount is fixed (full) with --model sabr")
         from mc_tpu.models.sabr import SABRDynamics
         from mc_tpu.nmc_sabr import price_nmc_sabr
         dyn = SABRDynamics(alpha=args.alpha, nu=args.nu,
                            rho=args.rho_sv)
         res = price_nmc_sabr(option, dyn, sim, payoff=args.payoff,
-                             engine=args.engine)
+                             engine=args.engine, strategy=args.strategy)
     elif args.model == "basket":
-        if args.discount != "full" or args.strategy != "fused":
-            raise SystemExit("--discount / --strategy are fixed "
-                             "(full / fused) with --model basket")
+        if args.discount != "full":
+            raise SystemExit("--discount is fixed (full) with --model basket")
         from mc_tpu.models.basket import _demo_basket
         from mc_tpu.nmc_basket import price_nmc_basket
         dyn = _demo_basket(d=args.n_assets, rho=args.corr)
         res = price_nmc_basket(option, dyn, sim, payoff=args.payoff,
-                               engine=args.engine)
+                               engine=args.engine, strategy=args.strategy)
     else:
         res = price_nmc(option, sim, payoff=args.payoff,
                         strategy=args.strategy, engine=args.engine,

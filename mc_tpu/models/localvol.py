@@ -196,16 +196,21 @@ def _localvol_leg(payoff, n_steps: int, p, s0, draw_pair, sigma_at,
             on_step(j, s, carry)
         return carry, s
 
-    def pair_body(j, carry):
+    def pair_body(j, carry3):
+        carry, _ = carry3
         z0, z1 = draw_pair(j)
         carry, _ = one_step(carry, 2 * j, sign * z0)
         carry, s = one_step(carry, 2 * j + 1, sign * z1)
-        return carry
+        return carry, s
 
+    # the terminal pay consumes the SAME rounded s the last step fed
+    # payoff.update (recomputing s0*exp(w) here lets XLA contract the
+    # multiply into the payoff's subtract — 1-ulp drift vs the carried
+    # value, which would break grid-vs-fused NMC bitwise equality)
     zeros = jnp.zeros_like(s0)
-    (w, state) = jax.lax.fori_loop(0, n_steps // 2, pair_body,
-                                   (zeros, state0))
-    return payoff.terminal(state, s0 * jnp.exp(w), p)
+    (_, state), s_t = jax.lax.fori_loop(
+        0, n_steps // 2, pair_body, ((zeros, state0), s0))
+    return payoff.terminal(state, s_t, p)
 
 
 def _localvol_tile(payoff, n_steps, antithetic, p, ids, valid, k0, k1,

@@ -151,7 +151,8 @@ def _vasicek_leg(payoff, n_steps: int, p, s0, draw_pair,
         wxy, s = vasicek_step(p, wxy, za, zb, zc, s0)
         return (wxy, payoff.update(state, s, p)), s
 
-    def pair_body(j, carry):
+    def pair_body(j, carry3):
+        carry, _ = carry3
         z0, z1 = draw_pair(3 * j)
         z2, z3 = draw_pair(3 * j + 1)
         z4, z5 = draw_pair(3 * j + 2)
@@ -161,13 +162,16 @@ def _vasicek_leg(payoff, n_steps: int, p, s0, draw_pair,
         carry, s = one_step(carry, sign * z3, sign * z4, sign * z5)
         if on_step is not None:
             on_step(2 * j + 1, s, carry)
-        return carry
+        return carry, s
 
     zeros = jnp.zeros_like(s0)
     x0 = jnp.full_like(s0, p.x0)
-    ((w, _, y), state) = jax.lax.fori_loop(
-        0, n_steps // 2, pair_body, ((zeros, x0, zeros), state0))
-    s_t = s0 * jnp.exp(w)
+    # s_t rides the loop carry: the terminal pay must consume the SAME
+    # rounded s the last step fed payoff.update (recomputing s0*exp(w)
+    # here lets XLA contract the multiply into the payoff's subtract —
+    # 1-ulp drift vs the carried value)
+    (((_, _, y), state), s_t) = jax.lax.fori_loop(
+        0, n_steps // 2, pair_body, (((zeros, x0, zeros), state0), s0))
     # pathwise stochastic discount replaces the reference's scalar
     # e^{-rT} finish (wrappers.cuh:51)
     return payoff.terminal(state, s_t, p) * jnp.exp(-y)

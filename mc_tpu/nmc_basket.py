@@ -117,31 +117,37 @@ class BasketNMC(NMCFamily):
         ws, state = jax.lax.fori_loop(0, remaining, step, (ws0, state_t))
         return payoff.terminal(state, self._basket_of(p, d, ws), p)
 
-    def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0, n):
+    outer_steps_per_block = 1
+
+    def outer_init(self, p, ctx, s0, state0):
+        # the basket level b rides the carry: outer_pay must consume the
+        # SAME rounded value the step fed payoff.update (see
+        # nmc_merton.MertonNMC.outer_init)
+        zeros = jnp.zeros_like(s0)
+        b0 = self._basket_of(p, self.d, tuple(zeros for _ in range(self.d)))
+        return (tuple(zeros for _ in range(self.d)), b0, state0)
+
+    def outer_block(self, payoff, p, ctx, ids, ko0, ko1, carry, m,
+                    bitcast):
         d = self.d
         npps = (d + 1) // 2
+        ws, _, state = carry
+        zs = []
+        for q in range(npps):
+            c1 = (jnp.full(ids.shape, 0, jnp.uint32)
+                  + m * jnp.uint32(npps) + jnp.uint32(q))
+            z0, z1 = rng.normal_pair(ko0, ko1, ids, c1, bitcast=bitcast)
+            zs += [z0, z1]
+        ws = self._mix_step(p, ws, zs[:d])
+        b = self._basket_of(p, d, ws)
+        state = payoff.update(state, b, p)
+        cv = state[0] if payoff.n_state else jnp.zeros_like(b)
+        s_levels = tuple(p.s0s[i] * jnp.exp(ws[i]) for i in range(d))
+        return (ws, b, state), (s_levels + (cv,),)
 
-        def step_scan(carry2, j):
-            ws, state = carry2
-            zs = []
-            for q in range(npps):
-                c1 = (jnp.full(ids.shape, 0, jnp.uint32)
-                      + j * jnp.uint32(npps) + jnp.uint32(q))
-                z0, z1 = rng.normal_pair(ko0, ko1, ids, c1)
-                zs += [z0, z1]
-            ws = self._mix_step(p, ws, zs[:d])
-            b = self._basket_of(p, d, ws)
-            state = payoff.update(state, b, p)
-            cv = state[0] if payoff.n_state else jnp.zeros_like(b)
-            s_levels = tuple(p.s0s[i] * jnp.exp(ws[i]) for i in range(d))
-            return (ws, state), s_levels + (cv,)
-
-        zeros = jnp.zeros_like(s0)
-        ws0 = tuple(zeros for _ in range(d))
-        (ws, state), recs = jax.lax.scan(
-            step_scan, (ws0, state0), jnp.arange(n, dtype=jnp.uint32))
-        pay = payoff.terminal(state, self._basket_of(p, d, ws), p)
-        return tuple(recs[:d]), recs[d], pay
+    def outer_pay(self, payoff, p, ctx, carry):
+        _, b, state = carry
+        return payoff.terminal(state, b, p)
 
 
 def price_nmc_basket(option: OptionParams = DEMO_OPTION,
@@ -150,6 +156,7 @@ def price_nmc_basket(option: OptionParams = DEMO_OPTION,
                      payoff="vanilla_call",
                      *,
                      engine: str = "pallas",
+                     strategy: str = "grid",
                      tile_rows: int = 8,
                      stream_outer: int = 0,
                      stream_inner: int = 1,
@@ -164,7 +171,8 @@ def price_nmc_basket(option: OptionParams = DEMO_OPTION,
     """
     b32 = basket.as_f32()
     return price_nmc_family(BasketNMC(extras=(b32.d,)), option, b32, sim,
-                            payoff, engine=engine, tile_rows=tile_rows,
+                            payoff, engine=engine,
+                            strategy=strategy, tile_rows=tile_rows,
                             stream_outer=stream_outer,
                             stream_inner=stream_inner, interpret=interpret)
 

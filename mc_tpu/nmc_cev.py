@@ -101,24 +101,26 @@ class CEVNMC(NMCFamily):
     def rollout_spot(self, p, ctx, carry):
         return carry[0]
 
-    def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0, n):
-        def outer_pair(carry2, m):
-            s, state = carry2
-            c1 = jnp.full(ids.shape, 0, jnp.uint32) + m
-            z0, z1 = rng.normal_pair(ko0, ko1, ids, c1)
-            recs = []
-            for z in (z0, z1):
-                s, state = self._substep(payoff, p, s, state, z)
-                cv = state[0] if payoff.n_state else jnp.zeros_like(s)
-                recs.append((s, cv))
-            stacked = tuple(jnp.stack([a, b])
-                            for a, b in zip(recs[0], recs[1]))
-            return (s, state), stacked
+    outer_steps_per_block = 2
 
-        (s, state), recs = jax.lax.scan(
-            outer_pair, (s0, state0), jnp.arange(n // 2, dtype=jnp.uint32))
-        s_hist, c_hist = (r.reshape((n,) + s0.shape) for r in recs)
-        return (s_hist,), c_hist, payoff.terminal(state, s, p)
+    def outer_init(self, p, ctx, s0, state0):
+        return (s0, state0)
+
+    def outer_block(self, payoff, p, ctx, ids, ko0, ko1, carry, m,
+                    bitcast):
+        s, state = carry
+        c1 = jnp.full(ids.shape, 0, jnp.uint32) + m
+        z0, z1 = rng.normal_pair(ko0, ko1, ids, c1, bitcast=bitcast)
+        recs = []
+        for z in (z0, z1):
+            s, state = self._substep(payoff, p, s, state, z)
+            cv = state[0] if payoff.n_state else jnp.zeros_like(s)
+            recs.append((s, cv))
+        return (s, state), tuple(recs)
+
+    def outer_pay(self, payoff, p, ctx, carry):
+        s, state = carry
+        return payoff.terminal(state, s, p)
 
 
 def price_nmc_cev(option: OptionParams = DEMO_OPTION,
@@ -127,6 +129,7 @@ def price_nmc_cev(option: OptionParams = DEMO_OPTION,
                   payoff="vanilla_call",
                   *,
                   engine: str = "pallas",
+                  strategy: str = "grid",
                   tile_rows: int = 8,
                   stream_outer: int = 0,
                   stream_inner: int = 1,
@@ -135,7 +138,8 @@ def price_nmc_cev(option: OptionParams = DEMO_OPTION,
     profiles (``result.exposure_profile()``) and CVA under the
     parametric skew."""
     return price_nmc_family(CEVNMC(), option, dyn.as_f32(), sim, payoff,
-                            engine=engine, tile_rows=tile_rows,
+                            engine=engine, strategy=strategy,
+                            tile_rows=tile_rows,
                             stream_outer=stream_outer,
                             stream_inner=stream_inner, interpret=interpret)
 

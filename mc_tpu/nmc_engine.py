@@ -49,8 +49,9 @@ from mc_tpu.ops.payoffs import PathPayoff, get_payoff
 from mc_tpu.ops.reduce import finish_sum
 
 __all__ = ["NMCFamily", "family_point_tile", "family_inner_kernel",
-           "price_nmc_family", "price_nmc_family_sharded",
-           "NMC_FAMILIES", "NMC_FAMILY_BUILDERS", "register_nmc_family"]
+           "family_fused_kernel", "price_nmc_family",
+           "price_nmc_family_sharded", "NMC_FAMILIES",
+           "NMC_FAMILY_BUILDERS", "register_nmc_family"]
 
 STREAM_OUTER, STREAM_INNER = 0, 1
 
@@ -125,13 +126,55 @@ class NMCFamily:
         """
         return xla_family_trajectories(self, payoff, cfg, params, key)
 
-    def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0,
-                  n_steps: int):
-        """Pure-jnp outer scan for one path tile: returns
-        ``(market_hists, c_hist, pay)`` with hists shaped
-        (n_steps, *tile); ``pay`` is the terminal outer payoff value
-        (incl. any pathwise discount), unmasked."""
+    # --- outer-path physics --------------------------------------------
+    # The ENGINE owns the outer loop (lax.scan in the XLA dual and grid
+    # trajectories; fori_loop + VMEM scratch stores in the fused kernel
+    # — Mosaic does not lower scan with stacked outputs inside kernels).
+    # Families supply one BLOCK transition: ``outer_steps_per_block``
+    # substeps advanced per call, matching the family's draw granularity
+    # (1 for one-pair-per-step families, 2 for pair-consuming loops).
+
+    outer_steps_per_block = 1
+
+    def outer_init(self, p, ctx, s0, state0):
+        """Initial outer carry for one path tile (must include the
+        payoff state)."""
         raise NotImplementedError
+
+    def outer_block(self, payoff, p, ctx, ids, ko0, ko1, carry, m,
+                    bitcast):
+        """Advance ``outer_steps_per_block`` substeps from block index
+        ``m`` (traced uint32; outer draw counters derive from it).
+        Returns ``(carry, recs)`` — recs a tuple of per-substep records,
+        each record ``(*market_grid_rows, cv)``.  Pure jnp + lax only:
+        the SAME function runs in the XLA dual (default ``bitcast``)
+        and inside the fused Pallas kernel (``pltpu.bitcast``)."""
+        raise NotImplementedError
+
+    def outer_pay(self, payoff, p, ctx, carry):
+        """Terminal outer payoff value from the final carry (incl. any
+        pathwise discount), unmasked."""
+        raise NotImplementedError
+
+    def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0,
+                  n_steps: int, bitcast=jax.lax.bitcast_convert_type):
+        """Outer scan for one path tile built on the block hooks:
+        returns ``(market_hists, c_hist, pay)`` with hists shaped
+        (n_steps, *tile)."""
+        spb = self.outer_steps_per_block
+
+        def block(carry, m):
+            carry, recs = self.outer_block(payoff, p, ctx, ids, ko0, ko1,
+                                           carry, m, bitcast)
+            if spb == 1:
+                return carry, recs[0]
+            return carry, tuple(jnp.stack(cols) for cols in zip(*recs))
+
+        carry, ys = jax.lax.scan(
+            block, self.outer_init(p, ctx, s0, state0),
+            jnp.arange(n_steps // spb, dtype=jnp.uint32))
+        ys = tuple(y.reshape((n_steps,) + s0.shape) for y in ys)
+        return ys[:-1], ys[-1], self.outer_pay(payoff, p, ctx, carry)
 
     # --- Andersen-Broadie rollout hooks (lsmc.american_bounds) ---------
     # Rollouts are FRESH estimators on their own stream (no bitwise
@@ -282,6 +325,109 @@ def family_inner_kernel(fam, payoff, n_steps, n_inner, tile_rows, n_tiles,
     )(jnp.asarray(key_inner, jnp.uint32), params, meta, *grids)
 
 
+def _make_family_fused_kernel(fam: NMCFamily, payoff: PathPayoff,
+                              n_steps: int, n_inner: int, tile_rows: int):
+    """C11 strategy generalized: phase A runs the family's outer-block
+    physics inside the kernel, parking the per-step history in VMEM
+    scratch (nothing but the surface touches HBM); phase B sweeps the
+    per-step inner re-pricing.  Running the same ``outer_block`` the
+    XLA dual and grid trajectories run is what makes the fused surface
+    bitwise equal to the grid strategy with zero duplicated physics."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(ko_ref, ki_ref, params_ref, meta_ref, surf_ref, osum_ref,
+               osq_ref, *scratch):
+        *hist_refs, comp_ref = scratch
+        p = fam.unpack(params_ref)
+        ctx = fam.make_ctx(params_ref, n_steps)
+        i = pl.program_id(0)
+        shape = (tile_rows, LANES)
+        base = jnp.uint32(i * tile_rows * LANES)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        spb = fam.outer_steps_per_block
+
+        # --- Phase A: outer trajectories, history held in VMEM scratch.
+        s0 = jnp.full(shape, p.s0, jnp.float32)
+        state0 = payoff.init(p, jnp.zeros_like(s0))
+
+        def outer_body(m, carry):
+            carry, recs = fam.outer_block(
+                payoff, p, ctx, ids, ko_ref[0], ko_ref[1], carry,
+                jnp.asarray(m, jnp.uint32), pltpu.bitcast)
+            for k, rec in enumerate(recs):
+                j = spb * m + k
+                for ref, g in zip(hist_refs, rec):
+                    ref[j] = g
+            return carry
+
+        carry = jax.lax.fori_loop(0, n_steps // spb, outer_body,
+                                  fam.outer_init(p, ctx, s0, state0))
+        pay = jnp.where(valid, fam.outer_pay(payoff, p, ctx, carry), 0.0)
+        pk._accumulate_moments((osum_ref, osq_ref), comp_ref,
+                               [pay, pay * pay], i, tile_rows)
+
+        # --- Phase B: per-step inner conditional-expectation sweep.
+        def step_body(j, _):
+            st_j = (hist_refs[-1][j],) if payoff.n_state else ()
+            grids_j = tuple(ref[j] for ref in hist_refs[:-1])
+            inner_sum = family_point_tile(
+                fam, payoff, n_steps, n_inner, p, ctx, ki_ref[0],
+                ki_ref[1], ids, j, grids_j, st_j, pltpu.bitcast)
+            v = inner_sum * (1.0 / n_inner) * fam.point_scale(p, grids_j)
+            surf_ref[j] = jnp.where(valid, v, 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, step_body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fam", "payoff", "n_steps", "n_inner", "tile_rows",
+                     "n_tiles", "interpret"))
+def family_fused_kernel(fam, payoff, n_steps, n_inner, tile_rows, n_tiles,
+                        key_outer, key_inner, params, n_valid,
+                        interpret=None, path_offset=0):
+    """Fused-strategy family NMC: returns (surface, outer_sum, outer_sq)
+    with no outer-state HBM grids (nmc_kernels.nmc_fused_kernel
+    generalized to any registered family)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = use_interpret()
+    rows = n_tiles * tile_rows
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    meta = jnp.stack([offset, jnp.asarray(n_valid, jnp.uint32)])
+    grid_spec = pl.BlockSpec((n_steps, tile_rows, LANES),
+                             lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_family_fused_kernel(fam, payoff, n_steps, n_inner, tile_rows),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
+        out_specs=[grid_spec, acc_spec, acc_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_steps, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((n_steps, tile_rows, LANES), jnp.float32)]
+            * (fam.n_grids + 1)  # market-state history slabs + cv
+            + [pltpu.VMEM((2, SUBLANES, LANES), jnp.float32)]),
+        interpret=interpret,
+    )(jnp.asarray(key_outer, jnp.uint32),
+      jnp.asarray(key_inner, jnp.uint32), params, meta)
+
+
 def xla_family_trajectories(fam, payoff, cfg, params, key_outer,
                             path_offset=0, n_valid=None):
     """Step-major outer state grids + outer moment slabs via the family's
@@ -382,10 +528,11 @@ def _xla_nmc_family(fam, payoff, sim, params, key_outer, key_inner,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fam", "payoff", "sim", "engine", "tile_rows",
-                     "interpret"))
+    static_argnames=("fam", "payoff", "sim", "engine", "strategy",
+                     "tile_rows", "interpret"))
 def _price_nmc_family_impl(fam, option, dyn, payoff, sim, engine,
-                           tile_rows, interpret, key_outer, key_inner):
+                           strategy, tile_rows, interpret, key_outer,
+                           key_inner):
     params = fam.pack(option, dyn, sim.n_steps)
     p = fam.unpack(params)
 
@@ -393,7 +540,14 @@ def _price_nmc_family_impl(fam, option, dyn, payoff, sim, engine,
         surface, osum, osq = _xla_nmc_family(fam, payoff, sim, params,
                                              key_outer, key_inner,
                                              tile_rows)
-    elif engine == "pallas":
+    elif engine == "pallas" and strategy == "fused":
+        cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
+                              tile_rows=tile_rows)
+        surface, osum, osq = family_fused_kernel(
+            fam, payoff, sim.n_steps, sim.n_paths_inner, tile_rows,
+            cfg.n_tiles, key_outer, key_inner, params, sim.n_paths,
+            interpret=interpret)
+    elif engine == "pallas" and strategy == "grid":
         cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
                               tile_rows=tile_rows)
         *grids, osum, osq = fam.trajectories(payoff, cfg, key_outer,
@@ -402,6 +556,8 @@ def _price_nmc_family_impl(fam, option, dyn, payoff, sim, engine,
             fam, payoff, sim.n_steps, sim.n_paths_inner, tile_rows,
             cfg.n_tiles, key_inner, params, tuple(grids), sim.n_paths,
             interpret=interpret)
+    elif engine == "pallas":
+        raise ValueError(f"unknown strategy {strategy!r}")
     else:
         raise ValueError(f"unknown engine {engine!r}")
 
@@ -445,16 +601,24 @@ def price_nmc_family(fam: NMCFamily,
                      payoff="vanilla_call",
                      *,
                      engine: str = "pallas",
+                     strategy: str = "grid",
                      tile_rows: int = 8,
                      stream_outer: int = STREAM_OUTER,
                      stream_inner: int = STREAM_INNER,
                      interpret: Optional[bool] = None) -> NMCResult:
-    """Shared NMC entry point: validation, guards, key derivation."""
+    """Shared NMC entry point: validation, guards, key derivation.
+
+    ``strategy`` (pallas engine only): "grid" materializes the outer
+    state grids in HBM then re-prices them (C10 analogue); "fused" runs
+    outer simulation + inner sweep in one kernel with the history held
+    in VMEM — zero HBM state (C11 analogue).  Both are bitwise-equal by
+    construction (they run the same ``xla_outer``/``leg`` physics)."""
     po, key_outer, key_inner = _validate_and_keys(
         fam, sim, payoff, stream_outer, stream_inner)
     return _price_nmc_family_impl(fam, option.as_f32(), dyn, po,
-                                  sim.replace(seed=0), engine, tile_rows,
-                                  interpret, key_outer, key_inner)
+                                  sim.replace(seed=0), engine, strategy,
+                                  tile_rows, interpret, key_outer,
+                                  key_inner)
 
 
 # name -> price_nmc_<model> callable; populated by the family modules at
@@ -485,10 +649,11 @@ def register_nmc_family(name: str, price_fn, builder=None) -> None:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fam", "payoff", "sim", "mesh", "engine", "tile_rows",
-                     "interpret"))
+    static_argnames=("fam", "payoff", "sim", "mesh", "engine", "strategy",
+                     "tile_rows", "interpret"))
 def _nmc_family_sharded_impl(fam, option, dyn, payoff, sim, mesh, engine,
-                             tile_rows, interpret, key_outer, key_inner):
+                             strategy, tile_rows, interpret, key_outer,
+                             key_inner):
     from jax.sharding import PartitionSpec as P
 
     from mc_tpu.parallel.mesh import PATHS_AXIS, shard_bounds
@@ -505,7 +670,12 @@ def _nmc_family_sharded_impl(fam, option, dyn, payoff, sim, mesh, engine,
     def shard_fn(ko, ki, params, n_total):
         rank = jax.lax.axis_index(PATHS_AXIS).astype(jnp.uint32)
         offset = rank * jnp.uint32(n_local)
-        if engine == "pallas":
+        if engine == "pallas" and strategy == "fused":
+            surf, osum, osq = family_fused_kernel(
+                fam, payoff, sim.n_steps, sim.n_paths_inner, tile_rows,
+                cfg.n_tiles, ko, ki, params, n_total,
+                interpret=interpret, path_offset=offset)
+        elif engine == "pallas":
             *grids, osum, osq = xla_family_trajectories(
                 fam, payoff, cfg, params, ko, path_offset=offset,
                 n_valid=n_total)
@@ -543,6 +713,7 @@ def price_nmc_family_sharded(fam: NMCFamily, option, dyn, sim, payoff,
                              *,
                              mesh=None,
                              engine: str = "pallas",
+                             strategy: str = "grid",
                              tile_rows: int = 8,
                              stream_outer: int = STREAM_OUTER,
                              stream_inner: int = STREAM_INNER,
@@ -556,5 +727,5 @@ def price_nmc_family_sharded(fam: NMCFamily, option, dyn, sim, payoff,
     mesh = mesh if mesh is not None else make_mesh()
     return _nmc_family_sharded_impl(fam, option.as_f32(), dyn, po,
                                     sim.replace(seed=0), mesh, engine,
-                                    tile_rows, interpret, key_outer,
-                                    key_inner)
+                                    strategy, tile_rows, interpret,
+                                    key_outer, key_inner)

@@ -103,23 +103,27 @@ class HestonNMC(NMCFamily):
         return (lambda t: _basis_sv(s[t] * inv_k, v[t], degree),
                 degree + 4)
 
-    def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0, n):
-        def outer_step(carry2, u):
-            w, v, state = carry2
-            c1 = jnp.full(ids.shape, 0, jnp.uint32) + u
-            z_v, z_p = rng.normal_pair(ko0, ko1, ids, c1)
-            w, v = heston_euler_step(p, w, v, z_v, z_p, p.dt, p.sqrt_dt)
-            s = s0 * jnp.exp(w)
-            state = payoff.update(state, s, p)
-            cv = state[0] if payoff.n_state else jnp.zeros_like(s)
-            return (w, v, state), (s, v, cv)
+    outer_steps_per_block = 1
 
-        v_init = jnp.full_like(s0, p.v0)
-        (w, v, state), (s_hist, v_hist, c_hist) = jax.lax.scan(
-            outer_step, (jnp.zeros_like(s0), v_init, state0),
-            jnp.arange(n, dtype=jnp.uint32))
-        pay = payoff.terminal(state, s0 * jnp.exp(w), p)
-        return (s_hist, v_hist), c_hist, pay
+    def outer_init(self, p, ctx, s0, state0):
+        # s rides the carry: outer_pay must consume the SAME rounded
+        # spot the step persisted (see nmc_merton.MertonNMC.outer_init)
+        return (jnp.zeros_like(s0), jnp.full_like(s0, p.v0), s0, state0)
+
+    def outer_block(self, payoff, p, ctx, ids, ko0, ko1, carry, m,
+                    bitcast):
+        w, v, s, state = carry
+        c1 = jnp.full(ids.shape, 0, jnp.uint32) + m
+        z_v, z_p = rng.normal_pair(ko0, ko1, ids, c1, bitcast=bitcast)
+        w, v = heston_euler_step(p, w, v, z_v, z_p, p.dt, p.sqrt_dt)
+        s = p.s0 * jnp.exp(w)
+        state = payoff.update(state, s, p)
+        cv = state[0] if payoff.n_state else jnp.zeros_like(s)
+        return (w, v, s, state), ((s, v, cv),)
+
+    def outer_pay(self, payoff, p, ctx, carry):
+        _, _, s, state = carry
+        return payoff.terminal(state, s, p)
 
 
 def price_nmc_heston(option: OptionParams = DEMO_OPTION,
@@ -128,6 +132,7 @@ def price_nmc_heston(option: OptionParams = DEMO_OPTION,
                      payoff="vanilla_call",
                      *,
                      engine: str = "pallas",
+                     strategy: str = "grid",
                      tile_rows: int = 8,
                      stream_outer: int = STREAM_OUTER,
                      stream_inner: int = STREAM_INNER,
@@ -140,7 +145,8 @@ def price_nmc_heston(option: OptionParams = DEMO_OPTION,
     (``result.exposure_profile()``) under stochastic vol for XVA.
     """
     return price_nmc_family(HestonNMC(), option, heston.as_f32(), sim,
-                            payoff, engine=engine, tile_rows=tile_rows,
+                            payoff, engine=engine,
+                            strategy=strategy, tile_rows=tile_rows,
                             stream_outer=stream_outer,
                             stream_inner=stream_inner, interpret=interpret)
 

@@ -136,35 +136,35 @@ class LocalVolNMC(NMCFamily):
         return localvol_trajectories_kernel(payoff, cfg, self.n_knots, key,
                                             params, interpret=interpret)
 
-    def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0, n):
+    outer_steps_per_block = 2
+
+    def outer_init(self, p, ctx, s0, state0):
+        # s rides the carry: outer_pay must consume the SAME rounded
+        # spot the step persisted (see nmc_merton.MertonNMC.outer_init)
+        return (jnp.zeros_like(s0), s0, state0)
+
+    def outer_block(self, payoff, p, ctx, ids, ko0, ko1, carry, m,
+                    bitcast):
+        # mirrors _localvol_leg's pair loop: pair m -> steps 2m, 2m+1
         sigma_at = ctx
         base_drift = (p.r - p.q) * p.dt
         sdt = jnp.sqrt(p.dt)
-        shape = s0.shape
+        w, s, state = carry
+        c1 = jnp.full(ids.shape, 0, jnp.uint32) + m
+        z0, z1 = rng.normal_pair(ko0, ko1, ids, c1, bitcast=bitcast)
+        recs = []
+        for step_idx, z in ((2 * m, z0), (2 * m + 1, z1)):
+            sg = sigma_at(w, step_idx)
+            w = w + (base_drift - 0.5 * sg * sg * p.dt) + sg * sdt * z
+            s = p.s0 * jnp.exp(w)
+            state = payoff.update(state, s, p)
+            cv = state[0] if payoff.n_state else jnp.zeros_like(s)
+            recs.append((s, cv))
+        return (w, s, state), tuple(recs)
 
-        def outer_pair(carry2, jj):
-            # mirrors _localvol_leg's pair loop: pair jj -> steps 2jj,2jj+1
-            (w, state) = carry2
-            c1 = jnp.full(ids.shape, 0, jnp.uint32) + jj
-            z0, z1 = rng.normal_pair(ko0, ko1, ids, c1)
-            recs = []
-            for step_idx, z in ((2 * jj, z0), (2 * jj + 1, z1)):
-                sg = sigma_at(w, step_idx)
-                w = w + (base_drift - 0.5 * sg * sg * p.dt) + sg * sdt * z
-                s = s0 * jnp.exp(w)
-                state = payoff.update(state, s, p)
-                cv = state[0] if payoff.n_state else jnp.zeros_like(s)
-                recs.append((s, cv))
-            stacked = tuple(jnp.stack([a, b])
-                            for a, b in zip(recs[0], recs[1]))
-            return (w, state), stacked
-
-        (w, state), recs = jax.lax.scan(
-            outer_pair, (jnp.zeros_like(s0), state0),
-            jnp.arange(n // 2, dtype=jnp.uint32))
-        s_hist, c_hist = (r.reshape((n,) + shape) for r in recs)
-        pay = payoff.terminal(state, s0 * jnp.exp(w), p)
-        return (s_hist,), c_hist, pay
+    def outer_pay(self, payoff, p, ctx, carry):
+        _, s, state = carry
+        return payoff.terminal(state, s, p)
 
 
 def price_nmc_localvol(option: OptionParams = DEMO_OPTION,
@@ -173,6 +173,7 @@ def price_nmc_localvol(option: OptionParams = DEMO_OPTION,
                        payoff="vanilla_call",
                        *,
                        engine: str = "pallas",
+                       strategy: str = "grid",
                        tile_rows: int = 8,
                        stream_outer: int = STREAM_OUTER,
                        stream_inner: int = STREAM_INNER,
@@ -190,7 +191,8 @@ def price_nmc_localvol(option: OptionParams = DEMO_OPTION,
     s32 = validate_surface(surf, sim.n_steps)
     return price_nmc_family(LocalVolNMC(extras=(s32.n_knots,)), option,
                             s32, sim, payoff, engine=engine,
-                            tile_rows=tile_rows, stream_outer=stream_outer,
+                            strategy=strategy, tile_rows=tile_rows,
+                            stream_outer=stream_outer,
                             stream_inner=stream_inner, interpret=interpret)
 
 

@@ -112,36 +112,34 @@ class MertonNMC(NMCFamily):
         return merton_trajectories_kernel(payoff, cfg, self.kmax, key,
                                           params, interpret=interpret)
 
-    def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0, n):
+    outer_steps_per_block = 2
+
+    def outer_init(self, p, ctx, s0, state0):
+        # s rides the carry so outer_pay consumes the SAME rounded value
+        # the step persisted (recomputing s0*exp(w) at pay time lets XLA
+        # contract the multiply into the payoff's subtract — 1-ulp drift
+        # vs the trajectory kernels)
+        return (jnp.zeros_like(s0), s0, state0)
+
+    def outer_block(self, payoff, p, ctx, ids, ko0, ko1, carry, m,
+                    bitcast):
         from mc_tpu.models.merton import _merton_draw3
         kmax = self.kmax
-        shape = s0.shape
+        w, s, state = carry
+        z0, z1, e0, e1, u0, u1 = _merton_draw3(ko0, ko1, ids, m, bitcast)
+        recs = []
+        for z, e, u in ((z0, e0, u0), (z1, e1, u1)):
+            nj = _poisson_inv_cdf(u, p.lam_dt, kmax)
+            w = w + p.drift_dt + p.vol_dt * z + _jump_increment(p, nj, e)
+            s = p.s0 * jnp.exp(w)
+            state = payoff.update(state, s, p)
+            cv = state[0] if payoff.n_state else jnp.zeros_like(s)
+            recs.append((s, cv))
+        return (w, s, state), tuple(recs)
 
-        def outer_pair(carry2, m):
-            w, state = carry2
-            z0, z1, e0, e1, u0, u1 = _merton_draw3(
-                ko0, ko1, ids, m, jax.lax.bitcast_convert_type)
-
-            def half(w, state, z, e, u):
-                nj = _poisson_inv_cdf(u, p.lam_dt, kmax)
-                w = w + p.drift_dt + p.vol_dt * z + _jump_increment(p, nj, e)
-                s = s0 * jnp.exp(w)
-                return w, s, payoff.update(state, s, p)
-
-            w, s_a, state = half(w, state, z0, e0, u0)
-            cv_a = state[0] if payoff.n_state else jnp.zeros_like(s_a)
-            w, s_b, state = half(w, state, z1, e1, u1)
-            cv_b = state[0] if payoff.n_state else jnp.zeros_like(s_b)
-            return (w, state), (jnp.stack([s_a, s_b]),
-                                jnp.stack([cv_a, cv_b]))
-
-        (w, state), (s_hist, c_hist) = jax.lax.scan(
-            outer_pair, (jnp.zeros_like(s0), state0),
-            jnp.arange(n // 2, dtype=jnp.uint32))
-        s_hist = s_hist.reshape((n,) + shape)
-        c_hist = c_hist.reshape((n,) + shape)
-        pay = payoff.terminal(state, s0 * jnp.exp(w), p)
-        return (s_hist,), c_hist, pay
+    def outer_pay(self, payoff, p, ctx, carry):
+        _, s, state = carry
+        return payoff.terminal(state, s, p)
 
 
 def price_nmc_merton(option: OptionParams = DEMO_OPTION,
@@ -150,6 +148,7 @@ def price_nmc_merton(option: OptionParams = DEMO_OPTION,
                      payoff="vanilla_call",
                      *,
                      engine: str = "pallas",
+                     strategy: str = "grid",
                      tile_rows: int = 8,
                      stream_outer: int = STREAM_OUTER,
                      stream_inner: int = STREAM_INNER,
@@ -164,7 +163,8 @@ def price_nmc_merton(option: OptionParams = DEMO_OPTION,
     kmax = poisson_kmax(float(dyn.lam) * float(option.t) / sim.n_steps)
     return price_nmc_family(MertonNMC(extras=(kmax,)), option,
                             dyn.as_f32(), sim, payoff, engine=engine,
-                            tile_rows=tile_rows, stream_outer=stream_outer,
+                            strategy=strategy, tile_rows=tile_rows,
+                            stream_outer=stream_outer,
                             stream_inner=stream_inner, interpret=interpret)
 
 

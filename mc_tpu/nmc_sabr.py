@@ -81,27 +81,31 @@ class SABRNMC(NMCFamily):
     def rollout_t0(self, p):
         return (p.f0, p.alpha)
 
-    def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0, n):
+    outer_steps_per_block = 1
+
+    def outer_init(self, p, ctx, s0, state0):
         # the SABR path lives on the FORWARD, not the spot the engine's
         # s0 carries — start from p.f0 (price_sabr convention)
         f0 = jnp.full_like(s0, 1.0) * p.f0
+        # f rides the carry: outer_pay must consume the SAME rounded
+        # forward the step persisted (see nmc_merton.MertonNMC)
+        return (jnp.log(f0), jnp.zeros_like(f0) + p.alpha, f0, state0)
 
-        def outer_step(carry2, u):
-            logf, sig, state = carry2
-            c1 = jnp.full(ids.shape, 0, jnp.uint32) + u
-            z_vol, z_perp = rng.normal_pair(ko0, ko1, ids, c1)
-            logf, sig = sabr_step(p, logf, sig, z_vol, z_perp)
-            f = jnp.exp(logf)
-            state = payoff.update(state, f, p)
-            cv = state[0] if payoff.n_state else jnp.zeros_like(f)
-            return (logf, sig, state), (f, sig, cv)
+    def outer_block(self, payoff, p, ctx, ids, ko0, ko1, carry, m,
+                    bitcast):
+        logf, sig, f, state = carry
+        c1 = jnp.full(ids.shape, 0, jnp.uint32) + m
+        z_vol, z_perp = rng.normal_pair(ko0, ko1, ids, c1,
+                                        bitcast=bitcast)
+        logf, sig = sabr_step(p, logf, sig, z_vol, z_perp)
+        f = jnp.exp(logf)
+        state = payoff.update(state, f, p)
+        cv = state[0] if payoff.n_state else jnp.zeros_like(f)
+        return (logf, sig, f, state), ((f, sig, cv),)
 
-        sig0 = jnp.zeros_like(f0) + p.alpha
-        (logf, sig, state), (f_hist, sig_hist, c_hist) = jax.lax.scan(
-            outer_step, (jnp.log(f0), sig0, state0),
-            jnp.arange(n, dtype=jnp.uint32))
-        pay = payoff.terminal(state, jnp.exp(logf), p)
-        return (f_hist, sig_hist), c_hist, pay
+    def outer_pay(self, payoff, p, ctx, carry):
+        _, _, f, state = carry
+        return payoff.terminal(state, f, p)
 
 
 def price_nmc_sabr(option: OptionParams = DEMO_OPTION,
@@ -110,6 +114,7 @@ def price_nmc_sabr(option: OptionParams = DEMO_OPTION,
                    payoff="vanilla_call",
                    *,
                    engine: str = "pallas",
+                   strategy: str = "grid",
                    tile_rows: int = 8,
                    stream_outer: int = 0,
                    stream_inner: int = 1,
@@ -118,7 +123,8 @@ def price_nmc_sabr(option: OptionParams = DEMO_OPTION,
     (``result.exposure_profile()``) and CVA under the smile model's own
     dynamics, inner legs resumed from the stored (F_t, sigma_t)."""
     return price_nmc_family(SABRNMC(), option, dyn.as_f32(), sim, payoff,
-                            engine=engine, tile_rows=tile_rows,
+                            engine=engine, strategy=strategy,
+                            tile_rows=tile_rows,
                             stream_outer=stream_outer,
                             stream_inner=stream_inner, interpret=interpret)
 

@@ -91,31 +91,32 @@ class TermNMC(NMCFamily):
         w, state = jax.lax.fori_loop(0, n_pairs, body, (w0, state_t))
         return payoff.terminal(state, p.s0 * jnp.exp(w), p)
 
-    def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0, n):
+    outer_steps_per_block = 2
+
+    def outer_init(self, p, ctx, s0, state0):
+        # s rides the carry: outer_pay must consume the SAME rounded
+        # spot the step persisted (see nmc_merton.MertonNMC.outer_init)
+        return (jnp.zeros_like(s0), s0, state0)
+
+    def outer_block(self, payoff, p, ctx, ids, ko0, ko1, carry, m,
+                    bitcast):
+        # mirrors _term_leg's pair loop: pair m -> moves 2m, 2m+1
         drift_at, vol_at = ctx
+        w, s, state = carry
+        c1 = jnp.full(ids.shape, 0, jnp.uint32) + m
+        z0, z1 = rng.normal_pair(ko0, ko1, ids, c1, bitcast=bitcast)
+        recs = []
+        for move, z in ((2 * m, z0), (2 * m + 1, z1)):
+            w = w + (drift_at(move) + vol_at(move) * z)
+            s = p.s0 * jnp.exp(w)
+            state = payoff.update(state, s, p)
+            cv = state[0] if payoff.n_state else jnp.zeros_like(s)
+            recs.append((s, cv))
+        return (w, s, state), tuple(recs)
 
-        def outer_pair(carry2, jj):
-            # mirrors _term_leg's pair loop: pair jj -> moves 2jj, 2jj+1
-            w, state = carry2
-            c1 = jnp.full(ids.shape, 0, jnp.uint32) + jj
-            z0, z1 = rng.normal_pair(ko0, ko1, ids, c1)
-            recs = []
-            for move, z in ((2 * jj, z0), (2 * jj + 1, z1)):
-                w = w + (drift_at(move) + vol_at(move) * z)
-                s = s0 * jnp.exp(w)
-                state = payoff.update(state, s, p)
-                cv = state[0] if payoff.n_state else jnp.zeros_like(s)
-                recs.append((s, cv))
-            stacked = tuple(jnp.stack([a, b])
-                            for a, b in zip(recs[0], recs[1]))
-            return (w, state), stacked
-
-        (w, state), recs = jax.lax.scan(
-            outer_pair, (jnp.zeros_like(s0), state0),
-            jnp.arange(n // 2, dtype=jnp.uint32))
-        s_hist, c_hist = (r.reshape((n,) + s0.shape) for r in recs)
-        pay = payoff.terminal(state, s0 * jnp.exp(w), p)
-        return (s_hist,), c_hist, pay
+    def outer_pay(self, payoff, p, ctx, carry):
+        _, s, state = carry
+        return payoff.terminal(state, s, p)
 
 
 def price_nmc_term(option: OptionParams = DEMO_OPTION,
@@ -124,6 +125,7 @@ def price_nmc_term(option: OptionParams = DEMO_OPTION,
                    payoff="vanilla_call",
                    *,
                    engine: str = "pallas",
+                   strategy: str = "grid",
                    tile_rows: int = 8,
                    stream_outer: int = 0,
                    stream_inner: int = 1,
@@ -137,7 +139,8 @@ def price_nmc_term(option: OptionParams = DEMO_OPTION,
         raise ValueError(f"term structure has {dyn.rates.shape[0]} steps, "
                          f"sim has {sim.n_steps}")
     return price_nmc_family(TermNMC(), option, dyn.as_f32(), sim, payoff,
-                            engine=engine, tile_rows=tile_rows,
+                            engine=engine, strategy=strategy,
+                            tile_rows=tile_rows,
                             stream_outer=stream_outer,
                             stream_inner=stream_inner, interpret=interpret)
 

@@ -141,39 +141,38 @@ class VasicekNMC(NMCFamily):
         return (None, lambda t: jnp.exp(-(y[t + 1] - y[t])),
                 jnp.exp(-y[0]))
 
-    def xla_outer(self, payoff, p, ctx, ids, ko0, ko1, s0, state0, n):
-        def outer_pair(carry2, jj):
-            # mirrors _vasicek_leg's pair loop: pairs (3jj, 3jj+1, 3jj+2)
-            wxy, state = carry2
+    outer_steps_per_block = 2
 
-            def draw(m):
-                c1 = jnp.full(ids.shape, 0, jnp.uint32) + m
-                return rng.normal_pair(ko0, ko1, ids, c1)
-
-            z0, z1 = draw(3 * jj)
-            z2, z3 = draw(3 * jj + 1)
-            z4, z5 = draw(3 * jj + 2)
-            wxy, s_a = vasicek_step(p, wxy, z0, z1, z2, s0)
-            state = payoff.update(state, s_a, p)
-            cv_a = state[0] if payoff.n_state else jnp.zeros_like(s_a)
-            rec_a = (s_a, wxy[1], wxy[2], cv_a)
-            wxy, s_b = vasicek_step(p, wxy, z3, z4, z5, s0)
-            state = payoff.update(state, s_b, p)
-            cv_b = state[0] if payoff.n_state else jnp.zeros_like(s_b)
-            rec_b = (s_b, wxy[1], wxy[2], cv_b)
-            recs = tuple(jnp.stack([a, b]) for a, b in zip(rec_a, rec_b))
-            return (wxy, state), recs
-
+    def outer_init(self, p, ctx, s0, state0):
+        # s rides the carry: outer_pay must consume the SAME rounded
+        # spot the step persisted (see nmc_merton.MertonNMC.outer_init)
         zeros = jnp.zeros_like(s0)
-        x0 = jnp.full_like(s0, p.x0)
-        shape = s0.shape
-        ((w, _, y), state), recs = jax.lax.scan(
-            outer_pair, ((zeros, x0, zeros), state0),
-            jnp.arange(n // 2, dtype=jnp.uint32))
-        s_hist, x_hist, y_hist, c_hist = (
-            r.reshape((n,) + shape) for r in recs)
-        pay = payoff.terminal(state, s0 * jnp.exp(w), p) * jnp.exp(-y)
-        return (s_hist, x_hist, y_hist), c_hist, pay
+        return ((zeros, jnp.full_like(s0, p.x0), zeros), s0, state0)
+
+    def outer_block(self, payoff, p, ctx, ids, ko0, ko1, carry, m,
+                    bitcast):
+        # mirrors _vasicek_leg's pair loop: pairs (3m, 3m+1, 3m+2)
+        wxy, s, state = carry
+
+        def draw(c):
+            c1 = jnp.full(ids.shape, 0, jnp.uint32) + c
+            return rng.normal_pair(ko0, ko1, ids, c1, bitcast=bitcast)
+
+        z0, z1 = draw(3 * m)
+        z2, z3 = draw(3 * m + 1)
+        z4, z5 = draw(3 * m + 2)
+        s0 = jnp.full(ids.shape, p.s0, jnp.float32)
+        recs = []
+        for za, zb, zc in ((z0, z1, z2), (z3, z4, z5)):
+            wxy, s = vasicek_step(p, wxy, za, zb, zc, s0)
+            state = payoff.update(state, s, p)
+            cv = state[0] if payoff.n_state else jnp.zeros_like(s)
+            recs.append((s, wxy[1], wxy[2], cv))
+        return (wxy, s, state), tuple(recs)
+
+    def outer_pay(self, payoff, p, ctx, carry):
+        (_, _, y), s, state = carry
+        return payoff.terminal(state, s, p) * jnp.exp(-y)
 
 
 def price_nmc_vasicek(option: OptionParams = DEMO_OPTION,
@@ -182,6 +181,7 @@ def price_nmc_vasicek(option: OptionParams = DEMO_OPTION,
                       payoff="vanilla_call",
                       *,
                       engine: str = "pallas",
+                      strategy: str = "grid",
                       tile_rows: int = 8,
                       stream_outer: int = STREAM_OUTER,
                       stream_inner: int = STREAM_INNER,
@@ -195,7 +195,8 @@ def price_nmc_vasicek(option: OptionParams = DEMO_OPTION,
     (``result.cva(...)``) under the rates that actually discount them.
     """
     return price_nmc_family(VasicekNMC(), option, dyn.as_f32(), sim,
-                            payoff, engine=engine, tile_rows=tile_rows,
+                            payoff, engine=engine,
+                            strategy=strategy, tile_rows=tile_rows,
                             stream_outer=stream_outer,
                             stream_inner=stream_inner, interpret=interpret)
 

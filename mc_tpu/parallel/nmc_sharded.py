@@ -126,7 +126,7 @@ _NMC_MODEL_MODULES = {
     "heston": "mc_tpu.nmc_heston", "merton": "mc_tpu.nmc_merton",
     "vasicek": "mc_tpu.nmc_vasicek", "localvol": "mc_tpu.nmc_localvol",
     "cev": "mc_tpu.nmc_cev", "sabr": "mc_tpu.nmc_sabr",
-    "basket": "mc_tpu.nmc_basket",
+    "basket": "mc_tpu.nmc_basket", "term": "mc_tpu.nmc_term",
 }
 
 
@@ -138,6 +138,7 @@ def price_nmc_model_sharded(model: str,
                             *,
                             mesh: Optional[Mesh] = None,
                             engine: str = "pallas",
+                            strategy: str = "grid",
                             tile_rows: int = 8,
                             interpret: Optional[bool] = None) -> NMCResult:
     """Family NMC surface with outer paths sharded across the mesh.
@@ -158,5 +159,5 @@ def price_nmc_model_sharded(model: str,
     fam, dyn32 = NMC_FAMILY_BUILDERS[model](option, dyn, sim)
     return price_nmc_family_sharded(fam, option, dyn32, sim, payoff,
                                     mesh=mesh, engine=engine,
-                                    tile_rows=tile_rows,
+                                    strategy=strategy, tile_rows=tile_rows,
                                     interpret=interpret)

@@ -450,6 +450,24 @@ def test_terminal_pair():
                       method="terminal_pair", tile_rows=8))
 
 
+def test_nmc_family_fused():
+    """Fused-strategy family NMC (outer physics + inner sweep in ONE
+    kernel, history in VMEM scratch): compiled == interpret == the grid
+    strategy bitwise on the real chip (heston: 2 market grids + asian
+    payoff state riding the cv slab)."""
+    from mc_tpu.nmc_heston import price_nmc_heston
+    sim = SimParams(n_paths=2048, n_steps=4, n_paths_inner=8)
+    kw = dict(sim=sim, payoff="asian_call", tile_rows=8)
+    c = price_nmc_heston(strategy="fused", interpret=False, **kw)
+    i = price_nmc_heston(strategy="fused", interpret=True, **kw)
+    g = price_nmc_heston(strategy="grid", interpret=False, **kw)
+    _assert_tri(c.outer, i.outer, g.outer)
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(i.surface))
+    np.testing.assert_array_equal(np.asarray(c.surface),
+                                  np.asarray(g.surface))
+
+
 def test_nmc_term():
     """Term-structure NMC: curve lookups in the compiled inner legs,
     all three routes bitwise."""
