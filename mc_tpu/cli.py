@@ -304,6 +304,14 @@ def cmd_nmc(args):
         dyn = _demo_basket(d=args.n_assets, rho=args.corr)
         res = price_nmc_basket(option, dyn, sim, payoff=args.payoff,
                                engine=args.engine, strategy=args.strategy)
+    elif args.model == "rainbow":
+        if args.discount != "full":
+            raise SystemExit("--discount is fixed (full) with --model rainbow")
+        from mc_tpu.models.basket import _demo_basket
+        from mc_tpu.nmc_rainbow import price_nmc_rainbow
+        dyn = _demo_basket(d=args.n_assets, rho=args.corr)
+        res = price_nmc_rainbow(option, dyn, sim, payoff=args.payoff,
+                                engine=args.engine, strategy=args.strategy)
     else:
         res = price_nmc(option, sim, payoff=args.payoff,
                         strategy=args.strategy, engine=args.engine,
@@ -1050,7 +1058,8 @@ def main(argv=None):
     p.add_argument("--cva-recovery", type=float, default=0.4)
     p.add_argument("--model",
                    choices=("gbm", "heston", "merton", "vasicek",
-                            "localvol", "cev", "basket", "sabr", "term"),
+                            "localvol", "cev", "basket", "sabr", "term",
+                            "rainbow"),
                    default="gbm")
     p.add_argument("--alpha", type=float, default=0.2,
                    help="sabr initial vol")

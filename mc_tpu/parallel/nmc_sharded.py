@@ -127,6 +127,7 @@ _NMC_MODEL_MODULES = {
     "vasicek": "mc_tpu.nmc_vasicek", "localvol": "mc_tpu.nmc_localvol",
     "cev": "mc_tpu.nmc_cev", "sabr": "mc_tpu.nmc_sabr",
     "basket": "mc_tpu.nmc_basket", "term": "mc_tpu.nmc_term",
+    "rainbow": "mc_tpu.nmc_rainbow",
 }
 
 

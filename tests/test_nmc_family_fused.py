@@ -21,6 +21,7 @@ import mc_tpu.nmc_cev  # noqa: F401
 import mc_tpu.nmc_heston  # noqa: F401
 import mc_tpu.nmc_localvol  # noqa: F401
 import mc_tpu.nmc_merton  # noqa: F401
+import mc_tpu.nmc_rainbow  # noqa: F401
 import mc_tpu.nmc_sabr  # noqa: F401
 import mc_tpu.nmc_term  # noqa: F401
 import mc_tpu.nmc_vasicek  # noqa: F401
