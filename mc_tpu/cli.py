@@ -440,16 +440,43 @@ def cmd_american(args):
                                      - fv(args.sigma - hv)) / (2 * hv), 6)
         print(json.dumps(out))
         return 0
+    if args.model in ("basket", "rainbow") and args.bounds:
+        from mc_tpu.lsmc import american_bounds_family
+        from mc_tpu.models.basket import _demo_basket
+        dyn = _demo_basket(d=args.n_assets, rho=args.corr)
+        lo, up = american_bounds_family(
+            args.model, option, dyn, sim, payoff=args.payoff,
+            degree=args.degree, n_inner=args.bounds_inner,
+            exercise_every=args.exercise_every)
+        print(json.dumps({
+            "payoff": args.payoff, "model": args.model,
+            "n_assets": args.n_assets,
+            "lower": float(lo.price),
+            "lower_stderr": float(lo.stderr),
+            "upper": float(up.price),
+            "upper_stderr": float(up.stderr),
+            "gap": float(up.price) - float(lo.price)}))
+        return 0
     if args.model == "basket":
-        if args.bounds:
-            raise SystemExit("--bounds is not supported with "
-                             "--model basket yet")
         from mc_tpu.models.basket import _demo_basket
         dyn = _demo_basket(d=args.n_assets, rho=args.corr)
         res = price_american_basket(option, dyn, sim, payoff=args.payoff,
                                     degree=args.degree, two_pass=True,
                                     exercise_every=args.exercise_every)
         print(json.dumps({"payoff": args.payoff, "model": "basket",
+                          "n_assets": args.n_assets,
+                          "price": float(res.price),
+                          "stderr": float(res.stderr)}))
+        return 0
+    if args.model == "rainbow":
+        from mc_tpu.lsmc import price_american_rainbow
+        from mc_tpu.models.basket import _demo_basket
+        dyn = _demo_basket(d=args.n_assets, rho=args.corr)
+        res = price_american_rainbow(option, dyn, sim,
+                                     payoff=args.payoff,
+                                     degree=args.degree, two_pass=True,
+                                     exercise_every=args.exercise_every)
+        print(json.dumps({"payoff": args.payoff, "model": "rainbow",
                           "n_assets": args.n_assets,
                           "price": float(res.price),
                           "stderr": float(res.stderr)}))
@@ -1129,7 +1156,7 @@ def main(argv=None):
                         "reference for gbm vanilla)")
     p.add_argument("--model",
                    choices=("gbm", "heston", "basket", "vasicek",
-                            "localvol"),
+                            "localvol", "rainbow"),
                    default="gbm")
     p.add_argument("--n-assets", type=int, default=4)
     p.add_argument("--corr", type=float, default=0.5)

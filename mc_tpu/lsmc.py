@@ -44,7 +44,8 @@ from mc_tpu.ops.payoffs import get_payoff
 
 __all__ = ["price_american", "american_greeks", "american_bounds_family",
            "price_american_heston",
-           "price_american_basket", "price_american_vasicek",
+           "price_american_basket", "price_american_rainbow",
+           "price_american_vasicek",
            "price_american_localvol", "american_bounds",
            "binomial_american"]
 
@@ -285,9 +286,9 @@ def _price_american_family_impl(fam, option, dyn, payoff, sim, degree,
     design_fn, n_basis = fam.lsmc_design(p, gs_a, degree, inv_k)
     disc, disc_fn, disc0 = fam.lsmc_discount(p, gs_a)
     v_val, betas = _backward_fit(
-        payoff, p, gs_a[0], gs_a[-1], valid, sim.n_steps, degree, inv_k,
-        disc, immediate, every, design_fn=design_fn, n_basis=n_basis,
-        disc_fn=disc_fn)
+        payoff, p, fam.lsmc_level(p, gs_a), gs_a[-1], valid,
+        sim.n_steps, degree, inv_k, disc, immediate, every,
+        design_fn=design_fn, n_basis=n_basis, disc_fn=disc_fn)
     if not two_pass:
         return _summ(v_val * disc0, valid, sim.n_paths)
 
@@ -297,9 +298,9 @@ def _price_american_family_impl(fam, option, dyn, payoff, sim, degree,
     design_fn_b, _ = fam.lsmc_design(p, gs_b, degree, inv_k)
     disc_b, disc_fn_b, disc0_b = fam.lsmc_discount(p, gs_b)
     vb = _apply_policy_pass(
-        payoff, p, gs_b[0], gs_b[-1], valid_b, betas, sim.n_steps, degree,
-        inv_k, disc_b, immediate, every, design_fn=design_fn_b,
-        disc_fn=disc_fn_b)
+        payoff, p, fam.lsmc_level(p, gs_b), gs_b[-1], valid_b, betas,
+        sim.n_steps, degree, inv_k, disc_b, immediate, every,
+        design_fn=design_fn_b, disc_fn=disc_fn_b)
     return _summ(vb * disc0_b, valid_b, sim.n_paths)
 
 
@@ -849,6 +850,47 @@ def price_american_basket(option: OptionParams = DEMO_OPTION,
                                        exercise_every)
 
 
+def price_american_rainbow(option: OptionParams = DEMO_OPTION,
+                           basket=None,
+                           sim: SimParams = DEMO_SIM,
+                           payoff="put_on_min",
+                           *,
+                           degree: int = 3,
+                           two_pass: bool = True,
+                           exercise_every: int = 1,
+                           tile_rows: int = 8,
+                           stream: int = STREAM_OUTER,
+                           key=None,
+                           interpret: Optional[bool] = None) -> PriceResult:
+    """Longstaff-Schwartz American/Bermudan rainbow option: early
+    exercise of best-of / worst-of contracts on d correlated assets.
+
+    The exercise level is the order statistic (``put_on_min`` =
+    vanilla_put on ``min_i S_i`` etc., `nmc_rainbow.RAINBOW_NMC_PAYOFFS`)
+    while the continuation value regresses on the PER-ASSET cross basis
+    (`nmc_basket.BasketNMC.lsmc_design`) — the standard multi-asset
+    LSMC design: the folded level alone is not a sufficient statistic
+    for the continuation value.
+
+    Gates (tests): the American call-on-max without dividends equals
+    the European Stulz value (early exercise never optimal on a
+    non-dividend best-of call); the American put-on-min carries a
+    positive early-exercise premium over `oracle.stulz_min_put`; d=1
+    collapses to the CRR binomial American.
+    """
+    from mc_tpu.models.basket import DEMO_BASKET
+    from mc_tpu.nmc_rainbow import RAINBOW_NMC_PAYOFFS, RainbowNMC
+    basket = DEMO_BASKET if basket is None else basket
+    agg, po = RAINBOW_NMC_PAYOFFS.get(payoff, ("max", payoff))
+    b32 = basket.as_f32()
+    return price_american_family(RainbowNMC(extras=(b32.d, agg)),
+                                 option, b32, sim, po, degree=degree,
+                                 two_pass=two_pass,
+                                 exercise_every=exercise_every,
+                                 tile_rows=tile_rows, stream=stream,
+                                 key=key, interpret=interpret)
+
+
 # ---------------------------------------------------------------------------
 # American Greeks: frozen-exercise-policy pathwise differentiation
 # (round 3).  Fit the LSMC policy on one path set, FREEZE it, and
@@ -945,10 +987,15 @@ def _american_greeks_impl(option, dyn, payoff, sim, fam, degree, every,
             return (lambda tt: _basis(hists[0][tt] * inv_k, degree),
                     degree + 1, d, lambda tt: d, d)
 
+    def level_of(p2, hists):
+        return hists[0] if fam is None else fam.lsmc_level(p2, hists)
+
     def immediate_of(p2, hists, c_hist):
+        lvl = level_of(p2, hists)
+
         def immediate(s_f, c_f, j):
             st = (c_hist[j],) if payoff.n_state else ()
-            return payoff.terminal(st, hists[0][j], p2)
+            return payoff.terminal(st, lvl[j], p2)
         return immediate
 
     # --- pass A: fit the policy (no gradients flow) --------------------
@@ -957,8 +1004,8 @@ def _american_greeks_impl(option, dyn, payoff, sim, fam, degree, every,
     p_a, hists_a, c_a = simulate(s0_0, sig_0, ka0, ka1)
     design_a, n_basis, disc_a, disc_fn_a, _ = hooks_of(p_a, hists_a)
     _, betas = _backward_fit(
-        payoff, p_a, hists_a[0], c_a, valid, n, degree, 1.0 / p_a.k,
-        disc_a, immediate_of(p_a, hists_a, c_a), every,
+        payoff, p_a, level_of(p_a, hists_a), c_a, valid, n, degree,
+        1.0 / p_a.k, disc_a, immediate_of(p_a, hists_a, c_a), every,
         design_fn=design_a, n_basis=n_basis, disc_fn=disc_fn_a)
     betas = jax.lax.stop_gradient(betas)
 
@@ -967,8 +1014,9 @@ def _american_greeks_impl(option, dyn, payoff, sim, fam, degree, every,
         p_b, hists_b, c_b = simulate(s0v, sigv, kb0, kb1)
         design_b, _, disc_b, disc_fn_b, disc0_b = hooks_of(p_b, hists_b)
         vb = _apply_policy_pass(
-            payoff, p_b, hists_b[0], c_b, valid, betas, n, degree,
-            1.0 / p_b.k, disc_b, immediate_of(p_b, hists_b, c_b), every,
+            payoff, p_b, level_of(p_b, hists_b), c_b, valid, betas, n,
+            degree, 1.0 / p_b.k, disc_b,
+            immediate_of(p_b, hists_b, c_b), every,
             design_fn=design_b, disc_fn=disc_fn_b)
         vb = jnp.where(valid, vb * disc0_b, 0.0)
         return jnp.sum(vb) / jnp.float32(sim.n_paths)
@@ -1089,23 +1137,26 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
         return tuple(g.reshape(n, n_pad) for g in gs[:-1]), n_pad
 
     def immediate_of(gs):
-        return lambda s_f, c_f, j: payoff.terminal((), gs[0][j], p)
+        lvl = fam.lsmc_level(p, gs)
+        return lambda s_f, c_f, j: payoff.terminal((), lvl[j], p)
 
     # 1) the policy the lower bound prices
     gs_a, n_pad_a = grids(sim.n_paths, key_fit)
     valid_a = (jnp.arange(n_pad_a, dtype=jnp.uint32)
                < jnp.uint32(sim.n_paths))
+    lvl_a = fam.lsmc_level(p, gs_a)
     design_a, n_basis = fam.lsmc_design(p, gs_a, degree, inv_k)
     if design_a is None:
-        design_a = lambda t: _basis(gs_a[0][t] * inv_k, degree)
+        design_a = lambda t: _basis(lvl_a[t] * inv_k, degree)
     disc_a, disc_fn_a, _ = fam.lsmc_discount(p, gs_a)
     _, betas = _backward_fit(
-        payoff, p, gs_a[0], gs_a[0], valid_a, n, degree, inv_k, disc_a,
+        payoff, p, lvl_a, lvl_a, valid_a, n, degree, inv_k, disc_a,
         immediate_of(gs_a), every, design_fn=design_a, n_basis=n_basis,
         disc_fn=disc_fn_a)
 
     # 2) independent outer set
     gs_b, n_pad_b = grids(n_outer, key_outer)
+    lvl_b = fam.lsmc_level(p, gs_b)
     valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
                < jnp.uint32(n_outer))
     ids_b = jnp.arange(n_pad_b, dtype=jnp.uint32)
@@ -1235,7 +1286,7 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
         m = m + jax.lax.cond(jnp.logical_and(is_ex_date, t >= 1),
                              delta_fn,
                              lambda _: jnp.zeros_like(m), 0)
-        hd = payoff.terminal((), gs_b[0][t], p) * df_t
+        hd = payoff.terminal((), lvl_b[t], p) * df_t
         run_max = jnp.maximum(run_max,
                               jnp.where(is_ex_date, hd - m, -1e30))
         return (m, run_max), None
@@ -1269,7 +1320,10 @@ def american_bounds_family(model: str,
     """Andersen-Broadie bracket under a model family: (lower, upper).
 
     ``model``: "heston" | "merton" | "cev" | "localvol" | "sabr" |
-    "vasicek" — any NMC family with LSMC + rollout hooks; discounting
+    "vasicek" | "basket" | "rainbow" — any NMC family with LSMC +
+    rollout hooks ("rainbow" also accepts the rainbow contract names,
+    e.g. payoff="put_on_min" brackets the American worst-of put);
+    discounting
     rides the rollout carry, so Vasicek's PATHWISE stochastic
     discounting is exact (each rollout accumulates its own e^{-dy} and
     anchors on the stored integrated-rate grid).  The lower
@@ -1283,12 +1337,23 @@ def american_bounds_family(model: str,
                 "merton": "mc_tpu.nmc_merton", "cev": "mc_tpu.nmc_cev",
                 "localvol": "mc_tpu.nmc_localvol",
                 "sabr": "mc_tpu.nmc_sabr",
-                "vasicek": "mc_tpu.nmc_vasicek"}
+                "vasicek": "mc_tpu.nmc_vasicek",
+                "basket": "mc_tpu.nmc_basket",
+                "rainbow": "mc_tpu.nmc_rainbow"}
     if model not in _MODULES:
         raise ValueError(f"american_bounds_family supports "
                          f"{tuple(_MODULES)}, got {model!r}")
     importlib.import_module(_MODULES[model])
-    fam, dyn32 = NMC_FAMILY_BUILDERS[model](option, dyn, sim)
+    if model == "rainbow":
+        # rainbow contract names select the order statistic; the
+        # standard payoff then reads the folded level
+        from mc_tpu.nmc_rainbow import RAINBOW_NMC_PAYOFFS, RainbowNMC
+        from mc_tpu.models.basket import DEMO_BASKET
+        agg, payoff = RAINBOW_NMC_PAYOFFS.get(payoff, ("max", payoff))
+        dyn32 = (DEMO_BASKET if dyn is None else dyn).as_f32()
+        fam = RainbowNMC(extras=(dyn32.d, agg))
+    else:
+        fam, dyn32 = NMC_FAMILY_BUILDERS[model](option, dyn, sim)
     po = get_payoff(payoff)
     if po.n_state != 0:
         raise ValueError("american_bounds supports terminal payoffs "

@@ -117,6 +117,101 @@ class BasketNMC(NMCFamily):
         ws, state = jax.lax.fori_loop(0, remaining, step, (ws0, state_t))
         return payoff.terminal(state, self._basket_of(p, d, ws), p)
 
+    # --- LSMC hooks: per-asset cross basis ----------------------------
+    # The continuation value of a multi-asset contract depends on every
+    # asset level, not just the folded payoff level, so the regression
+    # runs on per-asset moneyness monomials plus the pairwise cross
+    # terms (Longstaff-Schwarz 2001 Sec. 8's basis for two-asset max
+    # options, generalized): 1, x_i^k (k <= degree), x_i x_j (i < j)
+    # with x_i = S_i/s0_i - 1 centered for f32 conditioning like
+    # lsmc._basis.
+
+    def lsmc_level(self, p, grids_flat):
+        lvl = None
+        for i in range(self.d):
+            term = p.weights[i] * grids_flat[i]
+            lvl = term if lvl is None else lvl + term
+        return lvl
+
+    def lsmc_design(self, p, grids_flat, degree, inv_k):
+        d = self.d
+        lvl = self.lsmc_level(p, grids_flat)
+
+        def design(t):
+            xs = [grids_flat[i][t] / p.s0s[i] - 1.0 for i in range(d)]
+            # level moneyness monomials FIRST: deep in the money the
+            # continuation is ~linear in the payoff level (cont ≈ lvl -
+            # K e^{-r tau}), and for order-statistic levels (RainbowNMC)
+            # the max/min fold is not a polynomial in the x_i — without
+            # these columns the fit under-predicts deep-ITM continuation
+            # and spuriously exercises the most valuable paths (~2% low
+            # bias measured on the two-asset call-on-max)
+            m = lvl[t] * inv_k - 1.0
+            cols = [jnp.ones_like(m)]
+            pw = m
+            for _ in range(degree):
+                cols.append(pw)
+                pw = pw * m
+            for x in xs:
+                pw = x
+                for _ in range(degree):
+                    cols.append(pw)
+                    pw = pw * x
+            for i in range(d):
+                for j in range(i + 1, d):
+                    cols.append(xs[i] * xs[j])
+            return jnp.stack(cols, axis=-1)
+
+        return design, 1 + (d + 1) * degree + d * (d - 1) // 2
+
+    # --- Andersen-Broadie rollout hooks -------------------------------
+    # Rollout state = the d per-asset log-moneyness values; each substep
+    # draws ceil(d/2) pairs and applies the same Cholesky mix the
+    # pricing legs run.  The continuation basis at a rollout state must
+    # reproduce lsmc_design's column layout exactly (the dual re-reads
+    # the FITTED betas).
+
+    @property
+    def rollout_pairs_per_step(self):
+        return (self.d + 1) // 2
+
+    def rollout_carry(self, p, ctx, grids_j):
+        return tuple(jnp.log(grids_j[i] / p.s0s[i])
+                     for i in range(self.d))
+
+    def rollout_step(self, p, ctx, carry, d, u):
+        zs = []
+        for q in range((self.d + 1) // 2):
+            z0, z1 = d.pair(q)
+            zs += [z0, z1]
+        return (self._mix_step(p, carry, zs[:self.d]),
+                jnp.exp(-p.r * p.dt))
+
+    def rollout_spot(self, p, ctx, carry):
+        return self._basket_of(p, self.d, carry)
+
+    def rollout_t0(self, p):
+        return tuple(p.s0s[i] for i in range(self.d))
+
+    def lsmc_basis_point(self, p, carry, s, degree, inv_k):
+        d = self.d
+        xs = [jnp.exp(carry[i]) - 1.0 for i in range(d)]
+        m = s * inv_k - 1.0
+        cols = [jnp.ones_like(m)]
+        pw = m
+        for _ in range(degree):
+            cols.append(pw)
+            pw = pw * m
+        for x in xs:
+            pw = x
+            for _ in range(degree):
+                cols.append(pw)
+                pw = pw * x
+        for i in range(d):
+            for j in range(i + 1, d):
+                cols.append(xs[i] * xs[j])
+        return jnp.stack(cols, axis=-1)
+
     outer_steps_per_block = 1
 
     def outer_init(self, p, ctx, s0, state0):

@@ -218,6 +218,12 @@ class NMCFamily:
         return _basis(s * inv_k, degree)
 
     # --- LSMC hooks (generic Longstaff-Schwartz client, lsmc.py) -------
+    def lsmc_level(self, p, grids_flat):
+        """Exercise-level grid the payoff reads during the backward
+        induction (default: the first market grid; multi-asset families
+        fold their weighted sum / order statistic)."""
+        return grids_flat[0]
+
     def lsmc_design(self, p, grids_flat, degree: int, inv_k):
         """(design_fn(t) | None, n_basis) continuation regressors from
         the family's flattened market grids.  Default: the S/K monomial

@@ -70,6 +70,18 @@ class RainbowNMC(BasketNMC):
             lvl = s if lvl is None else fold(lvl, s)
         return lvl
 
+    def lsmc_level(self, p, grids_flat):
+        """Exercise level for the generic LSMC client: the order
+        statistic folded over the stored per-asset price grids (the
+        cross basis is inherited from BasketNMC — the continuation
+        value of a best-of depends on all asset levels)."""
+        fold = jnp.maximum if self.agg == "max" else jnp.minimum
+        lvl = None
+        for i in range(self.d):
+            g = grids_flat[i]
+            lvl = g if lvl is None else fold(lvl, g)
+        return lvl
+
 
 def price_nmc_rainbow(option: OptionParams = DEMO_OPTION,
                       basket: BasketDynamics = DEMO_BASKET,

@@ -79,3 +79,47 @@ def test_american_localvol_bounds_cli(capsys):
     assert rc == 0
     assert doc["upper"] + 0.3 >= doc["lower"]
     assert doc["gap"] == doc["upper"] - doc["lower"]
+
+
+def test_nmc_rainbow_cli(capsys):
+    rc, out = run(capsys, ["nmc", "--model", "rainbow", "--n-assets",
+                           "2", "--payoff", "vanilla_call", "--n-inner",
+                           "8", "--exposure"] + SMALL)
+    doc = json.loads(out)
+    assert rc == 0 and doc["outer_price"] > 0
+    assert len(doc["expected_exposure"]) == 8
+
+
+def test_american_rainbow_cli(capsys):
+    rc, out = run(capsys, ["american", "--model", "rainbow",
+                           "--n-assets", "2", "--payoff", "put_on_min",
+                           "-N", "4096", "--n-steps", "8",
+                           "--tile-rows", "8", "--engine", "xla"])
+    doc = json.loads(out)
+    assert rc == 0 and doc["price"] > 0 and doc["model"] == "rainbow"
+
+
+def test_american_rainbow_bounds_cli(capsys):
+    rc, out = run(capsys, ["american", "--model", "rainbow", "--bounds",
+                           "--n-assets", "2", "--payoff", "put_on_min",
+                           "--bounds-inner", "16", "-N", "4096",
+                           "--n-steps", "8", "--tile-rows", "8",
+                           "--engine", "xla"])
+    doc = json.loads(out)
+    assert rc == 0
+    assert doc["upper"] + 0.3 >= doc["lower"]
+
+
+def test_nmc_strategy_fused_cli(capsys):
+    rc_g, out_g = run(capsys, ["nmc", "--model", "heston", "--payoff",
+                               "vanilla_call", "--n-inner", "8",
+                               "--strategy", "grid", "-N", "2048",
+                               "--n-steps", "8", "--tile-rows", "8"])
+    rc_f, out_f = run(capsys, ["nmc", "--model", "heston", "--payoff",
+                               "vanilla_call", "--n-inner", "8",
+                               "--strategy", "fused", "-N", "2048",
+                               "--n-steps", "8", "--tile-rows", "8"])
+    g, f = json.loads(out_g), json.loads(out_f)
+    assert rc_g == rc_f == 0
+    assert g["outer_price"] == f["outer_price"]
+    assert g["surface_mean"] == f["surface_mean"]
