@@ -111,6 +111,53 @@ def _xla_partials(payoff: PathPayoff, cfg: pk.KernelConfig, key, option,
 
 
 # ---------------------------------------------------------------------------
+# Differentiable Pallas primal: jax.grad cannot trace into a Mosaic
+# kernel, but the engine-parity contract (pallas == XLA dual BITWISE on
+# the same stream) makes the dual's VJP EXACT for the kernel — so the
+# fused kernel is the forward pass and the dual defines the backward.
+# Any computation composing price(engine="pallas") (calibration loops,
+# chunked pipelines, greeks with jax.grad) now differentiates instead
+# of erroring.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _pallas_partials_diff(payoff, cfg, interpret, key, option, path_offset):
+    params = pk.pack_params(option, cfg.n_steps)
+    return tuple(pk.simulate_partials(payoff, cfg, key, params,
+                                      path_offset=path_offset,
+                                      interpret=interpret))
+
+
+def _pallas_partials_fwd(payoff, cfg, interpret, key, option, path_offset):
+    if cfg.rng_source == "hw":
+        raise ValueError(
+            "gradients are undefined for rng_source='hw': the hardware "
+            "PRNG stream has no XLA dual to differentiate — use the "
+            "counter-based threefry sources")
+    out = _pallas_partials_diff(payoff, cfg, interpret, key, option,
+                                path_offset)
+    return out, (key, option, path_offset)
+
+
+def _pallas_partials_bwd(payoff, cfg, interpret, res, ct):
+    import numpy as np
+    key, option, path_offset = res
+    _, vjp = jax.vjp(
+        lambda o: tuple(_xla_partials(payoff, cfg, key, o, path_offset)),
+        option)
+    (d_option,) = vjp(tuple(ct))
+
+    def f0(x):
+        return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+    return (f0(key), d_option, f0(path_offset))
+
+
+_pallas_partials_diff.defvjp(_pallas_partials_fwd, _pallas_partials_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Public pricing API
 # ---------------------------------------------------------------------------
 
@@ -151,10 +198,9 @@ def _price_impl(option, payoff, sim, method, engine, antithetic,
         is_shift=importance_shift,
     )
     if engine == "pallas":
-        params = pk.pack_params(option, sim.n_steps)
-        partials = pk.simulate_partials(
-            payoff, cfg, key, params, path_offset=path_offset,
-            interpret=interpret)
+        partials = _pallas_partials_diff(
+            payoff, cfg, interpret, key, option,
+            jnp.asarray(path_offset, jnp.uint32))
     elif engine == "xla":
         partials = _xla_partials(payoff, cfg, key, option, path_offset)
     else:

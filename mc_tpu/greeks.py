@@ -221,9 +221,15 @@ def greeks(option: OptionParams = DEMO_OPTION,
            key=None) -> Dict[str, Any]:
     """Monte Carlo Greeks.  Returns {greek: value} (plus 'gamma' for fd).
 
-    `engine="xla"` by default: `jax.grad` does not yet flow through the
-    Pallas kernels (no custom VJP), and the XLA dual prices the identical
-    stream, so the Greeks correspond bit-for-bit to the production price.
+    `engine="xla"` by default: the XLA dual prices the identical stream,
+    so the Greeks correspond bit-for-bit to the production price.
+    `engine="pallas"` works for every method/which combination too — the
+    fused pathwise kernel serves the four market Greeks directly, and
+    everything else differentiates through the kernel's custom VJP
+    (`engines._pallas_partials_diff`: forward = Mosaic kernel, backward
+    = the bitwise-equal XLA dual, so the gradients are exact for the
+    production price) — it just compiles both programs for no numeric
+    difference.
     """
     po = get_payoff(payoff)
     if sim_method is None:
@@ -267,16 +273,13 @@ def greeks(option: OptionParams = DEMO_OPTION,
     f = _price_fn(po, sim.replace(seed=0), sim_method, engine, antithetic,
                   tile_rows, key)
 
-    if method == "pathwise" and engine == "pallas":
-        bad_k = set(which) - _PATHWISE_KERNEL_OK
-        if bad_k:
-            raise ValueError(
-                f"the fused pathwise kernel computes "
-                f"{sorted(_PATHWISE_KERNEL_OK)}; for {sorted(bad_k)} use "
-                "engine='xla' (jax.grad) or method='fd'")
-        if antithetic:
-            raise ValueError("antithetic is not supported by the fused "
-                             "pathwise kernel; use engine='xla'")
+    if (method == "pathwise" and engine == "pallas"
+            and not (set(which) - _PATHWISE_KERNEL_OK) and not antithetic):
+        # fast path: ONE fused kernel computes the four market greeks
+        # with per-greek stderr.  Other which/antithetic combinations
+        # fall through to jax.grad below — the custom VJP on the Pallas
+        # primal (engines._pallas_partials_diff) differentiates the
+        # bitwise-equal XLA dual behind the kernel.
         res = _pathwise_kernel_moments(opt32, po, sim.replace(seed=0),
                                        sim_method, tile_rows, None, key)
         out = {}

@@ -249,9 +249,13 @@ def test_pathwise_kernel_terminal_vs_closed_form():
         4.0 * float(g["epsilon_stderr"])
 
 
-def test_pathwise_kernel_guards():
-    with pytest.raises(ValueError, match="fused pathwise"):
-        greeks(method="pathwise", engine="pallas", which=("theta",))
-    with pytest.raises(ValueError, match="antithetic"):
-        greeks(method="pathwise", engine="pallas", which=("delta",),
-               antithetic=True)
+def test_pathwise_kernel_fallthrough():
+    """which/antithetic combinations outside the fused kernel no longer
+    raise: they fall through to jax.grad via the Pallas custom VJP and
+    match engine='xla' bitwise (same backward program)."""
+    for kw in ({"which": ("theta",)},
+               {"which": ("delta",), "antithetic": True}):
+        gp = greeks(method="pathwise", engine="pallas", **kw)
+        gx = greeks(method="pathwise", engine="xla", **kw)
+        (k,) = kw["which"]
+        assert float(gp[k]) == float(gx[k]), kw
