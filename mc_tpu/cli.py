@@ -1210,7 +1210,7 @@ def main(argv=None):
                    default="lattice")
     p.add_argument("--model",
                    choices=("gbm", "heston", "basket", "cev", "sabr",
-                            "localvol"),
+                            "localvol", "vasicek", "merton", "term"),
                    default="gbm",
                    help="drive a model family's step loop from the "
                         "low-discrepancy points")

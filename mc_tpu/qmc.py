@@ -259,6 +259,9 @@ def _qmc_draw_pair_factory(ids, zvec_ref, shift_ref, n: int, method: str,
         u1 = u_fn(ids, m2 + 1)
         return rng.inv_normal_cdf(u0), rng.inv_normal_cdf(u1)
 
+    # raw (0,1) point coordinate of dimension d — jump models feed these
+    # to discrete inverse CDFs (Poisson counts) instead of normals
+    draw_pair.unit = lambda d: u_fn(ids, jnp.asarray(d, jnp.int32))
     return draw_pair
 
 
@@ -628,7 +631,8 @@ def price_qmc(option: OptionParams = DEMO_OPTION,
 # ---------------------------------------------------------------------------
 
 
-def _model_qmc_hooks(model: str, dyn, n_steps: int):
+def _model_qmc_hooks(model: str, dyn, n_steps: int, t: float = 1.0,
+                     kmax: int = 0):
     """(pack, leg, n_dims) for a QMC-capable model family; ``leg``
     takes the PACKED params (SMEM ref in-kernel, array in the dual)."""
     if model == "heston":
@@ -686,8 +690,69 @@ def _model_qmc_hooks(model: str, dyn, n_steps: int):
                                  sigma_at)
 
         return _pack_localvol, leg, n_steps  # one pair per 2 steps
+    if model == "vasicek":
+        from mc_tpu.models.vasicek import (_pack_vasicek, _unpack_vasicek,
+                                           _vasicek_leg)
+
+        def leg(payoff, params, ids, draw_pair):
+            p = _unpack_vasicek(params)
+            s0 = jnp.full(ids.shape, 1.0, jnp.float32) * p.s0
+            return _vasicek_leg(payoff, n_steps, p, s0, draw_pair)
+
+        return _pack_vasicek, leg, 3 * n_steps  # 3 pairs per 2 steps
+    if model == "merton":
+        from mc_tpu.models.merton import (_merton_leg, _pack_merton,
+                                          _unpack_merton, poisson_kmax)
+        if not kmax:  # traced dyn (jitted impls) must pass it statically
+            kmax = poisson_kmax(float(dyn.lam) * float(t) / n_steps)
+
+        def leg(payoff, params, ids, draw_pair):
+            p = _unpack_merton(params)
+            s0 = jnp.full(ids.shape, 1.0, jnp.float32) * p.s0
+
+            def draw3(m):
+                # dims per step pair m: 6m..6m+3 -> the two diffusion
+                # and two jump-size normals (via draw_pair's inverse
+                # CDF), 6m+4/6m+5 -> RAW uniforms for the Poisson
+                # counts (draw_pair.unit)
+                z0, z1 = draw_pair(3 * m)
+                e0, e1 = draw_pair(3 * m + 1)
+                u0 = draw_pair.unit(6 * m + 4)
+                u1 = draw_pair.unit(6 * m + 5)
+                return z0, z1, e0, e1, u0, u1
+
+            return _merton_leg(payoff, n_steps, kmax, p, s0, draw3)
+
+        return _pack_merton, leg, 3 * n_steps
+    if model == "term":
+        from mc_tpu.models.term import (_HDR, _pack_term,
+                                        _term_leg, _unpack_term_head)
+
+        def leg(payoff, params, ids, draw_pair):
+            p = _unpack_term_head(params)
+            drift_at = lambda j: params[_HDR + j]
+            vol_at = lambda j: params[_HDR + n_steps + j]
+            s0 = jnp.full(ids.shape, 1.0, jnp.float32) * p.s0
+            return _term_leg(payoff, n_steps, p, s0, draw_pair,
+                             drift_at, vol_at)
+
+        return _pack_term, leg, n_steps  # one pair per 2 steps
     raise ValueError(f"QMC model must be one of 'heston', 'basket', "
-                     f"'cev', 'sabr', 'localvol'; got {model!r}")
+                     f"'cev', 'sabr', 'localvol', 'vasicek', 'merton', "
+                     f"'term'; got {model!r}")
+
+
+def _model_qmc_discount(model, option, dyn):
+    """Date-0 discount of the model's payoff mean: vasicek discounts
+    PATHWISE inside its leg (exp(-int r) rides the carry), term uses the
+    integrated curve exp(-mean(rates)*T); everything else the scalar
+    e^{-rT}."""
+    t = jnp.asarray(option.t, jnp.float32)
+    if model == "vasicek":
+        return jnp.float32(1.0)
+    if model == "term":
+        return jnp.exp(-jnp.mean(jnp.asarray(dyn.rates, jnp.float32)) * t)
+    return jnp.exp(-jnp.asarray(option.r, jnp.float32) * t)
 
 
 def _make_qmc_model_kernel(model, payoff, cfg: pk.KernelConfig, n: int,
@@ -778,13 +843,15 @@ def _model_shift_mean_fn(model, payoff, cfg, params, leg, zvec, n,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "payoff", "n", "n_steps", "d_assets",
-                     "engine", "tile_rows", "interpret", "family"))
+                     "engine", "tile_rows", "interpret", "family",
+                     "t_static", "kmax_static"))
 def _price_qmc_model_impl(model, option, dyn, payoff, n, n_steps,
                           d_assets, engine, tile_rows, interpret, zvec,
-                          shifts, family):
+                          shifts, family, t_static=1.0, kmax_static=0):
     if interpret is None:
         interpret = use_interpret()
-    pack, leg, n_dims = _model_qmc_hooks(model, dyn, n_steps)
+    pack, leg, n_dims = _model_qmc_hooks(model, dyn, n_steps, t_static,
+                                         kmax_static)
     cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=tile_rows)
     params = pack(option, dyn, n_steps)
     one_shift = _model_shift_mean_fn(model, payoff, cfg, params, leg,
@@ -793,9 +860,7 @@ def _price_qmc_model_impl(model, option, dyn, payoff, n, n_steps,
     r_reps = shifts.shape[0]
     mean = jnp.mean(means)
     var = jnp.sum((means - mean) ** 2) / jnp.float32(max(r_reps - 1, 1))
-    r = jnp.asarray(option.r, jnp.float32)
-    t = jnp.asarray(option.t, jnp.float32)
-    discount = jnp.exp(-r * t)
+    discount = _model_qmc_discount(model, option, dyn)
     return PriceResult(price=discount * mean,
                        stderr=discount * jnp.sqrt(var / r_reps),
                        n_paths=jnp.float32(n * r_reps),
@@ -815,7 +880,8 @@ def price_qmc_model(model: str,
                     gamma: float = 0.1,
                     stream: int = STREAM_OUTER,
                     interpret: Optional[bool] = None) -> PriceResult:
-    """Randomized-QMC price under a model family ("heston" | "basket").
+    """Randomized-QMC price under a model family ("heston" | "basket" |
+    "cev" | "sabr" | "localvol" | "vasicek" | "merton" | "term").
 
     Dimension layout: QMC pair m supplies the normals the model leg
     draws as pair m — Heston uses 2*n_steps dimensions (z_v, z_perp per
@@ -829,9 +895,16 @@ def price_qmc_model(model: str,
         model, option, dyn, sim, payoff=payoff, n_shifts=n_shifts,
         engine=engine, family=family, tile_rows=tile_rows, gamma=gamma,
         stream=stream)
+    kmax = 0
+    if model == "merton":
+        from mc_tpu.models.merton import poisson_kmax
+        kmax = poisson_kmax(float(dyn32.lam) * float(option.t)
+                            / sim.n_steps)
     return _price_qmc_model_impl(model, option.as_f32(), dyn32, po, n,
                                  sim.n_steps, d_assets, engine, tile_rows,
-                                 interpret, zvec, shifts, family)
+                                 interpret, zvec, shifts, family,
+                                 t_static=float(option.t),
+                                 kmax_static=kmax)
 
 
 def _qmc_model_pointset(model, option, dyn, sim, *, payoff, n_shifts,
@@ -870,9 +943,37 @@ def _qmc_model_pointset(model, option, dyn, sim, *, payoff, n_shifts,
         if sim.n_steps % 2:
             raise ValueError("localvol requires an even n_steps "
                              "(pair-consuming step loop)")
+    elif model == "vasicek":
+        from mc_tpu.models.vasicek import DEMO_VASICEK
+        dyn = (DEMO_VASICEK if dyn is None else dyn).as_f32()
+        d_assets = 0
+        if sim.n_steps % 2:
+            raise ValueError("vasicek requires an even n_steps "
+                             "(pair-consuming step loop)")
+    elif model == "merton":
+        from mc_tpu.models.merton import DEMO_MERTON
+        dyn = (DEMO_MERTON if dyn is None else dyn).as_f32()
+        d_assets = 0
+        if sim.n_steps % 2:
+            raise ValueError("merton requires an even n_steps "
+                             "(pair-consuming step loop)")
+    elif model == "term":
+        from mc_tpu.models.term import TermStructure
+        if dyn is None:
+            dyn = TermStructure.from_knots([0.10, 0.05], [0.15, 0.30],
+                                           sim.n_steps)
+        dyn = dyn.as_f32()
+        if int(dyn.rates.shape[0]) != sim.n_steps:
+            raise ValueError("term structure must carry one knot per "
+                             "step")
+        d_assets = 0
+        if sim.n_steps % 2:
+            raise ValueError("term requires an even n_steps "
+                             "(pair-consuming step loop)")
     else:
         raise ValueError(f"QMC model must be one of 'heston', 'basket', "
-                         f"'cev', 'sabr', 'localvol'; got {model!r}")
+                         f"'cev', 'sabr', 'localvol', 'vasicek', "
+                         f"'merton', 'term'; got {model!r}")
     if engine not in ("pallas", "xla"):
         raise ValueError(f"unknown engine {engine!r}; use 'pallas' or "
                          "'xla'")
@@ -880,7 +981,8 @@ def _qmc_model_pointset(model, option, dyn, sim, *, payoff, n_shifts,
         raise ValueError(f"unknown QMC family {family!r}")
     if n_shifts < 2:
         raise ValueError("n_shifts >= 2 required for an error estimate")
-    _, _, n_dims = _model_qmc_hooks(model, dyn, sim.n_steps)
+    _, _, n_dims = _model_qmc_hooks(model, dyn, sim.n_steps,
+                                    float(option.t))
     if family == "sobol":
         n = 1 << min(int(math.log2(max(sim.n_paths, 2))), 20)
     else:
@@ -905,17 +1007,19 @@ def _qmc_model_pointset(model, option, dyn, sim, *, payoff, n_shifts,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "payoff", "n", "n_steps", "engine",
-                     "tile_rows", "interpret", "family", "mesh"))
+                     "tile_rows", "interpret", "family", "mesh",
+                     "t_static", "kmax_static"))
 def _qmc_model_sharded_impl(model, option, dyn, payoff, n, n_steps,
                             engine, tile_rows, interpret, mesh, zvec,
-                            shifts, family):
+                            shifts, family, t_static=1.0, kmax_static=0):
     from jax.sharding import PartitionSpec as P
 
     from mc_tpu.parallel.mesh import PATHS_AXIS
 
     if interpret is None:
         interpret = use_interpret()
-    pack, leg, n_dims = _model_qmc_hooks(model, dyn, n_steps)
+    pack, leg, n_dims = _model_qmc_hooks(model, dyn, n_steps, t_static,
+                                         kmax_static)
     cfg = pk.KernelConfig(n_paths=n, n_steps=n_steps, tile_rows=tile_rows)
     params = pack(option, dyn, n_steps)
 
@@ -936,9 +1040,7 @@ def _qmc_model_sharded_impl(model, option, dyn, payoff, n, n_steps,
     r_reps = shifts.shape[0]
     mean = jnp.mean(means)
     var = jnp.sum((means - mean) ** 2) / jnp.float32(max(r_reps - 1, 1))
-    r = jnp.asarray(option.r, jnp.float32)
-    t = jnp.asarray(option.t, jnp.float32)
-    discount = jnp.exp(-r * t)
+    discount = _model_qmc_discount(model, option, dyn)
     return PriceResult(price=discount * mean,
                        stderr=discount * jnp.sqrt(var / r_reps),
                        n_paths=jnp.float32(n * r_reps),
@@ -978,6 +1080,13 @@ def price_qmc_model_sharded(model: str,
                   stream=stream)
     po, dyn32, d_assets, n, zvec, shifts = _qmc_model_pointset(
         model, option, dyn, sim, **kwargs)
+    kmax = 0
+    if model == "merton":
+        from mc_tpu.models.merton import poisson_kmax
+        kmax = poisson_kmax(float(dyn32.lam) * float(option.t)
+                            / sim.n_steps)
     return _qmc_model_sharded_impl(model, option.as_f32(), dyn32, po, n,
                                    sim.n_steps, engine, tile_rows,
-                                   interpret, mesh, zvec, shifts, family)
+                                   interpret, mesh, zvec, shifts, family,
+                                   t_static=float(option.t),
+                                   kmax_static=kmax)

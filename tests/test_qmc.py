@@ -297,7 +297,7 @@ def test_qmc_model_path_dependent_payoff():
 def test_qmc_model_validation():
     from mc_tpu.qmc import price_qmc_model
     with pytest.raises(ValueError, match="heston"):
-        price_qmc_model("vasicek")
+        price_qmc_model("rainbow2")
     with pytest.raises(ValueError, match="n_shifts"):
         price_qmc_model("heston", n_shifts=1)
 
@@ -363,3 +363,92 @@ def test_qmc_model_sharded_bitwise_mesh_invariant():
     assert float(m1.price) == float(single.price)
     assert float(m1.stderr) == float(single.stderr)
     assert float(m8.price) == float(m1.price)
+
+
+# --- QMC over the remaining step-loop families (round 3, late) -------------
+
+def test_qmc_vasicek_zcb_exact():
+    """QMC under stochastic rates: the zcb payoff (pays 1, pathwise
+    discounted) must hit the Vasicek P(0,T) closed form within stderr —
+    the discount is INSIDE the leg, so this also pins the no-double-
+    discount contract of the model QMC impl."""
+    from mc_tpu.models.vasicek import DEMO_VASICEK
+    from mc_tpu.oracle import vasicek_zcb
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 13, n_steps=16)
+    q = price_qmc_model("vasicek", sim=sim, payoff="zcb", n_shifts=8,
+                        engine="xla")
+    d = DEMO_VASICEK
+    want = float(vasicek_zcb(0.1, float(d.a), float(d.b),
+                             float(d.sigma_r), 1.0))
+    assert abs(float(q.price) - want) <= 3.5 * float(q.stderr) + 1e-4
+
+
+def test_qmc_vasicek_matches_mc():
+    from mc_tpu.models.vasicek import price_vasicek
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 14, n_steps=16)
+    q = price_qmc_model("vasicek", sim=sim, n_shifts=8, engine="xla")
+    mc = price_vasicek(sim=SimParams(n_paths=8 * (1 << 14), n_steps=16),
+                       engine="xla")
+    joint = (float(q.stderr) ** 2 + float(mc.stderr) ** 2) ** 0.5
+    assert abs(float(q.price) - float(mc.price)) <= 3.5 * joint
+    assert float(q.stderr) < 0.7 * float(mc.stderr)
+
+
+def test_qmc_merton_matches_series_oracle():
+    """Jump-diffusion QMC: Poisson counts from RAW QMC uniforms
+    (draw_pair.unit), sizes/diffusion from inverse-CDF normals; price
+    gated on the Merton-76 series oracle."""
+    from mc_tpu.models.merton import DEMO_MERTON, merton_call_closed_form
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 14, n_steps=16)
+    d = DEMO_MERTON
+    q = price_qmc_model("merton", sim=sim, n_shifts=8, engine="xla")
+    want = float(merton_call_closed_form(100.0, 100.0, 1.0, 0.1, 0.2,
+                                         d.lam, d.mu_j, d.sigma_j))
+    assert abs(float(q.price) - want) <= 3.5 * float(q.stderr) + 2e-3
+
+
+def test_qmc_term_matches_exact():
+    """Deterministic-curve QMC vs the averaged-BS exact value (the
+    terminal log is Gaussian under the curves, so the gate is sharp)."""
+    from mc_tpu.models.term import TermStructure, price_term
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 14, n_steps=16)
+    term = TermStructure.from_knots([0.10, 0.05], [0.15, 0.30], 16)
+    q = price_qmc_model("term", dyn=term, sim=sim, n_shifts=8,
+                        engine="xla")
+    mc = price_term(term=term,
+                    sim=SimParams(n_paths=8 * (1 << 14), n_steps=16),
+                    engine="xla")
+    joint = (float(q.stderr) ** 2 + float(mc.stderr) ** 2) ** 0.5
+    assert abs(float(q.price) - float(mc.price)) <= 3.5 * joint
+    assert float(q.stderr) < 0.7 * float(mc.stderr)
+
+
+def test_qmc_new_model_engines_bitwise():
+    sim = SimParams(n_paths=1 << 12, n_steps=8)
+    from mc_tpu.qmc import price_qmc_model
+    for model in ("vasicek", "merton", "term"):
+        a = price_qmc_model(model, sim=sim, n_shifts=4, engine="pallas",
+                            tile_rows=8)
+        b = price_qmc_model(model, sim=sim, n_shifts=4, engine="xla",
+                            tile_rows=8)
+        assert float(a.price) == float(b.price), model
+        assert float(a.stderr) == float(b.stderr), model
+
+
+def test_qmc_new_models_sharded_bitwise():
+    import jax
+
+    from mc_tpu.parallel import make_mesh, price_qmc_model_sharded
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 12, n_steps=8)
+    for model in ("vasicek", "merton", "term"):
+        single = price_qmc_model(model, sim=sim, n_shifts=4,
+                                 engine="xla", tile_rows=8)
+        m2 = price_qmc_model_sharded(model, sim=sim, n_shifts=4,
+                                     engine="xla", tile_rows=8,
+                                     mesh=make_mesh(jax.devices()[:2]))
+        assert float(m2.price) == float(single.price), model

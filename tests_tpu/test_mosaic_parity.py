@@ -450,6 +450,21 @@ def test_terminal_pair():
                       method="terminal_pair", tile_rows=8))
 
 
+def test_qmc_merton():
+    """Jump-diffusion QMC: Poisson counts from RAW point coordinates
+    (draw_pair.unit) inside the compiled kernel, all three routes
+    bitwise."""
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 12, n_steps=8)
+
+    def fn(engine, interpret=None, **kw):
+        return price_qmc_model("merton", sim=sim, n_shifts=4,
+                               engine=engine, interpret=interpret,
+                               tile_rows=8)
+
+    _assert_tri(*_tri(fn))
+
+
 def test_nmc_family_fused():
     """Fused-strategy family NMC (outer physics + inner sweep in ONE
     kernel, history in VMEM scratch): compiled == interpret == the grid
