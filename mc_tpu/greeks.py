@@ -53,7 +53,8 @@ GREEK_FIELDS = {
 }
 
 # Payoffs whose pathwise derivative is valid (a.e.-differentiable payoff).
-_PATHWISE_OK = {"vanilla_call", "vanilla_put", "asian_call", "lookback_call"}
+_PATHWISE_OK = {"vanilla_call", "vanilla_put", "asian_call",
+                "lookback_call", "best_of_cash"}
 
 # Greeks the likelihood-ratio estimator supports: parameters that enter the
 # path DENSITY.  (K and T do not: dual_delta/theta have no LRM form here.)

@@ -46,6 +46,7 @@ RAINBOW_NMC_PAYOFFS = {
     "call_on_min": ("min", "vanilla_call"),
     "put_on_max": ("max", "vanilla_put"),
     "put_on_min": ("min", "vanilla_put"),
+    "best_of_cash": ("max", "best_of_cash"),
 }
 
 

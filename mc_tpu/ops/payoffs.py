@@ -96,6 +96,20 @@ class VanillaPut(PathPayoff):
         return jnp.maximum(p.k - s, 0.0)
 
 
+class BestOfCash(PathPayoff):
+    """max(S_T, K) — asset-or-cash (models/rainbow's best_of_cash on
+    the single/folded level).  Identity: e^{-rT} E[max(S_T, K)] =
+    K e^{-rT} + bs_call(S0, K, ...) — the exact-gate in test_payoffs.
+    On the rainbow NMC/LSMC level it is the best-of-assets-or-cash
+    contract of `models/rainbow.RAINBOW_PAYOFFS`."""
+
+    name = "best_of_cash"
+    terminal_only = True
+
+    def terminal(self, state, s, p):
+        return jnp.maximum(s, p.k)
+
+
 class DigitalCall(PathPayoff):
     """Cash-or-nothing digital call: pays 1 iff S_T > K.
 
@@ -507,7 +521,7 @@ PAYOFFS: Dict[str, PathPayoff] = {
         AsianCall(), AsianCallGeoCV(), UpOutCall(), DownInCall(),
         DownOutCall(), UpOutCallBB(), DownOutCallBB(),
         LookbackFixedCall(), VarianceSwap(), ZeroCouponBond(),
-        ForwardStartCall(), Cliquet(), DigitalPut(),
+        ForwardStartCall(), Cliquet(), DigitalPut(), BestOfCash(),
     )
 }
 

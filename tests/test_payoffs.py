@@ -161,3 +161,35 @@ def test_digital_put_parity_and_closed_form():
     bond = math.exp(-0.1)
     assert float(p.price) + float(c.price) == pytest.approx(bond,
                                                             rel=2e-6)
+
+
+def test_best_of_cash_identity():
+    """max(S,K) = K + max(S-K,0) pathwise: on the SAME terminal draws
+    the best-of-cash price is the discount-bond-on-K plus the call,
+    exactly (shared stream, identical accumulation order up to fp)."""
+    import math
+
+    from mc_tpu import OptionParams, SimParams, price
+    opt, sim = OptionParams(), SimParams(n_paths=65536, n_steps=8)
+    boc = price(opt, sim, payoff="best_of_cash", method="terminal",
+                engine="xla")
+    call = price(opt, sim, payoff="vanilla_call", method="terminal",
+                 engine="xla")
+    want = 100.0 * math.exp(-0.1) + float(call.price)
+    assert abs(float(boc.price) - want) < 1e-3
+
+
+def test_best_of_cash_rainbow_nmc():
+    """Best-of-assets-or-cash exposure on the d-asset engine (the last
+    RAINBOW_PAYOFFS contract to join NMC): EE flat at the t=0 price
+    (martingale under full discounting)."""
+    import numpy as np
+
+    from mc_tpu import OptionParams, SimParams
+    from mc_tpu.nmc_rainbow import price_nmc_rainbow
+    sim = SimParams(n_paths=4096, n_steps=8, n_paths_inner=16)
+    res = price_nmc_rainbow(OptionParams(), sim=sim,
+                            payoff="best_of_cash", engine="xla")
+    ee, _ = res.exposure_profile()
+    np.testing.assert_allclose(np.asarray(ee), float(res.outer.price),
+                               rtol=0.05)
