@@ -49,9 +49,9 @@ def __getattr__(name):
     if name == "price_portfolio":
         from mc_tpu.engines import price_portfolio
         return price_portfolio
-    if name == "price_heston_mlmc":
-        from mc_tpu.mlmc import price_heston_mlmc
-        return price_heston_mlmc
+    if name in ("price_heston_mlmc", "price_mlmc_family"):
+        from mc_tpu import mlmc
+        return getattr(mlmc, name)
     if name in ("price_american", "binomial_american"):
         from mc_tpu import lsmc
         return getattr(lsmc, name)

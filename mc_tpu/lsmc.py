@@ -1330,20 +1330,13 @@ def american_bounds_family(model: str,
     bound is the family's two-pass LSMC; the upper bound the duality gap
     built from the SAME fitted policy with family-physics rollouts.
     """
-    import importlib
-
-    from mc_tpu.nmc_engine import NMC_FAMILY_BUILDERS
-    _MODULES = {"heston": "mc_tpu.nmc_heston",
-                "merton": "mc_tpu.nmc_merton", "cev": "mc_tpu.nmc_cev",
-                "localvol": "mc_tpu.nmc_localvol",
-                "sabr": "mc_tpu.nmc_sabr",
-                "vasicek": "mc_tpu.nmc_vasicek",
-                "basket": "mc_tpu.nmc_basket",
-                "rainbow": "mc_tpu.nmc_rainbow"}
-    if model not in _MODULES:
+    from mc_tpu.nmc_engine import NMC_FAMILY_BUILDERS, ensure_family
+    _DUAL_MODELS = ("heston", "merton", "cev", "localvol", "sabr",
+                    "vasicek", "basket", "rainbow")  # term: no dual yet
+    if model not in _DUAL_MODELS:
         raise ValueError(f"american_bounds_family supports "
-                         f"{tuple(_MODULES)}, got {model!r}")
-    importlib.import_module(_MODULES[model])
+                         f"{_DUAL_MODELS}, got {model!r}")
+    ensure_family(model)
     if model == "rainbow":
         # rainbow contract names select the order statistic; the
         # standard payoff then reads the folded level

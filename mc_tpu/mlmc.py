@@ -40,7 +40,8 @@ from mc_tpu.ops._pallas import LANES, round_up, xla_moment_scan
 from mc_tpu.ops.payoffs import get_payoff
 from mc_tpu.ops.reduce import finish_sum
 
-__all__ = ["price_heston_mlmc", "MLMCResult", "heston_level_moments"]
+__all__ = ["price_heston_mlmc", "price_mlmc_family", "MLMCResult",
+           "heston_level_moments", "family_level_moments"]
 
 # Path-dependent payoffs whose functional refines with the grid (each
 # level prices a finer discretization of the SAME continuous contract) —
@@ -155,6 +156,43 @@ def _pack_heston_ns(option, heston):
     return _pack_heston(option, heston, 1)
 
 
+def _mlmc_schedule(level_sums, fines, n_pilot, eps, n_per_level,
+                   tile_rows):
+    """Giles's pilot/allocate/top-up schedule, estimator-agnostic.
+
+    ``level_sums(l, n, path_offset)`` returns (sum Y, sum Y^2, n) of the
+    level-l correction over n paths at the given global path offset.
+    Pilot sums are KEPT and merged; top-up paths continue the SAME
+    stream at a shifted offset (disjoint counter range).  Returns
+    (means, varis, ns) per level.
+    """
+    n_levels = len(fines)
+    n_pilot = round_up(max(n_pilot, 1024), tile_rows * LANES)
+    pilot = [level_sums(l, n_pilot) for l in range(n_levels)]
+    v_l = np.array([max(sq / n - (s / n) ** 2, 0.0)
+                    for s, sq, n in pilot])
+    c_l = np.array([fines[l] for l in range(n_levels)], float)
+
+    if n_per_level is None:
+        if eps is None:
+            eps = 2e-3
+        lam = np.sum(np.sqrt(v_l * c_l)) / (eps * eps / 2.0)
+        n_l = np.maximum(np.ceil(lam * np.sqrt(v_l / c_l)), n_pilot)
+    else:
+        n_l = np.asarray(n_per_level, float)
+
+    means, varis, ns = [], [], []
+    for l in range(n_levels):
+        s0_, sq0, n0_ = pilot[l]
+        s1, sq1, n1 = level_sums(l, int(n_l[l]) - n0_, path_offset=n0_)
+        s, sq, n = s0_ + s1, sq0 + sq1, n0_ + n1
+        mean = s / n
+        means.append(mean)
+        varis.append(max(sq / n - mean * mean, 0.0))
+        ns.append(n)
+    return means, varis, ns
+
+
 @dataclasses.dataclass(frozen=True)
 class MLMCResult:
     price: Any
@@ -207,8 +245,6 @@ def price_heston_mlmc(option: OptionParams = DEMO_OPTION,
     keys = [jnp.asarray(rng.derive_key(seed, 0x4D4C, l), jnp.uint32)
             for l in range(n_levels)]
 
-    n_pilot = round_up(max(n_pilot, 1024), tile_rows * LANES)
-
     def level_sums(l, n, path_offset=0):
         """(sum, sumsq, n) over n paths starting at path_offset."""
         n = round_up(max(n, 0), tile_rows * LANES)
@@ -219,35 +255,263 @@ def price_heston_mlmc(option: OptionParams = DEMO_OPTION,
                                      jnp.uint32(path_offset))
         return float(s), float(sq), n
 
-    # pilot pass — sums are KEPT and merged into the final estimate
-    pilot = [level_sums(l, n_pilot) for l in range(n_levels)]
-    v_l = np.array([max(sq / n - (s / n) ** 2, 0.0)
-                    for s, sq, n in pilot])
-    c_l = np.array([fines[l] for l in range(n_levels)], float)
-
-    if n_per_level is None:
-        if eps is None:
-            eps = 2e-3
-        lam = np.sum(np.sqrt(v_l * c_l)) / (eps * eps / 2.0)
-        n_l = np.maximum(np.ceil(lam * np.sqrt(v_l / c_l)), n_pilot)
-    else:
-        n_l = np.asarray(n_per_level, float)
-
-    means, varis, ns = [], [], []
-    for l in range(n_levels):
-        s0_, sq0, n0_ = pilot[l]
-        # only the incremental paths beyond the pilot are simulated,
-        # at a shifted global path offset (same stream, disjoint range)
-        s1, sq1, n1 = level_sums(l, int(n_l[l]) - n0_, path_offset=n0_)
-        s, sq, n = s0_ + s1, sq0 + sq1, n0_ + n1
-        mean = s / n
-        means.append(mean)
-        varis.append(max(sq / n - mean * mean, 0.0))
-        ns.append(n)
-
+    means, varis, ns = _mlmc_schedule(level_sums, fines, n_pilot, eps,
+                                      n_per_level, tile_rows)
     disc = float(np.exp(-float(opt32.r) * float(opt32.t)))
     price = disc * sum(means)
     stderr = disc * float(np.sqrt(sum(v / n for v, n in zip(varis, ns))))
+    return MLMCResult(price=price, stderr=stderr, levels=fines,
+                      n_per_level=tuple(ns), level_means=tuple(means),
+                      level_vars=tuple(varis))
+
+
+# ---------------------------------------------------------------------------
+# Generic multilevel over the NMCFamily rollout hooks: MLMC for ANY
+# Gaussian-driven family is just its dynamics definition (the same
+# protocol the NMC/LSMC/AB engines consume — nmc_engine.NMCFamily).
+#
+# Level l packs the family's params at n0*2^l substeps (dt, sqrt_dt etc.
+# are baked in by `fam.pack`, so each leg steps its OWN grid with the
+# family's exact scheme), and the coarse leg consumes the pairwise sums
+# z_c = (z_{2k} + z_{2k+1})/sqrt(2) of the fine leg's draws through a
+# draws-combining shim.  Unbiasedness needs NO coupling-quality
+# assumption: the coarse leg at level l is driven by iid standard
+# normals, so its law equals the fine leg of level l-1 and the telescope
+# is exact; coupling quality only affects the variance-decay rate
+# (measured, `MLMCResult.variance_decay_rate`).
+#
+# Discounting rides the rollout: per-step factors from `rollout_step`
+# accumulate multiplicatively per leg, so stochastic-rate families
+# (vasicek) discount pathwise-exactly and constant-rate families
+# reproduce e^{-rT} up to fp.  Prices are therefore already discounted
+# (unlike `price_heston_mlmc`'s host-side discount).
+# ---------------------------------------------------------------------------
+
+# Families whose drivers are not plain per-step Gaussians, or whose
+# dynamics OBJECT is defined on the simulation grid itself (refining the
+# grid would change the specified model, not just its discretization).
+_MLMC_EXCLUDED = {
+    "merton": "Poisson jump driver needs thinning-based level coupling "
+              "(the uniform draws have no sum-coupling)",
+    "localvol": "the sigma(x, t) surface is specified per sim step; "
+                "refining the grid changes the model itself",
+    "term": "per-step rate/vol curves are specified on the sim grid",
+    "rainbow": "order-statistic payoffs live outside the scalar payoff "
+               "registry the level estimator prices",
+}
+
+
+def _mk_rollout_draws(k0, k1, ids, pps, u):
+    """Per-step draws at counter base u*pps — the lsmc rollout
+    convention (lsmc.py mk_draw) minus the branch axis."""
+    shape = ids.shape
+    base = jnp.asarray(u, jnp.uint32) * jnp.uint32(pps)
+
+    def pair(q):
+        c1 = jnp.full(shape, 0, jnp.uint32) + base + jnp.uint32(q)
+        return rng.normal_pair(k0, k1, ids, c1)
+
+    def unit(q):
+        raise NotImplementedError(
+            "uniform draws have no MLMC sum-coupling (gated by "
+            "_MLMC_EXCLUDED upstream)")
+
+    def normal1(q):
+        c1 = jnp.full(shape, 0, jnp.uint32) + base + jnp.uint32(q)
+        b0, _ = rng.threefry2x32(k0, k1, ids, c1,
+                                 rounds=rng.DEFAULT_ROUNDS)
+        return rng.inv_normal_cdf(rng.bits_to_unit(b0))
+
+    return SimpleNamespace(pair=pair, unit=unit, normal1=normal1)
+
+
+def _combine_draws(d1, d2):
+    """The coarse leg's Brownian increments: (z1 + z2)/sqrt(2) of the
+    two fine sub-steps' draws — iid standard normals again, so the
+    coarse leg's law is exactly level l-1's fine leg.  (The fine values
+    are recomputed inside the closures; XLA CSE merges them with the
+    fine leg's identical threefry calls.)"""
+    inv_sqrt2 = jnp.float32(0.7071067811865476)
+
+    def pair(q):
+        a0, a1 = d1.pair(q)
+        b0, b1 = d2.pair(q)
+        return (a0 + b0) * inv_sqrt2, (a1 + b1) * inv_sqrt2
+
+    def unit(q):
+        raise NotImplementedError("no uniform sum-coupling")
+
+    def normal1(q):
+        return (d1.normal1(q) + d2.normal1(q)) * inv_sqrt2
+
+    return SimpleNamespace(pair=pair, unit=unit, normal1=normal1)
+
+
+def _family_coupled_tile(fam, payoff, p_f, ctx_f, p_c, ctx_c, ids, valid,
+                         k0, k1, n_fine: int, coupled: bool):
+    """(P_fine - P_coarse) tile through the family rollout hooks.
+
+    Each leg: carry = fam.rollout_carry at t=0, stepped with
+    fam.rollout_step on ITS OWN packed grid (p_f at n_fine substeps,
+    p_c at n_fine/2), per-step discount factors accumulated
+    multiplicatively, payoff state (if any) updated on the leg's spot
+    after every step.
+    """
+    if coupled and n_fine % 2:
+        raise ValueError(
+            f"coupled MLMC level needs an even substep count, got {n_fine}")
+    if n_fine < 1:
+        raise ValueError(f"n_fine must be >= 1, got {n_fine}")
+    shape = ids.shape
+    pps = fam.rollout_pairs_per_step
+    track = payoff.n_state > 0
+    zero = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
+
+    def bcast(vals):
+        return tuple(zero + jnp.asarray(v, jnp.float32) for v in vals)
+
+    def leg_init(p, ctx):
+        carry = fam.rollout_carry(p, ctx, bcast(fam.rollout_t0(p)))
+        return carry, one, payoff.init(p, zero)
+
+    def leg_step(p, ctx, carry, df, st, d, u):
+        carry, sdf = fam.rollout_step(p, ctx, carry, d, u)
+        df = df * sdf
+        if track:
+            st = payoff.update(st, fam.rollout_spot(p, ctx, carry), p)
+        return carry, df, st
+
+    def leg_pay(p, ctx, carry, df, st):
+        return payoff.terminal(st, fam.rollout_spot(p, ctx, carry), p) * df
+
+    carry_f, df_f, st_f = leg_init(p_f, ctx_f)
+
+    if not coupled:
+        def body(u, c):
+            carry, df, st = c
+            d = _mk_rollout_draws(k0, k1, ids, pps, u)
+            return leg_step(p_f, ctx_f, carry, df, st, d, u)
+
+        carry_f, df_f, st_f = jax.lax.fori_loop(
+            0, n_fine, body, (carry_f, df_f, st_f))
+        return jnp.where(valid, leg_pay(p_f, ctx_f, carry_f, df_f, st_f),
+                         0.0)
+
+    carry_c, df_c, st_c = leg_init(p_c, ctx_c)
+
+    def body(kk, c):
+        carry_f, df_f, st_f, carry_c, df_c, st_c = c
+        d1 = _mk_rollout_draws(k0, k1, ids, pps, 2 * kk)
+        d2 = _mk_rollout_draws(k0, k1, ids, pps, 2 * kk + 1)
+        carry_f, df_f, st_f = leg_step(p_f, ctx_f, carry_f, df_f, st_f,
+                                       d1, 2 * kk)
+        carry_f, df_f, st_f = leg_step(p_f, ctx_f, carry_f, df_f, st_f,
+                                       d2, 2 * kk + 1)
+        carry_c, df_c, st_c = leg_step(p_c, ctx_c, carry_c, df_c, st_c,
+                                       _combine_draws(d1, d2), kk)
+        return (carry_f, df_f, st_f, carry_c, df_c, st_c)
+
+    carry_f, df_f, st_f, carry_c, df_c, st_c = jax.lax.fori_loop(
+        0, n_fine // 2, body,
+        (carry_f, df_f, st_f, carry_c, df_c, st_c))
+    pay = (leg_pay(p_f, ctx_f, carry_f, df_f, st_f)
+           - leg_pay(p_c, ctx_c, carry_c, df_c, st_c))
+    return jnp.where(valid, pay, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fam", "payoff", "n_paths", "n_fine", "coupled",
+                     "tile_rows"))
+def family_level_moments(fam, params_f, params_c, payoff, n_paths,
+                         n_fine, coupled, tile_rows, key, path_offset=0):
+    """(sum Y, sum Y^2) of the level correction for any NMCFamily."""
+    p_f = fam.unpack(params_f)
+    ctx_f = fam.make_ctx(params_f, n_fine)
+    p_c = fam.unpack(params_c)
+    ctx_c = fam.make_ctx(params_c, max(n_fine // 2, 1))
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+    offset = jnp.asarray(path_offset, jnp.uint32)
+
+    def tile_fn(ids, valid):
+        pay = _family_coupled_tile(fam, payoff, p_f, ctx_f, p_c, ctx_c,
+                                   ids, valid, k0, k1, n_fine, coupled)
+        return [pay, pay * pay]
+
+    s, sq = xla_moment_scan(tile_fn, n_paths, tile_rows, 2, offset=offset,
+                            bound=offset + jnp.uint32(n_paths))
+    return finish_sum(s), finish_sum(sq)
+
+
+def price_mlmc_family(model: str,
+                      option: OptionParams = DEMO_OPTION,
+                      dyn=None,
+                      payoff="vanilla_call",
+                      *,
+                      n0: int = 4,
+                      n_levels: int = 5,
+                      n_pilot: int = 20_000,
+                      eps: Optional[float] = None,
+                      n_per_level: Optional[Sequence[int]] = None,
+                      tile_rows: int = 64,
+                      seed: int = 1234) -> MLMCResult:
+    """Multilevel price under any Gaussian-driven model family.
+
+    ``model`` names an `nmc_engine` family ("heston", "cev", "sabr",
+    "vasicek", "basket"); ``dyn`` its dynamics (family demo default).
+    Levels, allocation, and result semantics match `price_heston_mlmc`,
+    except the price is discounted THROUGH the rollout (pathwise-exact
+    for vasicek's stochastic rates).  Exact-in-law schemes (vasicek's
+    exact OU triple; basket's log-Euler) have mean-zero corrections for
+    terminal payoffs — MLMC is only *useful* there for grid-refinable
+    path functionals, but stays correct.
+    """
+    from mc_tpu.config import SimParams
+    from mc_tpu.nmc_engine import (FAMILY_MODULES, NMC_FAMILY_BUILDERS,
+                                   ensure_family)
+
+    if model in _MLMC_EXCLUDED:
+        raise ValueError(
+            f"MLMC does not support the {model!r} family: "
+            f"{_MLMC_EXCLUDED[model]}")
+    if model not in FAMILY_MODULES:
+        raise ValueError(
+            f"unknown model family {model!r}; available: "
+            f"{sorted(set(FAMILY_MODULES) - set(_MLMC_EXCLUDED))}")
+    ensure_family(model)
+    po = get_payoff(payoff)
+    if not (po.terminal_only or po.name in _MLMC_PATH_OK):
+        raise ValueError(
+            f"MLMC supports terminal payoffs and the grid-refinable "
+            f"path functionals {sorted(_MLMC_PATH_OK)}; {po.name!r} is "
+            "defined by the step grid itself")
+    if n0 < 1:
+        raise ValueError(f"n0 must be >= 1, got {n0}")
+    opt32 = option.as_f32()
+    fines = tuple(n0 * (1 << l) for l in range(n_levels))
+    fam, dyn32 = NMC_FAMILY_BUILDERS[model](
+        opt32, dyn, SimParams(n_paths=tile_rows * LANES,
+                              n_steps=max(fines[-1], 2)))
+    packs_f = [fam.pack(opt32, dyn32, nf) for nf in fines]
+    packs_c = [fam.pack(opt32, dyn32, max(nf // 2, 1)) for nf in fines]
+    keys = [jnp.asarray(rng.derive_key(seed, 0x4D4D, l), jnp.uint32)
+            for l in range(n_levels)]
+
+    def level_sums(l, n, path_offset=0):
+        n = round_up(max(n, 0), tile_rows * LANES)
+        if n == 0:
+            return 0.0, 0.0, 0
+        s, sq = family_level_moments(fam, packs_f[l], packs_c[l], po, n,
+                                     fines[l], l > 0, tile_rows, keys[l],
+                                     jnp.uint32(path_offset))
+        return float(s), float(sq), n
+
+    means, varis, ns = _mlmc_schedule(level_sums, fines, n_pilot, eps,
+                                      n_per_level, tile_rows)
+    price = float(sum(means))
+    stderr = float(np.sqrt(sum(v / n for v, n in zip(varis, ns))))
     return MLMCResult(price=price, stderr=stderr, levels=fines,
                       n_per_level=tuple(ns), level_means=tuple(means),
                       level_vars=tuple(varis))

@@ -227,20 +227,13 @@ def price_nmc_book(options: OptionParams,
     fam, dyn32 = None, None
     tag = ()
     if model != "gbm":
-        import importlib
-
-        from mc_tpu.nmc_engine import NMC_FAMILY_BUILDERS
-        _MODULES = {"heston": "mc_tpu.nmc_heston",
-                    "merton": "mc_tpu.nmc_merton",
-                    "cev": "mc_tpu.nmc_cev",
-                    "localvol": "mc_tpu.nmc_localvol",
-                    "sabr": "mc_tpu.nmc_sabr",
-                    "vasicek": "mc_tpu.nmc_vasicek",
-                    "basket": "mc_tpu.nmc_basket"}
-        if model not in _MODULES:
+        from mc_tpu.nmc_engine import NMC_FAMILY_BUILDERS, ensure_family
+        _BOOK_MODELS = ("heston", "merton", "cev", "localvol", "sabr",
+                        "vasicek", "basket")  # rainbow/term: no book form
+        if model not in _BOOK_MODELS:
             raise ValueError(f"unknown book model {model!r}; available: "
-                             f"('gbm',) + {tuple(_MODULES)}")
-        importlib.import_module(_MODULES[model])
+                             f"('gbm',) + {_BOOK_MODELS}")
+        ensure_family(model)
         opt0 = jax.tree_util.tree_map(lambda x: x[0], opt32)
         fam, dyn32 = NMC_FAMILY_BUILDERS[model](opt0, dyn, sim)
         if fam.even_steps and sim.n_steps % 2:

@@ -641,6 +641,28 @@ def register_nmc_family(name: str, price_fn, builder=None) -> None:
         NMC_FAMILY_BUILDERS[name] = builder
 
 
+# name -> defining module, for lazy registration (families register on
+# import; consumers that dispatch by NAME call ensure_family first).
+FAMILY_MODULES = {"heston": "mc_tpu.nmc_heston",
+                  "merton": "mc_tpu.nmc_merton",
+                  "cev": "mc_tpu.nmc_cev",
+                  "localvol": "mc_tpu.nmc_localvol",
+                  "sabr": "mc_tpu.nmc_sabr",
+                  "vasicek": "mc_tpu.nmc_vasicek",
+                  "basket": "mc_tpu.nmc_basket",
+                  "rainbow": "mc_tpu.nmc_rainbow",
+                  "term": "mc_tpu.nmc_term"}
+
+
+def ensure_family(name: str) -> None:
+    """Import the module that registers family ``name`` (idempotent)."""
+    import importlib
+    if name not in FAMILY_MODULES:
+        raise ValueError(f"unknown model family {name!r}; available: "
+                         f"{sorted(FAMILY_MODULES)}")
+    importlib.import_module(FAMILY_MODULES[name])
+
+
 # ---------------------------------------------------------------------------
 # Multi-chip family NMC: outer paths sharded over the mesh.  The engine's
 # path-offset plumbing keys every stream by GLOBAL path id, so the result

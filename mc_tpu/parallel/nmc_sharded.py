@@ -122,15 +122,6 @@ def price_nmc_sharded(option: OptionParams = DEMO_OPTION,
 # with the same construction — one dispatcher over the family registry.
 # ---------------------------------------------------------------------------
 
-_NMC_MODEL_MODULES = {
-    "heston": "mc_tpu.nmc_heston", "merton": "mc_tpu.nmc_merton",
-    "vasicek": "mc_tpu.nmc_vasicek", "localvol": "mc_tpu.nmc_localvol",
-    "cev": "mc_tpu.nmc_cev", "sabr": "mc_tpu.nmc_sabr",
-    "basket": "mc_tpu.nmc_basket", "term": "mc_tpu.nmc_term",
-    "rainbow": "mc_tpu.nmc_rainbow",
-}
-
-
 def price_nmc_model_sharded(model: str,
                             option: OptionParams = DEMO_OPTION,
                             dyn=None,
@@ -149,14 +140,9 @@ def price_nmc_model_sharded(model: str,
     identical to the single-chip `price_nmc_<model>`; the surface comes
     back sharded along the path axis.
     """
-    import importlib
-
-    from mc_tpu.nmc_engine import (NMC_FAMILY_BUILDERS,
+    from mc_tpu.nmc_engine import (NMC_FAMILY_BUILDERS, ensure_family,
                                    price_nmc_family_sharded)
-    if model not in _NMC_MODEL_MODULES:
-        raise ValueError(f"unknown NMC model {model!r}; available: "
-                         f"{tuple(_NMC_MODEL_MODULES)}")
-    importlib.import_module(_NMC_MODEL_MODULES[model])
+    ensure_family(model)
     fam, dyn32 = NMC_FAMILY_BUILDERS[model](option, dyn, sim)
     return price_nmc_family_sharded(fam, option, dyn32, sim, payoff,
                                     mesh=mesh, engine=engine,

@@ -37,6 +37,11 @@ def devices():
 # stale entry (renamed/removed test) is harmless.
 
 SLOW_TESTS = {
+    "test_mlmc_family.py::test_cev_matches_schroder_oracle",
+    "test_mlmc_family.py::test_cev_variance_decays",
+    "test_mlmc_family.py::test_heston_family_matches_dedicated_estimator",
+    "test_mlmc_family.py::test_vasicek_exact_scheme_corrections_are_zero",
+    "test_mlmc_family.py::test_sabr_asian_path_payoff",
     "test_qmc.py::test_qmc_model_sharded_bitwise_mesh_invariant",
     "test_nmc_term.py::test_ee_flat_at_term_price",
     "test_nmc_term.py::test_flat_curves_match_gbm_nmc_stats",

@@ -413,8 +413,10 @@ def test_american_bounds_family_brackets():
 
 def test_american_bounds_family_validation():
     from mc_tpu.lsmc import american_bounds_family
+    # basket/rainbow joined the dual families in round 3 — "term" is the
+    # one registered family without rollout duals
     with pytest.raises(ValueError, match="supports"):
-        american_bounds_family("basket")
+        american_bounds_family("term")
     with pytest.raises(ValueError, match="terminal payoffs"):
         american_bounds_family("heston", payoff="asian_call",
                                sim=SimParams(n_paths=1024, n_steps=4))

@@ -1,0 +1,102 @@
+"""Generic multilevel MC over the NMCFamily rollout hooks.
+
+The estimator's correctness splits into two independent claims, tested
+separately:
+
+1. UNBIASEDNESS needs no coupling-quality assumption — the coarse leg at
+   level l is driven by (z1+z2)/sqrt(2) sums, iid standard normals, so
+   its law equals level l-1's fine leg and the telescope is exact.
+   Gated against each family's analytic oracle (Schroder chi^2 for CEV,
+   the Heston CF, the Vasicek ZCB closed form).
+2. COUPLING QUALITY (variance decay) is measured: Var[Y_l] must shrink
+   geometrically for Euler-biased schemes, and the corrections of
+   exact-in-law schemes (vasicek's OU triple) must be statistically
+   zero at every level.
+"""
+
+import numpy as np
+import pytest
+
+from mc_tpu import OptionParams
+from mc_tpu.mlmc import price_heston_mlmc, price_mlmc_family
+
+
+@pytest.fixture(scope="module")
+def cev_result():
+    return price_mlmc_family("cev", OptionParams(), n0=4, n_levels=4,
+                             n_pilot=20_000,
+                             n_per_level=(200_000, 40_000, 16_000, 8_000),
+                             tile_rows=8)
+
+
+def test_cev_matches_schroder_oracle(cev_result):
+    from mc_tpu.models.cev import DEMO_CEV, cev_call_closed_form
+    ref = cev_call_closed_form(100.0, 100.0, 1.0, 0.1, DEMO_CEV.sigma_lv,
+                               DEMO_CEV.beta)
+    # finest level = 32 substeps: allow residual O(dt) bias + 4 se
+    tol = 4.0 * cev_result.stderr + 0.012 * ref
+    assert abs(cev_result.price - ref) <= tol, (cev_result.price, ref)
+
+
+def test_cev_variance_decays(cev_result):
+    v = np.asarray(cev_result.level_vars)
+    assert v[1] < 1e-2 * v[0], v  # coupling collapses the correction
+    assert cev_result.variance_decay_rate() > 0.5, v
+
+
+def test_heston_family_matches_dedicated_estimator():
+    """The rollout-hook estimator and the dedicated fused Pallas tile
+    price the same telescoped quantity — agree within joint stderr
+    (independent streams, so statistical, not bitwise)."""
+    kw = dict(n0=4, n_levels=4, n_pilot=8192,
+              n_per_level=(120_000, 30_000, 12_000, 6_000), tile_rows=8)
+    a = price_mlmc_family("heston", OptionParams(), **kw)
+    b = price_heston_mlmc(OptionParams(), **kw)
+    joint = np.hypot(a.stderr, b.stderr)
+    assert abs(a.price - b.price) <= 4.0 * joint, (a.price, b.price)
+    assert a.variance_decay_rate() > 0.5
+
+
+def test_vasicek_exact_scheme_corrections_are_zero():
+    """The exact OU triple has NO discretization bias: every correction
+    E[Y_l] is statistically zero and the level-0 ZCB price (pathwise
+    discounting, payoff=1) hits the closed form."""
+    from mc_tpu import oracle
+    from mc_tpu.models.vasicek import DEMO_VASICEK
+    r = price_mlmc_family("vasicek", OptionParams(), payoff="zcb",
+                          n0=4, n_levels=3, n_pilot=8192,
+                          n_per_level=(65_536, 16_384, 8_192),
+                          tile_rows=8)
+    d = DEMO_VASICEK  # r0 = option.r by the family's convention
+    ref = oracle.vasicek_zcb(0.1, d.a, d.b, d.sigma_r, 1.0)
+    assert abs(r.price - float(ref)) <= 4.0 * r.stderr + 2e-4
+    for m, v, n in zip(r.level_means[1:], r.level_vars[1:],
+                       r.n_per_level[1:]):
+        se = np.sqrt(v / n)
+        assert abs(m) <= 5.0 * se + 1e-5, (m, se)
+
+
+def test_sabr_asian_path_payoff():
+    """Path payoffs refine with the grid (Giles's Asian setting): the
+    family estimator tracks payoff state per leg on its OWN grid and
+    the variance still collapses under coupling."""
+    r = price_mlmc_family("sabr", OptionParams(), payoff="asian_call",
+                          n0=4, n_levels=3, n_pilot=8192,
+                          n_per_level=(65_536, 16_384, 8_192),
+                          tile_rows=8)
+    v = np.asarray(r.level_vars)
+    assert v[1] < 0.05 * v[0], v
+    assert r.price > 0.0 and r.stderr > 0.0
+
+
+def test_excluded_families_raise():
+    with pytest.raises(ValueError, match="Poisson"):
+        price_mlmc_family("merton")
+    with pytest.raises(ValueError, match="surface"):
+        price_mlmc_family("localvol")
+    with pytest.raises(ValueError, match="sim grid"):
+        price_mlmc_family("term")
+    with pytest.raises(ValueError, match="unknown model family"):
+        price_mlmc_family("nope")
+    with pytest.raises(ValueError, match="grid-refinable"):
+        price_mlmc_family("cev", payoff="bullet_call")

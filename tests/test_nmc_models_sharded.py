@@ -68,5 +68,5 @@ def test_exposure_from_sharded_surface():
 
 
 def test_unknown_model_rejected():
-    with pytest.raises(ValueError, match="unknown NMC model"):
+    with pytest.raises(ValueError, match="unknown model family"):
         price_nmc_model_sharded("bachelier")
