@@ -892,6 +892,14 @@ def cmd_rainbow(args):
                         tile_rows=args.tile_rows)
     out = {"payoff": args.payoff, "n_assets": d,
            "price": float(res.price), "stderr": float(res.stderr)}
+    if args.greeks:
+        from mc_tpu.greeks import rainbow_greeks
+        g = rainbow_greeks(option, dyn, sim, args.payoff,
+                           tile_rows=args.tile_rows)
+        out["delta"] = [float(x) for x in np.asarray(g["delta"])]
+        out["vega"] = [float(x) for x in np.asarray(g["vega"])]
+        out["cega_01"] = (float(np.asarray(g["cega"])[0, 1])
+                          if d > 1 else 0.0)
     if d == 2:  # closed-form oracle column (Margrabe / Stulz)
         from mc_tpu import oracle
         a = (float(s0s[0]), float(s0s[1]))
@@ -997,18 +1005,30 @@ def cmd_localvol(args):
 
 
 def cmd_mlmc(args):
-    from mc_tpu.mlmc import price_heston_mlmc
+    from mc_tpu.mlmc import price_heston_mlmc, price_mlmc_family
     from mc_tpu.models.heston import HestonDynamics
 
     option, sim = _parse(args)
-    dyn = HestonDynamics(v0=args.v0, kappa=args.kappa, theta=args.theta_v,
-                         xi=args.xi, rho=args.rho_sv)
-    res = price_heston_mlmc(option, dyn, payoff=args.payoff,
-                            n0=args.n0, n_levels=args.n_levels,
-                            eps=args.eps, seed=args.seed,
-                            n_pilot=args.n_paths,
-                            tile_rows=min(args.tile_rows, 64))
+    if args.model == "heston":
+        # the dedicated fused Pallas level estimator
+        dyn = HestonDynamics(v0=args.v0, kappa=args.kappa,
+                             theta=args.theta_v, xi=args.xi,
+                             rho=args.rho_sv)
+        res = price_heston_mlmc(option, dyn, payoff=args.payoff,
+                                n0=args.n0, n_levels=args.n_levels,
+                                eps=args.eps, seed=args.seed,
+                                n_pilot=args.n_paths,
+                                tile_rows=min(args.tile_rows, 64))
+    else:
+        # any Gaussian-driven family via the rollout-hook estimator
+        # (demo dynamics; library callers pass their own dyn)
+        res = price_mlmc_family(args.model, option, payoff=args.payoff,
+                                n0=args.n0, n_levels=args.n_levels,
+                                eps=args.eps, seed=args.seed,
+                                n_pilot=args.n_paths,
+                                tile_rows=min(args.tile_rows, 64))
     print(json.dumps({
+        "model": args.model,
         "payoff": args.payoff, "price": float(res.price),
         "stderr": float(res.stderr), "levels": list(res.levels),
         "n_per_level": [int(x) for x in res.n_per_level],
@@ -1305,6 +1325,8 @@ def main(argv=None):
                    help="call_on_max|call_on_min|put_on_max|put_on_min|"
                         "exchange|best_of_cash")
     p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--greeks", action="store_true",
+                   help="per-asset delta/vega + cega (one jax.grad pass)")
     p.add_argument("--n-assets", type=int, default=2)
     p.add_argument("--corr", type=float, default=0.5)
     p.add_argument("--s02", type=float, default=105.0,
@@ -1355,8 +1377,11 @@ def main(argv=None):
     p.add_argument("--n-knots", type=int, default=9)
     p.set_defaults(fn=cmd_localvol)
 
-    p = sub.add_parser("mlmc", help="multilevel MC under Heston")
+    p = sub.add_parser("mlmc", help="multilevel MC under any "
+                                    "Gaussian-driven model family")
     _add_option_flags(p)
+    p.add_argument("--model", default="heston",
+                   choices=["heston", "cev", "sabr", "vasicek", "basket"])
     p.add_argument("--payoff", default="vanilla_call")
     p.add_argument("--n0", type=int, default=4)
     p.add_argument("--n-levels", type=int, default=5)

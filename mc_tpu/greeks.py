@@ -38,7 +38,8 @@ from mc_tpu.engines import STREAM_OUTER, _price_impl
 from mc_tpu.ops.payoffs import get_payoff
 
 __all__ = ["greeks", "heston_greeks", "merton_greeks", "sabr_greeks",
-           "vasicek_greeks", "GREEK_FIELDS", "HESTON_GREEK_FIELDS",
+           "vasicek_greeks", "rainbow_greeks", "basket_greeks",
+           "GREEK_FIELDS", "HESTON_GREEK_FIELDS",
            "MERTON_GREEK_FIELDS", "SABR_GREEK_FIELDS",
            "VASICEK_GREEK_FIELDS"]
 
@@ -542,3 +543,110 @@ def vasicek_greeks(option=None, dyn=None,
 
     return _fd_model_greeks(f, option, dyn, VASICEK_GREEK_FIELDS, which,
                             rel_bump)
+
+
+# ---------------------------------------------------------------------------
+# Multi-asset greeks: ONE reverse-mode pass through the XLA dual gives
+# the per-asset delta VECTOR, per-asset vega VECTOR, and the full
+# correlation-sensitivity (cega) MATRIX at once — the d-dimensional
+# generalization the scalar CRN-FD model greeks can't express without
+# 2(d^2+2d) re-simulations.  Order-statistic payoffs (max/min) are a.e.
+# differentiable, so the pathwise estimator is unbiased; the XLA dual is
+# bitwise-equal to the Pallas engine, so these ARE the production
+# engine's sensitivities.  Two-asset gates: CRN-FD of oracle.stulz_* /
+# margrabe (tests/test_rainbow_greeks.py).
+# ---------------------------------------------------------------------------
+
+
+def _multiasset_greeks(price_fn, basket, which):
+    allowed = ("delta", "vega", "cega")
+    bad = set(which) - set(allowed)
+    if bad:
+        raise ValueError(f"unknown greeks {sorted(bad)}; "
+                         f"available: {list(allowed)}")
+
+    def f(s0s, sigmas, corr):
+        b = dataclasses.replace(basket, s0s=s0s, sigmas=sigmas,
+                                corr=corr)
+        return price_fn(b)
+
+    g_s0, g_sig, g_corr = jax.grad(f, argnums=(0, 1, 2))(
+        basket.s0s, basket.sigmas, basket.corr)
+    out = {}
+    if "delta" in which:
+        out["delta"] = g_s0
+    if "vega" in which:
+        out["vega"] = g_sig
+    if "cega" in which:
+        # corr enters symmetrically (rho_ij and rho_ji are the same
+        # market parameter): fold the cotangent of the strictly-upper
+        # and strictly-lower triangles together, zero the diagonal
+        c = g_corr + jnp.transpose(g_corr)
+        out["cega"] = c - jnp.diag(jnp.diag(c))
+    return out
+
+
+def rainbow_greeks(option=None, basket=None,
+                   sim: SimParams = DEMO_SIM,
+                   payoff: str = "call_on_max",
+                   *,
+                   which: Sequence[str] = ("delta", "vega", "cega"),
+                   antithetic: bool = False,
+                   tile_rows: int = 128,
+                   stream: int = STREAM_OUTER) -> Dict[str, Any]:
+    """Per-asset sensitivities of a rainbow contract.
+
+    Returns {"delta": (d,), "vega": (d,), "cega": (d, d)} — pathwise
+    gradients through the exact terminal draw (one backward pass).  The
+    cega matrix is symmetric with zero diagonal (rho_ii = 1 is not a
+    parameter).
+    """
+    from mc_tpu.config import DEMO_OPTION
+    from mc_tpu.models.basket import DEMO_BASKET
+    from mc_tpu.models.rainbow import price_rainbow
+
+    option = (DEMO_OPTION if option is None else option).as_f32()
+    basket = (DEMO_BASKET if basket is None else basket).as_f32()
+    key = jnp.asarray(rng.derive_key(sim.seed, stream, 0xBE0F),
+                      jnp.uint32)
+
+    def price_fn(b):
+        return price_rainbow(option, b, sim, payoff, engine="xla",
+                             antithetic=antithetic, tile_rows=tile_rows,
+                             key=key).price
+
+    return _multiasset_greeks(price_fn, basket, which)
+
+
+def basket_greeks(option=None, basket=None,
+                  sim: SimParams = DEMO_SIM,
+                  payoff: str = "vanilla_call",
+                  *,
+                  which: Sequence[str] = ("delta", "vega", "cega"),
+                  antithetic: bool = False,
+                  tile_rows: int = 128,
+                  stream: int = STREAM_OUTER) -> Dict[str, Any]:
+    """Per-asset sensitivities of a payoff on the weighted basket level
+    (same contract as `price_basket`), by one reverse-mode pass through
+    the step-loop XLA dual.  Gate: with d=1 and weight 1 the delta/vega
+    collapse to the single-asset pathwise `greeks()`."""
+    from mc_tpu.config import DEMO_OPTION
+    from mc_tpu.models.basket import DEMO_BASKET, price_basket
+
+    option = (DEMO_OPTION if option is None else option).as_f32()
+    basket = (DEMO_BASKET if basket is None else basket).as_f32()
+    po = get_payoff(payoff)
+    if po.name not in _PATHWISE_OK:
+        raise ValueError(
+            f"pathwise multi-asset greeks need an a.e.-differentiable "
+            f"payoff ({sorted(_PATHWISE_OK)}); {po.name!r} has "
+            "zero-a.e. pathwise derivatives")
+    key = jnp.asarray(rng.derive_key(sim.seed, stream, 0xBA5C),
+                      jnp.uint32)
+
+    def price_fn(b):
+        return price_basket(option, b, sim, payoff, engine="xla",
+                            antithetic=antithetic, tile_rows=tile_rows,
+                            key=key).price
+
+    return _multiasset_greeks(price_fn, basket, which)
