@@ -193,6 +193,31 @@ def cmd_price(args):
     return 0
 
 
+def _xva_outputs(res, args, out):
+    """Shared XVA rows (DVA/BCVA/FVA/collateral) for single-contract and
+    book NMC results — both carry the ExposureMetrics mixin."""
+    import numpy as np
+    if args.dva_hazard is not None:
+        out["dva"] = float(res.dva(args.dva_hazard, args.cva_recovery))
+        if args.cva_hazard is not None:
+            out["bilateral_cva"] = float(res.bilateral_cva(
+                args.cva_hazard, args.dva_hazard, args.cva_recovery,
+                args.cva_recovery))
+    if args.fva_spread is not None:
+        fca, fba = res.fva(args.fva_spread)
+        out["fca"], out["fba"] = float(fca), float(fba)
+    if args.collateral_threshold is not None:
+        c = res.collateralized(args.collateral_threshold,
+                               mta=args.mta, mpor_steps=args.mpor_steps)
+        cee, _ = c.exposure_profile(args.pfe_quantile)
+        out["collateralized_ee"] = [round(float(x), 6)
+                                    for x in np.asarray(cee)]
+        if args.cva_hazard is not None:
+            out["collateralized_cva"] = float(
+                c.cva(args.cva_hazard, args.cva_recovery))
+    return out
+
+
 def cmd_nmc(args):
     from mc_tpu.nmc import price_nmc
 
@@ -233,6 +258,7 @@ def cmd_nmc(args):
         if args.cva_hazard is not None:
             out["netted_cva"] = float(res.cva(args.cva_hazard,
                                               args.cva_recovery))
+        out = _xva_outputs(res, args, out)
         print(json.dumps(out))
         return 0
     if args.model == "heston":
@@ -331,6 +357,7 @@ def cmd_nmc(args):
         if args.cva_hazard is not None:
             out["cva"] = float(res.cva(args.cva_hazard, args.cva_recovery,
                                        t_horizon=args.t))
+        out = _xva_outputs(res, args, out)
     if args.surface_npz:
         import numpy as np
         np.savez_compressed(args.surface_npz,
@@ -1103,6 +1130,17 @@ def main(argv=None):
     p.add_argument("--cva-hazard", type=float, default=None,
                    help="flat hazard rate: emit unilateral CVA")
     p.add_argument("--cva-recovery", type=float, default=0.4)
+    p.add_argument("--dva-hazard", type=float, default=None,
+                   help="own flat hazard: emit DVA and bilateral CVA "
+                        "(needs --cva-hazard)")
+    p.add_argument("--fva-spread", type=float, default=None,
+                   help="funding spread: emit FCA/FBA")
+    p.add_argument("--collateral-threshold", type=float, default=None,
+                   help="two-way CSA threshold: emit collateralized "
+                        "EE/CVA (with --mta / --mpor-steps)")
+    p.add_argument("--mta", type=float, default=0.0)
+    p.add_argument("--mpor-steps", type=int, default=0,
+                   help="margin period of risk, in steps")
     p.add_argument("--model",
                    choices=("gbm", "heston", "merton", "vasicek",
                             "localvol", "cev", "basket", "sabr", "term",

@@ -39,13 +39,14 @@ from mc_tpu.ops import path_kernels as pk
 from mc_tpu.ops._pallas import LANES
 from mc_tpu.ops.payoffs import get_payoff
 from mc_tpu.ops.reduce import finish_sum
+from mc_tpu.xva import ExposureMetrics
 
 __all__ = ["price_nmc", "NMCResult", "nmc_auto_tile_rows"]
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
-class NMCResult:
+class NMCResult(ExposureMetrics):
     """Price surface + outer estimate.
 
     ``surface[j]`` is the discounted inner-MC estimate of the conditional

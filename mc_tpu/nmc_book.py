@@ -45,6 +45,7 @@ from mc_tpu.ops import path_kernels as pk
 from mc_tpu.ops._pallas import LANES
 from mc_tpu.ops.payoffs import get_payoff
 from mc_tpu.ops.reduce import finish_sum
+from mc_tpu.xva import ExposureMetrics
 
 __all__ = ["price_nmc_book", "NMCBookResult"]
 
@@ -53,7 +54,7 @@ _MARKET_FIELDS = ("s0", "r", "sigma", "q", "t")
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
-class NMCBookResult:
+class NMCBookResult(ExposureMetrics):
     """Netted value surface + per-contract diagnostics.
 
     ``net_surface[j]`` is the netted MtM sum_b w_b V^b at every

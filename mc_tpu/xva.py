@@ -1,0 +1,158 @@
+"""XVA metrics on nested-MC value surfaces.
+
+The NMC engines (`nmc.py`, `nmc_engine.py`, `nmc_book.py`) produce a
+per-(path, step) conditional-value surface V_ij — the reference's
+flagship output (`/root/reference/inc/nmc.cuh:12-386` materializes the
+same object for ONE contract).  This module turns that surface into the
+quantities an XVA desk actually books, shared by every result type
+through the `ExposureMetrics` mixin:
+
+* EE/ENE/PFE profiles (positive and negative expected exposure),
+* unilateral CVA (counterparty default leg, flat hazard),
+* DVA (own default leg, on the NEGATIVE exposure) and bilateral
+  CVA = CVA - DVA,
+* FVA split into funding cost (FCA, on EE) and benefit (FBA, on ENE),
+* collateralized exposure under a two-way CSA: thresholds, minimum
+  transfer amount, and a margin period of risk (the collateral held at
+  t_j was called at t_{j-m}, so the exposure keeps the last m steps of
+  market moves — the standard discrete-CSA model, Gregory ch. 7 /
+  Brigo-Morini-Pallavicini ch. 13).
+
+All values are ALREADY discounted (the engines discount the inner legs
+to t=0), so the metrics integrate profiles directly — the EE* convention
+`NMCResult.cva` documents.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+__all__ = ["ExposureMetrics", "CollateralizedExposure"]
+
+
+def _step_grid(n: int, t_horizon):
+    """Per-step dates t_1..t_n and default-probability increments."""
+    t = jnp.arange(1, n + 1, dtype=jnp.float32) * (
+        jnp.float32(t_horizon) / n)
+    t_prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), t[:-1]])
+    return t, t_prev
+
+
+def _cva_on(v, hazard_rate, recovery, t_horizon, side: float):
+    """Default-leg integral on the positive (side=+1, CVA) or negative
+    (side=-1, DVA) part of the value matrix ``v`` (n_paths, n_steps)."""
+    exp_prof = jnp.mean(jnp.maximum(side * v, 0.0), axis=0)
+    t, t_prev = _step_grid(exp_prof.shape[0], t_horizon)
+    lam = jnp.float32(hazard_rate)
+    dpd = jnp.exp(-lam * t_prev) - jnp.exp(-lam * t)
+    return (1.0 - jnp.float32(recovery)) * jnp.sum(exp_prof * dpd)
+
+
+class ExposureMetrics:
+    """Shared XVA surface metrics.  Hosts require ``surface_matrix()``
+    -> (n_paths, n_steps) discounted values and a ``t_horizon`` field
+    (both NMCResult and NMCBookResult provide them)."""
+
+    def ene_profile(self, quantile: float = 0.95):
+        """(ENE, NPFE): expected NEGATIVE exposure mean(max(-V, 0)) and
+        its quantile per step — the own-default / funding-benefit side."""
+        neg = jnp.maximum(-self.surface_matrix(), 0.0)
+        return jnp.mean(neg, axis=0), jnp.quantile(neg, quantile, axis=0)
+
+    def dva(self, own_hazard_rate: float, own_recovery: float = 0.4,
+            t_horizon: Optional[float] = None):
+        """Debit valuation adjustment: the own-default leg on the
+        negative exposure (what the counterparty would lose)."""
+        th = self.t_horizon if t_horizon is None else t_horizon
+        return _cva_on(self.surface_matrix(), own_hazard_rate,
+                       own_recovery, th, side=-1.0)
+
+    def bilateral_cva(self, hazard_rate: float, own_hazard_rate: float,
+                      recovery: float = 0.4, own_recovery: float = 0.4,
+                      t_horizon: Optional[float] = None):
+        """BCVA = CVA - DVA (independent flat hazards; no first-to-
+        default correction — the additive convention desks report)."""
+        th = self.t_horizon if t_horizon is None else t_horizon
+        v = self.surface_matrix()
+        return (_cva_on(v, hazard_rate, recovery, th, +1.0)
+                - _cva_on(v, own_hazard_rate, own_recovery, th, -1.0))
+
+    def fva(self, funding_spread: float,
+            t_horizon: Optional[float] = None):
+        """(FCA, FBA): funding cost spread * integral EE dt on the
+        positive exposure, funding benefit on the negative.  Net
+        FVA = FCA - FBA."""
+        th = jnp.float32(self.t_horizon if t_horizon is None
+                         else t_horizon)
+        v = self.surface_matrix()
+        dt = th / v.shape[1]
+        sp = jnp.float32(funding_spread)
+        fca = sp * jnp.sum(jnp.mean(jnp.maximum(v, 0.0), axis=0)) * dt
+        fba = sp * jnp.sum(jnp.mean(jnp.maximum(-v, 0.0), axis=0)) * dt
+        return fca, fba
+
+    def collateralized(self, threshold: float = 0.0,
+                       own_threshold: Optional[float] = None,
+                       mta: float = 0.0,
+                       mpor_steps: int = 0) -> "CollateralizedExposure":
+        """Exposure under a two-way CSA.
+
+        The collateral balance held against date t_j was fixed at the
+        call date t_{j-m} (``mpor_steps`` = m, the margin period of
+        risk): C_j = (V_{j-m} - H)^+ - (-V_{j-m} - H_own)^+, each leg
+        posted only when the call amount exceeds ``mta``.  The
+        collateralized value V_j - C_j keeps exactly the last m steps
+        of market moves plus the threshold/MTA stubs.  m=0 means
+        instantaneous margining: with H = mta = 0 the residual exposure
+        is identically zero (gated in tests).
+        """
+        if mpor_steps < 0:
+            raise ValueError(f"mpor_steps must be >= 0, got {mpor_steps}")
+        if mta < 0.0:
+            raise ValueError(f"mta must be >= 0, got {mta}")
+        v = self.surface_matrix()
+        h_c = jnp.float32(threshold)
+        h_o = jnp.float32(threshold if own_threshold is None
+                          else own_threshold)
+        m = int(mpor_steps)
+        # value at the collateral-call date: lag by m steps; the first m
+        # dates are uncollateralized (no call has settled yet) -> C = 0,
+        # encoded by lagging against a zero-padded matrix and treating
+        # V_call = 0 there (both legs clamp to zero).
+        if m == 0:
+            v_call = v
+        else:
+            v_call = jnp.concatenate(
+                [jnp.zeros((v.shape[0], m), v.dtype), v[:, :-m]], axis=1)
+        call_c = jnp.maximum(v_call - h_c, 0.0)
+        call_o = jnp.maximum(-v_call - h_o, 0.0)
+        mta_f = jnp.float32(mta)
+        coll = (jnp.where(call_c > mta_f, call_c, 0.0)
+                - jnp.where(call_o > mta_f, call_o, 0.0))
+        return CollateralizedExposure(values=v - coll,
+                                      t_horizon=self.t_horizon)
+
+
+@dataclasses.dataclass(frozen=True)
+class CollateralizedExposure(ExposureMetrics):
+    """Net-of-collateral value matrix with the full metrics surface —
+    `exposure_profile` / `cva` / `dva` / `fva` compose unchanged on the
+    collateralized values."""
+
+    values: Any          # (n_paths, n_steps), discounted, net of C_j
+    t_horizon: Any
+
+    def surface_matrix(self):
+        return self.values
+
+    def exposure_profile(self, quantile: float = 0.95):
+        pos = jnp.maximum(self.values, 0.0)
+        return jnp.mean(pos, axis=0), jnp.quantile(pos, quantile, axis=0)
+
+    def cva(self, hazard_rate: float, recovery: float = 0.4,
+            t_horizon: Optional[float] = None):
+        th = self.t_horizon if t_horizon is None else t_horizon
+        return _cva_on(self.values, hazard_rate, recovery, th, +1.0)

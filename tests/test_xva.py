@@ -1,0 +1,107 @@
+"""XVA metric layer: DVA/BCVA/FVA and collateralized exposure (CSA with
+threshold, MTA, margin period of risk) on the NMC value surfaces."""
+
+import numpy as np
+import pytest
+
+from mc_tpu import OptionParams, SimParams
+from mc_tpu.nmc import price_nmc
+from mc_tpu.nmc_book import price_nmc_book
+
+SIM = SimParams(n_paths=2048, n_steps=8, n_paths_inner=32)
+
+
+@pytest.fixture(scope="module")
+def res():
+    return price_nmc(OptionParams(), SIM, engine="xla")
+
+
+def test_long_call_has_no_negative_exposure(res):
+    ene, npfe = res.ene_profile()
+    assert float(np.max(np.asarray(ene))) == 0.0
+    assert float(res.dva(0.02)) == 0.0
+    # bilateral collapses to unilateral when ENE = 0
+    assert float(res.bilateral_cva(0.02, 0.03)) == pytest.approx(
+        float(res.cva(0.02)))
+
+
+def test_fva_hand_integral(res):
+    ee, _ = res.exposure_profile()
+    fca, fba = res.fva(0.01)
+    dt = 1.0 / SIM.n_steps
+    assert float(fca) == pytest.approx(
+        0.01 * float(np.sum(np.asarray(ee))) * dt, rel=1e-6)
+    assert float(fba) == 0.0
+
+
+def test_full_collateralization_kills_exposure(res):
+    c = res.collateralized(threshold=0.0, mta=0.0, mpor_steps=0)
+    ee, pfe = c.exposure_profile()
+    assert float(np.max(np.asarray(ee))) == 0.0
+    assert float(c.cva(0.02)) == 0.0
+
+
+def test_infinite_threshold_is_uncollateralized(res):
+    c = res.collateralized(threshold=1e9)
+    assert float(c.cva(0.02)) == pytest.approx(float(res.cva(0.02)),
+                                               rel=1e-6)
+
+
+def test_mpor_between_extremes_and_threshold_monotone(res):
+    cva_un = float(res.cva(0.02))
+    cva_mpor = float(res.collateralized(0.0, mpor_steps=2).cva(0.02))
+    assert 0.0 <= cva_mpor <= cva_un
+    # residual risk grows with the threshold
+    prev = cva_mpor
+    for h in (1.0, 5.0, 20.0):
+        cur = float(res.collateralized(h, mpor_steps=2).cva(0.02))
+        assert cur >= prev - 1e-7
+        prev = cur
+    # first mpor dates are uncollateralized: exposure there matches the
+    # raw surface exactly
+    c = res.collateralized(0.0, mpor_steps=2)
+    raw = np.maximum(np.asarray(res.surface_matrix()), 0.0)
+    col = np.maximum(np.asarray(c.surface_matrix()), 0.0)
+    np.testing.assert_array_equal(col[:, :2], raw[:, :2])
+
+
+def test_mta_stub_survives(res):
+    """With an MTA, calls below it are not made — residual exposure is
+    bounded by the MTA (plus nothing else at H=0, m=0)."""
+    mta = 3.0
+    c = res.collateralized(0.0, mta=mta, mpor_steps=0)
+    assert float(np.max(np.asarray(c.surface_matrix()))) <= mta + 1e-5
+    assert float(c.cva(0.02)) <= float(res.cva(0.02))
+
+
+def test_short_book_dva_mirrors_long_cva():
+    """A short position's DVA is the long position's CVA on the same
+    (CRN) scenarios — the surfaces are exact negations."""
+    opt = OptionParams(k=np.array([100.0], np.float32))
+    long_b = price_nmc_book(opt, SIM, weights=[1.0], engine="xla")
+    short_b = price_nmc_book(opt, SIM, weights=[-1.0], engine="xla")
+    assert float(short_b.cva(0.02)) == 0.0
+    assert float(short_b.dva(0.02)) == pytest.approx(
+        float(long_b.cva(0.02)), rel=1e-6)
+    # net FVA flips sides
+    fca_l, fba_l = long_b.fva(0.01)
+    fca_s, fba_s = short_b.fva(0.01)
+    assert float(fca_s) == pytest.approx(float(fba_l), rel=1e-6)
+    assert float(fba_s) == pytest.approx(float(fca_l), rel=1e-6)
+
+
+def test_two_way_csa_own_threshold():
+    """Short book + two-way CSA: WE post collateral, so the
+    counterparty's exposure (our DVA side) collapses."""
+    opt = OptionParams(k=np.array([100.0], np.float32))
+    short_b = price_nmc_book(opt, SIM, weights=[-1.0], engine="xla")
+    c = short_b.collateralized(threshold=0.0, own_threshold=0.0,
+                               mta=0.0, mpor_steps=0)
+    assert float(c.dva(0.02)) == 0.0
+
+
+def test_validation(res):
+    with pytest.raises(ValueError, match="mpor_steps"):
+        res.collateralized(mpor_steps=-1)
+    with pytest.raises(ValueError, match="mta"):
+        res.collateralized(mta=-1.0)
