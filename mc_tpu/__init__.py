@@ -65,6 +65,10 @@ def __getattr__(name):
     if name in ("price_cev", "CEVDynamics", "cev_call_closed_form"):
         from mc_tpu.models import cev
         return getattr(cev, name)
+    if name in ("price_swaption", "price_bermudan_swaption",
+                "SwaptionSpec"):
+        from mc_tpu.models import swaption
+        return getattr(swaption, name)
     if name in ("calibrate_sabr", "hagan_iv"):
         from mc_tpu import calibrate
         return getattr(calibrate, name)

@@ -973,6 +973,37 @@ def cmd_vasicek(args):
     return 0
 
 
+def cmd_swaption(args):
+    from mc_tpu import oracle
+    from mc_tpu.models.swaption import (SwaptionSpec,
+                                        price_bermudan_swaption,
+                                        price_swaption)
+    from mc_tpu.models.vasicek import VasicekDynamics
+
+    option, sim = _parse(args)
+    dyn = VasicekDynamics(a=args.a, b=args.b, sigma_r=args.sigma_r)
+    spec = SwaptionSpec(expiry=args.expiry, tenor=args.tenor,
+                        n_payments=args.n_payments, k_rate=args.k_rate,
+                        payer=not args.receiver)
+    res = price_swaption(spec, dyn, sim, r0=args.r, seed=args.seed)
+    ref = oracle.vasicek_swaption(args.r, args.a, args.b, args.sigma_r,
+                                  args.expiry, args.tenor,
+                                  args.n_payments, args.k_rate,
+                                  payer=not args.receiver)
+    out = {"style": "european", "price": float(res.price),
+           "stderr": float(res.stderr), "oracle": ref,
+           "z_score": (float(res.price) - ref) / float(res.stderr)}
+    if args.bermudan:
+        ber = price_bermudan_swaption(spec, dyn, sim, r0=args.r,
+                                      degree=args.degree,
+                                      seed=args.seed)
+        out["bermudan_price"] = float(ber.price)
+        out["bermudan_stderr"] = float(ber.stderr)
+        out["early_exercise_premium"] = float(ber.price) - float(res.price)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_term(args):
     import numpy as np
 
@@ -1388,6 +1419,25 @@ def main(argv=None):
     p.add_argument("--rho-r", type=float, default=-0.3,
                    help="equity/rate correlation")
     p.set_defaults(fn=cmd_vasicek)
+
+    p = sub.add_parser("swaption",
+                       help="Vasicek swaption: exact date-grid MC vs "
+                            "Jamshidian; --bermudan adds the LSMC "
+                            "early-exercise premium")
+    _add_option_flags(p)
+    p.add_argument("--expiry", type=float, default=1.0)
+    p.add_argument("--tenor", type=float, default=0.5)
+    p.add_argument("--n-payments", type=int, default=10)
+    p.add_argument("--k-rate", type=float, default=0.05,
+                   help="fixed leg rate (r0 is --rate)")
+    p.add_argument("--receiver", action="store_true")
+    p.add_argument("--bermudan", action="store_true")
+    p.add_argument("--degree", type=int, default=3,
+                   help="LSMC basis degree in the short rate")
+    p.add_argument("--a", type=float, default=0.3)
+    p.add_argument("--b", type=float, default=0.05)
+    p.add_argument("--sigma-r", type=float, default=0.015)
+    p.set_defaults(fn=cmd_swaption)
 
     p = sub.add_parser("term",
                        help="rate/vol term-structure price (averaged-BS "

@@ -1,0 +1,239 @@
+"""Interest-rate swaptions under the Vasicek short rate.
+
+The rates-native product family on the framework's stochastic-rate
+machinery (`models/vasicek.py` holds the equity-hybrid engine; here the
+rate IS the underlying).  TPU-first design point: the Vasicek (x, y) =
+(r - b, int r du) pair has an EXACT joint Gaussian transition over ANY
+horizon, so the simulation grid is the COUPON grid — one exact step per
+exercise date, no Euler substeps, no discretization bias anywhere
+(`vasicek_step`'s covariance algebra, models/vasicek.py:87-120, reduced
+to the 2x2 rates block).
+
+* `price_swaption` — European payer/receiver swaption by one exact
+  draw of (r_T0, y_T0): the swap's bonds are affine in r_T0 and the
+  pathwise discount e^{-y} is exact.  Oracle:
+  `oracle.vasicek_swaption` (Jamshidian decomposition).
+* `price_bermudan_swaption` — co-terminal Bermudan (exercise at any
+  coupon date into the remaining swap) by Longstaff-Schwartz on the
+  exact date-grid: regression basis in r, intrinsic values in closed
+  form (affine bonds), pathwise discounting — no inner simulation
+  needed anywhere.  Gates: one-date Bermudan == European (same draws),
+  Bermudan >= every standalone European on the remaining swaps,
+  sigma_r -> 0 collapses to the deterministic max.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mc_tpu import rng
+from mc_tpu.config import SimParams
+from mc_tpu.engines import STREAM_OUTER
+from mc_tpu.models.vasicek import DEMO_VASICEK, VasicekDynamics
+from mc_tpu.oracle import PriceResult, summarize
+
+__all__ = ["SwaptionSpec", "price_swaption", "price_bermudan_swaption",
+           "DEMO_SWAPTION"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SwaptionSpec:
+    """Unit-notional swap: fixed ``k_rate`` vs float, payments at
+    expiry + i*tenor (i = 1..n_payments).  Hashable/static (shapes and
+    the date grid depend on it)."""
+
+    expiry: float = 1.0
+    tenor: float = 0.5
+    n_payments: int = 10
+    k_rate: float = 0.05
+    payer: bool = True
+
+    def validate(self) -> "SwaptionSpec":
+        if self.expiry <= 0 or self.tenor <= 0:
+            raise ValueError(f"expiry/tenor must be > 0, got "
+                             f"({self.expiry}, {self.tenor})")
+        if self.n_payments < 1:
+            raise ValueError(f"n_payments must be >= 1, "
+                             f"got {self.n_payments}")
+        return self
+
+
+DEMO_SWAPTION = SwaptionSpec()
+
+
+def _exact_xy_coeffs(a, sigma_r, dt):
+    """Cholesky of the exact (eps, eta) covariance over one step of
+    size ``dt`` — the 2x2 rates block of models/vasicek._pack_vasicek."""
+    e1 = jnp.exp(-a * dt)
+    big_b = -jnp.expm1(-a * dt) / a
+    c2 = -jnp.expm1(-2.0 * a * dt) / (2.0 * a)
+    sr2 = sigma_r * sigma_r
+    c00 = sr2 * c2
+    c10 = (sr2 / a) * (big_b - c2)
+    c11 = (sr2 / (a * a)) * (dt - 2.0 * big_b + c2)
+    jit2 = 1e-6 * (c00 + c11) / 2.0
+    l11 = jnp.sqrt(c00 + jit2)
+    l21 = c10 / l11
+    l22 = jnp.sqrt(jnp.maximum(c11 + jit2 - l21 * l21, 1e-30))
+    return e1, big_b, l11, l21, l22
+
+
+def _zcb_affine(a, b, sigma_r, s, r):
+    """P(t, t+s) = A(s) e^{-B(s) r} (affine Vasicek bond), traced in r."""
+    bt = -jnp.expm1(-a * s) / a
+    loga = ((b - sigma_r * sigma_r / (2.0 * a * a)) * (bt - s)
+            - sigma_r * sigma_r * bt * bt / (4.0 * a))
+    return jnp.exp(loga - bt * r)
+
+
+def _swap_intrinsic(spec: SwaptionSpec, a, b, sigma_r, r, i0: int):
+    """Exercise value AT coupon date i0 (i0 = 0 is the expiry) of the
+    remaining swap paying at dates i0+1 .. n_payments: payer intrinsic
+    max(1 - P_N - K tau sum P_i, 0), affine in the prevailing rate."""
+    tau = jnp.float32(spec.tenor)
+    fixed = jnp.zeros_like(r)
+    n_rem = spec.n_payments - i0
+    for j in range(1, n_rem + 1):
+        fixed = fixed + _zcb_affine(a, b, sigma_r, tau * j, r)
+    p_last = _zcb_affine(a, b, sigma_r, tau * n_rem, r)
+    swap = 1.0 - p_last - jnp.float32(spec.k_rate) * tau * fixed
+    if not spec.payer:
+        swap = -swap
+    return jnp.maximum(swap, 0.0)
+
+
+def _simulate_rate_grid(spec, a, b, sigma_r, r0, n_paths, n_ex, key):
+    """(r, y) at the n_ex exercise dates by exact steps: expiry first,
+    then tenor-sized steps date-to-date.  Draw convention: date u of
+    path i consumes threefry pair (i, u)."""
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+    ids = jnp.arange(n_paths, dtype=jnp.uint32)
+
+    def step(carry, u):
+        x, y = carry
+        c1 = jnp.full(ids.shape, 0, jnp.uint32) + u
+        z0, z1 = rng.normal_pair(k0, k1, ids, c1)
+        # date 0 steps over [0, expiry]; later dates over one tenor
+        e1, big_b, l11, l21, l22 = _exact_xy_coeffs(
+            a, sigma_r, jnp.where(u == 0, jnp.float32(spec.expiry),
+                                  jnp.float32(spec.tenor)))
+        eps = l11 * z0
+        eta = l21 * z0 + l22 * z1
+        dtv = jnp.where(u == 0, jnp.float32(spec.expiry),
+                        jnp.float32(spec.tenor))
+        y = y + b * dtv + x * big_b + eta
+        x = x * e1 + eps
+        return (x, y), (x + b, y)
+
+    x0 = jnp.full((n_paths,), jnp.float32(r0 - b), jnp.float32)
+    y0 = jnp.zeros((n_paths,), jnp.float32)
+    _, (r_grid, y_grid) = jax.lax.scan(
+        step, (x0, y0), jnp.arange(n_ex, dtype=jnp.uint32))
+    return r_grid, y_grid  # (n_ex, n_paths) each
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "n_paths", "payoff_date"))
+def _european_impl(spec, a, b, sigma_r, r0, n_paths, key,
+                   payoff_date: int = 0):
+    r_grid, y_grid = _simulate_rate_grid(spec, a, b, sigma_r, r0,
+                                         n_paths, payoff_date + 1, key)
+    pay = (_swap_intrinsic(spec, a, b, sigma_r, r_grid[payoff_date],
+                           payoff_date)
+           * jnp.exp(-y_grid[payoff_date]))
+    n = jnp.float32(n_paths)
+    return summarize(jnp.sum(pay), jnp.sum(pay * pay), n, 1.0)
+
+
+def price_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
+                   dyn: VasicekDynamics = DEMO_VASICEK,
+                   sim: SimParams = SimParams(n_paths=1 << 20, n_steps=1),
+                   *,
+                   r0: float = 0.05,
+                   seed: Optional[int] = None,
+                   stream: int = STREAM_OUTER) -> PriceResult:
+    """European payer/receiver swaption: ONE exact draw of (r, int r)
+    at expiry, pathwise discounting, swap bonds in closed affine form.
+    Oracle gate: `oracle.vasicek_swaption` (Jamshidian)."""
+    spec = spec.validate()
+    d32 = dyn.as_f32()
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x5A97), jnp.uint32)
+    return _european_impl(spec, jnp.float32(d32.a), jnp.float32(d32.b),
+                          jnp.float32(d32.sigma_r), jnp.float32(r0),
+                          sim.n_paths, key)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_paths", "degree"))
+def _bermudan_impl(spec, a, b, sigma_r, r0, n_paths, degree, key):
+    n_ex = spec.n_payments  # exercise at every coupon date 0..N-1
+    r_grid, y_grid = _simulate_rate_grid(spec, a, b, sigma_r, r0,
+                                         n_paths, n_ex, key)
+
+    def basis(r):
+        cols = [jnp.ones_like(r)]
+        x = (r - b) / jnp.maximum(jnp.abs(b), 1e-3)
+        pw = x
+        for _ in range(degree):
+            cols.append(pw)
+            pw = pw * x
+        return jnp.stack(cols, axis=-1)  # (n_paths, degree+1)
+
+    # terminal exercise date: exercise iff intrinsic > 0
+    ex_last = (_swap_intrinsic(spec, a, b, sigma_r, r_grid[n_ex - 1],
+                               n_ex - 1) * jnp.exp(-y_grid[n_ex - 1]))
+    cf = ex_last  # discounted-to-0 realized cashflow per path
+
+    def backward(i, cf):
+        ex = (_swap_intrinsic(spec, a, b, sigma_r, r_grid[i], i)
+              * jnp.exp(-y_grid[i]))
+        itm = ex > 0.0
+        x = basis(r_grid[i])
+        w = jnp.where(itm, 1.0, 0.0)[:, None]
+        xtx = (x * w).T @ x + 1e-6 * jnp.eye(x.shape[1], dtype=x.dtype)
+        xty = (x * w).T @ cf
+        beta = jnp.linalg.solve(xtx, xty)
+        cont = x @ beta
+        take = jnp.logical_and(itm, ex > cont)
+        return jnp.where(take, ex, cf)
+
+    # python loop over dates: n_ex is static and small (the coupon grid)
+    for i in range(n_ex - 2, -1, -1):
+        cf = backward(i, cf)
+    n = jnp.float32(n_paths)
+    return summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
+
+
+def price_bermudan_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
+                            dyn: VasicekDynamics = DEMO_VASICEK,
+                            sim: SimParams = SimParams(n_paths=1 << 17,
+                                                       n_steps=1),
+                            *,
+                            r0: float = 0.05,
+                            degree: int = 3,
+                            seed: Optional[int] = None,
+                            stream: int = STREAM_OUTER) -> PriceResult:
+    """Co-terminal Bermudan swaption (exercise at any coupon date into
+    the remaining swap) by Longstaff-Schwartz on the exact date grid:
+    polynomial basis in the short rate, closed-form intrinsics, exact
+    pathwise discounting.  The LSMC estimate is the standard slightly-
+    low-biased lower bound (policy fitted and evaluated on the same
+    paths — same convention as `lsmc.price_american`)."""
+    spec = spec.validate()
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    d32 = dyn.as_f32()
+    seed = sim.seed if seed is None else seed
+    # SAME stream tag as price_swaption: the rate grids are CRN, so the
+    # Bermudan-vs-European premium collapses variance, and a 1-payment
+    # Bermudan (only exercise date = expiry) is BITWISE the European.
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x5A97), jnp.uint32)
+    return _bermudan_impl(spec, jnp.float32(d32.a), jnp.float32(d32.b),
+                          jnp.float32(d32.sigma_r), jnp.float32(r0),
+                          sim.n_paths, degree, key)

@@ -43,6 +43,8 @@ __all__ = [
     "stulz_min_put",
     "stulz_max_put",
     "vasicek_zcb",
+    "vasicek_zbp",
+    "vasicek_swaption",
     "bsv_call",
     "bs_forward_start_call",
     "bs_cliquet",
@@ -549,3 +551,66 @@ def summarize(sum_w, sum_w2, n, discount):
         payoff_mean=mean,
         payoff_var=var,
     )
+
+
+def vasicek_zbp(r0, a, b, sigma_r, t_expiry, t_bond, k) -> float:
+    """European PUT on a zero-coupon bond under Vasicek: the option at
+    ``t_expiry`` on P(t_expiry, t_bond) struck at ``k`` (Jamshidian's
+    building block).  Black-like closed form with bond volatility
+    sigma_p = (sigma_r/a)(1 - e^{-a(S-T)}) sqrt((1 - e^{-2aT})/(2a))."""
+    r0, a, b, sigma_r, t_expiry, t_bond, k = map(
+        float, (r0, a, b, sigma_r, t_expiry, t_bond, k))
+    p_t = vasicek_zcb(r0, a, b, sigma_r, t_expiry)
+    p_s = vasicek_zcb(r0, a, b, sigma_r, t_bond)
+    sig_p = ((sigma_r / a) * (-math.expm1(-a * (t_bond - t_expiry)))
+             * math.sqrt(-math.expm1(-2.0 * a * t_expiry) / (2.0 * a)))
+    if sig_p < 1e-12:
+        return max(k * p_t - p_s, 0.0)
+    h = math.log(p_s / (k * p_t)) / sig_p + 0.5 * sig_p
+    cnd = lambda x: 0.5 * math.erfc(-x / math.sqrt(2.0))
+    return k * p_t * cnd(-h + sig_p) - p_s * cnd(-h)
+
+
+def vasicek_swaption(r0, a, b, sigma_r, t_expiry, tenor, n_payments,
+                     k_rate, payer=True) -> float:
+    """European swaption under Vasicek via Jamshidian decomposition.
+
+    Swap: fixed rate ``k_rate`` against float on unit notional, payment
+    dates T_i = t_expiry + i*tenor (i = 1..n_payments).  A payer
+    swaption is a basket of ZCB PUTS struck at K_i = P(T0, T_i; r*)
+    where r* makes the coupon bond worth par at expiry; a receiver is
+    the complementary basket of calls, obtained here by put-call parity
+    on the swap (receiver = payer - swap value).
+    """
+    r0, a, b, sigma_r = map(float, (r0, a, b, sigma_r))
+    t0, tau, kr = float(t_expiry), float(tenor), float(k_rate)
+    n = int(n_payments)
+    mats = [t0 + (i + 1) * tau for i in range(n)]
+    cs = [kr * tau] * n
+    cs[-1] += 1.0
+
+    def coupon_bond(r):
+        return sum(c * vasicek_zcb(r, a, b, sigma_r, s - t0)
+                   for c, s in zip(cs, mats))
+
+    # r*: coupon_bond(r*) = 1 (monotone decreasing in r) — bisection
+    lo, hi = -2.0, 3.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if coupon_bond(mid) > 1.0:
+            lo = mid
+        else:
+            hi = mid
+    r_star = 0.5 * (lo + hi)
+
+    payer_px = sum(
+        c * vasicek_zbp(r0, a, b, sigma_r, t0, s,
+                        vasicek_zcb(r_star, a, b, sigma_r, s - t0))
+        for c, s in zip(cs, mats))
+    if payer:
+        return payer_px
+    # receiver = payer - (float - fixed) = payer + fixed-leg - float-leg
+    fixed_leg = sum(c * vasicek_zcb(r0, a, b, sigma_r, s)
+                    for c, s in zip(cs, mats))
+    float_leg = vasicek_zcb(r0, a, b, sigma_r, t0)
+    return payer_px + fixed_leg - float_leg

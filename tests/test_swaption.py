@@ -1,0 +1,109 @@
+"""Vasicek swaptions: exact date-grid MC vs the Jamshidian oracle, and
+the Bermudan LSMC's bracketing/degenerate gates."""
+
+import math
+
+import numpy as np
+import pytest
+
+from mc_tpu import SimParams, oracle
+from mc_tpu.models.swaption import (SwaptionSpec, price_bermudan_swaption,
+                                    price_swaption)
+from mc_tpu.models.vasicek import VasicekDynamics
+
+DYN = VasicekDynamics(a=0.3, b=0.05, sigma_r=0.015)
+SPEC = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=10, k_rate=0.05)
+R0 = 0.05
+SIM = SimParams(n_paths=1 << 19, n_steps=1)
+
+
+def _oracle(spec, payer=True):
+    return oracle.vasicek_swaption(R0, DYN.a, DYN.b, DYN.sigma_r,
+                                   spec.expiry, spec.tenor,
+                                   spec.n_payments, spec.k_rate,
+                                   payer=payer)
+
+
+def test_payer_matches_jamshidian():
+    r = price_swaption(SPEC, DYN, SIM, r0=R0)
+    z = (float(r.price) - _oracle(SPEC)) / float(r.stderr)
+    assert abs(z) < 4.0, (float(r.price), _oracle(SPEC), z)
+
+
+def test_receiver_matches_jamshidian():
+    spec = SwaptionSpec(payer=False)
+    r = price_swaption(spec, DYN, SIM, r0=R0)
+    z = (float(r.price) - _oracle(spec, payer=False)) / float(r.stderr)
+    assert abs(z) < 4.0
+
+
+def test_moneyness_ladder():
+    """Payer premium decreases in the fixed rate; deep OTM ~ 0 (both MC
+    and the oracle agree across the ladder)."""
+    prev = float("inf")
+    for k in (0.02, 0.05, 0.09):
+        spec = SwaptionSpec(k_rate=k)
+        r = price_swaption(spec, DYN, SIM, r0=R0)
+        assert float(r.price) < prev + 1e-9
+        z = (float(r.price) - _oracle(spec)) / max(float(r.stderr), 1e-9)
+        assert abs(z) < 4.0, (k, z)
+        prev = float(r.price)
+
+
+def test_one_payment_bermudan_is_european_bitwise():
+    """n_payments=1: the only exercise date is the expiry — the LSMC
+    collapses to the European estimator on the SAME draws (CRN tag)."""
+    spec = SwaptionSpec(n_payments=1)
+    sim = SimParams(n_paths=1 << 15, n_steps=1)
+    eur = price_swaption(spec, DYN, sim, r0=R0)
+    ber = price_bermudan_swaption(spec, DYN, sim, r0=R0)
+    assert float(ber.price) == float(eur.price)
+
+
+def test_bermudan_dominates_european():
+    sim = SimParams(n_paths=1 << 16, n_steps=1)
+    ber = price_bermudan_swaption(SPEC, DYN, sim, r0=R0)
+    eur = _oracle(SPEC)
+    assert float(ber.price) >= eur - 3.0 * float(ber.stderr)
+
+
+def test_bermudan_deterministic_limit():
+    """sigma_r -> 0: rates are deterministic, so the Bermudan is the
+    max over exercise dates of the discounted intrinsic along the
+    deterministic rate path."""
+    dyn0 = VasicekDynamics(a=0.3, b=0.05, sigma_r=1e-7)
+    sim = SimParams(n_paths=1 << 12, n_steps=1)
+    ber = price_bermudan_swaption(SPEC, DYN.__class__(
+        a=dyn0.a, b=dyn0.b, sigma_r=dyn0.sigma_r), sim, r0=R0)
+    # deterministic r(t) = b + (r0 - b)e^{-at}; y(t) = int_0^t r
+    a, b = 0.3, 0.05
+    best = 0.0
+    for i in range(SPEC.n_payments):
+        t_i = SPEC.expiry + i * SPEC.tenor
+        r_i = b + (R0 - b) * math.exp(-a * t_i)
+        y_i = b * t_i + (R0 - b) * (1.0 - math.exp(-a * t_i)) / a
+        # remaining swap intrinsic with sigma_r = 0 bonds
+        fixed = sum(
+            oracle.vasicek_zcb(r_i, a, b, 0.0, SPEC.tenor * (j + 1))
+            for j in range(SPEC.n_payments - i))
+        p_last = oracle.vasicek_zcb(
+            r_i, a, b, 0.0, SPEC.tenor * (SPEC.n_payments - i))
+        intr = max(1.0 - p_last - SPEC.k_rate * SPEC.tenor * fixed, 0.0)
+        best = max(best, intr * math.exp(-y_i))
+    assert float(ber.price) == pytest.approx(best, abs=2e-4)
+
+
+def test_r0_monotonicity():
+    """Payer swaptions gain when rates rise."""
+    lo = price_swaption(SPEC, DYN, SIM, r0=0.03)
+    hi = price_swaption(SPEC, DYN, SIM, r0=0.07)
+    assert float(hi.price) > float(lo.price)
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="n_payments"):
+        price_swaption(SwaptionSpec(n_payments=0))
+    with pytest.raises(ValueError, match="expiry/tenor"):
+        price_swaption(SwaptionSpec(tenor=-1.0))
+    with pytest.raises(ValueError, match="degree"):
+        price_bermudan_swaption(degree=0)
