@@ -1000,6 +1000,13 @@ def cmd_swaption(args):
         out["bermudan_price"] = float(ber.price)
         out["bermudan_stderr"] = float(ber.stderr)
         out["early_exercise_premium"] = float(ber.price) - float(res.price)
+    if args.greeks:
+        from mc_tpu.models.swaption import swaption_greeks
+        g = swaption_greeks(spec, dyn, sim, r0=args.r,
+                            style="bermudan" if args.bermudan
+                            else "european", degree=args.degree,
+                            seed=args.seed)
+        out.update({k: float(v) for k, v in g.items()})
     print(json.dumps(out))
     return 0
 
@@ -1432,6 +1439,8 @@ def main(argv=None):
                    help="fixed leg rate (r0 is --rate)")
     p.add_argument("--receiver", action="store_true")
     p.add_argument("--bermudan", action="store_true")
+    p.add_argument("--greeks", action="store_true",
+                   help="dv01/vega_r/kappa/theta_b by one jax.grad pass")
     p.add_argument("--degree", type=int, default=3,
                    help="LSMC basis degree in the short rate")
     p.add_argument("--a", type=float, default=0.3)

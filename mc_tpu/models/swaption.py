@@ -38,7 +38,7 @@ from mc_tpu.models.vasicek import DEMO_VASICEK, VasicekDynamics
 from mc_tpu.oracle import PriceResult, summarize
 
 __all__ = ["SwaptionSpec", "price_swaption", "price_bermudan_swaption",
-           "DEMO_SWAPTION"]
+           "swaption_greeks", "DEMO_SWAPTION"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -198,7 +198,9 @@ def _bermudan_impl(spec, a, b, sigma_r, r0, n_paths, degree, key):
         w = jnp.where(itm, 1.0, 0.0)[:, None]
         xtx = (x * w).T @ x + 1e-6 * jnp.eye(x.shape[1], dtype=x.dtype)
         xty = (x * w).T @ cf
-        beta = jnp.linalg.solve(xtx, xty)
+        # frozen-policy convention: sensitivities (swaption_greeks) hold
+        # the fitted policy fixed — envelope theorem; forward unchanged
+        beta = jax.lax.stop_gradient(jnp.linalg.solve(xtx, xty))
         cont = x @ beta
         take = jnp.logical_and(itm, ex > cont)
         return jnp.where(take, ex, cf)
@@ -237,3 +239,42 @@ def price_bermudan_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
     return _bermudan_impl(spec, jnp.float32(d32.a), jnp.float32(d32.b),
                           jnp.float32(d32.sigma_r), jnp.float32(r0),
                           sim.n_paths, degree, key)
+
+
+def swaption_greeks(spec: SwaptionSpec = DEMO_SWAPTION,
+                    dyn: VasicekDynamics = DEMO_VASICEK,
+                    sim: SimParams = SimParams(n_paths=1 << 18, n_steps=1),
+                    *,
+                    r0: float = 0.05,
+                    style: str = "european",
+                    degree: int = 3,
+                    seed: Optional[int] = None,
+                    stream: int = STREAM_OUTER):
+    """Rate-desk sensitivities by reverse mode through the exact-grid
+    pricer: {"dv01": dP/dr0, "vega_r": dP/dsigma_r, "kappa": dP/da,
+    "theta_b": dP/db} in ONE backward pass (the simulation, the affine
+    bonds, and the pathwise discount are all traced).  For
+    style="bermudan" the gradient holds the fitted exercise policy
+    fixed through `stop_gradient` on the regression betas — the
+    frozen-policy convention of `lsmc.american_greeks` (first-order
+    exact by the envelope theorem at the optimal policy)."""
+    spec = spec.validate()
+    if style not in ("european", "bermudan"):
+        raise ValueError(f"style must be european|bermudan, got {style!r}")
+    d32 = dyn.as_f32()
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x5A97), jnp.uint32)
+
+    def f(r0_, a_, b_, sig_):
+        if style == "european":
+            res = _european_impl(spec, a_, b_, sig_, r0_, sim.n_paths,
+                                 key)
+        else:
+            res = _bermudan_impl(spec, a_, b_, sig_, r0_, sim.n_paths,
+                                 degree, key)
+        return res.price
+
+    g = jax.grad(f, argnums=(0, 1, 2, 3))(
+        jnp.float32(r0), jnp.float32(d32.a), jnp.float32(d32.b),
+        jnp.float32(d32.sigma_r))
+    return {"dv01": g[0], "kappa": g[1], "theta_b": g[2], "vega_r": g[3]}

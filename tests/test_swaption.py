@@ -107,3 +107,37 @@ def test_validation():
         price_swaption(SwaptionSpec(tenor=-1.0))
     with pytest.raises(ValueError, match="degree"):
         price_bermudan_swaption(degree=0)
+
+
+def test_swaption_greeks_match_oracle_fd():
+    """One reverse-mode pass through the exact-grid pricer vs central
+    differences of the Jamshidian closed form."""
+    from mc_tpu.models.swaption import swaption_greeks
+    g = swaption_greeks(SPEC, DYN, SimParams(n_paths=1 << 18, n_steps=1),
+                        r0=R0)
+    h = 1e-4
+    fd_dv01 = (oracle.vasicek_swaption(R0 + h, DYN.a, DYN.b, DYN.sigma_r,
+                                       1.0, 0.5, 10, 0.05)
+               - oracle.vasicek_swaption(R0 - h, DYN.a, DYN.b,
+                                         DYN.sigma_r, 1.0, 0.5, 10,
+                                         0.05)) / (2 * h)
+    fd_vega = (oracle.vasicek_swaption(R0, DYN.a, DYN.b, DYN.sigma_r + h,
+                                       1.0, 0.5, 10, 0.05)
+               - oracle.vasicek_swaption(R0, DYN.a, DYN.b,
+                                         DYN.sigma_r - h, 1.0, 0.5, 10,
+                                         0.05)) / (2 * h)
+    assert abs(float(g["dv01"]) - fd_dv01) < 0.01
+    assert abs(float(g["vega_r"]) - fd_vega) < 0.02
+
+
+def test_bermudan_greeks_finite_and_bracketed():
+    """Frozen-policy Bermudan dv01 exists and the exercisable payer's
+    dv01 is below the European's (part of the value is already locked)."""
+    from mc_tpu.models.swaption import swaption_greeks
+    sim = SimParams(n_paths=1 << 15, n_steps=1)
+    ge = swaption_greeks(SPEC, DYN, sim, r0=R0)
+    gb = swaption_greeks(SPEC, DYN, sim, r0=R0, style="bermudan")
+    assert np.isfinite(float(gb["dv01"]))
+    assert 0.0 < float(gb["dv01"]) < float(ge["dv01"]) + 0.05
+    with pytest.raises(ValueError, match="style"):
+        swaption_greeks(style="american")
