@@ -105,3 +105,30 @@ def test_validation(res):
         res.collateralized(mpor_steps=-1)
     with pytest.raises(ValueError, match="mta"):
         res.collateralized(mta=-1.0)
+
+
+def test_cva_greeks_match_crn_fd():
+    """Forward-mode AD through the ENTIRE nested pipeline (outer paths,
+    inner conditional re-pricing, positive part, default-leg integral)
+    vs central differences with the same derived keys (CRN)."""
+    import dataclasses
+
+    from mc_tpu.greeks import cva_greeks
+    g = cva_greeks(OptionParams(), SIM, "vanilla_call",
+                   hazard_rate=0.02)
+
+    def cva_at(**kw):
+        o = dataclasses.replace(OptionParams().as_f32(), **kw)
+        return float(price_nmc(o, SIM, "vanilla_call",
+                               engine="xla").cva(0.02, t_horizon=1.0))
+
+    h = 0.05
+    fd_delta = (cva_at(s0=100 + h) - cva_at(s0=100 - h)) / (2 * h)
+    hs = 1e-3
+    fd_vega = (cva_at(sigma=0.2 + hs) - cva_at(sigma=0.2 - hs)) / (2 * hs)
+    assert float(g["delta"]) == pytest.approx(fd_delta, rel=1e-3)
+    assert float(g["vega"]) == pytest.approx(fd_vega, rel=2e-3)
+    assert float(g["delta"]) > 0.0 and float(g["vega"]) > 0.0
+
+    with pytest.raises(ValueError, match="unknown greeks"):
+        cva_greeks(which=("charm",), hazard_rate=0.02)
