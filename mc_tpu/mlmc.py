@@ -41,7 +41,8 @@ from mc_tpu.ops.payoffs import get_payoff
 from mc_tpu.ops.reduce import finish_sum
 
 __all__ = ["price_heston_mlmc", "price_mlmc_family", "MLMCResult",
-           "heston_level_moments", "family_level_moments"]
+           "heston_level_moments", "family_level_moments",
+           "family_level_moments_sharded"]
 
 # Path-dependent payoffs whose functional refines with the grid (each
 # level prices a finer discretization of the SAME continuous contract) —
@@ -420,6 +421,27 @@ def _family_coupled_tile(fam, payoff, p_f, ctx_f, p_c, ctx_c, ids, valid,
     return jnp.where(valid, pay, 0.0)
 
 
+def _family_level_slabs(fam, params_f, params_c, payoff, n_local, n_fine,
+                        coupled, tile_rows, key, offset, bound):
+    """(8,128) Kahan slabs of (Y, Y^2) over local path range
+    [offset, offset + n_local) masked against the global ``bound`` —
+    the per-chip piece both the single-chip and sharded moments share."""
+    p_f = fam.unpack(params_f)
+    ctx_f = fam.make_ctx(params_f, n_fine)
+    p_c = fam.unpack(params_c)
+    ctx_c = fam.make_ctx(params_c, max(n_fine // 2, 1))
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+
+    def tile_fn(ids, valid):
+        pay = _family_coupled_tile(fam, payoff, p_f, ctx_f, p_c, ctx_c,
+                                   ids, valid, k0, k1, n_fine, coupled)
+        return [pay, pay * pay]
+
+    return xla_moment_scan(tile_fn, n_local, tile_rows, 2, offset=offset,
+                           bound=bound)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("fam", "payoff", "n_paths", "n_fine", "coupled",
@@ -427,21 +449,46 @@ def _family_coupled_tile(fam, payoff, p_f, ctx_f, p_c, ctx_c, ids, valid,
 def family_level_moments(fam, params_f, params_c, payoff, n_paths,
                          n_fine, coupled, tile_rows, key, path_offset=0):
     """(sum Y, sum Y^2) of the level correction for any NMCFamily."""
-    p_f = fam.unpack(params_f)
-    ctx_f = fam.make_ctx(params_f, n_fine)
-    p_c = fam.unpack(params_c)
-    ctx_c = fam.make_ctx(params_c, max(n_fine // 2, 1))
-    k0 = jnp.asarray(key[0], jnp.uint32)
-    k1 = jnp.asarray(key[1], jnp.uint32)
     offset = jnp.asarray(path_offset, jnp.uint32)
+    s, sq = _family_level_slabs(fam, params_f, params_c, payoff, n_paths,
+                                n_fine, coupled, tile_rows, key, offset,
+                                offset + jnp.uint32(n_paths))
+    return finish_sum(s), finish_sum(sq)
 
-    def tile_fn(ids, valid):
-        pay = _family_coupled_tile(fam, payoff, p_f, ctx_f, p_c, ctx_c,
-                                   ids, valid, k0, k1, n_fine, coupled)
-        return [pay, pay * pay]
 
-    s, sq = xla_moment_scan(tile_fn, n_paths, tile_rows, 2, offset=offset,
-                            bound=offset + jnp.uint32(n_paths))
+@functools.partial(
+    jax.jit,
+    static_argnames=("fam", "payoff", "n_paths", "n_fine", "coupled",
+                     "tile_rows", "mesh"))
+def family_level_moments_sharded(fam, params_f, params_c, payoff,
+                                 n_paths, n_fine, coupled, tile_rows,
+                                 mesh, key, path_offset=0):
+    """Level moments with the path range split over the mesh: each chip
+    scans its slice of GLOBAL path ids (streams key by path id, so the
+    simulated set is mesh-size invariant), slabs meet in one psum."""
+    from jax.sharding import PartitionSpec as P
+
+    from mc_tpu.parallel.mesh import PATHS_AXIS, shard_bounds
+
+    n_shards = mesh.devices.size
+    n_local = shard_bounds(n_paths, n_shards, tile_rows)
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = offset + jnp.uint32(n_paths)
+
+    def shard_fn(params_f, params_c, key, offset, bound):
+        rank = jax.lax.axis_index(PATHS_AXIS).astype(jnp.uint32)
+        local_off = offset + rank * jnp.uint32(n_local)
+        s, sq = _family_level_slabs(fam, params_f, params_c, payoff,
+                                    n_local, n_fine, coupled, tile_rows,
+                                    key, local_off, bound)
+        return (jax.lax.psum(s, PATHS_AXIS),
+                jax.lax.psum(sq, PATHS_AXIS))
+
+    s, sq = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(), check_vma=False,
+    )(params_f, params_c, key, offset, bound)
     return finish_sum(s), finish_sum(sq)
 
 
@@ -456,6 +503,7 @@ def price_mlmc_family(model: str,
                       eps: Optional[float] = None,
                       n_per_level: Optional[Sequence[int]] = None,
                       tile_rows: int = 64,
+                      mesh=None,
                       seed: int = 1234) -> MLMCResult:
     """Multilevel price under any Gaussian-driven model family.
 
@@ -503,9 +551,17 @@ def price_mlmc_family(model: str,
         n = round_up(max(n, 0), tile_rows * LANES)
         if n == 0:
             return 0.0, 0.0, 0
-        s, sq = family_level_moments(fam, packs_f[l], packs_c[l], po, n,
-                                     fines[l], l > 0, tile_rows, keys[l],
-                                     jnp.uint32(path_offset))
+        if mesh is None:
+            s, sq = family_level_moments(fam, packs_f[l], packs_c[l], po,
+                                         n, fines[l], l > 0, tile_rows,
+                                         keys[l], jnp.uint32(path_offset))
+        else:
+            # every level's path range sharded over the mesh; streams
+            # key by GLOBAL path id, so the simulated set (and hence
+            # the estimate up to summation order) is mesh-invariant
+            s, sq = family_level_moments_sharded(
+                fam, packs_f[l], packs_c[l], po, n, fines[l], l > 0,
+                tile_rows, mesh, keys[l], jnp.uint32(path_offset))
         return float(s), float(sq), n
 
     means, varis, ns = _mlmc_schedule(level_sums, fines, n_pilot, eps,

@@ -100,3 +100,21 @@ def test_excluded_families_raise():
         price_mlmc_family("nope")
     with pytest.raises(ValueError, match="grid-refinable"):
         price_mlmc_family("cev", payoff="bullet_call")
+
+
+def test_sharded_mlmc_mesh_invariant():
+    """Every level's path range shards over the mesh; streams key by
+    global path id, so a 1-device mesh is BITWISE the single-chip
+    estimator and the 8-device mesh reproduces it."""
+    import jax
+
+    from mc_tpu.parallel import make_mesh
+    kw = dict(n0=4, n_levels=3, n_pilot=4096,
+              n_per_level=(16384, 8192, 4096), tile_rows=8)
+    single = price_mlmc_family("cev", OptionParams(), **kw)
+    m1 = price_mlmc_family("cev", OptionParams(),
+                           mesh=make_mesh(jax.devices()[:1]), **kw)
+    m8 = price_mlmc_family("cev", OptionParams(), mesh=make_mesh(), **kw)
+    assert m1.price == single.price
+    assert abs(m8.price - single.price) <= 1e-6 * abs(single.price)
+    assert m8.n_per_level == single.n_per_level
