@@ -125,8 +125,11 @@ class ExposureMetrics:
         if m == 0:
             v_call = v
         else:
+            # m >= n_steps means no call ever settles inside the horizon
+            m = min(m, v.shape[1])
             v_call = jnp.concatenate(
-                [jnp.zeros((v.shape[0], m), v.dtype), v[:, :-m]], axis=1)
+                [jnp.zeros((v.shape[0], m), v.dtype), v[:, : v.shape[1] - m]],
+                axis=1)
         call_c = jnp.maximum(v_call - h_c, 0.0)
         call_o = jnp.maximum(-v_call - h_o, 0.0)
         mta_f = jnp.float32(mta)

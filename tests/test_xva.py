@@ -132,3 +132,11 @@ def test_cva_greeks_match_crn_fd():
 
     with pytest.raises(ValueError, match="unknown greeks"):
         cva_greeks(which=("charm",), hazard_rate=0.02)
+
+
+def test_mpor_beyond_horizon_is_uncollateralized(res):
+    """mpor >= n_steps: no margin call settles inside the horizon, so
+    the profile equals the raw exposure (previously a shape error)."""
+    c = res.collateralized(0.0, mpor_steps=100)
+    assert float(c.cva(0.02)) == pytest.approx(float(res.cva(0.02)),
+                                               rel=1e-6)
