@@ -94,6 +94,34 @@ class ExposureMetrics:
         fba = sp * jnp.sum(jnp.mean(jnp.maximum(-v, 0.0), axis=0)) * dt
         return fca, fba
 
+    def im_profile(self, quantile: float = 0.99, mpor_steps: int = 2):
+        """Dynamic initial margin: IM(t_j) = the ``quantile`` of the
+        adverse value move (V_{j+m} - V_j)^+ over the margin period of
+        risk — the ISDA-SIMM-style quantile-of-PnL model computed
+        directly on the simulated surface.  The last m dates (no full
+        MPoR left inside the horizon) carry the final computable value.
+        """
+        if mpor_steps < 1:
+            raise ValueError(f"mpor_steps must be >= 1, got {mpor_steps}")
+        v = self.surface_matrix()
+        m = min(int(mpor_steps), v.shape[1] - 1)
+        if m < 1:
+            return jnp.zeros((v.shape[1],), v.dtype)
+        move = jnp.maximum(v[:, m:] - v[:, :-m], 0.0)
+        im = jnp.quantile(move, quantile, axis=0)
+        pad = jnp.full((m,), im[-1], im.dtype)
+        return jnp.concatenate([im, pad])
+
+    def mva(self, funding_spread: float, quantile: float = 0.99,
+            mpor_steps: int = 2, t_horizon: Optional[float] = None):
+        """Margin valuation adjustment: the funding cost of posting the
+        initial-margin profile, spread * integral IM(t) dt."""
+        th = jnp.float32(self.t_horizon if t_horizon is None
+                         else t_horizon)
+        im = self.im_profile(quantile, mpor_steps)
+        dt = th / im.shape[0]
+        return jnp.float32(funding_spread) * jnp.sum(im) * dt
+
     def collateralized(self, threshold: float = 0.0,
                        own_threshold: Optional[float] = None,
                        mta: float = 0.0,

@@ -140,3 +140,26 @@ def test_mpor_beyond_horizon_is_uncollateralized(res):
     c = res.collateralized(0.0, mpor_steps=100)
     assert float(c.cva(0.02)) == pytest.approx(float(res.cva(0.02)),
                                                rel=1e-6)
+
+
+def test_im_profile_and_mva(res):
+    """IM is a nonneg quantile of the MPoR value move; MVA is its
+    funding integral (hand-checked)."""
+    im = np.asarray(res.im_profile(0.99, mpor_steps=2))
+    assert im.shape == (SIM.n_steps,)
+    assert np.all(im >= 0.0)
+    assert im[-1] == im[-2] == im[-3]  # last-2 padded with final value
+    mva = float(res.mva(0.01, 0.99, mpor_steps=2))
+    assert mva == pytest.approx(0.01 * float(np.sum(im)) / SIM.n_steps,
+                                rel=1e-6)
+    with pytest.raises(ValueError, match="mpor_steps"):
+        res.im_profile(mpor_steps=0)
+
+
+def test_im_zero_for_constant_surface():
+    """A surface with no MPoR moves needs no initial margin."""
+    from mc_tpu.xva import CollateralizedExposure
+    import jax.numpy as jnp
+    flat = CollateralizedExposure(values=jnp.ones((64, 8)), t_horizon=1.0)
+    assert float(np.max(np.asarray(flat.im_profile(0.99, 2)))) == 0.0
+    assert float(flat.mva(0.01)) == 0.0
