@@ -336,10 +336,11 @@ def qmc_kernel_seconds(n_steps=1, k=8, reps=4):
         k *= 4
 
 
-def nmc_demo_seconds(reps=2):
+def nmc_demo_seconds(reps=2, rng_source="threefry13"):
     """Device seconds of the reference's FULL NMC demo workload:
     100k outer paths x 100 steps x 1000 inner paths (hello.cu:14-19,38-40)
     through the fused strategy at the auto tile height.
+    rng_source="hw" times the opt-in hardware-PRNG inner sweep.
 
     A multi-second kernel needs no T(K)-T(1) folding — one run dwarfs the
     fixed dispatch/fetch overhead, which is still subtracted.
@@ -348,7 +349,8 @@ def nmc_demo_seconds(reps=2):
     from mc_tpu.ops import nmc_kernels as nk
     n_paths, n_steps, n_inner = 100_000, 100, 1_000
     cfg = nk.NMCConfig(n_paths=n_paths, n_steps=n_steps, n_inner=n_inner,
-                       tile_rows=nmc_auto_tile_rows(n_steps))
+                       tile_rows=nmc_auto_tile_rows(n_steps),
+                       rng_source=rng_source)
     params = pk.pack_params(OPT, n_steps)
     ko = jnp.asarray(rng.derive_key(1234, 0), jnp.uint32)
     ki = jnp.asarray(rng.derive_key(1234, 1), jnp.uint32)
@@ -465,6 +467,7 @@ def main():
 
     # Reference demo NMC workload (hello.cu defaults, ~5e11 inner steps).
     nmc_dt, nmc_inner_steps = nmc_demo_seconds()
+    nmc_hw_dt, _ = nmc_demo_seconds(rng_source="hw")
 
     # 64-contract book through the batched shared-RNG kernel.
     book_dt, book_steps = book_kernel_seconds()
@@ -520,6 +523,9 @@ def main():
             "nmc_demo_seconds_device": round(nmc_dt, 3),
             "nmc_demo_inner_path_steps_per_sec":
                 round(nmc_inner_steps / nmc_dt, 1),
+            "nmc_demo_hw_seconds_device": round(nmc_hw_dt, 3),
+            "nmc_demo_hw_inner_path_steps_per_sec":
+                round(nmc_inner_steps / nmc_hw_dt, 1),
             "book64_path_steps_per_sec": round(book_steps / book_dt, 1),
             "roofline": roof,
             "e2e_1b_call": b_call,

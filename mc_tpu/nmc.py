@@ -186,12 +186,13 @@ def _xla_nmc(payoff, cfg: nk.NMCConfig, key_outer, key_inner, option,
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "sim", "strategy", "engine", "tile_rows",
-                     "discount", "interpret"))
+                     "discount", "interpret", "rng_source"))
 def _price_nmc_impl(option, payoff, sim, strategy, engine, tile_rows,
-                    discount, interpret, key_outer, key_inner):
+                    discount, interpret, key_outer, key_inner,
+                    rng_source="threefry13"):
     cfg = nk.NMCConfig(
         n_paths=sim.n_paths, n_steps=sim.n_steps, n_inner=sim.n_paths_inner,
-        tile_rows=tile_rows, discount=discount)
+        tile_rows=tile_rows, discount=discount, rng_source=rng_source)
     params = pk.pack_params(option, sim.n_steps)
 
     if engine == "xla":
@@ -241,6 +242,7 @@ def price_nmc(option: OptionParams = DEMO_OPTION,
               engine: str = "pallas",
               tile_rows: Optional[int] = None,
               discount: str = "full",
+              rng_source: str = "threefry13",
               stream_outer: int = STREAM_OUTER,
               stream_inner: int = STREAM_INNER,
               key_outer=None,
@@ -253,6 +255,9 @@ def price_nmc(option: OptionParams = DEMO_OPTION,
     VMEM history at 2 * n_steps * 4 KiB.
     """
     po = get_payoff(payoff)
+    if rng_source == "hw" and engine != "pallas":
+        raise ValueError("rng_source='hw' requires engine='pallas' "
+                         "(the stateful hardware PRNG has no XLA dual)")
     if tile_rows is None:
         tile_rows = nmc_auto_tile_rows(sim.n_steps)
     if po.n_state > 1:
@@ -265,4 +270,4 @@ def price_nmc(option: OptionParams = DEMO_OPTION,
                                 jnp.uint32)
     return _price_nmc_impl(option.as_f32(), po, sim.replace(seed=0),
                            strategy, engine, tile_rows, discount, interpret,
-                           key_outer, key_inner)
+                           key_outer, key_inner, rng_source)

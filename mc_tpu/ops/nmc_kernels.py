@@ -59,10 +59,21 @@ class NMCConfig:
     n_inner: int              # inner paths per point (N_PATHS_INNER)
     tile_rows: int = 8
     discount: str = "full"    # "full": e^{-rT} like nmc.cuh:100; "remaining": e^{-r(T-t)}
+    # "threefry13" (default): counter-based inner streams, bitwise XLA
+    # dual.  "hw": the TPU hardware PRNG drives the INNER sweep (outer
+    # trajectories stay threefry) — the inner loop is threefry-bound, so
+    # this trades the bitwise dual for throughput (opt-in, like the path
+    # kernels' rng_source="hw").
+    rng_source: str = "threefry13"
 
     def __post_init__(self):
         if self.tile_rows % 8 or self.tile_rows < 8:
             raise ValueError("tile_rows must be a positive multiple of 8")
+        if self.rng_source not in ("threefry13", "hw"):
+            raise ValueError(f"unknown rng_source {self.rng_source!r}; "
+                             "NMC supports 'threefry13' or 'hw'")
+        if self.rng_source == "hw":
+            return  # stateful streams: no counter space to exhaust
         # Inner draw counter = ((j+1)*n_inner + m)*pair_cap + q in uint32;
         # it must not wrap or inner streams would silently collide.
         span = self.n_steps * self.n_inner * ((self.n_steps + 1) // 2)
@@ -134,15 +145,24 @@ def _nmc_point_tile(payoff: PathPayoff, cfg: NMCConfig, p, ki0, ki1, ids,
     t_base = ((jnp.asarray(j, jnp.uint32) + jnp.uint32(1))
               * jnp.uint32(cfg.n_inner))  # state is after step j+1
 
+    hw = cfg.rng_source == "hw"
+    if hw:
+        from mc_tpu.ops.path_kernels import _tile_normals_hw
+
     def inner(m, carry):
         acc, comp = carry
         c1_base = ((t_base + jnp.asarray(m, jnp.uint32))
                    * jnp.uint32(cfg.pair_cap))
 
-        def draw_pair(q):
-            c1 = jnp.full(ids.shape, 0, jnp.uint32) + c1_base \
-                + jnp.asarray(q, jnp.uint32)
-            return rng.normal_pair(ki0, ki1, ids, c1, bitcast=bitcast)
+        if hw:
+            # stateful streams: the caller seeded once per program with a
+            # unique (tile[, step]) tag; draws just stream on
+            draw_pair = lambda q: _tile_normals_hw(ids.shape)
+        else:
+            def draw_pair(q):
+                c1 = jnp.full(ids.shape, 0, jnp.uint32) + c1_base \
+                    + jnp.asarray(q, jnp.uint32)
+                return rng.normal_pair(ki0, ki1, ids, c1, bitcast=bitcast)
 
         pay = _simulate_resumed(payoff, p, s_t, state_t, remaining,
                                 draw_pair)
@@ -219,6 +239,13 @@ def _make_fused_kernel(payoff: PathPayoff, cfg: NMCConfig):
                             i, cfg.tile_rows)
 
         # --- Phase B: inner conditional-expectation sweep over steps.
+        if cfg.rng_source == "hw":
+            # seed ONCE per program with a (global-tile)-unique tag; the
+            # stateful stream then covers every (step, inner path) draw
+            tile_tag = ((meta_ref[0] // jnp.uint32(cfg.paths_per_tile)
+                         + jnp.uint32(i)) * jnp.uint32(0x9E3779B9))
+            pltpu.prng_seed(ki0 ^ tile_tag, ki1)
+
         def step_body(j, _):
             s_j = s_hist[j]
             st_j = (c_hist[j],) if payoff.n_state else ()
@@ -289,6 +316,13 @@ def _make_inner_kernel(payoff: PathPayoff, cfg: NMCConfig):
         ids = meta_ref[0] + base + flat
         valid = ids < meta_ref[1]
         ki0, ki1 = ki_ref[0], ki_ref[1]
+
+        if cfg.rng_source == "hw":
+            # per-(step, tile) program: mix both grid axes into the tag
+            tag = (((meta_ref[0] // jnp.uint32(cfg.paths_per_tile)
+                     + jnp.uint32(i)) * jnp.uint32(0x9E3779B9))
+                   ^ (jnp.uint32(t_idx) * jnp.uint32(0x85EBCA6B)))
+            pltpu.prng_seed(ki0 ^ tag, ki1)
 
         s_j = s_ref[0]
         st_j = (c_ref[0],) if payoff.n_state else ()

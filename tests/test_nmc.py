@@ -199,3 +199,16 @@ def test_cva_uses_option_maturity():
     # more weight on early (lower-EE) steps.
     assert float(res.cva(0.02)) != pytest.approx(
         float(res.cva(0.02, t_horizon=1.0)), rel=1e-4)
+
+
+def test_hw_rng_validation():
+    """hw inner streams are chip-only (stateful, no XLA dual): the xla
+    engine must refuse, and unknown sources fail in NMCConfig."""
+    from mc_tpu.nmc import price_nmc
+    from mc_tpu.ops.nmc_kernels import NMCConfig
+    with pytest.raises(ValueError, match="hw"):
+        price_nmc(engine="xla", rng_source="hw")
+    with pytest.raises(ValueError, match="rng_source"):
+        NMCConfig(n_paths=1024, n_steps=4, n_inner=8, rng_source="curand")
+    # hw skips the counter-span guard (stateful streams have no counter)
+    NMCConfig(n_paths=1024, n_steps=1000, n_inner=100_000, rng_source="hw")

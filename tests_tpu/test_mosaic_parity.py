@@ -496,3 +496,21 @@ def test_nmc_term():
                                   np.asarray(i.surface))
     np.testing.assert_array_equal(np.asarray(c.surface),
                                   np.asarray(x.surface))
+
+
+@pytest.mark.parametrize("strategy", ["fused", "grid"])
+def test_nmc_hw_inner(strategy):
+    """Hardware-PRNG inner sweep (opt-in): no XLA dual exists, so the
+    gates are (a) the outer estimate is BITWISE the threefry run's (the
+    outer phase never switches), (b) the surface agrees statistically
+    (per-point inner stderr ~ sigma/sqrt(n_inner))."""
+    from mc_tpu.nmc import price_nmc
+    sim = SimParams(n_paths=2048, n_steps=8, n_paths_inner=256)
+    base = price_nmc(OPT, sim, "vanilla_call", strategy=strategy,
+                     tile_rows=8, interpret=False)
+    hw = price_nmc(OPT, sim, "vanilla_call", strategy=strategy,
+                   tile_rows=8, interpret=False, rng_source="hw")
+    assert float(hw.outer.price) == float(base.outer.price)
+    rel = abs(float(hw.surface_mean) - float(base.surface_mean)) \
+        / float(base.surface_mean)
+    assert rel < 0.02, rel
