@@ -66,7 +66,8 @@ def __getattr__(name):
         from mc_tpu.models import cev
         return getattr(cev, name)
     if name in ("price_swaption", "price_bermudan_swaption",
-                "swaption_greeks", "SwaptionSpec"):
+                "price_swaption_sharded", "swaption_greeks",
+                "SwaptionSpec"):
         from mc_tpu.models import swaption
         return getattr(swaption, name)
     if name in ("calibrate_sabr", "hagan_iv"):

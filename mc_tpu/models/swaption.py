@@ -38,7 +38,7 @@ from mc_tpu.models.vasicek import DEMO_VASICEK, VasicekDynamics
 from mc_tpu.oracle import PriceResult, summarize
 
 __all__ = ["SwaptionSpec", "price_swaption", "price_bermudan_swaption",
-           "swaption_greeks", "DEMO_SWAPTION"]
+           "price_swaption_sharded", "swaption_greeks", "DEMO_SWAPTION"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,13 +107,16 @@ def _swap_intrinsic(spec: SwaptionSpec, a, b, sigma_r, r, i0: int):
     return jnp.maximum(swap, 0.0)
 
 
-def _simulate_rate_grid(spec, a, b, sigma_r, r0, n_paths, n_ex, key):
+def _simulate_rate_grid(spec, a, b, sigma_r, r0, n_paths, n_ex, key,
+                        path_offset=0):
     """(r, y) at the n_ex exercise dates by exact steps: expiry first,
     then tenor-sized steps date-to-date.  Draw convention: date u of
-    path i consumes threefry pair (i, u)."""
+    GLOBAL path i consumes threefry pair (i, u) — path_offset keys the
+    sharded entry by global id, so sharding never changes the draws."""
     k0 = jnp.asarray(key[0], jnp.uint32)
     k1 = jnp.asarray(key[1], jnp.uint32)
-    ids = jnp.arange(n_paths, dtype=jnp.uint32)
+    ids = (jnp.asarray(path_offset, jnp.uint32)
+           + jnp.arange(n_paths, dtype=jnp.uint32))
 
     def step(carry, u):
         x, y = carry
@@ -177,13 +180,7 @@ def _bermudan_impl(spec, a, b, sigma_r, r0, n_paths, degree, key):
                                          n_paths, n_ex, key)
 
     def basis(r):
-        cols = [jnp.ones_like(r)]
-        x = (r - b) / jnp.maximum(jnp.abs(b), 1e-3)
-        pw = x
-        for _ in range(degree):
-            cols.append(pw)
-            pw = pw * x
-        return jnp.stack(cols, axis=-1)  # (n_paths, degree+1)
+        return _rate_basis(r, b, degree)  # (n_paths, degree+1)
 
     # terminal exercise date: exercise iff intrinsic > 0
     ex_last = (_swap_intrinsic(spec, a, b, sigma_r, r_grid[n_ex - 1],
@@ -278,3 +275,105 @@ def swaption_greeks(spec: SwaptionSpec = DEMO_SWAPTION,
         jnp.float32(r0), jnp.float32(d32.a), jnp.float32(d32.b),
         jnp.float32(d32.sigma_r))
     return {"dv01": g[0], "kappa": g[1], "theta_b": g[2], "vega_r": g[3]}
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip: the rate grid shards over the path axis (streams key by
+# GLOBAL path id, so a 1-device mesh is bitwise the single-chip pricer).
+# The Bermudan's regression stays EXACT under sharding: per-shard normal
+# equations (X'X, X'y) meet in one psum per exercise date, so every chip
+# solves the IDENTICAL global system and fits the same policy the
+# single-chip LSMC would.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "n_paths", "degree", "style",
+                                    "mesh"))
+def _swaption_sharded_impl(spec, a, b, sigma_r, r0, n_paths, degree,
+                           style, mesh, key):
+    from jax.sharding import PartitionSpec as P
+
+    from mc_tpu.parallel.mesh import PATHS_AXIS
+
+    n_shards = mesh.devices.size
+    n_local = -(-n_paths // n_shards)  # ceil; overhang masked below
+    n_ex = 1 if style == "european" else spec.n_payments
+
+    def shard_fn(key):
+        rank = jax.lax.axis_index(PATHS_AXIS).astype(jnp.uint32)
+        off = rank * jnp.uint32(n_local)
+        mask = (off + jnp.arange(n_local, dtype=jnp.uint32)
+                < jnp.uint32(n_paths))
+        r_grid, y_grid = _simulate_rate_grid(spec, a, b, sigma_r, r0,
+                                             n_local, n_ex, key, off)
+        if style == "european":
+            cf = (_swap_intrinsic(spec, a, b, sigma_r, r_grid[0], 0)
+                  * jnp.exp(-y_grid[0]))
+        else:
+            cf = (_swap_intrinsic(spec, a, b, sigma_r, r_grid[n_ex - 1],
+                                  n_ex - 1)
+                  * jnp.exp(-y_grid[n_ex - 1]))
+            eye = 1e-6 * jnp.eye(degree + 1, dtype=jnp.float32)
+            for i in range(n_ex - 2, -1, -1):
+                ex = (_swap_intrinsic(spec, a, b, sigma_r, r_grid[i], i)
+                      * jnp.exp(-y_grid[i]))
+                itm = jnp.logical_and(ex > 0.0, mask)
+                x = _rate_basis(r_grid[i], b, degree)
+                w = jnp.where(itm, 1.0, 0.0)[:, None]
+                xtx = jax.lax.psum((x * w).T @ x, PATHS_AXIS) + eye
+                xty = jax.lax.psum((x * w).T @ cf, PATHS_AXIS)
+                beta = jax.lax.stop_gradient(jnp.linalg.solve(xtx, xty))
+                cont = x @ beta
+                take = jnp.logical_and(itm, ex > cont)
+                cf = jnp.where(take, ex, cf)
+        cf = jnp.where(mask, cf, 0.0)
+        return (jax.lax.psum(jnp.sum(cf), PATHS_AXIS),
+                jax.lax.psum(jnp.sum(cf * cf), PATHS_AXIS))
+
+    s, sq = jax.shard_map(shard_fn, mesh=mesh, in_specs=(P(),),
+                          out_specs=P(), check_vma=False)(key)
+    return summarize(s, sq, jnp.float32(n_paths), 1.0)
+
+
+def _rate_basis(r, b, degree):
+    cols = [jnp.ones_like(r)]
+    x = (r - b) / jnp.maximum(jnp.abs(b), 1e-3)
+    pw = x
+    for _ in range(degree):
+        cols.append(pw)
+        pw = pw * x
+    return jnp.stack(cols, axis=-1)
+
+
+def price_swaption_sharded(spec: SwaptionSpec = DEMO_SWAPTION,
+                           dyn: VasicekDynamics = DEMO_VASICEK,
+                           sim: SimParams = SimParams(n_paths=1 << 20,
+                                                      n_steps=1),
+                           *,
+                           mesh=None,
+                           style: str = "european",
+                           r0: float = 0.05,
+                           degree: int = 3,
+                           seed: Optional[int] = None,
+                           stream: int = STREAM_OUTER) -> PriceResult:
+    """European or Bermudan swaption with paths sharded over the mesh
+    (default: all local devices).  Gates: 1-device mesh bitwise equals
+    the single-chip pricer; the Bermudan's psum'd normal equations give
+    mesh-size-invariant policies."""
+    from mc_tpu.parallel.mesh import make_mesh
+
+    spec = spec.validate()
+    if style not in ("european", "bermudan"):
+        raise ValueError(f"style must be european|bermudan, got {style!r}")
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    mesh = make_mesh() if mesh is None else mesh
+    d32 = dyn.as_f32()
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x5A97), jnp.uint32)
+    return _swaption_sharded_impl(spec, jnp.float32(d32.a),
+                                  jnp.float32(d32.b),
+                                  jnp.float32(d32.sigma_r),
+                                  jnp.float32(r0), sim.n_paths, degree,
+                                  style, mesh, key)

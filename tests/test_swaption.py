@@ -141,3 +141,24 @@ def test_bermudan_greeks_finite_and_bracketed():
     assert 0.0 < float(gb["dv01"]) < float(ge["dv01"]) + 0.05
     with pytest.raises(ValueError, match="style"):
         swaption_greeks(style="american")
+
+
+def test_sharded_swaption_mesh_invariance():
+    """Paths shard by GLOBAL id and the Bermudan's normal equations meet
+    in one psum, so a 1-device mesh is BITWISE the single-chip pricer
+    and the 8-device mesh agrees to reorder-level fp noise."""
+    import jax
+
+    from mc_tpu.models.swaption import price_swaption_sharded
+    from mc_tpu.parallel import make_mesh
+    sim = SimParams(n_paths=1 << 15, n_steps=1)
+    for style, solo_fn in (("european", price_swaption),
+                           ("bermudan", price_bermudan_swaption)):
+        solo = solo_fn(SPEC, DYN, sim, r0=R0)
+        m1 = price_swaption_sharded(SPEC, DYN, sim, style=style, r0=R0,
+                                    mesh=make_mesh(jax.devices()[:1]))
+        m8 = price_swaption_sharded(SPEC, DYN, sim, style=style, r0=R0,
+                                    mesh=make_mesh())
+        assert float(m1.price) == float(solo.price), style
+        assert abs(float(m8.price) - float(solo.price)) \
+            <= 1e-4 * float(solo.price), style
