@@ -1,0 +1,66 @@
+"""CLI smoke tests for the late-round-3 surfaces: swaptions, family
+MLMC, multi-asset greeks, and the XVA flags on the NMC paths."""
+
+import json
+
+from mc_tpu.cli import main
+
+SMALL = ["-N", "2048", "--n-steps", "8", "--tile-rows", "8",
+         "--engine", "xla"]
+
+
+def run(capsys, argv):
+    rc = main(argv)
+    return rc, capsys.readouterr().out
+
+
+def test_swaption_european_and_bermudan(capsys):
+    rc, out = run(capsys, ["swaption", "--bermudan", "--greeks",
+                           "-N", "8192"])
+    doc = json.loads(out)
+    assert rc == 0
+    assert abs(doc["z_score"]) < 5.0
+    assert doc["bermudan_price"] >= doc["price"] - 3 * doc["stderr"]
+    assert doc["early_exercise_premium"] > -1e-4
+    assert "dv01" in doc  # frozen-policy Bermudan greeks emitted
+
+
+def test_mlmc_family_models(capsys):
+    rc, out = run(capsys, ["mlmc", "--model", "cev", "--n-levels", "3",
+                           "-N", "4096"])
+    doc = json.loads(out)
+    assert rc == 0 and doc["model"] == "cev" and doc["price"] > 0
+    assert doc["variance_decay_rate"] > 0.3
+
+
+def test_rainbow_greeks_cli(capsys):
+    rc, out = run(capsys, ["rainbow", "--greeks", "-N", "65536"])
+    doc = json.loads(out)
+    assert rc == 0
+    assert len(doc["delta"]) == 2 and len(doc["vega"]) == 2
+    assert 0.0 < doc["delta"][0] < 1.0
+    assert doc["cega_01"] < 0.0  # best-of loses value with correlation
+
+
+def test_nmc_xva_flags(capsys):
+    rc, out = run(capsys, ["nmc", "--payoff", "vanilla_call",
+                           "--n-inner", "8", "--exposure",
+                           "--cva-hazard", "0.02", "--dva-hazard", "0.03",
+                           "--fva-spread", "0.01",
+                           "--collateral-threshold", "5",
+                           "--mpor-steps", "2"] + SMALL)
+    doc = json.loads(out)
+    assert rc == 0
+    assert doc["cva"] > 0 and doc["dva"] == 0.0  # long call: V >= 0
+    assert doc["bilateral_cva"] == doc["cva"]
+    assert doc["fca"] > 0 and doc["fba"] == 0.0
+    assert 0 < doc["collateralized_cva"] <= doc["cva"]
+    # first two dates are uncollateralized under the 2-step MPoR
+    assert (doc["collateralized_ee"][0]
+            == doc["expected_exposure"][0])
+
+
+def test_nmc_hw_guard(capsys):
+    import pytest
+    with pytest.raises(SystemExit, match="hw"):
+        main(["nmc", "--model", "heston", "--rng-source", "hw"] + SMALL)

@@ -118,3 +118,13 @@ def test_sharded_mlmc_mesh_invariant():
     assert m1.price == single.price
     assert abs(m8.price - single.price) <= 1e-6 * abs(single.price)
     assert m8.n_per_level == single.n_per_level
+
+
+def test_eps_driven_allocation():
+    """The standard N_l ~ sqrt(V_l/C_l) allocation (no explicit
+    n_per_level): achieved stderr lands at or under ~eps/sqrt(2) scale
+    and deeper levels get fewer paths."""
+    r = price_mlmc_family("cev", OptionParams(), n0=2, n_levels=3,
+                          n_pilot=4096, eps=0.05, tile_rows=8)
+    assert r.stderr <= 0.08
+    assert r.n_per_level[0] >= r.n_per_level[1] >= r.n_per_level[2]
