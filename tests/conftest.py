@@ -37,6 +37,22 @@ def devices():
 # stale entry (renamed/removed test) is harmless.
 
 SLOW_TESTS = {
+    "test_cli_round4.py::test_swaption_european_and_bermudan",
+    "test_cli_round4.py::test_mlmc_family_models",
+    "test_cli_round4.py::test_rainbow_greeks_cli",
+    "test_cli_round4.py::test_nmc_xva_flags",
+    "test_swaption.py::test_sharded_swaption_mesh_invariance",
+    "test_swaption.py::test_bermudan_greeks_finite_and_bracketed",
+    "test_swaption.py::test_bermudan_deterministic_limit",
+    "test_swaption.py::test_bermudan_dominates_european",
+    "test_swaption.py::test_swaption_greeks_match_oracle_fd",
+    "test_xva.py::test_cva_greeks_match_crn_fd",
+    "test_rainbow_greeks.py::test_basket_d1_degenerates_to_black_scholes",
+    "test_rainbow_greeks.py::test_exchange_deltas_match_margrabe",
+    "test_rainbow_greeks.py::test_rainbow_deltas_match_stulz_fd",
+    "test_rainbow_greeks.py::test_rainbow_min_call_deltas_and_vegas",
+    "test_mlmc_family.py::test_sharded_mlmc_mesh_invariant",
+    "test_mlmc_family.py::test_eps_driven_allocation",
     "test_mlmc_family.py::test_cev_matches_schroder_oracle",
     "test_mlmc_family.py::test_cev_variance_decays",
     "test_mlmc_family.py::test_heston_family_matches_dedicated_estimator",
