@@ -94,6 +94,33 @@ class ExposureMetrics:
         fba = sp * jnp.sum(jnp.mean(jnp.maximum(-v, 0.0), axis=0)) * dt
         return fca, fba
 
+    def cva_wwr(self, hazard_rate: float, beta: float,
+                recovery: float = 0.4, t_horizon: Optional[float] = None):
+        """CVA under WRONG-WAY RISK: the default intensity rides each
+        path's own exposure, lambda_i(t_j) = hazard_rate * exp(beta *
+        (V_ij - mean_j V)) (Hull-White 2012's exposure-linked intensity,
+        centered so beta=0 reproduces the flat-hazard `cva` exactly).
+        Positive beta makes default MORE likely exactly when the
+        exposure is large — the correlation a flat-hazard CVA misses.
+        Survival and default increments are evaluated PER PATH along its
+        own intensity path, then averaged.
+        """
+        th = jnp.float32(self.t_horizon if t_horizon is None
+                         else t_horizon)
+        v = self.surface_matrix()
+        dt = th / v.shape[1]
+        lam = (jnp.float32(hazard_rate)
+               * jnp.exp(jnp.float32(beta)
+                         * (v - jnp.mean(v, axis=0, keepdims=True))))
+        # per-path survival to t_{j-1} and default prob over (t_{j-1}, t_j]
+        h = lam * dt
+        cum = jnp.cumsum(h, axis=1)
+        surv_prev = jnp.exp(-(cum - h))
+        dpd = surv_prev * (1.0 - jnp.exp(-h))
+        pos = jnp.maximum(v, 0.0)
+        return (1.0 - jnp.float32(recovery)) * jnp.mean(
+            jnp.sum(pos * dpd, axis=1))
+
     def im_profile(self, quantile: float = 0.99, mpor_steps: int = 2):
         """Dynamic initial margin: IM(t_j) = the ``quantile`` of the
         adverse value move (V_{j+m} - V_j)^+ over the margin period of

@@ -13,7 +13,10 @@ SIM = SimParams(n_paths=2048, n_steps=8, n_paths_inner=32)
 
 @pytest.fixture(scope="module")
 def res():
-    return price_nmc(OptionParams(), SIM, engine="xla")
+    # vanilla_call explicitly: price_nmc's default bullet payoff is
+    # identically zero at 8 steps (window > n_steps), which would make
+    # every metric gate below pass vacuously
+    return price_nmc(OptionParams(), SIM, "vanilla_call", engine="xla")
 
 
 def test_long_call_has_no_negative_exposure(res):
@@ -163,3 +166,14 @@ def test_im_zero_for_constant_surface():
     flat = CollateralizedExposure(values=jnp.ones((64, 8)), t_horizon=1.0)
     assert float(np.max(np.asarray(flat.im_profile(0.99, 2)))) == 0.0
     assert float(flat.mva(0.01)) == 0.0
+
+
+def test_cva_wwr_brackets_flat_hazard(res):
+    """Wrong-way risk: beta=0 reproduces the flat-hazard CVA; positive
+    exposure-intensity correlation raises it, negative lowers it."""
+    flat = float(res.cva(0.02))
+    w0 = float(res.cva_wwr(0.02, beta=0.0))
+    up = float(res.cva_wwr(0.02, beta=0.05))
+    dn = float(res.cva_wwr(0.02, beta=-0.05))
+    assert w0 == pytest.approx(flat, rel=1e-5)
+    assert up > w0 > dn
