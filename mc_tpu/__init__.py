@@ -67,7 +67,7 @@ def __getattr__(name):
         return getattr(cev, name)
     if name in ("price_swaption", "price_bermudan_swaption",
                 "price_swaption_sharded", "swaption_greeks",
-                "SwaptionSpec"):
+                "swap_exposure", "SwaptionSpec"):
         from mc_tpu.models import swaption
         return getattr(swaption, name)
     if name in ("calibrate_sabr", "hagan_iv"):

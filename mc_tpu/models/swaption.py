@@ -38,7 +38,8 @@ from mc_tpu.models.vasicek import DEMO_VASICEK, VasicekDynamics
 from mc_tpu.oracle import PriceResult, summarize
 
 __all__ = ["SwaptionSpec", "price_swaption", "price_bermudan_swaption",
-           "price_swaption_sharded", "swaption_greeks", "DEMO_SWAPTION"]
+           "price_swaption_sharded", "swaption_greeks", "swap_exposure",
+           "DEMO_SWAPTION"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -377,3 +378,59 @@ def price_swaption_sharded(spec: SwaptionSpec = DEMO_SWAPTION,
                                   jnp.float32(d32.sigma_r),
                                   jnp.float32(r0), sim.n_paths, degree,
                                   style, mesh, key)
+
+
+def swap_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
+                  dyn: VasicekDynamics = DEMO_VASICEK,
+                  sim: SimParams = SimParams(n_paths=1 << 16, n_steps=1),
+                  *,
+                  r0: float = 0.05,
+                  seed: Optional[int] = None,
+                  stream: int = STREAM_OUTER):
+    """Counterparty exposure of the SWAP itself — the textbook CVA
+    object.  The swap's MtM at each coupon date is closed-form affine
+    in the prevailing rate (no inner simulation needed, unlike the
+    equity NMC surfaces), so the (path, date) value matrix comes from
+    one exact rate-grid pass; it returns a `CollateralizedExposure`
+    carrying the ENTIRE XVA metric surface: EE/PFE, CVA/DVA/BCVA,
+    FVA, quantile-of-PnL IM + MVA, two-way CSA collateralization, and
+    wrong-way-risk CVA (`cva_wwr` — rates up = payer ITM = default
+    more likely, the classic WWR pairing).
+
+    Values are discounted to 0 along each path's own exp(-int r)
+    (consistent with the NMC surfaces' EE* convention).  At date i the
+    MtM is the REMAINING swap's value (payments i+1..N), signed + for
+    the payer; the profile decays to 0 at the final coupon (gated).
+    """
+    spec = spec.validate()
+    d32 = dyn.as_f32()
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x5A97), jnp.uint32)
+    a, b, sig = (jnp.float32(d32.a), jnp.float32(d32.b),
+                 jnp.float32(d32.sigma_r))
+    n_ex = spec.n_payments
+    r_grid, y_grid = _simulate_rate_grid(spec, a, b, sig,
+                                         jnp.float32(r0), sim.n_paths,
+                                         n_ex, key)
+
+    vals = []
+    for i in range(n_ex):
+        tau = jnp.float32(spec.tenor)
+        r = r_grid[i]
+        fixed = jnp.zeros_like(r)
+        n_rem = spec.n_payments - i - 1  # payments STRICTLY after date i
+        for j in range(1, n_rem + 1):
+            fixed = fixed + _zcb_affine(a, b, sig, tau * j, r)
+        if n_rem == 0:
+            mtm = jnp.zeros_like(r)  # all cashflows settled
+        else:
+            p_last = _zcb_affine(a, b, sig, tau * n_rem, r)
+            mtm = 1.0 - p_last - jnp.float32(spec.k_rate) * tau * fixed
+        if not spec.payer:
+            mtm = -mtm
+        vals.append(mtm * jnp.exp(-y_grid[i]))
+
+    from mc_tpu.xva import CollateralizedExposure
+    horizon = spec.expiry + (n_ex - 1) * spec.tenor
+    return CollateralizedExposure(values=jnp.stack(vals, axis=1),
+                                  t_horizon=jnp.float32(horizon))

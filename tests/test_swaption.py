@@ -162,3 +162,40 @@ def test_sharded_swaption_mesh_invariance():
         assert float(m1.price) == float(solo.price), style
         assert abs(float(m8.price) - float(solo.price)) \
             <= 1e-4 * float(solo.price), style
+
+
+def test_swap_exposure_profile_is_a_swaption_strip():
+    """EVERY point of the swap's EE profile has a closed form: EE(t_i)
+    = E[max(V_swap(t_i), 0) e^{-y_i}] is exactly the price of a
+    European swaption expiring at t_i on the remaining swap — the
+    Jamshidian oracle gates the whole profile, and the ENE side is the
+    receiver strip."""
+    from mc_tpu.models.swaption import swap_exposure
+    e = swap_exposure(SPEC, DYN, SimParams(n_paths=1 << 17, n_steps=1),
+                      r0=R0)
+    ee, _ = e.exposure_profile()
+    ene, _ = e.ene_profile()
+    for i in (0, 3, 6):
+        t_i = SPEC.expiry + i * SPEC.tenor
+        n_rem = SPEC.n_payments - i - 1
+        ref = oracle.vasicek_swaption(R0, DYN.a, DYN.b, DYN.sigma_r,
+                                      t_i, SPEC.tenor, n_rem,
+                                      SPEC.k_rate)
+        ref_r = oracle.vasicek_swaption(R0, DYN.a, DYN.b, DYN.sigma_r,
+                                        t_i, SPEC.tenor, n_rem,
+                                        SPEC.k_rate, payer=False)
+        assert float(ee[i]) == pytest.approx(ref, abs=3e-4), i
+        assert float(ene[i]) == pytest.approx(ref_r, abs=3e-4), i
+    assert float(ee[-1]) == 0.0  # all cashflows settled at the last date
+
+
+def test_swap_exposure_xva_metrics_compose():
+    """The swap surface carries the whole metric set: WWR raises the
+    payer's CVA (rates up = ITM = default), collateral lowers it."""
+    from mc_tpu.models.swaption import swap_exposure
+    e = swap_exposure(SPEC, DYN, SimParams(n_paths=1 << 14, n_steps=1),
+                      r0=R0)
+    flat = float(e.cva(0.02))
+    assert float(e.cva_wwr(0.02, 2.0)) > flat
+    assert float(e.collateralized(0.005, mpor_steps=1).cva(0.02)) < flat
+    assert float(e.mva(0.01)) > 0.0
