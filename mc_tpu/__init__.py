@@ -66,8 +66,8 @@ def __getattr__(name):
         from mc_tpu.models import cev
         return getattr(cev, name)
     if name in ("price_swaption", "price_bermudan_swaption",
-                "price_swaption_sharded", "swaption_greeks",
-                "swap_exposure", "SwaptionSpec"):
+                "price_swaption_sharded", "price_swaption_qmc",
+                "swaption_greeks", "swap_exposure", "SwaptionSpec"):
         from mc_tpu.models import swaption
         return getattr(swaption, name)
     if name in ("calibrate_sabr", "hagan_iv"):

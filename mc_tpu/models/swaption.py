@@ -38,7 +38,8 @@ from mc_tpu.models.vasicek import DEMO_VASICEK, VasicekDynamics
 from mc_tpu.oracle import PriceResult, summarize
 
 __all__ = ["SwaptionSpec", "price_swaption", "price_bermudan_swaption",
-           "price_swaption_sharded", "swaption_greeks", "swap_exposure",
+           "price_swaption_sharded", "price_swaption_qmc", "swaption_greeks",
+           "swap_exposure",
            "DEMO_SWAPTION"]
 
 
@@ -434,3 +435,75 @@ def swap_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
     horizon = spec.expiry + (n_ex - 1) * spec.tenor
     return CollateralizedExposure(values=jnp.stack(vals, axis=1),
                                   t_horizon=jnp.float32(horizon))
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n", "n_shifts"))
+def _swaption_qmc_impl(spec, a, b, sigma_r, r0, n, n_shifts, zvec,
+                       shifts):
+    import jax.lax as lax
+
+    from mc_tpu.qmc import _sobol_u
+
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    e1, big_b, l11, l21, l22 = _exact_xy_coeffs(
+        a, sigma_r, jnp.float32(spec.expiry))
+    x0 = r0 - b
+
+    def one_shift(shift):
+        u0 = _sobol_u(ids, zvec, shift, jnp.int32(0),
+                      lax.bitcast_convert_type)
+        u1 = _sobol_u(ids, zvec, shift, jnp.int32(1),
+                      lax.bitcast_convert_type)
+        z0 = rng.inv_normal_cdf(u0)
+        z1 = rng.inv_normal_cdf(u1)
+        r = b + x0 * e1 + l11 * z0
+        y = (b * jnp.float32(spec.expiry) + x0 * big_b
+             + l21 * z0 + l22 * z1)
+        pay = _swap_intrinsic(spec, a, b, sigma_r, r, 0) * jnp.exp(-y)
+        return jnp.mean(pay)
+
+    means = jax.vmap(one_shift)(shifts)
+    price = jnp.mean(means)
+    stderr = jnp.std(means, ddof=1) / jnp.sqrt(jnp.float32(n_shifts))
+    return PriceResult(price=price, stderr=stderr,
+                       n_paths=jnp.float32(n * n_shifts),
+                       payoff_mean=price, payoff_var=stderr * stderr)
+
+
+def price_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
+                       dyn: VasicekDynamics = DEMO_VASICEK,
+                       sim: SimParams = SimParams(n_paths=1 << 16,
+                                                  n_steps=1),
+                       *,
+                       n_shifts: int = 16,
+                       r0: float = 0.05,
+                       seed: Optional[int] = None,
+                       stream: int = STREAM_OUTER) -> PriceResult:
+    """Randomized-QMC European swaption: the exact draw is TWO
+    dimensional ((r, int r) at expiry), the regime where Sobol nets
+    earn their full O(1/N) rate — measured ~an-order-of-magnitude
+    stderr reduction vs plain MC at equal budget (gated).  Digital
+    shifts give the unbiased error estimate, as in `price_qmc`.
+    """
+    import math as _math
+
+    from mc_tpu.qmc import sobol_directions
+
+    spec = spec.validate()
+    if n_shifts < 2:
+        raise ValueError("n_shifts >= 2 required for an error estimate")
+    d32 = dyn.as_f32()
+    seed = sim.seed if seed is None else seed
+    n = 1 << min(int(_math.log2(max(sim.n_paths, 2))), 20)
+    import numpy as _np
+    zvec = jnp.asarray(sobol_directions(2).reshape(-1).astype(_np.int32))
+    key = rng.derive_key(seed, stream, 0x51AD)
+    sidx = jnp.arange(n_shifts * 2, dtype=jnp.uint32)
+    bits, _ = rng.threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
+                               sidx, jnp.zeros_like(sidx))
+    shifts = jax.lax.shift_right_logical(
+        bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, 2)
+    return _swaption_qmc_impl(spec, jnp.float32(d32.a),
+                              jnp.float32(d32.b),
+                              jnp.float32(d32.sigma_r), jnp.float32(r0),
+                              n, n_shifts, zvec, shifts)

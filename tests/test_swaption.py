@@ -199,3 +199,19 @@ def test_swap_exposure_xva_metrics_compose():
     assert float(e.cva_wwr(0.02, 2.0)) > flat
     assert float(e.collateralized(0.005, mpor_steps=1).cva(0.02)) < flat
     assert float(e.mva(0.01)) > 0.0
+
+
+def test_qmc_swaption_oracle_and_variance_reduction():
+    """2-dim Sobol on the exact expiry draw: matches Jamshidian within
+    its (tiny) stderr and beats plain MC's stderr by >20x at the SAME
+    total budget (measured ~130x)."""
+    from mc_tpu.models.swaption import price_swaption_qmc
+    q = price_swaption_qmc(SPEC, DYN, SimParams(n_paths=1 << 14,
+                                                n_steps=1), r0=R0)
+    ref = _oracle(SPEC)
+    assert abs(float(q.price) - ref) <= 5.0 * float(q.stderr) + 1e-6
+    m = price_swaption(SPEC, DYN, SimParams(n_paths=(1 << 14) * 16,
+                                            n_steps=1), r0=R0)
+    assert float(q.stderr) < float(m.stderr) / 20.0
+    with pytest.raises(ValueError, match="n_shifts"):
+        price_swaption_qmc(n_shifts=1)
