@@ -1013,6 +1013,16 @@ def cmd_swaption(args):
                             else "european", degree=args.degree,
                             seed=args.seed)
         out.update({k: float(v) for k, v in g.items()})
+    if args.exposure:
+        import numpy as np
+
+        from mc_tpu.models.swaption import swap_exposure
+        e = swap_exposure(spec, dyn, sim, r0=args.r, seed=args.seed)
+        ee, pfe = e.exposure_profile()
+        out["swap_ee"] = [round(float(x), 6) for x in np.asarray(ee)]
+        out["swap_pfe"] = [round(float(x), 6) for x in np.asarray(pfe)]
+        if args.cva_hazard is not None:
+            out["swap_cva"] = float(e.cva(args.cva_hazard))
     print(json.dumps(out))
     return 0
 
@@ -1451,6 +1461,10 @@ def main(argv=None):
     p.add_argument("--bermudan", action="store_true")
     p.add_argument("--greeks", action="store_true",
                    help="dv01/vega_r/kappa/theta_b by one jax.grad pass")
+    p.add_argument("--exposure", action="store_true",
+                   help="EE/PFE of the SWAP (swaption-strip identity); "
+                        "--cva-hazard adds the swap CVA")
+    p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--degree", type=int, default=3,
                    help="LSMC basis degree in the short rate")
     p.add_argument("--a", type=float, default=0.3)
