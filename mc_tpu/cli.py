@@ -1006,6 +1006,17 @@ def cmd_swaption(args):
         out["bermudan_price"] = float(ber.price)
         out["bermudan_stderr"] = float(ber.stderr)
         out["early_exercise_premium"] = float(ber.price) - float(res.price)
+    if args.bounds:
+        from mc_tpu.models.swaption import bermudan_swaption_bounds
+        lo, up = bermudan_swaption_bounds(spec, dyn, sim, r0=args.r,
+                                          degree=args.degree,
+                                          n_branch=args.bounds_inner,
+                                          seed=args.seed)
+        out["lower"] = float(lo.price)
+        out["lower_stderr"] = float(lo.stderr)
+        out["upper"] = float(up.price)
+        out["upper_stderr"] = float(up.stderr)
+        out["duality_gap"] = float(up.price) - float(lo.price)
     if args.greeks:
         from mc_tpu.models.swaption import swaption_greeks
         g = swaption_greeks(spec, dyn, sim, r0=args.r,
@@ -1459,6 +1470,11 @@ def main(argv=None):
                    help="fixed leg rate (r0 is --rate)")
     p.add_argument("--receiver", action="store_true")
     p.add_argument("--bermudan", action="store_true")
+    p.add_argument("--bounds", action="store_true",
+                   help="Andersen-Broadie [lower, upper] bracket on the "
+                        "Bermudan from the same fitted policy")
+    p.add_argument("--bounds-inner", type=int, default=32,
+                   help="one-step branches per conditional in the dual")
     p.add_argument("--greeks", action="store_true",
                    help="dv01/vega_r/kappa/theta_b by one jax.grad pass")
     p.add_argument("--exposure", action="store_true",

@@ -175,38 +175,47 @@ def price_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
                           sim.n_paths, key)
 
 
+def _fit_bermudan(spec, a, b, sigma_r, r_grid, y_grid, degree):
+    """Backward Longstaff-Schwarz on the date grid: returns the
+    realized discounted-to-0 cashflows AND the fitted per-date betas
+    ((n_ex-1, degree+1); date n_ex-1 has no continuation).
+
+    The regression is in DATE-i FORWARD terms: target = cf * e^{y_i}
+    (the cashflow discounted to date i, not to 0), compared against the
+    UNdiscounted intrinsic — so the fitted policy is a function of the
+    short rate alone.  Regressing 0-discounted values on an r-only
+    basis would smuggle the path's accumulated discount y into the
+    decision (a y-dependent, inconsistent policy — measured ~25%
+    duality gap vs ~3% with this convention)."""
+    n_ex = spec.n_payments
+    cf = (_swap_intrinsic(spec, a, b, sigma_r, r_grid[n_ex - 1],
+                          n_ex - 1) * jnp.exp(-y_grid[n_ex - 1]))
+    betas = [None] * max(n_ex - 1, 0)
+
+    # python loop over dates: n_ex is static and small (the coupon grid)
+    for i in range(n_ex - 2, -1, -1):
+        ex = _swap_intrinsic(spec, a, b, sigma_r, r_grid[i], i)
+        itm = ex > 0.0
+        x = _rate_basis(r_grid[i], b, degree)
+        w = jnp.where(itm, 1.0, 0.0)[:, None]
+        xtx = (x * w).T @ x + 1e-6 * jnp.eye(x.shape[1], dtype=x.dtype)
+        xty = (x * w).T @ (cf * jnp.exp(y_grid[i]))
+        # frozen-policy convention: sensitivities (swaption_greeks) hold
+        # the fitted policy fixed — envelope theorem; forward unchanged
+        beta = jax.lax.stop_gradient(jnp.linalg.solve(xtx, xty))
+        betas[i] = beta
+        cont = x @ beta
+        take = jnp.logical_and(itm, ex > cont)
+        cf = jnp.where(take, ex * jnp.exp(-y_grid[i]), cf)
+    return cf, betas
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "n_paths", "degree"))
 def _bermudan_impl(spec, a, b, sigma_r, r0, n_paths, degree, key):
     n_ex = spec.n_payments  # exercise at every coupon date 0..N-1
     r_grid, y_grid = _simulate_rate_grid(spec, a, b, sigma_r, r0,
                                          n_paths, n_ex, key)
-
-    def basis(r):
-        return _rate_basis(r, b, degree)  # (n_paths, degree+1)
-
-    # terminal exercise date: exercise iff intrinsic > 0
-    ex_last = (_swap_intrinsic(spec, a, b, sigma_r, r_grid[n_ex - 1],
-                               n_ex - 1) * jnp.exp(-y_grid[n_ex - 1]))
-    cf = ex_last  # discounted-to-0 realized cashflow per path
-
-    def backward(i, cf):
-        ex = (_swap_intrinsic(spec, a, b, sigma_r, r_grid[i], i)
-              * jnp.exp(-y_grid[i]))
-        itm = ex > 0.0
-        x = basis(r_grid[i])
-        w = jnp.where(itm, 1.0, 0.0)[:, None]
-        xtx = (x * w).T @ x + 1e-6 * jnp.eye(x.shape[1], dtype=x.dtype)
-        xty = (x * w).T @ cf
-        # frozen-policy convention: sensitivities (swaption_greeks) hold
-        # the fitted policy fixed — envelope theorem; forward unchanged
-        beta = jax.lax.stop_gradient(jnp.linalg.solve(xtx, xty))
-        cont = x @ beta
-        take = jnp.logical_and(itm, ex > cont)
-        return jnp.where(take, ex, cf)
-
-    # python loop over dates: n_ex is static and small (the coupon grid)
-    for i in range(n_ex - 2, -1, -1):
-        cf = backward(i, cf)
+    cf, _ = _fit_bermudan(spec, a, b, sigma_r, r_grid, y_grid, degree)
     n = jnp.float32(n_paths)
     return summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
 
@@ -318,17 +327,18 @@ def _swaption_sharded_impl(spec, a, b, sigma_r, r0, n_paths, degree,
                   * jnp.exp(-y_grid[n_ex - 1]))
             eye = 1e-6 * jnp.eye(degree + 1, dtype=jnp.float32)
             for i in range(n_ex - 2, -1, -1):
-                ex = (_swap_intrinsic(spec, a, b, sigma_r, r_grid[i], i)
-                      * jnp.exp(-y_grid[i]))
+                # date-i FORWARD regression — see _fit_bermudan
+                ex = _swap_intrinsic(spec, a, b, sigma_r, r_grid[i], i)
                 itm = jnp.logical_and(ex > 0.0, mask)
                 x = _rate_basis(r_grid[i], b, degree)
                 w = jnp.where(itm, 1.0, 0.0)[:, None]
                 xtx = jax.lax.psum((x * w).T @ x, PATHS_AXIS) + eye
-                xty = jax.lax.psum((x * w).T @ cf, PATHS_AXIS)
+                xty = jax.lax.psum((x * w).T @ (cf * jnp.exp(y_grid[i])),
+                                   PATHS_AXIS)
                 beta = jax.lax.stop_gradient(jnp.linalg.solve(xtx, xty))
                 cont = x @ beta
                 take = jnp.logical_and(itm, ex > cont)
-                cf = jnp.where(take, ex, cf)
+                cf = jnp.where(take, ex * jnp.exp(-y_grid[i]), cf)
         cf = jnp.where(mask, cf, 0.0)
         return (jax.lax.psum(jnp.sum(cf), PATHS_AXIS),
                 jax.lax.psum(jnp.sum(cf * cf), PATHS_AXIS))
@@ -507,3 +517,138 @@ def price_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
                               jnp.float32(d32.b),
                               jnp.float32(d32.sigma_r), jnp.float32(r0),
                               n, n_shifts, zvec, shifts)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "n_paths", "degree",
+                                    "n_branch"))
+def _bermudan_bounds_impl(spec, a, b, sigma_r, r0, n_paths, degree,
+                          n_branch, key, key_dual):
+    """Andersen-Broadie bracket on the exact date grid.
+
+    Lower: the LSMC cashflow estimate.  Upper: the duality gap of the
+    SAME fitted policy — martingale increments V(X_{i}) - E[V(X_i)|
+    X_{i-1}] from policy rollouts (fresh draws, n_branch one-step
+    branches for the conditional), upper = E[max_i (Z_i - M_i)].
+    Inner-noise only INFLATES the upper bound (conservative)."""
+    n_ex = spec.n_payments
+    r_grid, y_grid = _simulate_rate_grid(spec, a, b, sigma_r, r0,
+                                         n_paths, n_ex, key)
+    cf, betas = _fit_bermudan(spec, a, b, sigma_r, r_grid, y_grid,
+                              degree)
+    n = jnp.float32(n_paths)
+    lower = summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
+
+    k0 = jnp.asarray(key_dual[0], jnp.uint32)
+    k1 = jnp.asarray(key_dual[1], jnp.uint32)
+    e1, big_b, l11, l21, l22 = _exact_xy_coeffs(
+        a, sigma_r, jnp.float32(spec.tenor))
+
+    def step_tenor(r, y, z0, z1):
+        x = r - b
+        y = y + b * jnp.float32(spec.tenor) + x * big_b \
+            + (l21 * z0 + l22 * z1)
+        return b + x * e1 + l11 * z0, y
+
+    def draws(ids, tag, u):
+        c1 = (jnp.full(ids.shape, 0, jnp.uint32)
+              + jnp.uint32(tag) * jnp.uint32(64) + jnp.uint32(u))
+        return rng.normal_pair(k0, k1, ids, c1)
+
+    def policy_value(i, r, y, ids, tag):
+        """Value (discounted to 0) of the fitted policy from state
+        (r, y) AT date i; rollout draws keyed by (tag, date).  The
+        exercise rule compares UNdiscounted intrinsics to the forward
+        continuation fit — the same r-only policy _fit_bermudan fits."""
+        val = jnp.zeros_like(r)
+        done = jnp.zeros(r.shape, bool)
+        for u in range(i, n_ex):
+            ex = _swap_intrinsic(spec, a, b, sigma_r, r, u)
+            if u < n_ex - 1:
+                cont = _rate_basis(r, b, degree) @ betas[u]
+                take = jnp.logical_and(ex > 0.0, ex > cont)
+            else:
+                take = ex > 0.0
+            take = jnp.logical_and(take, jnp.logical_not(done))
+            val = jnp.where(take, ex * jnp.exp(-y), val)
+            done = jnp.logical_or(done, take)
+            if u < n_ex - 1:
+                z0, z1 = draws(ids, tag, u)
+                r, y = step_tenor(r, y, z0, z1)
+        return val
+
+    ids = jnp.arange(n_paths, dtype=jnp.uint32)
+    # each branch row gets its own ids offset so every stream is
+    # distinct; tag separation keeps the V- and E-legs independent
+    ids_b = (ids[None, :]
+             + (jnp.arange(n_branch, dtype=jnp.uint32)[:, None]
+                + jnp.uint32(1)) * jnp.uint32(1 << 22))
+    m_t = jnp.zeros((n_paths,), jnp.float32)
+    gap = jnp.full((n_paths,), -jnp.inf, jnp.float32)
+    for i in range(n_ex):
+        z_i = (_swap_intrinsic(spec, a, b, sigma_r, r_grid[i], i)
+               * jnp.exp(-y_grid[i]))
+        if i > 0:
+            # V(X_i): n_branch fresh rollouts from the realized state
+            # (a SINGLE rollout would inject a random walk into M whose
+            # running max inflates the bound far past the value — same
+            # construction as lsmc.american_bounds_family's l_here)
+            v_i = jnp.mean(policy_value(
+                i, jnp.broadcast_to(r_grid[i], ids_b.shape),
+                jnp.broadcast_to(y_grid[i], ids_b.shape), ids_b,
+                tag=3 * i), axis=0)
+            # E[V(X_i) | X_{i-1}]: n_branch one-step branches as ONE
+            # batched (n_branch, n_paths) rollout
+            zb0, zb1 = draws(ids_b, 3 * i + 1, 63)
+            rb, yb = step_tenor(
+                jnp.broadcast_to(r_grid[i - 1], ids_b.shape),
+                jnp.broadcast_to(y_grid[i - 1], ids_b.shape), zb0, zb1)
+            cond = jnp.mean(policy_value(i, rb, yb, ids_b,
+                                         tag=3 * i + 2), axis=0)
+            m_t = m_t + v_i - cond
+        gap = jnp.maximum(gap, z_i - m_t)
+    # upper = E[max_i(Z_i - M_i)]: i=0 gives Z_0 >= 0, so the max is
+    # already nonnegative; the clamp only guards fp
+    upper_gap = jnp.maximum(gap, 0.0)
+    u_mean = jnp.sum(upper_gap) / n
+    u_se = jnp.sqrt(jnp.maximum(
+        jnp.sum(upper_gap * upper_gap) / n - u_mean * u_mean, 0.0) / n)
+    upper = PriceResult(price=u_mean, stderr=u_se, n_paths=n,
+                        payoff_mean=u_mean, payoff_var=u_se * u_se * n)
+    return lower, upper
+
+
+def bermudan_swaption_bounds(spec: SwaptionSpec = DEMO_SWAPTION,
+                             dyn: VasicekDynamics = DEMO_VASICEK,
+                             sim: SimParams = SimParams(n_paths=4096,
+                                                        n_steps=1),
+                             *,
+                             r0: float = 0.05,
+                             degree: int = 3,
+                             n_branch: int = 32,
+                             seed: Optional[int] = None,
+                             stream: int = STREAM_OUTER):
+    """(lower, upper) PriceResults bracketing the Bermudan swaption:
+    LSMC lower bound + Andersen-Broadie dual upper bound from the SAME
+    fitted policy (rates analogue of `lsmc.american_bounds_family`).
+    The true price lies in [lower - 3se, upper + 3se]; the gap measures
+    policy quality and shrinks with the basis degree."""
+    spec = spec.validate()
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    if n_branch < 2:
+        raise ValueError(f"n_branch must be >= 2, got {n_branch}")
+    if sim.n_paths > (1 << 22):
+        raise ValueError(
+            "bermudan_swaption_bounds shards branch streams by "
+            f"id + branch * 2^22: n_paths must be <= 2^22, got "
+            f"{sim.n_paths}")
+    d32 = dyn.as_f32()
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x5A97), jnp.uint32)
+    kd = jnp.asarray(rng.derive_key(seed, stream, 0x5A99), jnp.uint32)
+    return _bermudan_bounds_impl(spec, jnp.float32(d32.a),
+                                 jnp.float32(d32.b),
+                                 jnp.float32(d32.sigma_r),
+                                 jnp.float32(r0), sim.n_paths, degree,
+                                 n_branch, key, kd)

@@ -25,6 +25,16 @@ def test_swaption_european_and_bermudan(capsys):
     assert "dv01" in doc  # frozen-policy Bermudan greeks emitted
 
 
+def test_swaption_bounds_cli(capsys):
+    rc, out = run(capsys, ["swaption", "--bermudan", "--bounds",
+                           "--bounds-inner", "8", "-N", "4096"])
+    doc = json.loads(out)
+    assert rc == 0
+    assert doc["lower"] == doc["bermudan_price"]  # shared stream + fit
+    assert doc["upper"] >= doc["lower"]
+    assert doc["duality_gap"] < 0.25 * doc["lower"]  # 8 branches only
+
+
 def test_mlmc_family_models(capsys):
     rc, out = run(capsys, ["mlmc", "--model", "cev", "--n-levels", "3",
                            "-N", "4096"])

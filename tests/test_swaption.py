@@ -201,6 +201,51 @@ def test_swap_exposure_xva_metrics_compose():
     assert float(e.mva(0.01)) > 0.0
 
 
+def test_bermudan_bounds_lower_is_lsmc_bitwise():
+    """The bracket's lower leg reuses the LSMC's outer stream and fit,
+    so it equals price_bermudan_swaption bitwise."""
+    from mc_tpu.models.swaption import bermudan_swaption_bounds
+    sim = SimParams(n_paths=1 << 13, n_steps=1)
+    lo, up = bermudan_swaption_bounds(SPEC, DYN, sim, r0=R0, n_branch=4)
+    ber = price_bermudan_swaption(SPEC, DYN, sim, r0=R0)
+    assert float(lo.price) == float(ber.price)
+    assert float(up.price) >= float(lo.price)
+
+
+def test_bermudan_bounds_bracket_is_tight():
+    """Andersen-Broadie on the fitted degree-3 policy: the bracket
+    contains the European oracle floor and the duality gap is a few
+    percent of the premium (policy-quality certificate)."""
+    from mc_tpu.models.swaption import bermudan_swaption_bounds
+    sim = SimParams(n_paths=1 << 13, n_steps=1)
+    lo, up = bermudan_swaption_bounds(SPEC, DYN, sim, r0=R0,
+                                      n_branch=32)
+    eur = _oracle(SPEC)
+    assert float(up.price) + 3 * float(up.stderr) >= eur
+    gap = float(up.price) - float(lo.price)
+    assert 0.0 <= gap < 0.10 * float(lo.price), gap
+
+
+def test_one_payment_bounds_collapse():
+    """n_payments=1: one exercise date — no policy, no martingale, so
+    upper == lower == the European estimator, all bitwise."""
+    from mc_tpu.models.swaption import bermudan_swaption_bounds
+    spec = SwaptionSpec(n_payments=1)
+    sim = SimParams(n_paths=1 << 13, n_steps=1)
+    lo, up = bermudan_swaption_bounds(spec, DYN, sim, r0=R0, n_branch=2)
+    eur = price_swaption(spec, DYN, sim, r0=R0)
+    assert float(lo.price) == float(eur.price)
+    assert float(up.price) == float(eur.price)
+
+
+def test_bounds_validation():
+    from mc_tpu.models.swaption import bermudan_swaption_bounds
+    with pytest.raises(ValueError, match="degree"):
+        bermudan_swaption_bounds(degree=0)
+    with pytest.raises(ValueError, match="n_branch"):
+        bermudan_swaption_bounds(n_branch=1)
+
+
 def test_qmc_swaption_oracle_and_variance_reduction():
     """2-dim Sobol on the exact expiry draw: matches Jamshidian within
     its (tiny) stderr and beats plain MC's stderr by >20x at the SAME
