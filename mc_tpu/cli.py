@@ -222,6 +222,7 @@ def cmd_nmc(args):
     from mc_tpu.nmc import price_nmc
 
     option, sim = _parse(args)
+    dyn = None  # set by the model branches; cva_greeks reuses it
     if args.rng_source == "hw" and (args.model != "gbm"
                                     or args.book_strikes):
         raise SystemExit("--rng-source hw is the GBM single-contract "
@@ -230,6 +231,10 @@ def cmd_nmc(args):
     if args.book_strikes:
         # Netting-set NMC: one contract per strike, netted EE/PFE/CVA;
         # --model nets the book under that family's dynamics.
+        if args.cva_greeks:
+            raise SystemExit("--cva-greeks differentiates a single "
+                             "contract's CVA; not supported with "
+                             "--book-strikes")
         import numpy as np
 
         from mc_tpu.nmc_book import price_nmc_book
@@ -281,10 +286,10 @@ def cmd_nmc(args):
             raise SystemExit("--discount is fixed (full) with --model localvol")
         from mc_tpu.models.localvol import LocalVolSurface
         from mc_tpu.nmc_localvol import price_nmc_localvol
-        surf = LocalVolSurface.from_function(
+        dyn = LocalVolSurface.from_function(
             lambda x, t: args.sigma + args.smile_curv * x * x,
             sim.n_steps)
-        res = price_nmc_localvol(option, surf, sim, payoff=args.payoff,
+        res = price_nmc_localvol(option, dyn, sim, payoff=args.payoff,
                                  engine=args.engine, strategy=args.strategy)
     elif args.model == "vasicek":
         if args.discount != "full":
@@ -364,6 +369,17 @@ def cmd_nmc(args):
             out["cva"] = float(res.cva(args.cva_hazard, args.cva_recovery,
                                        t_horizon=args.t))
         out = _xva_outputs(res, args, out)
+    if args.cva_greeks:
+        if args.cva_hazard is None:
+            raise SystemExit("--cva-greeks needs --cva-hazard")
+        from mc_tpu.greeks import cva_greeks
+        g = cva_greeks(option, sim, args.payoff,
+                       hazard_rate=args.cva_hazard,
+                       recovery=args.cva_recovery,
+                       which=tuple(args.cva_greeks.split(",")),
+                       model=None if args.model == "gbm" else args.model,
+                       dyn=dyn)
+        out["cva_greeks"] = {k: float(v) for k, v in g.items()}
     if args.surface_npz:
         import numpy as np
         np.savez_compressed(args.surface_npz,
@@ -1199,6 +1215,13 @@ def main(argv=None):
     p.add_argument("--cva-hazard", type=float, default=None,
                    help="flat hazard rate: emit unilateral CVA")
     p.add_argument("--cva-recovery", type=float, default=0.4)
+    p.add_argument("--cva-greeks", default=None,
+                   help="comma list of CVA sensitivities by forward-mode "
+                        "AD through the nested pipeline: option greeks "
+                        "(delta,rho,dual_delta; vega under gbm) or, with "
+                        "--model, any scalar dynamics field (e.g. "
+                        "'delta,v0,xi' under heston, 'delta,lam' under "
+                        "merton); needs --cva-hazard")
     p.add_argument("--dva-hazard", type=float, default=None,
                    help="own flat hazard: emit DVA and bilateral CVA "
                         "(needs --cva-hazard)")
@@ -1514,11 +1537,13 @@ def main(argv=None):
     p.add_argument("--n-knots", type=int, default=9)
     p.set_defaults(fn=cmd_localvol)
 
-    p = sub.add_parser("mlmc", help="multilevel MC under any "
-                                    "Gaussian-driven model family")
+    p = sub.add_parser("mlmc", help="multilevel MC under any supported "
+                                    "model family (merton couples jumps "
+                                    "at the increment level)")
     _add_option_flags(p)
     p.add_argument("--model", default="heston",
-                   choices=["heston", "cev", "sabr", "vasicek", "basket"])
+                   choices=["heston", "cev", "sabr", "vasicek", "basket",
+                            "merton"])
     p.add_argument("--payoff", default="vanilla_call")
     p.add_argument("--n0", type=int, default=4)
     p.add_argument("--n-levels", type=int, default=5)

@@ -670,6 +670,8 @@ def cva_greeks(option=None,
                hazard_rate: float,
                recovery: float = 0.4,
                which: Sequence[str] = ("delta", "vega"),
+               model: Optional[str] = None,
+               dyn=None,
                tile_rows: Optional[int] = None,
                stream_outer: int = STREAM_OUTER) -> Dict[str, Any]:
     """d(CVA)/d(market) by pathwise AD through the nested MC.
@@ -678,6 +680,18 @@ def cva_greeks(option=None,
     so the estimator is unbiased for continuous payoffs; keys are
     derived from ``sim.seed`` so a CRN finite-difference over the SAME
     pipeline reproduces these numbers (gated in tests/test_xva.py).
+
+    ``model=`` runs the nested pipeline under any registered NMC family
+    ("heston"/"merton"/"cev"/"sabr"/"vasicek"/"localvol"/"term") with
+    its ``dyn`` dynamics.  ``which`` then accepts, besides the canonical
+    option greeks (delta→s0, rho→r, dual_delta→k), any SCALAR dynamics
+    field by name — e.g. ``("delta", "v0", "xi")`` under Heston, or
+    ``("delta", "lam")`` under Merton (d(CVA)/d(jump intensity), the
+    credit desk's jump-risk number).  A name shadowed by a canonical
+    greek is reachable with the ``dyn.`` prefix (``"dyn.rho"`` is the
+    Heston correlation; bare ``"rho"`` stays the rate greek).  "vega"
+    is GBM-only — under a family the vol is a dynamics field, and the
+    error lists the available ones.
     """
     from mc_tpu.config import DEMO_OPTION
     from mc_tpu.nmc import DEMO_SIM as NMC_DEMO_SIM
@@ -685,28 +699,69 @@ def cva_greeks(option=None,
 
     option = (DEMO_OPTION if option is None else option).as_f32()
     sim = NMC_DEMO_SIM if sim is None else sim
-    bad = set(which) - set(CVA_GREEK_FIELDS)
-    if bad:
-        raise ValueError(f"unknown greeks {sorted(bad)}; "
-                         f"available: {list(CVA_GREEK_FIELDS)}")
+    opt_fields = {"delta": "s0", "vega": "sigma", "rho": "r",
+                  "dual_delta": "k"}
 
-    fields = {"delta": "s0", "vega": "sigma", "rho": "r",
-              "dual_delta": "k"}
+    fam = dyn32 = None
+    if model is not None:
+        from mc_tpu.nmc_engine import (NMC_FAMILY_BUILDERS, ensure_family,
+                                       price_nmc_family)
+        ensure_family(model)
+        fam, dyn32 = NMC_FAMILY_BUILDERS[model](option, dyn, sim)
+        dyn_fields = [f.name for f in dataclasses.fields(dyn32)
+                      if jnp.ndim(getattr(dyn32, f.name)) == 0]
+
+    # resolve each requested greek to ("option"|"dyn", field)
+    targets = []
+    for g in which:
+        if g in opt_fields and not (model is not None and g == "vega"):
+            targets.append(("option", opt_fields[g]))
+            continue
+        if model is None:
+            raise ValueError(f"unknown greeks {sorted(set(which) - set(CVA_GREEK_FIELDS))}; "
+                             f"available: {list(CVA_GREEK_FIELDS)}")
+        name = g[4:] if g.startswith("dyn.") else g
+        if name == "vega":
+            raise ValueError(
+                f"'vega' is the GBM sigma greek; under model={model!r} "
+                f"use a dynamics field instead: {dyn_fields}")
+        if name not in dyn_fields:
+            vec = [f.name for f in dataclasses.fields(dyn32)
+                   if f.name not in dyn_fields]
+            hint = (f" (vector fields {vec} need the per-asset "
+                    "rainbow_greeks/basket_greeks)" if vec else "")
+            raise ValueError(
+                f"unknown greek {g!r}; option greeks "
+                f"{sorted(k for k in opt_fields if k != 'vega')} or "
+                f"{model} dynamics fields {dyn_fields}{hint}")
+        targets.append(("dyn", name))
 
     def f(*vals):
-        opt = dataclasses.replace(
-            option, **{fields[g]: v for g, v in zip(which, vals)})
-        res = price_nmc(opt, sim, payoff, engine="xla",
-                        tile_rows=tile_rows, stream_outer=stream_outer)
+        okw, dkw = {}, {}
+        for (kind, field), v in zip(targets, vals):
+            (okw if kind == "option" else dkw)[field] = v
+        opt = dataclasses.replace(option, **okw)
+        if model is None:
+            res = price_nmc(opt, sim, payoff, engine="xla",
+                            tile_rows=tile_rows,
+                            stream_outer=stream_outer)
+        else:
+            d = dataclasses.replace(dyn32, **dkw) if dkw else dyn32
+            res = price_nmc_family(fam, opt, d, sim, payoff,
+                                   engine="xla",
+                                   tile_rows=(8 if tile_rows is None
+                                              else tile_rows),
+                                   stream_outer=stream_outer)
         return res.cva(hazard_rate, recovery,
                        t_horizon=jnp.float32(option.t))
 
     # FORWARD-mode: the inner re-pricing legs run fori_loops with
     # data-dependent trip counts (remaining = n_steps - j - 1), which
     # reverse-mode cannot transpose; JVPs flow through them fine, and
-    # with <= 4 scalar parameters forward mode costs one extra pass per
-    # greek — cheaper than materializing the nested tape anyway.
-    vals = [jnp.float32(getattr(option, fields[g])) for g in which]
+    # with a handful of scalar parameters forward mode costs one extra
+    # pass per greek — cheaper than materializing the nested tape anyway.
+    vals = [jnp.float32(getattr(option if kind == "option" else dyn32,
+                                field)) for kind, field in targets]
     out = {}
     for i, g in enumerate(which):
         tangents = [jnp.float32(1.0 if j == i else 0.0)

@@ -292,8 +292,6 @@ def price_heston_mlmc(option: OptionParams = DEMO_OPTION,
 # dynamics OBJECT is defined on the simulation grid itself (refining the
 # grid would change the specified model, not just its discretization).
 _MLMC_EXCLUDED = {
-    "merton": "Poisson jump driver needs thinning-based level coupling "
-              "(the uniform draws have no sum-coupling)",
     "localvol": "the sigma(x, t) surface is specified per sim step; "
                 "refining the grid changes the model itself",
     "term": "per-step rate/vol curves are specified on the sim grid",
@@ -313,9 +311,13 @@ def _mk_rollout_draws(k0, k1, ids, pps, u):
         return rng.normal_pair(k0, k1, ids, c1)
 
     def unit(q):
-        raise NotImplementedError(
-            "uniform draws have no MLMC sum-coupling (gated by "
-            "_MLMC_EXCLUDED upstream)")
+        # uniforms have no sum-coupling; families that consume them
+        # (merton) override fam.mlmc_coarse_step and combine at the
+        # increment level instead — fine legs draw these directly
+        c1 = jnp.full(shape, 0, jnp.uint32) + base + jnp.uint32(q)
+        b0, _ = rng.threefry2x32(k0, k1, ids, c1,
+                                 rounds=rng.DEFAULT_ROUNDS)
+        return rng.bits_to_unit(b0)
 
     def normal1(q):
         c1 = jnp.full(shape, 0, jnp.uint32) + base + jnp.uint32(q)
@@ -409,8 +411,19 @@ def _family_coupled_tile(fam, payoff, p_f, ctx_f, p_c, ctx_c, ids, valid,
                                        d1, 2 * kk)
         carry_f, df_f, st_f = leg_step(p_f, ctx_f, carry_f, df_f, st_f,
                                        d2, 2 * kk + 1)
-        carry_c, df_c, st_c = leg_step(p_c, ctx_c, carry_c, df_c, st_c,
-                                       _combine_draws(d1, d2), kk)
+        if fam.mlmc_coarse_step is None:
+            carry_c, df_c, st_c = leg_step(p_c, ctx_c, carry_c, df_c,
+                                           st_c, _combine_draws(d1, d2),
+                                           kk)
+        else:
+            # increment-level coupling (non-Gaussian drivers): one
+            # coarse step consuming BOTH fine draw objects
+            carry_c, sdf = fam.mlmc_coarse_step(p_f, p_c, ctx_c,
+                                                carry_c, d1, d2, kk)
+            df_c = df_c * sdf
+            if track:
+                st_c = payoff.update(
+                    st_c, fam.rollout_spot(p_c, ctx_c, carry_c), p_c)
         return (carry_f, df_f, st_f, carry_c, df_c, st_c)
 
     carry_f, df_f, st_f, carry_c, df_c, st_c = jax.lax.fori_loop(
@@ -505,10 +518,14 @@ def price_mlmc_family(model: str,
                       tile_rows: int = 64,
                       mesh=None,
                       seed: int = 1234) -> MLMCResult:
-    """Multilevel price under any Gaussian-driven model family.
+    """Multilevel price under any supported model family.
 
     ``model`` names an `nmc_engine` family ("heston", "cev", "sabr",
-    "vasicek", "basket"); ``dyn`` its dynamics (family demo default).
+    "vasicek", "basket" — Gaussian-driven, coupled by the (z1+z2)/sqrt2
+    draws shim — or "merton", coupled at the increment level via
+    `MertonNMC.mlmc_coarse_step`: the coarse compound-jump increment is
+    the SUM of the two fine ones, exact in law); ``dyn`` its dynamics
+    (family demo default).
     Levels, allocation, and result semantics match `price_heston_mlmc`,
     except the price is discounted THROUGH the rollout (pathwise-exact
     for vasicek's stochastic rates).  Exact-in-law schemes (vasicek's
@@ -539,9 +556,13 @@ def price_mlmc_family(model: str,
         raise ValueError(f"n0 must be >= 1, got {n0}")
     opt32 = option.as_f32()
     fines = tuple(n0 * (1 << l) for l in range(n_levels))
+    # merton's static Poisson scan depth (fam.kmax) must cover the
+    # COARSEST grid's per-step intensity lam*T/n0 — the largest any
+    # leg sees; a deeper scan is correct (identical counts) everywhere
+    builder_steps = max(n0 if model == "merton" else fines[-1], 2)
     fam, dyn32 = NMC_FAMILY_BUILDERS[model](
         opt32, dyn, SimParams(n_paths=tile_rows * LANES,
-                              n_steps=max(fines[-1], 2)))
+                              n_steps=builder_steps))
     packs_f = [fam.pack(opt32, dyn32, nf) for nf in fines]
     packs_c = [fam.pack(opt32, dyn32, max(nf // 2, 1)) for nf in fines]
     keys = [jnp.asarray(rng.derive_key(seed, 0x4D4D, l), jnp.uint32)

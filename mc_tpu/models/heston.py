@@ -99,7 +99,12 @@ def heston_euler_step(p, w, v, z_v, z_perp, dt, sqrt_dt):
     """
     z_s = p.rho * z_v + p.rho_perp * z_perp
     v_plus = jnp.maximum(v, 0.0)
-    sq = jnp.sqrt(v_plus) * sqrt_dt
+    # double-where sqrt: the primal is bit-identical to sqrt(v_plus)
+    # (same input when v > 0, literal 0.0 otherwise) but the JVP at a
+    # truncated point is 0 instead of inf*0 = NaN — cva_greeks
+    # forward-diffs through this step
+    sq = jnp.where(v > 0.0, jnp.sqrt(jnp.where(v > 0.0, v, 1.0)),
+                   0.0) * sqrt_dt
     w = w + ((p.growth - 0.5 * v_plus) * dt + sq * z_s)
     v = v + p.kappa * (p.theta - v_plus) * dt + p.xi * sq * z_v
     return w, v

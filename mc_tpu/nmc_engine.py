@@ -200,6 +200,14 @@ class NMCFamily:
         """Payoff-visible price at the current rollout state."""
         raise NotImplementedError
 
+    # Optional MLMC hook.  None -> the generic (z1+z2)/sqrt(2)
+    # draws-combining shim couples the coarse leg (exact for plain
+    # per-step Gaussian drivers).  Families with non-Gaussian drivers
+    # override with signature (p_f, p_c, ctx_c, carry, d1, d2, u) ->
+    # (carry, step_df): ONE coarse step consuming BOTH fine substeps'
+    # draw objects, coupled at the increment level (see MertonNMC).
+    mlmc_coarse_step = None
+
     def rollout_t0(self, p):
         """Date-0 market state in grid-row layout (the dual's t=0
         transition anchor)."""

@@ -108,6 +108,30 @@ class MertonNMC(NMCFamily):
     def rollout_spot(self, p, ctx, carry):
         return carry[0] * jnp.exp(carry[1])
 
+    def mlmc_coarse_step(self, p_f, p_c, ctx_c, carry, d1, d2, u):
+        """MLMC coupling at the INCREMENT level: the coarse 2dt step
+        consumes the two fine substeps' draws exactly.
+
+        The Brownian part sum-couples as usual (vol_c*(z1+z2)/sqrt2 ==
+        vol_f*(z1+z2)); the jump part simply SUMS the two fine compound
+        increments — a sum of independent compound-Poisson-normal
+        increments IS the coarse compound (N_1+N_2 ~ Poisson(lam*2dt),
+        and sqrt(n1)e1 + sqrt(n2)e2 ~ sqrt(n1+n2)N(0,1) given the
+        counts), so the coarse leg's law equals level l-1's fine leg
+        and the telescope stays exact.  The uniform draws never need a
+        sum-coupling (the reason the draws-combining shim can't serve
+        this family): counts are recovered per FINE substep at the fine
+        intensity and combined downstream of the inverse CDF."""
+        s_t, w = carry
+        z1, e1 = d1.pair(0)
+        z2, e2 = d2.pair(0)
+        n1 = _poisson_inv_cdf(d1.unit(1), p_f.lam_dt, self.kmax)
+        n2 = _poisson_inv_cdf(d2.unit(1), p_f.lam_dt, self.kmax)
+        zc = (z1 + z2) * jnp.float32(0.7071067811865476)
+        w = (w + p_c.drift_dt + p_c.vol_dt * zc
+             + _jump_increment(p_f, n1, e1) + _jump_increment(p_f, n2, e2))
+        return (s_t, w), jnp.exp(-p_c.r * p_c.dt)
+
     def trajectories(self, payoff, cfg, key, params, interpret):
         return merton_trajectories_kernel(payoff, cfg, self.kmax, key,
                                           params, interpret=interpret)

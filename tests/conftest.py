@@ -55,6 +55,8 @@ SLOW_TESTS = {
     "test_rainbow_greeks.py::test_rainbow_deltas_match_stulz_fd",
     "test_rainbow_greeks.py::test_rainbow_min_call_deltas_and_vegas",
     "test_mlmc_family.py::test_sharded_mlmc_mesh_invariant",
+    "test_mlmc_family.py::test_merton_terminal_exact_in_law",
+    "test_mlmc_family.py::test_merton_asian_coupling_decays_and_matches_fine_grid",
     "test_mlmc_family.py::test_eps_driven_allocation",
     "test_mlmc_family.py::test_cev_matches_schroder_oracle",
     "test_mlmc_family.py::test_cev_variance_decays",

@@ -35,6 +35,17 @@ def test_swaption_bounds_cli(capsys):
     assert doc["duality_gap"] < 0.25 * doc["lower"]  # 8 branches only
 
 
+def test_nmc_family_cva_greeks_cli(capsys):
+    rc, out = run(capsys, ["nmc", "--payoff", "vanilla_call",
+                           "--n-inner", "8", "--model", "heston",
+                           "--cva-hazard", "0.02",
+                           "--cva-greeks", "delta,v0"] + SMALL)
+    doc = json.loads(out)
+    assert rc == 0
+    assert doc["cva_greeks"]["delta"] > 0
+    assert doc["cva_greeks"]["v0"] > 0
+
+
 def test_mlmc_family_models(capsys):
     rc, out = run(capsys, ["mlmc", "--model", "cev", "--n-levels", "3",
                            "-N", "4096"])

@@ -137,6 +137,69 @@ def test_cva_greeks_match_crn_fd():
         cva_greeks(which=("charm",), hazard_rate=0.02)
 
 
+def test_family_cva_greeks_heston_crn_fd():
+    """model="heston": forward-mode AD flows through the FAMILY engine's
+    nested pipeline too — delta (option.s0) and v0 (a dynamics leaf) are
+    gated against CRN central differences of the same pipeline."""
+    import dataclasses
+
+    from mc_tpu.greeks import cva_greeks
+    from mc_tpu.models.heston import DEMO_HESTON
+    from mc_tpu.nmc_heston import price_nmc_heston
+
+    sim = SimParams(n_paths=512, n_steps=8, n_paths_inner=16)
+    g = cva_greeks(OptionParams(), sim, "vanilla_call",
+                   hazard_rate=0.02, model="heston",
+                   which=("delta", "v0"))
+
+    def cva_at(opt_kw=None, dyn_kw=None):
+        o = dataclasses.replace(OptionParams().as_f32(), **(opt_kw or {}))
+        d = dataclasses.replace(DEMO_HESTON.as_f32(), **(dyn_kw or {}))
+        return float(price_nmc_heston(o, d, sim, "vanilla_call",
+                                      engine="xla").cva(0.02,
+                                                        t_horizon=1.0))
+
+    h = 0.05
+    fd_delta = (cva_at({"s0": 100 + h}) - cva_at({"s0": 100 - h})) / (2 * h)
+    # v0's CVA response is curved (truncation-kink crossings shift with
+    # the bump): FD sweeps 0.489->0.501 over h 2e-3->2.5e-4 around the
+    # AD value — h=5e-4 sits within 1%
+    hv = 5e-4
+    fd_v0 = (cva_at(dyn_kw={"v0": 0.04 + hv})
+             - cva_at(dyn_kw={"v0": 0.04 - hv})) / (2 * hv)
+    assert float(g["delta"]) == pytest.approx(fd_delta, rel=2e-3)
+    assert float(g["v0"]) == pytest.approx(fd_v0, rel=1e-2)
+    assert float(g["delta"]) > 0.0 and float(g["v0"]) > 0.0
+
+
+def test_family_cva_greeks_merton_jump_risk():
+    """d(CVA)/d(lam) under Merton: more jumps -> fatter exposure tail ->
+    a LARGER credit reserve (the sign the desk expects)."""
+    from mc_tpu.greeks import cva_greeks
+    sim = SimParams(n_paths=512, n_steps=8, n_paths_inner=16)
+    g = cva_greeks(OptionParams(), sim, "vanilla_call",
+                   hazard_rate=0.02, model="merton",
+                   which=("delta", "lam"))
+    assert float(g["lam"]) > 0.0
+    assert float(g["delta"]) > 0.0
+
+
+def test_family_cva_greeks_dyn_prefix_and_validation():
+    from mc_tpu.greeks import cva_greeks
+    sim = SimParams(n_paths=256, n_steps=8, n_paths_inner=8)
+    # "rho" stays the rate greek; "dyn.rho" reaches the Heston leaf
+    g = cva_greeks(OptionParams(), sim, "vanilla_call",
+                   hazard_rate=0.02, model="heston",
+                   which=("rho", "dyn.rho"))
+    assert float(g["rho"]) != float(g["dyn.rho"])
+    with pytest.raises(ValueError, match="dynamics field"):
+        cva_greeks(OptionParams(), sim, hazard_rate=0.02,
+                   model="heston", which=("vega",))
+    with pytest.raises(ValueError, match="unknown greek"):
+        cva_greeks(OptionParams(), sim, hazard_rate=0.02,
+                   model="heston", which=("zzz",))
+
+
 def test_mpor_beyond_horizon_is_uncollateralized(res):
     """mpor >= n_steps: no margin call settles inside the horizon, so
     the profile equals the raw exposure (previously a shape error)."""
