@@ -68,7 +68,8 @@ def __getattr__(name):
     if name in ("price_swaption", "price_bermudan_swaption",
                 "price_swaption_sharded", "price_swaption_qmc",
                 "swaption_greeks", "swap_exposure", "SwaptionSpec",
-                "bermudan_swaption_bounds"):
+                "bermudan_swaption_bounds",
+                "price_bermudan_swaption_qmc"):
         from mc_tpu.models import swaption
         return getattr(swaption, name)
     if name in ("calibrate_sabr", "hagan_iv"):

@@ -1033,6 +1033,19 @@ def cmd_swaption(args):
         out["upper"] = float(up.price)
         out["upper_stderr"] = float(up.stderr)
         out["duality_gap"] = float(up.price) - float(lo.price)
+    if args.qmc:
+        from mc_tpu.models.swaption import price_swaption_qmc
+        q = price_swaption_qmc(spec, dyn, sim, r0=args.r, seed=args.seed)
+        out["qmc_price"] = float(q.price)
+        out["qmc_stderr"] = float(q.stderr)
+        if args.bermudan:
+            from mc_tpu.models.swaption import \
+                price_bermudan_swaption_qmc
+            qb = price_bermudan_swaption_qmc(spec, dyn, sim, r0=args.r,
+                                             degree=args.degree,
+                                             seed=args.seed)
+            out["bermudan_qmc_price"] = float(qb.price)
+            out["bermudan_qmc_stderr"] = float(qb.stderr)
     if args.greeks:
         from mc_tpu.models.swaption import swaption_greeks
         g = swaption_greeks(spec, dyn, sim, r0=args.r,
@@ -1498,6 +1511,10 @@ def main(argv=None):
                         "Bermudan from the same fitted policy")
     p.add_argument("--bounds-inner", type=int, default=32,
                    help="one-step branches per conditional in the dual")
+    p.add_argument("--qmc", action="store_true",
+                   help="randomized-QMC rows: European on the 2-dim "
+                        "exact draw; with --bermudan also the frozen-"
+                        "policy Sobol pass over the full date grid")
     p.add_argument("--greeks", action="store_true",
                    help="dv01/vega_r/kappa/theta_b by one jax.grad pass")
     p.add_argument("--exposure", action="store_true",

@@ -260,3 +260,44 @@ def test_qmc_swaption_oracle_and_variance_reduction():
     assert float(q.stderr) < float(m.stderr) / 20.0
     with pytest.raises(ValueError, match="n_shifts"):
         price_swaption_qmc(n_shifts=1)
+
+
+def test_qmc_bermudan_one_payment_bitwise_european_qmc():
+    """n_payments=1: same Sobol net, same shift stream, policy pinned
+    to exercise-if-ITM — the frozen-policy QMC pass IS the European QMC
+    estimator, bitwise (price AND stderr)."""
+    from mc_tpu.models.swaption import (price_bermudan_swaption_qmc,
+                                        price_swaption_qmc)
+    spec = SwaptionSpec(n_payments=1)
+    sim = SimParams(n_paths=1 << 12, n_steps=1)
+    qb = price_bermudan_swaption_qmc(spec, DYN, sim, r0=R0)
+    qe = price_swaption_qmc(spec, DYN, sim, r0=R0)
+    assert float(qb.price) == float(qe.price)
+    assert float(qb.stderr) == float(qe.stderr)
+
+
+def test_qmc_bermudan_bracketed_and_variance_reduced():
+    """The frozen-policy Sobol value: (a) sits at/below the AB upper
+    bound of the SAME fitted policy (both fit on the 8192-path pilot
+    with the shared key convention), (b) above the European floor,
+    (c) agrees with a plain LSMC at 16x the paths, and (d) cuts the
+    equal-budget stderr by >3x on the 20-dim date-grid integrand
+    (measured ~5x)."""
+    from mc_tpu.models.swaption import (bermudan_swaption_bounds,
+                                        price_bermudan_swaption_qmc)
+    sim = SimParams(n_paths=1 << 13, n_steps=1)
+    q = price_bermudan_swaption_qmc(SPEC, DYN, sim, r0=R0, n_fit=8192)
+    lo, up = bermudan_swaption_bounds(
+        SPEC, DYN, SimParams(n_paths=8192, n_steps=1), r0=R0,
+        n_branch=32)
+    assert (float(q.price)
+            <= float(up.price) + 4.0 * (float(q.stderr)
+                                        + float(up.stderr)))
+    assert float(q.price) > _oracle(SPEC)  # early exercise adds value
+    plain = price_bermudan_swaption(
+        SPEC, DYN, SimParams(n_paths=(1 << 13) * 16, n_steps=1), r0=R0)
+    joint = (float(q.stderr) ** 2 + float(plain.stderr) ** 2) ** 0.5
+    assert abs(float(q.price) - float(plain.price)) <= 4.0 * joint
+    assert float(plain.stderr) > 3.0 * float(q.stderr)
+    with pytest.raises(ValueError, match="n_shifts"):
+        price_bermudan_swaption_qmc(n_shifts=1)
