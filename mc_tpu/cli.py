@@ -215,6 +215,16 @@ def _xva_outputs(res, args, out):
         if args.cva_hazard is not None:
             out["collateralized_cva"] = float(
                 c.cva(args.cva_hazard, args.cva_recovery))
+    if args.cva_hazard is not None and args.wwr_beta is not None:
+        out["cva_wwr"] = float(res.cva_wwr(
+            args.cva_hazard, args.wwr_beta, args.cva_recovery))
+    if (args.cva_hazard is not None
+            and args.wwr_spot_beta is not None):
+        if not hasattr(res, "cva_wwr_spot"):
+            raise SystemExit("--wwr-spot-beta needs a single-contract "
+                             "NMC surface (books carry no spot grid)")
+        out["cva_wwr_spot"] = float(res.cva_wwr_spot(
+            args.cva_hazard, args.wwr_spot_beta, args.cva_recovery))
     return out
 
 
@@ -1246,6 +1256,14 @@ def main(argv=None):
     p.add_argument("--mta", type=float, default=0.0)
     p.add_argument("--mpor-steps", type=int, default=0,
                    help="margin period of risk, in steps")
+    p.add_argument("--wwr-beta", type=float, default=None,
+                   help="exposure-linked wrong-way-risk CVA "
+                        "(needs --cva-hazard)")
+    p.add_argument("--wwr-spot-beta", type=float, default=None,
+                   help="SPOT-linked wrong-way-risk CVA: intensity "
+                        "rides the underlying level (sign flips with "
+                        "the position; needs --cva-hazard and "
+                        "--strategy grid)")
     p.add_argument("--model",
                    choices=("gbm", "heston", "merton", "vasicek",
                             "localvol", "cev", "basket", "sabr", "term",

@@ -62,12 +62,58 @@ class NMCResult(ExposureMetrics):
     surface_mean: Any
     n_points: Any
     t_horizon: Any = 1.0  # option maturity T (years); set by the pricers
+    # outer MARKET-spot grid, same (n_steps, rows, 128) layout as the
+    # value surface; populated by strategy="grid" (the engine
+    # materializes it anyway), None under "fused"/"xla"
+    spot_surface: Any = None
 
     def surface_matrix(self):
         """(n_paths, n_steps) view (drops lane padding)."""
         n_steps, rows, lanes = self.surface.shape
         out = jnp.moveaxis(self.surface, 0, -1).reshape(rows * lanes, n_steps)
         return out[: int(self.outer.n_paths)]
+
+    def spot_matrix(self):
+        """(n_paths, n_steps) outer spot grid (grid strategy only)."""
+        if self.spot_surface is None:
+            raise ValueError(
+                "the outer spot grid is only materialized by "
+                "strategy='grid' (engine='pallas'); re-price with it "
+                "for spot-linked metrics")
+        n_steps, rows, lanes = self.spot_surface.shape
+        out = jnp.moveaxis(self.spot_surface, 0, -1).reshape(
+            rows * lanes, n_steps)
+        return out[: int(self.outer.n_paths)]
+
+    def cva_wwr_spot(self, hazard_rate: float, beta: float,
+                     recovery: float = 0.4,
+                     t_horizon: float | None = None):
+        """CVA under SPOT-linked wrong-way risk: the default intensity
+        rides each path's UNDERLYING level, lambda_i(t_j) = hazard *
+        exp(beta * (S_ij / mean_i S_ij - 1)) (date-centered relative
+        deviation, so beta=0 reproduces the flat-hazard `cva` exactly).
+
+        This is the equity-desk WWR model: unlike the exposure-linked
+        `cva_wwr` (which always loads the default weight onto high-
+        exposure states), the SIGN of the effect flips with the
+        position — beta > 0 (default likelier when the market rallies)
+        RAISES a long call's CVA but LOWERS a long put's, the right-way
+        case the exposure link cannot express.  Requires
+        strategy="grid" (the materialized outer spot grid)."""
+        th = jnp.float32(self.t_horizon if t_horizon is None
+                         else t_horizon)
+        s = self.spot_matrix()
+        v = self.surface_matrix()
+        dt = th / v.shape[1]
+        rel = s / jnp.mean(s, axis=0, keepdims=True) - 1.0
+        lam = jnp.float32(hazard_rate) * jnp.exp(jnp.float32(beta) * rel)
+        h = lam * dt
+        cum = jnp.cumsum(h, axis=1)
+        surv_prev = jnp.exp(-(cum - h))
+        dpd = surv_prev * (1.0 - jnp.exp(-h))
+        pos = jnp.maximum(v, 0.0)
+        return (1.0 - jnp.float32(recovery)) * jnp.mean(
+            jnp.sum(pos * dpd, axis=1))
 
     def exposure_profile(self, quantile: float = 0.95):
         """Counterparty-exposure profile from the value surface.
@@ -195,6 +241,7 @@ def _price_nmc_impl(option, payoff, sim, strategy, engine, tile_rows,
         tile_rows=tile_rows, discount=discount, rng_source=rng_source)
     params = pk.pack_params(option, sim.n_steps)
 
+    spot = None
     if engine == "xla":
         surface, osum, osq = _xla_nmc(payoff, cfg, key_outer, key_inner,
                                       option)
@@ -209,6 +256,7 @@ def _price_nmc_impl(option, payoff, sim, strategy, engine, tile_rows,
         surface = nk.nmc_inner_kernel(
             payoff, cfg, key_inner, params, s_grid, c_grid,
             interpret=interpret)
+        spot = s_grid  # already materialized; ride it onto the result
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -222,7 +270,8 @@ def _price_nmc_impl(option, payoff, sim, strategy, engine, tile_rows,
     return NMCResult(surface=surface, outer=outer,
                      surface_mean=surface_mean,
                      n_points=jnp.asarray(n_points, jnp.float32),
-                     t_horizon=jnp.asarray(option.t, jnp.float32))
+                     t_horizon=jnp.asarray(option.t, jnp.float32),
+                     spot_surface=spot)
 
 
 def nmc_auto_tile_rows(n_steps: int, budget_bytes: int = 8 << 20) -> int:

@@ -550,6 +550,7 @@ def _price_nmc_family_impl(fam, option, dyn, payoff, sim, engine,
     params = fam.pack(option, dyn, sim.n_steps)
     p = fam.unpack(params)
 
+    spot = None
     if engine == "xla":
         surface, osum, osq = _xla_nmc_family(fam, payoff, sim, params,
                                              key_outer, key_inner,
@@ -570,6 +571,7 @@ def _price_nmc_family_impl(fam, option, dyn, payoff, sim, engine,
             fam, payoff, sim.n_steps, sim.n_paths_inner, tile_rows,
             cfg.n_tiles, key_inner, params, tuple(grids), sim.n_paths,
             interpret=interpret)
+        spot = grids[0]  # every family's grid 0 is the market spot
     elif engine == "pallas":
         raise ValueError(f"unknown strategy {strategy!r}")
     else:
@@ -583,7 +585,8 @@ def _price_nmc_family_impl(fam, option, dyn, payoff, sim, engine,
     return NMCResult(surface=surface, outer=outer,
                      surface_mean=surface_mean,
                      n_points=jnp.asarray(n_points, jnp.float32),
-                     t_horizon=jnp.asarray(option.t, jnp.float32))
+                     t_horizon=jnp.asarray(option.t, jnp.float32),
+                     spot_surface=spot)
 
 
 def _validate_and_keys(fam, sim, payoff, stream_outer, stream_inner):

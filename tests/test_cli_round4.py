@@ -46,6 +46,19 @@ def test_nmc_family_cva_greeks_cli(capsys):
     assert doc["cva_greeks"]["v0"] > 0
 
 
+def test_nmc_wwr_spot_cli(capsys):
+    rc, out = run(capsys, ["nmc", "--payoff", "vanilla_put",
+                           "--n-inner", "8", "--exposure",
+                           "--cva-hazard", "0.02", "--wwr-beta", "2.0",
+                           "--wwr-spot-beta", "2.0",
+                           "--strategy", "grid", "-N", "2048",
+                           "--n-steps", "8", "--tile-rows", "8"])
+    doc = json.loads(out)
+    assert rc == 0
+    assert doc["cva_wwr"] > doc["cva"]       # exposure link marks up
+    assert doc["cva_wwr_spot"] < doc["cva"]  # put: right-way on spot
+
+
 def test_mlmc_family_models(capsys):
     rc, out = run(capsys, ["mlmc", "--model", "cev", "--n-levels", "3",
                            "-N", "4096"])

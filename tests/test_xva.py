@@ -137,6 +137,44 @@ def test_cva_greeks_match_crn_fd():
         cva_greeks(which=("charm",), hazard_rate=0.02)
 
 
+def test_cva_wwr_spot_sign_flips_with_position():
+    """Spot-linked WWR (intensity rides the UNDERLYING level): beta > 0
+    raises a long call's CVA but LOWERS a long put's — the right-way
+    case the exposure-linked model cannot express (it loads default
+    weight onto high-exposure states regardless of position)."""
+    sim = SimParams(n_paths=2048, n_steps=8, n_paths_inner=16)
+    call = price_nmc(OptionParams(), sim, "vanilla_call",
+                     strategy="grid")
+    put = price_nmc(OptionParams(), sim, "vanilla_put", strategy="grid")
+    for res in (call, put):
+        flat = float(res.cva(0.02))
+        # f32: per-path accumulation vs the EE-profile closed form
+        # differ by association only
+        assert float(res.cva_wwr_spot(0.02, 0.0)) == pytest.approx(
+            flat, rel=1e-4)
+    assert float(call.cva_wwr_spot(0.02, 2.0)) > float(call.cva(0.02))
+    assert float(put.cva_wwr_spot(0.02, 2.0)) < float(put.cva(0.02))
+    # the exposure link marks BOTH positions up — spot link disagrees
+    # on the put, which is the point
+    assert float(put.cva_wwr(0.02, 2.0)) > float(put.cva(0.02))
+
+
+def test_cva_wwr_spot_needs_the_grid_strategy():
+    res = price_nmc(OptionParams(), SIM, "vanilla_call", engine="xla")
+    with pytest.raises(ValueError, match="grid"):
+        res.cva_wwr_spot(0.02, 1.0)
+
+
+def test_cva_wwr_spot_family_surface():
+    """The family engine's grid strategy rides its spot grid onto the
+    result too (grid 0 is the market spot for every family)."""
+    from mc_tpu.nmc_heston import price_nmc_heston
+    sim = SimParams(n_paths=1024, n_steps=8, n_paths_inner=8)
+    res = price_nmc_heston(sim=sim, payoff="vanilla_call",
+                           strategy="grid")
+    assert float(res.cva_wwr_spot(0.02, 2.0)) > float(res.cva(0.02))
+
+
 def test_family_cva_greeks_heston_crn_fd():
     """model="heston": forward-mode AD flows through the FAMILY engine's
     nested pipeline too — delta (option.s0) and v0 (a dynamics leaf) are
