@@ -1073,6 +1073,15 @@ def cmd_swaption(args):
         out["swap_pfe"] = [round(float(x), 6) for x in np.asarray(pfe)]
         if args.cva_hazard is not None:
             out["swap_cva"] = float(e.cva(args.cva_hazard))
+            if args.greeks:
+                from mc_tpu.models.swaption import swap_cva_greeks
+                cg = swap_cva_greeks(spec, dyn, sim,
+                                     hazard_rate=args.cva_hazard,
+                                     r0=args.r, seed=args.seed,
+                                     which=("dv01", "vega_r", "kappa",
+                                            "theta_b"))
+                out["swap_cva_greeks"] = {k: float(v)
+                                          for k, v in cg.items()}
     print(json.dumps(out))
     return 0
 

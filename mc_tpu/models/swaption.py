@@ -447,6 +447,59 @@ def swap_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
                                   t_horizon=jnp.float32(horizon))
 
 
+SWAP_CVA_GREEK_FIELDS = ("dv01", "vega_r", "kappa", "theta_b")
+
+
+def swap_cva_greeks(spec: SwaptionSpec = DEMO_SWAPTION,
+                    dyn: VasicekDynamics = DEMO_VASICEK,
+                    sim: SimParams = SimParams(n_paths=1 << 16,
+                                               n_steps=1),
+                    *,
+                    hazard_rate: float,
+                    recovery: float = 0.4,
+                    r0: float = 0.05,
+                    which=("dv01", "vega_r"),
+                    seed: Optional[int] = None,
+                    stream: int = STREAM_OUTER):
+    """d(swap CVA)/d(market) — the rates-desk XVA sensitivities.
+
+    Forward-mode AD through the whole pipeline: exact rate grid, affine
+    remaining-swap MtM, pathwise discounting, exposure positive part,
+    default-leg integral.  Greek names follow `swaption_greeks`:
+    dv01 = d/dr0, vega_r = d/dsigma_r, kappa = d/da, theta_b = d/db.
+    Every EE point is a Jamshidian swaption price, so dv01/vega_r are
+    gated against finite differences of the closed-form swaption-strip
+    CVA (tests/test_swaption.py)."""
+    import dataclasses as _dc
+
+    spec = spec.validate()
+    bad = set(which) - set(SWAP_CVA_GREEK_FIELDS)
+    if bad:
+        raise ValueError(f"unknown greeks {sorted(bad)}; available: "
+                         f"{list(SWAP_CVA_GREEK_FIELDS)}")
+    d32 = dyn.as_f32()
+    fields = {"dv01": "r0", "vega_r": "sigma_r", "kappa": "a",
+              "theta_b": "b"}
+
+    def f(*vals):
+        kw = {fields[g]: v for g, v in zip(which, vals)}
+        rr = kw.pop("r0", jnp.float32(r0))
+        d = _dc.replace(d32, **kw) if kw else d32
+        e = swap_exposure(spec, d, sim, r0=rr, seed=seed, stream=stream)
+        return e.cva(hazard_rate, recovery)
+
+    base = {"r0": jnp.float32(r0), "sigma_r": jnp.float32(d32.sigma_r),
+            "a": jnp.float32(d32.a), "b": jnp.float32(d32.b)}
+    vals = [base[fields[g]] for g in which]
+    out = {}
+    for i, g in enumerate(which):
+        tangents = [jnp.float32(1.0 if j == i else 0.0)
+                    for j in range(len(vals))]
+        _, dot = jax.jvp(f, vals, tangents)
+        out[g] = dot
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "n", "n_shifts"))
 def _swaption_qmc_impl(spec, a, b, sigma_r, r0, n, n_shifts, zvec,
                        shifts):

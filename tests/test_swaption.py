@@ -301,3 +301,39 @@ def test_qmc_bermudan_bracketed_and_variance_reduced():
     assert float(plain.stderr) > 3.0 * float(q.stderr)
     with pytest.raises(ValueError, match="n_shifts"):
         price_bermudan_swaption_qmc(n_shifts=1)
+
+
+def test_swap_cva_greeks_match_strip_oracle_fd():
+    """d(swap CVA)/d(market) by forward AD through the exposure
+    pipeline vs central differences of the CLOSED-FORM strip CVA (every
+    EE point is a Jamshidian swaption, and the mixin's PD weights are
+    replicated exactly)."""
+    from mc_tpu.models.swaption import swap_cva_greeks
+    LAM = 0.02
+    sim = SimParams(n_paths=1 << 16, n_steps=1)
+    g = swap_cva_greeks(SPEC, DYN, sim, hazard_rate=LAM, r0=R0,
+                        which=("dv01", "vega_r"))
+
+    def strip_cva(r0v, sigv):
+        n = SPEC.n_payments
+        th = SPEC.expiry + (n - 1) * SPEC.tenor
+        t = np.arange(1, n + 1) * th / n
+        tp = np.concatenate([[0.0], t[:-1]])
+        dpd = np.exp(-LAM * tp) - np.exp(-LAM * t)
+        ee = [oracle.vasicek_swaption(r0v, DYN.a, DYN.b, sigv,
+                                      SPEC.expiry + i * SPEC.tenor,
+                                      SPEC.tenor, n - i - 1, SPEC.k_rate)
+              if i < n - 1 else 0.0 for i in range(n)]
+        return 0.6 * sum(e * d for e, d in zip(ee, dpd))
+
+    h = 1e-4
+    fd_dv01 = (strip_cva(R0 + h, DYN.sigma_r)
+               - strip_cva(R0 - h, DYN.sigma_r)) / (2 * h)
+    fd_vega = (strip_cva(R0, DYN.sigma_r + h)
+               - strip_cva(R0, DYN.sigma_r - h)) / (2 * h)
+    assert float(g["dv01"]) == pytest.approx(fd_dv01, rel=1e-2)
+    assert float(g["vega_r"]) == pytest.approx(fd_vega, rel=1e-2)
+    assert float(g["dv01"]) > 0.0  # payer: rates up = ITM = more CVA
+    assert float(g["vega_r"]) > 0.0
+    with pytest.raises(ValueError, match="unknown greeks"):
+        swap_cva_greeks(hazard_rate=LAM, which=("charm",))
