@@ -69,7 +69,8 @@ def __getattr__(name):
                 "price_swaption_sharded", "price_swaption_qmc",
                 "swaption_greeks", "swap_exposure", "SwaptionSpec",
                 "bermudan_swaption_bounds",
-                "price_bermudan_swaption_qmc", "swap_cva_greeks"):
+                "price_bermudan_swaption_qmc", "swap_cva_greeks",
+                "bermudan_swaption_exposure"):
         from mc_tpu.models import swaption
         return getattr(swaption, name)
     if name in ("calibrate_sabr", "hagan_iv"):

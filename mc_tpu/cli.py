@@ -1071,6 +1071,16 @@ def cmd_swaption(args):
         ee, pfe = e.exposure_profile()
         out["swap_ee"] = [round(float(x), 6) for x in np.asarray(ee)]
         out["swap_pfe"] = [round(float(x), 6) for x in np.asarray(pfe)]
+        if args.bermudan:
+            from mc_tpu.models.swaption import bermudan_swaption_exposure
+            be = bermudan_swaption_exposure(spec, dyn, sim, r0=args.r,
+                                            degree=args.degree,
+                                            seed=args.seed)
+            bee, _ = be.exposure_profile()
+            out["bermudan_ee"] = [round(float(x), 6)
+                                  for x in np.asarray(bee)]
+            if args.cva_hazard is not None:
+                out["bermudan_cva"] = float(be.cva(args.cva_hazard))
         if args.cva_hazard is not None:
             out["swap_cva"] = float(e.cva(args.cva_hazard))
             if args.greeks:

@@ -447,6 +447,146 @@ def swap_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
                                   t_horizon=jnp.float32(horizon))
 
 
+def _policy_machinery(spec, a, b, sigma_r, degree, betas, key):
+    """(step_tenor, draws, policy_value) for frozen-policy rollouts.
+
+    ``policy_value(i, r, y, ids, tag)`` is the value (discounted to 0)
+    of the fitted policy from state (r, y) AT date i; rollout draws are
+    keyed by (tag, date) under ``key``.  The exercise rule compares
+    UNdiscounted intrinsics to the forward continuation fit — the same
+    r-only policy `_fit_bermudan` fits.  Shared by the Andersen-Broadie
+    dual and the Bermudan exposure surface."""
+    n_ex = spec.n_payments
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+    e1, big_b, l11, l21, l22 = _exact_xy_coeffs(
+        a, sigma_r, jnp.float32(spec.tenor))
+
+    def step_tenor(r, y, z0, z1):
+        x = r - b
+        y = y + b * jnp.float32(spec.tenor) + x * big_b \
+            + (l21 * z0 + l22 * z1)
+        return b + x * e1 + l11 * z0, y
+
+    def draws(ids, tag, u):
+        c1 = (jnp.full(ids.shape, 0, jnp.uint32)
+              + jnp.uint32(tag) * jnp.uint32(64) + jnp.uint32(u))
+        return rng.normal_pair(k0, k1, ids, c1)
+
+    def policy_value(i, r, y, ids, tag):
+        val = jnp.zeros_like(r)
+        done = jnp.zeros(r.shape, bool)
+        for u in range(i, n_ex):
+            ex = _swap_intrinsic(spec, a, b, sigma_r, r, u)
+            if u < n_ex - 1:
+                cont = _rate_basis(r, b, degree) @ betas[u]
+                take = jnp.logical_and(ex > 0.0, ex > cont)
+            else:
+                take = ex > 0.0
+            take = jnp.logical_and(take, jnp.logical_not(done))
+            val = jnp.where(take, ex * jnp.exp(-y), val)
+            done = jnp.logical_or(done, take)
+            if u < n_ex - 1:
+                z0, z1 = draws(ids, tag, u)
+                r, y = step_tenor(r, y, z0, z1)
+        return val
+
+    return step_tenor, draws, policy_value
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "n_paths", "n_inner",
+                                    "n_fit", "degree"))
+def _bermudan_exposure_impl(spec, a, b, sigma_r, r0, n_paths, n_inner,
+                            n_fit, degree, key_fit, key_outer,
+                            key_inner):
+    n_ex = spec.n_payments
+    r_fit, y_fit = _simulate_rate_grid(spec, a, b, sigma_r, r0, n_fit,
+                                       n_ex, key_fit)
+    _, betas = _fit_bermudan(spec, a, b, sigma_r, r_fit, y_fit, degree)
+    r_grid, y_grid = _simulate_rate_grid(spec, a, b, sigma_r, r0,
+                                         n_paths, n_ex, key_outer)
+    _, _, policy_value = _policy_machinery(spec, a, b, sigma_r, degree,
+                                           betas, key_inner)
+    ids = jnp.arange(n_paths, dtype=jnp.uint32)
+    ids_b = (ids[None, :]
+             + (jnp.arange(n_inner, dtype=jnp.uint32)[:, None]
+                + jnp.uint32(1)) * jnp.uint32(1 << 22))
+    alive = jnp.ones((n_paths,), bool)
+    vals = []
+    for i in range(n_ex):
+        ex = _swap_intrinsic(spec, a, b, sigma_r, r_grid[i], i)
+        if i < n_ex - 1:
+            cont = _rate_basis(r_grid[i], b, degree) @ betas[i]
+            take = jnp.logical_and(ex > 0.0, ex > cont)
+        else:
+            take = ex > 0.0
+        # MtM at date i: mean of n_inner frozen-policy rollouts from
+        # the realized state (exact — not the regression proxy — and
+        # where the policy exercises AT i every rollout returns the
+        # intrinsic, so those points carry zero rollout noise); 0 once
+        # the position was exercised at an EARLIER date (cash settled,
+        # it left the netting set)
+        v_i = jnp.mean(policy_value(
+            i, jnp.broadcast_to(r_grid[i], ids_b.shape),
+            jnp.broadcast_to(y_grid[i], ids_b.shape), ids_b, tag=i),
+            axis=0)
+        vals.append(jnp.where(alive, v_i, 0.0))
+        alive = jnp.logical_and(alive, jnp.logical_not(take))
+    return jnp.stack(vals, axis=1)
+
+
+def bermudan_swaption_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
+                               dyn: VasicekDynamics = DEMO_VASICEK,
+                               sim: SimParams = SimParams(
+                                   n_paths=4096, n_steps=1,
+                                   n_paths_inner=16),
+                               *,
+                               r0: float = 0.05,
+                               degree: int = 3,
+                               n_fit: int = 16384,
+                               seed: Optional[int] = None,
+                               stream: int = STREAM_OUTER):
+    """Counterparty exposure of a long BERMUDAN swaption position —
+    the American-Monte-Carlo XVA object for rates.
+
+    Two passes: the exercise policy is fitted on an ``n_fit``-path
+    pilot set (the pricing LSMC's key convention), then on an
+    independent outer set the position's MtM at every coupon date is
+    re-priced by ``sim.n_paths_inner`` frozen-policy rollouts from the
+    realized (r, ∫r) state.  Exercise ABSORBS: once the outer policy
+    exercises, the cash settles and the position leaves the netting
+    set, so later dates carry zero exposure — which makes the
+    discounted EE profile a telescoping supermartingale: EE(t_i) =
+    E[cash at i] + EE(t_{i+1}), hence nonincreasing with EE(t_0) equal
+    to the Bermudan price (both gated).  Returns a
+    `CollateralizedExposure` carrying the full XVA metric surface."""
+    spec = spec.validate()
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    if sim.n_paths > (1 << 22):
+        raise ValueError(
+            "bermudan_swaption_exposure shards rollout streams by "
+            f"id + branch * 2^22: n_paths must be <= 2^22, got "
+            f"{sim.n_paths}")
+    d32 = dyn.as_f32()
+    seed = sim.seed if seed is None else seed
+    key_fit = jnp.asarray(rng.derive_key(seed, stream, 0x5A97),
+                          jnp.uint32)
+    key_outer = jnp.asarray(rng.derive_key(seed, stream, 0x5AE0),
+                            jnp.uint32)
+    key_inner = jnp.asarray(rng.derive_key(seed, stream, 0x5AE1),
+                            jnp.uint32)
+    values = _bermudan_exposure_impl(
+        spec, jnp.float32(d32.a), jnp.float32(d32.b),
+        jnp.float32(d32.sigma_r), jnp.float32(r0), sim.n_paths,
+        sim.n_paths_inner, n_fit, degree, key_fit, key_outer, key_inner)
+    from mc_tpu.xva import CollateralizedExposure
+    horizon = spec.expiry + (spec.n_payments - 1) * spec.tenor
+    return CollateralizedExposure(values=values,
+                                  t_horizon=jnp.float32(horizon))
+
+
 SWAP_CVA_GREEK_FIELDS = ("dv01", "vega_r", "kappa", "theta_b")
 
 
@@ -712,43 +852,8 @@ def _bermudan_bounds_impl(spec, a, b, sigma_r, r0, n_paths, degree,
     n = jnp.float32(n_paths)
     lower = summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
 
-    k0 = jnp.asarray(key_dual[0], jnp.uint32)
-    k1 = jnp.asarray(key_dual[1], jnp.uint32)
-    e1, big_b, l11, l21, l22 = _exact_xy_coeffs(
-        a, sigma_r, jnp.float32(spec.tenor))
-
-    def step_tenor(r, y, z0, z1):
-        x = r - b
-        y = y + b * jnp.float32(spec.tenor) + x * big_b \
-            + (l21 * z0 + l22 * z1)
-        return b + x * e1 + l11 * z0, y
-
-    def draws(ids, tag, u):
-        c1 = (jnp.full(ids.shape, 0, jnp.uint32)
-              + jnp.uint32(tag) * jnp.uint32(64) + jnp.uint32(u))
-        return rng.normal_pair(k0, k1, ids, c1)
-
-    def policy_value(i, r, y, ids, tag):
-        """Value (discounted to 0) of the fitted policy from state
-        (r, y) AT date i; rollout draws keyed by (tag, date).  The
-        exercise rule compares UNdiscounted intrinsics to the forward
-        continuation fit — the same r-only policy _fit_bermudan fits."""
-        val = jnp.zeros_like(r)
-        done = jnp.zeros(r.shape, bool)
-        for u in range(i, n_ex):
-            ex = _swap_intrinsic(spec, a, b, sigma_r, r, u)
-            if u < n_ex - 1:
-                cont = _rate_basis(r, b, degree) @ betas[u]
-                take = jnp.logical_and(ex > 0.0, ex > cont)
-            else:
-                take = ex > 0.0
-            take = jnp.logical_and(take, jnp.logical_not(done))
-            val = jnp.where(take, ex * jnp.exp(-y), val)
-            done = jnp.logical_or(done, take)
-            if u < n_ex - 1:
-                z0, z1 = draws(ids, tag, u)
-                r, y = step_tenor(r, y, z0, z1)
-        return val
+    step_tenor, draws, policy_value = _policy_machinery(
+        spec, a, b, sigma_r, degree, betas, key_dual)
 
     ids = jnp.arange(n_paths, dtype=jnp.uint32)
     # each branch row gets its own ids offset so every stream is

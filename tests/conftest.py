@@ -45,6 +45,7 @@ SLOW_TESTS = {
     "test_swaption.py::test_bermudan_bounds_lower_is_lsmc_bitwise",
     "test_swaption.py::test_qmc_bermudan_bracketed_and_variance_reduced",
     "test_swaption.py::test_swap_cva_greeks_match_strip_oracle_fd",
+    "test_swaption.py::test_bermudan_exposure_telescopes_to_the_price",
     "test_swaption.py::test_bermudan_bounds_bracket_is_tight",
     "test_cli_round4.py::test_swaption_bounds_cli",
     "test_swaption.py::test_bermudan_greeks_finite_and_bracketed",

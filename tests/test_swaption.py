@@ -337,3 +337,39 @@ def test_swap_cva_greeks_match_strip_oracle_fd():
     assert float(g["vega_r"]) > 0.0
     with pytest.raises(ValueError, match="unknown greeks"):
         swap_cva_greeks(hazard_rate=LAM, which=("charm",))
+
+
+def test_bermudan_exposure_telescopes_to_the_price():
+    """Exercise ABSORBS: EE(t_i) = E[cash at i] + EE(t_{i+1}), so the
+    profile is nonincreasing and EE(t_0) is the Bermudan (policy)
+    price; the surface carries the whole XVA metric set."""
+    from mc_tpu.models.swaption import bermudan_swaption_exposure
+    e = bermudan_swaption_exposure(
+        SPEC, DYN, SimParams(n_paths=4096, n_steps=1, n_paths_inner=16),
+        r0=R0)
+    ee, pfe = e.exposure_profile()
+    ee = np.asarray(ee)
+    assert np.all(np.diff(ee) <= 1e-5), ee  # telescoping decay
+    ber = price_bermudan_swaption(SPEC, DYN,
+                                  SimParams(n_paths=1 << 16, n_steps=1),
+                                  r0=R0)
+    assert abs(float(ee[0]) - float(ber.price)) <= 0.01 * float(ber.price)
+    assert float(e.cva(0.02)) > 0.0
+    assert float(e.collateralized(0.005).cva(0.02)) < float(e.cva(0.02))
+    # early dates: most paths alive -> the 95% quantile dominates the
+    # mean (late dates legitimately have pfe < ee when < 5% of paths
+    # still carry the position)
+    assert np.all(np.asarray(pfe)[:3] >= ee[:3])
+
+
+def test_bermudan_exposure_one_payment_is_european():
+    """n_payments=1: one date, every rollout returns the immediate
+    intrinsic — EE(t_0) is the European estimator on the outer set."""
+    from mc_tpu.models.swaption import bermudan_swaption_exposure
+    spec = SwaptionSpec(n_payments=1)
+    e = bermudan_swaption_exposure(
+        spec, DYN, SimParams(n_paths=1 << 14, n_steps=1,
+                             n_paths_inner=4), r0=R0)
+    ee, _ = e.exposure_profile()
+    ref = _oracle(spec)
+    assert float(ee[0]) == pytest.approx(ref, abs=4e-4)
