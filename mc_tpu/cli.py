@@ -474,6 +474,37 @@ def cmd_american(args):
                              price_american_basket, price_american_heston)
 
     option, sim = _parse(args)
+    if args.exposure:
+        import numpy as np
+
+        from mc_tpu.lsmc import american_exposure_family
+        if args.model == "gbm":
+            raise SystemExit("--exposure runs on the family engine: "
+                             "pick --model heston|cev|merton|sabr|"
+                             "localvol|vasicek|basket|rainbow")
+        dyn = None
+        if args.model in ("basket", "rainbow"):
+            from mc_tpu.models.basket import _demo_basket
+            dyn = _demo_basket(d=args.n_assets, rho=args.corr)
+        e = american_exposure_family(
+            args.model, option, dyn, sim, payoff=args.payoff,
+            degree=args.degree, exercise_every=args.exercise_every,
+            n_inner=args.bounds_inner)
+        ee, pfe = e.exposure_profile()
+        out = {"payoff": args.payoff, "model": args.model,
+               "american_ee": [round(float(x), 6)
+                               for x in np.asarray(ee)],
+               "american_pfe": [round(float(x), 6)
+                                for x in np.asarray(pfe)]}
+        if args.cva_hazard is not None:
+            out["american_cva"] = float(e.cva(args.cva_hazard))
+        print(json.dumps(out))
+        return 0
+    if args.model in ("cev", "merton", "sabr"):
+        raise SystemExit(
+            f"--model {args.model}: the CLI offers --exposure for this "
+            "family (prices/bounds: lsmc.price_american_family / "
+            "american_bounds_family in the library)")
     if args.greeks:
         if args.model not in ("gbm", "heston"):
             raise SystemExit("--greeks supports --model gbm|heston")
@@ -1356,8 +1387,15 @@ def main(argv=None):
                         "reference for gbm vanilla)")
     p.add_argument("--model",
                    choices=("gbm", "heston", "basket", "vasicek",
-                            "localvol", "rainbow"),
+                            "localvol", "rainbow", "cev", "merton",
+                            "sabr"),
                    default="gbm")
+    p.add_argument("--exposure", action="store_true",
+                   help="American-MC exposure surface: EE/PFE of the "
+                        "position under the frozen policy (exercise "
+                        "absorbs; family models only); --cva-hazard "
+                        "adds the CVA")
+    p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--n-assets", type=int, default=4)
     p.add_argument("--corr", type=float, default=0.5)
     p.add_argument("--a", type=float, default=0.3,

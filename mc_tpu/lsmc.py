@@ -43,6 +43,7 @@ from mc_tpu.ops._pallas import LANES
 from mc_tpu.ops.payoffs import get_payoff
 
 __all__ = ["price_american", "american_greeks", "american_bounds_family",
+           "american_exposure_family",
            "price_american_heston",
            "price_american_basket", "price_american_rainbow",
            "price_american_vasicek",
@@ -1112,13 +1113,16 @@ def american_greeks(option: OptionParams = DEMO_OPTION,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("fam", "payoff", "sim", "degree", "tile_rows",
-                     "n_outer", "n_inner", "interpret", "every"))
-def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
-                          n_outer, n_inner, interpret, key_fit, key_outer,
-                          key_inner, every=1):
+def _family_policy_tools(fam, option, dyn, payoff, sim, degree,
+                         tile_rows, n_outer, key_fit, key_outer,
+                         key_inner, every=1):
+    """Shared frozen-policy machinery over the NMCFamily protocol:
+    fit the LSMC policy on a pilot set (key_fit), build an independent
+    outer set (key_outer), and expose policy rollouts keyed by
+    (branch, date) under key_inner.  Consumed by the Andersen-Broadie
+    dual and the American exposure surface — the rollout/exercise-rule
+    computation is IDENTICAL in both (pure code motion from the
+    dual)."""
     from types import SimpleNamespace
 
     from mc_tpu.nmc_engine import xla_family_trajectories
@@ -1162,7 +1166,6 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
     ids_b = jnp.arange(n_pad_b, dtype=jnp.uint32)
     ki0 = jnp.asarray(key_inner[0], jnp.uint32)
     ki1 = jnp.asarray(key_inner[1], jnp.uint32)
-    jn = jnp.float32(n_inner)
     pps = fam.rollout_pairs_per_step
 
     def mk_draw(branch, u):
@@ -1217,12 +1220,35 @@ def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
         ex = payoff.terminal((), fam.rollout_spot(p, ctx, carry), p)
         return jnp.where(done, val, ex * df)
 
-    two_j_total = n * 2 * n_inner
-    gap_mat = n - every * ((n - 1) // every)
-
     def carry_at(t_idx):
         return fam.rollout_carry(p, ctx,
                                  tuple(g[t_idx] for g in gs_b))
+
+    return SimpleNamespace(p=p, ctx=ctx, n=n, inv_k=inv_k, gs_b=gs_b,
+                           lvl_b=lvl_b, n_pad_b=n_pad_b,
+                           valid_b=valid_b, betas=betas,
+                           mk_draw=mk_draw, rollout=rollout,
+                           carry_at=carry_at)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fam", "payoff", "sim", "degree", "tile_rows",
+                     "n_outer", "n_inner", "interpret", "every"))
+def _ab_upper_family_impl(fam, option, dyn, payoff, sim, degree, tile_rows,
+                          n_outer, n_inner, interpret, key_fit, key_outer,
+                          key_inner, every=1):
+    T = _family_policy_tools(fam, option, dyn, payoff, sim, degree,
+                             tile_rows, n_outer, key_fit, key_outer,
+                             key_inner, every)
+    p, ctx, n = T.p, T.ctx, T.n
+    gs_b, lvl_b, n_pad_b, valid_b = (T.gs_b, T.lvl_b, T.n_pad_b,
+                                     T.valid_b)
+    mk_draw, rollout, carry_at = T.mk_draw, T.rollout, T.carry_at
+    jn = jnp.float32(n_inner)
+
+    two_j_total = n * 2 * n_inner
+    gap_mat = n - every * ((n - 1) // every)
 
     def date_step(carry_scan, t):
         m, run_max = carry_scan
@@ -1377,3 +1403,124 @@ def american_bounds_family(model: str,
                                   n_outer, n_inner, interpret, key_fit,
                                   key_outer, key_inner, exercise_every)
     return lower, upper
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fam", "payoff", "sim", "degree", "tile_rows",
+                     "n_outer", "n_inner", "every"))
+def _american_exposure_family_impl(fam, option, dyn, payoff, sim, degree,
+                                   tile_rows, n_outer, n_inner, key_fit,
+                                   key_outer, key_inner, every=1):
+    T = _family_policy_tools(fam, option, dyn, payoff, sim, degree,
+                             tile_rows, n_outer, key_fit, key_outer,
+                             key_inner, every)
+    p, n = T.p, T.n
+    jn = jnp.float32(n_inner)
+    alive = jnp.ones((T.n_pad_b,), bool)
+    vals = []
+    for t in range(n):
+        df_t = (fam.ab_grid_df(p, T.gs_b, t)
+                * jnp.ones((T.n_pad_b,), jnp.float32))
+        carry_t = T.carry_at(t)
+
+        # MtM at date t: mean of n_inner frozen-policy rollouts from
+        # the realized state.  Where the policy exercises AT t every
+        # rollout returns the intrinsic deterministically (zero noise);
+        # after an EARLIER exercise the position has settled and left
+        # the netting set -> 0.
+        def v_j(j, acc, t=t, carry_t=carry_t, df_t=df_t):
+            return acc + T.rollout(t, carry_t, df_t,
+                                   t * n_inner + j)
+
+        v_t = jax.lax.fori_loop(0, n_inner, v_j,
+                                jnp.zeros((T.n_pad_b,), jnp.float32)) / jn
+        vals.append(jnp.where(jnp.logical_and(alive, T.valid_b), v_t,
+                              0.0))
+
+        # the OUTER path's own policy decision at t (same rule as the
+        # rollouts: exercise dates only, maturity always exercises ITM)
+        ex = payoff.terminal((), T.lvl_b[t], p)
+        if t == n - 1:
+            take = ex > 0.0
+        elif (t + 1) % every == 0:
+            x = fam.lsmc_basis_point(p, carry_t, T.lvl_b[t], degree,
+                                     T.inv_k)
+            cont = jnp.dot(x, T.betas[t],
+                           preferred_element_type=jnp.float32)
+            take = jnp.logical_and(ex > 0.0, ex > cont)
+        else:
+            take = jnp.zeros((T.n_pad_b,), bool)
+        alive = jnp.logical_and(alive, jnp.logical_not(take))
+    return jnp.stack(vals, axis=1)
+
+
+def american_exposure_family(model: str,
+                             option: OptionParams = DEMO_OPTION,
+                             dyn=None,
+                             sim: SimParams = DEMO_SIM,
+                             payoff="vanilla_put",
+                             *,
+                             degree: int = 3,
+                             n_outer: int = 4096,
+                             n_inner: int = 16,
+                             exercise_every: int = 1,
+                             tile_rows: int = 8,
+                             stream: int = STREAM_OUTER):
+    """Counterparty exposure of a long AMERICAN/Bermudan position under
+    any model family — the American-Monte-Carlo XVA surface.
+
+    The LSMC policy is fitted on a ``sim.n_paths`` pilot set, then on an
+    independent ``n_outer`` set the position's MtM at every step is
+    re-priced by ``n_inner`` frozen-policy rollouts from the stored
+    market state (family physics; pathwise-rate families discount
+    exactly along each rollout).  Exercise ABSORBS: once the outer
+    policy exercises, the cash settles and the position leaves the
+    netting set — so the discounted EE profile telescopes, EE(t_j) =
+    E[cash at j] + EE(t_{j+1}): nonincreasing, with EE at the first
+    date ~ the (policy) price.  Returns a `CollateralizedExposure`
+    carrying the full XVA metric set.  Same model menu and policy
+    construction as `american_bounds_family` (the rollout machinery is
+    shared code)."""
+    from mc_tpu.nmc_engine import NMC_FAMILY_BUILDERS, ensure_family
+    _DUAL_MODELS = ("heston", "merton", "cev", "localvol", "sabr",
+                    "vasicek", "basket", "rainbow")
+    if model not in _DUAL_MODELS:
+        raise ValueError(f"american_exposure_family supports "
+                         f"{_DUAL_MODELS}, got {model!r}")
+    ensure_family(model)
+    if model == "rainbow":
+        from mc_tpu.models.basket import DEMO_BASKET
+        from mc_tpu.nmc_rainbow import RAINBOW_NMC_PAYOFFS, RainbowNMC
+        agg, payoff = RAINBOW_NMC_PAYOFFS.get(payoff, ("max", payoff))
+        dyn32 = (DEMO_BASKET if dyn is None else dyn).as_f32()
+        fam = RainbowNMC(extras=(dyn32.d, agg))
+    else:
+        fam, dyn32 = NMC_FAMILY_BUILDERS[model](option, dyn, sim)
+    po = get_payoff(payoff)
+    if po.n_state != 0:
+        raise ValueError("american exposure supports terminal payoffs "
+                         "(n_state == 0)")
+    if exercise_every < 1:
+        raise ValueError("exercise_every must be >= 1")
+    if fam.even_steps and sim.n_steps % 2:
+        raise ValueError(f"{fam.name} requires an even n_steps")
+    span = (sim.n_steps * n_inner * sim.n_steps
+            * fam.rollout_pairs_per_step)
+    if span >= 1 << 32:
+        raise ValueError(
+            "rollout RNG counter space exhausted: "
+            f"n_steps^2*n_inner*pairs = {span} >= 2^32")
+    key_fit = jnp.asarray(rng.derive_key(sim.seed, stream, fam.tag),
+                          jnp.uint32)
+    key_outer = jnp.asarray(
+        rng.derive_key(sim.seed, stream, fam.tag, 0xAE01), jnp.uint32)
+    key_inner = jnp.asarray(
+        rng.derive_key(sim.seed, stream, fam.tag, 0xAE02), jnp.uint32)
+    values = _american_exposure_family_impl(
+        fam, option.as_f32(), dyn32, po, sim.replace(seed=0), degree,
+        tile_rows, n_outer, n_inner, key_fit, key_outer, key_inner,
+        exercise_every)[:n_outer]
+    from mc_tpu.xva import CollateralizedExposure
+    return CollateralizedExposure(
+        values=values, t_horizon=jnp.float32(option.as_f32().t))

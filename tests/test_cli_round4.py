@@ -46,6 +46,17 @@ def test_nmc_family_cva_greeks_cli(capsys):
     assert doc["cva_greeks"]["v0"] > 0
 
 
+def test_american_exposure_cli(capsys):
+    rc, out = run(capsys, ["american", "--model", "heston", "--exposure",
+                           "--cva-hazard", "0.02", "-N", "4096",
+                           "--n-steps", "8", "--bounds-inner", "8"])
+    doc = json.loads(out)
+    assert rc == 0
+    ee = doc["american_ee"]
+    assert all(a >= b - 1e-3 for a, b in zip(ee, ee[1:]))  # telescopes
+    assert doc["american_cva"] > 0
+
+
 def test_nmc_wwr_spot_cli(capsys):
     rc, out = run(capsys, ["nmc", "--payoff", "vanilla_put",
                            "--n-inner", "8", "--exposure",
