@@ -1115,14 +1115,21 @@ def american_greeks(option: OptionParams = DEMO_OPTION,
 
 def _family_policy_tools(fam, option, dyn, payoff, sim, degree,
                          tile_rows, n_outer, key_fit, key_outer,
-                         key_inner, every=1):
+                         key_inner, every=1, betas=None, path_offset=0,
+                         n_valid=None):
     """Shared frozen-policy machinery over the NMCFamily protocol:
     fit the LSMC policy on a pilot set (key_fit), build an independent
     outer set (key_outer), and expose policy rollouts keyed by
     (branch, date) under key_inner.  Consumed by the Andersen-Broadie
     dual and the American exposure surface — the rollout/exercise-rule
     computation is IDENTICAL in both (pure code motion from the
-    dual)."""
+    dual).
+
+    Multi-chip: pass the replicated ``betas`` (fit once, identically,
+    outside the shard_map) plus this shard's global path-id range
+    (``path_offset``/``n_valid``) — outer grids AND rollout streams key
+    by GLOBAL id, so the sharded values are bitwise the single-chip
+    ones."""
     from types import SimpleNamespace
 
     from mc_tpu.nmc_engine import xla_family_trajectories
@@ -1133,10 +1140,12 @@ def _family_policy_tools(fam, option, dyn, payoff, sim, degree,
     n = sim.n_steps
     inv_k = 1.0 / p.k
 
-    def grids(n_paths_g, k):
+    def grids(n_paths_g, k, offset=0, bound=None):
         cfg = pk.KernelConfig(n_paths=n_paths_g, n_steps=n,
                               tile_rows=tile_rows)
-        *gs, _, _ = xla_family_trajectories(fam, payoff, cfg, params, k)
+        *gs, _, _ = xla_family_trajectories(fam, payoff, cfg, params, k,
+                                            path_offset=offset,
+                                            n_valid=bound)
         n_pad = gs[0].shape[1] * LANES
         return tuple(g.reshape(n, n_pad) for g in gs[:-1]), n_pad
 
@@ -1144,26 +1153,30 @@ def _family_policy_tools(fam, option, dyn, payoff, sim, degree,
         lvl = fam.lsmc_level(p, gs)
         return lambda s_f, c_f, j: payoff.terminal((), lvl[j], p)
 
-    # 1) the policy the lower bound prices
-    gs_a, n_pad_a = grids(sim.n_paths, key_fit)
-    valid_a = (jnp.arange(n_pad_a, dtype=jnp.uint32)
-               < jnp.uint32(sim.n_paths))
-    lvl_a = fam.lsmc_level(p, gs_a)
-    design_a, n_basis = fam.lsmc_design(p, gs_a, degree, inv_k)
-    if design_a is None:
-        design_a = lambda t: _basis(lvl_a[t] * inv_k, degree)
-    disc_a, disc_fn_a, _ = fam.lsmc_discount(p, gs_a)
-    _, betas = _backward_fit(
-        payoff, p, lvl_a, lvl_a, valid_a, n, degree, inv_k, disc_a,
-        immediate_of(gs_a), every, design_fn=design_a, n_basis=n_basis,
-        disc_fn=disc_fn_a)
+    if betas is None:
+        # 1) the policy the lower bound prices
+        gs_a, n_pad_a = grids(sim.n_paths, key_fit)
+        valid_a = (jnp.arange(n_pad_a, dtype=jnp.uint32)
+                   < jnp.uint32(sim.n_paths))
+        lvl_a = fam.lsmc_level(p, gs_a)
+        design_a, n_basis = fam.lsmc_design(p, gs_a, degree, inv_k)
+        if design_a is None:
+            design_a = lambda t: _basis(lvl_a[t] * inv_k, degree)
+        disc_a, disc_fn_a, _ = fam.lsmc_discount(p, gs_a)
+        _, betas = _backward_fit(
+            payoff, p, lvl_a, lvl_a, valid_a, n, degree, inv_k, disc_a,
+            immediate_of(gs_a), every, design_fn=design_a,
+            n_basis=n_basis, disc_fn=disc_fn_a)
 
-    # 2) independent outer set
-    gs_b, n_pad_b = grids(n_outer, key_outer)
+    # 2) independent outer set (this shard's global path-id range)
+    gs_b, n_pad_b = grids(n_outer, key_outer, offset=path_offset,
+                          bound=n_valid)
     lvl_b = fam.lsmc_level(p, gs_b)
-    valid_b = (jnp.arange(n_pad_b, dtype=jnp.uint32)
-               < jnp.uint32(n_outer))
-    ids_b = jnp.arange(n_pad_b, dtype=jnp.uint32)
+    offset_b = jnp.asarray(path_offset, jnp.uint32)
+    bound_b = (offset_b + jnp.uint32(n_outer) if n_valid is None
+               else jnp.asarray(n_valid, jnp.uint32))
+    ids_b = offset_b + jnp.arange(n_pad_b, dtype=jnp.uint32)
+    valid_b = ids_b < bound_b
     ki0 = jnp.asarray(key_inner[0], jnp.uint32)
     ki1 = jnp.asarray(key_inner[1], jnp.uint32)
     pps = fam.rollout_pairs_per_step
@@ -1405,16 +1418,17 @@ def american_bounds_family(model: str,
     return lower, upper
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("fam", "payoff", "sim", "degree", "tile_rows",
-                     "n_outer", "n_inner", "every"))
-def _american_exposure_family_impl(fam, option, dyn, payoff, sim, degree,
-                                   tile_rows, n_outer, n_inner, key_fit,
-                                   key_outer, key_inner, every=1):
+def _american_exposure_values(fam, option, dyn, payoff, sim, degree,
+                              tile_rows, n_outer, n_inner, key_fit,
+                              key_outer, key_inner, every=1,
+                              path_offset=0, n_valid=None):
+    """(n_pad, n_steps) exposure value matrix for the path range
+    [path_offset, path_offset + n_outer) — the per-shard piece the
+    single-chip and sharded entries share (streams key by GLOBAL id)."""
     T = _family_policy_tools(fam, option, dyn, payoff, sim, degree,
                              tile_rows, n_outer, key_fit, key_outer,
-                             key_inner, every)
+                             key_inner, every, path_offset=path_offset,
+                             n_valid=n_valid)
     p, n = T.p, T.n
     jn = jnp.float32(n_inner)
     alive = jnp.ones((T.n_pad_b,), bool)
@@ -1455,6 +1469,54 @@ def _american_exposure_family_impl(fam, option, dyn, payoff, sim, degree,
     return jnp.stack(vals, axis=1)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("fam", "payoff", "sim", "degree", "tile_rows",
+                     "n_outer", "n_inner", "every"))
+def _american_exposure_family_impl(fam, option, dyn, payoff, sim, degree,
+                                   tile_rows, n_outer, n_inner, key_fit,
+                                   key_outer, key_inner, every=1):
+    return _american_exposure_values(fam, option, dyn, payoff, sim,
+                                     degree, tile_rows, n_outer, n_inner,
+                                     key_fit, key_outer, key_inner,
+                                     every)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fam", "payoff", "sim", "degree", "tile_rows",
+                     "n_outer", "n_inner", "every", "mesh"))
+def _american_exposure_family_sharded(fam, option, dyn, payoff, sim,
+                                      degree, tile_rows, n_outer,
+                                      n_inner, key_fit, key_outer,
+                                      key_inner, every, mesh):
+    """Outer path ranges sharded over the mesh.  The pilot FIT runs
+    replicated inside every shard (same keys -> identical betas,
+    bitwise), outer grids and rollout streams key by GLOBAL path id —
+    so the gathered value matrix is bitwise the single-chip one on ANY
+    mesh size; no collectives are needed at all."""
+    from jax.sharding import PartitionSpec as P
+
+    from mc_tpu.parallel.mesh import PATHS_AXIS, shard_bounds
+
+    n_shards = mesh.devices.size
+    n_local = shard_bounds(n_outer, n_shards, tile_rows)
+
+    def shard_fn(option, dyn, key_fit, key_outer, key_inner):
+        rank = jax.lax.axis_index(PATHS_AXIS).astype(jnp.uint32)
+        local_off = rank * jnp.uint32(n_local)
+        return _american_exposure_values(
+            fam, option, dyn, payoff, sim, degree, tile_rows, n_local,
+            n_inner, key_fit, key_outer, key_inner, every,
+            path_offset=local_off, n_valid=jnp.uint32(n_outer))
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(PATHS_AXIS), check_vma=False,
+    )(option, dyn, key_fit, key_outer, key_inner)
+
+
 def american_exposure_family(model: str,
                              option: OptionParams = DEMO_OPTION,
                              dyn=None,
@@ -1466,6 +1528,7 @@ def american_exposure_family(model: str,
                              n_inner: int = 16,
                              exercise_every: int = 1,
                              tile_rows: int = 8,
+                             mesh=None,
                              stream: int = STREAM_OUTER):
     """Counterparty exposure of a long AMERICAN/Bermudan position under
     any model family — the American-Monte-Carlo XVA surface.
@@ -1481,7 +1544,12 @@ def american_exposure_family(model: str,
     date ~ the (policy) price.  Returns a `CollateralizedExposure`
     carrying the full XVA metric set.  Same model menu and policy
     construction as `american_bounds_family` (the rollout machinery is
-    shared code)."""
+    shared code).
+
+    ``mesh=`` shards the outer path range over the devices: the pilot
+    fit replicates (identical betas), outer grids and rollout streams
+    key by GLOBAL path id, so the exposure matrix is BITWISE the
+    single-chip one on any mesh size."""
     from mc_tpu.nmc_engine import NMC_FAMILY_BUILDERS, ensure_family
     _DUAL_MODELS = ("heston", "merton", "cev", "localvol", "sabr",
                     "vasicek", "basket", "rainbow")
@@ -1517,10 +1585,16 @@ def american_exposure_family(model: str,
         rng.derive_key(sim.seed, stream, fam.tag, 0xAE01), jnp.uint32)
     key_inner = jnp.asarray(
         rng.derive_key(sim.seed, stream, fam.tag, 0xAE02), jnp.uint32)
-    values = _american_exposure_family_impl(
-        fam, option.as_f32(), dyn32, po, sim.replace(seed=0), degree,
-        tile_rows, n_outer, n_inner, key_fit, key_outer, key_inner,
-        exercise_every)[:n_outer]
+    if mesh is None:
+        values = _american_exposure_family_impl(
+            fam, option.as_f32(), dyn32, po, sim.replace(seed=0),
+            degree, tile_rows, n_outer, n_inner, key_fit, key_outer,
+            key_inner, exercise_every)[:n_outer]
+    else:
+        values = _american_exposure_family_sharded(
+            fam, option.as_f32(), dyn32, po, sim.replace(seed=0),
+            degree, tile_rows, n_outer, n_inner, key_fit, key_outer,
+            key_inner, exercise_every, mesh)[:n_outer]
     from mc_tpu.xva import CollateralizedExposure
     return CollateralizedExposure(
         values=values, t_horizon=jnp.float32(option.as_f32().t))

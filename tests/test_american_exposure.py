@@ -64,3 +64,23 @@ def test_unknown_model_and_state_payoffs_raise():
         american_exposure_family("term")
     with pytest.raises(ValueError, match="terminal payoffs"):
         american_exposure_family("heston", payoff="asian_call")
+
+
+def test_sharded_exposure_bitwise_mesh_invariant():
+    """mesh=: pilot fit replicates, outer grids and rollout streams key
+    by GLOBAL path id — the exposure matrix is BITWISE the single-chip
+    one on any mesh size (no collectives anywhere)."""
+    import jax
+
+    from mc_tpu.parallel import make_mesh
+    kw = dict(sim=SimParams(n_paths=2048, n_steps=8), n_outer=8192,
+              n_inner=2)
+    single = american_exposure_family("heston", OptionParams(), **kw)
+    m1 = american_exposure_family("heston", OptionParams(),
+                                  mesh=make_mesh(jax.devices()[:1]),
+                                  **kw)
+    m8 = american_exposure_family("heston", OptionParams(),
+                                  mesh=make_mesh(), **kw)
+    v = np.asarray(single.values)
+    assert np.array_equal(v, np.asarray(m1.values))
+    assert np.array_equal(v, np.asarray(m8.values))
