@@ -1127,6 +1127,42 @@ def cmd_swaption(args):
     return 0
 
 
+def cmd_hullwhite(args):
+    from mc_tpu import oracle
+    from mc_tpu.models.hullwhite import (DiscountCurve,
+                                         HullWhiteDynamics,
+                                         hw_swap_exposure,
+                                         price_hw_swaption)
+    from mc_tpu.models.swaption import SwaptionSpec
+
+    option, sim = _parse(args)
+    times = [float(x) for x in args.curve_times.split(",")]
+    zeros = [float(x) for x in args.curve_zeros.split(",")]
+    curve = DiscountCurve(times, zeros)
+    dyn = HullWhiteDynamics(a=args.a, sigma_r=args.sigma_r)
+    spec = SwaptionSpec(expiry=args.expiry, tenor=args.tenor,
+                        n_payments=args.n_payments, k_rate=args.k_rate,
+                        payer=not args.receiver)
+    res = price_hw_swaption(spec, dyn, curve, sim, seed=args.seed)
+    ref = oracle.hw_swaption(args.a, args.sigma_r, curve.df,
+                             args.expiry, args.tenor, args.n_payments,
+                             args.k_rate, payer=not args.receiver)
+    out = {"model": "hull-white", "price": float(res.price),
+           "stderr": float(res.stderr), "oracle": ref,
+           "z_score": (float(res.price) - ref) / float(res.stderr),
+           "curve_dfs": [round(curve.df(t), 6) for t in times]}
+    if args.exposure:
+        import numpy as np
+        e = hw_swap_exposure(spec, dyn, curve, sim, seed=args.seed)
+        ee, pfe = e.exposure_profile()
+        out["swap_ee"] = [round(float(x), 6) for x in np.asarray(ee)]
+        out["swap_pfe"] = [round(float(x), 6) for x in np.asarray(pfe)]
+        if args.cva_hazard is not None:
+            out["swap_cva"] = float(e.cva(args.cva_hazard))
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_term(args):
     import numpy as np
 
@@ -1602,6 +1638,29 @@ def main(argv=None):
     p.add_argument("--b", type=float, default=0.05)
     p.add_argument("--sigma-r", type=float, default=0.015)
     p.set_defaults(fn=cmd_swaption)
+
+    p = sub.add_parser("hullwhite",
+                       help="curve-fitted Hull-White swaption: exact "
+                            "(x, int x) draws, curve bonds, vs the "
+                            "curve-consistent Jamshidian oracle; "
+                            "--exposure adds the swap EE/PFE/CVA")
+    _add_option_flags(p)
+    p.add_argument("--expiry", type=float, default=1.0)
+    p.add_argument("--tenor", type=float, default=0.5)
+    p.add_argument("--n-payments", type=int, default=10)
+    p.add_argument("--k-rate", type=float, default=0.04)
+    p.add_argument("--receiver", action="store_true")
+    p.add_argument("--curve-times", default="0.5,1,2,3,5,10",
+                   help="zero-curve knot times (years, ascending)")
+    p.add_argument("--curve-zeros", default="0.03,0.035,0.04,0.043,"
+                                            "0.046,0.048",
+                   help="zero rates at the knots (the curve the model "
+                        "reprices exactly)")
+    p.add_argument("--exposure", action="store_true")
+    p.add_argument("--cva-hazard", type=float, default=None)
+    p.add_argument("--a", type=float, default=0.3)
+    p.add_argument("--sigma-r", type=float, default=0.015)
+    p.set_defaults(fn=cmd_hullwhite)
 
     p = sub.add_parser("term",
                        help="rate/vol term-structure price (averaged-BS "

@@ -1,0 +1,256 @@
+"""Hull-White one-factor, fitted to an INPUT discount curve.
+
+The reference prices everything off a single flat rate
+(`/root/reference/inc/wrappers.cuh:51` discounts with one scalar
+e^{-rT}); production rates desks price off the market curve.  Hull-White
+dr = (theta(t) - a r) dt + sigma dW picks theta(t) so that TODAY'S curve
+P(0, t) is repriced exactly — the standard decomposition r(t) = x(t) +
+alpha(t) with x an OU factor started at 0 makes everything tractable
+without ever materializing theta:
+
+  - bonds:   P(t, S) = (P(0,S)/P(0,t)) exp(-B(S-t) x(t)
+                       - (sigma^2/(4a)) (1 - e^{-2at}) B(S-t)^2)
+  - cash:    e^{-int_0^t r} = P(0, t) exp(-int_0^t x - c(t)),
+             c(t) = Var[int_0^t x]/2  (so E[e^{-int r}] == P(0,t))
+
+(Brigo-Mercurio ch. 3.)  (x, int x) over a step has the SAME exact
+Gaussian structure as the Vasicek machinery with b = 0, so the swaption
+module's exact date-grid simulation is reused verbatim
+(`_simulate_rate_grid(a, b=0, r0=0)` returns (x, int x) exactly).
+
+Everything is gated against `oracle.hw_swaption` (curve-consistent
+Jamshidian) plus two EXACT identities: the model reprices the input
+curve (E[discount-to-0] == P(0, t_i) at every coupon date), and the
+sigma -> 0 limit collapses to the curve's forward-swap intrinsic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mc_tpu import rng
+from mc_tpu.config import SimParams
+from mc_tpu.engines import STREAM_OUTER
+from mc_tpu.models.swaption import (DEMO_SWAPTION, SwaptionSpec,
+                                    _simulate_rate_grid)
+from mc_tpu.oracle import PriceResult, summarize
+
+__all__ = ["DiscountCurve", "HullWhiteDynamics", "price_hw_swaption",
+           "hw_swap_exposure", "DEMO_CURVE", "DEMO_HW"]
+
+
+class DiscountCurve:
+    """P(0, t) from zero-rate knots (host-side, float64).
+
+    Log-linear interpolation of the discount factor (= linear in t*z(t),
+    the market-standard bootstrap convention); flat zero-rate
+    extrapolation beyond the last knot.
+    """
+
+    def __init__(self, times, zeros):
+        self.times = np.asarray(times, np.float64)
+        self.zeros = np.asarray(zeros, np.float64)
+        if self.times.ndim != 1 or self.times.shape != self.zeros.shape:
+            raise ValueError("times/zeros must be matching 1-D arrays")
+        if self.times.shape[0] < 1:
+            raise ValueError("need at least one curve knot")
+        if np.any(self.times <= 0.0):
+            raise ValueError("knot times must be > 0")
+        if np.any(np.diff(self.times) <= 0.0):
+            raise ValueError("knot times must be strictly ascending")
+
+    @staticmethod
+    def flat(rate: float, horizon: float = 50.0) -> "DiscountCurve":
+        return DiscountCurve([horizon], [rate])
+
+    def df(self, t) -> float:
+        """P(0, t); t = 0 -> 1 exactly."""
+        t = float(t)
+        if t <= 0.0:
+            return 1.0
+        ts, zs = self.times, self.zeros
+        tz = ts * zs  # integrated zero = t * z(t); linear interp in this
+        v = np.interp(t, ts, tz)
+        if t > ts[-1]:
+            v = tz[-1] + zs[-1] * (t - ts[-1])
+        if t < ts[0]:
+            v = zs[0] * t  # flat short end
+        return float(math.exp(-v))
+
+
+DEMO_CURVE = DiscountCurve([0.5, 1.0, 2.0, 3.0, 5.0, 10.0],
+                           [0.030, 0.035, 0.040, 0.043, 0.046, 0.048])
+
+
+@dataclasses.dataclass(frozen=True)
+class HullWhiteDynamics:
+    """Mean-reversion speed + short-rate vol (host floats — the curve
+    and date grid are static, so everything derived is precomputed in
+    float64 and shipped as f32 constants)."""
+
+    a: float = 0.3
+    sigma_r: float = 0.015
+
+
+DEMO_HW = HullWhiteDynamics()
+
+
+def _hw_tables(spec: SwaptionSpec, dyn: HullWhiteDynamics,
+               curve: DiscountCurve):
+    """Host-f64 precomputation for the coupon-date grid.
+
+    Returns (p0, c, bmat, corr):
+      p0[i]       P(0, t_i) at the n_payments+1 dates t_0..t_N
+                  (t_i = expiry + i*tenor)
+      c[i]        Var[int_0^{t_i} x]/2 — the discount-to-0 correction
+      bmat[i, j]  B(t_j - t_i) for j > i (else 0)
+      corr[i, j]  the full deterministic bond-reconstruction exponent,
+                  (sigma^2/(4a)) (1 - e^{-2a t_i}) B_ij^2
+                  + B_ij sigma^2/(2a^2) (1 - e^{-a t_i})^2.
+                  The SECOND term is alpha(t_i) - f(0, t_i), equal to
+                  B_ij * Cov[x(t_i), int_0^{t_i} x] — exactly what makes
+                  E[D(0,t_i) P(t_i, t_j)] == P(0, t_j) (tower).
+                  Omitting it leaves the Jamshidian strikes untouched
+                  (it is a pure x-SHIFT of the bond family, and strikes
+                  are shift-invariant) but biases every bond evaluated
+                  at a SIMULATED x — a measured z ~ -10 swaption bias
+                  before the fix.
+    """
+    a, sig = float(dyn.a), float(dyn.sigma_r)
+    n = spec.n_payments
+    dates = [spec.expiry + i * spec.tenor for i in range(n + 1)]
+    p0 = np.array([curve.df(t) for t in dates], np.float64)
+    bt = lambda tau: -math.expm1(-a * tau) / a
+    c = np.array([
+        (sig * sig / (2.0 * a * a))
+        * (t - 2.0 * bt(t) - math.expm1(-2.0 * a * t) / (2.0 * a))
+        for t in dates], np.float64)
+    bmat = np.zeros((n + 1, n + 1), np.float64)
+    corr = np.zeros((n + 1, n + 1), np.float64)
+    for i in range(n + 1):
+        var_fac = (sig * sig / (4.0 * a)) * (-math.expm1(-2.0 * a
+                                                         * dates[i]))
+        shift = (sig * sig / (2.0 * a * a)) * math.expm1(
+            -a * dates[i]) ** 2
+        for j in range(i + 1, n + 1):
+            bmat[i, j] = bt(dates[j] - dates[i])
+            corr[i, j] = (var_fac * bmat[i, j] * bmat[i, j]
+                          + bmat[i, j] * shift)
+    return p0, c, bmat, corr
+
+
+def _hw_intrinsic(spec, i: int, x, p0, bmat, corr):
+    """Payer/receiver intrinsic AT date i of the remaining swap
+    (payments i+1..N), bonds reconstructed from the curve + OU factor."""
+    n = spec.n_payments
+    fixed = jnp.zeros_like(x)
+    for j in range(i + 1, n + 1):
+        p_ij = (jnp.float32(p0[j] / p0[i])
+                * jnp.exp(-jnp.float32(bmat[i, j]) * x
+                          - jnp.float32(corr[i, j])))
+        fixed = fixed + jnp.float32(spec.k_rate * spec.tenor) * p_ij
+        if j == n:
+            fixed = fixed + p_ij  # principal rides the last bond
+    swap = 1.0 - fixed
+    if not spec.payer:
+        swap = -swap
+    return jnp.maximum(swap, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_paths"))
+def _hw_european_impl(spec, a, sigma_r, n_paths, key, p0_0, c_0, consts):
+    p0, bmat, corr = consts
+    x_grid, y_grid = _simulate_rate_grid(
+        spec, a, jnp.float32(0.0), sigma_r, jnp.float32(0.0), n_paths,
+        1, key)
+    x, y = x_grid[0], y_grid[0]
+    pay = (_hw_intrinsic(spec, 0, x, p0, bmat, corr)
+           * p0_0 * jnp.exp(-y - c_0))
+    n = jnp.float32(n_paths)
+    return summarize(jnp.sum(pay), jnp.sum(pay * pay), n, 1.0)
+
+
+def price_hw_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
+                      dyn: HullWhiteDynamics = DEMO_HW,
+                      curve: DiscountCurve = DEMO_CURVE,
+                      sim: SimParams = SimParams(n_paths=1 << 20,
+                                                 n_steps=1),
+                      *,
+                      seed: Optional[int] = None,
+                      stream: int = STREAM_OUTER) -> PriceResult:
+    """European payer/receiver swaption under curve-fitted Hull-White:
+    ONE exact (x, int x) draw at expiry, curve-reconstructed bonds,
+    pathwise discounting through the curve.  Oracle gate:
+    `oracle.hw_swaption` (curve-consistent Jamshidian)."""
+    spec = spec.validate()
+    p0, c, bmat, corr = _hw_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x4877), jnp.uint32)
+    return _hw_european_impl(spec, jnp.float32(dyn.a),
+                             jnp.float32(dyn.sigma_r), sim.n_paths, key,
+                             jnp.float32(p0[0]), jnp.float32(c[0]),
+                             (p0, bmat, corr))
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_paths"))
+def _hw_exposure_impl(spec, a, sigma_r, n_paths, key, p0_f, c_f, consts):
+    p0, bmat, corr = consts
+    n_ex = spec.n_payments
+    x_grid, y_grid = _simulate_rate_grid(
+        spec, a, jnp.float32(0.0), sigma_r, jnp.float32(0.0), n_paths,
+        n_ex, key)
+    vals = []
+    for i in range(n_ex):
+        # SIGNED swap MtM (the metrics layer takes the positive part)
+        fixed = jnp.zeros_like(x_grid[i])
+        for j in range(i + 1, n_ex + 1):
+            p_ij = (jnp.float32(p0[j] / p0[i])
+                    * jnp.exp(-jnp.float32(bmat[i, j]) * x_grid[i]
+                              - jnp.float32(corr[i, j])))
+            fixed = fixed + jnp.float32(spec.k_rate * spec.tenor) * p_ij
+            if j == n_ex:
+                fixed = fixed + p_ij
+        mtm = 1.0 - fixed
+        if not spec.payer:
+            mtm = -mtm
+        vals.append(mtm * p0_f[i] * jnp.exp(-y_grid[i] - c_f[i]))
+    return jnp.stack(vals, axis=1)
+
+
+def hw_swap_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
+                     dyn: HullWhiteDynamics = DEMO_HW,
+                     curve: DiscountCurve = DEMO_CURVE,
+                     sim: SimParams = SimParams(n_paths=1 << 16,
+                                                n_steps=1),
+                     *,
+                     seed: Optional[int] = None,
+                     stream: int = STREAM_OUTER):
+    """Counterparty exposure of the swap under curve-fitted Hull-White.
+
+    Same construction as `swap_exposure` (closed-form affine MtM at
+    every coupon date, pathwise discounting), with curve bonds — so
+    every EE point equals the curve-consistent Jamshidian swaption
+    expiring at that date (`oracle.hw_swaption`), the gate the tests
+    apply.  Returns a `CollateralizedExposure` with the full XVA metric
+    surface.
+    """
+    spec = spec.validate()
+    p0, c, bmat, corr = _hw_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x4877), jnp.uint32)
+    values = _hw_exposure_impl(spec, jnp.float32(dyn.a),
+                               jnp.float32(dyn.sigma_r), sim.n_paths,
+                               key, jnp.asarray(p0, jnp.float32),
+                               jnp.asarray(c, jnp.float32),
+                               (p0, bmat, corr))
+    from mc_tpu.xva import CollateralizedExposure
+    horizon = spec.expiry + (spec.n_payments - 1) * spec.tenor
+    return CollateralizedExposure(values=values,
+                                  t_horizon=jnp.float32(horizon))

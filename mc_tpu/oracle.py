@@ -614,3 +614,78 @@ def vasicek_swaption(r0, a, b, sigma_r, t_expiry, tenor, n_payments,
                     for c, s in zip(cs, mats))
     float_leg = vasicek_zcb(r0, a, b, sigma_r, t0)
     return payer_px + fixed_leg - float_leg
+
+
+def hw_zbp(a, sigma_r, p0_expiry, p0_bond, t_expiry, t_bond, k) -> float:
+    """European PUT on a zero-coupon bond under curve-fitted Hull-White.
+
+    Identical Black-like form to `vasicek_zbp` — the bond volatility
+    depends only on (a, sigma_r), while the forward bond level comes
+    from the INPUT curve discounts P(0, t_expiry), P(0, t_bond) (the
+    defining property of the theta(t) fit: today's curve is repriced
+    exactly).  Brigo-Mercurio (3.40-3.41).
+    """
+    a, sigma_r = float(a), float(sigma_r)
+    p_t, p_s = float(p0_expiry), float(p0_bond)
+    t0, s, k = float(t_expiry), float(t_bond), float(k)
+    sig_p = ((sigma_r / a) * (-math.expm1(-a * (s - t0)))
+             * math.sqrt(-math.expm1(-2.0 * a * t0) / (2.0 * a)))
+    if sig_p < 1e-12:
+        return max(k * p_t - p_s, 0.0)
+    h = math.log(p_s / (k * p_t)) / sig_p + 0.5 * sig_p
+    cnd = lambda x: 0.5 * math.erfc(-x / math.sqrt(2.0))
+    return k * p_t * cnd(-h + sig_p) - p_s * cnd(-h)
+
+
+def hw_swaption(a, sigma_r, df, t_expiry, tenor, n_payments, k_rate,
+                payer=True) -> float:
+    """European swaption under curve-fitted Hull-White (Jamshidian).
+
+    ``df``: callable t -> P(0, t), the input discount curve the model
+    reprices exactly.  Bonds at expiry are lognormal in the OU factor
+    x(T0): P(T0, S; x) = (P(0,S)/P(0,T0)) exp(-B(S-T0) x
+    - (sigma^2/(4a))(1 - e^{-2aT0}) B(S-T0)^2); Jamshidian finds x*
+    putting the coupon bond at par and decomposes the payer swaption
+    into ZCB puts struck at P(T0, T_i; x*).
+    """
+    a, sigma_r = float(a), float(sigma_r)
+    t0, tau, kr = float(t_expiry), float(tenor), float(k_rate)
+    n = int(n_payments)
+    mats = [t0 + (i + 1) * tau for i in range(n)]
+    cs = [kr * tau] * n
+    cs[-1] += 1.0
+    p0_t0 = float(df(t0))
+    var_fac = (sigma_r * sigma_r / (4.0 * a)) * (-math.expm1(-2.0 * a * t0))
+    # alpha(t0) - f(0, t0): the x-SHIFT term of the reconstruction.
+    # Jamshidian strikes are invariant to it (pure shift of the bond
+    # family), but it is kept so bond_at_expiry is the true P(T0, S; x)
+    # (the MC intrinsics in models/hullwhite.py evaluate the same form
+    # at simulated x, where omitting it is a real bias).
+    shift = ((sigma_r * sigma_r / (2.0 * a * a))
+             * math.expm1(-a * t0) ** 2)
+
+    def bond_at_expiry(s, x):
+        b = -math.expm1(-a * (s - t0)) / a
+        return (float(df(s)) / p0_t0) * math.exp(
+            -b * x - var_fac * b * b - b * shift)
+
+    def coupon_bond(x):
+        return sum(c * bond_at_expiry(s, x) for c, s in zip(cs, mats))
+
+    lo, hi = -3.0, 3.0  # x is OU(0) with std << 1
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if coupon_bond(mid) > 1.0:
+            lo = mid
+        else:
+            hi = mid
+    x_star = 0.5 * (lo + hi)
+
+    payer_px = sum(
+        c * hw_zbp(a, sigma_r, p0_t0, float(df(s)), t0, s,
+                   bond_at_expiry(s, x_star))
+        for c, s in zip(cs, mats))
+    if payer:
+        return payer_px
+    fixed_leg = sum(c * float(df(s)) for c, s in zip(cs, mats))
+    return payer_px + fixed_leg - p0_t0

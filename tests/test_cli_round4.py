@@ -46,6 +46,16 @@ def test_nmc_family_cva_greeks_cli(capsys):
     assert doc["cva_greeks"]["v0"] > 0
 
 
+def test_hullwhite_cli(capsys):
+    rc, out = run(capsys, ["hullwhite", "--exposure",
+                           "--cva-hazard", "0.02", "-N", "65536"])
+    doc = json.loads(out)
+    assert rc == 0
+    assert abs(doc["z_score"]) < 5.0
+    assert doc["swap_cva"] > 0
+    assert doc["swap_ee"][0] > doc["swap_ee"][-1]  # profile decays
+
+
 def test_american_exposure_cli(capsys):
     rc, out = run(capsys, ["american", "--model", "heston", "--exposure",
                            "--cva-hazard", "0.02", "-N", "4096",

@@ -1,0 +1,128 @@
+"""Curve-fitted Hull-White: exact cross-oracle identities, curve
+repricing, and the swaption-strip exposure gate."""
+
+import math
+
+import numpy as np
+import pytest
+
+from mc_tpu import SimParams, oracle
+from mc_tpu.models.hullwhite import (DEMO_CURVE, DEMO_HW, DiscountCurve,
+                                     HullWhiteDynamics, hw_swap_exposure,
+                                     price_hw_swaption)
+from mc_tpu.models.swaption import SwaptionSpec
+
+SPEC = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=10, k_rate=0.04)
+
+
+def _ref(spec, payer=True):
+    return oracle.hw_swaption(DEMO_HW.a, DEMO_HW.sigma_r, DEMO_CURVE.df,
+                              spec.expiry, spec.tenor, spec.n_payments,
+                              spec.k_rate, payer=payer)
+
+
+def test_oracle_equals_vasicek_on_the_vasicek_curve():
+    """Hull-White fitted to the curve a Vasicek model GENERATES is that
+    Vasicek model — the Jamshidian prices must agree to machine
+    precision (the sharpest possible oracle cross-check)."""
+    a, b, sig, r0 = 0.3, 0.05, 0.015, 0.05
+    df = lambda t: oracle.vasicek_zcb(r0, a, b, sig, t) if t > 0 else 1.0
+    for (t0, tau, n, k) in ((1.0, 0.5, 10, 0.05), (2.0, 0.25, 8, 0.06)):
+        hw = oracle.hw_swaption(a, sig, df, t0, tau, n, k)
+        va = oracle.vasicek_swaption(r0, a, b, sig, t0, tau, n, k)
+        assert hw == pytest.approx(va, rel=1e-12)
+        hw_r = oracle.hw_swaption(a, sig, df, t0, tau, n, k, payer=False)
+        va_r = oracle.vasicek_swaption(r0, a, b, sig, t0, tau, n, k,
+                                       payer=False)
+        assert hw_r == pytest.approx(va_r, rel=1e-12)
+
+
+def test_mc_matches_jamshidian_on_the_sloped_curve():
+    r = price_hw_swaption(SPEC, DEMO_HW, DEMO_CURVE,
+                          SimParams(n_paths=1 << 19, n_steps=1))
+    z = (float(r.price) - _ref(SPEC)) / float(r.stderr)
+    assert abs(z) < 4.0, (float(r.price), _ref(SPEC), z)
+
+
+def test_receiver_matches_oracle():
+    spec = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=10,
+                        k_rate=0.04, payer=False)
+    r = price_hw_swaption(spec, DEMO_HW, DEMO_CURVE,
+                          SimParams(n_paths=1 << 19, n_steps=1))
+    z = (float(r.price) - _ref(spec, payer=False)) / float(r.stderr)
+    assert abs(z) < 4.0
+
+
+def test_sigma_zero_is_the_curve_intrinsic():
+    """sigma -> 0: rates are the curve's forwards, so the swaption is
+    the discounted forward-swap intrinsic read STRAIGHT off the input
+    discounts — an exact deterministic identity."""
+    dyn0 = HullWhiteDynamics(a=0.3, sigma_r=1e-7)
+    r = price_hw_swaption(SPEC, dyn0, DEMO_CURVE,
+                          SimParams(n_paths=4096, n_steps=1))
+    dfs = [DEMO_CURVE.df(1.0 + 0.5 * j) for j in range(11)]
+    det = max(dfs[0] - dfs[10] - 0.04 * 0.5 * sum(dfs[1:11]), 0.0)
+    assert float(r.price) == pytest.approx(det, abs=2e-6)
+
+
+def test_model_reprices_the_input_curve():
+    """The theta(t) fit's defining property: E[pathwise discount-to-0]
+    equals P(0, t_i) at EVERY coupon date (the c(t) = Var[int x]/2
+    correction makes this exact in expectation; gated at 4 se)."""
+    import jax.numpy as jnp
+
+    from mc_tpu import rng
+    from mc_tpu.models.hullwhite import _hw_tables
+    from mc_tpu.models.swaption import _simulate_rate_grid
+    p0, c, _, _ = _hw_tables(SPEC, DEMO_HW, DEMO_CURVE)
+    key = jnp.asarray(rng.derive_key(1234, 0, 0x4877), jnp.uint32)
+    n = 1 << 17
+    _, yg = _simulate_rate_grid(SPEC, jnp.float32(DEMO_HW.a),
+                                jnp.float32(0.0),
+                                jnp.float32(DEMO_HW.sigma_r),
+                                jnp.float32(0.0), n, 10, key)
+    for i in (0, 4, 9):
+        d = np.asarray(jnp.exp(-yg[i] - jnp.float32(c[i])),
+                       np.float64) * p0[i]
+        se = d.std() / math.sqrt(n)
+        assert abs(d.mean() - p0[i]) < 4.0 * se + 1e-6, (i, d.mean(),
+                                                         p0[i])
+
+
+def test_exposure_profile_is_the_hw_swaption_strip():
+    """EE at date i = the curve-consistent Jamshidian swaption expiring
+    at t_i on the REMAINING n_payments - i payments — every point of
+    the profile has a closed form."""
+    e = hw_swap_exposure(SPEC, DEMO_HW, DEMO_CURVE,
+                         SimParams(n_paths=1 << 17, n_steps=1))
+    ee, _ = e.exposure_profile()
+    for i in (0, 3, 6):
+        t_i = SPEC.expiry + i * SPEC.tenor
+        ref = oracle.hw_swaption(DEMO_HW.a, DEMO_HW.sigma_r,
+                                 DEMO_CURVE.df, t_i, SPEC.tenor,
+                                 SPEC.n_payments - i, SPEC.k_rate)
+        assert float(ee[i]) == pytest.approx(ref, abs=4e-4), (i, ref)
+
+
+def test_exposure_xva_metrics_compose():
+    e = hw_swap_exposure(SPEC, DEMO_HW, DEMO_CURVE,
+                         SimParams(n_paths=1 << 14, n_steps=1))
+    flat = float(e.cva(0.02))
+    assert flat > 0.0
+    assert float(e.cva_wwr(0.02, 2.0)) > flat  # rates up = ITM = WWR
+    assert float(e.collateralized(0.005, mpor_steps=1).cva(0.02)) < flat
+
+
+def test_curve_validation_and_interp():
+    assert DEMO_CURVE.df(0.0) == 1.0
+    # knots reproduced exactly
+    for t, z in zip(DEMO_CURVE.times, DEMO_CURVE.zeros):
+        assert DEMO_CURVE.df(t) == pytest.approx(math.exp(-z * t),
+                                                 rel=1e-12)
+    # flat extrapolation keeps forwards at the last zero rate
+    d20 = DiscountCurve.flat(0.05).df(20.0)
+    assert d20 == pytest.approx(math.exp(-0.05 * 20.0), rel=1e-12)
+    with pytest.raises(ValueError, match="ascending"):
+        DiscountCurve([1.0, 1.0], [0.02, 0.02])
+    with pytest.raises(ValueError, match="> 0"):
+        DiscountCurve([0.0, 1.0], [0.02, 0.02])
