@@ -15,6 +15,7 @@ XLA program and vmaps across smiles.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -23,7 +24,8 @@ import jax.numpy as jnp
 
 __all__ = ["hagan_iv", "calibrate_sabr", "SABRFit",
            "calibrate_heston", "HestonFit",
-           "calibrate_localvol"]
+           "calibrate_localvol",
+           "calibrate_hullwhite", "HullWhiteFit"]
 
 
 def hagan_iv(f, k, t, alpha, beta, nu, rho):
@@ -357,3 +359,79 @@ def calibrate_localvol(strikes, mats, target_ivs, *, s0=100.0, r=0.1,
                                         max_vol ** 2))
     return LocalVolSurface(x_knots=xs.astype(np.float32),
                            vols=vols.astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Hull-White calibration: fit (a, sigma_r) to European swaption quotes
+# priced off the SAME input discount curve (oracle.hw_swaption, the
+# curve-consistent Jamshidian closed form).  Closes the market-data loop
+# for the rates family: curve knots -> DiscountCurve, swaption quotes ->
+# (a, sigma_r) -> Bermudans / exposure / XVA off the fitted model.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class HullWhiteFit:
+    a: float
+    sigma_r: float
+    rmse: float       # price-space RMSE over the quote set
+    n_iter: int
+
+
+def calibrate_hullwhite(curve, quotes, *, init=(0.1, 0.005),
+                        n_iter: int = 60) -> HullWhiteFit:
+    """Fit Hull-White (a, sigma_r) to European swaption prices.
+
+    ``curve``: a `models.hullwhite.DiscountCurve` (the model reprices it
+    exactly by construction, so only the two vol parameters remain);
+    ``quotes``: sequence of (expiry, tenor, n_payments, k_rate, price).
+    A TERM STRUCTURE of expiries identifies the (a, sigma_r) split —
+    mean reversion flattens long-expiry vols, sigma scales all of them;
+    a single expiry leaves a ridge (fit still converges on it, but the
+    round-trip gate in tests uses 3 expiries).  Levenberg-Marquardt on
+    log-parameters (host float64, runs once per quote set).
+    """
+    import numpy as np
+
+    from mc_tpu.oracle import hw_swaption
+
+    qs = [(float(t0), float(tau), int(n), float(k), float(px))
+          for (t0, tau, n, k, px) in quotes]
+    if not qs:
+        raise ValueError("need at least one swaption quote")
+
+    def residuals(th):
+        a, sig = np.exp(th)
+        out = np.empty(len(qs))
+        for i, (t0, tau, n, k, px) in enumerate(qs):
+            out[i] = hw_swaption(a, sig, curve.df, t0, tau, n, k) - px
+        return out
+
+    th = np.array([np.log(init[0]), np.log(init[1])])
+    lam = 1e-3
+    r_cur = residuals(th)
+    for _ in range(n_iter):
+        jac = np.empty((r_cur.size, 2))
+        for m in range(2):
+            h = 1e-5
+            tp, tm = th.copy(), th.copy()
+            tp[m] += h
+            tm[m] -= h
+            jac[:, m] = (residuals(tp) - residuals(tm)) / (2 * h)
+        g = jac.T @ r_cur
+        hmat = jac.T @ jac
+        try:
+            step = np.linalg.solve(hmat + lam * np.eye(2), g)
+        except np.linalg.LinAlgError:
+            lam *= 4.0
+            continue
+        th_new = th - step
+        r_new = residuals(th_new)
+        if np.sum(r_new ** 2) < np.sum(r_cur ** 2):
+            th, r_cur, lam = th_new, r_new, max(lam * 0.5, 1e-8)
+        else:
+            lam = min(lam * 4.0, 1e4)
+    a, sig = np.exp(th)
+    return HullWhiteFit(a=float(a), sigma_r=float(sig),
+                        rmse=float(np.sqrt(np.mean(r_cur ** 2))),
+                        n_iter=n_iter)

@@ -866,6 +866,25 @@ def cmd_calibrate(args):
                                   "rho": fit.rho},
                           "iv_rmse": fit.rmse}))
         return 0
+    if args.model == "hullwhite":
+        from mc_tpu.calibrate import calibrate_hullwhite
+        from mc_tpu.models.hullwhite import DEMO_CURVE
+        from mc_tpu.oracle import hw_swaption
+        true_a, true_sig = args.a, args.sigma_r
+        quotes = []
+        for (t0, tau, n) in ((0.5, 0.5, 6), (1.0, 0.5, 10),
+                             (2.0, 0.5, 8), (5.0, 0.5, 6)):
+            for k in (0.035, 0.045):
+                px = hw_swaption(true_a, true_sig, DEMO_CURVE.df,
+                                 t0, tau, n, k)
+                quotes.append((t0, tau, n, k, px))
+        fit = calibrate_hullwhite(DEMO_CURVE, quotes)
+        print(json.dumps({"model": "hullwhite",
+                          "true": {"a": true_a, "sigma_r": true_sig},
+                          "fit": {"a": fit.a, "sigma_r": fit.sigma_r},
+                          "price_rmse": fit.rmse,
+                          "n_quotes": len(quotes)}))
+        return 0
     if args.model == "localvol":
         from mc_tpu.calibrate import calibrate_localvol
         from mc_tpu.models.localvol import price_localvol
@@ -1529,9 +1548,12 @@ def main(argv=None):
 
     p = sub.add_parser("calibrate",
                        help="MC smile -> implied vols -> model fit "
-                            "(sabr | heston | localvol)")
+                            "(sabr | heston | localvol | hullwhite: "
+                            "swaption quotes -> (a, sigma_r) round "
+                            "trip on the demo curve)")
     _add_option_flags(p)
-    p.add_argument("--model", choices=("sabr", "heston", "localvol"),
+    p.add_argument("--model",
+                   choices=("sabr", "heston", "localvol", "hullwhite"),
                    default="sabr")
     p.add_argument("--alpha", type=float, default=0.2)
     p.add_argument("--beta", type=float, default=1.0)
@@ -1545,6 +1567,10 @@ def main(argv=None):
     p.add_argument("--theta-v", type=float, default=0.04)
     p.add_argument("--xi", type=float, default=0.3)
     p.add_argument("--rho-sv", type=float, default=-0.7)
+    p.add_argument("--a", type=float, default=0.3,
+                   help="hullwhite true mean reversion (round trip)")
+    p.add_argument("--sigma-r", type=float, default=0.015,
+                   help="hullwhite true short-rate vol (round trip)")
     p.add_argument("--smile-skew", type=float, default=0.08,
                    help="localvol target smile slope")
     p.add_argument("--smile-curv", type=float, default=0.15,

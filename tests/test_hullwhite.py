@@ -126,3 +126,23 @@ def test_curve_validation_and_interp():
         DiscountCurve([1.0, 1.0], [0.02, 0.02])
     with pytest.raises(ValueError, match="> 0"):
         DiscountCurve([0.0, 1.0], [0.02, 0.02])
+
+
+def test_calibrate_hullwhite_round_trip():
+    """(a, sigma_r) recovered to machine precision from a 10-quote
+    term structure of swaption prices generated by known dynamics
+    (the expiry term structure identifies the a/sigma split)."""
+    from mc_tpu.calibrate import calibrate_hullwhite
+    quotes = []
+    for (t0, tau, n) in ((0.5, 0.5, 6), (1.0, 0.5, 10), (2.0, 0.5, 8),
+                         (3.0, 0.25, 12), (5.0, 0.5, 6)):
+        for k in (0.035, 0.045):
+            px = oracle.hw_swaption(0.3, 0.015, DEMO_CURVE.df, t0, tau,
+                                    n, k)
+            quotes.append((t0, tau, n, k, px))
+    fit = calibrate_hullwhite(DEMO_CURVE, quotes, init=(0.05, 0.004))
+    assert fit.a == pytest.approx(0.3, rel=1e-6)
+    assert fit.sigma_r == pytest.approx(0.015, rel=1e-6)
+    assert fit.rmse < 1e-10
+    with pytest.raises(ValueError, match="quote"):
+        calibrate_hullwhite(DEMO_CURVE, [])
