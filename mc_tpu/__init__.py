@@ -73,8 +73,9 @@ def __getattr__(name):
                 "bermudan_swaption_exposure"):
         from mc_tpu.models import swaption
         return getattr(swaption, name)
-    if name in ("price_hw_swaption", "hw_swap_exposure",
-                "DiscountCurve", "HullWhiteDynamics"):
+    if name in ("price_hw_swaption", "price_bermudan_hw_swaption",
+                "hw_swap_exposure", "DiscountCurve",
+                "HullWhiteDynamics"):
         from mc_tpu.models import hullwhite
         return getattr(hullwhite, name)
     if name in ("calibrate_sabr", "hagan_iv"):

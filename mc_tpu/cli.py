@@ -1170,6 +1170,14 @@ def cmd_hullwhite(args):
            "stderr": float(res.stderr), "oracle": ref,
            "z_score": (float(res.price) - ref) / float(res.stderr),
            "curve_dfs": [round(curve.df(t), 6) for t in times]}
+    if args.bermudan:
+        from mc_tpu.models.hullwhite import price_bermudan_hw_swaption
+        ber = price_bermudan_hw_swaption(spec, dyn, curve, sim,
+                                         degree=args.degree,
+                                         seed=args.seed)
+        out["bermudan_price"] = float(ber.price)
+        out["bermudan_stderr"] = float(ber.stderr)
+        out["early_exercise_premium"] = float(ber.price) - float(res.price)
     if args.exposure:
         import numpy as np
         e = hw_swap_exposure(spec, dyn, curve, sim, seed=args.seed)
@@ -1683,6 +1691,10 @@ def main(argv=None):
                    help="zero rates at the knots (the curve the model "
                         "reprices exactly)")
     p.add_argument("--exposure", action="store_true")
+    p.add_argument("--bermudan", action="store_true",
+                   help="co-terminal Bermudan LSMC on the curve "
+                        "(x-state basis; 1-payment bitwise == European)")
+    p.add_argument("--degree", type=int, default=3)
     p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--a", type=float, default=0.3)
     p.add_argument("--sigma-r", type=float, default=0.015)

@@ -43,7 +43,8 @@ from mc_tpu.models.swaption import (DEMO_SWAPTION, SwaptionSpec,
 from mc_tpu.oracle import PriceResult, summarize
 
 __all__ = ["DiscountCurve", "HullWhiteDynamics", "price_hw_swaption",
-           "hw_swap_exposure", "DEMO_CURVE", "DEMO_HW"]
+           "price_bermudan_hw_swaption", "hw_swap_exposure",
+           "DEMO_CURVE", "DEMO_HW"]
 
 
 class DiscountCurve:
@@ -196,6 +197,87 @@ def price_hw_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
     return _hw_european_impl(spec, jnp.float32(dyn.a),
                              jnp.float32(dyn.sigma_r), sim.n_paths, key,
                              jnp.float32(p0[0]), jnp.float32(c[0]),
+                             (p0, bmat, corr))
+
+
+def _hw_basis(x, scale, degree: int):
+    """Monomials of the OU factor normalized by its stationary std."""
+    cols = [jnp.ones_like(x)]
+    xn = x / scale
+    pw = xn
+    for _ in range(degree):
+        cols.append(pw)
+        pw = pw * xn
+    return jnp.stack(cols, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_paths",
+                                             "degree"))
+def _hw_bermudan_impl(spec, a, sigma_r, n_paths, degree, key, p0_f, c_f,
+                      consts):
+    """Backward Longstaff-Schwartz on the coupon grid under curve-fitted
+    Hull-White.  Regression in DATE-i FORWARD terms (cashflow divided by
+    the path's own discount-to-0) against an x-only basis — the same
+    convention as the Vasicek Bermudan (`swaption._fit_bermudan`), so
+    the fitted policy is a function of the Markov state alone.
+    n_payments = 1 is BITWISE the European (same key, same arithmetic
+    order, no regression)."""
+    p0, bmat, corr = consts
+    n_ex = spec.n_payments
+    x_grid, y_grid = _simulate_rate_grid(
+        spec, a, jnp.float32(0.0), sigma_r, jnp.float32(0.0), n_paths,
+        n_ex, key)
+    scale = sigma_r / jnp.sqrt(2.0 * a)  # stationary OU std
+
+    def disc(i):
+        return p0_f[i] * jnp.exp(-y_grid[i] - c_f[i])
+
+    cf = (_hw_intrinsic(spec, n_ex - 1, x_grid[n_ex - 1], p0, bmat,
+                        corr) * p0_f[n_ex - 1]
+          * jnp.exp(-y_grid[n_ex - 1] - c_f[n_ex - 1]))
+    for i in range(n_ex - 2, -1, -1):
+        ex = _hw_intrinsic(spec, i, x_grid[i], p0, bmat, corr)
+        itm = ex > 0.0
+        xb = _hw_basis(x_grid[i], scale, degree)
+        w = jnp.where(itm, 1.0, 0.0)[:, None]
+        xtx = (xb * w).T @ xb + 1e-6 * jnp.eye(xb.shape[1],
+                                               dtype=xb.dtype)
+        xty = (xb * w).T @ (cf / disc(i))
+        beta = jax.lax.stop_gradient(jnp.linalg.solve(xtx, xty))
+        cont = xb @ beta
+        take = jnp.logical_and(itm, ex > cont)
+        cf = jnp.where(take,
+                       ex * p0_f[i] * jnp.exp(-y_grid[i] - c_f[i]), cf)
+    n = jnp.float32(n_paths)
+    return summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
+
+
+def price_bermudan_hw_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
+                               dyn: HullWhiteDynamics = DEMO_HW,
+                               curve: DiscountCurve = DEMO_CURVE,
+                               sim: SimParams = SimParams(
+                                   n_paths=1 << 18, n_steps=1),
+                               *,
+                               degree: int = 3,
+                               seed: Optional[int] = None,
+                               stream: int = STREAM_OUTER
+                               ) -> PriceResult:
+    """Co-terminal Bermudan swaption on the MARKET CURVE: exercise at
+    every coupon date into the remaining swap, closed-form curve
+    intrinsics, LSMC continuation in the OU state.  Gates: 1-payment
+    BITWISE == `price_hw_swaption`; sigma -> 0 collapses exactly to the
+    max over dates of the curve's discounted forward-swap intrinsics;
+    dominates the European Jamshidian price."""
+    spec = spec.validate()
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    p0, c, bmat, corr = _hw_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x4877), jnp.uint32)
+    return _hw_bermudan_impl(spec, jnp.float32(dyn.a),
+                             jnp.float32(dyn.sigma_r), sim.n_paths,
+                             degree, key, jnp.asarray(p0, jnp.float32),
+                             jnp.asarray(c, jnp.float32),
                              (p0, bmat, corr))
 
 

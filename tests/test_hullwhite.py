@@ -146,3 +146,40 @@ def test_calibrate_hullwhite_round_trip():
     assert fit.rmse < 1e-10
     with pytest.raises(ValueError, match="quote"):
         calibrate_hullwhite(DEMO_CURVE, [])
+
+
+def test_one_payment_bermudan_is_european_bitwise():
+    from mc_tpu.models.hullwhite import price_bermudan_hw_swaption
+    spec = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=1,
+                        k_rate=0.04)
+    sim = SimParams(n_paths=1 << 15, n_steps=1)
+    eur = price_hw_swaption(spec, DEMO_HW, DEMO_CURVE, sim)
+    ber = price_bermudan_hw_swaption(spec, DEMO_HW, DEMO_CURVE, sim)
+    assert float(ber.price) == float(eur.price)
+
+
+def test_bermudan_dominates_european_on_the_curve():
+    from mc_tpu.models.hullwhite import price_bermudan_hw_swaption
+    sim = SimParams(n_paths=1 << 16, n_steps=1)
+    ber = price_bermudan_hw_swaption(SPEC, DEMO_HW, DEMO_CURVE, sim)
+    assert float(ber.price) >= _ref(SPEC) - 3.0 * float(ber.stderr)
+
+
+def test_bermudan_deterministic_limit_on_the_curve():
+    """sigma -> 0: the Bermudan is the max over exercise dates of the
+    curve's discounted forward-swap intrinsics — pure curve arithmetic,
+    exact."""
+    from mc_tpu.models.hullwhite import price_bermudan_hw_swaption
+    dyn0 = HullWhiteDynamics(a=0.3, sigma_r=1e-7)
+    ber = price_bermudan_hw_swaption(SPEC, dyn0, DEMO_CURVE,
+                                     SimParams(n_paths=4096, n_steps=1))
+    best = 0.0
+    for i in range(SPEC.n_payments):
+        t_i = SPEC.expiry + i * SPEC.tenor
+        n_rem = SPEC.n_payments - i
+        dfs = [DEMO_CURVE.df(t_i + SPEC.tenor * j)
+               for j in range(n_rem + 1)]
+        intr = max(dfs[0] - dfs[-1]
+                   - SPEC.k_rate * SPEC.tenor * sum(dfs[1:]), 0.0)
+        best = max(best, intr)
+    assert float(ber.price) == pytest.approx(best, abs=3e-6)
