@@ -215,6 +215,15 @@ def _xva_outputs(res, args, out):
         if args.cva_hazard is not None:
             out["collateralized_cva"] = float(
                 c.cva(args.cva_hazard, args.cva_recovery))
+    if args.im_quantile is not None:
+        im = res.im_profile(args.im_quantile,
+                            mpor_steps=max(args.mpor_steps, 1))
+        out["initial_margin"] = [round(float(x), 6)
+                                 for x in np.asarray(im)]
+        if args.mva_spread is not None:
+            out["mva"] = float(res.mva(args.mva_spread,
+                                       args.im_quantile,
+                                       max(args.mpor_steps, 1)))
     if args.cva_hazard is not None and args.wwr_beta is not None:
         out["cva_wwr"] = float(res.cva_wwr(
             args.cva_hazard, args.wwr_beta, args.cva_recovery))
@@ -1369,6 +1378,12 @@ def main(argv=None):
     p.add_argument("--mta", type=float, default=0.0)
     p.add_argument("--mpor-steps", type=int, default=0,
                    help="margin period of risk, in steps")
+    p.add_argument("--im-quantile", type=float, default=None,
+                   help="dynamic initial-margin profile: quantile of "
+                        "the adverse MtM move over the MPoR")
+    p.add_argument("--mva-spread", type=float, default=None,
+                   help="funding spread on the IM profile -> MVA "
+                        "(needs --im-quantile)")
     p.add_argument("--wwr-beta", type=float, default=None,
                    help="exposure-linked wrong-way-risk CVA "
                         "(needs --cva-hazard)")

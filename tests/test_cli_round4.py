@@ -103,9 +103,12 @@ def test_nmc_xva_flags(capsys):
                            "--cva-hazard", "0.02", "--dva-hazard", "0.03",
                            "--fva-spread", "0.01",
                            "--collateral-threshold", "5",
+                           "--im-quantile", "0.99",
+                           "--mva-spread", "0.01",
                            "--mpor-steps", "2"] + SMALL)
     doc = json.loads(out)
     assert rc == 0
+    assert doc["mva"] > 0 and doc["initial_margin"][0] > 0
     assert doc["cva"] > 0 and doc["dva"] == 0.0  # long call: V >= 0
     assert doc["bilateral_cva"] == doc["cva"]
     assert doc["fca"] > 0 and doc["fba"] == 0.0
