@@ -74,8 +74,8 @@ def __getattr__(name):
         from mc_tpu.models import swaption
         return getattr(swaption, name)
     if name in ("price_hw_swaption", "price_bermudan_hw_swaption",
-                "hw_swap_exposure", "DiscountCurve",
-                "HullWhiteDynamics"):
+                "price_hw_swaption_qmc", "hw_swap_exposure",
+                "DiscountCurve", "HullWhiteDynamics"):
         from mc_tpu.models import hullwhite
         return getattr(hullwhite, name)
     if name in ("calibrate_sabr", "hagan_iv"):

@@ -43,8 +43,8 @@ from mc_tpu.models.swaption import (DEMO_SWAPTION, SwaptionSpec,
 from mc_tpu.oracle import PriceResult, summarize
 
 __all__ = ["DiscountCurve", "HullWhiteDynamics", "price_hw_swaption",
-           "price_bermudan_hw_swaption", "hw_swap_exposure",
-           "DEMO_CURVE", "DEMO_HW"]
+           "price_bermudan_hw_swaption", "price_hw_swaption_qmc",
+           "hw_swap_exposure", "DEMO_CURVE", "DEMO_HW"]
 
 
 class DiscountCurve:
@@ -198,6 +198,78 @@ def price_hw_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
                              jnp.float32(dyn.sigma_r), sim.n_paths, key,
                              jnp.float32(p0[0]), jnp.float32(c[0]),
                              (p0, bmat, corr))
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n", "n_shifts"))
+def _hw_qmc_impl(spec, a, sigma_r, n, n_shifts, zvec, shifts, p0_0, c_0,
+                 consts):
+    import jax.lax as lax
+
+    from mc_tpu.models.swaption import _exact_xy_coeffs
+    from mc_tpu.qmc import _sobol_u
+
+    p0, bmat, corr = consts
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    e1, big_b, l11, l21, l22 = _exact_xy_coeffs(
+        a, sigma_r, jnp.float32(spec.expiry))
+
+    def one_shift(shift):
+        u0 = _sobol_u(ids, zvec, shift, jnp.int32(0),
+                      lax.bitcast_convert_type)
+        u1 = _sobol_u(ids, zvec, shift, jnp.int32(1),
+                      lax.bitcast_convert_type)
+        z0 = rng.inv_normal_cdf(u0)
+        z1 = rng.inv_normal_cdf(u1)
+        x = l11 * z0          # x(0) = 0 under the theta(t) split
+        y = l21 * z0 + l22 * z1
+        pay = (_hw_intrinsic(spec, 0, x, p0, bmat, corr)
+               * p0_0 * jnp.exp(-y - c_0))
+        return jnp.mean(pay)
+
+    means = jax.vmap(one_shift)(shifts)
+    price = jnp.mean(means)
+    stderr = jnp.std(means, ddof=1) / jnp.sqrt(jnp.float32(n_shifts))
+    return PriceResult(price=price, stderr=stderr,
+                       n_paths=jnp.float32(n * n_shifts),
+                       payoff_mean=price, payoff_var=stderr * stderr)
+
+
+def price_hw_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
+                          dyn: HullWhiteDynamics = DEMO_HW,
+                          curve: DiscountCurve = DEMO_CURVE,
+                          sim: SimParams = SimParams(n_paths=1 << 16,
+                                                     n_steps=1),
+                          *,
+                          n_shifts: int = 16,
+                          seed: Optional[int] = None,
+                          stream: int = STREAM_OUTER) -> PriceResult:
+    """Randomized-QMC Hull-White European swaption: the exact draw is
+    TWO dimensional ((x, int x) at expiry) — the regime where Sobol
+    nets earn their full O(1/N) rate (same construction and measured
+    ~order-of-magnitude stderr cut as `price_swaption_qmc`)."""
+    import math as _math
+
+    import numpy as _np
+
+    from mc_tpu.qmc import sobol_directions
+
+    spec = spec.validate()
+    if n_shifts < 2:
+        raise ValueError("n_shifts >= 2 required for an error estimate")
+    p0, c, bmat, corr = _hw_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    n = 1 << min(int(_math.log2(max(sim.n_paths, 2))), 20)
+    zvec = jnp.asarray(sobol_directions(2).reshape(-1).astype(_np.int32))
+    key = rng.derive_key(seed, stream, 0x51AD)
+    sidx = jnp.arange(n_shifts * 2, dtype=jnp.uint32)
+    bits, _ = rng.threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
+                               sidx, jnp.zeros_like(sidx))
+    shifts = jax.lax.shift_right_logical(
+        bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, 2)
+    return _hw_qmc_impl(spec, jnp.float32(dyn.a),
+                        jnp.float32(dyn.sigma_r), n, n_shifts, zvec,
+                        shifts, jnp.float32(p0[0]), jnp.float32(c[0]),
+                        (p0, bmat, corr))
 
 
 def _hw_basis(x, scale, degree: int):
