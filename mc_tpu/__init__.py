@@ -78,6 +78,9 @@ def __getattr__(name):
                 "DiscountCurve", "HullWhiteDynamics"):
         from mc_tpu.models import hullwhite
         return getattr(hullwhite, name)
+    if name in ("price_g2_swaption", "g2_swap_exposure", "G2Dynamics"):
+        from mc_tpu.models import g2pp
+        return getattr(g2pp, name)
     if name in ("calibrate_sabr", "hagan_iv"):
         from mc_tpu import calibrate
         return getattr(calibrate, name)

@@ -1199,6 +1199,42 @@ def cmd_hullwhite(args):
     return 0
 
 
+def cmd_g2pp(args):
+    from mc_tpu import oracle
+    from mc_tpu.models.g2pp import (G2Dynamics, g2_swap_exposure,
+                                    price_g2_swaption)
+    from mc_tpu.models.hullwhite import DiscountCurve
+    from mc_tpu.models.swaption import SwaptionSpec
+
+    option, sim = _parse(args)
+    times = [float(x) for x in args.curve_times.split(",")]
+    zeros = [float(x) for x in args.curve_zeros.split(",")]
+    curve = DiscountCurve(times, zeros)
+    dyn = G2Dynamics(a=args.a, sigma=args.sigma_x, b_mr=args.b_mr,
+                     eta=args.eta, rho=args.rho_xy)
+    spec = SwaptionSpec(expiry=args.expiry, tenor=args.tenor,
+                        n_payments=args.n_payments, k_rate=args.k_rate,
+                        payer=not args.receiver)
+    res = price_g2_swaption(spec, dyn, curve, sim, seed=args.seed)
+    ref = oracle.g2_swaption(dyn.a, dyn.sigma, dyn.b_mr, dyn.eta,
+                             dyn.rho, curve.df, args.expiry, args.tenor,
+                             args.n_payments, args.k_rate,
+                             payer=not args.receiver)
+    out = {"model": "g2++", "price": float(res.price),
+           "stderr": float(res.stderr), "oracle": ref,
+           "z_score": (float(res.price) - ref) / float(res.stderr)}
+    if args.exposure:
+        import numpy as np
+        e = g2_swap_exposure(spec, dyn, curve, sim, seed=args.seed)
+        ee, pfe = e.exposure_profile()
+        out["swap_ee"] = [round(float(x), 6) for x in np.asarray(ee)]
+        out["swap_pfe"] = [round(float(x), 6) for x in np.asarray(pfe)]
+        if args.cva_hazard is not None:
+            out["swap_cva"] = float(e.cva(args.cva_hazard))
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_term(args):
     import numpy as np
 
@@ -1714,6 +1750,32 @@ def main(argv=None):
     p.add_argument("--a", type=float, default=0.3)
     p.add_argument("--sigma-r", type=float, default=0.015)
     p.set_defaults(fn=cmd_hullwhite)
+
+    p = sub.add_parser("g2pp",
+                       help="curve-fitted G2++ two-factor swaption vs "
+                            "the conditional-Jamshidian oracle; "
+                            "--exposure adds the swap EE/PFE/CVA")
+    _add_option_flags(p)
+    p.add_argument("--expiry", type=float, default=1.0)
+    p.add_argument("--tenor", type=float, default=0.5)
+    p.add_argument("--n-payments", type=int, default=10)
+    p.add_argument("--k-rate", type=float, default=0.04)
+    p.add_argument("--receiver", action="store_true")
+    p.add_argument("--curve-times", default="0.5,1,2,3,5,10")
+    p.add_argument("--curve-zeros", default="0.03,0.035,0.04,0.043,"
+                                            "0.046,0.048")
+    p.add_argument("--exposure", action="store_true")
+    p.add_argument("--cva-hazard", type=float, default=None)
+    p.add_argument("--a", type=float, default=0.5)
+    p.add_argument("--sigma-x", type=float, default=0.01,
+                   help="first-factor vol")
+    p.add_argument("--b-mr", type=float, default=0.05,
+                   help="second-factor mean reversion")
+    p.add_argument("--eta", type=float, default=0.008,
+                   help="second-factor vol")
+    p.add_argument("--rho-xy", type=float, default=-0.7,
+                   help="factor correlation")
+    p.set_defaults(fn=cmd_g2pp)
 
     p = sub.add_parser("term",
                        help="rate/vol term-structure price (averaged-BS "

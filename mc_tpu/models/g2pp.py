@@ -1,0 +1,230 @@
+"""G2++ two-factor Gaussian rates, fitted to an input discount curve.
+
+r(t) = x(t) + y(t) + phi(t);  dx = -a x dt + sigma dW1,
+dy = -b y dt + eta dW2,  d<W1, W2> = rho dt;  phi(t) reprices the input
+curve exactly (never materialized — the same r = factors + alpha
+decomposition as `models.hullwhite`, one more factor).  Two factors buy
+what one cannot express: IMPERFECTLY correlated forward rates, so
+spread/curve exposures and Bermudans see de-correlation risk.
+
+Everything is exact-in-law on the coupon date grid: (x, y, z = int x+y)
+over a step is jointly Gaussian with closed-form conditional moments,
+simulated through a host-f64 3x3 Cholesky per step size.  Bonds
+reconstruct as P(t,S) = (P(0,S)/P(0,t)) exp(A(t,S) - B_a x - B_b y)
+with A = (V(S-t) - V(S) + V(t))/2 — the FULL exponent (the one-factor
+module documents what omitting its shift term costs); discounting is
+P(0,t) exp(-z - V(t)/2), so E[discount] == P(0,t) identically.
+
+Oracle: `oracle.g2_swaption` — conditional-Jamshidian semi-closed form
+(root-find in y given x, kink-robust trapezoid over x), gated against
+`hw_swaption` to ~3e-7 in the eta -> 0 limit and payer/receiver-parity
+exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mc_tpu import rng
+from mc_tpu.config import SimParams
+from mc_tpu.engines import STREAM_OUTER
+from mc_tpu.models.hullwhite import DEMO_CURVE, DiscountCurve
+from mc_tpu.models.swaption import DEMO_SWAPTION, SwaptionSpec
+from mc_tpu.oracle import PriceResult, summarize
+
+__all__ = ["G2Dynamics", "price_g2_swaption", "g2_swap_exposure",
+           "DEMO_G2"]
+
+
+@dataclasses.dataclass(frozen=True)
+class G2Dynamics:
+    """Two-factor parameters (host floats; all grid quantities are
+    precomputed in float64 and shipped as f32 constants)."""
+
+    a: float = 0.5
+    sigma: float = 0.01
+    b_mr: float = 0.05
+    eta: float = 0.008
+    rho: float = -0.7
+
+
+DEMO_G2 = G2Dynamics()
+
+
+def _bf(k, t):
+    return -math.expm1(-k * t) / k
+
+
+def _v_of(dyn: G2Dynamics, t: float) -> float:
+    """Var[int_0^t (x + y)] (closed form)."""
+    a, s, b, e, rho = dyn.a, dyn.sigma, dyn.b_mr, dyn.eta, dyn.rho
+    return ((s * s / (a * a)) * (t - 2 * _bf(a, t)
+                                 - math.expm1(-2 * a * t) / (2 * a))
+            + (e * e / (b * b)) * (t - 2 * _bf(b, t)
+                                   - math.expm1(-2 * b * t) / (2 * b))
+            + (2 * rho * s * e / (a * b))
+            * (t - _bf(a, t) - _bf(b, t)
+               - math.expm1(-(a + b) * t) / (a + b)))
+
+
+def _step_chol(dyn: G2Dynamics, dt: float):
+    """Host-f64 step constants: decay factors, integration loads, and
+    the 3x3 Cholesky of the (eps_x, eps_y, eps_z) noise covariance."""
+    a, s, b, e, rho = dyn.a, dyn.sigma, dyn.b_mr, dyn.eta, dyn.rho
+    ba, bb = _bf(a, dt), _bf(b, dt)
+    bab = _bf(a + b, dt)
+    cxx = s * s * (-math.expm1(-2 * a * dt)) / (2 * a)
+    cyy = e * e * (-math.expm1(-2 * b * dt)) / (2 * b)
+    cxy = rho * s * e * (-math.expm1(-(a + b) * dt)) / (a + b)
+    cxz = (s * s / a) * (ba - (-math.expm1(-2 * a * dt)) / (2 * a)) \
+        + (rho * s * e / b) * (ba - bab)
+    cyz = (e * e / b) * (bb - (-math.expm1(-2 * b * dt)) / (2 * b)) \
+        + (rho * s * e / a) * (bb - bab)
+    czz = _v_of(dyn, dt)
+    cov = np.array([[cxx, cxy, cxz],
+                    [cxy, cyy, cyz],
+                    [cxz, cyz, czz]], np.float64)
+    cov += 1e-12 * np.trace(cov) / 3.0 * np.eye(3)
+    chol = np.linalg.cholesky(cov)
+    return (math.exp(-a * dt), math.exp(-b * dt), ba, bb, chol)
+
+
+def _g2_tables(spec: SwaptionSpec, dyn: G2Dynamics,
+               curve: DiscountCurve):
+    """p0[i], vhalf[i] = V(t_i)/2, and per-(i, j) bond constants:
+    amat[i, j] = (V(t_j - t_i) - V(t_j) + V(t_i))/2, ba/bb loads."""
+    n = spec.n_payments
+    dates = [spec.expiry + i * spec.tenor for i in range(n + 1)]
+    p0 = np.array([curve.df(t) for t in dates], np.float64)
+    vhalf = np.array([0.5 * _v_of(dyn, t) for t in dates], np.float64)
+    amat = np.zeros((n + 1, n + 1), np.float64)
+    bamat = np.zeros((n + 1, n + 1), np.float64)
+    bbmat = np.zeros((n + 1, n + 1), np.float64)
+    for i in range(n + 1):
+        for j in range(i + 1, n + 1):
+            tau = dates[j] - dates[i]
+            amat[i, j] = 0.5 * (_v_of(dyn, tau) - _v_of(dyn, dates[j])
+                                + _v_of(dyn, dates[i]))
+            bamat[i, j] = _bf(dyn.a, tau)
+            bbmat[i, j] = _bf(dyn.b_mr, tau)
+    return p0, vhalf, amat, bamat, bbmat
+
+
+def _simulate_g2_grid(spec, dyn, n_paths, n_ex, key):
+    """(x, y, z) at the n_ex coupon dates — exact joint Gaussian steps.
+
+    Draw convention: date u of path i consumes the threefry pair
+    (i, 2u) plus one inverse-CDF normal at (i, 2u+1)."""
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+    ids = jnp.arange(n_paths, dtype=jnp.uint32)
+    x = jnp.zeros((n_paths,), jnp.float32)
+    y = jnp.zeros((n_paths,), jnp.float32)
+    z = jnp.zeros((n_paths,), jnp.float32)
+    outs = []
+    for u in range(n_ex):
+        dt = spec.expiry if u == 0 else spec.tenor
+        e1, e2, ba, bb, ch = _step_chol(dyn, dt)
+        c1 = jnp.full(ids.shape, 2 * u, jnp.uint32)
+        w0, w1 = rng.normal_pair(k0, k1, ids, c1)
+        bits, _ = rng.threefry2x32(k0, k1, ids, c1 + jnp.uint32(1),
+                                   rounds=rng.DEFAULT_ROUNDS)
+        w2 = rng.inv_normal_cdf(rng.bits_to_unit(bits))
+        ex = jnp.float32(ch[0, 0]) * w0
+        ey = jnp.float32(ch[1, 0]) * w0 + jnp.float32(ch[1, 1]) * w1
+        ez = (jnp.float32(ch[2, 0]) * w0 + jnp.float32(ch[2, 1]) * w1
+              + jnp.float32(ch[2, 2]) * w2)
+        z = z + x * jnp.float32(ba) + y * jnp.float32(bb) + ez
+        x = x * jnp.float32(e1) + ex
+        y = y * jnp.float32(e2) + ey
+        outs.append((x, y, z))
+    return outs
+
+
+def _g2_mtm(spec, i, x, y, p0, amat, bamat, bbmat):
+    """SIGNED remaining-swap value at date i (payments i+1..N)."""
+    n = spec.n_payments
+    fixed = jnp.zeros_like(x)
+    for j in range(i + 1, n + 1):
+        p_ij = (jnp.float32(p0[j] / p0[i])
+                * jnp.exp(jnp.float32(amat[i, j])
+                          - jnp.float32(bamat[i, j]) * x
+                          - jnp.float32(bbmat[i, j]) * y))
+        fixed = fixed + jnp.float32(spec.k_rate * spec.tenor) * p_ij
+        if j == n:
+            fixed = fixed + p_ij
+    mtm = 1.0 - fixed
+    if not spec.payer:
+        mtm = -mtm
+    return mtm
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "dyn", "n_paths"))
+def _g2_european_impl(spec, dyn, n_paths, key, consts):
+    p0, vhalf, amat, bamat, bbmat = consts
+    (x, y, z), = _simulate_g2_grid(spec, dyn, n_paths, 1, key)
+    pay = (jnp.maximum(_g2_mtm(spec, 0, x, y, p0, amat, bamat, bbmat),
+                       0.0)
+           * jnp.float32(p0[0]) * jnp.exp(-z - jnp.float32(vhalf[0])))
+    n = jnp.float32(n_paths)
+    return summarize(jnp.sum(pay), jnp.sum(pay * pay), n, 1.0)
+
+
+def price_g2_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
+                      dyn: G2Dynamics = DEMO_G2,
+                      curve: DiscountCurve = DEMO_CURVE,
+                      sim: SimParams = SimParams(n_paths=1 << 20,
+                                                 n_steps=1),
+                      *,
+                      seed: Optional[int] = None,
+                      stream: int = STREAM_OUTER) -> PriceResult:
+    """European payer/receiver swaption under curve-fitted G2++: ONE
+    exact (x, y, int) draw at expiry, curve-reconstructed two-factor
+    bonds, pathwise curve discounting.  Oracle: `oracle.g2_swaption`."""
+    spec = spec.validate()
+    consts = _g2_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x6270), jnp.uint32)
+    return _g2_european_impl(spec, dyn, sim.n_paths, key, consts)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "dyn", "n_paths"))
+def _g2_exposure_impl(spec, dyn, n_paths, key, consts):
+    p0, vhalf, amat, bamat, bbmat = consts
+    n_ex = spec.n_payments
+    grid = _simulate_g2_grid(spec, dyn, n_paths, n_ex, key)
+    vals = []
+    for i, (x, y, z) in enumerate(grid):
+        mtm = _g2_mtm(spec, i, x, y, p0, amat, bamat, bbmat)
+        vals.append(mtm * jnp.float32(p0[i])
+                    * jnp.exp(-z - jnp.float32(vhalf[i])))
+    return jnp.stack(vals, axis=1)
+
+
+def g2_swap_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
+                     dyn: G2Dynamics = DEMO_G2,
+                     curve: DiscountCurve = DEMO_CURVE,
+                     sim: SimParams = SimParams(n_paths=1 << 16,
+                                                n_steps=1),
+                     *,
+                     seed: Optional[int] = None,
+                     stream: int = STREAM_OUTER):
+    """Counterparty exposure of the swap under two-factor rates: every
+    EE point is gated against the `oracle.g2_swaption` strip; carries
+    the full XVA metric surface (`CollateralizedExposure`)."""
+    spec = spec.validate()
+    consts = _g2_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x6270), jnp.uint32)
+    values = _g2_exposure_impl(spec, dyn, sim.n_paths, key, consts)
+    from mc_tpu.xva import CollateralizedExposure
+    horizon = spec.expiry + (spec.n_payments - 1) * spec.tenor
+    return CollateralizedExposure(values=values,
+                                  t_horizon=jnp.float32(horizon))

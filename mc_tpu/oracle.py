@@ -689,3 +689,98 @@ def hw_swaption(a, sigma_r, df, t_expiry, tenor, n_payments, k_rate,
         return payer_px
     fixed_leg = sum(c * float(df(s)) for c, s in zip(cs, mats))
     return payer_px + fixed_leg - p0_t0
+
+
+def g2_swaption(a, sigma, b_mr, eta, rho, df, t_expiry, tenor,
+                n_payments, k_rate, payer=True, n_quad: int = 2001):
+    """European swaption under curve-fitted G2++ (two-factor Gaussian).
+
+    r = x + y + phi(t), dx = -a x dt + sigma dW1, dy = -b_mr y dt +
+    eta dW2, corr rho; phi fits ``df`` exactly.  Semi-analytic
+    "conditional Jamshidian": under the T-forward measure (x, y) at
+    expiry are jointly Gaussian with known means (Brigo-Mercurio 4.33);
+    GIVEN x the coupon bond is monotone in y, so the exercise boundary
+    ybar(x) solves a 1-D root-find and the inner expectation is a sum
+    of lognormal tails in y — the outer x-integral is Gauss-Hermite.
+    eta -> 0 degenerates to `hw_swaption` (gated)."""
+    import numpy as np
+
+    a, s, b, e, rho = map(float, (a, sigma, b_mr, eta, rho))
+    t0, tau, kr = float(t_expiry), float(tenor), float(k_rate)
+    n = int(n_payments)
+    mats = [t0 + (i + 1) * tau for i in range(n)]
+    cs = np.array([kr * tau] * n)
+    cs[-1] += 1.0
+    p0_t = float(df(t0))
+    p0_i = np.array([float(df(m)) for m in mats])
+
+    def bf(k_, t):  # (1 - e^{-k t}) / k
+        return -math.expm1(-k_ * t) / k_
+
+    def v_of(t):  # Var[int_0^t (x + y)]
+        return ((s * s / (a * a)) * (t - 2 * bf(a, t)
+                                     - math.expm1(-2 * a * t) / (2 * a))
+                + (e * e / (b * b)) * (t - 2 * bf(b, t)
+                                       - math.expm1(-2 * b * t) / (2 * b))
+                + (2 * rho * s * e / (a * b))
+                * (t - bf(a, t) - bf(b, t)
+                   - math.expm1(-(a + b) * t) / (a + b)))
+
+    ba = np.array([bf(a, m - t0) for m in mats])
+    bb = np.array([bf(b, m - t0) for m in mats])
+    # A_i = (P(0,t_i)/P(0,T)) exp(0.5 [V(t_i - T) - V(t_i) + V(T)])
+    av = np.array([
+        (p0_i[i] / p0_t) * math.exp(0.5 * (v_of(mats[i] - t0)
+                                           - v_of(mats[i]) + v_of(t0)))
+        for i in range(n)])
+
+    # T-forward-measure moments of (x, y) at T (B-M 4.33 / 4.34)
+    sx = s * math.sqrt(-math.expm1(-2 * a * t0) / (2 * a))
+    sy = e * math.sqrt(-math.expm1(-2 * b * t0) / (2 * b))
+    rxy = (rho * s * e * (-math.expm1(-(a + b) * t0)) / (a + b)
+           / (sx * sy)) if sx > 0 and sy > 0 else 0.0
+    mx = -((s * s / (a * a) + rho * s * e / (a * b)) * (-math.expm1(-a * t0))
+           - s * s / (2 * a * a) * (-math.expm1(-2 * a * t0))
+           - rho * s * e / (b * (a + b)) * (-math.expm1(-(a + b) * t0)))
+    my = -((e * e / (b * b) + rho * s * e / (a * b)) * (-math.expm1(-b * t0))
+           - e * e / (2 * b * b) * (-math.expm1(-2 * b * t0))
+           - rho * s * e / (a * (a + b)) * (-math.expm1(-(a + b) * t0)))
+
+    from scipy.special import ndtr  # vectorized normal CDF
+
+    s_cond = sy * math.sqrt(max(1.0 - rxy * rxy, 1e-16))
+    # Trapezoid over +-8 sigma: unlike Gauss-Hermite it stays accurate
+    # when eta -> 0 turns the conditional expectation into a STEP in x
+    # (the degenerate-to-Hull-White gate), and hermegauss overflows
+    # beyond ~600 nodes anyway.  n_quad ~ 2001 -> ~1e-9 relative.
+    m = max(int(n_quad), 201)
+    xs = np.linspace(mx - 8.0 * sx, mx + 8.0 * sx, m)  # (m,)
+    pdf = np.exp(-0.5 * ((xs - mx) / sx) ** 2) / (sx * math.sqrt(2.0
+                                                                 * math.pi))
+    wts = np.full(m, xs[1] - xs[0])
+    wts[0] = wts[-1] = 0.5 * (xs[1] - xs[0])
+    mu_c = my + (rxy * sy / sx) * (xs - mx) if sx > 0 else np.full(m, my)
+    coef = cs[None, :] * av[None, :] * np.exp(-np.outer(xs, ba))  # (m,n)
+
+    # vectorized bisection for ybar(x): coupon bond decreasing in y
+    lo = np.full(m, -6.0)
+    hi = np.full(m, 6.0)
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        val = (coef * np.exp(-np.outer(mid, bb))).sum(axis=1)
+        above = val > 1.0
+        lo = np.where(above, mid, lo)
+        hi = np.where(above, hi, mid)
+    ybar = 0.5 * (lo + hi)
+    d = (ybar - mu_c) / s_cond
+    inner = ndtr(-d)
+    for i in range(n):
+        lam = bb[i]
+        inner -= (coef[:, i]
+                  * np.exp(-lam * mu_c + 0.5 * lam * lam
+                           * s_cond * s_cond)
+                  * ndtr(-d - lam * s_cond))
+    payer_px = p0_t * float(np.sum(inner * pdf * wts))
+    if payer:
+        return payer_px
+    return payer_px + float(np.dot(cs, p0_i)) - p0_t

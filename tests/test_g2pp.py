@@ -1,0 +1,123 @@
+"""Curve-fitted G2++ two-factor rates: oracle degeneracy to Hull-White,
+tower/curve-repricing identities, and the swaption-strip exposure."""
+
+import math
+
+import numpy as np
+import pytest
+
+from mc_tpu import SimParams, oracle
+from mc_tpu.models.g2pp import (DEMO_G2, G2Dynamics, g2_swap_exposure,
+                                price_g2_swaption)
+from mc_tpu.models.hullwhite import DEMO_CURVE
+from mc_tpu.models.swaption import SwaptionSpec
+
+SPEC = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=10, k_rate=0.04)
+
+
+def _ref(spec, payer=True, dyn=DEMO_G2):
+    return oracle.g2_swaption(dyn.a, dyn.sigma, dyn.b_mr, dyn.eta,
+                              dyn.rho, DEMO_CURVE.df, spec.expiry,
+                              spec.tenor, spec.n_payments, spec.k_rate,
+                              payer=payer)
+
+
+def test_oracle_degenerates_to_hull_white():
+    """eta -> 0 kills the second factor: the conditional-Jamshidian
+    two-factor price collapses to the one-factor Jamshidian (kink-robust
+    trapezoid keeps the degenerate limit accurate to ~3e-6)."""
+    for (t0, tau, n, k) in ((1.0, 0.5, 10, 0.04), (2.0, 0.25, 8, 0.05)):
+        hw = oracle.hw_swaption(0.3, 0.015, DEMO_CURVE.df, t0, tau, n, k)
+        g2 = oracle.g2_swaption(0.3, 0.015, 0.5, 1e-9, 0.0,
+                                DEMO_CURVE.df, t0, tau, n, k)
+        assert g2 == pytest.approx(hw, rel=5e-6), (t0, g2, hw)
+
+
+def test_oracle_payer_receiver_parity_is_exact():
+    """payer - receiver == the curve's forward-swap value (the integral
+    construction conserves the swap identically, ~1e-16)."""
+    g2p = _ref(SPEC)
+    g2r = _ref(SPEC, payer=False)
+    dfs = [DEMO_CURVE.df(1.0 + 0.5 * j) for j in range(11)]
+    swap = dfs[0] - dfs[10] - 0.04 * 0.5 * sum(dfs[1:11])
+    assert g2p - g2r == pytest.approx(swap, abs=1e-12)
+
+
+def test_second_factor_adds_value():
+    """An imperfectly-correlated second factor adds volatility the
+    one-factor projection misses — the ATM-ish swaption is worth more
+    than with eta = 0 (all else equal)."""
+    base = oracle.g2_swaption(DEMO_G2.a, DEMO_G2.sigma, DEMO_G2.b_mr,
+                              1e-9, 0.0, DEMO_CURVE.df, 1.0, 0.5, 10,
+                              0.045)
+    two = oracle.g2_swaption(DEMO_G2.a, DEMO_G2.sigma, DEMO_G2.b_mr,
+                             DEMO_G2.eta, 0.0, DEMO_CURVE.df, 1.0, 0.5,
+                             10, 0.045)
+    assert two > base
+
+
+def test_mc_matches_the_oracle():
+    r = price_g2_swaption(SPEC, DEMO_G2, DEMO_CURVE,
+                          SimParams(n_paths=1 << 19, n_steps=1))
+    z = (float(r.price) - _ref(SPEC)) / float(r.stderr)
+    assert abs(z) < 4.0, (float(r.price), _ref(SPEC), z)
+
+
+def test_receiver_mc_matches_the_oracle():
+    spec = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=10,
+                        k_rate=0.04, payer=False)
+    r = price_g2_swaption(spec, DEMO_G2, DEMO_CURVE,
+                          SimParams(n_paths=1 << 19, n_steps=1))
+    z = (float(r.price) - _ref(spec, payer=False)) / float(r.stderr)
+    assert abs(z) < 4.0
+
+
+def test_curve_repricing_and_bond_tower():
+    """Two exact identities of the simulation + reconstruction pair:
+    E[pathwise discount-to-0] == P(0, t_i), and the TOWER property
+    E[D(0, t_i) P(t_i, t_j; x, y)] == P(0, t_j) — the sharpest check
+    that the A(t,S) exponent and the (x, y, int) covariances agree."""
+    import jax.numpy as jnp
+
+    from mc_tpu import rng
+    from mc_tpu.models.g2pp import _g2_tables, _simulate_g2_grid
+    p0, vhalf, amat, bamat, bbmat = _g2_tables(SPEC, DEMO_G2, DEMO_CURVE)
+    key = jnp.asarray(rng.derive_key(1234, 0, 0x6270), jnp.uint32)
+    n = 1 << 16
+    grid = _simulate_g2_grid(SPEC, DEMO_G2, n, 10, key)
+    for i, j in ((0, 3), (4, 7), (9, 10)):
+        x, y, z = grid[i]
+        disc = np.asarray(jnp.exp(-z - jnp.float32(vhalf[i])),
+                          np.float64) * p0[i]
+        se = disc.std() / math.sqrt(n)
+        assert abs(disc.mean() - p0[i]) < 4.0 * se + 1e-6
+        pij = np.asarray(
+            jnp.float32(p0[j] / p0[i])
+            * jnp.exp(jnp.float32(amat[i, j])
+                      - jnp.float32(bamat[i, j]) * x
+                      - jnp.float32(bbmat[i, j]) * y), np.float64)
+        v = disc * pij
+        se_t = v.std() / math.sqrt(n)
+        assert abs(v.mean() - p0[j]) < 4.0 * se_t + 1e-6, (i, j)
+
+
+def test_exposure_profile_is_the_g2_swaption_strip():
+    e = g2_swap_exposure(SPEC, DEMO_G2, DEMO_CURVE,
+                         SimParams(n_paths=1 << 17, n_steps=1))
+    ee, _ = e.exposure_profile()
+    for i in (0, 3, 6):
+        t_i = SPEC.expiry + i * SPEC.tenor
+        ref = oracle.g2_swaption(DEMO_G2.a, DEMO_G2.sigma, DEMO_G2.b_mr,
+                                 DEMO_G2.eta, DEMO_G2.rho,
+                                 DEMO_CURVE.df, t_i, SPEC.tenor,
+                                 SPEC.n_payments - i, SPEC.k_rate)
+        assert float(ee[i]) == pytest.approx(ref, abs=4e-4), (i, ref)
+
+
+def test_exposure_xva_metrics_compose():
+    e = g2_swap_exposure(SPEC, DEMO_G2, DEMO_CURVE,
+                         SimParams(n_paths=1 << 14, n_steps=1))
+    flat = float(e.cva(0.02))
+    assert flat > 0.0
+    assert float(e.cva_wwr(0.02, 2.0)) > flat
+    assert float(e.collateralized(0.005, mpor_steps=1).cva(0.02)) < flat
