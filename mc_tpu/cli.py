@@ -1223,6 +1223,13 @@ def cmd_g2pp(args):
     out = {"model": "g2++", "price": float(res.price),
            "stderr": float(res.stderr), "oracle": ref,
            "z_score": (float(res.price) - ref) / float(res.stderr)}
+    if args.bermudan:
+        from mc_tpu.models.g2pp import price_bermudan_g2_swaption
+        ber = price_bermudan_g2_swaption(spec, dyn, curve, sim,
+                                         seed=args.seed)
+        out["bermudan_price"] = float(ber.price)
+        out["bermudan_stderr"] = float(ber.stderr)
+        out["early_exercise_premium"] = float(ber.price) - float(res.price)
     if args.exposure:
         import numpy as np
         e = g2_swap_exposure(spec, dyn, curve, sim, seed=args.seed)
@@ -1765,6 +1772,8 @@ def main(argv=None):
     p.add_argument("--curve-zeros", default="0.03,0.035,0.04,0.043,"
                                             "0.046,0.048")
     p.add_argument("--exposure", action="store_true")
+    p.add_argument("--bermudan", action="store_true",
+                   help="co-terminal Bermudan LSMC on the (x, y) state")
     p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--a", type=float, default=0.5)
     p.add_argument("--sigma-x", type=float, default=0.01,

@@ -39,8 +39,8 @@ from mc_tpu.models.hullwhite import DEMO_CURVE, DiscountCurve
 from mc_tpu.models.swaption import DEMO_SWAPTION, SwaptionSpec
 from mc_tpu.oracle import PriceResult, summarize
 
-__all__ = ["G2Dynamics", "price_g2_swaption", "g2_swap_exposure",
-           "DEMO_G2"]
+__all__ = ["G2Dynamics", "price_g2_swaption",
+           "price_bermudan_g2_swaption", "g2_swap_exposure", "DEMO_G2"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -193,6 +193,91 @@ def price_g2_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
     seed = sim.seed if seed is None else seed
     key = jnp.asarray(rng.derive_key(seed, stream, 0x6270), jnp.uint32)
     return _g2_european_impl(spec, dyn, sim.n_paths, key, consts)
+
+
+def _g2_basis(x, y, sx, sy, degree: int):
+    """Two-factor continuation basis: monomials of x-hat up to
+    ``degree`` augmented with the second factor's regressors
+    (y-hat, y-hat^2, x-hat*y-hat) — the (S, v) Heston-LSMC design
+    pattern applied to the rate factors."""
+    xn, yn = x / sx, y / sy
+    cols = [jnp.ones_like(x)]
+    pw = xn
+    for _ in range(degree):
+        cols.append(pw)
+        pw = pw * xn
+    cols += [yn, yn * yn, xn * yn]
+    return jnp.stack(cols, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "dyn", "n_paths",
+                                             "degree"))
+def _g2_bermudan_impl(spec, dyn, n_paths, degree, key, consts):
+    """Backward LSMC on the coupon grid under two-factor rates: the
+    continuation regression runs on the (x, y) state (cross-augmented
+    basis), date-i forward-value convention.  n_payments = 1 is BITWISE
+    the European pricer."""
+    p0, vhalf, amat, bamat, bbmat = consts
+    n_ex = spec.n_payments
+    grid = _simulate_g2_grid(spec, dyn, n_paths, n_ex, key)
+    sx = dyn.sigma / math.sqrt(2.0 * dyn.a)    # stationary stds
+    sy = dyn.eta / math.sqrt(2.0 * dyn.b_mr)
+
+    def ex_at(i):
+        x, y, _ = grid[i]
+        return jnp.maximum(_g2_mtm(spec, i, x, y, p0, amat, bamat,
+                                   bbmat), 0.0)
+
+    def disc(i):
+        return (jnp.float32(p0[i])
+                * jnp.exp(-grid[i][2] - jnp.float32(vhalf[i])))
+
+    cf = ex_at(n_ex - 1) * jnp.float32(p0[n_ex - 1]) * jnp.exp(
+        -grid[n_ex - 1][2] - jnp.float32(vhalf[n_ex - 1]))
+    for i in range(n_ex - 2, -1, -1):
+        x, y, _ = grid[i]
+        ex = ex_at(i)
+        itm = ex > 0.0
+        xb = _g2_basis(x, y, jnp.float32(sx), jnp.float32(sy), degree)
+        w = jnp.where(itm, 1.0, 0.0)[:, None]
+        xtx = (xb * w).T @ xb + 1e-6 * jnp.eye(xb.shape[1],
+                                               dtype=xb.dtype)
+        xty = (xb * w).T @ (cf / disc(i))
+        beta = jax.lax.stop_gradient(jnp.linalg.solve(xtx, xty))
+        cont = xb @ beta
+        take = jnp.logical_and(itm, ex > cont)
+        cf = jnp.where(take,
+                       ex * jnp.float32(p0[i])
+                       * jnp.exp(-grid[i][2] - jnp.float32(vhalf[i])),
+                       cf)
+    n = jnp.float32(n_paths)
+    return summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
+
+
+def price_bermudan_g2_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
+                               dyn: G2Dynamics = DEMO_G2,
+                               curve: DiscountCurve = DEMO_CURVE,
+                               sim: SimParams = SimParams(
+                                   n_paths=1 << 18, n_steps=1),
+                               *,
+                               degree: int = 3,
+                               seed: Optional[int] = None,
+                               stream: int = STREAM_OUTER
+                               ) -> PriceResult:
+    """Co-terminal Bermudan swaption under TWO-FACTOR rates: exercise
+    decisions see both factors (an x-only policy under-exercises when
+    the factors have moved apart — the de-correlation premium).  Gates:
+    1-payment BITWISE == `price_g2_swaption`; dominates the European
+    conditional-Jamshidian; eta -> 0 agrees with the one-factor
+    `price_bermudan_hw_swaption` within joint stderr."""
+    spec = spec.validate()
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    consts = _g2_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x6270), jnp.uint32)
+    return _g2_bermudan_impl(spec, dyn, sim.n_paths, degree, key,
+                             consts)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "dyn", "n_paths"))

@@ -121,3 +121,31 @@ def test_exposure_xva_metrics_compose():
     assert flat > 0.0
     assert float(e.cva_wwr(0.02, 2.0)) > flat
     assert float(e.collateralized(0.005, mpor_steps=1).cva(0.02)) < flat
+
+
+def test_one_payment_bermudan_is_european_bitwise():
+    from mc_tpu.models.g2pp import price_bermudan_g2_swaption
+    spec = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=1,
+                        k_rate=0.04)
+    sim = SimParams(n_paths=1 << 15, n_steps=1)
+    eur = price_g2_swaption(spec, DEMO_G2, DEMO_CURVE, sim)
+    ber = price_bermudan_g2_swaption(spec, DEMO_G2, DEMO_CURVE, sim)
+    assert float(ber.price) == float(eur.price)
+
+
+def test_bermudan_dominates_european_and_matches_hw_in_the_limit():
+    """The two-factor Bermudan beats its European, and with the second
+    factor switched off it agrees with the ONE-factor Hull-White
+    Bermudan within joint stderr (independent machinery, same model)."""
+    from mc_tpu.models.g2pp import price_bermudan_g2_swaption
+    from mc_tpu.models.hullwhite import (HullWhiteDynamics,
+                                         price_bermudan_hw_swaption)
+    sim = SimParams(n_paths=1 << 16, n_steps=1)
+    ber = price_bermudan_g2_swaption(SPEC, DEMO_G2, DEMO_CURVE, sim)
+    assert float(ber.price) >= _ref(SPEC) - 3.0 * float(ber.stderr)
+    d0 = G2Dynamics(a=0.3, sigma=0.015, b_mr=0.5, eta=1e-9, rho=0.0)
+    b2 = price_bermudan_g2_swaption(SPEC, d0, DEMO_CURVE, sim)
+    b1 = price_bermudan_hw_swaption(
+        SPEC, HullWhiteDynamics(a=0.3, sigma_r=0.015), DEMO_CURVE, sim)
+    joint = (float(b2.stderr) ** 2 + float(b1.stderr) ** 2) ** 0.5
+    assert abs(float(b2.price) - float(b1.price)) <= 4.0 * joint + 2e-5
