@@ -25,7 +25,8 @@ import jax.numpy as jnp
 __all__ = ["hagan_iv", "calibrate_sabr", "SABRFit",
            "calibrate_heston", "HestonFit",
            "calibrate_localvol",
-           "calibrate_hullwhite", "HullWhiteFit"]
+           "calibrate_hullwhite", "HullWhiteFit",
+           "calibrate_g2", "G2Fit"]
 
 
 def hagan_iv(f, k, t, alpha, beta, nu, rho):
@@ -431,7 +432,89 @@ def calibrate_hullwhite(curve, quotes, *, init=(0.1, 0.005),
             th, r_cur, lam = th_new, r_new, max(lam * 0.5, 1e-8)
         else:
             lam = min(lam * 4.0, 1e4)
+        if np.sum(r_cur ** 2) < 1e-22:  # converged to the quote set
+            break
     a, sig = np.exp(th)
     return HullWhiteFit(a=float(a), sigma_r=float(sig),
                         rmse=float(np.sqrt(np.mean(r_cur ** 2))),
                         n_iter=n_iter)
+
+
+@dataclasses.dataclass(frozen=True)
+class G2Fit:
+    a: float
+    sigma: float
+    b_mr: float
+    eta: float
+    rho: float
+    rmse: float
+    n_iter: int
+
+
+def calibrate_g2(curve, quotes, *,
+                 init=(0.3, 0.008, 0.1, 0.005, -0.3),
+                 n_iter: int = 80) -> G2Fit:
+    """Fit G2++ (a, sigma, b_mr, eta, rho) to European swaption prices.
+
+    Same LM construction as `calibrate_hullwhite` on the
+    `oracle.g2_swaption` semi-closed form; positives go through log,
+    rho through a scaled arctanh.  Five parameters need a RICH quote
+    set — expiries x tenors (the co-terminal triangle desks quote)
+    separate the two mean reversions; the round-trip gate uses a 3x3
+    grid of (expiry, tenor) pairs at two strikes.
+    """
+    import numpy as np
+
+    from mc_tpu.oracle import g2_swaption
+
+    qs = [(float(t0), float(tau), int(n), float(k), float(px))
+          for (t0, tau, n, k, px) in quotes]
+    if len(qs) < 5:
+        raise ValueError("need at least 5 swaption quotes for a "
+                         "5-parameter fit")
+
+    def unpack(th):
+        a, s, b, e = np.exp(th[:4])
+        rho = 0.999 * np.tanh(th[4])
+        return a, s, b, e, rho
+
+    def residuals(th):
+        a, s, b, e, rho = unpack(th)
+        out = np.empty(len(qs))
+        for i, (t0, tau, n, k, px) in enumerate(qs):
+            out[i] = g2_swaption(a, s, b, e, rho, curve.df, t0, tau, n,
+                                 k, n_quad=801) - px
+        return out
+
+    th = np.array([np.log(init[0]), np.log(init[1]), np.log(init[2]),
+                   np.log(init[3]), np.arctanh(init[4] / 0.999)])
+    lam = 1e-3
+    r_cur = residuals(th)
+    for _ in range(n_iter):
+        jac = np.empty((r_cur.size, 5))
+        for m in range(5):
+            h = 1e-5
+            tp, tm = th.copy(), th.copy()
+            tp[m] += h
+            tm[m] -= h
+            jac[:, m] = (residuals(tp) - residuals(tm)) / (2 * h)
+        g = jac.T @ r_cur
+        hmat = jac.T @ jac
+        try:
+            step = np.linalg.solve(hmat + lam * np.eye(5), g)
+        except np.linalg.LinAlgError:
+            lam *= 4.0
+            continue
+        th_new = th - step
+        r_new = residuals(th_new)
+        if np.sum(r_new ** 2) < np.sum(r_cur ** 2):
+            th, r_cur, lam = th_new, r_new, max(lam * 0.5, 1e-8)
+        else:
+            lam = min(lam * 4.0, 1e4)
+        if np.mean(r_cur ** 2) < 1e-16:  # rmse < 1e-8: repriced
+            break
+    a, s, b, e, rho = unpack(th)
+    return G2Fit(a=float(a), sigma=float(s), b_mr=float(b),
+                 eta=float(e), rho=float(rho),
+                 rmse=float(np.sqrt(np.mean(r_cur ** 2))),
+                 n_iter=n_iter)

@@ -61,6 +61,7 @@ SLOW_TESTS = {
     "test_rainbow_greeks.py::test_rainbow_deltas_match_stulz_fd",
     "test_rainbow_greeks.py::test_rainbow_min_call_deltas_and_vegas",
     "test_mlmc_family.py::test_sharded_mlmc_mesh_invariant",
+    "test_g2pp.py::test_calibrate_g2_reprices_in_and_out_of_sample",
     "test_mlmc_family.py::test_merton_terminal_exact_in_law",
     "test_mlmc_family.py::test_merton_asian_coupling_decays_and_matches_fine_grid",
     "test_mlmc_family.py::test_eps_driven_allocation",

@@ -149,3 +149,30 @@ def test_bermudan_dominates_european_and_matches_hw_in_the_limit():
         SPEC, HullWhiteDynamics(a=0.3, sigma_r=0.015), DEMO_CURVE, sim)
     joint = (float(b2.stderr) ** 2 + float(b1.stderr) ** 2) ** 0.5
     assert abs(float(b2.price) - float(b1.price)) <= 4.0 * joint + 2e-5
+
+
+def test_calibrate_g2_reprices_in_and_out_of_sample():
+    """G2's five parameters sit on near-flat ridges (an exact
+    (a, sigma) <-> (b_mr, eta) relabeling symmetry among them), so the
+    honest calibration gate is REPRICING: the fit must reproduce the
+    quote set to ~1e-6 and price an OUT-OF-SAMPLE swaption (expiry and
+    tenor not in the set) at the true model's value."""
+    from mc_tpu.calibrate import calibrate_g2
+    true = (0.5, 0.01, 0.05, 0.008, -0.7)
+    quotes = []
+    for t0 in (0.5, 1.0, 3.0):
+        for (tau, n) in ((0.5, 10), (0.5, 4), (1.0, 7)):
+            for k in (0.035, 0.05):
+                px = oracle.g2_swaption(*true, DEMO_CURVE.df, t0, tau,
+                                        n, k, n_quad=801)
+                quotes.append((t0, tau, n, k, px))
+    fit = calibrate_g2(DEMO_CURVE, quotes, n_iter=80)
+    assert fit.rmse < 1e-7, fit
+    oos_true = oracle.g2_swaption(*true, DEMO_CURVE.df, 2.0, 0.25, 8,
+                                  0.045)
+    oos_fit = oracle.g2_swaption(fit.a, fit.sigma, fit.b_mr, fit.eta,
+                                 fit.rho, DEMO_CURVE.df, 2.0, 0.25, 8,
+                                 0.045)
+    assert oos_fit == pytest.approx(oos_true, abs=2e-5)
+    with pytest.raises(ValueError, match="5"):
+        calibrate_g2(DEMO_CURVE, quotes[:3])
