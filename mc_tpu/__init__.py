@@ -74,8 +74,9 @@ def __getattr__(name):
         from mc_tpu.models import swaption
         return getattr(swaption, name)
     if name in ("price_hw_swaption", "price_bermudan_hw_swaption",
-                "price_hw_swaption_qmc", "hw_swap_exposure",
-                "DiscountCurve", "HullWhiteDynamics"):
+                "bermudan_hw_swaption_bounds", "price_hw_swaption_qmc",
+                "hw_swap_exposure", "DiscountCurve",
+                "HullWhiteDynamics"):
         from mc_tpu.models import hullwhite
         return getattr(hullwhite, name)
     if name in ("price_g2_swaption", "price_bermudan_g2_swaption",

@@ -1187,6 +1187,14 @@ def cmd_hullwhite(args):
         out["bermudan_price"] = float(ber.price)
         out["bermudan_stderr"] = float(ber.stderr)
         out["early_exercise_premium"] = float(ber.price) - float(res.price)
+    if args.bounds:
+        from mc_tpu.models.hullwhite import bermudan_hw_swaption_bounds
+        lo, up = bermudan_hw_swaption_bounds(spec, dyn, curve, sim,
+                                             degree=args.degree,
+                                             seed=args.seed)
+        out["lower"] = float(lo.price)
+        out["upper"] = float(up.price)
+        out["duality_gap"] = float(up.price) - float(lo.price)
     if args.exposure:
         import numpy as np
         e = hw_swap_exposure(spec, dyn, curve, sim, seed=args.seed)
@@ -1752,6 +1760,9 @@ def main(argv=None):
     p.add_argument("--bermudan", action="store_true",
                    help="co-terminal Bermudan LSMC on the curve "
                         "(x-state basis; 1-payment bitwise == European)")
+    p.add_argument("--bounds", action="store_true",
+                   help="Andersen-Broadie [lower, upper] bracket on "
+                        "the curve Bermudan (lower bitwise == LSMC)")
     p.add_argument("--degree", type=int, default=3)
     p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--a", type=float, default=0.3)

@@ -43,8 +43,9 @@ from mc_tpu.models.swaption import (DEMO_SWAPTION, SwaptionSpec,
 from mc_tpu.oracle import PriceResult, summarize
 
 __all__ = ["DiscountCurve", "HullWhiteDynamics", "price_hw_swaption",
-           "price_bermudan_hw_swaption", "price_hw_swaption_qmc",
-           "hw_swap_exposure", "DEMO_CURVE", "DEMO_HW"]
+           "price_bermudan_hw_swaption", "bermudan_hw_swaption_bounds",
+           "price_hw_swaption_qmc", "hw_swap_exposure", "DEMO_CURVE",
+           "DEMO_HW"]
 
 
 class DiscountCurve:
@@ -283,23 +284,16 @@ def _hw_basis(x, scale, degree: int):
     return jnp.stack(cols, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "n_paths",
-                                             "degree"))
-def _hw_bermudan_impl(spec, a, sigma_r, n_paths, degree, key, p0_f, c_f,
-                      consts):
+def _fit_hw_bermudan(spec, x_grid, y_grid, degree, scale, p0_f, c_f,
+                     consts):
     """Backward Longstaff-Schwartz on the coupon grid under curve-fitted
-    Hull-White.  Regression in DATE-i FORWARD terms (cashflow divided by
-    the path's own discount-to-0) against an x-only basis — the same
+    Hull-White: realized discounted-to-0 cashflows AND the per-date
+    betas.  Regression in DATE-i FORWARD terms (cashflow divided by the
+    path's own discount-to-0) against an x-only basis — the same
     convention as the Vasicek Bermudan (`swaption._fit_bermudan`), so
-    the fitted policy is a function of the Markov state alone.
-    n_payments = 1 is BITWISE the European (same key, same arithmetic
-    order, no regression)."""
+    the fitted policy is a function of the Markov state alone."""
     p0, bmat, corr = consts
     n_ex = spec.n_payments
-    x_grid, y_grid = _simulate_rate_grid(
-        spec, a, jnp.float32(0.0), sigma_r, jnp.float32(0.0), n_paths,
-        n_ex, key)
-    scale = sigma_r / jnp.sqrt(2.0 * a)  # stationary OU std
 
     def disc(i):
         return p0_f[i] * jnp.exp(-y_grid[i] - c_f[i])
@@ -307,6 +301,7 @@ def _hw_bermudan_impl(spec, a, sigma_r, n_paths, degree, key, p0_f, c_f,
     cf = (_hw_intrinsic(spec, n_ex - 1, x_grid[n_ex - 1], p0, bmat,
                         corr) * p0_f[n_ex - 1]
           * jnp.exp(-y_grid[n_ex - 1] - c_f[n_ex - 1]))
+    betas = [None] * max(n_ex - 1, 0)
     for i in range(n_ex - 2, -1, -1):
         ex = _hw_intrinsic(spec, i, x_grid[i], p0, bmat, corr)
         itm = ex > 0.0
@@ -316,12 +311,152 @@ def _hw_bermudan_impl(spec, a, sigma_r, n_paths, degree, key, p0_f, c_f,
                                                dtype=xb.dtype)
         xty = (xb * w).T @ (cf / disc(i))
         beta = jax.lax.stop_gradient(jnp.linalg.solve(xtx, xty))
+        betas[i] = beta
         cont = xb @ beta
         take = jnp.logical_and(itm, ex > cont)
         cf = jnp.where(take,
                        ex * p0_f[i] * jnp.exp(-y_grid[i] - c_f[i]), cf)
+    return cf, betas
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_paths",
+                                             "degree"))
+def _hw_bermudan_impl(spec, a, sigma_r, n_paths, degree, key, p0_f, c_f,
+                      consts):
+    """n_payments = 1 is BITWISE the European (same key, same
+    arithmetic order, no regression)."""
+    n_ex = spec.n_payments
+    x_grid, y_grid = _simulate_rate_grid(
+        spec, a, jnp.float32(0.0), sigma_r, jnp.float32(0.0), n_paths,
+        n_ex, key)
+    scale = sigma_r / jnp.sqrt(2.0 * a)  # stationary OU std
+    cf, _ = _fit_hw_bermudan(spec, x_grid, y_grid, degree, scale, p0_f,
+                             c_f, consts)
     n = jnp.float32(n_paths)
     return summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
+
+
+def _hw_policy_machinery(spec, a, sigma_r, degree, betas, key, scale,
+                         p0_f, c_f, consts):
+    """(step_tenor, draws, policy_value) for frozen-policy rollouts
+    under curve-fitted Hull-White — the `swaption._policy_machinery`
+    construction with curve intrinsics and curve discounting (value at
+    exercise date u is ex * P(0,t_u) e^{-y - c_u}, y the rollout's own
+    accumulated int x)."""
+    from mc_tpu.models.swaption import _exact_xy_coeffs
+    p0, bmat, corr = consts
+    n_ex = spec.n_payments
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+    e1, big_b, l11, l21, l22 = _exact_xy_coeffs(
+        a, sigma_r, jnp.float32(spec.tenor))
+
+    def step_tenor(x, y, z0, z1):
+        y = y + x * big_b + (l21 * z0 + l22 * z1)
+        return x * e1 + l11 * z0, y
+
+    def draws(ids, tag, u):
+        c1 = (jnp.full(ids.shape, 0, jnp.uint32)
+              + jnp.uint32(tag) * jnp.uint32(64) + jnp.uint32(u))
+        return rng.normal_pair(k0, k1, ids, c1)
+
+    def policy_value(i, x, y, ids, tag):
+        val = jnp.zeros_like(x)
+        done = jnp.zeros(x.shape, bool)
+        for u in range(i, n_ex):
+            ex = _hw_intrinsic(spec, u, x, p0, bmat, corr)
+            if u < n_ex - 1:
+                cont = _hw_basis(x, scale, degree) @ betas[u]
+                take = jnp.logical_and(ex > 0.0, ex > cont)
+            else:
+                take = ex > 0.0
+            take = jnp.logical_and(take, jnp.logical_not(done))
+            val = jnp.where(take,
+                            ex * p0_f[u] * jnp.exp(-y - c_f[u]), val)
+            done = jnp.logical_or(done, take)
+            if u < n_ex - 1:
+                z0, z1 = draws(ids, tag, u)
+                x, y = step_tenor(x, y, z0, z1)
+        return val
+
+    return step_tenor, draws, policy_value
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "n_paths", "degree",
+                                    "n_branch"))
+def _hw_bounds_impl(spec, a, sigma_r, n_paths, degree, n_branch, key,
+                    key_dual, p0_f, c_f, consts):
+    from mc_tpu.models.swaption import _ab_bracket
+    n_ex = spec.n_payments
+    x_grid, y_grid = _simulate_rate_grid(
+        spec, a, jnp.float32(0.0), sigma_r, jnp.float32(0.0), n_paths,
+        n_ex, key)
+    scale = sigma_r / jnp.sqrt(2.0 * a)
+    cf, betas = _fit_hw_bermudan(spec, x_grid, y_grid, degree, scale,
+                                 p0_f, c_f, consts)
+    n = jnp.float32(n_paths)
+    lower = summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
+
+    step_tenor, draws, policy_value = _hw_policy_machinery(
+        spec, a, sigma_r, degree, betas, key_dual, scale, p0_f, c_f,
+        consts)
+    p0, bmat, corr = consts
+
+    def z_at(i):
+        return (_hw_intrinsic(spec, i, x_grid[i], p0, bmat, corr)
+                * p0_f[i] * jnp.exp(-y_grid[i] - c_f[i]))
+
+    def v_at(i, ids_b):
+        return policy_value(
+            i, jnp.broadcast_to(x_grid[i], ids_b.shape),
+            jnp.broadcast_to(y_grid[i], ids_b.shape), ids_b, tag=3 * i)
+
+    def cond_at(i, ids_b):
+        zb0, zb1 = draws(ids_b, 3 * i + 1, 63)
+        xb, yb = step_tenor(
+            jnp.broadcast_to(x_grid[i - 1], ids_b.shape),
+            jnp.broadcast_to(y_grid[i - 1], ids_b.shape), zb0, zb1)
+        return policy_value(i, xb, yb, ids_b, tag=3 * i + 2)
+
+    upper = _ab_bracket(n_ex, n_paths, n_branch, z_at, v_at, cond_at)
+    return lower, upper
+
+
+def bermudan_hw_swaption_bounds(spec: SwaptionSpec = DEMO_SWAPTION,
+                                dyn: HullWhiteDynamics = DEMO_HW,
+                                curve: DiscountCurve = DEMO_CURVE,
+                                sim: SimParams = SimParams(
+                                    n_paths=4096, n_steps=1),
+                                *,
+                                degree: int = 3,
+                                n_branch: int = 32,
+                                seed: Optional[int] = None,
+                                stream: int = STREAM_OUTER):
+    """(lower, upper) bracketing the curve Bermudan: LSMC lower bound
+    plus the Andersen-Broadie dual of the SAME fitted policy (the
+    shared `_ab_bracket` running max; both value legs branch-averaged).
+    Lower is BITWISE `price_bermudan_hw_swaption` at the same sim."""
+    spec = spec.validate()
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    if n_branch < 2:
+        raise ValueError(f"n_branch must be >= 2, got {n_branch}")
+    if sim.n_paths > (1 << 22):
+        raise ValueError(
+            "bermudan_hw_swaption_bounds shards branch streams by "
+            f"id + branch * 2^22: n_paths must be <= 2^22, got "
+            f"{sim.n_paths}")
+    p0, c, bmat, corr = _hw_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x4877), jnp.uint32)
+    kd = jnp.asarray(rng.derive_key(seed, stream, 0x4879), jnp.uint32)
+    return _hw_bounds_impl(spec, jnp.float32(dyn.a),
+                           jnp.float32(dyn.sigma_r), sim.n_paths,
+                           degree, n_branch, key, kd,
+                           jnp.asarray(p0, jnp.float32),
+                           jnp.asarray(c, jnp.float32),
+                           (p0, bmat, corr))
 
 
 def price_bermudan_hw_swaption(spec: SwaptionSpec = DEMO_SWAPTION,

@@ -447,6 +447,40 @@ def swap_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
                                   t_horizon=jnp.float32(horizon))
 
 
+def _ab_bracket(n_ex: int, n_paths: int, n_branch: int, z_at, v_at,
+                cond_at):
+    """Generic Andersen-Broadie running max over an exercise-date grid.
+
+    ``z_at(i)`` -> (n_paths,) discounted intrinsic on the outer grid at
+    date i; ``v_at(i, ids_b)`` -> (n_branch, n_paths) policy values
+    rolled from the REALIZED date-i states; ``cond_at(i, ids_b)`` ->
+    (n_branch, n_paths) values from one-step branches off date i-1.
+    Both legs are branch-averaged (a single rollout injects a random
+    walk into M whose running max blows the bound).  Returns the upper
+    bound as a PriceResult.  Shared by the Vasicek/Hull-White/G2++
+    swaption duals — the model supplies only the three closures."""
+    ids = jnp.arange(n_paths, dtype=jnp.uint32)
+    ids_b = (ids[None, :]
+             + (jnp.arange(n_branch, dtype=jnp.uint32)[:, None]
+                + jnp.uint32(1)) * jnp.uint32(1 << 22))
+    m_t = jnp.zeros((n_paths,), jnp.float32)
+    gap = jnp.full((n_paths,), -jnp.inf, jnp.float32)
+    for i in range(n_ex):
+        z_i = z_at(i)
+        if i > 0:
+            v_i = jnp.mean(v_at(i, ids_b), axis=0)
+            cond = jnp.mean(cond_at(i, ids_b), axis=0)
+            m_t = m_t + v_i - cond
+        gap = jnp.maximum(gap, z_i - m_t)
+    upper_gap = jnp.maximum(gap, 0.0)
+    n = jnp.float32(n_paths)
+    u_mean = jnp.sum(upper_gap) / n
+    u_se = jnp.sqrt(jnp.maximum(
+        jnp.sum(upper_gap * upper_gap) / n - u_mean * u_mean, 0.0) / n)
+    return PriceResult(price=u_mean, stderr=u_se, n_paths=n,
+                       payoff_mean=u_mean, payoff_var=u_se * u_se * n)
+
+
 def _policy_machinery(spec, a, b, sigma_r, degree, betas, key):
     """(step_tenor, draws, policy_value) for frozen-policy rollouts.
 
@@ -855,44 +889,25 @@ def _bermudan_bounds_impl(spec, a, b, sigma_r, r0, n_paths, degree,
     step_tenor, draws, policy_value = _policy_machinery(
         spec, a, b, sigma_r, degree, betas, key_dual)
 
-    ids = jnp.arange(n_paths, dtype=jnp.uint32)
-    # each branch row gets its own ids offset so every stream is
-    # distinct; tag separation keeps the V- and E-legs independent
-    ids_b = (ids[None, :]
-             + (jnp.arange(n_branch, dtype=jnp.uint32)[:, None]
-                + jnp.uint32(1)) * jnp.uint32(1 << 22))
-    m_t = jnp.zeros((n_paths,), jnp.float32)
-    gap = jnp.full((n_paths,), -jnp.inf, jnp.float32)
-    for i in range(n_ex):
-        z_i = (_swap_intrinsic(spec, a, b, sigma_r, r_grid[i], i)
-               * jnp.exp(-y_grid[i]))
-        if i > 0:
-            # V(X_i): n_branch fresh rollouts from the realized state
-            # (a SINGLE rollout would inject a random walk into M whose
-            # running max inflates the bound far past the value — same
-            # construction as lsmc.american_bounds_family's l_here)
-            v_i = jnp.mean(policy_value(
-                i, jnp.broadcast_to(r_grid[i], ids_b.shape),
-                jnp.broadcast_to(y_grid[i], ids_b.shape), ids_b,
-                tag=3 * i), axis=0)
-            # E[V(X_i) | X_{i-1}]: n_branch one-step branches as ONE
-            # batched (n_branch, n_paths) rollout
-            zb0, zb1 = draws(ids_b, 3 * i + 1, 63)
-            rb, yb = step_tenor(
-                jnp.broadcast_to(r_grid[i - 1], ids_b.shape),
-                jnp.broadcast_to(y_grid[i - 1], ids_b.shape), zb0, zb1)
-            cond = jnp.mean(policy_value(i, rb, yb, ids_b,
-                                         tag=3 * i + 2), axis=0)
-            m_t = m_t + v_i - cond
-        gap = jnp.maximum(gap, z_i - m_t)
-    # upper = E[max_i(Z_i - M_i)]: i=0 gives Z_0 >= 0, so the max is
-    # already nonnegative; the clamp only guards fp
-    upper_gap = jnp.maximum(gap, 0.0)
-    u_mean = jnp.sum(upper_gap) / n
-    u_se = jnp.sqrt(jnp.maximum(
-        jnp.sum(upper_gap * upper_gap) / n - u_mean * u_mean, 0.0) / n)
-    upper = PriceResult(price=u_mean, stderr=u_se, n_paths=n,
-                        payoff_mean=u_mean, payoff_var=u_se * u_se * n)
+    def z_at(i):
+        return (_swap_intrinsic(spec, a, b, sigma_r, r_grid[i], i)
+                * jnp.exp(-y_grid[i]))
+
+    def v_at(i, ids_b):
+        # V(X_i): fresh rollouts from the realized state
+        return policy_value(
+            i, jnp.broadcast_to(r_grid[i], ids_b.shape),
+            jnp.broadcast_to(y_grid[i], ids_b.shape), ids_b, tag=3 * i)
+
+    def cond_at(i, ids_b):
+        # E[V(X_i) | X_{i-1}]: one-step branches off date i-1
+        zb0, zb1 = draws(ids_b, 3 * i + 1, 63)
+        rb, yb = step_tenor(
+            jnp.broadcast_to(r_grid[i - 1], ids_b.shape),
+            jnp.broadcast_to(y_grid[i - 1], ids_b.shape), zb0, zb1)
+        return policy_value(i, rb, yb, ids_b, tag=3 * i + 2)
+
+    upper = _ab_bracket(n_ex, n_paths, n_branch, z_at, v_at, cond_at)
     return lower, upper
 
 

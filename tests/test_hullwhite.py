@@ -199,3 +199,26 @@ def test_qmc_hw_swaption_oracle_and_variance_reduction():
     assert float(q.stderr) < float(m.stderr) / 20.0
     with pytest.raises(ValueError, match="n_shifts"):
         price_hw_swaption_qmc(n_shifts=1)
+
+
+def test_bermudan_bounds_bracket_on_the_curve():
+    """AB bracket of the curve Bermudan: lower BITWISE == the LSMC
+    pricer (shared stream + fit), upper above it with a small gap, and
+    the 1-payment case collapses bitwise to the European."""
+    from mc_tpu.models.hullwhite import (bermudan_hw_swaption_bounds,
+                                         price_bermudan_hw_swaption)
+    sim = SimParams(n_paths=1 << 13, n_steps=1)
+    lo, up = bermudan_hw_swaption_bounds(SPEC, DEMO_HW, DEMO_CURVE, sim,
+                                         n_branch=16)
+    ber = price_bermudan_hw_swaption(SPEC, DEMO_HW, DEMO_CURVE, sim)
+    assert float(lo.price) == float(ber.price)
+    assert float(up.price) >= float(lo.price)
+    assert float(up.price) - float(lo.price) < 0.10 * float(lo.price)
+    assert float(up.price) + 3 * float(up.stderr) >= _ref(SPEC)
+    spec1 = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=1,
+                         k_rate=0.04)
+    l1, u1 = bermudan_hw_swaption_bounds(spec1, DEMO_HW, DEMO_CURVE,
+                                         sim, n_branch=2)
+    eur = price_hw_swaption(spec1, DEMO_HW, DEMO_CURVE, sim)
+    assert float(l1.price) == float(eur.price)
+    assert float(u1.price) == float(eur.price)
