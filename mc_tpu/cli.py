@@ -1238,6 +1238,13 @@ def cmd_g2pp(args):
         out["bermudan_price"] = float(ber.price)
         out["bermudan_stderr"] = float(ber.stderr)
         out["early_exercise_premium"] = float(ber.price) - float(res.price)
+    if args.bounds:
+        from mc_tpu.models.g2pp import bermudan_g2_swaption_bounds
+        lo, up = bermudan_g2_swaption_bounds(spec, dyn, curve, sim,
+                                             seed=args.seed)
+        out["lower"] = float(lo.price)
+        out["upper"] = float(up.price)
+        out["duality_gap"] = float(up.price) - float(lo.price)
     if args.exposure:
         import numpy as np
         e = g2_swap_exposure(spec, dyn, curve, sim, seed=args.seed)
@@ -1785,6 +1792,9 @@ def main(argv=None):
     p.add_argument("--exposure", action="store_true")
     p.add_argument("--bermudan", action="store_true",
                    help="co-terminal Bermudan LSMC on the (x, y) state")
+    p.add_argument("--bounds", action="store_true",
+                   help="Andersen-Broadie bracket on the two-factor "
+                        "Bermudan (lower bitwise == LSMC)")
     p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--a", type=float, default=0.5)
     p.add_argument("--sigma-x", type=float, default=0.01,

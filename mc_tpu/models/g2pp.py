@@ -40,7 +40,8 @@ from mc_tpu.models.swaption import DEMO_SWAPTION, SwaptionSpec
 from mc_tpu.oracle import PriceResult, summarize
 
 __all__ = ["G2Dynamics", "price_g2_swaption",
-           "price_bermudan_g2_swaption", "g2_swap_exposure", "DEMO_G2"]
+           "price_bermudan_g2_swaption", "bermudan_g2_swaption_bounds",
+           "g2_swap_exposure", "DEMO_G2"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,16 +211,13 @@ def _g2_basis(x, y, sx, sy, degree: int):
     return jnp.stack(cols, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "dyn", "n_paths",
-                                             "degree"))
-def _g2_bermudan_impl(spec, dyn, n_paths, degree, key, consts):
-    """Backward LSMC on the coupon grid under two-factor rates: the
+def _fit_g2_bermudan(spec, dyn, grid, degree, consts):
+    """Backward LSMC on the coupon grid under two-factor rates:
+    realized discounted-to-0 cashflows AND per-date betas — the
     continuation regression runs on the (x, y) state (cross-augmented
-    basis), date-i forward-value convention.  n_payments = 1 is BITWISE
-    the European pricer."""
+    basis), date-i forward-value convention."""
     p0, vhalf, amat, bamat, bbmat = consts
     n_ex = spec.n_payments
-    grid = _simulate_g2_grid(spec, dyn, n_paths, n_ex, key)
     sx = dyn.sigma / math.sqrt(2.0 * dyn.a)    # stationary stds
     sy = dyn.eta / math.sqrt(2.0 * dyn.b_mr)
 
@@ -234,6 +232,7 @@ def _g2_bermudan_impl(spec, dyn, n_paths, degree, key, consts):
 
     cf = ex_at(n_ex - 1) * jnp.float32(p0[n_ex - 1]) * jnp.exp(
         -grid[n_ex - 1][2] - jnp.float32(vhalf[n_ex - 1]))
+    betas = [None] * max(n_ex - 1, 0)
     for i in range(n_ex - 2, -1, -1):
         x, y, _ = grid[i]
         ex = ex_at(i)
@@ -244,14 +243,154 @@ def _g2_bermudan_impl(spec, dyn, n_paths, degree, key, consts):
                                                dtype=xb.dtype)
         xty = (xb * w).T @ (cf / disc(i))
         beta = jax.lax.stop_gradient(jnp.linalg.solve(xtx, xty))
+        betas[i] = beta
         cont = xb @ beta
         take = jnp.logical_and(itm, ex > cont)
         cf = jnp.where(take,
                        ex * jnp.float32(p0[i])
                        * jnp.exp(-grid[i][2] - jnp.float32(vhalf[i])),
                        cf)
+    return cf, betas
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "dyn", "n_paths",
+                                             "degree"))
+def _g2_bermudan_impl(spec, dyn, n_paths, degree, key, consts):
+    """n_payments = 1 is BITWISE the European pricer."""
+    grid = _simulate_g2_grid(spec, dyn, n_paths, spec.n_payments, key)
+    cf, _ = _fit_g2_bermudan(spec, dyn, grid, degree, consts)
     n = jnp.float32(n_paths)
     return summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
+
+
+def _g2_policy_machinery(spec, dyn, degree, betas, key, consts):
+    """(step_tenor, draws, policy_value) for frozen-policy rollouts
+    under G2++: the `_policy_machinery` construction with the 3-draw
+    (x, y, int) exact tenor step and curve discounting."""
+    p0, vhalf, amat, bamat, bbmat = consts
+    n_ex = spec.n_payments
+    sx = dyn.sigma / math.sqrt(2.0 * dyn.a)
+    sy = dyn.eta / math.sqrt(2.0 * dyn.b_mr)
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+    e1, e2, ba, bb, ch = _step_chol(dyn, spec.tenor)
+
+    def draws(ids, tag, u):
+        base = (jnp.uint32(tag) * jnp.uint32(64)
+                + jnp.uint32(u)) * jnp.uint32(2)
+        c1 = jnp.full(ids.shape, 0, jnp.uint32) + base
+        w0, w1 = rng.normal_pair(k0, k1, ids, c1)
+        bits, _ = rng.threefry2x32(k0, k1, ids, c1 + jnp.uint32(1),
+                                   rounds=rng.DEFAULT_ROUNDS)
+        w2 = rng.inv_normal_cdf(rng.bits_to_unit(bits))
+        return w0, w1, w2
+
+    def step_tenor(x, y, z, w0, w1, w2):
+        ex_ = jnp.float32(ch[0, 0]) * w0
+        ey = jnp.float32(ch[1, 0]) * w0 + jnp.float32(ch[1, 1]) * w1
+        ez = (jnp.float32(ch[2, 0]) * w0 + jnp.float32(ch[2, 1]) * w1
+              + jnp.float32(ch[2, 2]) * w2)
+        z = z + x * jnp.float32(ba) + y * jnp.float32(bb) + ez
+        return x * jnp.float32(e1) + ex_, y * jnp.float32(e2) + ey, z
+
+    def policy_value(i, x, y, z, ids, tag):
+        val = jnp.zeros_like(x)
+        done = jnp.zeros(x.shape, bool)
+        for u in range(i, n_ex):
+            ex = jnp.maximum(_g2_mtm(spec, u, x, y, p0, amat, bamat,
+                                     bbmat), 0.0)
+            if u < n_ex - 1:
+                cont = _g2_basis(x, y, jnp.float32(sx),
+                                 jnp.float32(sy), degree) @ betas[u]
+                take = jnp.logical_and(ex > 0.0, ex > cont)
+            else:
+                take = ex > 0.0
+            take = jnp.logical_and(take, jnp.logical_not(done))
+            val = jnp.where(take,
+                            ex * jnp.float32(p0[u])
+                            * jnp.exp(-z - jnp.float32(vhalf[u])), val)
+            done = jnp.logical_or(done, take)
+            if u < n_ex - 1:
+                w0, w1, w2 = draws(ids, tag, u)
+                x, y, z = step_tenor(x, y, z, w0, w1, w2)
+        return val
+
+    return step_tenor, draws, policy_value
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "dyn", "n_paths", "degree",
+                                    "n_branch"))
+def _g2_bounds_impl(spec, dyn, n_paths, degree, n_branch, key, key_dual,
+                    consts):
+    from mc_tpu.models.swaption import _ab_bracket
+    p0, vhalf, amat, bamat, bbmat = consts
+    n_ex = spec.n_payments
+    grid = _simulate_g2_grid(spec, dyn, n_paths, n_ex, key)
+    cf, betas = _fit_g2_bermudan(spec, dyn, grid, degree, consts)
+    n = jnp.float32(n_paths)
+    lower = summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
+
+    step_tenor, draws, policy_value = _g2_policy_machinery(
+        spec, dyn, degree, betas, key_dual, consts)
+
+    def bcast(i, ids_b):
+        x, y, z = grid[i]
+        return (jnp.broadcast_to(x, ids_b.shape),
+                jnp.broadcast_to(y, ids_b.shape),
+                jnp.broadcast_to(z, ids_b.shape))
+
+    def z_at(i):
+        x, y, z = grid[i]
+        return (jnp.maximum(_g2_mtm(spec, i, x, y, p0, amat, bamat,
+                                    bbmat), 0.0)
+                * jnp.float32(p0[i])
+                * jnp.exp(-z - jnp.float32(vhalf[i])))
+
+    def v_at(i, ids_b):
+        x, y, z = bcast(i, ids_b)
+        return policy_value(i, x, y, z, ids_b, tag=3 * i)
+
+    def cond_at(i, ids_b):
+        x, y, z = bcast(i - 1, ids_b)
+        w0, w1, w2 = draws(ids_b, 3 * i + 1, 63)
+        x, y, z = step_tenor(x, y, z, w0, w1, w2)
+        return policy_value(i, x, y, z, ids_b, tag=3 * i + 2)
+
+    upper = _ab_bracket(n_ex, n_paths, n_branch, z_at, v_at, cond_at)
+    return lower, upper
+
+
+def bermudan_g2_swaption_bounds(spec: SwaptionSpec = DEMO_SWAPTION,
+                                dyn: G2Dynamics = DEMO_G2,
+                                curve: DiscountCurve = DEMO_CURVE,
+                                sim: SimParams = SimParams(
+                                    n_paths=4096, n_steps=1),
+                                *,
+                                degree: int = 3,
+                                n_branch: int = 32,
+                                seed: Optional[int] = None,
+                                stream: int = STREAM_OUTER):
+    """(lower, upper) bracketing the two-factor curve Bermudan —
+    Andersen-Broadie on the SAME fitted (x, y) policy via the shared
+    `_ab_bracket` running max.  Lower is BITWISE
+    `price_bermudan_g2_swaption` at the same sim."""
+    spec = spec.validate()
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    if n_branch < 2:
+        raise ValueError(f"n_branch must be >= 2, got {n_branch}")
+    if sim.n_paths > (1 << 22):
+        raise ValueError(
+            "bermudan_g2_swaption_bounds shards branch streams by "
+            f"id + branch * 2^22: n_paths must be <= 2^22, got "
+            f"{sim.n_paths}")
+    consts = _g2_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x6270), jnp.uint32)
+    kd = jnp.asarray(rng.derive_key(seed, stream, 0x6272), jnp.uint32)
+    return _g2_bounds_impl(spec, dyn, sim.n_paths, degree, n_branch,
+                           key, kd, consts)
 
 
 def price_bermudan_g2_swaption(spec: SwaptionSpec = DEMO_SWAPTION,

@@ -176,3 +176,25 @@ def test_calibrate_g2_reprices_in_and_out_of_sample():
     assert oos_fit == pytest.approx(oos_true, abs=2e-5)
     with pytest.raises(ValueError, match="5"):
         calibrate_g2(DEMO_CURVE, quotes[:3])
+
+
+def test_bermudan_bounds_bracket_two_factor():
+    """AB bracket of the two-factor curve Bermudan via the shared
+    running max: lower BITWISE == the LSMC pricer, tight gap, and the
+    1-payment bracket collapses bitwise to the European."""
+    from mc_tpu.models.g2pp import (bermudan_g2_swaption_bounds,
+                                    price_bermudan_g2_swaption)
+    sim = SimParams(n_paths=1 << 13, n_steps=1)
+    lo, up = bermudan_g2_swaption_bounds(SPEC, DEMO_G2, DEMO_CURVE, sim,
+                                         n_branch=16)
+    ber = price_bermudan_g2_swaption(SPEC, DEMO_G2, DEMO_CURVE, sim)
+    assert float(lo.price) == float(ber.price)
+    assert float(up.price) >= float(lo.price)
+    assert float(up.price) - float(lo.price) < 0.10 * float(lo.price)
+    spec1 = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=1,
+                         k_rate=0.04)
+    l1, u1 = bermudan_g2_swaption_bounds(spec1, DEMO_G2, DEMO_CURVE,
+                                         sim, n_branch=2)
+    eur = price_g2_swaption(spec1, DEMO_G2, DEMO_CURVE, sim)
+    assert float(l1.price) == float(eur.price)
+    assert float(u1.price) == float(eur.price)
