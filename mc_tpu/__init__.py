@@ -74,7 +74,8 @@ def __getattr__(name):
         from mc_tpu.models import swaption
         return getattr(swaption, name)
     if name in ("price_hw_swaption", "price_bermudan_hw_swaption",
-                "bermudan_hw_swaption_bounds", "price_hw_swaption_qmc",
+                "bermudan_hw_swaption_bounds",
+                "bermudan_hw_swaption_exposure", "price_hw_swaption_qmc",
                 "hw_swap_exposure", "DiscountCurve",
                 "HullWhiteDynamics"):
         from mc_tpu.models import hullwhite

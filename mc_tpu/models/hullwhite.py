@@ -44,8 +44,8 @@ from mc_tpu.oracle import PriceResult, summarize
 
 __all__ = ["DiscountCurve", "HullWhiteDynamics", "price_hw_swaption",
            "price_bermudan_hw_swaption", "bermudan_hw_swaption_bounds",
-           "price_hw_swaption_qmc", "hw_swap_exposure", "DEMO_CURVE",
-           "DEMO_HW"]
+           "bermudan_hw_swaption_exposure", "price_hw_swaption_qmc",
+           "hw_swap_exposure", "DEMO_CURVE", "DEMO_HW"]
 
 
 class DiscountCurve:
@@ -457,6 +457,90 @@ def bermudan_hw_swaption_bounds(spec: SwaptionSpec = DEMO_SWAPTION,
                            jnp.asarray(p0, jnp.float32),
                            jnp.asarray(c, jnp.float32),
                            (p0, bmat, corr))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "n_paths", "n_inner",
+                                    "n_fit", "degree"))
+def _hw_bermudan_exposure_impl(spec, a, sigma_r, n_paths, n_inner,
+                               n_fit, degree, key_fit, key_outer,
+                               key_inner, p0_f, c_f, consts):
+    n_ex = spec.n_payments
+    scale = sigma_r / jnp.sqrt(2.0 * a)
+    xf, yf = _simulate_rate_grid(spec, a, jnp.float32(0.0), sigma_r,
+                                 jnp.float32(0.0), n_fit, n_ex, key_fit)
+    _, betas = _fit_hw_bermudan(spec, xf, yf, degree, scale, p0_f, c_f,
+                                consts)
+    x_grid, y_grid = _simulate_rate_grid(
+        spec, a, jnp.float32(0.0), sigma_r, jnp.float32(0.0), n_paths,
+        n_ex, key_outer)
+    _, _, policy_value = _hw_policy_machinery(
+        spec, a, sigma_r, degree, betas, key_inner, scale, p0_f, c_f,
+        consts)
+    p0, bmat, corr = consts
+    ids = jnp.arange(n_paths, dtype=jnp.uint32)
+    ids_b = (ids[None, :]
+             + (jnp.arange(n_inner, dtype=jnp.uint32)[:, None]
+                + jnp.uint32(1)) * jnp.uint32(1 << 22))
+    alive = jnp.ones((n_paths,), bool)
+    vals = []
+    for i in range(n_ex):
+        ex = _hw_intrinsic(spec, i, x_grid[i], p0, bmat, corr)
+        if i < n_ex - 1:
+            cont = _hw_basis(x_grid[i], scale, degree) @ betas[i]
+            take = jnp.logical_and(ex > 0.0, ex > cont)
+        else:
+            take = ex > 0.0
+        v_i = jnp.mean(policy_value(
+            i, jnp.broadcast_to(x_grid[i], ids_b.shape),
+            jnp.broadcast_to(y_grid[i], ids_b.shape), ids_b, tag=i),
+            axis=0)
+        vals.append(jnp.where(alive, v_i, 0.0))
+        alive = jnp.logical_and(alive, jnp.logical_not(take))
+    return jnp.stack(vals, axis=1)
+
+
+def bermudan_hw_swaption_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
+                                  dyn: HullWhiteDynamics = DEMO_HW,
+                                  curve: DiscountCurve = DEMO_CURVE,
+                                  sim: SimParams = SimParams(
+                                      n_paths=4096, n_steps=1,
+                                      n_paths_inner=16),
+                                  *,
+                                  degree: int = 3,
+                                  n_fit: int = 16384,
+                                  seed: Optional[int] = None,
+                                  stream: int = STREAM_OUTER):
+    """Exposure of a long Bermudan swaption ON THE MARKET CURVE: MtM at
+    every coupon date by frozen-policy rollouts (the shared machinery
+    of the AB dual), exercise ABSORBS — so the EE profile telescopes,
+    nonincreasing with EE(t_0) at the Bermudan (policy) price.
+    Returns a `CollateralizedExposure` (full XVA metric set)."""
+    spec = spec.validate()
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    if sim.n_paths > (1 << 22):
+        raise ValueError(
+            "bermudan_hw_swaption_exposure shards rollout streams by "
+            f"id + branch * 2^22: n_paths must be <= 2^22, got "
+            f"{sim.n_paths}")
+    p0, c, bmat, corr = _hw_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    key_fit = jnp.asarray(rng.derive_key(seed, stream, 0x4877),
+                          jnp.uint32)
+    key_outer = jnp.asarray(rng.derive_key(seed, stream, 0x487A),
+                            jnp.uint32)
+    key_inner = jnp.asarray(rng.derive_key(seed, stream, 0x487B),
+                            jnp.uint32)
+    values = _hw_bermudan_exposure_impl(
+        spec, jnp.float32(dyn.a), jnp.float32(dyn.sigma_r), sim.n_paths,
+        sim.n_paths_inner, n_fit, degree, key_fit, key_outer, key_inner,
+        jnp.asarray(p0, jnp.float32), jnp.asarray(c, jnp.float32),
+        (p0, bmat, corr))
+    from mc_tpu.xva import CollateralizedExposure
+    horizon = spec.expiry + (spec.n_payments - 1) * spec.tenor
+    return CollateralizedExposure(values=values,
+                                  t_horizon=jnp.float32(horizon))
 
 
 def price_bermudan_hw_swaption(spec: SwaptionSpec = DEMO_SWAPTION,

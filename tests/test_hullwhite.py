@@ -222,3 +222,22 @@ def test_bermudan_bounds_bracket_on_the_curve():
     eur = price_hw_swaption(spec1, DEMO_HW, DEMO_CURVE, sim)
     assert float(l1.price) == float(eur.price)
     assert float(u1.price) == float(eur.price)
+
+
+def test_bermudan_exposure_telescopes_on_the_curve():
+    """Exercise absorbs: EE nonincreasing, anchored at the Bermudan
+    (policy) price on the curve; XVA metrics compose."""
+    from mc_tpu.models.hullwhite import (bermudan_hw_swaption_exposure,
+                                         price_bermudan_hw_swaption)
+    e = bermudan_hw_swaption_exposure(
+        SPEC, DEMO_HW, DEMO_CURVE,
+        SimParams(n_paths=4096, n_steps=1, n_paths_inner=16))
+    ee, _ = e.exposure_profile()
+    ee = np.asarray(ee)
+    assert np.all(np.diff(ee) <= 1e-5), ee
+    ber = price_bermudan_hw_swaption(SPEC, DEMO_HW, DEMO_CURVE,
+                                     SimParams(n_paths=1 << 16,
+                                               n_steps=1))
+    assert abs(float(ee[0]) - float(ber.price)) \
+        <= 0.02 * float(ber.price)
+    assert float(e.cva(0.02)) > 0.0
