@@ -81,7 +81,8 @@ def __getattr__(name):
         from mc_tpu.models import hullwhite
         return getattr(hullwhite, name)
     if name in ("price_g2_swaption", "price_bermudan_g2_swaption",
-                "bermudan_g2_swaption_bounds", "g2_swap_exposure",
+                "bermudan_g2_swaption_bounds",
+                "bermudan_g2_swaption_exposure", "g2_swap_exposure",
                 "G2Dynamics"):
         from mc_tpu.models import g2pp
         return getattr(g2pp, name)

@@ -41,7 +41,8 @@ from mc_tpu.oracle import PriceResult, summarize
 
 __all__ = ["G2Dynamics", "price_g2_swaption",
            "price_bermudan_g2_swaption", "bermudan_g2_swaption_bounds",
-           "g2_swap_exposure", "DEMO_G2"]
+           "bermudan_g2_swaption_exposure", "g2_swap_exposure",
+           "DEMO_G2"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -359,6 +360,86 @@ def _g2_bounds_impl(spec, dyn, n_paths, degree, n_branch, key, key_dual,
 
     upper = _ab_bracket(n_ex, n_paths, n_branch, z_at, v_at, cond_at)
     return lower, upper
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "dyn", "n_paths", "n_inner",
+                                    "n_fit", "degree"))
+def _g2_bermudan_exposure_impl(spec, dyn, n_paths, n_inner, n_fit,
+                               degree, key_fit, key_outer, key_inner,
+                               consts):
+    p0, vhalf, amat, bamat, bbmat = consts
+    n_ex = spec.n_payments
+    sx = dyn.sigma / math.sqrt(2.0 * dyn.a)
+    sy = dyn.eta / math.sqrt(2.0 * dyn.b_mr)
+    fit_grid = _simulate_g2_grid(spec, dyn, n_fit, n_ex, key_fit)
+    _, betas = _fit_g2_bermudan(spec, dyn, fit_grid, degree, consts)
+    grid = _simulate_g2_grid(spec, dyn, n_paths, n_ex, key_outer)
+    _, _, policy_value = _g2_policy_machinery(
+        spec, dyn, degree, betas, key_inner, consts)
+    ids = jnp.arange(n_paths, dtype=jnp.uint32)
+    ids_b = (ids[None, :]
+             + (jnp.arange(n_inner, dtype=jnp.uint32)[:, None]
+                + jnp.uint32(1)) * jnp.uint32(1 << 22))
+    alive = jnp.ones((n_paths,), bool)
+    vals = []
+    for i in range(n_ex):
+        x, y, z = grid[i]
+        ex = jnp.maximum(_g2_mtm(spec, i, x, y, p0, amat, bamat, bbmat),
+                         0.0)
+        if i < n_ex - 1:
+            cont = _g2_basis(x, y, jnp.float32(sx), jnp.float32(sy),
+                             degree) @ betas[i]
+            take = jnp.logical_and(ex > 0.0, ex > cont)
+        else:
+            take = ex > 0.0
+        v_i = jnp.mean(policy_value(
+            i, jnp.broadcast_to(x, ids_b.shape),
+            jnp.broadcast_to(y, ids_b.shape),
+            jnp.broadcast_to(z, ids_b.shape), ids_b, tag=i), axis=0)
+        vals.append(jnp.where(alive, v_i, 0.0))
+        alive = jnp.logical_and(alive, jnp.logical_not(take))
+    return jnp.stack(vals, axis=1)
+
+
+def bermudan_g2_swaption_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
+                                  dyn: G2Dynamics = DEMO_G2,
+                                  curve: DiscountCurve = DEMO_CURVE,
+                                  sim: SimParams = SimParams(
+                                      n_paths=4096, n_steps=1,
+                                      n_paths_inner=16),
+                                  *,
+                                  degree: int = 3,
+                                  n_fit: int = 16384,
+                                  seed: Optional[int] = None,
+                                  stream: int = STREAM_OUTER):
+    """Exposure of a long Bermudan swaption under TWO-FACTOR rates:
+    frozen-policy MtM per coupon date, exercise absorbs — the EE
+    profile telescopes to the Bermudan policy price.  Full
+    `CollateralizedExposure` metric set."""
+    spec = spec.validate()
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    if sim.n_paths > (1 << 22):
+        raise ValueError(
+            "bermudan_g2_swaption_exposure shards rollout streams by "
+            f"id + branch * 2^22: n_paths must be <= 2^22, got "
+            f"{sim.n_paths}")
+    consts = _g2_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    key_fit = jnp.asarray(rng.derive_key(seed, stream, 0x6270),
+                          jnp.uint32)
+    key_outer = jnp.asarray(rng.derive_key(seed, stream, 0x6274),
+                            jnp.uint32)
+    key_inner = jnp.asarray(rng.derive_key(seed, stream, 0x6275),
+                            jnp.uint32)
+    values = _g2_bermudan_exposure_impl(
+        spec, dyn, sim.n_paths, sim.n_paths_inner, n_fit, degree,
+        key_fit, key_outer, key_inner, consts)
+    from mc_tpu.xva import CollateralizedExposure
+    horizon = spec.expiry + (spec.n_payments - 1) * spec.tenor
+    return CollateralizedExposure(values=values,
+                                  t_horizon=jnp.float32(horizon))
 
 
 def bermudan_g2_swaption_bounds(spec: SwaptionSpec = DEMO_SWAPTION,

@@ -198,3 +198,20 @@ def test_bermudan_bounds_bracket_two_factor():
     eur = price_g2_swaption(spec1, DEMO_G2, DEMO_CURVE, sim)
     assert float(l1.price) == float(eur.price)
     assert float(u1.price) == float(eur.price)
+
+
+def test_bermudan_exposure_telescopes_two_factor():
+    from mc_tpu.models.g2pp import (bermudan_g2_swaption_exposure,
+                                    price_bermudan_g2_swaption)
+    e = bermudan_g2_swaption_exposure(
+        SPEC, DEMO_G2, DEMO_CURVE,
+        SimParams(n_paths=4096, n_steps=1, n_paths_inner=16))
+    ee, _ = e.exposure_profile()
+    ee = np.asarray(ee)
+    assert np.all(np.diff(ee) <= 1e-5), ee
+    ber = price_bermudan_g2_swaption(SPEC, DEMO_G2, DEMO_CURVE,
+                                     SimParams(n_paths=1 << 16,
+                                               n_steps=1))
+    assert abs(float(ee[0]) - float(ber.price)) \
+        <= 0.02 * float(ber.price)
+    assert float(e.cva(0.02)) > 0.0
