@@ -56,6 +56,18 @@ class G2Dynamics:
     eta: float = 0.008
     rho: float = -0.7
 
+    def validate(self) -> "G2Dynamics":
+        if not (self.a > 0.0 and self.b_mr > 0.0):
+            raise ValueError(
+                f"mean reversions must be > 0, got (a={self.a}, "
+                f"b_mr={self.b_mr})")
+        if self.sigma < 0.0 or self.eta < 0.0:
+            raise ValueError(f"vols must be >= 0, got (sigma="
+                             f"{self.sigma}, eta={self.eta})")
+        if not -1.0 <= self.rho <= 1.0:
+            raise ValueError(f"rho must be in [-1, 1], got {self.rho}")
+        return self
+
 
 DEMO_G2 = G2Dynamics()
 
@@ -102,6 +114,7 @@ def _g2_tables(spec: SwaptionSpec, dyn: G2Dynamics,
                curve: DiscountCurve):
     """p0[i], vhalf[i] = V(t_i)/2, and per-(i, j) bond constants:
     amat[i, j] = (V(t_j - t_i) - V(t_j) + V(t_i))/2, ba/bb loads."""
+    dyn.validate()
     n = spec.n_payments
     dates = [spec.expiry + i * spec.tenor for i in range(n + 1)]
     p0 = np.array([curve.df(t) for t in dates], np.float64)

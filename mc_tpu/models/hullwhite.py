@@ -100,6 +100,15 @@ class HullWhiteDynamics:
     a: float = 0.3
     sigma_r: float = 0.015
 
+    def validate(self) -> "HullWhiteDynamics":
+        if not self.a > 0.0:
+            raise ValueError(f"mean reversion a must be > 0, got "
+                             f"{self.a} (every B(t), variance, and "
+                             "correction divides by it)")
+        if self.sigma_r < 0.0:
+            raise ValueError(f"sigma_r must be >= 0, got {self.sigma_r}")
+        return self
+
 
 DEMO_HW = HullWhiteDynamics()
 
@@ -125,6 +134,7 @@ def _hw_tables(spec: SwaptionSpec, dyn: HullWhiteDynamics,
                   at a SIMULATED x — a measured z ~ -10 swaption bias
                   before the fix.
     """
+    dyn.validate()
     a, sig = float(dyn.a), float(dyn.sigma_r)
     n = spec.n_payments
     dates = [spec.expiry + i * spec.tenor for i in range(n + 1)]

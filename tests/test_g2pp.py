@@ -215,3 +215,13 @@ def test_bermudan_exposure_telescopes_two_factor():
     assert abs(float(ee[0]) - float(ber.price)) \
         <= 0.02 * float(ber.price)
     assert float(e.cva(0.02)) > 0.0
+
+
+def test_dynamics_validation():
+    sim = SimParams(n_paths=128, n_steps=1)
+    with pytest.raises(ValueError, match="mean reversions"):
+        price_g2_swaption(SPEC, G2Dynamics(a=-0.1), DEMO_CURVE, sim)
+    with pytest.raises(ValueError, match="vols"):
+        price_g2_swaption(SPEC, G2Dynamics(eta=-0.1), DEMO_CURVE, sim)
+    with pytest.raises(ValueError, match="rho"):
+        price_g2_swaption(SPEC, G2Dynamics(rho=-1.5), DEMO_CURVE, sim)

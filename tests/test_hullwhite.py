@@ -241,3 +241,12 @@ def test_bermudan_exposure_telescopes_on_the_curve():
     assert abs(float(ee[0]) - float(ber.price)) \
         <= 0.02 * float(ber.price)
     assert float(e.cva(0.02)) > 0.0
+
+
+def test_dynamics_validation():
+    with pytest.raises(ValueError, match="mean reversion"):
+        price_hw_swaption(SPEC, HullWhiteDynamics(a=0.0), DEMO_CURVE,
+                          SimParams(n_paths=128, n_steps=1))
+    with pytest.raises(ValueError, match="sigma_r"):
+        price_hw_swaption(SPEC, HullWhiteDynamics(sigma_r=-0.1),
+                          DEMO_CURVE, SimParams(n_paths=128, n_steps=1))
