@@ -283,6 +283,10 @@ def _g2_policy_machinery(spec, dyn, degree, betas, key, consts):
     (x, y, int) exact tenor step and curve discounting."""
     p0, vhalf, amat, bamat, bbmat = consts
     n_ex = spec.n_payments
+    if n_ex > 64:
+        raise ValueError(
+            "rollout draw counters key by tag*64 + date: "
+            f"n_payments must be <= 64, got {n_ex}")
     sx = dyn.sigma / math.sqrt(2.0 * dyn.a)
     sy = dyn.eta / math.sqrt(2.0 * dyn.b_mr)
     k0 = jnp.asarray(key[0], jnp.uint32)

@@ -356,6 +356,10 @@ def _hw_policy_machinery(spec, a, sigma_r, degree, betas, key, scale,
     from mc_tpu.models.swaption import _exact_xy_coeffs
     p0, bmat, corr = consts
     n_ex = spec.n_payments
+    if n_ex > 64:
+        raise ValueError(
+            "rollout draw counters key by tag*64 + date: "
+            f"n_payments must be <= 64, got {n_ex}")
     k0 = jnp.asarray(key[0], jnp.uint32)
     k1 = jnp.asarray(key[1], jnp.uint32)
     e1, big_b, l11, l21, l22 = _exact_xy_coeffs(

@@ -491,6 +491,10 @@ def _policy_machinery(spec, a, b, sigma_r, degree, betas, key):
     r-only policy `_fit_bermudan` fits.  Shared by the Andersen-Broadie
     dual and the Bermudan exposure surface."""
     n_ex = spec.n_payments
+    if n_ex > 64:
+        raise ValueError(
+            "rollout draw counters key by tag*64 + date: "
+            f"n_payments must be <= 64, got {n_ex}")
     k0 = jnp.asarray(key[0], jnp.uint32)
     k1 = jnp.asarray(key[1], jnp.uint32)
     e1, big_b, l11, l21, l22 = _exact_xy_coeffs(

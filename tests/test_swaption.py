@@ -373,3 +373,14 @@ def test_bermudan_exposure_one_payment_is_european():
     ee, _ = e.exposure_profile()
     ref = _oracle(spec)
     assert float(ee[0]) == pytest.approx(ref, abs=4e-4)
+
+
+def test_bounds_reject_overlong_date_grids():
+    """The rollout draw convention keys counters by tag*64 + date: a
+    grid past 64 payments would silently alias streams, so the policy
+    machinery rejects it."""
+    from mc_tpu.models.swaption import bermudan_swaption_bounds
+    with pytest.raises(ValueError, match="64"):
+        bermudan_swaption_bounds(
+            SwaptionSpec(expiry=1.0, tenor=0.25, n_payments=80),
+            DYN, SimParams(n_paths=256, n_steps=1), n_branch=2)
