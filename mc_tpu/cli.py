@@ -1171,10 +1171,22 @@ def cmd_hullwhite(args):
     spec = SwaptionSpec(expiry=args.expiry, tenor=args.tenor,
                         n_payments=args.n_payments, k_rate=args.k_rate,
                         payer=not args.receiver)
-    res = price_hw_swaption(spec, dyn, curve, sim, seed=args.seed)
-    ref = oracle.hw_swaption(args.a, args.sigma_r, curve.df,
-                             args.expiry, args.tenor, args.n_payments,
-                             args.k_rate, payer=not args.receiver)
+    proj = None
+    if args.proj_spread_bp:
+        proj = DiscountCurve(
+            times, [z + args.proj_spread_bp * 1e-4 for z in zeros])
+    res = price_hw_swaption(spec, dyn, curve, sim, seed=args.seed,
+                            projection_curve=proj)
+    if proj is not None:
+        ref = oracle.hw_swaption_multicurve(
+            args.a, args.sigma_r, curve.df, proj.df, args.expiry,
+            args.tenor, args.n_payments, args.k_rate,
+            payer=not args.receiver)
+    else:
+        ref = oracle.hw_swaption(args.a, args.sigma_r, curve.df,
+                                 args.expiry, args.tenor,
+                                 args.n_payments, args.k_rate,
+                                 payer=not args.receiver)
     out = {"model": "hull-white", "price": float(res.price),
            "stderr": float(res.stderr), "oracle": ref,
            "z_score": (float(res.price) - ref) / float(res.stderr),
@@ -1195,9 +1207,13 @@ def cmd_hullwhite(args):
         out["lower"] = float(lo.price)
         out["upper"] = float(up.price)
         out["duality_gap"] = float(up.price) - float(lo.price)
+    if proj is not None and (args.bermudan or args.bounds):
+        raise SystemExit("--proj-spread-bp supports European pricing "
+                         "and --exposure (Bermudans are single-curve)")
     if args.exposure:
         import numpy as np
-        e = hw_swap_exposure(spec, dyn, curve, sim, seed=args.seed)
+        e = hw_swap_exposure(spec, dyn, curve, sim, seed=args.seed,
+                             projection_curve=proj)
         ee, pfe = e.exposure_profile()
         out["swap_ee"] = [round(float(x), 6) for x in np.asarray(ee)]
         out["swap_pfe"] = [round(float(x), 6) for x in np.asarray(pfe)]
@@ -1764,6 +1780,9 @@ def main(argv=None):
                    help="zero rates at the knots (the curve the model "
                         "reprices exactly)")
     p.add_argument("--exposure", action="store_true")
+    p.add_argument("--proj-spread-bp", type=float, default=0.0,
+                   help="MULTI-CURVE: forwards off a projection curve "
+                        "this many bp above the discount (OIS) curve")
     p.add_argument("--bermudan", action="store_true",
                    help="co-terminal Bermudan LSMC on the curve "
                         "(x-state basis; 1-payment bitwise == European)")

@@ -158,6 +158,43 @@ def _hw_tables(spec: SwaptionSpec, dyn: HullWhiteDynamics,
     return p0, c, bmat, corr
 
 
+def _hw_mc_weights(spec: SwaptionSpec, curve: DiscountCurve,
+                   proj: DiscountCurve):
+    """Multi-curve weight algebra (host f64).
+
+    With a deterministic multiplicative basis B(t) = P_proj/P_disc, the
+    remaining swap at observation date t_i is
+        V = const[i] + sum_{m > i} wvec[m] P_disc(t_i, t_m; x):
+    the float leg telescopes to s_j P_d(t_{j-1}) - P_d(t_j) per period
+    (s_j = B(t_{j-1})/B(t_j)), so only the FIRST period's bond is the
+    trivial P_d(t_i, t_i) = 1 — its weight is the date-i constant."""
+    n = spec.n_payments
+    dates = [spec.expiry + i * spec.tenor for i in range(n + 1)]
+    basis = np.array([proj.df(t) / curve.df(t) for t in dates],
+                     np.float64)
+    wvec = np.zeros(n + 1, np.float64)
+    for m in range(1, n):
+        wvec[m] = basis[m] / basis[m + 1] - 1.0 - spec.k_rate * spec.tenor
+    wvec[n] = -1.0 - spec.k_rate * spec.tenor
+    const = np.array([basis[i] / basis[i + 1] if i < n else 0.0
+                      for i in range(n + 1)], np.float64)
+    return const, wvec
+
+
+def _hw_mtm_multicurve(spec, i: int, x, p0, bmat, corr, const, wvec):
+    """SIGNED multi-curve remaining-swap value at date i."""
+    n = spec.n_payments
+    v = jnp.zeros_like(x) + jnp.float32(const[i])
+    for j in range(i + 1, n + 1):
+        p_ij = (jnp.float32(p0[j] / p0[i])
+                * jnp.exp(-jnp.float32(bmat[i, j]) * x
+                          - jnp.float32(corr[i, j])))
+        v = v + jnp.float32(wvec[j]) * p_ij
+    if not spec.payer:
+        v = -v
+    return v
+
+
 def _hw_intrinsic(spec, i: int, x, p0, bmat, corr):
     """Payer/receiver intrinsic AT date i of the remaining swap
     (payments i+1..N), bonds reconstructed from the curve + OU factor."""
@@ -189,22 +226,50 @@ def _hw_european_impl(spec, a, sigma_r, n_paths, key, p0_0, c_0, consts):
     return summarize(jnp.sum(pay), jnp.sum(pay * pay), n, 1.0)
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "n_paths"))
+def _hw_european_mc_impl(spec, a, sigma_r, n_paths, key, p0_0, c_0,
+                         consts, weights):
+    p0, bmat, corr = consts
+    const, wvec = weights
+    x_grid, y_grid = _simulate_rate_grid(
+        spec, a, jnp.float32(0.0), sigma_r, jnp.float32(0.0), n_paths,
+        1, key)
+    x, y = x_grid[0], y_grid[0]
+    v = _hw_mtm_multicurve(spec, 0, x, p0, bmat, corr, const, wvec)
+    pay = jnp.maximum(v, 0.0) * p0_0 * jnp.exp(-y - c_0)
+    n = jnp.float32(n_paths)
+    return summarize(jnp.sum(pay), jnp.sum(pay * pay), n, 1.0)
+
+
 def price_hw_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
                       dyn: HullWhiteDynamics = DEMO_HW,
                       curve: DiscountCurve = DEMO_CURVE,
                       sim: SimParams = SimParams(n_paths=1 << 20,
                                                  n_steps=1),
                       *,
+                      projection_curve: Optional[DiscountCurve] = None,
                       seed: Optional[int] = None,
                       stream: int = STREAM_OUTER) -> PriceResult:
     """European payer/receiver swaption under curve-fitted Hull-White:
     ONE exact (x, int x) draw at expiry, curve-reconstructed bonds,
     pathwise discounting through the curve.  Oracle gate:
-    `oracle.hw_swaption` (curve-consistent Jamshidian)."""
+    `oracle.hw_swaption` (curve-consistent Jamshidian).
+
+    ``projection_curve``: MULTI-CURVE pricing — forwards read off this
+    curve while cash flows discount off ``curve`` (OIS), linked by a
+    deterministic multiplicative basis (one factor drives both).
+    Oracle: `oracle.hw_swaption_multicurve` (direct quadrature — the
+    mixed-sign bond weights break Jamshidian's monotonicity)."""
     spec = spec.validate()
     p0, c, bmat, corr = _hw_tables(spec, dyn, curve)
     seed = sim.seed if seed is None else seed
     key = jnp.asarray(rng.derive_key(seed, stream, 0x4877), jnp.uint32)
+    if projection_curve is not None:
+        weights = _hw_mc_weights(spec, curve, projection_curve)
+        return _hw_european_mc_impl(
+            spec, jnp.float32(dyn.a), jnp.float32(dyn.sigma_r),
+            sim.n_paths, key, jnp.float32(p0[0]), jnp.float32(c[0]),
+            (p0, bmat, corr), weights)
     return _hw_european_impl(spec, jnp.float32(dyn.a),
                              jnp.float32(dyn.sigma_r), sim.n_paths, key,
                              jnp.float32(p0[0]), jnp.float32(c[0]),
@@ -611,12 +676,30 @@ def _hw_exposure_impl(spec, a, sigma_r, n_paths, key, p0_f, c_f, consts):
     return jnp.stack(vals, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "n_paths"))
+def _hw_exposure_mc_impl(spec, a, sigma_r, n_paths, key, p0_f, c_f,
+                         consts, weights):
+    p0, bmat, corr = consts
+    const, wvec = weights
+    n_ex = spec.n_payments
+    x_grid, y_grid = _simulate_rate_grid(
+        spec, a, jnp.float32(0.0), sigma_r, jnp.float32(0.0), n_paths,
+        n_ex, key)
+    vals = []
+    for i in range(n_ex):
+        mtm = _hw_mtm_multicurve(spec, i, x_grid[i], p0, bmat, corr,
+                                 const, wvec)
+        vals.append(mtm * p0_f[i] * jnp.exp(-y_grid[i] - c_f[i]))
+    return jnp.stack(vals, axis=1)
+
+
 def hw_swap_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
                      dyn: HullWhiteDynamics = DEMO_HW,
                      curve: DiscountCurve = DEMO_CURVE,
                      sim: SimParams = SimParams(n_paths=1 << 16,
                                                 n_steps=1),
                      *,
+                     projection_curve: Optional[DiscountCurve] = None,
                      seed: Optional[int] = None,
                      stream: int = STREAM_OUTER):
     """Counterparty exposure of the swap under curve-fitted Hull-White.
@@ -632,11 +715,18 @@ def hw_swap_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
     p0, c, bmat, corr = _hw_tables(spec, dyn, curve)
     seed = sim.seed if seed is None else seed
     key = jnp.asarray(rng.derive_key(seed, stream, 0x4877), jnp.uint32)
-    values = _hw_exposure_impl(spec, jnp.float32(dyn.a),
-                               jnp.float32(dyn.sigma_r), sim.n_paths,
-                               key, jnp.asarray(p0, jnp.float32),
-                               jnp.asarray(c, jnp.float32),
-                               (p0, bmat, corr))
+    if projection_curve is not None:
+        weights = _hw_mc_weights(spec, curve, projection_curve)
+        values = _hw_exposure_mc_impl(
+            spec, jnp.float32(dyn.a), jnp.float32(dyn.sigma_r),
+            sim.n_paths, key, jnp.asarray(p0, jnp.float32),
+            jnp.asarray(c, jnp.float32), (p0, bmat, corr), weights)
+    else:
+        values = _hw_exposure_impl(spec, jnp.float32(dyn.a),
+                                   jnp.float32(dyn.sigma_r), sim.n_paths,
+                                   key, jnp.asarray(p0, jnp.float32),
+                                   jnp.asarray(c, jnp.float32),
+                                   (p0, bmat, corr))
     from mc_tpu.xva import CollateralizedExposure
     horizon = spec.expiry + (spec.n_payments - 1) * spec.tenor
     return CollateralizedExposure(values=values,

@@ -784,3 +784,56 @@ def g2_swaption(a, sigma, b_mr, eta, rho, df, t_expiry, tenor,
     if payer:
         return payer_px
     return payer_px + float(np.dot(cs, p0_i)) - p0_t
+
+
+def hw_swaption_multicurve(a, sigma_r, df_disc, df_proj, t_expiry,
+                           tenor, n_payments, k_rate, payer=True,
+                           n_quad: int = 4001):
+    """European swaption under curve-fitted Hull-White with TWO curves:
+    discounting off ``df_disc`` (OIS), forwards off ``df_proj``, linked
+    by a DETERMINISTIC multiplicative basis (the standard post-2008
+    multi-curve simplification — one factor drives both curves).
+
+    With the basis spread s_j = B(t_{j-1})/B(t_j), B(t) =
+    P_proj(0,t)/P_disc(0,t), the swap value at expiry is a MIXED-sign
+    sum of discount bonds, so Jamshidian's monotone coupon-bond trick
+    does not apply; the price is computed by direct (kink-robust
+    trapezoid) quadrature of the positive part over the T-forward
+    Gaussian law of x.  ``df_proj = df_disc`` reproduces `hw_swaption`
+    to quadrature precision (gated)."""
+    import numpy as np
+
+    a, sig = float(a), float(sigma_r)
+    t0, tau, kr = float(t_expiry), float(tenor), float(k_rate)
+    n = int(n_payments)
+    dates = [t0 + j * tau for j in range(n + 1)]
+    pd_ = np.array([float(df_disc(t)) for t in dates], np.float64)
+    pp_ = np.array([float(df_proj(t)) for t in dates], np.float64)
+    basis = pp_ / pd_
+    # V(x) = sum_m w_m P_d(T0, t_m; x); weights from the spread algebra:
+    # float leg telescopes to s_{j} P_d(t_{j-1}) - P_d(t_j) per period
+    w = np.zeros(n + 1)
+    w[0] += basis[0] / basis[1]
+    for m in range(1, n):
+        w[m] += basis[m] / basis[m + 1] - 1.0 - kr * tau
+    w[n] += -1.0 - kr * tau
+    bvec = np.array([-math.expm1(-a * (t - t0)) / a for t in dates])
+    var_fac = (sig * sig / (4.0 * a)) * (-math.expm1(-2.0 * a * t0))
+    shift = (sig * sig / (2.0 * a * a)) * math.expm1(-a * t0) ** 2
+    coef = w * (pd_ / pd_[0]) * np.exp(-var_fac * bvec * bvec
+                                       - bvec * shift)
+
+    sx = sig * math.sqrt(-math.expm1(-2 * a * t0) / (2 * a))
+    mx = -((sig * sig / (a * a)) * (-math.expm1(-a * t0))
+           - sig * sig / (2 * a * a) * (-math.expm1(-2 * a * t0)))
+    m = max(int(n_quad), 201)
+    xs = np.linspace(mx - 8.0 * sx, mx + 8.0 * sx, m)
+    pdf = np.exp(-0.5 * ((xs - mx) / sx) ** 2) / (sx * math.sqrt(
+        2.0 * math.pi))
+    wts = np.full(m, xs[1] - xs[0])
+    wts[0] = wts[-1] = 0.5 * (xs[1] - xs[0])
+    v = (coef[None, :] * np.exp(-np.outer(xs, bvec))).sum(axis=1)
+    if not payer:
+        v = -v
+    payer_px = pd_[0] * float(np.sum(np.maximum(v, 0.0) * pdf * wts))
+    return payer_px

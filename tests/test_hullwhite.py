@@ -250,3 +250,51 @@ def test_dynamics_validation():
     with pytest.raises(ValueError, match="sigma_r"):
         price_hw_swaption(SPEC, HullWhiteDynamics(sigma_r=-0.1),
                           DEMO_CURVE, SimParams(n_paths=128, n_steps=1))
+
+
+def test_multicurve_oracle_and_mc():
+    """Multi-curve (OIS-discounted) swaptions: the direct-quadrature
+    oracle reproduces Jamshidian at zero basis (proj == disc), a +25bp
+    projection spread raises the payer, and the MC matches the oracle
+    under the spread."""
+    proj = DiscountCurve(DEMO_CURVE.times,
+                         np.asarray(DEMO_CURVE.zeros) + 0.0025)
+    jam = _ref(SPEC)
+    quad0 = oracle.hw_swaption_multicurve(
+        DEMO_HW.a, DEMO_HW.sigma_r, DEMO_CURVE.df, DEMO_CURVE.df,
+        SPEC.expiry, SPEC.tenor, SPEC.n_payments, SPEC.k_rate)
+    assert quad0 == pytest.approx(jam, rel=1e-6)
+    ref = oracle.hw_swaption_multicurve(
+        DEMO_HW.a, DEMO_HW.sigma_r, DEMO_CURVE.df, proj.df,
+        SPEC.expiry, SPEC.tenor, SPEC.n_payments, SPEC.k_rate)
+    assert ref > jam  # bigger forwards = richer payer
+    r = price_hw_swaption(SPEC, DEMO_HW, DEMO_CURVE,
+                          SimParams(n_paths=1 << 19, n_steps=1),
+                          projection_curve=proj)
+    z = (float(r.price) - ref) / float(r.stderr)
+    assert abs(z) < 4.0, (float(r.price), ref, z)
+    # MC at zero basis agrees with the single-curve pricer pathwise
+    # (same draws, algebraically identical weights) to fp tolerance
+    r0 = price_hw_swaption(SPEC, DEMO_HW, DEMO_CURVE,
+                           SimParams(n_paths=1 << 15, n_steps=1),
+                           projection_curve=DEMO_CURVE)
+    r1 = price_hw_swaption(SPEC, DEMO_HW, DEMO_CURVE,
+                           SimParams(n_paths=1 << 15, n_steps=1))
+    assert float(r0.price) == pytest.approx(float(r1.price), rel=2e-5)
+
+
+def test_multicurve_exposure_strip():
+    """EE under the basis spread == the multi-curve oracle strip (the
+    per-date identity survives the dual-curve algebra)."""
+    proj = DiscountCurve(DEMO_CURVE.times,
+                         np.asarray(DEMO_CURVE.zeros) + 0.0025)
+    e = hw_swap_exposure(SPEC, DEMO_HW, DEMO_CURVE,
+                         SimParams(n_paths=1 << 17, n_steps=1),
+                         projection_curve=proj)
+    ee, _ = e.exposure_profile()
+    for i in (0, 3, 6):
+        t_i = SPEC.expiry + i * SPEC.tenor
+        ref = oracle.hw_swaption_multicurve(
+            DEMO_HW.a, DEMO_HW.sigma_r, DEMO_CURVE.df, proj.df, t_i,
+            SPEC.tenor, SPEC.n_payments - i, SPEC.k_rate)
+        assert float(ee[i]) == pytest.approx(ref, abs=5e-4), (i, ref)
