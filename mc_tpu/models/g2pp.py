@@ -181,6 +181,51 @@ def _g2_mtm(spec, i, x, y, p0, amat, bamat, bbmat):
     return mtm
 
 
+def _g2_mtm_multicurve(spec, i, x, y, p0, amat, bamat, bbmat, const,
+                       wvec):
+    """SIGNED multi-curve remaining-swap value at date i (the
+    hullwhite._hw_mc_weights algebra with two-factor bonds)."""
+    n = spec.n_payments
+    v = jnp.zeros_like(x) + jnp.float32(const[i])
+    for j in range(i + 1, n + 1):
+        p_ij = (jnp.float32(p0[j] / p0[i])
+                * jnp.exp(jnp.float32(amat[i, j])
+                          - jnp.float32(bamat[i, j]) * x
+                          - jnp.float32(bbmat[i, j]) * y))
+        v = v + jnp.float32(wvec[j]) * p_ij
+    if not spec.payer:
+        v = -v
+    return v
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "dyn", "n_paths"))
+def _g2_european_mc_impl(spec, dyn, n_paths, key, consts, weights):
+    p0, vhalf, amat, bamat, bbmat = consts
+    const, wvec = weights
+    (x, y, z), = _simulate_g2_grid(spec, dyn, n_paths, 1, key)
+    v = _g2_mtm_multicurve(spec, 0, x, y, p0, amat, bamat, bbmat,
+                           const, wvec)
+    pay = (jnp.maximum(v, 0.0) * jnp.float32(p0[0])
+           * jnp.exp(-z - jnp.float32(vhalf[0])))
+    n = jnp.float32(n_paths)
+    return summarize(jnp.sum(pay), jnp.sum(pay * pay), n, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "dyn", "n_paths"))
+def _g2_exposure_mc_impl(spec, dyn, n_paths, key, consts, weights):
+    p0, vhalf, amat, bamat, bbmat = consts
+    const, wvec = weights
+    n_ex = spec.n_payments
+    grid = _simulate_g2_grid(spec, dyn, n_paths, n_ex, key)
+    vals = []
+    for i, (x, y, z) in enumerate(grid):
+        mtm = _g2_mtm_multicurve(spec, i, x, y, p0, amat, bamat, bbmat,
+                                 const, wvec)
+        vals.append(mtm * jnp.float32(p0[i])
+                    * jnp.exp(-z - jnp.float32(vhalf[i])))
+    return jnp.stack(vals, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "dyn", "n_paths"))
 def _g2_european_impl(spec, dyn, n_paths, key, consts):
     p0, vhalf, amat, bamat, bbmat = consts
@@ -198,15 +243,25 @@ def price_g2_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
                       sim: SimParams = SimParams(n_paths=1 << 20,
                                                  n_steps=1),
                       *,
+                      projection_curve: Optional[DiscountCurve] = None,
                       seed: Optional[int] = None,
                       stream: int = STREAM_OUTER) -> PriceResult:
     """European payer/receiver swaption under curve-fitted G2++: ONE
     exact (x, y, int) draw at expiry, curve-reconstructed two-factor
-    bonds, pathwise curve discounting.  Oracle: `oracle.g2_swaption`."""
+    bonds, pathwise curve discounting.  Oracle: `oracle.g2_swaption`.
+
+    ``projection_curve``: MULTI-CURVE — forwards off this curve,
+    discounting off ``curve``; oracle `oracle.g2_swaption_multicurve`
+    (direct 2-D quadrature)."""
     spec = spec.validate()
     consts = _g2_tables(spec, dyn, curve)
     seed = sim.seed if seed is None else seed
     key = jnp.asarray(rng.derive_key(seed, stream, 0x6270), jnp.uint32)
+    if projection_curve is not None:
+        from mc_tpu.models.hullwhite import _hw_mc_weights
+        weights = _hw_mc_weights(spec, curve, projection_curve)
+        return _g2_european_mc_impl(spec, dyn, sim.n_paths, key,
+                                    consts, weights)
     return _g2_european_impl(spec, dyn, sim.n_paths, key, consts)
 
 
@@ -536,16 +591,24 @@ def g2_swap_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
                      sim: SimParams = SimParams(n_paths=1 << 16,
                                                 n_steps=1),
                      *,
+                     projection_curve: Optional[DiscountCurve] = None,
                      seed: Optional[int] = None,
                      stream: int = STREAM_OUTER):
     """Counterparty exposure of the swap under two-factor rates: every
-    EE point is gated against the `oracle.g2_swaption` strip; carries
-    the full XVA metric surface (`CollateralizedExposure`)."""
+    EE point is gated against the `oracle.g2_swaption` strip (the
+    multi-curve strip under ``projection_curve``); carries the full XVA
+    metric surface (`CollateralizedExposure`)."""
     spec = spec.validate()
     consts = _g2_tables(spec, dyn, curve)
     seed = sim.seed if seed is None else seed
     key = jnp.asarray(rng.derive_key(seed, stream, 0x6270), jnp.uint32)
-    values = _g2_exposure_impl(spec, dyn, sim.n_paths, key, consts)
+    if projection_curve is not None:
+        from mc_tpu.models.hullwhite import _hw_mc_weights
+        weights = _hw_mc_weights(spec, curve, projection_curve)
+        values = _g2_exposure_mc_impl(spec, dyn, sim.n_paths, key,
+                                      consts, weights)
+    else:
+        values = _g2_exposure_impl(spec, dyn, sim.n_paths, key, consts)
     from mc_tpu.xva import CollateralizedExposure
     horizon = spec.expiry + (spec.n_payments - 1) * spec.tenor
     return CollateralizedExposure(values=values,

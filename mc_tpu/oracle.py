@@ -837,3 +837,82 @@ def hw_swaption_multicurve(a, sigma_r, df_disc, df_proj, t_expiry,
         v = -v
     payer_px = pd_[0] * float(np.sum(np.maximum(v, 0.0) * pdf * wts))
     return payer_px
+
+
+def g2_swaption_multicurve(a, sigma, b_mr, eta, rho, df_disc, df_proj,
+                           t_expiry, tenor, n_payments, k_rate,
+                           payer=True, n_quad: int = 501):
+    """Multi-curve European swaption under G2++ (deterministic basis).
+
+    The mixed-sign bond weights break BOTH Jamshidian tricks (no x*
+    root, and given x the value is no longer monotone in y), so the
+    price is a direct 2-D trapezoid over the T-forward Gaussian law of
+    (x, y) — ~n_quad^2 nodes, kink-robust.  ``df_proj = df_disc``
+    reproduces `g2_swaption` (gated)."""
+    import numpy as np
+
+    a, s, b, e, rho = map(float, (a, sigma, b_mr, eta, rho))
+    t0, tau, kr = float(t_expiry), float(tenor), float(k_rate)
+    n = int(n_payments)
+    dates = [t0 + j * tau for j in range(n + 1)]
+    pd_ = np.array([float(df_disc(t)) for t in dates], np.float64)
+    pp_ = np.array([float(df_proj(t)) for t in dates], np.float64)
+    basis = pp_ / pd_
+    w = np.zeros(n + 1)
+    w[0] += basis[0] / basis[1]
+    for m in range(1, n):
+        w[m] += basis[m] / basis[m + 1] - 1.0 - kr * tau
+    w[n] += -1.0 - kr * tau
+
+    def bf(k_, t):
+        return -math.expm1(-k_ * t) / k_
+
+    def v_of(t):
+        return ((s * s / (a * a)) * (t - 2 * bf(a, t)
+                                     - math.expm1(-2 * a * t) / (2 * a))
+                + (e * e / (b * b)) * (t - 2 * bf(b, t)
+                                       - math.expm1(-2 * b * t) / (2 * b))
+                + (2 * rho * s * e / (a * b))
+                * (t - bf(a, t) - bf(b, t)
+                   - math.expm1(-(a + b) * t) / (a + b)))
+
+    ba = np.array([bf(a, t - t0) for t in dates])
+    bb = np.array([bf(b, t - t0) for t in dates])
+    amat = np.array([0.5 * (v_of(t - t0) - v_of(t) + v_of(t0))
+                     for t in dates])
+    coef = w * (pd_ / pd_[0]) * np.exp(amat)
+
+    sx = s * math.sqrt(-math.expm1(-2 * a * t0) / (2 * a))
+    sy = e * math.sqrt(-math.expm1(-2 * b * t0) / (2 * b))
+    rxy = (rho * s * e * (-math.expm1(-(a + b) * t0)) / (a + b)
+           / (sx * sy)) if sx > 0 and sy > 0 else 0.0
+    mx = -((s * s / (a * a) + rho * s * e / (a * b))
+           * (-math.expm1(-a * t0))
+           - s * s / (2 * a * a) * (-math.expm1(-2 * a * t0))
+           - rho * s * e / (b * (a + b)) * (-math.expm1(-(a + b) * t0)))
+    my = -((e * e / (b * b) + rho * s * e / (a * b))
+           * (-math.expm1(-b * t0))
+           - e * e / (2 * b * b) * (-math.expm1(-2 * b * t0))
+           - rho * s * e / (a * (a + b)) * (-math.expm1(-(a + b) * t0)))
+
+    m = max(int(n_quad), 101)
+    xs = np.linspace(mx - 8.0 * sx, mx + 8.0 * sx, m)
+    ys = np.linspace(my - 8.0 * sy, my + 8.0 * sy, m)
+    dx, dy = xs[1] - xs[0], ys[1] - ys[0]
+    wx = np.full(m, dx)
+    wx[0] = wx[-1] = dx / 2
+    wy = np.full(m, dy)
+    wy[0] = wy[-1] = dy / 2
+    xg, yg = np.meshgrid(xs, ys, indexing="ij")
+    det = 1.0 - rxy * rxy
+    zq = (((xg - mx) / sx) ** 2 - 2 * rxy * ((xg - mx) / sx)
+          * ((yg - my) / sy) + ((yg - my) / sy) ** 2) / det
+    pdf = np.exp(-0.5 * zq) / (2 * math.pi * sx * sy * math.sqrt(det))
+    v = np.zeros_like(xg)
+    for j in range(n + 1):
+        v += coef[j] * np.exp(-ba[j] * xg - bb[j] * yg)
+    if not payer:
+        v = -v
+    payer_px = pd_[0] * float(
+        np.sum(np.maximum(v, 0.0) * pdf * wx[:, None] * wy[None, :]))
+    return payer_px

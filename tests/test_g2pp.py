@@ -225,3 +225,39 @@ def test_dynamics_validation():
         price_g2_swaption(SPEC, G2Dynamics(eta=-0.1), DEMO_CURVE, sim)
     with pytest.raises(ValueError, match="rho"):
         price_g2_swaption(SPEC, G2Dynamics(rho=-1.5), DEMO_CURVE, sim)
+
+
+def test_multicurve_two_factor():
+    """Multi-curve under G2++: 2-D quadrature oracle reproduces the
+    conditional-Jamshidian at zero basis; the MC matches the oracle
+    under a +25bp projection spread; the EE strip holds per date."""
+    from mc_tpu.models.hullwhite import DiscountCurve
+    proj = DiscountCurve(DEMO_CURVE.times,
+                         np.asarray(DEMO_CURVE.zeros) + 0.0025)
+    one = _ref(SPEC)
+    quad0 = oracle.g2_swaption_multicurve(
+        DEMO_G2.a, DEMO_G2.sigma, DEMO_G2.b_mr, DEMO_G2.eta, DEMO_G2.rho,
+        DEMO_CURVE.df, DEMO_CURVE.df, SPEC.expiry, SPEC.tenor,
+        SPEC.n_payments, SPEC.k_rate)
+    assert quad0 == pytest.approx(one, rel=1e-6)
+    ref = oracle.g2_swaption_multicurve(
+        DEMO_G2.a, DEMO_G2.sigma, DEMO_G2.b_mr, DEMO_G2.eta, DEMO_G2.rho,
+        DEMO_CURVE.df, proj.df, SPEC.expiry, SPEC.tenor,
+        SPEC.n_payments, SPEC.k_rate)
+    assert ref > one
+    r = price_g2_swaption(SPEC, DEMO_G2, DEMO_CURVE,
+                          SimParams(n_paths=1 << 19, n_steps=1),
+                          projection_curve=proj)
+    z = (float(r.price) - ref) / float(r.stderr)
+    assert abs(z) < 4.0, (float(r.price), ref, z)
+    e = g2_swap_exposure(SPEC, DEMO_G2, DEMO_CURVE,
+                         SimParams(n_paths=1 << 16, n_steps=1),
+                         projection_curve=proj)
+    ee, _ = e.exposure_profile()
+    for i in (0, 4):
+        t_i = SPEC.expiry + i * SPEC.tenor
+        ref_i = oracle.g2_swaption_multicurve(
+            DEMO_G2.a, DEMO_G2.sigma, DEMO_G2.b_mr, DEMO_G2.eta,
+            DEMO_G2.rho, DEMO_CURVE.df, proj.df, t_i, SPEC.tenor,
+            SPEC.n_payments - i, SPEC.k_rate)
+        assert float(ee[i]) == pytest.approx(ref_i, abs=6e-4), (i, ref_i)
