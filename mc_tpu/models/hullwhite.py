@@ -45,7 +45,8 @@ from mc_tpu.oracle import PriceResult, summarize
 __all__ = ["DiscountCurve", "HullWhiteDynamics", "price_hw_swaption",
            "price_bermudan_hw_swaption", "bermudan_hw_swaption_bounds",
            "bermudan_hw_swaption_exposure", "price_hw_swaption_qmc",
-           "hw_swap_exposure", "DEMO_CURVE", "DEMO_HW"]
+           "hw_swap_exposure", "hw_swap_cva_greeks", "DEMO_CURVE",
+           "DEMO_HW"]
 
 
 class DiscountCurve:
@@ -409,6 +410,71 @@ def _hw_bermudan_impl(spec, a, sigma_r, n_paths, degree, key, p0_f, c_f,
                              c_f, consts)
     n = jnp.float32(n_paths)
     return summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
+
+
+HW_CVA_GREEK_FIELDS = ("curve_dv01", "vega_r", "kappa")
+
+
+def hw_swap_cva_greeks(spec: SwaptionSpec = DEMO_SWAPTION,
+                       dyn: HullWhiteDynamics = DEMO_HW,
+                       curve: DiscountCurve = DEMO_CURVE,
+                       sim: SimParams = SimParams(n_paths=1 << 16,
+                                                  n_steps=1),
+                       *,
+                       hazard_rate: float,
+                       recovery: float = 0.4,
+                       which=("curve_dv01", "vega_r"),
+                       projection_curve: Optional[DiscountCurve] = None,
+                       seed: Optional[int] = None,
+                       stream: int = STREAM_OUTER):
+    """d(swap CVA)/d(market) under curve-fitted Hull-White by CRN
+    central differences (the curve/vol tables are host-f64 precomputed,
+    so AD cannot flow through them; common random numbers make the FD
+    exact up to second order, the `merton_greeks` pattern).
+
+    Greeks: ``curve_dv01`` — a +1bp PARALLEL shift of the zero curve
+    (the desk's curve-delta aggregate); ``vega_r`` — d/d sigma_r;
+    ``kappa`` — d/d a.  Every EE point is an `oracle.hw_swaption`
+    price, so the test gates curve_dv01/vega_r against FD of the
+    closed-form strip CVA."""
+    bad = set(which) - set(HW_CVA_GREEK_FIELDS)
+    if bad:
+        raise ValueError(f"unknown greeks {sorted(bad)}; available: "
+                         f"{list(HW_CVA_GREEK_FIELDS)}")
+    seed = sim.seed if seed is None else seed
+
+    def cva_at(curve_bump=0.0, dyn_=None):
+        cv = (curve if curve_bump == 0.0 else
+              DiscountCurve(curve.times,
+                            np.asarray(curve.zeros) + curve_bump))
+        pj = projection_curve
+        if pj is not None and curve_bump != 0.0:
+            pj = DiscountCurve(pj.times,
+                               np.asarray(pj.zeros) + curve_bump)
+        e = hw_swap_exposure(spec, dyn_ or dyn, cv, sim,
+                             projection_curve=pj, seed=seed,
+                             stream=stream)
+        return float(e.cva(hazard_rate, recovery))
+
+    out = {}
+    for g in which:
+        if g == "curve_dv01":
+            h = 1e-4  # 1bp
+            out[g] = (cva_at(curve_bump=h)
+                      - cva_at(curve_bump=-h)) / (2 * h) * 1e-4
+        elif g == "vega_r":
+            h = 1e-4
+            out[g] = (cva_at(dyn_=HullWhiteDynamics(dyn.a,
+                                                    dyn.sigma_r + h))
+                      - cva_at(dyn_=HullWhiteDynamics(
+                          dyn.a, dyn.sigma_r - h))) / (2 * h)
+        else:  # kappa
+            h = 1e-3
+            out[g] = (cva_at(dyn_=HullWhiteDynamics(dyn.a + h,
+                                                    dyn.sigma_r))
+                      - cva_at(dyn_=HullWhiteDynamics(
+                          dyn.a - h, dyn.sigma_r))) / (2 * h)
+    return out
 
 
 def _hw_policy_machinery(spec, a, sigma_r, degree, betas, key, scale,

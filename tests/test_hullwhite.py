@@ -298,3 +298,40 @@ def test_multicurve_exposure_strip():
             DEMO_HW.a, DEMO_HW.sigma_r, DEMO_CURVE.df, proj.df, t_i,
             SPEC.tenor, SPEC.n_payments - i, SPEC.k_rate)
         assert float(ee[i]) == pytest.approx(ref, abs=5e-4), (i, ref)
+
+
+def test_hw_swap_cva_greeks_match_strip_fd():
+    """CRN-FD CVA sensitivities on the curve: gated against central
+    differences of the closed-form HW swaption-strip CVA (the mixin's
+    PD weights replicated; curve_dv01 is per +1bp parallel shift)."""
+    from mc_tpu.models.hullwhite import hw_swap_cva_greeks
+    LAM = 0.02
+    sim = SimParams(n_paths=1 << 16, n_steps=1)
+    g = hw_swap_cva_greeks(SPEC, DEMO_HW, DEMO_CURVE, sim,
+                           hazard_rate=LAM,
+                           which=("curve_dv01", "vega_r"))
+
+    def strip_cva(curve_bump=0.0, sig=DEMO_HW.sigma_r):
+        cv = (DEMO_CURVE if curve_bump == 0.0 else
+              DiscountCurve(DEMO_CURVE.times,
+                            np.asarray(DEMO_CURVE.zeros) + curve_bump))
+        n = SPEC.n_payments
+        th = SPEC.expiry + (n - 1) * SPEC.tenor
+        t = np.arange(1, n + 1) * th / n
+        tp = np.concatenate([[0.0], t[:-1]])
+        dpd = np.exp(-LAM * tp) - np.exp(-LAM * t)
+        ee = [oracle.hw_swaption(DEMO_HW.a, sig, cv.df,
+                                 SPEC.expiry + i * SPEC.tenor,
+                                 SPEC.tenor, n - i, SPEC.k_rate)
+              for i in range(n)]
+        return 0.6 * sum(e * d for e, d in zip(ee, dpd))
+
+    h = 1e-4
+    fd_dv01 = (strip_cva(h) - strip_cva(-h)) / (2 * h) * 1e-4
+    fd_vega = (strip_cva(sig=DEMO_HW.sigma_r + h)
+               - strip_cva(sig=DEMO_HW.sigma_r - h)) / (2 * h)
+    assert float(g["curve_dv01"]) == pytest.approx(fd_dv01, rel=2e-2)
+    assert float(g["vega_r"]) == pytest.approx(fd_vega, rel=2e-2)
+    assert float(g["vega_r"]) > 0.0
+    with pytest.raises(ValueError, match="unknown greeks"):
+        hw_swap_cva_greeks(hazard_rate=LAM, which=("charm",))
