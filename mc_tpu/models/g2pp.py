@@ -42,7 +42,7 @@ from mc_tpu.oracle import PriceResult, summarize
 __all__ = ["G2Dynamics", "price_g2_swaption",
            "price_bermudan_g2_swaption", "bermudan_g2_swaption_bounds",
            "bermudan_g2_swaption_exposure", "g2_swap_exposure",
-           "DEMO_G2"]
+           "g2_swap_cva_greeks", "DEMO_G2"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -330,6 +330,66 @@ def _g2_bermudan_impl(spec, dyn, n_paths, degree, key, consts):
     cf, _ = _fit_g2_bermudan(spec, dyn, grid, degree, consts)
     n = jnp.float32(n_paths)
     return summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
+
+
+G2_CVA_GREEK_FIELDS = ("curve_dv01", "vega_x", "vega_y")
+
+
+def g2_swap_cva_greeks(spec: SwaptionSpec = DEMO_SWAPTION,
+                       dyn: G2Dynamics = DEMO_G2,
+                       curve: DiscountCurve = DEMO_CURVE,
+                       sim: SimParams = SimParams(n_paths=1 << 16,
+                                                  n_steps=1),
+                       *,
+                       hazard_rate: float,
+                       recovery: float = 0.4,
+                       which=("curve_dv01", "vega_x"),
+                       projection_curve: Optional[DiscountCurve] = None,
+                       seed: Optional[int] = None,
+                       stream: int = STREAM_OUTER):
+    """d(swap CVA)/d(market) under two-factor rates by CRN central
+    differences (same construction and rationale as
+    `hullwhite.hw_swap_cva_greeks`): ``curve_dv01`` per +1bp parallel
+    curve shift, ``vega_x``/``vega_y`` the per-factor vol
+    sensitivities."""
+    bad = set(which) - set(G2_CVA_GREEK_FIELDS)
+    if bad:
+        raise ValueError(f"unknown greeks {sorted(bad)}; available: "
+                         f"{list(G2_CVA_GREEK_FIELDS)}")
+    seed = sim.seed if seed is None else seed
+
+    def cva_at(curve_bump=0.0, dyn_=None):
+        cv = (curve if curve_bump == 0.0 else
+              DiscountCurve(curve.times,
+                            np.asarray(curve.zeros) + curve_bump))
+        pj = projection_curve
+        if pj is not None and curve_bump != 0.0:
+            pj = DiscountCurve(pj.times,
+                               np.asarray(pj.zeros) + curve_bump)
+        e = g2_swap_exposure(spec, dyn_ or dyn, cv, sim,
+                             projection_curve=pj, seed=seed,
+                             stream=stream)
+        return float(e.cva(hazard_rate, recovery))
+
+    out = {}
+    for g in which:
+        if g == "curve_dv01":
+            h = 1e-4
+            out[g] = (cva_at(curve_bump=h)
+                      - cva_at(curve_bump=-h)) / (2 * h) * 1e-4
+        elif g == "vega_x":
+            h = 1e-4
+            out[g] = (cva_at(dyn_=dataclasses.replace(
+                dyn, sigma=dyn.sigma + h))
+                - cva_at(dyn_=dataclasses.replace(
+                    dyn, sigma=dyn.sigma - h))) / (2 * h)
+        else:  # vega_y
+            h = 1e-4
+            out[g] = (cva_at(dyn_=dataclasses.replace(
+                dyn, eta=dyn.eta + h))
+                - cva_at(dyn_=dataclasses.replace(
+                    dyn, eta=dyn.eta - h))) / (2 * h)
+    return out
 
 
 def _g2_policy_machinery(spec, dyn, degree, betas, key, consts):

@@ -261,3 +261,44 @@ def test_multicurve_two_factor():
             DEMO_G2.rho, DEMO_CURVE.df, proj.df, t_i, SPEC.tenor,
             SPEC.n_payments - i, SPEC.k_rate)
         assert float(ee[i]) == pytest.approx(ref_i, abs=6e-4), (i, ref_i)
+
+
+def test_g2_swap_cva_greeks_match_strip_fd():
+    """CRN-FD CVA sensitivities under two factors: curve_dv01 and the
+    per-factor vegas gated against FD of the G2 swaption-strip CVA."""
+    from mc_tpu.models.g2pp import g2_swap_cva_greeks
+    from mc_tpu.models.hullwhite import DiscountCurve
+    LAM = 0.02
+    sim = SimParams(n_paths=1 << 16, n_steps=1)
+    g = g2_swap_cva_greeks(SPEC, DEMO_G2, DEMO_CURVE, sim,
+                           hazard_rate=LAM,
+                           which=("curve_dv01", "vega_x", "vega_y"))
+
+    def strip_cva(curve_bump=0.0, sig=None, eta=None):
+        cv = (DEMO_CURVE if curve_bump == 0.0 else
+              DiscountCurve(DEMO_CURVE.times,
+                            np.asarray(DEMO_CURVE.zeros) + curve_bump))
+        s = DEMO_G2.sigma if sig is None else sig
+        e_ = DEMO_G2.eta if eta is None else eta
+        n = SPEC.n_payments
+        th = SPEC.expiry + (n - 1) * SPEC.tenor
+        t = np.arange(1, n + 1) * th / n
+        tp = np.concatenate([[0.0], t[:-1]])
+        dpd = np.exp(-LAM * tp) - np.exp(-LAM * t)
+        ee = [oracle.g2_swaption(DEMO_G2.a, s, DEMO_G2.b_mr, e_,
+                                 DEMO_G2.rho, cv.df,
+                                 SPEC.expiry + i * SPEC.tenor,
+                                 SPEC.tenor, n - i, SPEC.k_rate,
+                                 n_quad=801)
+              for i in range(n)]
+        return 0.6 * sum(x * d for x, d in zip(ee, dpd))
+
+    h = 1e-4
+    fd_dv01 = (strip_cva(h) - strip_cva(-h)) / (2 * h) * 1e-4
+    fd_vx = (strip_cva(sig=DEMO_G2.sigma + h)
+             - strip_cva(sig=DEMO_G2.sigma - h)) / (2 * h)
+    fd_vy = (strip_cva(eta=DEMO_G2.eta + h)
+             - strip_cva(eta=DEMO_G2.eta - h)) / (2 * h)
+    assert float(g["curve_dv01"]) == pytest.approx(fd_dv01, rel=2e-2)
+    assert float(g["vega_x"]) == pytest.approx(fd_vx, rel=3e-2)
+    assert float(g["vega_y"]) == pytest.approx(fd_vy, rel=3e-2)
