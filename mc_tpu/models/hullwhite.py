@@ -45,8 +45,8 @@ from mc_tpu.oracle import PriceResult, summarize
 __all__ = ["DiscountCurve", "HullWhiteDynamics", "price_hw_swaption",
            "price_bermudan_hw_swaption", "bermudan_hw_swaption_bounds",
            "bermudan_hw_swaption_exposure", "price_hw_swaption_qmc",
-           "hw_swap_exposure", "hw_swap_cva_greeks", "DEMO_CURVE",
-           "DEMO_HW"]
+           "price_hw_swaption_sharded", "hw_swap_exposure",
+           "hw_swap_cva_greeks", "DEMO_CURVE", "DEMO_HW"]
 
 
 class DiscountCurve:
@@ -410,6 +410,99 @@ def _hw_bermudan_impl(spec, a, sigma_r, n_paths, degree, key, p0_f, c_f,
                              c_f, consts)
     n = jnp.float32(n_paths)
     return summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
+
+
+def _hw_swaption_sharded_impl(spec, a, sigma_r, n_paths, degree, style,
+                              mesh, key, p0_f, c_f, consts):
+    from jax.sharding import PartitionSpec as P
+
+    from mc_tpu.parallel.mesh import PATHS_AXIS
+
+    p0, bmat, corr = consts
+    n_shards = mesh.devices.size
+    n_local = -(-n_paths // n_shards)  # ceil; overhang masked below
+    n_ex = 1 if style == "european" else spec.n_payments
+    scale = sigma_r / jnp.sqrt(2.0 * a)
+
+    def shard_fn(key):
+        rank = jax.lax.axis_index(PATHS_AXIS).astype(jnp.uint32)
+        off = rank * jnp.uint32(n_local)
+        mask = (off + jnp.arange(n_local, dtype=jnp.uint32)
+                < jnp.uint32(n_paths))
+        x_grid, y_grid = _simulate_rate_grid(
+            spec, a, jnp.float32(0.0), sigma_r, jnp.float32(0.0),
+            n_local, n_ex, key, off)
+
+        def disc(i):
+            return p0_f[i] * jnp.exp(-y_grid[i] - c_f[i])
+
+        if style == "european":
+            cf = (_hw_intrinsic(spec, 0, x_grid[0], p0, bmat, corr)
+                  * p0_f[0] * jnp.exp(-y_grid[0] - c_f[0]))
+        else:
+            cf = (_hw_intrinsic(spec, n_ex - 1, x_grid[n_ex - 1], p0,
+                                bmat, corr) * p0_f[n_ex - 1]
+                  * jnp.exp(-y_grid[n_ex - 1] - c_f[n_ex - 1]))
+            for i in range(n_ex - 2, -1, -1):
+                # date-i FORWARD regression, psum'd normal equations ->
+                # every chip fits the IDENTICAL policy
+                ex = _hw_intrinsic(spec, i, x_grid[i], p0, bmat, corr)
+                itm = jnp.logical_and(ex > 0.0, mask)
+                xb = _hw_basis(x_grid[i], scale, degree)
+                w = jnp.where(itm, 1.0, 0.0)[:, None]
+                xtx = (jax.lax.psum((xb * w).T @ xb, PATHS_AXIS)
+                       + 1e-6 * jnp.eye(xb.shape[1], dtype=xb.dtype))
+                xty = jax.lax.psum((xb * w).T @ (cf / disc(i)),
+                                   PATHS_AXIS)
+                beta = jax.lax.stop_gradient(jnp.linalg.solve(xtx, xty))
+                cont = xb @ beta
+                take = jnp.logical_and(itm, ex > cont)
+                cf = jnp.where(take,
+                               ex * p0_f[i]
+                               * jnp.exp(-y_grid[i] - c_f[i]), cf)
+        cf = jnp.where(mask, cf, 0.0)
+        return (jax.lax.psum(jnp.sum(cf), PATHS_AXIS),
+                jax.lax.psum(jnp.sum(cf * cf), PATHS_AXIS))
+
+    s, sq = jax.shard_map(shard_fn, mesh=mesh, in_specs=(P(),),
+                          out_specs=P(), check_vma=False)(key)
+    return summarize(s, sq, jnp.float32(n_paths), 1.0)
+
+
+def price_hw_swaption_sharded(spec: SwaptionSpec = DEMO_SWAPTION,
+                              dyn: HullWhiteDynamics = DEMO_HW,
+                              curve: DiscountCurve = DEMO_CURVE,
+                              sim: SimParams = SimParams(
+                                  n_paths=1 << 20, n_steps=1),
+                              *,
+                              mesh=None,
+                              style: str = "european",
+                              degree: int = 3,
+                              seed: Optional[int] = None,
+                              stream: int = STREAM_OUTER
+                              ) -> PriceResult:
+    """European or Bermudan curve swaption with paths sharded over the
+    mesh (global-id streams; the Bermudan's normal equations psum so
+    every chip fits the identical policy).  A 1-device mesh simulates
+    the IDENTICAL path set (same streams, same per-path cashflows);
+    the final mean can differ from the single-chip pricer by XLA
+    reduction-order at the last ulp (the single-chip program fuses its
+    reduction differently), gated <= 3e-7 relative."""
+    from mc_tpu.parallel.mesh import make_mesh
+
+    spec = spec.validate()
+    if style not in ("european", "bermudan"):
+        raise ValueError(f"style must be european|bermudan, got {style!r}")
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    mesh = make_mesh() if mesh is None else mesh
+    p0, c, bmat, corr = _hw_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x4877), jnp.uint32)
+    return _hw_swaption_sharded_impl(
+        spec, jnp.float32(dyn.a), jnp.float32(dyn.sigma_r), sim.n_paths,
+        degree, style, mesh, key, jnp.asarray(p0, jnp.float32),
+        jnp.asarray(c, jnp.float32), (p0, bmat, corr))
 
 
 HW_CVA_GREEK_FIELDS = ("curve_dv01", "vega_r", "kappa")

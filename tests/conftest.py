@@ -68,6 +68,9 @@ SLOW_TESTS = {
     "test_g2pp.py::test_multicurve_two_factor",
     "test_g2pp.py::test_bermudan_dominates_european_and_matches_hw_in_the_limit",
     "test_hullwhite.py::test_bermudan_bounds_bracket_on_the_curve",
+    "test_hullwhite.py::test_sharded_hw_swaption_mesh_invariance",
+    "test_hullwhite.py::test_bermudan_exposure_telescopes_on_the_curve",
+    "test_hullwhite.py::test_hw_swap_cva_greeks_match_strip_fd",
     "test_mlmc_family.py::test_merton_terminal_exact_in_law",
     "test_mlmc_family.py::test_merton_asian_coupling_decays_and_matches_fine_grid",
     "test_mlmc_family.py::test_eps_driven_allocation",

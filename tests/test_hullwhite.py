@@ -335,3 +335,28 @@ def test_hw_swap_cva_greeks_match_strip_fd():
     assert float(g["vega_r"]) > 0.0
     with pytest.raises(ValueError, match="unknown greeks"):
         hw_swap_cva_greeks(hazard_rate=LAM, which=("charm",))
+
+
+def test_sharded_hw_swaption_mesh_invariance():
+    """Global-id streams + psum'd normal equations: a 1-device mesh
+    simulates the identical path set (the mean differs from the
+    single-chip program only by XLA reduction order, <= 3e-7 rel); the
+    8-device mesh agrees to summation-order noise."""
+    import jax
+
+    from mc_tpu.models.hullwhite import (price_bermudan_hw_swaption,
+                                         price_hw_swaption_sharded)
+    from mc_tpu.parallel import make_mesh
+    sim = SimParams(n_paths=1 << 15, n_steps=1)
+    for style, solo_fn in (("european", price_hw_swaption),
+                           ("bermudan", price_bermudan_hw_swaption)):
+        solo = solo_fn(SPEC, DEMO_HW, DEMO_CURVE, sim)
+        m1 = price_hw_swaption_sharded(SPEC, DEMO_HW, DEMO_CURVE, sim,
+                                       style=style,
+                                       mesh=make_mesh(jax.devices()[:1]))
+        m8 = price_hw_swaption_sharded(SPEC, DEMO_HW, DEMO_CURVE, sim,
+                                       style=style, mesh=make_mesh())
+        assert abs(float(m1.price) - float(solo.price)) \
+            <= 3e-7 * max(float(solo.price), 1e-9), style
+        assert abs(float(m8.price) - float(solo.price)) \
+            <= 1e-4 * max(float(solo.price), 1e-9), style
