@@ -83,7 +83,8 @@ def __getattr__(name):
         return getattr(hullwhite, name)
     if name in ("price_g2_swaption", "price_bermudan_g2_swaption",
                 "bermudan_g2_swaption_bounds",
-                "bermudan_g2_swaption_exposure", "g2_swap_exposure",
+                "bermudan_g2_swaption_exposure",
+                "price_g2_swaption_sharded", "g2_swap_exposure",
                 "g2_swap_cva_greeks", "G2Dynamics"):
         from mc_tpu.models import g2pp
         return getattr(g2pp, name)

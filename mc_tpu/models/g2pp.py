@@ -41,8 +41,8 @@ from mc_tpu.oracle import PriceResult, summarize
 
 __all__ = ["G2Dynamics", "price_g2_swaption",
            "price_bermudan_g2_swaption", "bermudan_g2_swaption_bounds",
-           "bermudan_g2_swaption_exposure", "g2_swap_exposure",
-           "g2_swap_cva_greeks", "DEMO_G2"]
+           "bermudan_g2_swaption_exposure", "price_g2_swaption_sharded",
+           "g2_swap_exposure", "g2_swap_cva_greeks", "DEMO_G2"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,14 +132,17 @@ def _g2_tables(spec: SwaptionSpec, dyn: G2Dynamics,
     return p0, vhalf, amat, bamat, bbmat
 
 
-def _simulate_g2_grid(spec, dyn, n_paths, n_ex, key):
+def _simulate_g2_grid(spec, dyn, n_paths, n_ex, key, path_offset=0):
     """(x, y, z) at the n_ex coupon dates — exact joint Gaussian steps.
 
-    Draw convention: date u of path i consumes the threefry pair
-    (i, 2u) plus one inverse-CDF normal at (i, 2u+1)."""
+    Draw convention: date u of GLOBAL path i consumes the threefry pair
+    (i, 2u) plus one inverse-CDF normal at (i, 2u+1); ``path_offset``
+    keys sharded entries by global id so sharding never changes the
+    draws."""
     k0 = jnp.asarray(key[0], jnp.uint32)
     k1 = jnp.asarray(key[1], jnp.uint32)
-    ids = jnp.arange(n_paths, dtype=jnp.uint32)
+    ids = (jnp.asarray(path_offset, jnp.uint32)
+           + jnp.arange(n_paths, dtype=jnp.uint32))
     x = jnp.zeros((n_paths,), jnp.float32)
     y = jnp.zeros((n_paths,), jnp.float32)
     z = jnp.zeros((n_paths,), jnp.float32)
@@ -330,6 +333,95 @@ def _g2_bermudan_impl(spec, dyn, n_paths, degree, key, consts):
     cf, _ = _fit_g2_bermudan(spec, dyn, grid, degree, consts)
     n = jnp.float32(n_paths)
     return summarize(jnp.sum(cf), jnp.sum(cf * cf), n, 1.0)
+
+
+def _g2_swaption_sharded_impl(spec, dyn, n_paths, degree, style, mesh,
+                              key, consts):
+    from jax.sharding import PartitionSpec as P
+
+    from mc_tpu.parallel.mesh import PATHS_AXIS
+
+    p0, vhalf, amat, bamat, bbmat = consts
+    n_shards = mesh.devices.size
+    n_local = -(-n_paths // n_shards)
+    n_ex = 1 if style == "european" else spec.n_payments
+    sx = dyn.sigma / math.sqrt(2.0 * dyn.a)
+    sy = dyn.eta / math.sqrt(2.0 * dyn.b_mr)
+
+    def shard_fn(key):
+        rank = jax.lax.axis_index(PATHS_AXIS).astype(jnp.uint32)
+        off = rank * jnp.uint32(n_local)
+        mask = (off + jnp.arange(n_local, dtype=jnp.uint32)
+                < jnp.uint32(n_paths))
+        grid = _simulate_g2_grid(spec, dyn, n_local, n_ex, key, off)
+
+        def ex_at(i):
+            x, y, _ = grid[i]
+            return jnp.maximum(_g2_mtm(spec, i, x, y, p0, amat, bamat,
+                                       bbmat), 0.0)
+
+        def dfac(i):
+            return (jnp.float32(p0[i])
+                    * jnp.exp(-grid[i][2] - jnp.float32(vhalf[i])))
+
+        cf = ex_at(n_ex - 1) * dfac(n_ex - 1)
+        if style == "bermudan":
+            for i in range(n_ex - 2, -1, -1):
+                x, y, _ = grid[i]
+                ex = ex_at(i)
+                itm = jnp.logical_and(ex > 0.0, mask)
+                xb = _g2_basis(x, y, jnp.float32(sx), jnp.float32(sy),
+                               degree)
+                w = jnp.where(itm, 1.0, 0.0)[:, None]
+                xtx = (jax.lax.psum((xb * w).T @ xb, PATHS_AXIS)
+                       + 1e-6 * jnp.eye(xb.shape[1], dtype=xb.dtype))
+                xty = jax.lax.psum((xb * w).T @ (cf / dfac(i)),
+                                   PATHS_AXIS)
+                beta = jax.lax.stop_gradient(
+                    jnp.linalg.solve(xtx, xty))
+                cont = xb @ beta
+                take = jnp.logical_and(itm, ex > cont)
+                cf = jnp.where(take, ex * dfac(i), cf)
+        cf = jnp.where(mask, cf, 0.0)
+        return (jax.lax.psum(jnp.sum(cf), PATHS_AXIS),
+                jax.lax.psum(jnp.sum(cf * cf), PATHS_AXIS))
+
+    s, sq = jax.shard_map(shard_fn, mesh=mesh, in_specs=(P(),),
+                          out_specs=P(), check_vma=False)(key)
+    return summarize(s, sq, jnp.float32(n_paths), 1.0)
+
+
+def price_g2_swaption_sharded(spec: SwaptionSpec = DEMO_SWAPTION,
+                              dyn: G2Dynamics = DEMO_G2,
+                              curve: DiscountCurve = DEMO_CURVE,
+                              sim: SimParams = SimParams(
+                                  n_paths=1 << 20, n_steps=1),
+                              *,
+                              mesh=None,
+                              style: str = "european",
+                              degree: int = 3,
+                              seed: Optional[int] = None,
+                              stream: int = STREAM_OUTER
+                              ) -> PriceResult:
+    """European or Bermudan two-factor curve swaption sharded over the
+    mesh: global-id streams, psum'd normal equations on the (x, y)
+    basis.  A 1-device mesh simulates the identical path set; the mean
+    agrees with the single-chip pricer up to XLA reduction order
+    (gated <= 1e-5 relative — the two-factor per-path value chains
+    more f32 ops than the one-factor model's ~3e-7)."""
+    from mc_tpu.parallel.mesh import make_mesh
+
+    spec = spec.validate()
+    if style not in ("european", "bermudan"):
+        raise ValueError(f"style must be european|bermudan, got {style!r}")
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    mesh = make_mesh() if mesh is None else mesh
+    consts = _g2_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x6270), jnp.uint32)
+    return _g2_swaption_sharded_impl(spec, dyn, sim.n_paths, degree,
+                                     style, mesh, key, consts)
 
 
 G2_CVA_GREEK_FIELDS = ("curve_dv01", "vega_x", "vega_y")

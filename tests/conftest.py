@@ -65,6 +65,7 @@ SLOW_TESTS = {
     "test_g2pp.py::test_bermudan_bounds_bracket_two_factor",
     "test_g2pp.py::test_bermudan_exposure_telescopes_two_factor",
     "test_g2pp.py::test_g2_swap_cva_greeks_match_strip_fd",
+    "test_g2pp.py::test_sharded_g2_swaption_mesh_invariance",
     "test_g2pp.py::test_multicurve_two_factor",
     "test_g2pp.py::test_bermudan_dominates_european_and_matches_hw_in_the_limit",
     "test_hullwhite.py::test_bermudan_bounds_bracket_on_the_curve",

@@ -302,3 +302,32 @@ def test_g2_swap_cva_greeks_match_strip_fd():
     assert float(g["curve_dv01"]) == pytest.approx(fd_dv01, rel=2e-2)
     assert float(g["vega_x"]) == pytest.approx(fd_vx, rel=3e-2)
     assert float(g["vega_y"]) == pytest.approx(fd_vy, rel=3e-2)
+
+
+def test_sharded_g2_swaption_mesh_invariance():
+    import jax
+
+    from mc_tpu.models.g2pp import (price_bermudan_g2_swaption,
+                                    price_g2_swaption_sharded)
+    from mc_tpu.parallel import make_mesh
+    # 4 payments keeps the 8-device shard_map trace tractable on the
+    # virtual CPU mesh (the 10-date Bermudan's unrolled psum regressions
+    # compile for minutes there)
+    spec = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=4,
+                        k_rate=0.04)
+    sim = SimParams(n_paths=1 << 14, n_steps=1)
+    for style, solo_fn in (("european", price_g2_swaption),
+                           ("bermudan", price_bermudan_g2_swaption)):
+        solo = solo_fn(spec, DEMO_G2, DEMO_CURVE, sim)
+        m1 = price_g2_swaption_sharded(spec, DEMO_G2, DEMO_CURVE, sim,
+                                       style=style,
+                                       mesh=make_mesh(jax.devices()[:1]))
+        m8 = price_g2_swaption_sharded(spec, DEMO_G2, DEMO_CURVE, sim,
+                                       style=style, mesh=make_mesh())
+        # identical path set; means differ only by XLA reduction order
+        # (the two-factor per-path value chains more f32 ops, so the
+        # reassociation noise is ~1e-5 rel vs HW's ~3e-7)
+        assert abs(float(m1.price) - float(solo.price)) \
+            <= 1e-5 * max(float(solo.price), 1e-9), style
+        assert abs(float(m8.price) - float(solo.price)) \
+            <= 1e-4 * max(float(solo.price), 1e-9), style
