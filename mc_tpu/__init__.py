@@ -77,8 +77,8 @@ def __getattr__(name):
                 "bermudan_hw_swaption_bounds",
                 "bermudan_hw_swaption_exposure", "price_hw_swaption_qmc",
                 "price_hw_swaption_sharded", "hw_swap_exposure",
-                "hw_swap_cva_greeks", "DiscountCurve",
-                "HullWhiteDynamics"):
+                "hw_swap_book_exposure", "hw_swap_cva_greeks",
+                "DiscountCurve", "HullWhiteDynamics"):
         from mc_tpu.models import hullwhite
         return getattr(hullwhite, name)
     if name in ("price_g2_swaption", "price_bermudan_g2_swaption",

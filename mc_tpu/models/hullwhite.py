@@ -46,7 +46,8 @@ __all__ = ["DiscountCurve", "HullWhiteDynamics", "price_hw_swaption",
            "price_bermudan_hw_swaption", "bermudan_hw_swaption_bounds",
            "bermudan_hw_swaption_exposure", "price_hw_swaption_qmc",
            "price_hw_swaption_sharded", "hw_swap_exposure",
-           "hw_swap_cva_greeks", "DEMO_CURVE", "DEMO_HW"]
+           "hw_swap_book_exposure", "hw_swap_cva_greeks", "DEMO_CURVE",
+           "DEMO_HW"]
 
 
 class DiscountCurve:
@@ -503,6 +504,58 @@ def price_hw_swaption_sharded(spec: SwaptionSpec = DEMO_SWAPTION,
         spec, jnp.float32(dyn.a), jnp.float32(dyn.sigma_r), sim.n_paths,
         degree, style, mesh, key, jnp.asarray(p0, jnp.float32),
         jnp.asarray(c, jnp.float32), (p0, bmat, corr))
+
+
+def hw_swap_book_exposure(specs, dyn: HullWhiteDynamics = DEMO_HW,
+                          curve: DiscountCurve = DEMO_CURVE,
+                          sim: SimParams = SimParams(n_paths=1 << 16,
+                                                     n_steps=1),
+                          *,
+                          weights=None,
+                          seed: Optional[int] = None,
+                          stream: int = STREAM_OUTER):
+    """NETTING SET of swaps under curve-fitted Hull-White.
+
+    ``specs``: SwaptionSpecs sharing expiry and tenor (the coupon
+    grid); per-swap fixed rates, payer/receiver sides, and payment
+    counts may differ (shorter swaps contribute zero MtM past their
+    last coupon).  All swaps ride ONE rate grid (common random
+    numbers), and each swap's MtM is affine in the same bonds — so the
+    netted value matrix is BITWISE the weighted sum of the standalone
+    `hw_swap_exposure` matrices (gated), while the netted EE is
+    subadditive: EE_net <= sum of standalone EEs, the portfolio effect
+    netting exists to capture.  Returns a `CollateralizedExposure`
+    of the netted values (full XVA metric set at the counterparty
+    level)."""
+    if not specs:
+        raise ValueError("need at least one swap in the netting set")
+    specs = [s.validate() for s in specs]
+    e0, t0 = specs[0].expiry, specs[0].tenor
+    for s in specs[1:]:
+        if s.expiry != e0 or s.tenor != t0:
+            raise ValueError(
+                "netting-set swaps must share expiry and tenor (got "
+                f"({s.expiry}, {s.tenor}) vs ({e0}, {t0}))")
+    weights = ([1.0] * len(specs) if weights is None
+               else [float(w) for w in weights])
+    if len(weights) != len(specs):
+        raise ValueError(f"{len(weights)} weights for {len(specs)} swaps")
+    n_ex = max(s.n_payments for s in specs)
+    seed = sim.seed if seed is None else seed
+
+    net = None
+    for s, w in zip(specs, weights):
+        e = hw_swap_exposure(s, dyn, curve, sim, seed=seed,
+                             stream=stream)
+        v = e.values * jnp.float32(w)
+        if v.shape[1] < n_ex:  # shorter swap: zero MtM past its end
+            pad = jnp.zeros((v.shape[0], n_ex - v.shape[1]), v.dtype)
+            v = jnp.concatenate([v, pad], axis=1)
+        net = v if net is None else net + v
+    from mc_tpu.xva import CollateralizedExposure
+    horizon = e0 + (n_ex - 1) * t0
+    return CollateralizedExposure(values=net,
+                                  t_horizon=jnp.float32(horizon))
 
 
 HW_CVA_GREEK_FIELDS = ("curve_dv01", "vega_r", "kappa")

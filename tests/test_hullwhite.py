@@ -360,3 +360,36 @@ def test_sharded_hw_swaption_mesh_invariance():
             <= 3e-7 * max(float(solo.price), 1e-9), style
         assert abs(float(m8.price) - float(solo.price)) \
             <= 1e-4 * max(float(solo.price), 1e-9), style
+
+
+def test_swap_netting_set_on_the_curve():
+    """The netted value matrix is BITWISE the weighted sum of the
+    standalone exposures (one shared rate grid, affine MtMs), yet the
+    netted EE is strictly below the sum of standalone EEs when the
+    swaps offset — the portfolio effect netting exists to capture."""
+    from mc_tpu.models.hullwhite import hw_swap_book_exposure
+    sim = SimParams(n_paths=1 << 14, n_steps=1)
+    pay = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=10,
+                       k_rate=0.04)
+    rec = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=6,
+                       k_rate=0.045, payer=False)
+    book = hw_swap_book_exposure([pay, rec], DEMO_HW, DEMO_CURVE, sim,
+                                 weights=[1.0, 2.0])
+    a = hw_swap_exposure(pay, DEMO_HW, DEMO_CURVE, sim)
+    b = hw_swap_exposure(rec, DEMO_HW, DEMO_CURVE, sim)
+    va = np.asarray(a.values)
+    vb = np.zeros_like(np.asarray(book.values))
+    vb[:, :6] = np.asarray(b.values)
+    assert np.array_equal(np.asarray(book.values),
+                          np.float32(va + 2.0 * np.float32(vb)))
+    ee_net = np.asarray(book.exposure_profile()[0])
+    ee_sum = (np.asarray(a.exposure_profile()[0])
+              + 2.0 * np.concatenate([
+                  np.asarray(b.exposure_profile()[0]), np.zeros(4)]))
+    assert np.all(ee_net <= ee_sum + 1e-7)
+    assert ee_net[0] < ee_sum[0]  # opposite sides genuinely offset
+    assert float(book.cva(0.02)) > 0.0
+    with pytest.raises(ValueError, match="share expiry"):
+        hw_swap_book_exposure([pay, SwaptionSpec(expiry=2.0)])
+    with pytest.raises(ValueError, match="weights"):
+        hw_swap_book_exposure([pay], weights=[1.0, 2.0])
