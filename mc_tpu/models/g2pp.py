@@ -42,7 +42,8 @@ from mc_tpu.oracle import PriceResult, summarize
 __all__ = ["G2Dynamics", "price_g2_swaption",
            "price_bermudan_g2_swaption", "bermudan_g2_swaption_bounds",
            "bermudan_g2_swaption_exposure", "price_g2_swaption_sharded",
-           "g2_swap_exposure", "g2_swap_cva_greeks", "DEMO_G2"]
+           "g2_swap_exposure", "g2_swap_book_exposure",
+           "g2_swap_cva_greeks", "DEMO_G2"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -422,6 +423,49 @@ def price_g2_swaption_sharded(spec: SwaptionSpec = DEMO_SWAPTION,
     key = jnp.asarray(rng.derive_key(seed, stream, 0x6270), jnp.uint32)
     return _g2_swaption_sharded_impl(spec, dyn, sim.n_paths, degree,
                                      style, mesh, key, consts)
+
+
+def g2_swap_book_exposure(specs, dyn: G2Dynamics = DEMO_G2,
+                          curve: DiscountCurve = DEMO_CURVE,
+                          sim: SimParams = SimParams(n_paths=1 << 16,
+                                                     n_steps=1),
+                          *,
+                          weights=None,
+                          seed: Optional[int] = None,
+                          stream: int = STREAM_OUTER):
+    """NETTING SET of swaps under two-factor rates — the
+    `hullwhite.hw_swap_book_exposure` construction on the G2++ grid
+    (one shared (x, y, int) pass, affine per-swap MtMs, netted matrix
+    BITWISE the weighted sum of standalones, netted EE subadditive)."""
+    if not specs:
+        raise ValueError("need at least one swap in the netting set")
+    specs = [s.validate() for s in specs]
+    e0, t0 = specs[0].expiry, specs[0].tenor
+    for s in specs[1:]:
+        if s.expiry != e0 or s.tenor != t0:
+            raise ValueError(
+                "netting-set swaps must share expiry and tenor (got "
+                f"({s.expiry}, {s.tenor}) vs ({e0}, {t0}))")
+    weights = ([1.0] * len(specs) if weights is None
+               else [float(w) for w in weights])
+    if len(weights) != len(specs):
+        raise ValueError(f"{len(weights)} weights for {len(specs)} swaps")
+    n_ex = max(s.n_payments for s in specs)
+    seed = sim.seed if seed is None else seed
+
+    net = None
+    for s, w in zip(specs, weights):
+        e = g2_swap_exposure(s, dyn, curve, sim, seed=seed,
+                             stream=stream)
+        v = e.values * jnp.float32(w)
+        if v.shape[1] < n_ex:
+            pad = jnp.zeros((v.shape[0], n_ex - v.shape[1]), v.dtype)
+            v = jnp.concatenate([v, pad], axis=1)
+        net = v if net is None else net + v
+    from mc_tpu.xva import CollateralizedExposure
+    horizon = e0 + (n_ex - 1) * t0
+    return CollateralizedExposure(values=net,
+                                  t_horizon=jnp.float32(horizon))
 
 
 G2_CVA_GREEK_FIELDS = ("curve_dv01", "vega_x", "vega_y")

@@ -331,3 +331,27 @@ def test_sharded_g2_swaption_mesh_invariance():
             <= 1e-5 * max(float(solo.price), 1e-9), style
         assert abs(float(m8.price) - float(solo.price)) \
             <= 1e-4 * max(float(solo.price), 1e-9), style
+
+
+def test_swap_netting_set_two_factor():
+    from mc_tpu.models.g2pp import g2_swap_book_exposure
+    sim = SimParams(n_paths=1 << 13, n_steps=1)
+    pay = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=10,
+                       k_rate=0.04)
+    rec = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=6,
+                       k_rate=0.045, payer=False)
+    book = g2_swap_book_exposure([pay, rec], DEMO_G2, DEMO_CURVE, sim,
+                                 weights=[1.0, 2.0])
+    a = g2_swap_exposure(pay, DEMO_G2, DEMO_CURVE, sim)
+    b = g2_swap_exposure(rec, DEMO_G2, DEMO_CURVE, sim)
+    vb = np.zeros_like(np.asarray(book.values))
+    vb[:, :6] = np.asarray(b.values)
+    assert np.array_equal(
+        np.asarray(book.values),
+        np.float32(np.asarray(a.values) + 2.0 * np.float32(vb)))
+    ee_net = np.asarray(book.exposure_profile()[0])
+    ee_sum = (np.asarray(a.exposure_profile()[0])
+              + 2.0 * np.concatenate([
+                  np.asarray(b.exposure_profile()[0]), np.zeros(4)]))
+    assert np.all(ee_net <= ee_sum + 1e-7)
+    assert ee_net[0] < ee_sum[0]
