@@ -76,9 +76,10 @@ def __getattr__(name):
     if name in ("price_hw_swaption", "price_bermudan_hw_swaption",
                 "bermudan_hw_swaption_bounds",
                 "bermudan_hw_swaption_exposure", "price_hw_swaption_qmc",
-                "price_hw_swaption_sharded", "hw_swap_exposure",
-                "hw_swap_book_exposure", "hw_swap_cva_greeks",
-                "DiscountCurve", "HullWhiteDynamics"):
+                "price_hw_swaption_sharded", "price_hw_equity",
+                "hw_swap_exposure", "hw_swap_book_exposure",
+                "hw_swap_cva_greeks", "DiscountCurve",
+                "HullWhiteDynamics"):
         from mc_tpu.models import hullwhite
         return getattr(hullwhite, name)
     if name in ("price_g2_swaption", "price_bermudan_g2_swaption",

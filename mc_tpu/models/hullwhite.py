@@ -45,9 +45,9 @@ from mc_tpu.oracle import PriceResult, summarize
 __all__ = ["DiscountCurve", "HullWhiteDynamics", "price_hw_swaption",
            "price_bermudan_hw_swaption", "bermudan_hw_swaption_bounds",
            "bermudan_hw_swaption_exposure", "price_hw_swaption_qmc",
-           "price_hw_swaption_sharded", "hw_swap_exposure",
-           "hw_swap_book_exposure", "hw_swap_cva_greeks", "DEMO_CURVE",
-           "DEMO_HW"]
+           "price_hw_swaption_sharded", "price_hw_equity",
+           "hw_swap_exposure", "hw_swap_book_exposure",
+           "hw_swap_cva_greeks", "DEMO_CURVE", "DEMO_HW"]
 
 
 class DiscountCurve:
@@ -504,6 +504,79 @@ def price_hw_swaption_sharded(spec: SwaptionSpec = DEMO_SWAPTION,
         spec, jnp.float32(dyn.a), jnp.float32(dyn.sigma_r), sim.n_paths,
         degree, style, mesh, key, jnp.asarray(p0, jnp.float32),
         jnp.asarray(c, jnp.float32), (p0, bmat, corr))
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "payoff"))
+def _hw_equity_impl(n_paths, payoff, s0, k, q, sigma_s, chol, dalpha,
+                    p0t, cT, t, key):
+    ko0 = jnp.asarray(key[0], jnp.uint32)
+    ko1 = jnp.asarray(key[1], jnp.uint32)
+    ids = jnp.arange(n_paths, dtype=jnp.uint32)
+    z0, z1 = rng.normal_pair(ko0, ko1, ids, jnp.zeros_like(ids))
+    y = chol[0, 0] * z0                       # int_0^T x
+    g = chol[1, 0] * z0 + chol[1, 1] * z1     # sigma_s W_T
+    # log S_T = ln S0 + int r - qT - sigma^2 T/2 + g,
+    # int r = y + int alpha  (dalpha = -ln P(0,T) + c(T))
+    s_t = s0 * jnp.exp(dalpha + y - q * t
+                       - 0.5 * sigma_s * sigma_s * t + g)
+    disc = p0t * jnp.exp(-y - cT)             # pathwise e^{-int r}
+    if payoff == "call":
+        pay = jnp.maximum(s_t - k, 0.0) * disc
+    else:
+        pay = jnp.maximum(k - s_t, 0.0) * disc
+    n = jnp.float32(n_paths)
+    return summarize(jnp.sum(pay), jnp.sum(pay * pay), n, 1.0)
+
+
+def price_hw_equity(option=None,
+                    dyn: HullWhiteDynamics = DEMO_HW,
+                    curve: DiscountCurve = DEMO_CURVE,
+                    sim: SimParams = SimParams(n_paths=1 << 20,
+                                               n_steps=1),
+                    payoff: str = "call",
+                    *,
+                    rho: float = -0.3,
+                    seed: Optional[int] = None,
+                    stream: int = STREAM_OUTER) -> PriceResult:
+    """European equity option under GBM + CURVE-FITTED stochastic rates
+    — the hybrid-desk model (the flat-b Vasicek hybrid `price_vasicek`
+    generalized to an input discount curve).
+
+    ONE exact joint draw of (int x, equity Brownian) at expiry (their
+    covariance rho sigma_s (sigma_r/a)(T - B) is closed-form), pathwise
+    curve discounting P(0,T) e^{-int x - Var/2}.  Oracle:
+    `oracle.hw_equity_call` (Merton-73 on the curve — the integrated
+    variance never involves the rate drift, so it is `bsv_call` with
+    the curve bond).  Pathwise put-call parity is exact: call - put =
+    S0 e^{-qT} - K P(0,T) on the same draws (gated)."""
+    from mc_tpu.config import DEMO_OPTION
+    option = (DEMO_OPTION if option is None else option).as_f32()
+    dyn.validate()
+    if payoff not in ("call", "put"):
+        raise ValueError(f"payoff must be call|put, got {payoff!r}")
+    if not -1.0 <= rho <= 1.0:
+        raise ValueError(f"rho must be in [-1, 1], got {rho}")
+    a, sig_r = float(dyn.a), float(dyn.sigma_r)
+    t = float(option.t)
+    sigma_s = float(option.sigma)
+    bt = -math.expm1(-a * t) / a
+    c2 = -math.expm1(-2.0 * a * t) / (2.0 * a)
+    var_y = (sig_r * sig_r / (a * a)) * (t - 2.0 * bt + c2)
+    var_g = sigma_s * sigma_s * t
+    cov = rho * sigma_s * (sig_r / a) * (t - bt)
+    m = np.array([[var_y, cov], [cov, var_g]], np.float64)
+    m += 1e-12 * np.trace(m) / 2.0 * np.eye(2)
+    chol = jnp.asarray(np.linalg.cholesky(m), jnp.float32)
+    p0t = curve.df(t)
+    c_t = 0.5 * var_y                     # Var[int x]/2
+    dalpha = -math.log(p0t) + c_t         # int_0^T alpha
+    seed = sim.seed if seed is None else seed
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x48EB), jnp.uint32)
+    return _hw_equity_impl(sim.n_paths, payoff,
+                           jnp.float32(option.s0), jnp.float32(option.k),
+                           jnp.float32(option.q), jnp.float32(sigma_s),
+                           chol, jnp.float32(dalpha), jnp.float32(p0t),
+                           jnp.float32(c_t), jnp.float32(t), key)
 
 
 def hw_swap_book_exposure(specs, dyn: HullWhiteDynamics = DEMO_HW,

@@ -916,3 +916,25 @@ def g2_swaption_multicurve(a, sigma, b_mr, eta, rho, df_disc, df_proj,
     payer_px = pd_[0] * float(
         np.sum(np.maximum(v, 0.0) * pdf * wx[:, None] * wy[None, :]))
     return payer_px
+
+
+def hw_equity_call(s0, k, t, sigma_s, a, sigma_r, rho, df, q=0.0):
+    """European equity call under GBM + curve-fitted Hull-White rates
+    (Merton 1973 on the curve).
+
+    The integrated forward variance is IDENTICAL to `bsv_call`'s (it
+    never involves the rate drift), so the only change is the discount
+    bond: P(0,T) comes from the input curve the theta(t) fit reprices.
+    Black formula: S0 e^{-qT} N(d1) - K P(0,T) N(d2)."""
+    s0, k, t, sigma_s, a, sigma_r, rho, q = map(
+        float, (s0, k, t, sigma_s, a, sigma_r, rho, q))
+    p0t = float(df(t))
+    bt = -math.expm1(-a * t) / a
+    c2 = -math.expm1(-2.0 * a * t) / (2.0 * a)
+    var = (sigma_s * sigma_s * t
+           + (sigma_r * sigma_r / (a * a)) * (t - 2.0 * bt + c2)
+           + 2.0 * rho * sigma_s * (sigma_r / a) * (t - bt))
+    sig = math.sqrt(var)
+    d1 = (math.log(s0 * math.exp(-q * t) / (k * p0t)) + 0.5 * var) / sig
+    d2 = d1 - sig
+    return s0 * math.exp(-q * t) * _phid(d1) - k * p0t * _phid(d2)

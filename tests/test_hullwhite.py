@@ -393,3 +393,52 @@ def test_swap_netting_set_on_the_curve():
         hw_swap_book_exposure([pay, SwaptionSpec(expiry=2.0)])
     with pytest.raises(ValueError, match="weights"):
         hw_swap_book_exposure([pay], weights=[1.0, 2.0])
+
+
+def test_equity_hybrid_on_the_curve():
+    """GBM + curve-fitted stochastic rates: the MC matches the
+    Merton-73-on-the-curve oracle; the oracle equals bsv_call EXACTLY
+    on a Vasicek-generated curve (the integrated variance never sees
+    the rate drift); sigma_r -> 0 collapses to Black-76 on the curve
+    forward; CRN put-call parity holds within MC noise."""
+    from mc_tpu.models.hullwhite import price_hw_equity
+    from mc_tpu import OptionParams
+    opt = OptionParams()
+    r = price_hw_equity(opt, DEMO_HW, DEMO_CURVE,
+                        SimParams(n_paths=1 << 19, n_steps=1),
+                        rho=-0.3)
+    ref = oracle.hw_equity_call(100, 100, 1.0, 0.2, DEMO_HW.a,
+                                DEMO_HW.sigma_r, -0.3, DEMO_CURVE.df)
+    z = (float(r.price) - ref) / float(r.stderr)
+    assert abs(z) < 4.0, (float(r.price), ref, z)
+    # exact cross-oracle on the Vasicek curve
+    df_v = (lambda t: oracle.vasicek_zcb(0.05, 0.3, 0.05, 0.015, t)
+            if t > 0 else 1.0)
+    hv = oracle.hw_equity_call(100, 100, 1.0, 0.2, 0.3, 0.015, -0.3,
+                               df_v)
+    bv = oracle.bsv_call(100, 100, 1.0, 0.05, 0.2, 0.3, 0.05, 0.015,
+                         -0.3)
+    assert hv == pytest.approx(float(bv), rel=1e-9)
+    # sigma_r -> 0: Black on the curve forward
+    r0 = oracle.hw_equity_call(100, 100, 1.0, 0.2, 0.3, 1e-9, 0.0,
+                               DEMO_CURVE.df)
+    p0t = DEMO_CURVE.df(1.0)
+    sig = 0.2
+    d1 = (math.log(100.0 / (100.0 * p0t)) + 0.5 * sig * sig) / sig
+    blk = 100.0 * oracle_cnd(d1) - 100.0 * p0t * oracle_cnd(d1 - sig)
+    assert r0 == pytest.approx(blk, rel=1e-9)
+    # CRN parity
+    sim = SimParams(n_paths=1 << 16, n_steps=1)
+    c = price_hw_equity(opt, DEMO_HW, DEMO_CURVE, sim, "call", rho=-0.3)
+    p = price_hw_equity(opt, DEMO_HW, DEMO_CURVE, sim, "put", rho=-0.3)
+    par = 100.0 - 100.0 * p0t
+    joint = (float(c.stderr) ** 2 + float(p.stderr) ** 2) ** 0.5
+    assert abs(float(c.price) - float(p.price) - par) <= 4.0 * joint
+    with pytest.raises(ValueError, match="payoff"):
+        price_hw_equity(opt, payoff="digital")
+    with pytest.raises(ValueError, match="rho"):
+        price_hw_equity(opt, rho=2.0)
+
+
+def oracle_cnd(x):
+    return 0.5 * math.erfc(-x / math.sqrt(2.0))
