@@ -74,6 +74,40 @@ class DiscountCurve:
     def flat(rate: float, horizon: float = 50.0) -> "DiscountCurve":
         return DiscountCurve([horizon], [rate])
 
+    @staticmethod
+    def from_par_swaps(maturities, par_rates,
+                       tenor: float = 0.5) -> "DiscountCurve":
+        """BOOTSTRAP the curve from par swap quotes — the actual market
+        input (desks quote par rates, not zeros).
+
+        ``par_rates[i]`` is the fixed rate making the spot-starting
+        swap to ``maturities[i]`` worth zero:
+            s_m * tau * sum_{j<=m} P(t_j) = 1 - P(t_m).
+        Maturities must lie on the tenor grid and ascend; rates between
+        quotes are interpolated linearly in the par rate (standard
+        single-curve bootstrap).  Round-trip gate: par rates generated
+        from a known curve are recovered and the bootstrapped curve
+        reprices them to ~1e-12."""
+        mats = np.asarray(maturities, np.float64)
+        pars = np.asarray(par_rates, np.float64)
+        if mats.shape != pars.shape or mats.ndim != 1:
+            raise ValueError("maturities/par_rates must match, 1-D")
+        if np.any(np.diff(mats) <= 0.0):
+            raise ValueError("maturities must be strictly ascending")
+        n_steps = np.round(mats / tenor).astype(int)
+        if not np.allclose(n_steps * tenor, mats, atol=1e-9):
+            raise ValueError("maturities must lie on the tenor grid")
+        # par rate at every coupon date by linear interpolation
+        grid = np.arange(1, n_steps[-1] + 1) * tenor
+        s = np.interp(grid, mats, pars)
+        dfs = np.empty(len(grid), np.float64)
+        acc = 0.0  # running annuity sum_{j<m} P(t_j)
+        for m in range(len(grid)):
+            dfs[m] = (1.0 - s[m] * tenor * acc) / (1.0 + s[m] * tenor)
+            acc += dfs[m]
+        zeros = -np.log(dfs) / grid
+        return DiscountCurve(grid, zeros)
+
     def df(self, t) -> float:
         """P(0, t); t = 0 -> 1 exactly."""
         t = float(t)

@@ -442,3 +442,31 @@ def test_equity_hybrid_on_the_curve():
 
 def oracle_cnd(x):
     return 0.5 * math.erfc(-x / math.sqrt(2.0))
+
+
+def test_bootstrap_from_par_swaps_round_trip():
+    """Par rates generated from a known curve are recovered: the
+    bootstrapped curve reprices every quote (swap PV = 0) to ~1e-12
+    and matches the source discounts on the quote grid."""
+    from mc_tpu.models.hullwhite import DiscountCurve
+    tenor = 0.5
+    mats = np.array([0.5, 1.0, 2.0, 3.0, 5.0])
+
+    def par_rate(curve, t_m):
+        n = int(round(t_m / tenor))
+        dfs = [curve.df(tenor * j) for j in range(1, n + 1)]
+        return (1.0 - dfs[-1]) / (tenor * sum(dfs))
+
+    pars = [par_rate(DEMO_CURVE, m) for m in mats]
+    boot = DiscountCurve.from_par_swaps(mats, pars, tenor=tenor)
+    for m, s in zip(mats, pars):
+        # quote repriced: par swap PV == 0 on the bootstrapped curve
+        assert par_rate(boot, m) == pytest.approx(s, rel=1e-12)
+    # discounts match the source curve AT the quote maturities (between
+    # quotes the interpolation conventions legitimately differ)
+    for m in mats:
+        assert boot.df(m) == pytest.approx(DEMO_CURVE.df(m), rel=5e-4)
+    with pytest.raises(ValueError, match="tenor grid"):
+        DiscountCurve.from_par_swaps([0.7], [0.03], tenor=0.5)
+    with pytest.raises(ValueError, match="ascending"):
+        DiscountCurve.from_par_swaps([1.0, 1.0], [0.03, 0.03])
