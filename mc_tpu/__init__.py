@@ -78,7 +78,8 @@ def __getattr__(name):
                 "bermudan_hw_swaption_exposure", "price_hw_swaption_qmc",
                 "price_hw_swaption_sharded", "price_hw_equity",
                 "hw_swap_exposure", "hw_swap_book_exposure",
-                "hw_swap_cva_greeks", "DiscountCurve",
+                "hw_swap_cva_greeks", "hw_swaption_greeks",
+                "DiscountCurve",
                 "HullWhiteDynamics"):
         from mc_tpu.models import hullwhite
         return getattr(hullwhite, name)

@@ -47,7 +47,8 @@ __all__ = ["DiscountCurve", "HullWhiteDynamics", "price_hw_swaption",
            "bermudan_hw_swaption_exposure", "price_hw_swaption_qmc",
            "price_hw_swaption_sharded", "price_hw_equity",
            "hw_swap_exposure", "hw_swap_book_exposure",
-           "hw_swap_cva_greeks", "DEMO_CURVE", "DEMO_HW"]
+           "hw_swap_cva_greeks", "hw_swaption_greeks",
+           "DEMO_CURVE", "DEMO_HW"]
 
 
 class DiscountCurve:
@@ -663,6 +664,66 @@ def hw_swap_book_exposure(specs, dyn: HullWhiteDynamics = DEMO_HW,
     horizon = e0 + (n_ex - 1) * t0
     return CollateralizedExposure(values=net,
                                   t_horizon=jnp.float32(horizon))
+
+
+def hw_swaption_greeks(spec: SwaptionSpec = DEMO_SWAPTION,
+                       dyn: HullWhiteDynamics = DEMO_HW,
+                       curve: DiscountCurve = DEMO_CURVE,
+                       sim: SimParams = SimParams(n_paths=1 << 18,
+                                                  n_steps=1),
+                       *,
+                       style: str = "european",
+                       degree: int = 3,
+                       which=("curve_dv01", "vega_r"),
+                       seed: Optional[int] = None,
+                       stream: int = STREAM_OUTER):
+    """Swaption price sensitivities on the curve by CRN central
+    differences: ``curve_dv01`` — price change per +1bp parallel shift
+    of the zero curve (the rates greek desks hedge with), ``vega_r`` —
+    d/d sigma_r, ``kappa`` — d/d a.  Works for the European AND the
+    Bermudan (the frozen-key bumps re-fit the policy on the same
+    draws, the standard CRN construction).  European gates vs FD of
+    the Jamshidian oracle."""
+    allowed = ("curve_dv01", "vega_r", "kappa")
+    bad = set(which) - set(allowed)
+    if bad:
+        raise ValueError(f"unknown greeks {sorted(bad)}; available: "
+                         f"{list(allowed)}")
+    if style not in ("european", "bermudan"):
+        raise ValueError(f"style must be european|bermudan, got {style!r}")
+    seed = sim.seed if seed is None else seed
+
+    def px(curve_bump=0.0, dyn_=None):
+        cv = (curve if curve_bump == 0.0 else
+              DiscountCurve(curve.times,
+                            np.asarray(curve.zeros) + curve_bump))
+        d = dyn_ or dyn
+        if style == "european":
+            r = price_hw_swaption(spec, d, cv, sim, seed=seed,
+                                  stream=stream)
+        else:
+            r = price_bermudan_hw_swaption(spec, d, cv, sim,
+                                           degree=degree, seed=seed,
+                                           stream=stream)
+        return float(r.price)
+
+    out = {}
+    for g in which:
+        if g == "curve_dv01":
+            h = 1e-4
+            out[g] = (px(curve_bump=h) - px(curve_bump=-h)) \
+                / (2 * h) * 1e-4
+        elif g == "vega_r":
+            h = 1e-4
+            out[g] = (px(dyn_=HullWhiteDynamics(dyn.a, dyn.sigma_r + h))
+                      - px(dyn_=HullWhiteDynamics(
+                          dyn.a, dyn.sigma_r - h))) / (2 * h)
+        else:
+            h = 1e-3
+            out[g] = (px(dyn_=HullWhiteDynamics(dyn.a + h, dyn.sigma_r))
+                      - px(dyn_=HullWhiteDynamics(
+                          dyn.a - h, dyn.sigma_r))) / (2 * h)
+    return out
 
 
 HW_CVA_GREEK_FIELDS = ("curve_dv01", "vega_r", "kappa")

@@ -470,3 +470,36 @@ def test_bootstrap_from_par_swaps_round_trip():
         DiscountCurve.from_par_swaps([0.7], [0.03], tenor=0.5)
     with pytest.raises(ValueError, match="ascending"):
         DiscountCurve.from_par_swaps([1.0, 1.0], [0.03, 0.03])
+
+
+def test_hw_swaption_greeks_match_oracle_fd():
+    """CRN-FD price sensitivities on the curve: European curve_dv01 and
+    vega_r vs central differences of the Jamshidian closed form; the
+    Bermudan's greeks are finite with dv01 at/above the European's (the
+    option to wait adds curve sensitivity here: later exercise dates
+    load more of the curve)."""
+    from mc_tpu.models.hullwhite import hw_swaption_greeks
+    sim = SimParams(n_paths=1 << 17, n_steps=1)
+    g = hw_swaption_greeks(SPEC, DEMO_HW, DEMO_CURVE, sim,
+                           which=("curve_dv01", "vega_r"))
+
+    def jam(bump=0.0, sig=DEMO_HW.sigma_r):
+        cv = (DEMO_CURVE if bump == 0.0 else
+              DiscountCurve(DEMO_CURVE.times,
+                            np.asarray(DEMO_CURVE.zeros) + bump))
+        return oracle.hw_swaption(DEMO_HW.a, sig, cv.df, SPEC.expiry,
+                                  SPEC.tenor, SPEC.n_payments,
+                                  SPEC.k_rate)
+
+    h = 1e-4
+    fd_dv01 = (jam(h) - jam(-h)) / (2 * h) * 1e-4
+    fd_vega = (jam(sig=DEMO_HW.sigma_r + h)
+               - jam(sig=DEMO_HW.sigma_r - h)) / (2 * h)
+    assert float(g["curve_dv01"]) == pytest.approx(fd_dv01, rel=2e-2)
+    assert float(g["vega_r"]) == pytest.approx(fd_vega, rel=2e-2)
+    gb = hw_swaption_greeks(SPEC, DEMO_HW, DEMO_CURVE,
+                            SimParams(n_paths=1 << 15, n_steps=1),
+                            style="bermudan", which=("curve_dv01",))
+    assert np.isfinite(gb["curve_dv01"])
+    with pytest.raises(ValueError, match="unknown greeks"):
+        hw_swaption_greeks(which=("charm",))
