@@ -1210,6 +1210,28 @@ def cmd_hullwhite(args):
     if proj is not None and (args.bermudan or args.bounds):
         raise SystemExit("--proj-spread-bp supports European pricing "
                          "and --exposure (Bermudans are single-curve)")
+    if args.book_k_rates:
+        import numpy as np
+
+        from mc_tpu.models.hullwhite import hw_swap_book_exposure
+        ks = [float(x) for x in args.book_k_rates.split(",")]
+        sides = (args.book_sides.split(",") if args.book_sides
+                 else ["p"] * len(ks))
+        ws = ([float(x) for x in args.book_weights.split(",")]
+              if args.book_weights else None)
+        specs = [SwaptionSpec(expiry=args.expiry, tenor=args.tenor,
+                              n_payments=args.n_payments, k_rate=k,
+                              payer=(s.strip().lower() != "r"))
+                 for k, s in zip(ks, sides)]
+        book = hw_swap_book_exposure(specs, dyn, curve, sim,
+                                     weights=ws, seed=args.seed)
+        bee, bpfe = book.exposure_profile()
+        out["book_netted_ee"] = [round(float(x), 6)
+                                 for x in np.asarray(bee)]
+        out["book_netted_pfe"] = [round(float(x), 6)
+                                  for x in np.asarray(bpfe)]
+        if args.cva_hazard is not None:
+            out["book_netted_cva"] = float(book.cva(args.cva_hazard))
     if args.exposure:
         import numpy as np
         e = hw_swap_exposure(spec, dyn, curve, sim, seed=args.seed,
@@ -1783,6 +1805,12 @@ def main(argv=None):
     p.add_argument("--proj-spread-bp", type=float, default=0.0,
                    help="MULTI-CURVE: forwards off a projection curve "
                         "this many bp above the discount (OIS) curve")
+    p.add_argument("--book-k-rates", default=None,
+                   help="NETTING SET: comma list of per-swap fixed "
+                        "rates (with --book-sides p/r and "
+                        "--book-weights); emits netted EE/PFE/CVA")
+    p.add_argument("--book-sides", default=None)
+    p.add_argument("--book-weights", default=None)
     p.add_argument("--bermudan", action="store_true",
                    help="co-terminal Bermudan LSMC on the curve "
                         "(x-state basis; 1-payment bitwise == European)")
