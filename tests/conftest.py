@@ -66,6 +66,11 @@ SLOW_TESTS = {
     "test_g2pp.py::test_bermudan_exposure_telescopes_two_factor",
     "test_g2pp.py::test_g2_swap_cva_greeks_match_strip_fd",
     "test_g2pp.py::test_sharded_g2_swaption_mesh_invariance",
+    "test_g2pp.py::test_qmc_g2_swaption_oracle_and_variance_reduction",
+    "test_g2pp.py::test_swap_netting_set_two_factor",
+    "test_g2pp.py::test_multicurve_two_factor",
+    "test_hullwhite.py::test_swap_netting_set_on_the_curve",
+    "test_hullwhite.py::test_hw_swaption_greeks_match_oracle_fd",
     "test_g2pp.py::test_multicurve_two_factor",
     "test_g2pp.py::test_bermudan_dominates_european_and_matches_hw_in_the_limit",
     "test_hullwhite.py::test_bermudan_bounds_bracket_on_the_curve",
