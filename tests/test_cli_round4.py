@@ -122,3 +122,26 @@ def test_nmc_hw_guard(capsys):
     import pytest
     with pytest.raises(SystemExit, match="hw"):
         main(["nmc", "--model", "heston", "--rng-source", "hw"] + SMALL)
+
+
+def test_hullwhite_book_and_bounds_cli(capsys):
+    rc, out = run(capsys, ["hullwhite", "--book-k-rates", "0.04,0.045",
+                           "--book-sides", "p,r", "--cva-hazard", "0.02",
+                           "-N", "8192"])
+    doc = json.loads(out)
+    assert rc == 0 and doc["book_netted_cva"] > 0
+    rc, out = run(capsys, ["hullwhite", "--bermudan", "--bounds",
+                           "-N", "4096"])
+    doc = json.loads(out)
+    assert rc == 0
+    assert doc["lower"] == doc["bermudan_price"]
+    assert doc["upper"] >= doc["lower"]
+
+
+def test_g2pp_cli(capsys):
+    rc, out = run(capsys, ["g2pp", "--exposure", "--cva-hazard", "0.02",
+                           "-N", "16384"])
+    doc = json.loads(out)
+    assert rc == 0
+    assert abs(doc["z_score"]) < 5.0
+    assert doc["swap_cva"] > 0
