@@ -77,6 +77,7 @@ def __getattr__(name):
                 "bermudan_hw_swaption_bounds",
                 "bermudan_hw_swaption_exposure", "price_hw_swaption_qmc",
                 "price_hw_swaption_sharded", "price_hw_equity",
+                "price_bermudan_hw_swaption_qmc",
                 "hw_swap_exposure", "hw_swap_book_exposure",
                 "hw_swap_cva_greeks", "hw_swaption_greeks",
                 "DiscountCurve",

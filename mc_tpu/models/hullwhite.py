@@ -46,6 +46,7 @@ __all__ = ["DiscountCurve", "HullWhiteDynamics", "price_hw_swaption",
            "price_bermudan_hw_swaption", "bermudan_hw_swaption_bounds",
            "bermudan_hw_swaption_exposure", "price_hw_swaption_qmc",
            "price_hw_swaption_sharded", "price_hw_equity",
+           "price_bermudan_hw_swaption_qmc",
            "hw_swap_exposure", "hw_swap_book_exposure",
            "hw_swap_cva_greeks", "hw_swaption_greeks",
            "DEMO_CURVE", "DEMO_HW"]
@@ -383,6 +384,118 @@ def price_hw_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
                         jnp.float32(dyn.sigma_r), n, n_shifts, zvec,
                         shifts, jnp.float32(p0[0]), jnp.float32(c[0]),
                         (p0, bmat, corr))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "n", "n_shifts", "n_fit",
+                                    "degree"))
+def _hw_bermudan_qmc_impl(spec, a, sigma_r, n, n_shifts, n_fit, degree,
+                          zvec, shifts, key_fit, p0_f, c_f, consts):
+    """Frozen-policy randomized-QMC curve Bermudan: fit the LSMC policy
+    on a plain-MC pilot (same key convention as the pricing LSMC), then
+    price THAT policy on a 2*n_ex-dim Sobol net over the exact date
+    grid.  n_ex = 1 is BITWISE `price_hw_swaption_qmc` (same net, same
+    shift stream, matched arithmetic order)."""
+    import jax.lax as lax
+
+    from mc_tpu.models.swaption import _exact_xy_coeffs
+    from mc_tpu.qmc import _sobol_u
+
+    p0, bmat, corr = consts
+    n_ex = spec.n_payments
+    xf, yf = _simulate_rate_grid(spec, a, jnp.float32(0.0), sigma_r,
+                                 jnp.float32(0.0), n_fit, n_ex, key_fit)
+    scale = sigma_r / jnp.sqrt(2.0 * a)
+    _, betas = _fit_hw_bermudan(spec, xf, yf, degree, scale, p0_f, c_f,
+                                consts)
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    coeffs = [_exact_xy_coeffs(a, sigma_r,
+                               jnp.float32(spec.expiry if i == 0
+                                           else spec.tenor))
+              for i in range(n_ex)]
+
+    def one_shift(shift):
+        def zdim(j):
+            return rng.inv_normal_cdf(
+                _sobol_u(ids, zvec, shift, jnp.int32(j),
+                         lax.bitcast_convert_type))
+
+        x = jnp.zeros((n,), jnp.float32)
+        y = jnp.zeros((n,), jnp.float32)
+        cf = jnp.zeros((n,), jnp.float32)
+        done = jnp.zeros((n,), bool)
+        for i in range(n_ex):
+            z0, z1 = zdim(2 * i), zdim(2 * i + 1)
+            e1, big_b, l11, l21, l22 = coeffs[i]
+            # matched order with _hw_qmc_impl so n_ex=1 is bitwise:
+            # x starts at 0 -> x*e1 + l11 z0 == l11 z0 exactly; y
+            # starts at 0 -> +0.0 is exact
+            y = y + x * big_b + l21 * z0 + l22 * z1
+            x = x * e1 + l11 * z0
+            ex = _hw_intrinsic(spec, i, x, p0, bmat, corr)
+            if i < n_ex - 1:
+                cont = _hw_basis(x, scale, degree) @ betas[i]
+                take = jnp.logical_and(ex > 0.0, ex > cont)
+            else:
+                take = ex > 0.0
+            take = jnp.logical_and(take, jnp.logical_not(done))
+            cf = jnp.where(take, ex * p0_f[i] * jnp.exp(-y - c_f[i]),
+                           cf)
+            done = jnp.logical_or(done, take)
+        return jnp.mean(cf)
+
+    means = jax.vmap(one_shift)(shifts)
+    price = jnp.mean(means)
+    stderr = jnp.std(means, ddof=1) / jnp.sqrt(jnp.float32(n_shifts))
+    return PriceResult(price=price, stderr=stderr,
+                       n_paths=jnp.float32(n * n_shifts),
+                       payoff_mean=price, payoff_var=stderr * stderr)
+
+
+def price_bermudan_hw_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
+                                   dyn: HullWhiteDynamics = DEMO_HW,
+                                   curve: DiscountCurve = DEMO_CURVE,
+                                   sim: SimParams = SimParams(
+                                       n_paths=1 << 14, n_steps=1),
+                                   *,
+                                   n_shifts: int = 16,
+                                   n_fit: int = 16384,
+                                   degree: int = 3,
+                                   seed: Optional[int] = None,
+                                   stream: int = STREAM_OUTER
+                                   ) -> PriceResult:
+    """Frozen-policy QMC Bermudan on the market curve (the
+    `price_bermudan_swaption_qmc` construction with curve intrinsics
+    and curve discounting)."""
+    import math as _math
+
+    import numpy as _np
+
+    from mc_tpu.qmc import sobol_directions
+
+    spec = spec.validate()
+    if n_shifts < 2:
+        raise ValueError("n_shifts >= 2 required for an error estimate")
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    p0, c, bmat, corr = _hw_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    n = 1 << min(int(_math.log2(max(sim.n_paths, 2))), 20)
+    d = 2 * spec.n_payments
+    zvec = jnp.asarray(sobol_directions(d).reshape(-1).astype(_np.int32))
+    key = rng.derive_key(seed, stream, 0x51AD)
+    key_fit = jnp.asarray(rng.derive_key(seed, stream, 0x4877),
+                          jnp.uint32)
+    sidx = jnp.arange(n_shifts * d, dtype=jnp.uint32)
+    bits, _ = rng.threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
+                               sidx, jnp.zeros_like(sidx))
+    shifts = jax.lax.shift_right_logical(
+        bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, d)
+    return _hw_bermudan_qmc_impl(
+        spec, jnp.float32(dyn.a), jnp.float32(dyn.sigma_r), n, n_shifts,
+        n_fit, degree, zvec, shifts, key_fit,
+        jnp.asarray(p0, jnp.float32), jnp.asarray(c, jnp.float32),
+        (p0, bmat, corr))
 
 
 def _hw_basis(x, scale, degree: int):

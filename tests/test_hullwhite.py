@@ -503,3 +503,34 @@ def test_hw_swaption_greeks_match_oracle_fd():
     assert np.isfinite(gb["curve_dv01"])
     with pytest.raises(ValueError, match="unknown greeks"):
         hw_swaption_greeks(which=("charm",))
+
+
+def test_qmc_bermudan_on_the_curve():
+    """Frozen-policy Sobol Bermudan on the curve: 1-payment BITWISE ==
+    the European QMC; at 10 payments the value sits at/below the AB
+    upper bound of the same fitted policy and the equal-budget stderr
+    drops >4x (measured ~6.5x)."""
+    from mc_tpu.models.hullwhite import (bermudan_hw_swaption_bounds,
+                                         price_bermudan_hw_swaption,
+                                         price_bermudan_hw_swaption_qmc,
+                                         price_hw_swaption_qmc)
+    s1 = SwaptionSpec(expiry=1.0, tenor=0.5, n_payments=1, k_rate=0.04)
+    sim1 = SimParams(n_paths=1 << 12, n_steps=1)
+    qb = price_bermudan_hw_swaption_qmc(s1, DEMO_HW, DEMO_CURVE, sim1)
+    qe = price_hw_swaption_qmc(s1, DEMO_HW, DEMO_CURVE, sim1)
+    assert float(qb.price) == float(qe.price)
+    sim = SimParams(n_paths=1 << 13, n_steps=1)
+    q = price_bermudan_hw_swaption_qmc(SPEC, DEMO_HW, DEMO_CURVE, sim,
+                                       n_fit=8192)
+    _, up = bermudan_hw_swaption_bounds(
+        SPEC, DEMO_HW, DEMO_CURVE, SimParams(n_paths=8192, n_steps=1),
+        n_branch=16)
+    assert (float(q.price)
+            <= float(up.price) + 4.0 * (float(q.stderr)
+                                        + float(up.stderr)))
+    plain = price_bermudan_hw_swaption(
+        SPEC, DEMO_HW, DEMO_CURVE,
+        SimParams(n_paths=(1 << 13) * 16, n_steps=1))
+    joint = (float(q.stderr) ** 2 + float(plain.stderr) ** 2) ** 0.5
+    assert abs(float(q.price) - float(plain.price)) <= 4.0 * joint + 2e-4
+    assert float(plain.stderr) > 4.0 * float(q.stderr)
