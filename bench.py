@@ -293,6 +293,43 @@ def localvol_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS,
     return _model_kernel_seconds(one)
 
 
+def hw_swaption_kernel_seconds(n_paths=N_PATHS):
+    """Curve-fitted Hull-White European swaption kernel: ONE exact
+    (x, int x) expiry draw, curve-reconstructed coupon bonds, pathwise
+    curve discounting (models/hullwhite.py)."""
+    from mc_tpu.models.hullwhite import (DEMO_CURVE, DEMO_HW,
+                                         _hw_european_impl, _hw_tables)
+    from mc_tpu.models.swaption import DEMO_SWAPTION
+    spec = DEMO_SWAPTION.validate()
+    p0, c, bmat, corr = _hw_tables(spec, DEMO_HW, DEMO_CURVE)
+    a = jnp.float32(DEMO_HW.a)
+    s = jnp.float32(DEMO_HW.sigma_r)
+    p00, c0 = jnp.float32(p0[0]), jnp.float32(c[0])
+
+    def one(key):
+        return _hw_european_impl(spec, a, s, n_paths, key, p00, c0,
+                                 (p0, bmat, corr)).price
+
+    return _model_kernel_seconds(one)
+
+
+def g2_swaption_kernel_seconds(n_paths=N_PATHS):
+    """G2++ European swaption kernel: ONE exact (x, y, int(x+y)) draw
+    through the 3x3 Cholesky, two-factor bond reconstruction
+    (models/g2pp.py)."""
+    from mc_tpu.models.g2pp import (DEMO_CURVE, DEMO_G2,
+                                    _g2_european_impl, _g2_tables)
+    from mc_tpu.models.swaption import DEMO_SWAPTION
+    spec = DEMO_SWAPTION.validate()
+    consts = _g2_tables(spec, DEMO_G2, DEMO_CURVE)
+
+    def one(key):
+        return _g2_european_impl(spec, DEMO_G2, n_paths, key,
+                                 consts).price
+
+    return _model_kernel_seconds(one)
+
+
 def qmc_kernel_seconds(n_steps=1, k=8, reps=4):
     """Per-lattice-pass device seconds (terminal QMC, n ~ 1M points).
 
@@ -464,6 +501,8 @@ def main():
     dt_rainbow = rainbow_kernel_seconds()
     dt_lv = localvol_kernel_seconds()
     dt_qmc, qmc_n = qmc_kernel_seconds()
+    dt_hw_swpt = hw_swaption_kernel_seconds()
+    dt_g2_swpt = g2_swaption_kernel_seconds()
 
     # Reference demo NMC workload (hello.cu defaults, ~5e11 inner steps).
     nmc_dt, nmc_inner_steps = nmc_demo_seconds()
@@ -520,6 +559,8 @@ def main():
             "localvol_path_steps_per_sec":
                 round(N_PATHS * N_STEPS / dt_lv, 1),
             "qmc_paths_per_sec": round(qmc_n / dt_qmc, 1),
+            "hw_swaption_paths_per_sec": round(N_PATHS / dt_hw_swpt, 1),
+            "g2_swaption_paths_per_sec": round(N_PATHS / dt_g2_swpt, 1),
             "nmc_demo_seconds_device": round(nmc_dt, 3),
             "nmc_demo_inner_path_steps_per_sec":
                 round(nmc_inner_steps / nmc_dt, 1),
