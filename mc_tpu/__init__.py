@@ -89,7 +89,8 @@ def __getattr__(name):
                 "bermudan_g2_swaption_exposure",
                 "price_g2_swaption_sharded", "g2_swap_exposure",
                 "g2_swap_book_exposure", "g2_swap_cva_greeks",
-                "price_g2_swaption_qmc", "G2Dynamics"):
+                "price_g2_swaption_qmc",
+                "price_bermudan_g2_swaption_qmc", "G2Dynamics"):
         from mc_tpu.models import g2pp
         return getattr(g2pp, name)
     if name in ("calibrate_sabr", "hagan_iv"):

@@ -1207,9 +1207,23 @@ def cmd_hullwhite(args):
         out["lower"] = float(lo.price)
         out["upper"] = float(up.price)
         out["duality_gap"] = float(up.price) - float(lo.price)
-    if proj is not None and (args.bermudan or args.bounds):
+    if args.qmc:
+        from mc_tpu.models.hullwhite import price_hw_swaption_qmc
+        q = price_hw_swaption_qmc(spec, dyn, curve, sim, seed=args.seed)
+        out["qmc_price"] = float(q.price)
+        out["qmc_stderr"] = float(q.stderr)
+        if args.bermudan:
+            from mc_tpu.models.hullwhite import \
+                price_bermudan_hw_swaption_qmc
+            qb = price_bermudan_hw_swaption_qmc(spec, dyn, curve, sim,
+                                                degree=args.degree,
+                                                seed=args.seed)
+            out["bermudan_qmc_price"] = float(qb.price)
+            out["bermudan_qmc_stderr"] = float(qb.stderr)
+    if proj is not None and (args.bermudan or args.bounds or args.qmc):
         raise SystemExit("--proj-spread-bp supports European pricing "
-                         "and --exposure (Bermudans are single-curve)")
+                         "and --exposure (Bermudans/QMC are "
+                         "single-curve)")
     if args.book_k_rates:
         import numpy as np
 
@@ -1283,6 +1297,18 @@ def cmd_g2pp(args):
         out["lower"] = float(lo.price)
         out["upper"] = float(up.price)
         out["duality_gap"] = float(up.price) - float(lo.price)
+    if args.qmc:
+        from mc_tpu.models.g2pp import price_g2_swaption_qmc
+        q = price_g2_swaption_qmc(spec, dyn, curve, sim, seed=args.seed)
+        out["qmc_price"] = float(q.price)
+        out["qmc_stderr"] = float(q.stderr)
+        if args.bermudan:
+            from mc_tpu.models.g2pp import \
+                price_bermudan_g2_swaption_qmc
+            qb = price_bermudan_g2_swaption_qmc(spec, dyn, curve, sim,
+                                                seed=args.seed)
+            out["bermudan_qmc_price"] = float(qb.price)
+            out["bermudan_qmc_stderr"] = float(qb.stderr)
     if args.exposure:
         import numpy as np
         e = g2_swap_exposure(spec, dyn, curve, sim, seed=args.seed)
@@ -1818,6 +1844,9 @@ def main(argv=None):
                    help="Andersen-Broadie [lower, upper] bracket on "
                         "the curve Bermudan (lower bitwise == LSMC)")
     p.add_argument("--degree", type=int, default=3)
+    p.add_argument("--qmc", action="store_true",
+                   help="randomized-Sobol price (with --bermudan: "
+                        "frozen-policy QMC over the full date grid)")
     p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--a", type=float, default=0.3)
     p.add_argument("--sigma-r", type=float, default=0.015)
@@ -1842,6 +1871,9 @@ def main(argv=None):
     p.add_argument("--bounds", action="store_true",
                    help="Andersen-Broadie bracket on the two-factor "
                         "Bermudan (lower bitwise == LSMC)")
+    p.add_argument("--qmc", action="store_true",
+                   help="randomized-Sobol price (with --bermudan: "
+                        "frozen-policy QMC over the full date grid)")
     p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--a", type=float, default=0.5)
     p.add_argument("--sigma-x", type=float, default=0.01,

@@ -43,7 +43,8 @@ __all__ = ["G2Dynamics", "price_g2_swaption",
            "price_bermudan_g2_swaption", "bermudan_g2_swaption_bounds",
            "bermudan_g2_swaption_exposure", "price_g2_swaption_sharded",
            "g2_swap_exposure", "g2_swap_book_exposure",
-           "g2_swap_cva_greeks", "price_g2_swaption_qmc", "DEMO_G2"]
+           "g2_swap_cva_greeks", "price_g2_swaption_qmc",
+           "price_bermudan_g2_swaption_qmc", "DEMO_G2"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -493,6 +494,119 @@ def price_g2_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
     shifts = jax.lax.shift_right_logical(
         bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, 3)
     return _g2_qmc_impl(spec, dyn, n, n_shifts, zvec, shifts, consts)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "dyn", "n", "n_shifts",
+                                    "n_fit", "degree"))
+def _g2_bermudan_qmc_impl(spec, dyn, n, n_shifts, n_fit, degree, zvec,
+                          shifts, key_fit, consts):
+    """Frozen-policy randomized-QMC two-factor Bermudan: fit the LSMC
+    policy on a plain-MC pilot (same key convention as the pricing
+    LSMC), then price THAT policy on a 3*n_ex-dim Sobol net over the
+    exact date grid.  n_ex = 1 is BITWISE `price_g2_swaption_qmc`
+    (same net, same shift stream, matched arithmetic order)."""
+    import jax.lax as lax
+
+    from mc_tpu.qmc import _sobol_u
+
+    p0, vhalf, amat, bamat, bbmat = consts
+    n_ex = spec.n_payments
+    grid_fit = _simulate_g2_grid(spec, dyn, n_fit, n_ex, key_fit)
+    _, betas = _fit_g2_bermudan(spec, dyn, grid_fit, degree, consts)
+    sx = jnp.float32(dyn.sigma / math.sqrt(2.0 * dyn.a))
+    sy = jnp.float32(dyn.eta / math.sqrt(2.0 * dyn.b_mr))
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    chols = [_step_chol(dyn, spec.expiry if i == 0 else spec.tenor)
+             for i in range(n_ex)]
+
+    def one_shift(shift):
+        def zdim(j):
+            return rng.inv_normal_cdf(
+                _sobol_u(ids, zvec, shift, jnp.int32(j),
+                         lax.bitcast_convert_type))
+
+        x = jnp.zeros((n,), jnp.float32)
+        y = jnp.zeros((n,), jnp.float32)
+        z = jnp.zeros((n,), jnp.float32)
+        cf = jnp.zeros((n,), jnp.float32)
+        done = jnp.zeros((n,), bool)
+        for i in range(n_ex):
+            w0, w1, w2 = zdim(3 * i), zdim(3 * i + 1), zdim(3 * i + 2)
+            e1, e2, ba, bb, ch = chols[i]
+            epx = jnp.float32(ch[0, 0]) * w0
+            epy = jnp.float32(ch[1, 0]) * w0 + jnp.float32(ch[1, 1]) * w1
+            epz = (jnp.float32(ch[2, 0]) * w0
+                   + jnp.float32(ch[2, 1]) * w1
+                   + jnp.float32(ch[2, 2]) * w2)
+            # matched order with _g2_qmc_impl so n_ex=1 is bitwise:
+            # x, y, z start at 0 so the decayed carries vanish exactly
+            z = z + x * jnp.float32(ba) + y * jnp.float32(bb) + epz
+            x = x * jnp.float32(e1) + epx
+            y = y * jnp.float32(e2) + epy
+            ex = jnp.maximum(_g2_mtm(spec, i, x, y, p0, amat, bamat,
+                                     bbmat), 0.0)
+            if i < n_ex - 1:
+                cont = _g2_basis(x, y, sx, sy, degree) @ betas[i]
+                take = jnp.logical_and(ex > 0.0, ex > cont)
+            else:
+                take = ex > 0.0
+            take = jnp.logical_and(take, jnp.logical_not(done))
+            cf = jnp.where(take,
+                           ex * jnp.float32(p0[i])
+                           * jnp.exp(-z - jnp.float32(vhalf[i])), cf)
+            done = jnp.logical_or(done, take)
+        return jnp.mean(cf)
+
+    means = jax.vmap(one_shift)(shifts)
+    price = jnp.mean(means)
+    stderr = jnp.std(means, ddof=1) / jnp.sqrt(jnp.float32(n_shifts))
+    return PriceResult(price=price, stderr=stderr,
+                       n_paths=jnp.float32(n * n_shifts),
+                       payoff_mean=price, payoff_var=stderr * stderr)
+
+
+def price_bermudan_g2_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
+                                   dyn: G2Dynamics = DEMO_G2,
+                                   curve: DiscountCurve = DEMO_CURVE,
+                                   sim: SimParams = SimParams(
+                                       n_paths=1 << 14, n_steps=1),
+                                   *,
+                                   n_shifts: int = 16,
+                                   n_fit: int = 16384,
+                                   degree: int = 3,
+                                   seed: Optional[int] = None,
+                                   stream: int = STREAM_OUTER
+                                   ) -> PriceResult:
+    """Frozen-policy QMC Bermudan under two-factor rates (the
+    `price_bermudan_hw_swaption_qmc` construction with three Sobol
+    dimensions per coupon date — (x, y, int) via the step Cholesky)."""
+    import math as _math
+
+    import numpy as _np
+
+    from mc_tpu.qmc import sobol_directions
+
+    spec = spec.validate()
+    if n_shifts < 2:
+        raise ValueError("n_shifts >= 2 required for an error estimate")
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    consts = _g2_tables(spec, dyn, curve)
+    seed = sim.seed if seed is None else seed
+    n = 1 << min(int(_math.log2(max(sim.n_paths, 2))), 20)
+    d = 3 * spec.n_payments
+    zvec = jnp.asarray(sobol_directions(d).reshape(-1).astype(_np.int32))
+    key = rng.derive_key(seed, stream, 0x51AD)
+    key_fit = jnp.asarray(rng.derive_key(seed, stream, 0x6270),
+                          jnp.uint32)
+    sidx = jnp.arange(n_shifts * d, dtype=jnp.uint32)
+    bits, _ = rng.threefry2x32(jnp.uint32(key[0]), jnp.uint32(key[1]),
+                               sidx, jnp.zeros_like(sidx))
+    shifts = jax.lax.shift_right_logical(
+        bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, d)
+    return _g2_bermudan_qmc_impl(spec, dyn, n, n_shifts, n_fit, degree,
+                                 zvec, shifts, key_fit, consts)
 
 
 def g2_swap_book_exposure(specs, dyn: G2Dynamics = DEMO_G2,

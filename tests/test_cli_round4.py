@@ -131,17 +131,23 @@ def test_hullwhite_book_and_bounds_cli(capsys):
     doc = json.loads(out)
     assert rc == 0 and doc["book_netted_cva"] > 0
     rc, out = run(capsys, ["hullwhite", "--bermudan", "--bounds",
-                           "-N", "4096"])
+                           "--qmc", "-N", "4096"])
     doc = json.loads(out)
     assert rc == 0
     assert doc["lower"] == doc["bermudan_price"]
     assert doc["upper"] >= doc["lower"]
+    assert doc["bermudan_qmc_stderr"] < doc["bermudan_stderr"]
+    assert (abs(doc["bermudan_qmc_price"] - doc["bermudan_price"])
+            < 5 * (doc["bermudan_stderr"] + doc["bermudan_qmc_stderr"])
+            + 2e-4)  # pilot-policy vs in-sample-fit slack
 
 
 def test_g2pp_cli(capsys):
     rc, out = run(capsys, ["g2pp", "--exposure", "--cva-hazard", "0.02",
-                           "-N", "16384"])
+                           "--qmc", "-N", "16384"])
     doc = json.loads(out)
     assert rc == 0
     assert abs(doc["z_score"]) < 5.0
     assert doc["swap_cva"] > 0
+    assert abs(doc["qmc_price"] - doc["oracle"]) < 5 * doc["qmc_stderr"]
+    assert doc["qmc_stderr"] < doc["stderr"]
