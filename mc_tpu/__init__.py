@@ -89,6 +89,7 @@ def __getattr__(name):
                 "bermudan_g2_swaption_exposure",
                 "price_g2_swaption_sharded", "g2_swap_exposure",
                 "g2_swap_book_exposure", "g2_swap_cva_greeks",
+                "g2_swaption_greeks",
                 "price_g2_swaption_qmc",
                 "price_bermudan_g2_swaption_qmc", "G2Dynamics"):
         from mc_tpu.models import g2pp

@@ -43,7 +43,8 @@ __all__ = ["G2Dynamics", "price_g2_swaption",
            "price_bermudan_g2_swaption", "bermudan_g2_swaption_bounds",
            "bermudan_g2_swaption_exposure", "price_g2_swaption_sharded",
            "g2_swap_exposure", "g2_swap_book_exposure",
-           "g2_swap_cva_greeks", "price_g2_swaption_qmc",
+           "g2_swap_cva_greeks", "g2_swaption_greeks",
+           "price_g2_swaption_qmc",
            "price_bermudan_g2_swaption_qmc", "DEMO_G2"]
 
 
@@ -709,6 +710,68 @@ def g2_swap_cva_greeks(spec: SwaptionSpec = DEMO_SWAPTION,
                 dyn, eta=dyn.eta + h))
                 - cva_at(dyn_=dataclasses.replace(
                     dyn, eta=dyn.eta - h))) / (2 * h)
+    return out
+
+
+def g2_swaption_greeks(spec: SwaptionSpec = DEMO_SWAPTION,
+                       dyn: G2Dynamics = DEMO_G2,
+                       curve: DiscountCurve = DEMO_CURVE,
+                       sim: SimParams = SimParams(n_paths=1 << 18,
+                                                  n_steps=1),
+                       *,
+                       style: str = "european",
+                       degree: int = 3,
+                       which=("curve_dv01", "vega_x", "vega_y"),
+                       seed: Optional[int] = None,
+                       stream: int = STREAM_OUTER):
+    """Two-factor swaption price sensitivities by CRN central
+    differences (the `hullwhite.hw_swaption_greeks` construction):
+    ``curve_dv01`` — price change per +1bp parallel zero-curve shift,
+    ``vega_x``/``vega_y`` — per-factor vol sensitivities, ``rho_xy`` —
+    d/d(factor correlation).  Works for the European AND the Bermudan
+    (frozen-key bumps re-fit the policy on the same draws).  European
+    gates vs FD of the conditional-Jamshidian oracle."""
+    allowed = ("curve_dv01", "vega_x", "vega_y", "rho_xy")
+    bad = set(which) - set(allowed)
+    if bad:
+        raise ValueError(f"unknown greeks {sorted(bad)}; available: "
+                         f"{list(allowed)}")
+    if style not in ("european", "bermudan"):
+        raise ValueError(f"style must be european|bermudan, got {style!r}")
+    seed = sim.seed if seed is None else seed
+
+    def px(curve_bump=0.0, dyn_=None):
+        cv = (curve if curve_bump == 0.0 else
+              DiscountCurve(curve.times,
+                            np.asarray(curve.zeros) + curve_bump))
+        d = dyn_ or dyn
+        if style == "european":
+            r = price_g2_swaption(spec, d, cv, sim, seed=seed,
+                                  stream=stream)
+        else:
+            r = price_bermudan_g2_swaption(spec, d, cv, sim,
+                                           degree=degree, seed=seed,
+                                           stream=stream)
+        return float(r.price)
+
+    # 5e-4 vol bumps: small enough that the conditional-Jamshidian FD
+    # moves <0.1% (measured), large enough to clear the f32 CRN noise
+    # floor that a 1e-4 bump amplifies 5x.
+    bumps = {"vega_x": ("sigma", 5e-4), "vega_y": ("eta", 5e-4),
+             "rho_xy": ("rho", 1e-2)}
+    out = {}
+    for g in which:
+        if g == "curve_dv01":
+            h = 1e-4
+            out[g] = (px(curve_bump=h) - px(curve_bump=-h)) \
+                / (2 * h) * 1e-4
+        else:
+            field, h = bumps[g]
+            hi = dataclasses.replace(dyn, **{field: getattr(dyn, field)
+                                             + h})
+            lo = dataclasses.replace(dyn, **{field: getattr(dyn, field)
+                                             - h})
+            out[g] = (px(dyn_=hi) - px(dyn_=lo)) / (2 * h)
     return out
 
 

@@ -70,6 +70,7 @@ SLOW_TESTS = {
     "test_g2pp.py::test_sharded_g2_swaption_mesh_invariance",
     "test_g2pp.py::test_qmc_g2_swaption_oracle_and_variance_reduction",
     "test_g2pp.py::test_qmc_bermudan_two_factor",
+    "test_g2pp.py::test_g2_swaption_greeks_match_oracle_fd",
     "test_g2pp.py::test_swap_netting_set_two_factor",
     "test_g2pp.py::test_multicurve_two_factor",
     "test_hullwhite.py::test_swap_netting_set_on_the_curve",

@@ -395,3 +395,46 @@ def test_qmc_bermudan_two_factor():
     joint = (float(q.stderr) ** 2 + float(plain.stderr) ** 2) ** 0.5
     assert abs(float(q.price) - float(plain.price)) <= 4.0 * joint + 2e-4
     assert float(plain.stderr) > 4.0 * float(q.stderr)
+
+
+def test_g2_swaption_greeks_match_oracle_fd():
+    """CRN-FD price sensitivities under two-factor rates: European
+    curve_dv01 and per-factor vegas vs central differences of the
+    conditional-Jamshidian closed form; the Bermudan's dv01 is finite;
+    unknown names raise."""
+    from mc_tpu.models.g2pp import g2_swaption_greeks
+    sim = SimParams(n_paths=1 << 20, n_steps=1)
+    g = g2_swaption_greeks(SPEC, DEMO_G2, DEMO_CURVE, sim,
+                           which=("curve_dv01", "vega_x", "vega_y"))
+
+    from mc_tpu.models.hullwhite import DiscountCurve
+
+    def jam(bump=0.0, dyn=DEMO_G2):
+        cv = (DEMO_CURVE if bump == 0.0 else
+              DiscountCurve(DEMO_CURVE.times,
+                            np.asarray(DEMO_CURVE.zeros) + bump))
+        return oracle.g2_swaption(dyn.a, dyn.sigma, dyn.b_mr, dyn.eta,
+                                  dyn.rho, cv.df, SPEC.expiry,
+                                  SPEC.tenor, SPEC.n_payments,
+                                  SPEC.k_rate)
+
+    import dataclasses
+    h = 1e-4
+    fd_dv01 = (jam(h) - jam(-h)) / (2 * h) * 1e-4
+    fd_vx = (jam(dyn=dataclasses.replace(DEMO_G2, sigma=DEMO_G2.sigma + h))
+             - jam(dyn=dataclasses.replace(
+                 DEMO_G2, sigma=DEMO_G2.sigma - h))) / (2 * h)
+    fd_vy = (jam(dyn=dataclasses.replace(DEMO_G2, eta=DEMO_G2.eta + h))
+             - jam(dyn=dataclasses.replace(
+                 DEMO_G2, eta=DEMO_G2.eta - h))) / (2 * h)
+    assert float(g["curve_dv01"]) == pytest.approx(fd_dv01, rel=2e-2)
+    # vega CRN-FD carries ~2.5% seed noise at 2^20 paths (the exercise
+    # kink); gate at ~3 se — still catches sign/scale/bump errors
+    assert float(g["vega_x"]) == pytest.approx(fd_vx, rel=8e-2)
+    assert float(g["vega_y"]) == pytest.approx(fd_vy, rel=1e-1)
+    gb = g2_swaption_greeks(SPEC, DEMO_G2, DEMO_CURVE,
+                            SimParams(n_paths=1 << 14, n_steps=1),
+                            style="bermudan", which=("curve_dv01",))
+    assert np.isfinite(gb["curve_dv01"])
+    with pytest.raises(ValueError, match="unknown greeks"):
+        g2_swaption_greeks(which=("charm",))
