@@ -427,9 +427,9 @@ def price_g2_swaption_sharded(spec: SwaptionSpec = DEMO_SWAPTION,
                                      style, mesh, key, consts)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "dyn", "n",
-                                             "n_shifts"))
-def _g2_qmc_impl(spec, dyn, n, n_shifts, zvec, shifts, consts):
+def _g2_qmc_shift_fn(spec, dyn, n, zvec, consts):
+    """shift -> per-shift sample mean for the 3-dim G2 Sobol net; the
+    shared body of the single-chip and shift-sharded QMC programs."""
     import jax.lax as lax
 
     from mc_tpu.qmc import _sobol_u
@@ -454,12 +454,48 @@ def _g2_qmc_impl(spec, dyn, n, n_shifts, zvec, shifts, consts):
                * jnp.float32(p0[0]) * jnp.exp(-z - jnp.float32(vhalf[0])))
         return jnp.mean(pay)
 
-    means = jax.vmap(one_shift)(shifts)
+    return one_shift
+
+
+def _g2_qmc_result(means, n, n_shifts):
     price = jnp.mean(means)
     stderr = jnp.std(means, ddof=1) / jnp.sqrt(jnp.float32(n_shifts))
     return PriceResult(price=price, stderr=stderr,
                        n_paths=jnp.float32(n * n_shifts),
                        payoff_mean=price, payoff_var=stderr * stderr)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "dyn", "n",
+                                             "n_shifts"))
+def _g2_qmc_impl(spec, dyn, n, n_shifts, zvec, shifts, consts):
+    one_shift = _g2_qmc_shift_fn(spec, dyn, n, zvec, consts)
+    return _g2_qmc_result(jax.vmap(one_shift)(shifts), n, n_shifts)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "dyn", "n",
+                                             "n_shifts", "mesh"))
+def _g2_qmc_sharded_impl(spec, dyn, n, n_shifts, zvec, shifts, consts,
+                         mesh):
+    """Shift-sharded G2 QMC (the `parallel.price_qmc_sharded` layout):
+    each chip runs the full point set for its shifts — per-shift means
+    never depend on the mesh size, so the result is BITWISE
+    mesh-invariant."""
+    from jax.sharding import PartitionSpec as P
+
+    from mc_tpu.parallel.mesh import PATHS_AXIS
+
+    def shard_fn(zvec, shifts_local, consts):
+        one_shift = _g2_qmc_shift_fn(spec, dyn, n, zvec, consts)
+        means_local = jax.vmap(one_shift)(shifts_local)
+        return jax.lax.all_gather(means_local, PATHS_AXIS, tiled=True)
+
+    means = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(PATHS_AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(zvec, shifts, consts)
+    return _g2_qmc_result(means, n, n_shifts)
 
 
 def price_g2_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
@@ -469,12 +505,16 @@ def price_g2_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
                                                      n_steps=1),
                           *,
                           n_shifts: int = 16,
+                          mesh=None,
                           seed: Optional[int] = None,
                           stream: int = STREAM_OUTER) -> PriceResult:
     """Randomized-QMC two-factor European swaption: the exact draw is
     THREE dimensional ((x, y, int) at expiry via the step Cholesky) —
     still deep in the regime where Sobol nets earn their O(1/N) rate.
-    Digital shifts give the unbiased error estimate."""
+    Digital shifts give the unbiased error estimate.
+
+    ``mesh``: shard the SHIFT axis over a device mesh (n_shifts rounds
+    up to a mesh multiple; BITWISE mesh-invariant)."""
     import math as _math
 
     import numpy as _np
@@ -484,6 +524,9 @@ def price_g2_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
     spec = spec.validate()
     if n_shifts < 2:
         raise ValueError("n_shifts >= 2 required for an error estimate")
+    if mesh is not None:
+        n_shards = mesh.devices.size
+        n_shifts = -(-n_shifts // n_shards) * n_shards
     consts = _g2_tables(spec, dyn, curve)
     seed = sim.seed if seed is None else seed
     n = 1 << min(int(_math.log2(max(sim.n_paths, 2))), 20)
@@ -494,6 +537,9 @@ def price_g2_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
                                sidx, jnp.zeros_like(sidx))
     shifts = jax.lax.shift_right_logical(
         bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, 3)
+    if mesh is not None:
+        return _g2_qmc_sharded_impl(spec, dyn, n, n_shifts, zvec,
+                                    shifts, consts, mesh)
     return _g2_qmc_impl(spec, dyn, n, n_shifts, zvec, shifts, consts)
 
 

@@ -314,9 +314,9 @@ def price_hw_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
                              (p0, bmat, corr))
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "n", "n_shifts"))
-def _hw_qmc_impl(spec, a, sigma_r, n, n_shifts, zvec, shifts, p0_0, c_0,
-                 consts):
+def _hw_qmc_shift_fn(spec, a, sigma_r, n, zvec, p0_0, c_0, consts):
+    """shift -> per-shift sample mean for the 2-dim HW Sobol net; the
+    shared body of the single-chip and shift-sharded QMC programs."""
     import jax.lax as lax
 
     from mc_tpu.models.swaption import _exact_xy_coeffs
@@ -340,12 +340,52 @@ def _hw_qmc_impl(spec, a, sigma_r, n, n_shifts, zvec, shifts, p0_0, c_0,
                * p0_0 * jnp.exp(-y - c_0))
         return jnp.mean(pay)
 
-    means = jax.vmap(one_shift)(shifts)
+    return one_shift
+
+
+def _qmc_result(means, n, n_shifts):
     price = jnp.mean(means)
     stderr = jnp.std(means, ddof=1) / jnp.sqrt(jnp.float32(n_shifts))
     return PriceResult(price=price, stderr=stderr,
                        n_paths=jnp.float32(n * n_shifts),
                        payoff_mean=price, payoff_var=stderr * stderr)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n", "n_shifts"))
+def _hw_qmc_impl(spec, a, sigma_r, n, n_shifts, zvec, shifts, p0_0, c_0,
+                 consts):
+    one_shift = _hw_qmc_shift_fn(spec, a, sigma_r, n, zvec, p0_0, c_0,
+                                 consts)
+    return _qmc_result(jax.vmap(one_shift)(shifts), n, n_shifts)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n", "n_shifts",
+                                             "mesh"))
+def _hw_qmc_sharded_impl(spec, a, sigma_r, n, n_shifts, zvec, shifts,
+                         p0_0, c_0, consts, mesh):
+    """Shift-sharded HW QMC: each chip evaluates the FULL point set for
+    its share of shifts (the `parallel.price_qmc_sharded` layout), so
+    per-shift means never depend on the mesh size — the result is
+    BITWISE mesh-invariant.  vs the single-chip `_hw_qmc_impl` the
+    per-shift means can differ at the last ulp (vmap-batched vs mapped
+    reductions fuse differently)."""
+    from jax.sharding import PartitionSpec as P
+
+    from mc_tpu.parallel.mesh import PATHS_AXIS
+
+    def shard_fn(zvec, shifts_local, a, sigma_r, p0_0, c_0, consts):
+        one_shift = _hw_qmc_shift_fn(spec, a, sigma_r, n, zvec, p0_0,
+                                     c_0, consts)
+        means_local = jax.vmap(one_shift)(shifts_local)
+        return jax.lax.all_gather(means_local, PATHS_AXIS, tiled=True)
+
+    means = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(PATHS_AXIS), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(zvec, shifts, a, sigma_r, p0_0, c_0, consts)
+    return _qmc_result(means, n, n_shifts)
 
 
 def price_hw_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
@@ -355,12 +395,17 @@ def price_hw_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
                                                      n_steps=1),
                           *,
                           n_shifts: int = 16,
+                          mesh=None,
                           seed: Optional[int] = None,
                           stream: int = STREAM_OUTER) -> PriceResult:
     """Randomized-QMC Hull-White European swaption: the exact draw is
     TWO dimensional ((x, int x) at expiry) — the regime where Sobol
     nets earn their full O(1/N) rate (same construction and measured
-    ~order-of-magnitude stderr cut as `price_swaption_qmc`)."""
+    ~order-of-magnitude stderr cut as `price_swaption_qmc`).
+
+    ``mesh``: shard the SHIFT axis over a device mesh (n_shifts rounds
+    up to a mesh multiple; each chip runs the full point set for its
+    shifts, so the result is BITWISE mesh-invariant)."""
     import math as _math
 
     import numpy as _np
@@ -370,6 +415,9 @@ def price_hw_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
     spec = spec.validate()
     if n_shifts < 2:
         raise ValueError("n_shifts >= 2 required for an error estimate")
+    if mesh is not None:
+        n_shards = mesh.devices.size
+        n_shifts = -(-n_shifts // n_shards) * n_shards
     p0, c, bmat, corr = _hw_tables(spec, dyn, curve)
     seed = sim.seed if seed is None else seed
     n = 1 << min(int(_math.log2(max(sim.n_paths, 2))), 20)
@@ -380,6 +428,11 @@ def price_hw_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
                                sidx, jnp.zeros_like(sidx))
     shifts = jax.lax.shift_right_logical(
         bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, 2)
+    if mesh is not None:
+        return _hw_qmc_sharded_impl(
+            spec, jnp.float32(dyn.a), jnp.float32(dyn.sigma_r), n,
+            n_shifts, zvec, shifts, jnp.float32(p0[0]),
+            jnp.float32(c[0]), (p0, bmat, corr), mesh)
     return _hw_qmc_impl(spec, jnp.float32(dyn.a),
                         jnp.float32(dyn.sigma_r), n, n_shifts, zvec,
                         shifts, jnp.float32(p0[0]), jnp.float32(c[0]),

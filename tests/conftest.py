@@ -82,6 +82,8 @@ SLOW_TESTS = {
     "test_hullwhite.py::test_bermudan_exposure_telescopes_on_the_curve",
     "test_hullwhite.py::test_hw_swap_cva_greeks_match_strip_fd",
     "test_hullwhite.py::test_qmc_bermudan_on_the_curve",
+    "test_hullwhite.py::test_qmc_shift_sharded_mesh_invariant",
+    "test_g2pp.py::test_qmc_shift_sharded_mesh_invariant_two_factor",
     "test_mlmc_family.py::test_merton_terminal_exact_in_law",
     "test_mlmc_family.py::test_merton_asian_coupling_decays_and_matches_fine_grid",
     "test_mlmc_family.py::test_eps_driven_allocation",

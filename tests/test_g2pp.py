@@ -438,3 +438,21 @@ def test_g2_swaption_greeks_match_oracle_fd():
     assert np.isfinite(gb["curve_dv01"])
     with pytest.raises(ValueError, match="unknown greeks"):
         g2_swaption_greeks(which=("charm",))
+
+
+def test_qmc_shift_sharded_mesh_invariant_two_factor():
+    """Shift-sharded G2 QMC agrees BITWISE with the single-chip program
+    on 1/2/8-device meshes (full point set per shift per chip)."""
+    import jax
+
+    from mc_tpu.models.g2pp import price_g2_swaption_qmc
+    from mc_tpu.parallel import make_mesh
+    sim = SimParams(n_paths=1 << 12, n_steps=1)
+    solo = price_g2_swaption_qmc(SPEC, DEMO_G2, DEMO_CURVE, sim,
+                                 n_shifts=16)
+    for k in (1, 2, 8):
+        m = price_g2_swaption_qmc(SPEC, DEMO_G2, DEMO_CURVE, sim,
+                                  n_shifts=16,
+                                  mesh=make_mesh(jax.devices()[:k]))
+        assert float(m.price) == float(solo.price), k
+        assert float(m.stderr) == float(solo.stderr), k

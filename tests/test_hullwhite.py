@@ -534,3 +534,26 @@ def test_qmc_bermudan_on_the_curve():
     joint = (float(q.stderr) ** 2 + float(plain.stderr) ** 2) ** 0.5
     assert abs(float(q.price) - float(plain.price)) <= 4.0 * joint + 2e-4
     assert float(plain.stderr) > 4.0 * float(q.stderr)
+
+
+def test_qmc_shift_sharded_mesh_invariant():
+    """Shift-sharded HW QMC: each chip runs the full Sobol point set
+    for its shifts, so 1/2/8-device meshes and the single-chip program
+    all agree BITWISE."""
+    import jax
+
+    from mc_tpu.models.hullwhite import price_hw_swaption_qmc
+    from mc_tpu.parallel import make_mesh
+    sim = SimParams(n_paths=1 << 12, n_steps=1)
+    solo = price_hw_swaption_qmc(SPEC, DEMO_HW, DEMO_CURVE, sim,
+                                 n_shifts=16)
+    for k in (1, 2, 8):
+        m = price_hw_swaption_qmc(SPEC, DEMO_HW, DEMO_CURVE, sim,
+                                  n_shifts=16,
+                                  mesh=make_mesh(jax.devices()[:k]))
+        assert float(m.price) == float(solo.price), k
+        assert float(m.stderr) == float(solo.stderr), k
+    # n_shifts rounds up to a mesh multiple
+    r = price_hw_swaption_qmc(SPEC, DEMO_HW, DEMO_CURVE, sim,
+                              n_shifts=9, mesh=make_mesh())
+    assert float(r.n_paths) == (1 << 12) * 16.0
