@@ -1220,6 +1220,12 @@ def cmd_hullwhite(args):
                                                 seed=args.seed)
             out["bermudan_qmc_price"] = float(qb.price)
             out["bermudan_qmc_stderr"] = float(qb.stderr)
+    if args.greeks:
+        from mc_tpu.models.hullwhite import hw_swaption_greeks
+        out.update(hw_swaption_greeks(
+            spec, dyn, curve, sim,
+            style="bermudan" if args.bermudan else "european",
+            degree=args.degree, seed=args.seed))
     if proj is not None and (args.bermudan or args.bounds or args.qmc):
         raise SystemExit("--proj-spread-bp supports European pricing "
                          "and --exposure (Bermudans/QMC are "
@@ -1309,6 +1315,12 @@ def cmd_g2pp(args):
                                                 seed=args.seed)
             out["bermudan_qmc_price"] = float(qb.price)
             out["bermudan_qmc_stderr"] = float(qb.stderr)
+    if args.greeks:
+        from mc_tpu.models.g2pp import g2_swaption_greeks
+        out.update(g2_swaption_greeks(
+            spec, dyn, curve, sim,
+            style="bermudan" if args.bermudan else "european",
+            seed=args.seed))
     if args.exposure:
         import numpy as np
         e = g2_swap_exposure(spec, dyn, curve, sim, seed=args.seed)
@@ -1847,6 +1859,9 @@ def main(argv=None):
     p.add_argument("--qmc", action="store_true",
                    help="randomized-Sobol price (with --bermudan: "
                         "frozen-policy QMC over the full date grid)")
+    p.add_argument("--greeks", action="store_true",
+                   help="CRN-FD price sensitivities (curve_dv01 per "
+                        "+1bp, vega_r, kappa; Bermudan if --bermudan)")
     p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--a", type=float, default=0.3)
     p.add_argument("--sigma-r", type=float, default=0.015)
@@ -1874,6 +1889,9 @@ def main(argv=None):
     p.add_argument("--qmc", action="store_true",
                    help="randomized-Sobol price (with --bermudan: "
                         "frozen-policy QMC over the full date grid)")
+    p.add_argument("--greeks", action="store_true",
+                   help="CRN-FD price sensitivities (curve_dv01, "
+                        "per-factor vegas; Bermudan if --bermudan)")
     p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--a", type=float, default=0.5)
     p.add_argument("--sigma-x", type=float, default=0.01,

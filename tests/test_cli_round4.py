@@ -131,7 +131,7 @@ def test_hullwhite_book_and_bounds_cli(capsys):
     doc = json.loads(out)
     assert rc == 0 and doc["book_netted_cva"] > 0
     rc, out = run(capsys, ["hullwhite", "--bermudan", "--bounds",
-                           "--qmc", "-N", "4096"])
+                           "--qmc", "--greeks", "-N", "4096"])
     doc = json.loads(out)
     assert rc == 0
     assert doc["lower"] == doc["bermudan_price"]
@@ -140,14 +140,16 @@ def test_hullwhite_book_and_bounds_cli(capsys):
     assert (abs(doc["bermudan_qmc_price"] - doc["bermudan_price"])
             < 5 * (doc["bermudan_stderr"] + doc["bermudan_qmc_stderr"])
             + 2e-4)  # pilot-policy vs in-sample-fit slack
+    assert doc["curve_dv01"] != 0 and "vega_r" in doc  # Bermudan greeks
 
 
 def test_g2pp_cli(capsys):
     rc, out = run(capsys, ["g2pp", "--exposure", "--cva-hazard", "0.02",
-                           "--qmc", "-N", "16384"])
+                           "--qmc", "--greeks", "-N", "16384"])
     doc = json.loads(out)
     assert rc == 0
     assert abs(doc["z_score"]) < 5.0
     assert doc["swap_cva"] > 0
     assert abs(doc["qmc_price"] - doc["oracle"]) < 5 * doc["qmc_stderr"]
     assert doc["qmc_stderr"] < doc["stderr"]
+    assert "vega_x" in doc and "vega_y" in doc
