@@ -894,6 +894,39 @@ def cmd_calibrate(args):
                           "price_rmse": fit.rmse,
                           "n_quotes": len(quotes)}))
         return 0
+    if args.model == "g2pp":
+        from mc_tpu.calibrate import calibrate_g2
+        from mc_tpu.models.hullwhite import DEMO_CURVE
+        from mc_tpu.oracle import g2_swaption
+        true = (args.a, args.sigma_x, args.b_mr_cal, args.eta,
+                args.rho_xy)
+        quotes = []
+        for t0 in (0.5, 1.0, 3.0):
+            for (tau, n) in ((0.5, 10), (0.5, 4), (1.0, 7)):
+                for k in (0.035, 0.05):
+                    px = g2_swaption(*true, DEMO_CURVE.df, t0, tau, n,
+                                     k, n_quad=801)
+                    quotes.append((t0, tau, n, k, px))
+        fit = calibrate_g2(DEMO_CURVE, quotes, n_iter=args.n_iter)
+        # G2 has an exact (a, sigma) <-> (b_mr, eta) relabeling ridge:
+        # judge by REPRICING (in-sample rmse + one out-of-sample quote),
+        # never by parameter identity.
+        oos = g2_swaption(fit.a, fit.sigma, fit.b_mr, fit.eta, fit.rho,
+                          DEMO_CURVE.df, 2.0, 0.5, 6, 0.042, n_quad=801)
+        oos_true = g2_swaption(*true, DEMO_CURVE.df, 2.0, 0.5, 6, 0.042,
+                               n_quad=801)
+        print(json.dumps({"model": "g2++",
+                          "true": dict(zip(("a", "sigma", "b_mr", "eta",
+                                            "rho"), true)),
+                          "fit": {"a": fit.a, "sigma": fit.sigma,
+                                  "b_mr": fit.b_mr, "eta": fit.eta,
+                                  "rho": fit.rho},
+                          "price_rmse": fit.rmse,
+                          "oos_price": oos, "oos_true": oos_true,
+                          "oos_abs_err": abs(oos - oos_true),
+                          "n_quotes": len(quotes),
+                          "n_iter": fit.n_iter}))
+        return 0
     if args.model == "localvol":
         from mc_tpu.calibrate import calibrate_localvol
         from mc_tpu.models.localvol import price_localvol
@@ -1710,7 +1743,8 @@ def main(argv=None):
                             "trip on the demo curve)")
     _add_option_flags(p)
     p.add_argument("--model",
-                   choices=("sabr", "heston", "localvol", "hullwhite"),
+                   choices=("sabr", "heston", "localvol", "hullwhite",
+                            "g2pp"),
                    default="sabr")
     p.add_argument("--alpha", type=float, default=0.2)
     p.add_argument("--beta", type=float, default=1.0)
@@ -1732,6 +1766,16 @@ def main(argv=None):
                    help="localvol target smile slope")
     p.add_argument("--smile-curv", type=float, default=0.15,
                    help="localvol target smile curvature")
+    p.add_argument("--sigma-x", type=float, default=0.01,
+                   help="g2pp true first-factor vol (repricing gate)")
+    p.add_argument("--b-mr-cal", type=float, default=0.05,
+                   help="g2pp true second-factor mean reversion")
+    p.add_argument("--eta", type=float, default=0.008,
+                   help="g2pp true second-factor vol")
+    p.add_argument("--rho-xy", type=float, default=-0.7,
+                   help="g2pp true factor correlation")
+    p.add_argument("--n-iter", type=int, default=80,
+                   help="g2pp LM iteration cap")
     p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("divs",

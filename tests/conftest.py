@@ -51,6 +51,7 @@ SLOW_TESTS = {
     "test_cli_round4.py::test_american_exposure_cli",
     "test_cli_round4.py::test_hullwhite_book_and_bounds_cli",
     "test_cli_round4.py::test_g2pp_cli",
+    "test_cli_round4.py::test_calibrate_g2pp_cli",
     "test_american_exposure.py::test_ee_telescopes_and_anchors_at_the_policy_price",
     "test_american_exposure.py::test_european_limit_every_beyond_horizon",
     "test_swaption.py::test_bermudan_greeks_finite_and_bracketed",

@@ -153,3 +153,15 @@ def test_g2pp_cli(capsys):
     assert abs(doc["qmc_price"] - doc["oracle"]) < 5 * doc["qmc_stderr"]
     assert doc["qmc_stderr"] < doc["stderr"]
     assert "vega_x" in doc and "vega_y" in doc
+
+
+def test_calibrate_g2pp_cli(capsys):
+    """Five-parameter G2 calibration on the CLI: repricing-gated (the
+    (a, sigma) <-> (b_mr, eta) ridge makes parameter identity
+    meaningless) — in-sample rmse ~1e-8 and an out-of-sample swaption
+    repriced at the true model's value."""
+    rc, out = run(capsys, ["calibrate", "--model", "g2pp"])
+    doc = json.loads(out)
+    assert rc == 0
+    assert doc["price_rmse"] < 1e-6
+    assert doc["oos_abs_err"] < 1e-5
