@@ -384,3 +384,19 @@ def test_bounds_reject_overlong_date_grids():
         bermudan_swaption_bounds(
             SwaptionSpec(expiry=1.0, tenor=0.25, n_payments=80),
             DYN, SimParams(n_paths=256, n_steps=1), n_branch=2)
+
+
+def test_qmc_shift_sharded_mesh_invariant_vasicek():
+    """Shift-sharded Vasicek-swaption QMC agrees BITWISE with the
+    single-chip program on 1/2/8-device meshes."""
+    import jax
+
+    from mc_tpu.models.swaption import price_swaption_qmc
+    from mc_tpu.parallel import make_mesh
+    sim = SimParams(n_paths=1 << 12, n_steps=1)
+    solo = price_swaption_qmc(SPEC, DYN, sim, n_shifts=16)
+    for k in (1, 2, 8):
+        m = price_swaption_qmc(SPEC, DYN, sim, n_shifts=16,
+                               mesh=make_mesh(jax.devices()[:k]))
+        assert float(m.price) == float(solo.price), k
+        assert float(m.stderr) == float(solo.stderr), k
