@@ -825,12 +825,11 @@ def _g2_policy_machinery(spec, dyn, degree, betas, key, consts):
     """(step_tenor, draws, policy_value) for frozen-policy rollouts
     under G2++: the `_policy_machinery` construction with the 3-draw
     (x, y, int) exact tenor step and curve discounting."""
+    from mc_tpu.models.rates_policy import (check_rollout_dates,
+                                            frozen_policy_value)
     p0, vhalf, amat, bamat, bbmat = consts
     n_ex = spec.n_payments
-    if n_ex > 64:
-        raise ValueError(
-            "rollout draw counters key by tag*64 + date: "
-            f"n_payments must be <= 64, got {n_ex}")
+    check_rollout_dates(n_ex)
     sx = dyn.sigma / math.sqrt(2.0 * dyn.a)
     sy = dyn.eta / math.sqrt(2.0 * dyn.b_mr)
     k0 = jnp.asarray(key[0], jnp.uint32)
@@ -856,26 +855,19 @@ def _g2_policy_machinery(spec, dyn, degree, betas, key, consts):
         return x * jnp.float32(e1) + ex_, y * jnp.float32(e2) + ey, z
 
     def policy_value(i, x, y, z, ids, tag):
-        val = jnp.zeros_like(x)
-        done = jnp.zeros(x.shape, bool)
-        for u in range(i, n_ex):
-            ex = jnp.maximum(_g2_mtm(spec, u, x, y, p0, amat, bamat,
-                                     bbmat), 0.0)
-            if u < n_ex - 1:
-                cont = _g2_basis(x, y, jnp.float32(sx),
-                                 jnp.float32(sy), degree) @ betas[u]
-                take = jnp.logical_and(ex > 0.0, ex > cont)
-            else:
-                take = ex > 0.0
-            take = jnp.logical_and(take, jnp.logical_not(done))
-            val = jnp.where(take,
-                            ex * jnp.float32(p0[u])
-                            * jnp.exp(-z - jnp.float32(vhalf[u])), val)
-            done = jnp.logical_or(done, take)
-            if u < n_ex - 1:
-                w0, w1, w2 = draws(ids, tag, u)
-                x, y, z = step_tenor(x, y, z, w0, w1, w2)
-        return val
+        return frozen_policy_value(
+            n_ex, i, (x, y, z), ids, tag, draws=draws,
+            step=lambda st, ws: step_tenor(st[0], st[1], st[2],
+                                           ws[0], ws[1], ws[2]),
+            exercise=lambda u, st: jnp.maximum(
+                _g2_mtm(spec, u, st[0], st[1], p0, amat, bamat, bbmat),
+                0.0),
+            continuation=lambda u, st: (
+                _g2_basis(st[0], st[1], jnp.float32(sx),
+                          jnp.float32(sy), degree) @ betas[u]),
+            cashflow=lambda u, ex, st: (
+                ex * jnp.float32(p0[u])
+                * jnp.exp(-st[2] - jnp.float32(vhalf[u]))))
 
     return step_tenor, draws, policy_value
 

@@ -964,13 +964,12 @@ def _hw_policy_machinery(spec, a, sigma_r, degree, betas, key, scale,
     construction with curve intrinsics and curve discounting (value at
     exercise date u is ex * P(0,t_u) e^{-y - c_u}, y the rollout's own
     accumulated int x)."""
+    from mc_tpu.models.rates_policy import (check_rollout_dates,
+                                            frozen_policy_value)
     from mc_tpu.models.swaption import _exact_xy_coeffs
     p0, bmat, corr = consts
     n_ex = spec.n_payments
-    if n_ex > 64:
-        raise ValueError(
-            "rollout draw counters key by tag*64 + date: "
-            f"n_payments must be <= 64, got {n_ex}")
+    check_rollout_dates(n_ex)
     k0 = jnp.asarray(key[0], jnp.uint32)
     k1 = jnp.asarray(key[1], jnp.uint32)
     e1, big_b, l11, l21, l22 = _exact_xy_coeffs(
@@ -986,23 +985,15 @@ def _hw_policy_machinery(spec, a, sigma_r, degree, betas, key, scale,
         return rng.normal_pair(k0, k1, ids, c1)
 
     def policy_value(i, x, y, ids, tag):
-        val = jnp.zeros_like(x)
-        done = jnp.zeros(x.shape, bool)
-        for u in range(i, n_ex):
-            ex = _hw_intrinsic(spec, u, x, p0, bmat, corr)
-            if u < n_ex - 1:
-                cont = _hw_basis(x, scale, degree) @ betas[u]
-                take = jnp.logical_and(ex > 0.0, ex > cont)
-            else:
-                take = ex > 0.0
-            take = jnp.logical_and(take, jnp.logical_not(done))
-            val = jnp.where(take,
-                            ex * p0_f[u] * jnp.exp(-y - c_f[u]), val)
-            done = jnp.logical_or(done, take)
-            if u < n_ex - 1:
-                z0, z1 = draws(ids, tag, u)
-                x, y = step_tenor(x, y, z0, z1)
-        return val
+        return frozen_policy_value(
+            n_ex, i, (x, y), ids, tag, draws=draws,
+            step=lambda st, zs: step_tenor(st[0], st[1], zs[0], zs[1]),
+            exercise=lambda u, st: _hw_intrinsic(spec, u, st[0], p0,
+                                                 bmat, corr),
+            continuation=lambda u, st: (_hw_basis(st[0], scale, degree)
+                                        @ betas[u]),
+            cashflow=lambda u, ex, st: (ex * p0_f[u]
+                                        * jnp.exp(-st[1] - c_f[u])))
 
     return step_tenor, draws, policy_value
 

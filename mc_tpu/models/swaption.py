@@ -490,11 +490,10 @@ def _policy_machinery(spec, a, b, sigma_r, degree, betas, key):
     UNdiscounted intrinsics to the forward continuation fit — the same
     r-only policy `_fit_bermudan` fits.  Shared by the Andersen-Broadie
     dual and the Bermudan exposure surface."""
+    from mc_tpu.models.rates_policy import (check_rollout_dates,
+                                            frozen_policy_value)
     n_ex = spec.n_payments
-    if n_ex > 64:
-        raise ValueError(
-            "rollout draw counters key by tag*64 + date: "
-            f"n_payments must be <= 64, got {n_ex}")
+    check_rollout_dates(n_ex)
     k0 = jnp.asarray(key[0], jnp.uint32)
     k1 = jnp.asarray(key[1], jnp.uint32)
     e1, big_b, l11, l21, l22 = _exact_xy_coeffs(
@@ -512,22 +511,14 @@ def _policy_machinery(spec, a, b, sigma_r, degree, betas, key):
         return rng.normal_pair(k0, k1, ids, c1)
 
     def policy_value(i, r, y, ids, tag):
-        val = jnp.zeros_like(r)
-        done = jnp.zeros(r.shape, bool)
-        for u in range(i, n_ex):
-            ex = _swap_intrinsic(spec, a, b, sigma_r, r, u)
-            if u < n_ex - 1:
-                cont = _rate_basis(r, b, degree) @ betas[u]
-                take = jnp.logical_and(ex > 0.0, ex > cont)
-            else:
-                take = ex > 0.0
-            take = jnp.logical_and(take, jnp.logical_not(done))
-            val = jnp.where(take, ex * jnp.exp(-y), val)
-            done = jnp.logical_or(done, take)
-            if u < n_ex - 1:
-                z0, z1 = draws(ids, tag, u)
-                r, y = step_tenor(r, y, z0, z1)
-        return val
+        return frozen_policy_value(
+            n_ex, i, (r, y), ids, tag, draws=draws,
+            step=lambda st, zs: step_tenor(st[0], st[1], zs[0], zs[1]),
+            exercise=lambda u, st: _swap_intrinsic(spec, a, b, sigma_r,
+                                                   st[0], u),
+            continuation=lambda u, st: (_rate_basis(st[0], b, degree)
+                                        @ betas[u]),
+            cashflow=lambda u, ex, st: ex * jnp.exp(-st[1]))
 
     return step_tenor, draws, policy_value
 
