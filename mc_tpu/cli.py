@@ -1199,7 +1199,16 @@ def cmd_hullwhite(args):
     option, sim = _parse(args)
     times = [float(x) for x in args.curve_times.split(",")]
     zeros = [float(x) for x in args.curve_zeros.split(",")]
-    curve = DiscountCurve(times, zeros)
+    if args.par_swap_rates:
+        # bootstrap from the actual market input (par swap quotes)
+        mats = ([float(x) for x in args.par_swap_times.split(",")]
+                if args.par_swap_times else times)
+        pars = [float(x) for x in args.par_swap_rates.split(",")]
+        curve = DiscountCurve.from_par_swaps(mats, pars,
+                                             tenor=args.tenor)
+        times, zeros = list(curve.times), list(curve.zeros)
+    else:
+        curve = DiscountCurve(times, zeros)
     dyn = HullWhiteDynamics(a=args.a, sigma_r=args.sigma_r)
     spec = SwaptionSpec(expiry=args.expiry, tenor=args.tenor,
                         n_payments=args.n_payments, k_rate=args.k_rate,
@@ -1883,6 +1892,12 @@ def main(argv=None):
                                             "0.046,0.048",
                    help="zero rates at the knots (the curve the model "
                         "reprices exactly)")
+    p.add_argument("--par-swap-rates", default=None,
+                   help="BOOTSTRAP the curve from par swap quotes "
+                        "instead (comma list; maturities from "
+                        "--par-swap-times, default --curve-times; "
+                        "must sit on the --tenor grid)")
+    p.add_argument("--par-swap-times", default=None)
     p.add_argument("--exposure", action="store_true")
     p.add_argument("--proj-spread-bp", type=float, default=0.0,
                    help="MULTI-CURVE: forwards off a projection curve "

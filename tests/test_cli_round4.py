@@ -165,3 +165,29 @@ def test_calibrate_g2pp_cli(capsys):
     assert rc == 0
     assert doc["price_rmse"] < 1e-6
     assert doc["oos_abs_err"] < 1e-5
+
+
+def test_hullwhite_par_bootstrap_cli(capsys):
+    """--par-swap-rates bootstraps the curve from the actual market
+    input: the bootstrapped dfs reprice the quoted par rates (to the
+    6-decimal df rounding in the JSON) and the MC still gates against
+    the curve-consistent oracle."""
+    from mc_tpu.models.hullwhite import DiscountCurve
+    src = DiscountCurve([0.5, 1.0, 2.0, 3.0, 5.0],
+                        [0.03, 0.035, 0.04, 0.043, 0.046])
+
+    def par_from(dfs, m, tenor=0.5):
+        n = round(m / tenor)
+        return (1.0 - dfs[n - 1]) / (tenor * sum(dfs[:n]))
+
+    src_dfs = [src.df(0.5 * (j + 1)) for j in range(10)]
+    mats = [1.0, 2.0, 3.0, 5.0]
+    pars = ",".join(f"{par_from(src_dfs, m):.10f}" for m in mats)
+    rc, out = run(capsys, ["hullwhite", "--par-swap-rates", pars,
+                           "--par-swap-times", "1,2,3,5",
+                           "-N", "16384"])
+    doc = json.loads(out)
+    assert rc == 0 and abs(doc["z_score"]) < 5.0
+    for m in mats:
+        assert abs(par_from(doc["curve_dfs"], m)
+                   - par_from(src_dfs, m)) < 1e-5
