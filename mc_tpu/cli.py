@@ -1317,7 +1317,14 @@ def cmd_g2pp(args):
     option, sim = _parse(args)
     times = [float(x) for x in args.curve_times.split(",")]
     zeros = [float(x) for x in args.curve_zeros.split(",")]
-    curve = DiscountCurve(times, zeros)
+    if args.par_swap_rates:
+        mats = ([float(x) for x in args.par_swap_times.split(",")]
+                if args.par_swap_times else times)
+        pars = [float(x) for x in args.par_swap_rates.split(",")]
+        curve = DiscountCurve.from_par_swaps(mats, pars,
+                                             tenor=args.tenor)
+    else:
+        curve = DiscountCurve(times, zeros)
     dyn = G2Dynamics(a=args.a, sigma=args.sigma_x, b_mr=args.b_mr,
                      eta=args.eta, rho=args.rho_xy)
     spec = SwaptionSpec(expiry=args.expiry, tenor=args.tenor,
@@ -1939,6 +1946,11 @@ def main(argv=None):
     p.add_argument("--curve-times", default="0.5,1,2,3,5,10")
     p.add_argument("--curve-zeros", default="0.03,0.035,0.04,0.043,"
                                             "0.046,0.048")
+    p.add_argument("--par-swap-rates", default=None,
+                   help="bootstrap the curve from par swap quotes "
+                        "(comma list; maturities from --par-swap-times, "
+                        "default --curve-times)")
+    p.add_argument("--par-swap-times", default=None)
     p.add_argument("--exposure", action="store_true")
     p.add_argument("--bermudan", action="store_true",
                    help="co-terminal Bermudan LSMC on the (x, y) state")

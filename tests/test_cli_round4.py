@@ -191,3 +191,8 @@ def test_hullwhite_par_bootstrap_cli(capsys):
     for m in mats:
         assert abs(par_from(doc["curve_dfs"], m)
                    - par_from(src_dfs, m)) < 1e-5
+    rc, out = run(capsys, ["g2pp", "--par-swap-rates", pars,
+                           "--par-swap-times", "1,2,3,5",
+                           "-N", "16384"])
+    doc = json.loads(out)
+    assert rc == 0 and abs(doc["z_score"]) < 5.0  # same bootstrapped curve
