@@ -26,6 +26,7 @@ import functools
 import json
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +41,17 @@ REFERENCE_A100_PATHS_PER_SEC = 1.0e9  # documented estimate, see docstring
 N_PATHS = 1_000_000
 N_STEPS = 100
 K_REPS = 16
-OPT = OptionParams().as_f32()
+# Set by _init_params() AFTER the backend is probed/decided: building the
+# f32 params is the first device touch, and doing it at import time is how
+# the round-3 bench died with a traceback instead of a JSON line when the
+# TPU tunnel was down (BENCH_r03.json rc=1).
+OPT = None
+
+
+def _init_params():
+    global OPT
+    if OPT is None:
+        OPT = OptionParams().as_f32()
 
 
 @functools.partial(jax.jit, static_argnames=("payoff", "cfg"))
@@ -470,114 +481,244 @@ def billion_path_run(payoff="vanilla_call", n_steps=N_STEPS):
     return {"price": p, "stderr": se, "e2e_seconds": round(wall, 3)}
 
 
-def main():
-    # Headline: 1M-path European call (exact terminal draw).
+def accuracy_gate(engine="pallas"):
+    """|price - BS| <= 3 stderr at the headline config.  Runs on any
+    backend (use engine="xla" on CPU — bitwise-identical dual)."""
+    res = price(sim=SimParams(n_paths=N_PATHS, n_steps=N_STEPS),
+                engine=engine)
+    bs = float(bs_call(100.0, 100.0, 1.0, 0.1, 0.2))
+    err_se = abs(float(res.price) - bs) / float(res.stderr)
+    return {
+        "price": float(res.price),
+        "black_scholes": bs,
+        "abs_err_in_stderr": round(err_se, 3),
+        "accuracy_ok_3se": bool(err_se <= 3.0),
+    }
+
+
+def _no_chip_result(probe, pinned_cpu=False):
+    """Scoreboard line when no TPU is reachable: valid JSON with an
+    explicit marker + the CPU-runnable accuracy gate — never a traceback
+    (round-3 lesson: BENCH_r03.json was a stack trace and the round's
+    perf story went unrecorded)."""
+    from mc_tpu.utils.platform import apply_platform
+    apply_platform("cpu")
+    _init_params()
+    extra = {"backend_probe": probe, "backend": jax.default_backend(),
+             "device": str(jax.devices()[0])}
+    try:
+        extra.update(accuracy_gate(engine="xla"))
+    except Exception as e:  # even the gate must not kill the JSON line
+        extra["accuracy_gate_error"] = repr(e)[:300]
+        extra["accuracy_ok_3se"] = False
+    print(json.dumps({
+        "metric": "paths/sec/chip, 1M-path Euro call",
+        "value": 0.0,
+        "unit": "paths/sec",
+        "vs_baseline": 0.0,
+        "error": "cpu-pinned" if pinned_cpu else "tpu-unavailable",
+        "extra": extra,
+    }))
+    if not extra.get("accuracy_ok_3se", False):
+        return 1          # accuracy regression (distinct from "no chip")
+    return 0 if pinned_cpu else 2   # 2 = no chip, CPU gate green
+
+
+def _full_bench():
+    """The full device measurement suite.  Every row is individually
+    guarded: a mid-run tunnel hiccup downgrades one row to an entry in
+    extra.row_errors instead of killing the scoreboard."""
+    _init_params()
+    errors = {}
+
+    def guard(name, fn):
+        try:
+            return fn()
+        except Exception as e:
+            errors[name] = repr(e)[:300]
+            return None
+
+    extra = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "headline_median_of": 5,
+    }
+
+    # Headline: the paired terminal kernel (price(method="terminal_pair"),
+    # the production fast path — both Box-Muller halves become paths).
     # Median of 5 independent measurements — the tunnel's run-to-run
     # spread (documented 18-25e9 paths/s, BASELINE.md) makes single
     # draws noise; spread is recorded so round-over-round deltas in
     # BENCH_r*.json can be read against it.
-    dt, dt_spread = median_of(kernel_seconds, 5)
-    # Headline: the paired terminal kernel (price(method="terminal_pair"),
-    # the production fast path — both Box-Muller halves become paths).
-    dt_pair, pair_spread = median_of(terminal_pair_seconds, 5)
-    paths_per_sec = N_PATHS / dt_pair
-    classic_paths_per_sec = N_PATHS / dt
+    pair = guard("terminal_pair", lambda: median_of(terminal_pair_seconds, 5))
+    classic = guard("classic_terminal", lambda: median_of(kernel_seconds, 5))
+    if pair is not None:
+        extra["kernel_ms_1M_call"] = round(pair[0] * 1e3, 4)
+        extra["headline_rel_spread"] = round(pair[1], 4)
+    if classic is not None:
+        extra["kernel_ms_1M_call_classic"] = round(classic[0] * 1e3, 4)
+        extra["classic_terminal_paths_per_sec"] = round(
+            N_PATHS / classic[0], 1)
+        extra["classic_rel_spread"] = round(classic[1], 4)
 
     # Step-loop workload at all three RNG sources (trajectories.cuh:144-148
     # analogue): BigCrush-minimal 13-round threefry (the default),
     # 20-round safety-margin stream, hardware PRNG.
-    dt_bullet, bullet_spread = median_of(
-        lambda: kernel_seconds("bullet_call", "euler"), 5)  # threefry13
-    bullet_ps = N_PATHS * N_STEPS / dt_bullet
-    dt_b20 = kernel_seconds("bullet_call", "euler", rng_source="threefry")
-    dt_bhw, hw_spread = median_of(
-        lambda: kernel_seconds("bullet_call", "euler", rng_source="hw"), 3)
+    b13 = guard("bullet_threefry13",
+                lambda: median_of(
+                    lambda: kernel_seconds("bullet_call", "euler"), 5))
+    if b13 is not None:
+        extra["bullet_path_steps_per_sec"] = round(
+            N_PATHS * N_STEPS / b13[0], 1)
+        extra["bullet_rel_spread"] = round(b13[1], 4)
+    b20 = guard("bullet_threefry20",
+                lambda: kernel_seconds("bullet_call", "euler",
+                                       rng_source="threefry"))
+    if b20 is not None:
+        extra["bullet_path_steps_per_sec_threefry20"] = round(
+            N_PATHS * N_STEPS / b20, 1)
+    bhw = guard("bullet_hw",
+                lambda: median_of(
+                    lambda: kernel_seconds("bullet_call", "euler",
+                                           rng_source="hw"), 3))
+    if bhw is not None:
+        extra["bullet_path_steps_per_sec_hw"] = round(
+            N_PATHS * N_STEPS / bhw[0], 1)
+        extra["bullet_hw_rel_spread"] = round(bhw[1], 4)
 
     # Model-family + technique kernels.
-    dt_heston = heston_kernel_seconds()
-    dt_merton = merton_kernel_seconds()
-    dt_sabr = sabr_kernel_seconds()
-    dt_vasicek = vasicek_kernel_seconds()
-    dt_rainbow = rainbow_kernel_seconds()
-    dt_lv = localvol_kernel_seconds()
-    dt_qmc, qmc_n = qmc_kernel_seconds()
-    dt_hw_swpt = hw_swaption_kernel_seconds()
-    dt_g2_swpt = g2_swaption_kernel_seconds()
+    for name, fn in (("heston", heston_kernel_seconds),
+                     ("merton", merton_kernel_seconds),
+                     ("sabr", sabr_kernel_seconds),
+                     ("vasicek", vasicek_kernel_seconds),
+                     ("localvol", localvol_kernel_seconds)):
+        dt = guard(name, fn)
+        if dt is not None:
+            extra[f"{name}_path_steps_per_sec"] = round(
+                N_PATHS * N_STEPS / dt, 1)
+    dt = guard("rainbow", rainbow_kernel_seconds)
+    if dt is not None:
+        extra["rainbow4_paths_per_sec"] = round(N_PATHS / dt, 1)
+    q = guard("qmc", qmc_kernel_seconds)
+    if q is not None:
+        extra["qmc_paths_per_sec"] = round(q[1] / q[0], 1)
+    dt = guard("hw_swaption", hw_swaption_kernel_seconds)
+    if dt is not None:
+        extra["hw_swaption_paths_per_sec"] = round(N_PATHS / dt, 1)
+    dt = guard("g2_swaption", g2_swaption_kernel_seconds)
+    if dt is not None:
+        extra["g2_swaption_paths_per_sec"] = round(N_PATHS / dt, 1)
 
     # Reference demo NMC workload (hello.cu defaults, ~5e11 inner steps).
-    nmc_dt, nmc_inner_steps = nmc_demo_seconds()
-    nmc_hw_dt, _ = nmc_demo_seconds(rng_source="hw")
+    nmc = guard("nmc_demo", nmc_demo_seconds)
+    if nmc is not None:
+        extra["nmc_demo_seconds_device"] = round(nmc[0], 3)
+        extra["nmc_demo_inner_path_steps_per_sec"] = round(
+            nmc[1] / nmc[0], 1)
+    nmc_hw = guard("nmc_demo_hw", lambda: nmc_demo_seconds(rng_source="hw"))
+    if nmc_hw is not None:
+        extra["nmc_demo_hw_seconds_device"] = round(nmc_hw[0], 3)
+        extra["nmc_demo_hw_inner_path_steps_per_sec"] = round(
+            nmc_hw[1] / nmc_hw[0], 1)
 
     # 64-contract book through the batched shared-RNG kernel.
-    book_dt, book_steps = book_kernel_seconds()
+    book = guard("book64", book_kernel_seconds)
+    if book is not None:
+        extra["book64_path_steps_per_sec"] = round(book[1] / book[0], 1)
 
     # Roofline: measured primitive ceilings -> peak-fraction estimate.
-    roof = roofline()
+    roof = guard("roofline", roofline)
+    if roof is not None:
+        extra["roofline"] = roof
 
     # Billion-path end-to-end runs (BASELINE config 5, single chip).
-    b_call = billion_path_run("vanilla_call")
-    b_bullet = billion_path_run("bullet_call")
+    b_call = guard("e2e_1b_call", lambda: billion_path_run("vanilla_call"))
+    if b_call is not None:
+        extra["e2e_1b_call"] = b_call
+    b_bullet = guard("e2e_1b_bullet",
+                     lambda: billion_path_run("bullet_call"))
+    if b_bullet is not None:
+        extra["e2e_1b_bullet"] = b_bullet
 
     # Accuracy gate: |price - BS| <= 3 stderr at the same config.
-    res = price(sim=SimParams(n_paths=N_PATHS, n_steps=N_STEPS),
-                engine="pallas")
-    bs = float(bs_call(100.0, 100.0, 1.0, 0.1, 0.2))
-    err_se = abs(float(res.price) - bs) / float(res.stderr)
-    ok = err_se <= 3.0
+    gate = guard("accuracy_gate", accuracy_gate)
+    if gate is not None:
+        extra.update(gate)
+    else:
+        extra["accuracy_ok_3se"] = False
+
+    if errors:
+        extra["row_errors"] = errors
+
+    # Headline falls back classic -> 0.0 so the line stays parseable even
+    # if the paired kernel row failed mid-run.
+    if pair is not None:
+        paths_per_sec = N_PATHS / pair[0]
+    elif classic is not None:
+        paths_per_sec = N_PATHS / classic[0]
+        extra["headline_fallback"] = "classic_terminal"
+    else:
+        paths_per_sec = 0.0
+        extra["headline_fallback"] = "none-measured"
 
     print(json.dumps({
         "metric": "paths/sec/chip, 1M-path Euro call",
         "value": round(paths_per_sec, 1),
         "unit": "paths/sec",
-        "vs_baseline": round(paths_per_sec / REFERENCE_A100_PATHS_PER_SEC, 4),
-        "extra": {
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-            "kernel_ms_1M_call": round(dt_pair * 1e3, 4),
-            "kernel_ms_1M_call_classic": round(dt * 1e3, 4),
-            "classic_terminal_paths_per_sec":
-                round(classic_paths_per_sec, 1),
-            "headline_median_of": 5,
-            "headline_rel_spread": round(pair_spread, 4),
-            "classic_rel_spread": round(dt_spread, 4),
-            "bullet_rel_spread": round(bullet_spread, 4),
-            "bullet_hw_rel_spread": round(hw_spread, 4),
-            "bullet_path_steps_per_sec": round(bullet_ps, 1),
-            "bullet_path_steps_per_sec_threefry20":
-                round(N_PATHS * N_STEPS / dt_b20, 1),
-            "bullet_path_steps_per_sec_hw":
-                round(N_PATHS * N_STEPS / dt_bhw, 1),
-            "heston_path_steps_per_sec":
-                round(N_PATHS * N_STEPS / dt_heston, 1),
-            "merton_path_steps_per_sec":
-                round(N_PATHS * N_STEPS / dt_merton, 1),
-            "sabr_path_steps_per_sec":
-                round(N_PATHS * N_STEPS / dt_sabr, 1),
-            "vasicek_path_steps_per_sec":
-                round(N_PATHS * N_STEPS / dt_vasicek, 1),
-            "rainbow4_paths_per_sec": round(N_PATHS / dt_rainbow, 1),
-            "localvol_path_steps_per_sec":
-                round(N_PATHS * N_STEPS / dt_lv, 1),
-            "qmc_paths_per_sec": round(qmc_n / dt_qmc, 1),
-            "hw_swaption_paths_per_sec": round(N_PATHS / dt_hw_swpt, 1),
-            "g2_swaption_paths_per_sec": round(N_PATHS / dt_g2_swpt, 1),
-            "nmc_demo_seconds_device": round(nmc_dt, 3),
-            "nmc_demo_inner_path_steps_per_sec":
-                round(nmc_inner_steps / nmc_dt, 1),
-            "nmc_demo_hw_seconds_device": round(nmc_hw_dt, 3),
-            "nmc_demo_hw_inner_path_steps_per_sec":
-                round(nmc_inner_steps / nmc_hw_dt, 1),
-            "book64_path_steps_per_sec": round(book_steps / book_dt, 1),
-            "roofline": roof,
-            "e2e_1b_call": b_call,
-            "e2e_1b_bullet": b_bullet,
-            "price": float(res.price),
-            "black_scholes": bs,
-            "abs_err_in_stderr": round(err_se, 3),
-            "accuracy_ok_3se": bool(ok),
-        },
+        "vs_baseline": round(paths_per_sec / REFERENCE_A100_PATHS_PER_SEC,
+                             4),
+        "extra": extra,
     }))
-    return 0 if ok else 1
+    return 0 if extra.get("accuracy_ok_3se", False) else 1
+
+
+def main(argv=None):
+    """Scoreboard contract (round-4 hardening, VERDICT r03 item 1):
+
+    * stdout is ALWAYS exactly one valid JSON line;
+    * no device work happens before the backend is probed in a bounded
+      subprocess (2-3 retries), so a down tunnel can never hang or
+      traceback the harness;
+    * rc 0 = measured + accuracy green;  rc 1 = accuracy/perf regression
+      (or nothing measurable);  rc 2 = no chip (JSON carries
+      error=tpu-unavailable and the CPU accuracy gate);  rc 3 is reserved
+      by the platform watchdog (utils/platform.py).
+    """
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--platform", choices=("tpu", "cpu"), default=None,
+                    help="pin the backend (default: probe the image "
+                         "default — the TPU tunnel — and fall back)")
+    ap.add_argument("--probe-timeout", type=float, default=240.0,
+                    help="per-attempt bound (s) on the backend probe")
+    ap.add_argument("--probe-retries", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    from mc_tpu.utils.platform import probe_backend, resolve_platform
+    plat = resolve_platform(args.platform)
+    if plat == "cpu":
+        return _no_chip_result({"ok": False, "error": None,
+                                "note": "platform pinned to cpu"},
+                               pinned_cpu=True)
+
+    probe = probe_backend(timeout_s=args.probe_timeout,
+                          retries=args.probe_retries)
+    if not probe["ok"]:
+        return _no_chip_result(probe)
+
+    try:
+        return _full_bench()
+    except Exception:
+        # Belt and braces: _full_bench guards every row, but if the
+        # scoreboard assembly itself dies the driver still gets JSON.
+        print(json.dumps({
+            "metric": "paths/sec/chip, 1M-path Euro call",
+            "value": 0.0, "unit": "paths/sec", "vs_baseline": 0.0,
+            "error": "bench-exception",
+            "extra": {"traceback":
+                      traceback.format_exc(limit=20)[-2000:]},
+        }))
+        return 1
 
 
 
@@ -688,4 +829,4 @@ def roofline():
     }
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main())  # rc: 0 ok / 1 regression / 2 no chip / 3 watchdog

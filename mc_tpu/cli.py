@@ -73,8 +73,25 @@ def cmd_demo(args):
     from mc_tpu.oracle import bs_call
     from mc_tpu.utils import device_summary
 
+    # Degrade gracefully off-TPU (the hello.cu analogue must always finish
+    # in seconds/minutes): on a non-TPU backend the Pallas kernels run in
+    # interpret mode, so default to the bitwise-identical XLA duals and
+    # scale the NMC leg down unless the user pinned values explicitly.
+    on_tpu = jax.default_backend() == "tpu"
+    if args.engine is None:
+        args.engine = "pallas" if on_tpu else "xla"
+    if args.n_inner is None:
+        args.n_inner = 1_000 if on_tpu else 64
+    if args.nmc_max_paths is None:
+        args.nmc_max_paths = 4096 if on_tpu else 256
+
     option, sim = _parse(args)
     print(device_summary())
+    if not on_tpu:
+        print("(non-TPU backend: engine defaults to the bitwise-identical "
+              "XLA duals;\n NMC leg scaled to "
+              f"{min(sim.n_paths, args.nmc_max_paths)}x{args.n_inner} — "
+              "pass --engine/--n-inner/--nmc-max-paths to override)")
     print(f"\nConfig: S0={args.s0} K={args.k} T={args.t} r={args.r} "
           f"sigma={args.sigma} B={args.barrier} window=[{args.p1},{args.p2}] "
           f"N={sim.n_paths} steps={sim.n_steps} inner={sim.n_paths_inner}")
@@ -765,8 +782,16 @@ def cmd_qmc(args):
 
 
 def cmd_bench(args):
+    import os
     import subprocess
-    return subprocess.call([sys.executable, "bench.py"])
+    bench = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    if not os.path.exists(bench):
+        bench = "bench.py"  # installed layouts: fall back to cwd
+    cmd = [sys.executable, bench]
+    if getattr(args, "platform", None):
+        cmd += ["--platform", args.platform]
+    return subprocess.call(cmd)
 
 
 def cmd_info(args):
@@ -1217,6 +1242,12 @@ def cmd_hullwhite(args):
     if args.proj_spread_bp:
         proj = DiscountCurve(
             times, [z + args.proj_spread_bp * 1e-4 for z in zeros])
+        # Incompatibility check BEFORE any pricing runs (the Bermudan/
+        # bounds/QMC legs are expensive; don't price and then discard).
+        if args.bermudan or args.bounds or args.qmc:
+            raise SystemExit("--proj-spread-bp supports European pricing "
+                             "and --exposure (Bermudans/QMC are "
+                             "single-curve)")
     res = price_hw_swaption(spec, dyn, curve, sim, seed=args.seed,
                             projection_curve=proj)
     if proj is not None:
@@ -1268,10 +1299,6 @@ def cmd_hullwhite(args):
             spec, dyn, curve, sim,
             style="bermudan" if args.bermudan else "european",
             degree=args.degree, seed=args.seed))
-    if proj is not None and (args.bermudan or args.bounds or args.qmc):
-        raise SystemExit("--proj-spread-bp supports European pricing "
-                         "and --exposure (Bermudans/QMC are "
-                         "single-curve)")
     if args.book_k_rates:
         import numpy as np
 
@@ -1512,9 +1539,12 @@ def main(argv=None):
                    help="omit the native CPU reference rows")
     p.add_argument("--cpu-max-paths", type=int, default=100_000,
                    help="path cap for the sequential-ish CPU pricers")
-    p.add_argument("--nmc-max-paths", type=int, default=4096,
-                   help="cap outer paths for the NMC stage of the demo")
-    p.set_defaults(fn=cmd_demo)
+    p.add_argument("--nmc-max-paths", type=int, default=None,
+                   help="cap outer paths for the NMC stage of the demo "
+                        "(default 4096 on TPU, 256 elsewhere)")
+    # Backend-adaptive defaults resolved in cmd_demo (None = not pinned):
+    # interpret-mode Pallas off-TPU would make the defaults take hours.
+    p.set_defaults(fn=cmd_demo, engine=None, n_inner=None)
 
     p = sub.add_parser("price", help="price one option, JSON output")
     _add_option_flags(p)
@@ -2031,7 +2061,37 @@ def main(argv=None):
     p = sub.add_parser("info", help="device capability dump (tool.cuh:56)")
     p.set_defaults(fn=cmd_info)
 
+    # Every subcommand accepts the platform guard flags: the default
+    # backend in this image is a remote TPU tunnel whose initialization
+    # can block for minutes when the tunnel is down, and a user-facing
+    # tool must never hang silently (the reference's ./main always runs,
+    # hello.cu:3-48).  --platform cpu pins the host CPU before any device
+    # touch; otherwise init is announced and time-bounded.
+    for sp in set(sub.choices.values()):
+        g = sp.add_argument_group("backend")
+        g.add_argument("--platform", choices=("tpu", "cpu"), default=None,
+                       help="pin the JAX platform before device init "
+                            "(default: $MC_TPU_PLATFORM, else the image's "
+                            "default backend — the TPU tunnel)")
+        g.add_argument("--init-timeout", type=float, default=None,
+                       help="hard bound (s) on backend initialization; "
+                            "exceeded => exit 3 with a diagnosis "
+                            "(default $MC_TPU_INIT_TIMEOUT, else 300)")
+
     args = ap.parse_args(argv)
+
+    from mc_tpu.utils.platform import apply_platform, bounded_backend_init
+    if args.fn is cmd_bench:
+        # bench.py probes the backend itself (bounded subprocess with
+        # retries + structured no-chip JSON); initializing the tunnel
+        # here too would pay the multi-minute first-init twice.
+        return args.fn(args)
+    plat = apply_platform(getattr(args, "platform", None))
+    if plat != "cpu":
+        # Announce + bound the first device touch (watchdog hard-exits
+        # with rc 3 and a --platform cpu hint if the tunnel wedges).
+        bounded_backend_init(getattr(args, "init_timeout", None),
+                             announce=lambda m: print(m, file=sys.stderr))
     return args.fn(args)
 
 

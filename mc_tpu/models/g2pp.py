@@ -693,10 +693,11 @@ def g2_swap_book_exposure(specs, dyn: G2Dynamics = DEMO_G2,
             pad = jnp.zeros((v.shape[0], n_ex - v.shape[1]), v.dtype)
             v = jnp.concatenate([v, pad], axis=1)
         net = v if net is None else net + v
-    from mc_tpu.xva import CollateralizedExposure
+    from mc_tpu.xva import CollateralizedExposure, coupon_dates
     horizon = e0 + (n_ex - 1) * t0
     return CollateralizedExposure(values=net,
-                                  t_horizon=jnp.float32(horizon))
+                                  t_horizon=jnp.float32(horizon),
+                                  obs_dates=coupon_dates(e0, t0, n_ex))
 
 
 G2_CVA_GREEK_FIELDS = ("curve_dv01", "vega_x", "vega_y")
@@ -989,10 +990,11 @@ def bermudan_g2_swaption_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
     values = _g2_bermudan_exposure_impl(
         spec, dyn, sim.n_paths, sim.n_paths_inner, n_fit, degree,
         key_fit, key_outer, key_inner, consts)
-    from mc_tpu.xva import CollateralizedExposure
+    from mc_tpu.xva import CollateralizedExposure, coupon_dates
     horizon = spec.expiry + (spec.n_payments - 1) * spec.tenor
-    return CollateralizedExposure(values=values,
-                                  t_horizon=jnp.float32(horizon))
+    return CollateralizedExposure(
+        values=values, t_horizon=jnp.float32(horizon),
+        obs_dates=coupon_dates(spec.expiry, spec.tenor, spec.n_payments))
 
 
 def bermudan_g2_swaption_bounds(spec: SwaptionSpec = DEMO_SWAPTION,
@@ -1090,7 +1092,8 @@ def g2_swap_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
                                       consts, weights)
     else:
         values = _g2_exposure_impl(spec, dyn, sim.n_paths, key, consts)
-    from mc_tpu.xva import CollateralizedExposure
+    from mc_tpu.xva import CollateralizedExposure, coupon_dates
     horizon = spec.expiry + (spec.n_payments - 1) * spec.tenor
-    return CollateralizedExposure(values=values,
-                                  t_horizon=jnp.float32(horizon))
+    return CollateralizedExposure(
+        values=values, t_horizon=jnp.float32(horizon),
+        obs_dates=coupon_dates(spec.expiry, spec.tenor, spec.n_payments))

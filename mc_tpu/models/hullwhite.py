@@ -106,6 +106,16 @@ class DiscountCurve:
         acc = 0.0  # running annuity sum_{j<m} P(t_j)
         for m in range(len(grid)):
             dfs[m] = (1.0 - s[m] * tenor * acc) / (1.0 + s[m] * tenor)
+            # Inconsistent/extreme quotes drive 1 - s*tau*acc <= 0; the
+            # log below would then emit NaN zero rates that propagate
+            # silently into every price.  Fail loudly instead, naming
+            # the offending pillar.
+            if dfs[m] <= 0.0:
+                raise ValueError(
+                    f"par-swap bootstrap failed at maturity "
+                    f"{grid[m]:g} (par rate {s[m]:.6g}): implied "
+                    f"discount factor {dfs[m]:.6g} <= 0 — the quotes "
+                    "are inconsistent with positive rates")
             acc += dfs[m]
         zeros = -np.log(dfs) / grid
         return DiscountCurve(grid, zeros)
@@ -826,10 +836,11 @@ def hw_swap_book_exposure(specs, dyn: HullWhiteDynamics = DEMO_HW,
             pad = jnp.zeros((v.shape[0], n_ex - v.shape[1]), v.dtype)
             v = jnp.concatenate([v, pad], axis=1)
         net = v if net is None else net + v
-    from mc_tpu.xva import CollateralizedExposure
+    from mc_tpu.xva import CollateralizedExposure, coupon_dates
     horizon = e0 + (n_ex - 1) * t0
     return CollateralizedExposure(values=net,
-                                  t_horizon=jnp.float32(horizon))
+                                  t_horizon=jnp.float32(horizon),
+                                  obs_dates=coupon_dates(e0, t0, n_ex))
 
 
 def hw_swaption_greeks(spec: SwaptionSpec = DEMO_SWAPTION,
@@ -1153,10 +1164,11 @@ def bermudan_hw_swaption_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
         sim.n_paths_inner, n_fit, degree, key_fit, key_outer, key_inner,
         jnp.asarray(p0, jnp.float32), jnp.asarray(c, jnp.float32),
         (p0, bmat, corr))
-    from mc_tpu.xva import CollateralizedExposure
+    from mc_tpu.xva import CollateralizedExposure, coupon_dates
     horizon = spec.expiry + (spec.n_payments - 1) * spec.tenor
-    return CollateralizedExposure(values=values,
-                                  t_horizon=jnp.float32(horizon))
+    return CollateralizedExposure(
+        values=values, t_horizon=jnp.float32(horizon),
+        obs_dates=coupon_dates(spec.expiry, spec.tenor, spec.n_payments))
 
 
 def price_bermudan_hw_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
@@ -1264,7 +1276,8 @@ def hw_swap_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
                                    key, jnp.asarray(p0, jnp.float32),
                                    jnp.asarray(c, jnp.float32),
                                    (p0, bmat, corr))
-    from mc_tpu.xva import CollateralizedExposure
+    from mc_tpu.xva import CollateralizedExposure, coupon_dates
     horizon = spec.expiry + (spec.n_payments - 1) * spec.tenor
-    return CollateralizedExposure(values=values,
-                                  t_horizon=jnp.float32(horizon))
+    return CollateralizedExposure(
+        values=values, t_horizon=jnp.float32(horizon),
+        obs_dates=coupon_dates(spec.expiry, spec.tenor, spec.n_payments))

@@ -441,10 +441,11 @@ def swap_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
             mtm = -mtm
         vals.append(mtm * jnp.exp(-y_grid[i]))
 
-    from mc_tpu.xva import CollateralizedExposure
+    from mc_tpu.xva import CollateralizedExposure, coupon_dates
     horizon = spec.expiry + (n_ex - 1) * spec.tenor
-    return CollateralizedExposure(values=jnp.stack(vals, axis=1),
-                                  t_horizon=jnp.float32(horizon))
+    return CollateralizedExposure(
+        values=jnp.stack(vals, axis=1), t_horizon=jnp.float32(horizon),
+        obs_dates=coupon_dates(spec.expiry, spec.tenor, n_ex))
 
 
 def _ab_bracket(n_ex: int, n_paths: int, n_branch: int, z_at, v_at,
@@ -610,10 +611,11 @@ def bermudan_swaption_exposure(spec: SwaptionSpec = DEMO_SWAPTION,
         spec, jnp.float32(d32.a), jnp.float32(d32.b),
         jnp.float32(d32.sigma_r), jnp.float32(r0), sim.n_paths,
         sim.n_paths_inner, n_fit, degree, key_fit, key_outer, key_inner)
-    from mc_tpu.xva import CollateralizedExposure
+    from mc_tpu.xva import CollateralizedExposure, coupon_dates
     horizon = spec.expiry + (spec.n_payments - 1) * spec.tenor
-    return CollateralizedExposure(values=values,
-                                  t_horizon=jnp.float32(horizon))
+    return CollateralizedExposure(
+        values=values, t_horizon=jnp.float32(horizon),
+        obs_dates=coupon_dates(spec.expiry, spec.tenor, spec.n_payments))
 
 
 SWAP_CVA_GREEK_FIELDS = ("dv01", "vega_r", "kappa", "theta_b")

@@ -100,11 +100,10 @@ class NMCResult(ExposureMetrics):
         RAISES a long call's CVA but LOWERS a long put's, the right-way
         case the exposure link cannot express.  Requires
         strategy="grid" (the materialized outer spot grid)."""
-        th = jnp.float32(self.t_horizon if t_horizon is None
-                         else t_horizon)
+        from mc_tpu.xva import _grid_weights
         s = self.spot_matrix()
         v = self.surface_matrix()
-        dt = th / v.shape[1]
+        _, _, dt = _grid_weights(self.observation_dates(t_horizon))
         rel = s / jnp.mean(s, axis=0, keepdims=True) - 1.0
         lam = jnp.float32(hazard_rate) * jnp.exp(jnp.float32(beta) * rel)
         h = lam * dt
@@ -115,39 +114,9 @@ class NMCResult(ExposureMetrics):
         return (1.0 - jnp.float32(recovery)) * jnp.mean(
             jnp.sum(pos * dpd, axis=1))
 
-    def exposure_profile(self, quantile: float = 0.95):
-        """Counterparty-exposure profile from the value surface.
-
-        Returns (ee, pfe): expected exposure EE_t = mean(max(V_t, 0)) and
-        the `quantile` potential future exposure per step — the standard
-        XVA outputs the NMC surface exists for (BASELINE.json config 4
-        "exposure estimates").  Shapes (n_steps,).
-        """
-        v = self.surface_matrix()
-        pos = jnp.maximum(v, 0.0)
-        ee = jnp.mean(pos, axis=0)
-        pfe = jnp.quantile(pos, quantile, axis=0)
-        return ee, pfe
-
-    def cva(self, hazard_rate: float, recovery: float = 0.4,
-            t_horizon: float | None = None):
-        """Unilateral CVA from the expected-exposure profile.
-
-        CVA = (1 - R) * sum_j EE(t_j) * [PD(t_{j-1}, t_j)] with a flat
-        hazard rate: PD over (a, b] = e^{-lambda a} - e^{-lambda b}.
-        The surface values are already discounted, so no extra discount
-        factor is applied (the standard EE* convention).  ``t_horizon``
-        defaults to the priced option's maturity (``self.t_horizon``).
-        """
-        if t_horizon is None:
-            t_horizon = self.t_horizon
-        ee = jnp.mean(jnp.maximum(self.surface_matrix(), 0.0), axis=0)
-        n = ee.shape[0]
-        t = jnp.arange(1, n + 1, dtype=jnp.float32) * (t_horizon / n)
-        t_prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), t[:-1]])
-        lam = jnp.float32(hazard_rate)
-        dpd = jnp.exp(-lam * t_prev) - jnp.exp(-lam * t)
-        return (1.0 - jnp.float32(recovery)) * jnp.sum(ee * dpd)
+    # exposure_profile / cva / dva / fva / ... come from ExposureMetrics
+    # (uniform step-grid observation dates: the NMC surface observes at
+    # t_j = j*T/n_steps).
 
 
 def _xla_nmc(payoff, cfg: nk.NMCConfig, key_outer, key_inner, option,

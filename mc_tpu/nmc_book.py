@@ -78,26 +78,9 @@ class NMCBookResult(ExposureMetrics):
             rows * lanes, n_steps)
         return out[: int(self.n_paths)]
 
-    def exposure_profile(self, quantile: float = 0.95):
-        """(EE_net, PFE_net) per step on the NETTED profile — the
-        counterparty-level outputs a netting agreement exists for."""
-        v = self.surface_matrix()
-        pos = jnp.maximum(v, 0.0)
-        return jnp.mean(pos, axis=0), jnp.quantile(pos, quantile, axis=0)
-
-    def cva(self, hazard_rate: float, recovery: float = 0.4,
-            t_horizon: Optional[float] = None):
-        """Unilateral CVA on the NETTED expected exposure (flat hazard),
-        same convention as `NMCResult.cva` (values pre-discounted)."""
-        if t_horizon is None:
-            t_horizon = self.t_horizon
-        ee = jnp.mean(jnp.maximum(self.surface_matrix(), 0.0), axis=0)
-        n = ee.shape[0]
-        t = jnp.arange(1, n + 1, dtype=jnp.float32) * (t_horizon / n)
-        t_prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), t[:-1]])
-        lam = jnp.float32(hazard_rate)
-        dpd = jnp.exp(-lam * t_prev) - jnp.exp(-lam * t)
-        return (1.0 - jnp.float32(recovery)) * jnp.sum(ee * dpd)
+    # exposure_profile / cva / dva / fva / ... operate on the NETTED
+    # profile through ExposureMetrics — the counterparty-level outputs a
+    # netting agreement exists for (uniform step-grid observation).
 
 
 @functools.partial(

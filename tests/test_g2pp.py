@@ -281,8 +281,10 @@ def test_g2_swap_cva_greeks_match_strip_fd():
         s = DEMO_G2.sigma if sig is None else sig
         e_ = DEMO_G2.eta if eta is None else eta
         n = SPEC.n_payments
-        th = SPEC.expiry + (n - 1) * SPEC.tenor
-        t = np.arange(1, n + 1) * th / n
+        # TRUE coupon observation dates expiry + i*tenor (the exposure
+        # matrix's obs_dates), NOT the uniform grid j*T/n — the round-4
+        # fix for the default-leg date misallocation (ADVICE r03).
+        t = SPEC.expiry + np.arange(n) * SPEC.tenor
         tp = np.concatenate([[0.0], t[:-1]])
         dpd = np.exp(-LAM * tp) - np.exp(-LAM * t)
         ee = [oracle.g2_swaption(DEMO_G2.a, s, DEMO_G2.b_mr, e_,

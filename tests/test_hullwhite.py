@@ -316,8 +316,10 @@ def test_hw_swap_cva_greeks_match_strip_fd():
               DiscountCurve(DEMO_CURVE.times,
                             np.asarray(DEMO_CURVE.zeros) + curve_bump))
         n = SPEC.n_payments
-        th = SPEC.expiry + (n - 1) * SPEC.tenor
-        t = np.arange(1, n + 1) * th / n
+        # TRUE coupon observation dates expiry + i*tenor (the exposure
+        # matrix's obs_dates), NOT the uniform grid j*T/n — the round-4
+        # fix for the default-leg date misallocation (ADVICE r03).
+        t = SPEC.expiry + np.arange(n) * SPEC.tenor
         tp = np.concatenate([[0.0], t[:-1]])
         dpd = np.exp(-LAM * tp) - np.exp(-LAM * t)
         ee = [oracle.hw_swaption(DEMO_HW.a, sig, cv.df,

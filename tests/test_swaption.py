@@ -316,8 +316,10 @@ def test_swap_cva_greeks_match_strip_oracle_fd():
 
     def strip_cva(r0v, sigv):
         n = SPEC.n_payments
-        th = SPEC.expiry + (n - 1) * SPEC.tenor
-        t = np.arange(1, n + 1) * th / n
+        # TRUE coupon observation dates expiry + i*tenor (the exposure
+        # matrix's obs_dates), NOT the uniform grid j*T/n — the round-4
+        # fix for the default-leg date misallocation (ADVICE r03).
+        t = SPEC.expiry + np.arange(n) * SPEC.tenor
         tp = np.concatenate([[0.0], t[:-1]])
         dpd = np.exp(-LAM * tp) - np.exp(-LAM * t)
         ee = [oracle.vasicek_swaption(r0v, DYN.a, DYN.b, sigv,

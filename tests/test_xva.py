@@ -278,3 +278,63 @@ def test_cva_wwr_brackets_flat_hazard(res):
     dn = float(res.cva_wwr(0.02, beta=-0.05))
     assert w0 == pytest.approx(flat, rel=1e-5)
     assert up > w0 > dn
+
+
+class TestObservationDates:
+    """Round-4 fix (ADVICE r03, medium): the rates exposure matrices
+    observe at COUPON dates expiry + i*tenor, non-uniform from 0 when
+    expiry != tenor — every time integral must use the true intervals,
+    not the uniform grid j*T/n."""
+
+    @pytest.fixture(scope="class")
+    def swap_exp(self):
+        from mc_tpu.models.swaption import DEMO_SWAPTION, swap_exposure
+        # DEMO: expiry 1.0, tenor 0.5 -> dates 1.0, 1.5, ... (the
+        # uniform grid would put t_1 at horizon/n != 1.0)
+        return swap_exposure(DEMO_SWAPTION,
+                             sim=SimParams(n_paths=4096, n_steps=1))
+
+    def test_carries_coupon_dates(self, swap_exp):
+        from mc_tpu.models.swaption import DEMO_SWAPTION as S
+        t = np.asarray(swap_exp.observation_dates())
+        want = S.expiry + np.arange(S.n_payments) * S.tenor
+        np.testing.assert_allclose(t, want, rtol=1e-6)
+
+    def test_cva_integrates_over_true_intervals(self, swap_exp):
+        lam, rec = 0.02, 0.4
+        ee = np.asarray(swap_exp.exposure_profile()[0])
+        t = np.asarray(swap_exp.observation_dates())
+        tp = np.concatenate([[0.0], t[:-1]])
+        dpd = np.exp(-lam * tp) - np.exp(-lam * t)
+        want = (1 - rec) * float(np.sum(ee * dpd))
+        assert float(swap_exp.cva(lam, rec)) == pytest.approx(
+            want, rel=1e-5)
+        # ... and the uniform-grid weights are measurably different
+        n = len(t)
+        tu = np.arange(1, n + 1) * float(swap_exp.t_horizon) / n
+        tup = np.concatenate([[0.0], tu[:-1]])
+        wrong = (1 - rec) * float(np.sum(
+            ee * (np.exp(-lam * tup) - np.exp(-lam * tu))))
+        assert abs(want - wrong) > 1e-4 * abs(want)
+
+    def test_fva_mva_weight_by_true_intervals(self, swap_exp):
+        sp = 0.01
+        ee = np.asarray(swap_exp.exposure_profile()[0])
+        t = np.asarray(swap_exp.observation_dates())
+        dt = np.diff(np.concatenate([[0.0], t]))
+        fca, _ = swap_exp.fva(sp)
+        assert float(fca) == pytest.approx(sp * float(np.sum(ee * dt)),
+                                           rel=1e-5)
+        im = np.asarray(swap_exp.im_profile(0.99, 1))
+        assert float(swap_exp.mva(sp, 0.99, 1)) == pytest.approx(
+            sp * float(np.sum(im * dt)), rel=1e-5)
+
+    def test_wwr_beta0_matches_flat_on_coupon_dates(self, swap_exp):
+        flat = float(swap_exp.cva(0.02))
+        assert float(swap_exp.cva_wwr(0.02, beta=0.0)) == pytest.approx(
+            flat, rel=1e-5)
+
+    def test_collateralized_keeps_dates(self, swap_exp):
+        c = swap_exp.collateralized(threshold=0.01, mpor_steps=1)
+        np.testing.assert_allclose(np.asarray(c.observation_dates()),
+                                   np.asarray(swap_exp.observation_dates()))
