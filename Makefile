@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast tpu-smoke bench demo native clean
+.PHONY: test test-fast tpu-smoke bench mesh-probe demo native clean
 
 test:  ## full CPU test suite on the 8-device virtual mesh (merge gate)
 	$(PY) -m pytest tests/ -q
@@ -16,6 +16,9 @@ tpu-smoke:  ## compiled-Mosaic parity gate on the real chip (all kernel families
 
 bench:  ## benchmark harness (one JSON line)
 	$(PY) bench.py
+
+mesh-probe:  ## weak-scaling + psum-cost probe on the (virtual) mesh
+	$(PY) bench_mesh.py | tee MESHSCALE_r04.json
 
 demo:  ## hello.cu-equivalent demo table
 	$(PY) -m mc_tpu demo
