@@ -553,14 +553,25 @@ def _g2_bermudan_qmc_impl(spec, dyn, n, n_shifts, n_fit, degree, zvec,
     LSMC), then price THAT policy on a 3*n_ex-dim Sobol net over the
     exact date grid.  n_ex = 1 is BITWISE `price_g2_swaption_qmc`
     (same net, same shift stream, matched arithmetic order)."""
+    n_ex = spec.n_payments
+    grid_fit = _simulate_g2_grid(spec, dyn, n_fit, n_ex, key_fit)
+    _, betas = _fit_g2_bermudan(spec, dyn, grid_fit, degree, consts)
+    one_shift = _g2_bermudan_qmc_shift_fn(spec, dyn, n, degree, zvec,
+                                          betas, consts)
+    means = jax.vmap(one_shift)(shifts)
+    return _g2_qmc_result(means, n, n_shifts)
+
+
+def _g2_bermudan_qmc_shift_fn(spec, dyn, n, degree, zvec, betas,
+                              consts):
+    """shift -> frozen-policy per-shift mean (two-factor Bermudan);
+    shared by the single-chip and shift-sharded programs."""
     import jax.lax as lax
 
     from mc_tpu.qmc import _sobol_u
 
     p0, vhalf, amat, bamat, bbmat = consts
     n_ex = spec.n_payments
-    grid_fit = _simulate_g2_grid(spec, dyn, n_fit, n_ex, key_fit)
-    _, betas = _fit_g2_bermudan(spec, dyn, grid_fit, degree, consts)
     sx = jnp.float32(dyn.sigma / math.sqrt(2.0 * dyn.a))
     sy = jnp.float32(dyn.eta / math.sqrt(2.0 * dyn.b_mr))
     ids = jnp.arange(n, dtype=jnp.uint32)
@@ -605,12 +616,39 @@ def _g2_bermudan_qmc_impl(spec, dyn, n, n_shifts, n_fit, degree, zvec,
             done = jnp.logical_or(done, take)
         return jnp.mean(cf)
 
-    means = jax.vmap(one_shift)(shifts)
-    price = jnp.mean(means)
-    stderr = jnp.std(means, ddof=1) / jnp.sqrt(jnp.float32(n_shifts))
-    return PriceResult(price=price, stderr=stderr,
-                       n_paths=jnp.float32(n * n_shifts),
-                       payoff_mean=price, payoff_var=stderr * stderr)
+    return one_shift
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "dyn", "n", "n_shifts",
+                                    "n_fit", "degree", "mesh"))
+def _g2_bermudan_qmc_sharded_impl(spec, dyn, n, n_shifts, n_fit, degree,
+                                  zvec, shifts, key_fit, consts, mesh):
+    """Shift-sharded frozen-policy QMC two-factor Bermudan: replicated
+    pilot fit (identical betas per chip), shift axis over the mesh,
+    full point set per shift per chip — mesh-size-invariant per-shift
+    means (the `_g2_qmc_sharded_impl` construction on the Bermudan)."""
+    from jax.sharding import PartitionSpec as P
+
+    from mc_tpu.parallel.mesh import PATHS_AXIS
+
+    n_ex = spec.n_payments
+    grid_fit = _simulate_g2_grid(spec, dyn, n_fit, n_ex, key_fit)
+    _, betas = _fit_g2_bermudan(spec, dyn, grid_fit, degree, consts)
+
+    def shard_fn(zvec, shifts_local, betas, consts):
+        one_shift = _g2_bermudan_qmc_shift_fn(spec, dyn, n, degree,
+                                              zvec, betas, consts)
+        means_local = jax.vmap(one_shift)(shifts_local)
+        return jax.lax.all_gather(means_local, PATHS_AXIS, tiled=True)
+
+    means = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(PATHS_AXIS), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(zvec, shifts, betas, consts)
+    return _g2_qmc_result(means, n, n_shifts)
 
 
 def price_bermudan_g2_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
@@ -622,12 +660,15 @@ def price_bermudan_g2_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
                                    n_shifts: int = 16,
                                    n_fit: int = 16384,
                                    degree: int = 3,
+                                   mesh=None,
                                    seed: Optional[int] = None,
                                    stream: int = STREAM_OUTER
                                    ) -> PriceResult:
     """Frozen-policy QMC Bermudan under two-factor rates (the
     `price_bermudan_hw_swaption_qmc` construction with three Sobol
-    dimensions per coupon date — (x, y, int) via the step Cholesky)."""
+    dimensions per coupon date — (x, y, int) via the step Cholesky).
+    ``mesh``: shard the shift axis (replicated pilot fit; mesh-size-
+    invariant per-shift means)."""
     import math as _math
 
     import numpy as _np
@@ -641,6 +682,9 @@ def price_bermudan_g2_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
         raise ValueError(f"degree must be >= 1, got {degree}")
     consts = _g2_tables(spec, dyn, curve)
     seed = sim.seed if seed is None else seed
+    if mesh is not None:
+        n_shards = mesh.devices.size
+        n_shifts = -(-n_shifts // n_shards) * n_shards
     n = 1 << min(int(_math.log2(max(sim.n_paths, 2))), 20)
     d = 3 * spec.n_payments
     zvec = jnp.asarray(sobol_directions(d).reshape(-1).astype(_np.int32))
@@ -652,6 +696,10 @@ def price_bermudan_g2_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
                                sidx, jnp.zeros_like(sidx))
     shifts = jax.lax.shift_right_logical(
         bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, d)
+    if mesh is not None:
+        return _g2_bermudan_qmc_sharded_impl(
+            spec, dyn, n, n_shifts, n_fit, degree, zvec, shifts,
+            key_fit, consts, mesh)
     return _g2_bermudan_qmc_impl(spec, dyn, n, n_shifts, n_fit, degree,
                                  zvec, shifts, key_fit, consts)
 

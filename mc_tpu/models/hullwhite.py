@@ -459,6 +459,27 @@ def _hw_bermudan_qmc_impl(spec, a, sigma_r, n, n_shifts, n_fit, degree,
     price THAT policy on a 2*n_ex-dim Sobol net over the exact date
     grid.  n_ex = 1 is BITWISE `price_hw_swaption_qmc` (same net, same
     shift stream, matched arithmetic order)."""
+    n_ex = spec.n_payments
+    xf, yf = _simulate_rate_grid(spec, a, jnp.float32(0.0), sigma_r,
+                                 jnp.float32(0.0), n_fit, n_ex, key_fit)
+    scale = sigma_r / jnp.sqrt(2.0 * a)
+    _, betas = _fit_hw_bermudan(spec, xf, yf, degree, scale, p0_f, c_f,
+                                consts)
+    one_shift = _hw_bermudan_qmc_shift_fn(spec, a, sigma_r, n, degree,
+                                          zvec, betas, scale, p0_f,
+                                          c_f, consts)
+    means = jax.vmap(one_shift)(shifts)
+    price = jnp.mean(means)
+    stderr = jnp.std(means, ddof=1) / jnp.sqrt(jnp.float32(n_shifts))
+    return PriceResult(price=price, stderr=stderr,
+                       n_paths=jnp.float32(n * n_shifts),
+                       payoff_mean=price, payoff_var=stderr * stderr)
+
+
+def _hw_bermudan_qmc_shift_fn(spec, a, sigma_r, n, degree, zvec, betas,
+                              scale, p0_f, c_f, consts):
+    """shift -> frozen-policy per-shift mean (curve Bermudan); shared by
+    the single-chip and shift-sharded programs."""
     import jax.lax as lax
 
     from mc_tpu.models.swaption import _exact_xy_coeffs
@@ -466,11 +487,6 @@ def _hw_bermudan_qmc_impl(spec, a, sigma_r, n, n_shifts, n_fit, degree,
 
     p0, bmat, corr = consts
     n_ex = spec.n_payments
-    xf, yf = _simulate_rate_grid(spec, a, jnp.float32(0.0), sigma_r,
-                                 jnp.float32(0.0), n_fit, n_ex, key_fit)
-    scale = sigma_r / jnp.sqrt(2.0 * a)
-    _, betas = _fit_hw_bermudan(spec, xf, yf, degree, scale, p0_f, c_f,
-                                consts)
     ids = jnp.arange(n, dtype=jnp.uint32)
     coeffs = [_exact_xy_coeffs(a, sigma_r,
                                jnp.float32(spec.expiry if i == 0
@@ -507,7 +523,45 @@ def _hw_bermudan_qmc_impl(spec, a, sigma_r, n, n_shifts, n_fit, degree,
             done = jnp.logical_or(done, take)
         return jnp.mean(cf)
 
-    means = jax.vmap(one_shift)(shifts)
+    return one_shift
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "n", "n_shifts", "n_fit",
+                                    "degree", "mesh"))
+def _hw_bermudan_qmc_sharded_impl(spec, a, sigma_r, n, n_shifts, n_fit,
+                                  degree, zvec, shifts, key_fit, p0_f,
+                                  c_f, consts, mesh):
+    """Shift-sharded frozen-policy QMC curve Bermudan: replicated pilot
+    fit (identical betas per chip), shift axis over the mesh, full
+    point set per shift per chip — mesh-size-invariant per-shift means
+    (the `_hw_qmc_sharded_impl` construction on the Bermudan)."""
+    from jax.sharding import PartitionSpec as P
+
+    from mc_tpu.parallel.mesh import PATHS_AXIS
+
+    n_ex = spec.n_payments
+    xf, yf = _simulate_rate_grid(spec, a, jnp.float32(0.0), sigma_r,
+                                 jnp.float32(0.0), n_fit, n_ex, key_fit)
+    scale = sigma_r / jnp.sqrt(2.0 * a)
+    _, betas = _fit_hw_bermudan(spec, xf, yf, degree, scale, p0_f, c_f,
+                                consts)
+
+    def shard_fn(zvec, shifts_local, a, sigma_r, betas, scale, p0_f,
+                 c_f, consts):
+        one_shift = _hw_bermudan_qmc_shift_fn(
+            spec, a, sigma_r, n, degree, zvec, betas, scale, p0_f, c_f,
+            consts)
+        means_local = jax.vmap(one_shift)(shifts_local)
+        return jax.lax.all_gather(means_local, PATHS_AXIS, tiled=True)
+
+    means = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(PATHS_AXIS), P(), P(), P(), P(), P(), P(),
+                  P()),
+        out_specs=P(),
+        check_vma=False,
+    )(zvec, shifts, a, sigma_r, betas, scale, p0_f, c_f, consts)
     price = jnp.mean(means)
     stderr = jnp.std(means, ddof=1) / jnp.sqrt(jnp.float32(n_shifts))
     return PriceResult(price=price, stderr=stderr,
@@ -524,12 +578,14 @@ def price_bermudan_hw_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
                                    n_shifts: int = 16,
                                    n_fit: int = 16384,
                                    degree: int = 3,
+                                   mesh=None,
                                    seed: Optional[int] = None,
                                    stream: int = STREAM_OUTER
                                    ) -> PriceResult:
     """Frozen-policy QMC Bermudan on the market curve (the
     `price_bermudan_swaption_qmc` construction with curve intrinsics
-    and curve discounting)."""
+    and curve discounting).  ``mesh``: shard the shift axis (replicated
+    pilot fit; mesh-size-invariant per-shift means)."""
     import math as _math
 
     import numpy as _np
@@ -543,6 +599,9 @@ def price_bermudan_hw_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
         raise ValueError(f"degree must be >= 1, got {degree}")
     p0, c, bmat, corr = _hw_tables(spec, dyn, curve)
     seed = sim.seed if seed is None else seed
+    if mesh is not None:
+        n_shards = mesh.devices.size
+        n_shifts = -(-n_shifts // n_shards) * n_shards
     n = 1 << min(int(_math.log2(max(sim.n_paths, 2))), 20)
     d = 2 * spec.n_payments
     zvec = jnp.asarray(sobol_directions(d).reshape(-1).astype(_np.int32))
@@ -554,6 +613,12 @@ def price_bermudan_hw_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
                                sidx, jnp.zeros_like(sidx))
     shifts = jax.lax.shift_right_logical(
         bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, d)
+    if mesh is not None:
+        return _hw_bermudan_qmc_sharded_impl(
+            spec, jnp.float32(dyn.a), jnp.float32(dyn.sigma_r), n,
+            n_shifts, n_fit, degree, zvec, shifts, key_fit,
+            jnp.asarray(p0, jnp.float32), jnp.asarray(c, jnp.float32),
+            (p0, bmat, corr), mesh)
     return _hw_bermudan_qmc_impl(
         spec, jnp.float32(dyn.a), jnp.float32(dyn.sigma_r), n, n_shifts,
         n_fit, degree, zvec, shifts, key_fit,

@@ -805,15 +805,30 @@ def _bermudan_qmc_impl(spec, a, b, sigma_r, r0, n, n_shifts, n_fit,
     out-of-sample pass), with QMC's variance decay on top.  n_ex = 1
     degenerates BITWISE to `price_swaption_qmc` (same net, same shift
     stream, policy pinned to exercise-if-ITM)."""
-    import jax.lax as lax
-
-    from mc_tpu.qmc import _sobol_u
-
     n_ex = spec.n_payments
     r_grid, y_grid = _simulate_rate_grid(spec, a, b, sigma_r, r0,
                                          n_fit, n_ex, key_fit)
     _, betas = _fit_bermudan(spec, a, b, sigma_r, r_grid, y_grid,
                              degree)
+    one_shift = _bermudan_qmc_shift_fn(spec, a, b, sigma_r, r0, n,
+                                       degree, zvec, betas)
+    means = jax.vmap(one_shift)(shifts)
+    price = jnp.mean(means)
+    stderr = jnp.std(means, ddof=1) / jnp.sqrt(jnp.float32(n_shifts))
+    return PriceResult(price=price, stderr=stderr,
+                       n_paths=jnp.float32(n * n_shifts),
+                       payoff_mean=price, payoff_var=stderr * stderr)
+
+
+def _bermudan_qmc_shift_fn(spec, a, b, sigma_r, r0, n, degree, zvec,
+                           betas):
+    """shift -> frozen-policy per-shift mean on the full date-grid
+    Sobol net; shared by the single-chip and shift-sharded programs."""
+    import jax.lax as lax
+
+    from mc_tpu.qmc import _sobol_u
+
+    n_ex = spec.n_payments
     ids = jnp.arange(n, dtype=jnp.uint32)
     coeffs = [_exact_xy_coeffs(a, sigma_r,
                                jnp.float32(spec.expiry if i == 0
@@ -852,7 +867,43 @@ def _bermudan_qmc_impl(spec, a, b, sigma_r, r0, n, n_shifts, n_fit,
             done = jnp.logical_or(done, take)
         return jnp.mean(cf)
 
-    means = jax.vmap(one_shift)(shifts)
+    return one_shift
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "n", "n_shifts", "n_fit",
+                                    "degree", "mesh"))
+def _bermudan_qmc_sharded_impl(spec, a, b, sigma_r, r0, n, n_shifts,
+                               n_fit, degree, zvec, shifts, key_fit,
+                               mesh):
+    """Shift-sharded frozen-policy QMC Bermudan: the pilot fit is
+    REPLICATED (same key -> identical betas on every chip), the shift
+    axis shards over the mesh, each chip runs the FULL point set for
+    its shifts — so the per-shift means are mesh-size invariant and the
+    construction scales the shift budget linearly like the European
+    `_swaption_qmc_sharded_impl`."""
+    from jax.sharding import PartitionSpec as P
+
+    from mc_tpu.parallel.mesh import PATHS_AXIS
+
+    n_ex = spec.n_payments
+    r_grid, y_grid = _simulate_rate_grid(spec, a, b, sigma_r, r0,
+                                         n_fit, n_ex, key_fit)
+    _, betas = _fit_bermudan(spec, a, b, sigma_r, r_grid, y_grid,
+                             degree)
+
+    def shard_fn(zvec, shifts_local, a, b, sigma_r, r0, betas):
+        one_shift = _bermudan_qmc_shift_fn(spec, a, b, sigma_r, r0, n,
+                                           degree, zvec, betas)
+        means_local = jax.vmap(one_shift)(shifts_local)
+        return jax.lax.all_gather(means_local, PATHS_AXIS, tiled=True)
+
+    means = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(PATHS_AXIS), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(zvec, shifts, a, b, sigma_r, r0, betas)
     price = jnp.mean(means)
     stderr = jnp.std(means, ddof=1) / jnp.sqrt(jnp.float32(n_shifts))
     return PriceResult(price=price, stderr=stderr,
@@ -869,6 +920,7 @@ def price_bermudan_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
                                 n_fit: int = 16384,
                                 degree: int = 3,
                                 r0: float = 0.05,
+                                mesh=None,
                                 seed: Optional[int] = None,
                                 stream: int = STREAM_OUTER
                                 ) -> PriceResult:
@@ -879,7 +931,12 @@ def price_bermudan_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
     then priced OUT-OF-SAMPLE on a digitally-shifted Sobol net over the
     full 2*n_payments-dimensional date grid.  Returns the policy's
     value — a Bermudan lower bound whose QMC stderr is typically an
-    order of magnitude under the plain LSMC's at equal budget."""
+    order of magnitude under the plain LSMC's at equal budget.
+
+    ``mesh``: shard the SHIFT axis over a device mesh (n_shifts rounds
+    up to a mesh multiple; the pilot fit replicates with identical
+    betas, each chip runs the full point set for its shifts — the
+    per-shift means are mesh-size invariant)."""
     import math as _math
 
     import numpy as _np
@@ -893,6 +950,9 @@ def price_bermudan_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
         raise ValueError(f"degree must be >= 1, got {degree}")
     d32 = dyn.as_f32()
     seed = sim.seed if seed is None else seed
+    if mesh is not None:
+        n_shards = mesh.devices.size
+        n_shifts = -(-n_shifts // n_shards) * n_shards
     n = 1 << min(int(_math.log2(max(sim.n_paths, 2))), 20)
     d = 2 * spec.n_payments
     zvec = jnp.asarray(sobol_directions(d).reshape(-1).astype(_np.int32))
@@ -904,6 +964,11 @@ def price_bermudan_swaption_qmc(spec: SwaptionSpec = DEMO_SWAPTION,
                                sidx, jnp.zeros_like(sidx))
     shifts = jax.lax.shift_right_logical(
         bits, jnp.uint32(2)).astype(jnp.int32).reshape(n_shifts, d)
+    if mesh is not None:
+        return _bermudan_qmc_sharded_impl(
+            spec, jnp.float32(d32.a), jnp.float32(d32.b),
+            jnp.float32(d32.sigma_r), jnp.float32(r0), n, n_shifts,
+            n_fit, degree, zvec, shifts, key_fit, mesh)
     return _bermudan_qmc_impl(spec, jnp.float32(d32.a),
                               jnp.float32(d32.b),
                               jnp.float32(d32.sigma_r), jnp.float32(r0),
