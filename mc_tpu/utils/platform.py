@@ -51,8 +51,18 @@ def apply_platform(platform: str | None) -> str | None:
     Must be called before the first array/device operation in the process;
     both the env var and the config update are set because the env var
     alone is ignored once the plugin registry is populated.
+
+    "tpu" deliberately does NOT pin ``jax_platforms="tpu"``: in this
+    image the real chip registers under a custom PJRT plugin name
+    ("axon"), and pinning the literal "tpu" platform would look for a
+    local libtpu device and fail.  "tpu" therefore means "default
+    accelerator resolution" — clear any JAX_PLATFORMS override so the
+    plugin registry picks the accelerator.
     """
     plat = resolve_platform(platform)
+    if plat == "tpu":
+        os.environ.pop("JAX_PLATFORMS", None)
+        return plat
     if plat is not None:
         import jax
         os.environ["JAX_PLATFORMS"] = plat
