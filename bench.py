@@ -341,6 +341,45 @@ def g2_swaption_kernel_seconds(n_paths=N_PATHS):
     return _model_kernel_seconds(one)
 
 
+def hw_swaption_fused_kernel_seconds(n_paths=N_PATHS, engine="pallas"):
+    """Round-4 fused European swaption engines (one Mosaic kernel or its
+    bitwise XLA dual) — measured against the classic single-fusion
+    default so the Pallas-or-not decision for the rates stack is data
+    (VERDICT r03 item 4)."""
+    from mc_tpu.models.hullwhite import (DEMO_CURVE, DEMO_HW,
+                                         _hw_european_fused_impl,
+                                         _hw_tables, _pack_hw_swpt)
+    from mc_tpu.models.swaption import DEMO_SWAPTION
+    spec = DEMO_SWAPTION.validate()
+    p0, c, bmat, corr = _hw_tables(spec, DEMO_HW, DEMO_CURVE)
+    pv = _pack_hw_swpt(jnp.float32(DEMO_HW.a),
+                       jnp.float32(DEMO_HW.sigma_r), spec, p0, c, bmat,
+                       corr)
+
+    def one(key):
+        return _hw_european_fused_impl(spec.n_payments, n_paths, engine,
+                                       128, False, key, pv).price
+
+    return _model_kernel_seconds(one)
+
+
+def g2_swaption_fused_kernel_seconds(n_paths=N_PATHS, engine="pallas"):
+    """Fused two-factor European swaption engines (see the HW twin)."""
+    from mc_tpu.models.g2pp import (DEMO_CURVE, DEMO_G2,
+                                    _g2_european_fused_impl, _g2_tables,
+                                    _pack_g2_swpt)
+    from mc_tpu.models.swaption import DEMO_SWAPTION
+    spec = DEMO_SWAPTION.validate()
+    consts = _g2_tables(spec, DEMO_G2, DEMO_CURVE)
+    pv = _pack_g2_swpt(spec, DEMO_G2, consts)
+
+    def one(key):
+        return _g2_european_fused_impl(spec.n_payments, n_paths, engine,
+                                       128, False, key, pv).price
+
+    return _model_kernel_seconds(one)
+
+
 def qmc_kernel_seconds(n_steps=1, k=8, reps=4):
     """Per-lattice-pass device seconds (terminal QMC, n ~ 1M points).
 
@@ -608,6 +647,16 @@ def _full_bench():
     dt = guard("g2_swaption", g2_swaption_kernel_seconds)
     if dt is not None:
         extra["g2_swaption_paths_per_sec"] = round(N_PATHS / dt, 1)
+    # Fused-engine twins (round 4): classic vs Mosaic vs bitwise-XLA
+    # dual on the SAME workload — the Pallas-or-not decision data.
+    for name, fn in (
+            ("hw_swaption_fused", hw_swaption_fused_kernel_seconds),
+            ("g2_swaption_fused", g2_swaption_fused_kernel_seconds)):
+        for eng in ("pallas", "xla"):
+            dt = guard(f"{name}_{eng}", lambda f=fn, e=eng: f(engine=e))
+            if dt is not None:
+                extra[f"{name}_{eng}_paths_per_sec"] = round(
+                    N_PATHS / dt, 1)
 
     # Reference demo NMC workload (hello.cu defaults, ~5e11 inner steps).
     nmc = guard("nmc_demo", nmc_demo_seconds)

@@ -243,6 +243,138 @@ def _g2_european_impl(spec, dyn, n_paths, key, consts):
     return summarize(jnp.sum(pay), jnp.sum(pay * pay), n, 1.0)
 
 
+# ---------------------------------------------------------------------------
+# Fused-engine European swaption (round 4): one Mosaic kernel — threefry
+# pair + inverse-CDF third normal, exact (x, y, int) draw through the 3x3
+# Cholesky, n_payments two-factor bond reconstructions, pathwise curve
+# discount, Kahan moment slabs — plus its bitwise XLA dual.  Same stream
+# and per-path arithmetic as `_g2_european_impl`, so all three engines
+# agree to summation order (the hullwhite fused-engine construction).
+# ---------------------------------------------------------------------------
+
+_G2_SWPT_HEADER = 10  # ch00 ch10 ch11 ch20 ch21 ch22, P(0,t0), v0, Ktau, sign
+
+
+def _pack_g2_swpt(spec, dyn, consts):
+    """Flat f32 vector: Cholesky header + per-coupon (ratio, A, Ba, Bb)
+    tables — traced, so curve bumps re-price with zero recompiles."""
+    p0, vhalf, amat, bamat, bbmat = consts
+    n = spec.n_payments
+    _, _, _, _, ch = _step_chol(dyn, spec.expiry)
+    head = jnp.asarray([ch[0, 0], ch[1, 0], ch[1, 1], ch[2, 0],
+                        ch[2, 1], ch[2, 2], p0[0], vhalf[0],
+                        spec.k_rate * spec.tenor,
+                        1.0 if spec.payer else -1.0], jnp.float32)
+    ratio = jnp.asarray([p0[j] / p0[0] for j in range(1, n + 1)],
+                        jnp.float32)
+    aj = jnp.asarray(amat[0, 1:n + 1], jnp.float32)
+    baj = jnp.asarray(bamat[0, 1:n + 1], jnp.float32)
+    bbj = jnp.asarray(bbmat[0, 1:n + 1], jnp.float32)
+    return jnp.concatenate([head, ratio, aj, baj, bbj])
+
+
+def _g2_swpt_tile(n_pay, pv, ids, valid, k0, k1, bitcast):
+    """Per-tile payoff, op-for-op the `_g2_european_impl` arithmetic
+    (threefry pair at (id, 0), inverse-CDF normal at (id, 1))."""
+    shape = ids.shape
+    c1 = jnp.full(shape, 0, jnp.uint32)
+    w0, w1 = rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast)
+    bits, _ = rng.threefry2x32(k0, k1, ids, c1 + jnp.uint32(1),
+                               rounds=rng.DEFAULT_ROUNDS)
+    w2 = rng.inv_normal_cdf(rng.bits_to_unit(bits, bitcast))
+    x = pv[0] * w0                              # x0 = y0 = z0 = 0
+    y = pv[1] * w0 + pv[2] * w1
+    z = pv[3] * w0 + pv[4] * w1 + pv[5] * w2
+    fixed = jnp.zeros(shape, jnp.float32)
+    h = _G2_SWPT_HEADER
+    for j in range(n_pay):
+        p_j = pv[h + j] * jnp.exp(pv[h + n_pay + j]
+                                  - pv[h + 2 * n_pay + j] * x
+                                  - pv[h + 3 * n_pay + j] * y)
+        fixed = fixed + pv[8] * p_j
+        if j == n_pay - 1:
+            fixed = fixed + p_j
+    mtm = (1.0 - fixed) * pv[9]
+    pay = jnp.maximum(mtm, 0.0) * pv[6] * jnp.exp(-z - pv[7])
+    return jnp.where(valid, pay, 0.0)
+
+
+def _make_g2_swpt_kernel(n_pay, cfg):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mc_tpu.ops import path_kernels as pk
+    from mc_tpu.ops._pallas import LANES
+
+    def kernel(key_ref, params_ref, meta_ref, sum_ref, sq_ref, comp_ref):
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        pay = _g2_swpt_tile(n_pay, params_ref, ids, valid, key_ref[0],
+                            key_ref[1], pltpu.bitcast)
+        pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
+                               [pay, pay * pay], i, cfg.tile_rows)
+
+    return kernel
+
+
+def _g2_swpt_partials(n_pay, cfg, key, pv, path_offset=0, n_valid=None,
+                      engine="pallas", interpret=None):
+    """(sum, sumsq) (8,128) Kahan slabs of the discounted payoff."""
+    from mc_tpu.ops._pallas import LANES, SUBLANES, xla_moment_scan
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    if engine == "pallas":
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _make_g2_swpt_kernel(n_pay, cfg),
+            grid=(cfg.n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=[acc_spec, acc_spec],
+            out_shape=[jax.ShapeDtypeStruct((SUBLANES, LANES),
+                                            jnp.float32)] * 2,
+            scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES),
+                                       jnp.float32)],
+            interpret=interpret,
+        )(jnp.asarray(key, jnp.uint32), pv, jnp.stack([offset, bound]))
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+
+    def tile_fn(ids, valid):
+        pay = _g2_swpt_tile(n_pay, pv, ids, valid, k0, k1,
+                            jax.lax.bitcast_convert_type)
+        return [pay, pay * pay]
+
+    return xla_moment_scan(tile_fn, cfg.n_paths, cfg.tile_rows, 2,
+                           offset=offset, bound=bound)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pay", "n_paths", "engine",
+                                    "tile_rows", "interpret"))
+def _g2_european_fused_impl(n_pay, n_paths, engine, tile_rows,
+                            interpret, key, pv):
+    from mc_tpu.ops import path_kernels as pk
+    from mc_tpu.ops._pallas import use_interpret
+    from mc_tpu.ops.reduce import finish_sum
+    if interpret is None:
+        interpret = use_interpret()
+    cfg = pk.KernelConfig(n_paths=n_paths, n_steps=1,
+                          tile_rows=tile_rows)
+    s, sq = _g2_swpt_partials(n_pay, cfg, key, pv, engine=engine,
+                              interpret=interpret)
+    return summarize(finish_sum(s), finish_sum(sq),
+                     jnp.asarray(n_paths, jnp.float32), jnp.float32(1.0))
+
+
 def price_g2_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
                       dyn: G2Dynamics = DEMO_G2,
                       curve: DiscountCurve = DEMO_CURVE,
@@ -250,6 +382,9 @@ def price_g2_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
                                                  n_steps=1),
                       *,
                       projection_curve: Optional[DiscountCurve] = None,
+                      engine: Optional[str] = None,
+                      tile_rows: int = 128,
+                      interpret: Optional[bool] = None,
                       seed: Optional[int] = None,
                       stream: int = STREAM_OUTER) -> PriceResult:
     """European payer/receiver swaption under curve-fitted G2++: ONE
@@ -258,11 +393,27 @@ def price_g2_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
 
     ``projection_curve``: MULTI-CURVE — forwards off this curve,
     discounting off ``curve``; oracle `oracle.g2_swaption_multicurve`
-    (direct 2-D quadrature)."""
+    (direct 2-D quadrature).
+
+    ``engine``: None (default) — the classic single-fusion XLA program;
+    "pallas" — ONE fused Mosaic kernel; "xla" — its bitwise dual (same
+    tile fold); all three share the threefry stream (single-curve
+    only; see `price_hw_swaption` for the measurement contract)."""
     spec = spec.validate()
     consts = _g2_tables(spec, dyn, curve)
     seed = sim.seed if seed is None else seed
     key = jnp.asarray(rng.derive_key(seed, stream, 0x6270), jnp.uint32)
+    if engine is not None:
+        if engine not in ("pallas", "xla"):
+            raise ValueError(f"engine must be pallas|xla, got {engine!r}")
+        if projection_curve is not None:
+            raise ValueError("the fused engines are single-curve; "
+                             "multi-curve pricing uses the default "
+                             "engine (projection_curve without engine=)")
+        pv = _pack_g2_swpt(spec, dyn, consts)
+        return _g2_european_fused_impl(spec.n_payments, sim.n_paths,
+                                       engine, tile_rows, interpret,
+                                       key, pv)
     if projection_curve is not None:
         from mc_tpu.models.hullwhite import _hw_mc_weights
         weights = _hw_mc_weights(spec, curve, projection_curve)

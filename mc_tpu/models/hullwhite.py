@@ -274,6 +274,138 @@ def _hw_european_impl(spec, a, sigma_r, n_paths, key, p0_0, c_0, consts):
     return summarize(jnp.sum(pay), jnp.sum(pay * pay), n, 1.0)
 
 
+# ---------------------------------------------------------------------------
+# Fused-engine European swaption (round 4, VERDICT r03 item 4): one Mosaic
+# kernel per chip — threefry pair, exact (x, int x) draw, n_payments bond
+# reconstructions, pathwise curve discount, Kahan moment slabs — plus its
+# bitwise XLA dual (identical tile fold).  The classic `_hw_european_impl`
+# single-fusion XLA program stays the DEFAULT until the on-chip
+# measurement decides (BASELINE.md "Curve rates"): per path the payoff
+# arithmetic is identical (same threefry stream, same op order), so the
+# fused pair agrees with it to summation order (<= 3e-7 rel, gated).
+# ---------------------------------------------------------------------------
+
+_HW_SWPT_HEADER = 7  # l11, l21, l22, P(0,t0), c0, K*tau, payer sign
+
+
+def _pack_hw_swpt(a, sigma_r, spec, p0, c, bmat, corr):
+    """One flat f32 vector: header + per-coupon (ratio, B, corr) tables.
+    Traced (curve/vol bumps re-price with zero recompiles); the
+    l-coefficients replicate `_exact_xy_coeffs`' f32 arithmetic."""
+    from mc_tpu.models.swaption import _exact_xy_coeffs
+    n = spec.n_payments
+    _, _, l11, l21, l22 = _exact_xy_coeffs(a, sigma_r,
+                                           jnp.float32(spec.expiry))
+    head = jnp.stack([
+        jnp.asarray(l11, jnp.float32), jnp.asarray(l21, jnp.float32),
+        jnp.asarray(l22, jnp.float32),
+        jnp.float32(p0[0]), jnp.float32(c[0]),
+        jnp.float32(spec.k_rate * spec.tenor),
+        jnp.float32(1.0 if spec.payer else -1.0)])
+    ratio = jnp.asarray([p0[j] / p0[0] for j in range(1, n + 1)],
+                        jnp.float32)
+    bj = jnp.asarray(bmat[0, 1:n + 1], jnp.float32)
+    cj = jnp.asarray(corr[0, 1:n + 1], jnp.float32)
+    return jnp.concatenate([head, ratio, bj, cj])
+
+
+def _hw_swpt_tile(n_pay, pv, ids, valid, k0, k1, bitcast):
+    """Per-tile payoff, op-for-op the `_hw_european_impl` arithmetic
+    (same threefry pair (id, 0), same bond loop, same discount)."""
+    shape = ids.shape
+    c1 = jnp.full(shape, 0, jnp.uint32)
+    z0, z1 = rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast)
+    x = pv[0] * z0                    # x0 = 0: the expiry draw exactly
+    y = pv[1] * z0 + pv[2] * z1
+    fixed = jnp.zeros(shape, jnp.float32)
+    h = _HW_SWPT_HEADER
+    for j in range(n_pay):
+        p_j = pv[h + j] * jnp.exp(-pv[h + n_pay + j] * x
+                                  - pv[h + 2 * n_pay + j])
+        fixed = fixed + pv[5] * p_j
+        if j == n_pay - 1:
+            fixed = fixed + p_j       # principal rides the last bond
+    swap = (1.0 - fixed) * pv[6]
+    pay = jnp.maximum(swap, 0.0) * pv[3] * jnp.exp(-y - pv[4])
+    return jnp.where(valid, pay, 0.0)
+
+
+def _make_hw_swpt_kernel(n_pay, cfg):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mc_tpu.ops import path_kernels as pk
+    from mc_tpu.ops._pallas import LANES
+
+    def kernel(key_ref, params_ref, meta_ref, sum_ref, sq_ref, comp_ref):
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        pay = _hw_swpt_tile(n_pay, params_ref, ids, valid, key_ref[0],
+                            key_ref[1], pltpu.bitcast)
+        pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
+                               [pay, pay * pay], i, cfg.tile_rows)
+
+    return kernel
+
+
+def _hw_swpt_partials(n_pay, cfg, key, pv, path_offset=0, n_valid=None,
+                      engine="pallas", interpret=None):
+    """(sum, sumsq) (8,128) Kahan slabs of the discounted payoff."""
+    from mc_tpu.ops._pallas import LANES, SUBLANES, xla_moment_scan
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    if engine == "pallas":
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _make_hw_swpt_kernel(n_pay, cfg),
+            grid=(cfg.n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=[acc_spec, acc_spec],
+            out_shape=[jax.ShapeDtypeStruct((SUBLANES, LANES),
+                                            jnp.float32)] * 2,
+            scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES),
+                                       jnp.float32)],
+            interpret=interpret,
+        )(jnp.asarray(key, jnp.uint32), pv, jnp.stack([offset, bound]))
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+
+    def tile_fn(ids, valid):
+        pay = _hw_swpt_tile(n_pay, pv, ids, valid, k0, k1,
+                            jax.lax.bitcast_convert_type)
+        return [pay, pay * pay]
+
+    return xla_moment_scan(tile_fn, cfg.n_paths, cfg.tile_rows, 2,
+                           offset=offset, bound=bound)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pay", "n_paths", "engine",
+                                    "tile_rows", "interpret"))
+def _hw_european_fused_impl(n_pay, n_paths, engine, tile_rows,
+                            interpret, key, pv):
+    from mc_tpu.ops import path_kernels as pk
+    from mc_tpu.ops._pallas import use_interpret
+    from mc_tpu.ops.reduce import finish_sum
+    if interpret is None:
+        interpret = use_interpret()
+    cfg = pk.KernelConfig(n_paths=n_paths, n_steps=1,
+                          tile_rows=tile_rows)
+    s, sq = _hw_swpt_partials(n_pay, cfg, key, pv, engine=engine,
+                              interpret=interpret)
+    return summarize(finish_sum(s), finish_sum(sq),
+                     jnp.asarray(n_paths, jnp.float32), jnp.float32(1.0))
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "n_paths"))
 def _hw_european_mc_impl(spec, a, sigma_r, n_paths, key, p0_0, c_0,
                          consts, weights):
@@ -296,6 +428,9 @@ def price_hw_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
                                                  n_steps=1),
                       *,
                       projection_curve: Optional[DiscountCurve] = None,
+                      engine: Optional[str] = None,
+                      tile_rows: int = 128,
+                      interpret: Optional[bool] = None,
                       seed: Optional[int] = None,
                       stream: int = STREAM_OUTER) -> PriceResult:
     """European payer/receiver swaption under curve-fitted Hull-White:
@@ -307,11 +442,31 @@ def price_hw_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
     curve while cash flows discount off ``curve`` (OIS), linked by a
     deterministic multiplicative basis (one factor drives both).
     Oracle: `oracle.hw_swaption_multicurve` (direct quadrature — the
-    mixed-sign bond weights break Jamshidian's monotonicity)."""
+    mixed-sign bond weights break Jamshidian's monotonicity).
+
+    ``engine``: None (default) — the classic single-fusion XLA program;
+    "pallas" — ONE fused Mosaic kernel (threefry + draw + bonds +
+    discount + Kahan moment slabs in-register); "xla" — the kernel's
+    bitwise dual (identical tile fold).  Same threefry stream as the
+    default, so all three agree per-path exactly and in total to
+    summation order (the on-chip measurement in BASELINE.md "Curve
+    rates" decides the production default).  Single-curve only."""
     spec = spec.validate()
     p0, c, bmat, corr = _hw_tables(spec, dyn, curve)
     seed = sim.seed if seed is None else seed
     key = jnp.asarray(rng.derive_key(seed, stream, 0x4877), jnp.uint32)
+    if engine is not None:
+        if engine not in ("pallas", "xla"):
+            raise ValueError(f"engine must be pallas|xla, got {engine!r}")
+        if projection_curve is not None:
+            raise ValueError("the fused engines are single-curve; "
+                             "multi-curve pricing uses the default "
+                             "engine (projection_curve without engine=)")
+        pv = _pack_hw_swpt(jnp.float32(dyn.a), jnp.float32(dyn.sigma_r),
+                           spec, p0, c, bmat, corr)
+        return _hw_european_fused_impl(spec.n_payments, sim.n_paths,
+                                       engine, tile_rows, interpret,
+                                       key, pv)
     if projection_curve is not None:
         weights = _hw_mc_weights(spec, curve, projection_curve)
         return _hw_european_mc_impl(

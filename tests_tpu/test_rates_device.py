@@ -2,10 +2,11 @@
 item 3): swaption (Vasicek), Hull-White, and G2++ entry points executed
 on the REAL chip.
 
-The rates models are XLA-only by design (few exact date-grid draws, not
-step-loop bound — the measured justification lives in BASELINE.md
-"Curve rates"), so there is no Mosaic/interpret/XLA triangle to close;
-the device gate is instead:
+The rates models default to plain XLA (few exact date-grid draws, not
+step-loop bound); round 4 adds opt-in FUSED Mosaic engines for the
+European swaptions (`engine="pallas"|"xla"` — see the parity tests at
+the bottom), and the device measurement in BASELINE.md "Curve rates"
+decides the production default.  The device gate is:
 
 * statistical agreement with the f64 HOST oracles (Jamshidian /
   conditional-Jamshidian), |z| < 4 — the compiled-f32 device program
@@ -214,3 +215,34 @@ def test_g2_swap_exposure_strip_anchor():
     se0 = float(e.values.std(axis=0)[0]) / np.sqrt(e.values.shape[0])
     assert abs(ee[0] - ref0) < 5.0 * se0 + 1e-5
     assert float(e.cva(0.02)) > 0.0
+
+
+# --- fused-engine Mosaic parity (round 4) ---------------------------------
+# The fused European swaption kernels are the one place the rates stack
+# has a compiled Mosaic lowering: close the compiled == interpret == XLA
+# triangle on the chip (the CPU suite proves interpret == XLA).
+
+def test_hw_fused_engine_mosaic_parity():
+    from mc_tpu.models.hullwhite import price_hw_swaption
+    kw = dict(sim=SimParams(n_paths=8192, n_steps=1), tile_rows=8)
+    c = price_hw_swaption(SPEC, DEMO_HW, DEMO_CURVE, engine="pallas",
+                          interpret=False, **kw)
+    i = price_hw_swaption(SPEC, DEMO_HW, DEMO_CURVE, engine="pallas",
+                          interpret=True, **kw)
+    x = price_hw_swaption(SPEC, DEMO_HW, DEMO_CURVE, engine="xla", **kw)
+    assert float(c.price) == float(i.price) == float(x.price)
+    assert float(c.stderr) == float(i.stderr) == float(x.stderr)
+    assert float(c.stderr) > 0.0
+
+
+def test_g2_fused_engine_mosaic_parity():
+    from mc_tpu.models.g2pp import DEMO_G2, price_g2_swaption
+    kw = dict(sim=SimParams(n_paths=8192, n_steps=1), tile_rows=8)
+    c = price_g2_swaption(SPEC, DEMO_G2, DEMO_CURVE, engine="pallas",
+                          interpret=False, **kw)
+    i = price_g2_swaption(SPEC, DEMO_G2, DEMO_CURVE, engine="pallas",
+                          interpret=True, **kw)
+    x = price_g2_swaption(SPEC, DEMO_G2, DEMO_CURVE, engine="xla", **kw)
+    assert float(c.price) == float(i.price) == float(x.price)
+    assert float(c.stderr) == float(i.stderr) == float(x.stderr)
+    assert float(c.stderr) > 0.0
