@@ -1248,8 +1248,12 @@ def cmd_hullwhite(args):
             raise SystemExit("--proj-spread-bp supports European pricing "
                              "and --exposure (Bermudans/QMC are "
                              "single-curve)")
+        if args.engine is not None:
+            raise SystemExit("--engine selects the single-curve fused "
+                             "kernels; drop it with --proj-spread-bp")
     res = price_hw_swaption(spec, dyn, curve, sim, seed=args.seed,
-                            projection_curve=proj)
+                            projection_curve=proj, engine=args.engine,
+                            tile_rows=args.tile_rows)
     if proj is not None:
         ref = oracle.hw_swaption_multicurve(
             args.a, args.sigma_r, curve.df, proj.df, args.expiry,
@@ -1357,7 +1361,8 @@ def cmd_g2pp(args):
     spec = SwaptionSpec(expiry=args.expiry, tenor=args.tenor,
                         n_payments=args.n_payments, k_rate=args.k_rate,
                         payer=not args.receiver)
-    res = price_g2_swaption(spec, dyn, curve, sim, seed=args.seed)
+    res = price_g2_swaption(spec, dyn, curve, sim, seed=args.seed,
+                            engine=args.engine, tile_rows=args.tile_rows)
     ref = oracle.g2_swaption(dyn.a, dyn.sigma, dyn.b_mr, dyn.eta,
                              dyn.rho, curve.df, args.expiry, args.tenor,
                              args.n_payments, args.k_rate,
@@ -1961,7 +1966,9 @@ def main(argv=None):
     p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--a", type=float, default=0.3)
     p.add_argument("--sigma-r", type=float, default=0.015)
-    p.set_defaults(fn=cmd_hullwhite)
+    # engine=None: the classic single-fusion XLA default; --engine
+    # pallas|xla selects the round-4 fused kernels (single-curve).
+    p.set_defaults(fn=cmd_hullwhite, engine=None)
 
     p = sub.add_parser("g2pp",
                        help="curve-fitted G2++ two-factor swaption vs "
@@ -2003,7 +2010,7 @@ def main(argv=None):
                    help="second-factor vol")
     p.add_argument("--rho-xy", type=float, default=-0.7,
                    help="factor correlation")
-    p.set_defaults(fn=cmd_g2pp)
+    p.set_defaults(fn=cmd_g2pp, engine=None)
 
     p = sub.add_parser("term",
                        help="rate/vol term-structure price (averaged-BS "
