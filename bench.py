@@ -363,6 +363,23 @@ def hw_swaption_fused_kernel_seconds(n_paths=N_PATHS, engine="pallas"):
     return _model_kernel_seconds(one)
 
 
+def va_swaption_fused_kernel_seconds(n_paths=N_PATHS, engine="pallas"):
+    """Fused Vasicek European swaption engines (see the HW twin)."""
+    from mc_tpu.models.swaption import (DEMO_SWAPTION, _pack_va_swpt,
+                                        _va_european_fused_impl)
+    from mc_tpu.models.vasicek import DEMO_VASICEK
+    spec = DEMO_SWAPTION.validate()
+    d32 = DEMO_VASICEK.as_f32()
+    pv = _pack_va_swpt(spec, jnp.float32(d32.a), jnp.float32(d32.b),
+                       jnp.float32(d32.sigma_r), jnp.float32(0.05))
+
+    def one(key):
+        return _va_european_fused_impl(spec.n_payments, n_paths, engine,
+                                       128, False, key, pv).price
+
+    return _model_kernel_seconds(one)
+
+
 def g2_swaption_fused_kernel_seconds(n_paths=N_PATHS, engine="pallas"):
     """Fused two-factor European swaption engines (see the HW twin)."""
     from mc_tpu.models.g2pp import (DEMO_CURVE, DEMO_G2,
@@ -651,7 +668,8 @@ def _full_bench():
     # dual on the SAME workload — the Pallas-or-not decision data.
     for name, fn in (
             ("hw_swaption_fused", hw_swaption_fused_kernel_seconds),
-            ("g2_swaption_fused", g2_swaption_fused_kernel_seconds)):
+            ("g2_swaption_fused", g2_swaption_fused_kernel_seconds),
+            ("va_swaption_fused", va_swaption_fused_kernel_seconds)):
         for eng in ("pallas", "xla"):
             dt = guard(f"{name}_{eng}", lambda f=fn, e=eng: f(engine=e))
             if dt is not None:

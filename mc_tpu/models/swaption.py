@@ -156,20 +156,174 @@ def _european_impl(spec, a, b, sigma_r, r0, n_paths, key,
     return summarize(jnp.sum(pay), jnp.sum(pay * pay), n, 1.0)
 
 
+# ---------------------------------------------------------------------------
+# Fused-engine European swaption (round 4): the `hullwhite` fused-pair
+# construction on the Vasicek affine bonds — one Mosaic kernel (threefry
+# pair, exact (r, int r) draw, affine bond loop, pathwise discount, Kahan
+# moment slabs) + its bitwise XLA dual; same stream and per-path op order
+# as `_european_impl`, agreement to summation order.
+# ---------------------------------------------------------------------------
+
+_VA_SWPT_HEADER = 10  # x0, e1, bigB, l11, l21, l22, b*dt, K*tau, sign, b
+
+
+def _pack_va_swpt(spec, a, b, sigma_r, r0):
+    """Flat f32 vector: OU-step header + per-coupon (logA_j, B_j)
+    affine-bond tables — traced, so rate/vol bumps re-price with zero
+    recompiles."""
+    n = spec.n_payments
+    e1, big_b, l11, l21, l22 = _exact_xy_coeffs(
+        a, sigma_r, jnp.float32(spec.expiry))
+    head = jnp.stack([
+        jnp.asarray(r0 - b, jnp.float32), jnp.asarray(e1, jnp.float32),
+        jnp.asarray(big_b, jnp.float32), jnp.asarray(l11, jnp.float32),
+        jnp.asarray(l21, jnp.float32), jnp.asarray(l22, jnp.float32),
+        b * jnp.float32(spec.expiry),
+        jnp.float32(spec.k_rate) * jnp.float32(spec.tenor),
+        jnp.float32(1.0 if spec.payer else -1.0),
+        jnp.asarray(b, jnp.float32)])
+    tau = jnp.float32(spec.tenor)
+    logas, bts = [], []
+    for j in range(1, n + 1):
+        s = tau * j
+        bt = -jnp.expm1(-a * s) / a
+        loga = ((b - sigma_r * sigma_r / (2.0 * a * a)) * (bt - s)
+                - sigma_r * sigma_r * bt * bt / (4.0 * a))
+        logas.append(jnp.asarray(loga, jnp.float32))
+        bts.append(jnp.asarray(bt, jnp.float32))
+    return jnp.concatenate([head, jnp.stack(logas), jnp.stack(bts)])
+
+
+def _va_swpt_tile(n_pay, pv, ids, valid, k0, k1, bitcast):
+    """Per-tile payoff, op-for-op `_european_impl` at payoff_date=0
+    (same threefry pair (id, 0), same step/bond/discount order)."""
+    shape = ids.shape
+    c1 = jnp.full(shape, 0, jnp.uint32)
+    z0, z1 = rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast)
+    x0 = jnp.full(shape, 0.0, jnp.float32) + pv[0]
+    x = x0 * pv[1] + pv[3] * z0
+    y = (jnp.zeros(shape, jnp.float32) + pv[6] + x0 * pv[2]
+         + (pv[4] * z0 + pv[5] * z1))
+    r = x + pv[9]
+    h = _VA_SWPT_HEADER
+    fixed = jnp.zeros(shape, jnp.float32)
+    p_last = None
+    for j in range(n_pay):
+        p_j = jnp.exp(pv[h + j] - pv[h + n_pay + j] * r)
+        fixed = fixed + p_j
+        if j == n_pay - 1:
+            p_last = p_j
+    swap = (1.0 - p_last - pv[7] * fixed) * pv[8]
+    pay = jnp.maximum(swap, 0.0) * jnp.exp(-y)
+    return jnp.where(valid, pay, 0.0)
+
+
+def _make_va_swpt_kernel(n_pay, cfg):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mc_tpu.ops import path_kernels as pk
+    from mc_tpu.ops._pallas import LANES
+
+    def kernel(key_ref, params_ref, meta_ref, sum_ref, sq_ref, comp_ref):
+        i = pl.program_id(0)
+        shape = (cfg.tile_rows, LANES)
+        base = jnp.uint32(i * cfg.paths_per_tile)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        ids = meta_ref[0] + base + flat
+        valid = ids < meta_ref[1]
+        pay = _va_swpt_tile(n_pay, params_ref, ids, valid, key_ref[0],
+                            key_ref[1], pltpu.bitcast)
+        pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
+                               [pay, pay * pay], i, cfg.tile_rows)
+
+    return kernel
+
+
+def _va_swpt_partials(n_pay, cfg, key, pv, path_offset=0, n_valid=None,
+                      engine="pallas", interpret=None):
+    """(sum, sumsq) (8,128) Kahan slabs of the discounted payoff."""
+    from mc_tpu.ops._pallas import LANES, SUBLANES, xla_moment_scan
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    if engine == "pallas":
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _make_va_swpt_kernel(n_pay, cfg),
+            grid=(cfg.n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=[acc_spec, acc_spec],
+            out_shape=[jax.ShapeDtypeStruct((SUBLANES, LANES),
+                                            jnp.float32)] * 2,
+            scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES),
+                                       jnp.float32)],
+            interpret=interpret,
+        )(jnp.asarray(key, jnp.uint32), pv, jnp.stack([offset, bound]))
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+
+    def tile_fn(ids, valid):
+        pay = _va_swpt_tile(n_pay, pv, ids, valid, k0, k1,
+                            jax.lax.bitcast_convert_type)
+        return [pay, pay * pay]
+
+    return xla_moment_scan(tile_fn, cfg.n_paths, cfg.tile_rows, 2,
+                           offset=offset, bound=bound)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pay", "n_paths", "engine",
+                                    "tile_rows", "interpret"))
+def _va_european_fused_impl(n_pay, n_paths, engine, tile_rows,
+                            interpret, key, pv):
+    from mc_tpu.ops import path_kernels as pk
+    from mc_tpu.ops._pallas import use_interpret
+    from mc_tpu.ops.reduce import finish_sum
+    if interpret is None:
+        interpret = use_interpret()
+    cfg = pk.KernelConfig(n_paths=n_paths, n_steps=1,
+                          tile_rows=tile_rows)
+    s, sq = _va_swpt_partials(n_pay, cfg, key, pv, engine=engine,
+                              interpret=interpret)
+    return summarize(finish_sum(s), finish_sum(sq),
+                     jnp.asarray(n_paths, jnp.float32), jnp.float32(1.0))
+
+
 def price_swaption(spec: SwaptionSpec = DEMO_SWAPTION,
                    dyn: VasicekDynamics = DEMO_VASICEK,
                    sim: SimParams = SimParams(n_paths=1 << 20, n_steps=1),
                    *,
                    r0: float = 0.05,
+                   engine: Optional[str] = None,
+                   tile_rows: int = 128,
+                   interpret: Optional[bool] = None,
                    seed: Optional[int] = None,
                    stream: int = STREAM_OUTER) -> PriceResult:
     """European payer/receiver swaption: ONE exact draw of (r, int r)
     at expiry, pathwise discounting, swap bonds in closed affine form.
-    Oracle gate: `oracle.vasicek_swaption` (Jamshidian)."""
+    Oracle gate: `oracle.vasicek_swaption` (Jamshidian).
+
+    ``engine``: None (default) — the classic single-fusion XLA program;
+    "pallas" — ONE fused Mosaic kernel; "xla" — its bitwise dual (same
+    tile fold, same threefry stream; see `price_hw_swaption` for the
+    measurement contract)."""
     spec = spec.validate()
     d32 = dyn.as_f32()
     seed = sim.seed if seed is None else seed
     key = jnp.asarray(rng.derive_key(seed, stream, 0x5A97), jnp.uint32)
+    if engine is not None:
+        if engine not in ("pallas", "xla"):
+            raise ValueError(f"engine must be pallas|xla, got {engine!r}")
+        pv = _pack_va_swpt(spec, jnp.float32(d32.a), jnp.float32(d32.b),
+                           jnp.float32(d32.sigma_r), jnp.float32(r0))
+        return _va_european_fused_impl(spec.n_payments, sim.n_paths,
+                                       engine, tile_rows, interpret,
+                                       key, pv)
     return _european_impl(spec, jnp.float32(d32.a), jnp.float32(d32.b),
                           jnp.float32(d32.sigma_r), jnp.float32(r0),
                           sim.n_paths, key)

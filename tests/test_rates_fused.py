@@ -84,3 +84,22 @@ def test_fused_engine_validation():
                           projection_curve=proj)
     with pytest.raises(ValueError, match="pallas|xla"):
         price_g2_swaption(SPEC, sim=SIM, engine="cuda")
+
+
+def test_vasicek_fused_engines_bitwise_and_match_default():
+    from mc_tpu.models.swaption import price_swaption
+    from mc_tpu.models.vasicek import VasicekDynamics
+    dyn = VasicekDynamics(a=0.3, b=0.05, sigma_r=0.015)
+    legacy = price_swaption(SPEC, dyn, SIM, r0=0.05)
+    pal = price_swaption(SPEC, dyn, SIM, r0=0.05, engine="pallas")
+    xla = price_swaption(SPEC, dyn, SIM, r0=0.05, engine="xla")
+    assert float(pal.price) == float(xla.price)
+    assert float(pal.stderr) == float(xla.stderr)
+    assert abs(float(pal.price) - float(legacy.price)) <= (
+        3e-7 * abs(float(legacy.price)) + 1e-9)
+    ref = oracle.vasicek_swaption(0.05, dyn.a, dyn.b, dyn.sigma_r,
+                                  SPEC.expiry, SPEC.tenor,
+                                  SPEC.n_payments, SPEC.k_rate)
+    assert abs(float(pal.price) - ref) < 4.0 * float(pal.stderr)
+    with pytest.raises(ValueError, match="pallas|xla"):
+        price_swaption(SPEC, dyn, SIM, engine="cuda")

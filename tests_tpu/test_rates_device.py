@@ -246,3 +246,17 @@ def test_g2_fused_engine_mosaic_parity():
     assert float(c.price) == float(i.price) == float(x.price)
     assert float(c.stderr) == float(i.stderr) == float(x.stderr)
     assert float(c.stderr) > 0.0
+
+
+def test_vasicek_fused_engine_mosaic_parity():
+    from mc_tpu.models.swaption import price_swaption
+    kw = dict(sim=SimParams(n_paths=8192, n_steps=1), tile_rows=8,
+              r0=R0)
+    c = price_swaption(SPEC, VDYN, engine="pallas", interpret=False,
+                       **kw)
+    i = price_swaption(SPEC, VDYN, engine="pallas", interpret=True,
+                       **kw)
+    x = price_swaption(SPEC, VDYN, engine="xla", **kw)
+    assert float(c.price) == float(i.price) == float(x.price)
+    assert float(c.stderr) == float(i.stderr) == float(x.stderr)
+    assert float(c.stderr) > 0.0
