@@ -791,6 +791,8 @@ def cmd_bench(args):
     cmd = [sys.executable, bench]
     if getattr(args, "platform", None):
         cmd += ["--platform", args.platform]
+    if getattr(args, "init_timeout", None):
+        cmd += ["--probe-timeout", str(args.init_timeout)]
     return subprocess.call(cmd)
 
 
@@ -1251,6 +1253,13 @@ def cmd_hullwhite(args):
         if args.engine is not None:
             raise SystemExit("--engine selects the single-curve fused "
                              "kernels; drop it with --proj-spread-bp")
+    if args.engine is not None and (args.bermudan or args.bounds
+                                    or args.qmc or args.exposure
+                                    or args.book_k_rates):
+        raise SystemExit("--engine applies to the fused EUROPEAN "
+                         "kernels only; the Bermudan/bounds/QMC/"
+                         "exposure legs run the classic engine — drop "
+                         "--engine or the other flags")
     res = price_hw_swaption(spec, dyn, curve, sim, seed=args.seed,
                             projection_curve=proj, engine=args.engine,
                             tile_rows=args.tile_rows)

@@ -299,64 +299,6 @@ def _g2_swpt_tile(n_pay, pv, ids, valid, k0, k1, bitcast):
     return jnp.where(valid, pay, 0.0)
 
 
-def _make_g2_swpt_kernel(n_pay, cfg):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from mc_tpu.ops import path_kernels as pk
-    from mc_tpu.ops._pallas import LANES
-
-    def kernel(key_ref, params_ref, meta_ref, sum_ref, sq_ref, comp_ref):
-        i = pl.program_id(0)
-        shape = (cfg.tile_rows, LANES)
-        base = jnp.uint32(i * cfg.paths_per_tile)
-        flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
-                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
-        ids = meta_ref[0] + base + flat
-        valid = ids < meta_ref[1]
-        pay = _g2_swpt_tile(n_pay, params_ref, ids, valid, key_ref[0],
-                            key_ref[1], pltpu.bitcast)
-        pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
-                               [pay, pay * pay], i, cfg.tile_rows)
-
-    return kernel
-
-
-def _g2_swpt_partials(n_pay, cfg, key, pv, path_offset=0, n_valid=None,
-                      engine="pallas", interpret=None):
-    """(sum, sumsq) (8,128) Kahan slabs of the discounted payoff."""
-    from mc_tpu.ops._pallas import LANES, SUBLANES, xla_moment_scan
-    offset = jnp.asarray(path_offset, jnp.uint32)
-    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
-             else jnp.asarray(n_valid, jnp.uint32))
-    if engine == "pallas":
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-        acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            _make_g2_swpt_kernel(n_pay, cfg),
-            grid=(cfg.n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-            out_specs=[acc_spec, acc_spec],
-            out_shape=[jax.ShapeDtypeStruct((SUBLANES, LANES),
-                                            jnp.float32)] * 2,
-            scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES),
-                                       jnp.float32)],
-            interpret=interpret,
-        )(jnp.asarray(key, jnp.uint32), pv, jnp.stack([offset, bound]))
-    k0 = jnp.asarray(key[0], jnp.uint32)
-    k1 = jnp.asarray(key[1], jnp.uint32)
-
-    def tile_fn(ids, valid):
-        pay = _g2_swpt_tile(n_pay, pv, ids, valid, k0, k1,
-                            jax.lax.bitcast_convert_type)
-        return [pay, pay * pay]
-
-    return xla_moment_scan(tile_fn, cfg.n_paths, cfg.tile_rows, 2,
-                           offset=offset, bound=bound)
-
-
 @functools.partial(jax.jit,
                    static_argnames=("n_pay", "n_paths", "engine",
                                     "tile_rows", "interpret"))
@@ -367,10 +309,12 @@ def _g2_european_fused_impl(n_pay, n_paths, engine, tile_rows,
     from mc_tpu.ops.reduce import finish_sum
     if interpret is None:
         interpret = use_interpret()
+    from mc_tpu.ops._pallas import fused_moment_partials
     cfg = pk.KernelConfig(n_paths=n_paths, n_steps=1,
                           tile_rows=tile_rows)
-    s, sq = _g2_swpt_partials(n_pay, cfg, key, pv, engine=engine,
-                              interpret=interpret)
+    s, sq = fused_moment_partials(
+        functools.partial(_g2_swpt_tile, n_pay), cfg, key, pv,
+        engine=engine, interpret=interpret)
     return summarize(finish_sum(s), finish_sum(sq),
                      jnp.asarray(n_paths, jnp.float32), jnp.float32(1.0))
 

@@ -103,7 +103,8 @@ class NMCResult(ExposureMetrics):
         from mc_tpu.xva import _grid_weights
         s = self.spot_matrix()
         v = self.surface_matrix()
-        _, _, dt = _grid_weights(self.observation_dates(t_horizon))
+        _, _, dt = _grid_weights(
+            self.observation_dates(t_horizon, v.shape[1]))
         rel = s / jnp.mean(s, axis=0, keepdims=True) - 1.0
         lam = jnp.float32(hazard_rate) * jnp.exp(jnp.float32(beta) * rel)
         h = lam * dt

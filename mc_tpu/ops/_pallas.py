@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["use_interpret", "cdiv", "round_up", "LANES", "SUBLANES",
-           "fold_to_sublanes", "kahan_xla_update", "xla_moment_scan"]
+           "fold_to_sublanes", "kahan_xla_update", "xla_moment_scan",
+           "fused_moment_partials"]
 
 LANES = 128      # VPU lane count: last-dim tile unit
 SUBLANES = 8     # f32 sublane count: second-to-last-dim tile unit
@@ -101,3 +102,64 @@ def xla_moment_scan(tile_fn, n_paths: int, tile_rows: int, n_out: int,
     (acc, _), _ = jax.lax.scan(
         one_tile, (zeros, zeros), jnp.arange(n_tiles, dtype=jnp.uint32))
     return tuple(acc[m] for m in range(n_out))
+
+
+def fused_moment_partials(tile, cfg, key, pv, path_offset=0,
+                          n_valid=None, engine="pallas", interpret=None):
+    """(sum, sumsq) (8,128) Kahan slabs of a per-path payoff — the ONE
+    fused-engine scaffolding every packed-params terminal pricer shares
+    (round-4 rates swaption kernels; see models/hullwhite.py).
+
+    ``tile(pv_ref, ids, valid, k0, k1, bitcast) -> (tile_rows, 128)``
+    computes the masked payoff for one tile; it must read ONLY from the
+    packed f32 vector ``pv`` (SMEM ref inside the kernel, plain array in
+    the dual), so the SAME function body serves both engines and the
+    bitwise pallas==xla contract holds by construction.
+    """
+    offset = jnp.asarray(path_offset, jnp.uint32)
+    bound = (offset + jnp.uint32(cfg.n_paths) if n_valid is None
+             else jnp.asarray(n_valid, jnp.uint32))
+    if engine == "pallas":
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from mc_tpu.ops import path_kernels as pk
+
+        def kernel(key_ref, params_ref, meta_ref, sum_ref, sq_ref,
+                   comp_ref):
+            i = pl.program_id(0)
+            shape = (cfg.tile_rows, LANES)
+            base = jnp.uint32(i * cfg.paths_per_tile)
+            flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+                    * LANES
+                    + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+            ids = meta_ref[0] + base + flat
+            valid = ids < meta_ref[1]
+            pay = tile(params_ref, ids, valid, key_ref[0], key_ref[1],
+                       pltpu.bitcast)
+            pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
+                                   [pay, pay * pay], i, cfg.tile_rows)
+
+        acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(cfg.n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=[acc_spec, acc_spec],
+            out_shape=[jax.ShapeDtypeStruct((SUBLANES, LANES),
+                                            jnp.float32)] * 2,
+            scratch_shapes=[pltpu.VMEM((2, SUBLANES, LANES),
+                                       jnp.float32)],
+            interpret=interpret,
+        )(jnp.asarray(key, jnp.uint32), pv, jnp.stack([offset, bound]))
+    k0 = jnp.asarray(key[0], jnp.uint32)
+    k1 = jnp.asarray(key[1], jnp.uint32)
+
+    def tile_fn(ids, valid):
+        pay = tile(pv, ids, valid, k0, k1,
+                   jax.lax.bitcast_convert_type)
+        return [pay, pay * pay]
+
+    return xla_moment_scan(tile_fn, cfg.n_paths, cfg.tile_rows, 2,
+                           offset=offset, bound=bound)

@@ -83,14 +83,18 @@ class ExposureMetrics:
 
     obs_dates = None  # hosts with non-uniform observation set a field
 
-    def observation_dates(self, t_horizon: Optional[float] = None):
+    def observation_dates(self, t_horizon: Optional[float] = None,
+                          n: Optional[int] = None):
         """Dates t_1..t_n the surface columns observe at (t_0 = 0 is
         implicit).  ``obs_dates`` if the host carries one, else the
-        uniform grid j * t_horizon / n."""
+        uniform grid j * t_horizon / n.  ``n``: the column count, when
+        the caller already holds the surface (avoids materializing it a
+        second time just for its shape)."""
         od = getattr(self, "obs_dates", None)
         if od is not None:
             return jnp.asarray(od, jnp.float32)
-        n = self.surface_matrix().shape[1]
+        if n is None:
+            n = self.surface_matrix().shape[1]
         th = jnp.float32(self.t_horizon if t_horizon is None
                          else t_horizon)
         return jnp.arange(1, n + 1, dtype=jnp.float32) * (th / n)
@@ -124,15 +128,18 @@ class ExposureMetrics:
         standard EE* convention).  ``t_horizon`` rescales the uniform
         grid only (ignored when the host carries ``obs_dates``).
         """
-        return _cva_on(self.surface_matrix(), hazard_rate, recovery,
-                       self.observation_dates(t_horizon), +1.0)
+        v = self.surface_matrix()
+        return _cva_on(v, hazard_rate, recovery,
+                       self.observation_dates(t_horizon, v.shape[1]),
+                       +1.0)
 
     def dva(self, own_hazard_rate: float, own_recovery: float = 0.4,
             t_horizon: Optional[float] = None):
         """Debit valuation adjustment: the own-default leg on the
         negative exposure (what the counterparty would lose)."""
-        return _cva_on(self.surface_matrix(), own_hazard_rate,
-                       own_recovery, self.observation_dates(t_horizon),
+        v = self.surface_matrix()
+        return _cva_on(v, own_hazard_rate, own_recovery,
+                       self.observation_dates(t_horizon, v.shape[1]),
                        side=-1.0)
 
     def bilateral_cva(self, hazard_rate: float, own_hazard_rate: float,
@@ -141,7 +148,7 @@ class ExposureMetrics:
         """BCVA = CVA - DVA (independent flat hazards; no first-to-
         default correction — the additive convention desks report)."""
         v = self.surface_matrix()
-        dates = self.observation_dates(t_horizon)
+        dates = self.observation_dates(t_horizon, v.shape[1])
         return (_cva_on(v, hazard_rate, recovery, dates, +1.0)
                 - _cva_on(v, own_hazard_rate, own_recovery, dates, -1.0))
 
@@ -152,7 +159,8 @@ class ExposureMetrics:
         weighted by its actual interval t_j - t_{j-1}.  Net
         FVA = FCA - FBA."""
         v = self.surface_matrix()
-        _, _, dt = _grid_weights(self.observation_dates(t_horizon))
+        _, _, dt = _grid_weights(
+            self.observation_dates(t_horizon, v.shape[1]))
         sp = jnp.float32(funding_spread)
         fca = sp * jnp.sum(jnp.mean(jnp.maximum(v, 0.0), axis=0) * dt)
         fba = sp * jnp.sum(jnp.mean(jnp.maximum(-v, 0.0), axis=0) * dt)
@@ -171,7 +179,8 @@ class ExposureMetrics:
         averaged.
         """
         v = self.surface_matrix()
-        _, _, dt = _grid_weights(self.observation_dates(t_horizon))
+        _, _, dt = _grid_weights(
+            self.observation_dates(t_horizon, v.shape[1]))
         lam = (jnp.float32(hazard_rate)
                * jnp.exp(jnp.float32(beta)
                          * (v - jnp.mean(v, axis=0, keepdims=True))))
@@ -208,7 +217,8 @@ class ExposureMetrics:
         initial-margin profile, spread * integral IM(t) dt over the
         actual observation intervals."""
         im = self.im_profile(quantile, mpor_steps)
-        _, _, dt = _grid_weights(self.observation_dates(t_horizon))
+        _, _, dt = _grid_weights(
+            self.observation_dates(t_horizon, im.shape[0]))
         return jnp.float32(funding_spread) * jnp.sum(im * dt)
 
     def collateralized(self, threshold: float = 0.0,
