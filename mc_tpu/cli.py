@@ -1246,10 +1246,10 @@ def cmd_hullwhite(args):
             times, [z + args.proj_spread_bp * 1e-4 for z in zeros])
         # Incompatibility check BEFORE any pricing runs (the Bermudan/
         # bounds/QMC legs are expensive; don't price and then discard).
-        if args.bermudan or args.bounds or args.qmc:
+        if args.bermudan or args.bounds or args.qmc or args.bucket_dv01:
             raise SystemExit("--proj-spread-bp supports European pricing "
-                             "and --exposure (Bermudans/QMC are "
-                             "single-curve)")
+                             "and --exposure (Bermudans/QMC/bucket "
+                             "ladders are single-curve)")
         if args.engine is not None:
             raise SystemExit("--engine selects the single-curve fused "
                              "kernels; drop it with --proj-spread-bp")
@@ -1312,6 +1312,14 @@ def cmd_hullwhite(args):
             spec, dyn, curve, sim,
             style="bermudan" if args.bermudan else "european",
             degree=args.degree, seed=args.seed))
+    if args.bucket_dv01:
+        from mc_tpu.models.hullwhite import hw_swaption_bucket_dv01
+        b = hw_swaption_bucket_dv01(
+            spec, dyn, curve, sim,
+            style="bermudan" if args.bermudan else "european",
+            degree=args.degree, seed=args.seed)
+        out["bucket_times"] = [float(t) for t in curve.times]
+        out["bucket_dv01"] = [float(x) for x in b]
     if args.book_k_rates:
         import numpy as np
 
@@ -1411,6 +1419,14 @@ def cmd_g2pp(args):
             spec, dyn, curve, sim,
             style="bermudan" if args.bermudan else "european",
             seed=args.seed))
+    if args.bucket_dv01:
+        from mc_tpu.models.g2pp import g2_swaption_bucket_dv01
+        b = g2_swaption_bucket_dv01(
+            spec, dyn, curve, sim,
+            style="bermudan" if args.bermudan else "european",
+            seed=args.seed)
+        out["bucket_times"] = [float(t) for t in curve.times]
+        out["bucket_dv01"] = [float(x) for x in b]
     if args.exposure:
         import numpy as np
         e = g2_swap_exposure(spec, dyn, curve, sim, seed=args.seed)
@@ -1972,6 +1988,10 @@ def main(argv=None):
     p.add_argument("--greeks", action="store_true",
                    help="CRN-FD price sensitivities (curve_dv01 per "
                         "+1bp, vega_r, kappa; Bermudan if --bermudan)")
+    p.add_argument("--bucket-dv01", action="store_true",
+                   help="key-rate DV01 ladder: dPrice per +1bp bump of "
+                        "EACH curve knot (one batched device call; "
+                        "sums to the parallel curve_dv01)")
     p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--a", type=float, default=0.3)
     p.add_argument("--sigma-r", type=float, default=0.015)
@@ -2009,6 +2029,10 @@ def main(argv=None):
     p.add_argument("--greeks", action="store_true",
                    help="CRN-FD price sensitivities (curve_dv01, "
                         "per-factor vegas; Bermudan if --bermudan)")
+    p.add_argument("--bucket-dv01", action="store_true",
+                   help="key-rate DV01 ladder: dPrice per +1bp bump of "
+                        "EACH curve knot (one batched device call; "
+                        "sums to the parallel curve_dv01)")
     p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--a", type=float, default=0.5)
     p.add_argument("--sigma-x", type=float, default=0.01,

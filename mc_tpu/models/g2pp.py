@@ -44,6 +44,7 @@ __all__ = ["G2Dynamics", "price_g2_swaption",
            "bermudan_g2_swaption_exposure", "price_g2_swaption_sharded",
            "g2_swap_exposure", "g2_swap_book_exposure",
            "g2_swap_cva_greeks", "g2_swaption_greeks",
+           "g2_swaption_bucket_dv01",
            "price_g2_swaption_qmc",
            "price_bermudan_g2_swaption_qmc", "DEMO_G2"]
 
@@ -963,6 +964,88 @@ def g2_swaption_greeks(spec: SwaptionSpec = DEMO_SWAPTION,
                                              - h})
             out[g] = (px(dyn_=hi) - px(dyn_=lo)) / (2 * h)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Key-rate (bucketed) curve risk — the `hullwhite.hw_swaption_bucket_dv01`
+# construction under two factors: the (x, y, int) draw is curve-free, so
+# the whole knot-bump ladder shares ONE simulated draw set and runs as
+# ONE batched device call (vmap over stacked p0 rows).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "dyn", "n_paths"))
+def _g2_ladder_impl(spec, dyn, n_paths, key, p0_mat, vhalf_0, amat,
+                    bamat, bbmat):
+    """Mean European price per row of ``p0_mat`` (m, n_payments+1) —
+    the factor grid is simulated once and the two-factor payoff
+    re-evaluates per bumped-curve row."""
+    (x, y, z), = _simulate_g2_grid(spec, dyn, n_paths, 1, key)
+    disc = jnp.exp(-z - vhalf_0)
+    inv_n = jnp.float32(1.0) / jnp.float32(n_paths)
+
+    def one(p0):
+        pay = (jnp.maximum(
+            _g2_mtm(spec, 0, x, y, p0, amat, bamat, bbmat), 0.0)
+            * jnp.float32(p0[0]) * disc)
+        return jnp.sum(pay) * inv_n
+
+    return jax.vmap(one)(p0_mat)
+
+
+def g2_swaption_bucket_dv01(spec: SwaptionSpec = DEMO_SWAPTION,
+                            dyn: G2Dynamics = DEMO_G2,
+                            curve: DiscountCurve = DEMO_CURVE,
+                            sim: SimParams = SimParams(n_paths=1 << 18,
+                                                       n_steps=1),
+                            *,
+                            style: str = "european",
+                            degree: int = 3,
+                            bump: float = 1e-4,
+                            seed: Optional[int] = None,
+                            stream: int = STREAM_OUTER) -> np.ndarray:
+    """Key-rate DV01 ladder under G2++: price change per +1bp bump of
+    EACH zero-curve knot (CRN central differences), one entry per
+    ``curve.times`` pillar.  Same gates as the Hull-White ladder: sums
+    to the parallel ``curve_dv01``, material buckets match per-knot FD
+    of the conditional-Jamshidian oracle, unused pillars are exactly
+    zero.  ``style="bermudan"`` re-fits the frozen-key policy per bump."""
+    if style not in ("european", "bermudan"):
+        raise ValueError(f"style must be european|bermudan, got {style!r}")
+    spec = spec.validate()
+    n_knots = len(curve.times)
+    seed = sim.seed if seed is None else seed
+
+    def bumped(k, h):
+        zeros = np.array(curve.zeros, np.float64)
+        zeros[k] += h
+        return DiscountCurve(curve.times, zeros)
+
+    if style == "bermudan":
+        out = np.empty(n_knots, np.float64)
+        for k in range(n_knots):
+            up = price_bermudan_g2_swaption(spec, dyn, bumped(k, bump),
+                                            sim, degree=degree,
+                                            seed=seed, stream=stream)
+            dn = price_bermudan_g2_swaption(spec, dyn, bumped(k, -bump),
+                                            sim, degree=degree,
+                                            seed=seed, stream=stream)
+            out[k] = (float(up.price) - float(dn.price)) / (2 * bump) * 1e-4
+        return out
+
+    dates = [spec.expiry + i * spec.tenor for i in range(spec.n_payments + 1)]
+    rows = []
+    for h in (bump, -bump):
+        for k in range(n_knots):
+            cv = bumped(k, h)
+            rows.append([cv.df(t) for t in dates])
+    p0_mat = np.asarray(rows, np.float64)
+    _, vhalf, amat, bamat, bbmat = _g2_tables(spec, dyn, curve)
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x6270), jnp.uint32)
+    prices = np.asarray(_g2_ladder_impl(
+        spec, dyn, sim.n_paths, key, p0_mat, jnp.float32(vhalf[0]),
+        amat, bamat, bbmat), np.float64)
+    return (prices[:n_knots] - prices[n_knots:]) / (2 * bump) * 1e-4
 
 
 def _g2_policy_machinery(spec, dyn, degree, betas, key, consts):

@@ -49,6 +49,7 @@ __all__ = ["DiscountCurve", "HullWhiteDynamics", "price_hw_swaption",
            "price_bermudan_hw_swaption_qmc",
            "hw_swap_exposure", "hw_swap_book_exposure",
            "hw_swap_cva_greeks", "hw_swaption_greeks",
+           "hw_swaption_bucket_dv01",
            "DEMO_CURVE", "DEMO_HW"]
 
 
@@ -1068,6 +1069,98 @@ def hw_swaption_greeks(spec: SwaptionSpec = DEMO_SWAPTION,
                       - px(dyn_=HullWhiteDynamics(
                           dyn.a - h, dyn.sigma_r))) / (2 * h)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Key-rate (bucketed) curve risk.  `curve_dv01` above is the PARALLEL
+# aggregate; the hedging desk needs the per-pillar ladder (which swap
+# quotes to trade).  Under Hull-White the OU factor is curve-free —
+# only the p0 table depends on the curve — so the whole ladder of
+# knot-bumped repricings shares ONE simulated draw set and runs as ONE
+# batched device call (vmap over stacked p0 rows).  The reference has
+# no greeks at all (/root/reference/hello.cu prints prices only).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_paths"))
+def _hw_ladder_impl(spec, a, sigma_r, n_paths, key, p0_mat, c_0, bmat,
+                    corr):
+    """Mean European price per row of ``p0_mat`` (m, n_payments+1) —
+    the rate grid is simulated once (it does not depend on the curve)
+    and the affine payoff re-evaluates per bumped-curve row."""
+    x_grid, y_grid = _simulate_rate_grid(
+        spec, a, jnp.float32(0.0), sigma_r, jnp.float32(0.0), n_paths,
+        1, key)
+    x, y = x_grid[0], y_grid[0]
+    disc = jnp.exp(-y - c_0)
+    inv_n = jnp.float32(1.0) / jnp.float32(n_paths)
+
+    def one(p0):
+        pay = (_hw_intrinsic(spec, 0, x, p0, bmat, corr)
+               * jnp.float32(p0[0]) * disc)
+        return jnp.sum(pay) * inv_n
+
+    return jax.vmap(one)(p0_mat)
+
+
+def hw_swaption_bucket_dv01(spec: SwaptionSpec = DEMO_SWAPTION,
+                            dyn: HullWhiteDynamics = DEMO_HW,
+                            curve: DiscountCurve = DEMO_CURVE,
+                            sim: SimParams = SimParams(n_paths=1 << 18,
+                                                       n_steps=1),
+                            *,
+                            style: str = "european",
+                            degree: int = 3,
+                            bump: float = 1e-4,
+                            seed: Optional[int] = None,
+                            stream: int = STREAM_OUTER) -> np.ndarray:
+    """Key-rate DV01 ladder: price change per +1bp bump of EACH
+    zero-curve knot (CRN central differences at ``bump``), one entry
+    per ``curve.times`` pillar.
+
+    Gates: the ladder SUMS to `hw_swaption_greeks`'s parallel
+    ``curve_dv01`` (a +1bp parallel shift is the sum of the knot bumps
+    to first order), each material bucket matches per-knot FD of the
+    Jamshidian oracle, and pillars no coupon date interpolates through
+    carry EXACTLY zero (risk localizes).  For ``style="bermudan"`` the
+    frozen-key bumps re-fit the policy on the same draws (the
+    `hw_swaption_greeks` CRN convention)."""
+    if style not in ("european", "bermudan"):
+        raise ValueError(f"style must be european|bermudan, got {style!r}")
+    spec = spec.validate()
+    n_knots = len(curve.times)
+    seed = sim.seed if seed is None else seed
+
+    def bumped(k, h):
+        zeros = np.array(curve.zeros, np.float64)
+        zeros[k] += h
+        return DiscountCurve(curve.times, zeros)
+
+    if style == "bermudan":
+        out = np.empty(n_knots, np.float64)
+        for k in range(n_knots):
+            up = price_bermudan_hw_swaption(spec, dyn, bumped(k, bump),
+                                            sim, degree=degree,
+                                            seed=seed, stream=stream)
+            dn = price_bermudan_hw_swaption(spec, dyn, bumped(k, -bump),
+                                            sim, degree=degree,
+                                            seed=seed, stream=stream)
+            out[k] = (float(up.price) - float(dn.price)) / (2 * bump) * 1e-4
+        return out
+
+    dates = [spec.expiry + i * spec.tenor for i in range(spec.n_payments + 1)]
+    rows = []
+    for h in (bump, -bump):
+        for k in range(n_knots):
+            cv = bumped(k, h)
+            rows.append([cv.df(t) for t in dates])
+    p0_mat = np.asarray(rows, np.float64)
+    _, c, bmat, corr = _hw_tables(spec, dyn, curve)
+    key = jnp.asarray(rng.derive_key(seed, stream, 0x4877), jnp.uint32)
+    prices = np.asarray(_hw_ladder_impl(
+        spec, jnp.float32(dyn.a), jnp.float32(dyn.sigma_r), sim.n_paths,
+        key, p0_mat, jnp.float32(c[0]), bmat, corr), np.float64)
+    return (prices[:n_knots] - prices[n_knots:]) / (2 * bump) * 1e-4
 
 
 HW_CVA_GREEK_FIELDS = ("curve_dv01", "vega_r", "kappa")

@@ -290,6 +290,9 @@ SLOW_TESTS = {
     "test_localvol.py::test_american_dominates_european_same_surface",
     "test_lsmc_rainbow.py::test_bermudan_monotone_in_schedule",  # 9s
     "test_rates_qmc_sharded.py::test_bermudan_qmc_mesh_invariance",
+    "test_g2pp.py::test_bucket_dv01_two_factor_sums_localizes_and_matches_oracle",  # 23s
+    "test_hullwhite.py::test_bucket_dv01_bermudan_sums_to_parallel",  # 6s
+    "test_cli_round4.py::test_bucket_dv01_cli",  # 7s
 }
 
 

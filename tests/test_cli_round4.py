@@ -196,3 +196,21 @@ def test_hullwhite_par_bootstrap_cli(capsys):
                            "-N", "16384"])
     doc = json.loads(out)
     assert rc == 0 and abs(doc["z_score"]) < 5.0  # same bootstrapped curve
+
+
+def test_bucket_dv01_cli(capsys):
+    """--bucket-dv01 emits the key-rate ladder on both curve models:
+    one entry per knot, unused 0.5y pillar exactly zero, ladder sums
+    near the parallel curve_dv01 emitted by --greeks."""
+    rc, out = run(capsys, ["hullwhite", "--greeks", "--bucket-dv01",
+                           "-N", "16384"])
+    doc = json.loads(out)
+    assert rc == 0
+    assert doc["bucket_times"] == [0.5, 1.0, 2.0, 3.0, 5.0, 10.0]
+    b = doc["bucket_dv01"]
+    assert len(b) == 6 and b[0] == 0.0
+    assert abs(sum(b) - doc["curve_dv01"]) < 2e-3 * abs(doc["curve_dv01"]) + 1e-9
+    rc, out = run(capsys, ["g2pp", "--bucket-dv01", "-N", "8192"])
+    doc = json.loads(out)
+    assert rc == 0 and len(doc["bucket_dv01"]) == 6
+    assert doc["bucket_dv01"][0] == 0.0

@@ -458,3 +458,43 @@ def test_qmc_shift_sharded_mesh_invariant_two_factor():
                                   mesh=make_mesh(jax.devices()[:k]))
         assert float(m.price) == float(solo.price), k
         assert float(m.stderr) == float(solo.stderr), k
+
+
+def test_bucket_dv01_two_factor_sums_localizes_and_matches_oracle():
+    """Key-rate DV01 ladder under G2++: buckets sum to the parallel
+    curve_dv01, the unused 0.5y pillar is exactly zero, and material
+    buckets match per-knot FD of the conditional-Jamshidian oracle."""
+    from mc_tpu.models.g2pp import (g2_swaption_bucket_dv01,
+                                    g2_swaption_greeks)
+    from mc_tpu.models.hullwhite import DiscountCurve
+    sim = SimParams(n_paths=1 << 17, n_steps=1)
+    b = g2_swaption_bucket_dv01(SPEC, DEMO_G2, DEMO_CURVE, sim)
+    assert b.shape == DEMO_CURVE.times.shape
+    g = g2_swaption_greeks(SPEC, DEMO_G2, DEMO_CURVE, sim,
+                           which=("curve_dv01",))
+    assert b.sum() == pytest.approx(float(g["curve_dv01"]), rel=1e-3)
+    assert b[0] == 0.0
+
+    def orc(k, h):
+        z = np.array(DEMO_CURVE.zeros)
+        z[k] += h
+        cv = DiscountCurve(DEMO_CURVE.times, z)
+        return oracle.g2_swaption(DEMO_G2.a, DEMO_G2.sigma, DEMO_G2.b_mr,
+                                  DEMO_G2.eta, DEMO_G2.rho, cv.df,
+                                  SPEC.expiry, SPEC.tenor,
+                                  SPEC.n_payments, SPEC.k_rate)
+
+    h = 1e-4
+    for k in range(len(DEMO_CURVE.times)):
+        fd = (orc(k, h) - orc(k, -h)) / (2 * h) * 1e-4
+        assert b[k] == pytest.approx(fd, rel=2e-2, abs=1e-8), k
+    # Bermudan ladder: finite, localized, sums to its parallel dv01
+    simb = SimParams(n_paths=1 << 13, n_steps=1)
+    bb = g2_swaption_bucket_dv01(SPEC, DEMO_G2, DEMO_CURVE, simb,
+                                 style="bermudan")
+    assert np.all(np.isfinite(bb)) and bb[0] == 0.0
+    gb = g2_swaption_greeks(SPEC, DEMO_G2, DEMO_CURVE, simb,
+                            style="bermudan", which=("curve_dv01",))
+    # 6%: per-knot policy re-fits flip a few exercise decisions each,
+    # so the Bermudan ladder composes only to LSMC-noise order at 2^13
+    assert bb.sum() == pytest.approx(float(gb["curve_dv01"]), rel=6e-2)

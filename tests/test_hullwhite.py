@@ -559,3 +559,55 @@ def test_qmc_shift_sharded_mesh_invariant():
     r = price_hw_swaption_qmc(SPEC, DEMO_HW, DEMO_CURVE, sim,
                               n_shifts=9, mesh=make_mesh())
     assert float(r.n_paths) == (1 << 12) * 16.0
+
+
+def test_bucket_dv01_ladder_sums_localizes_and_matches_oracle():
+    """Key-rate DV01 ladder: (a) the buckets SUM to the parallel
+    curve_dv01 (a parallel shift is the sum of the knot bumps to first
+    order — both FD at the same h, so agreement is tight), (b) the
+    0.5y pillar carries EXACTLY zero (every coupon date is >= the 1y
+    knot, and log-linear df interpolation never reads through it —
+    risk localizes), (c) every material bucket matches per-knot FD of
+    the Jamshidian oracle."""
+    from mc_tpu.models.hullwhite import (hw_swaption_bucket_dv01,
+                                         hw_swaption_greeks)
+    sim = SimParams(n_paths=1 << 17, n_steps=1)
+    b = hw_swaption_bucket_dv01(SPEC, DEMO_HW, DEMO_CURVE, sim)
+    assert b.shape == DEMO_CURVE.times.shape
+    g = hw_swaption_greeks(SPEC, DEMO_HW, DEMO_CURVE, sim,
+                           which=("curve_dv01",))
+    assert b.sum() == pytest.approx(float(g["curve_dv01"]), rel=1e-3)
+    assert b[0] == 0.0
+
+    def jam(k, h):
+        z = np.array(DEMO_CURVE.zeros)
+        z[k] += h
+        cv = DiscountCurve(DEMO_CURVE.times, z)
+        return oracle.hw_swaption(DEMO_HW.a, DEMO_HW.sigma_r, cv.df,
+                                  SPEC.expiry, SPEC.tenor,
+                                  SPEC.n_payments, SPEC.k_rate)
+
+    h = 1e-4
+    for k in range(len(DEMO_CURVE.times)):
+        fd = (jam(k, h) - jam(k, -h)) / (2 * h) * 1e-4
+        assert b[k] == pytest.approx(fd, rel=2e-2, abs=1e-8), k
+    with pytest.raises(ValueError, match="european|bermudan"):
+        hw_swaption_bucket_dv01(SPEC, style="american")
+
+
+def test_bucket_dv01_bermudan_sums_to_parallel():
+    """Frozen-key Bermudan ladder: finite everywhere and sums to the
+    Bermudan parallel curve_dv01 under the same CRN-FD convention."""
+    from mc_tpu.models.hullwhite import (hw_swaption_bucket_dv01,
+                                         hw_swaption_greeks)
+    sim = SimParams(n_paths=1 << 14, n_steps=1)
+    b = hw_swaption_bucket_dv01(SPEC, DEMO_HW, DEMO_CURVE, sim,
+                                style="bermudan")
+    assert np.all(np.isfinite(b)) and b[0] == 0.0
+    g = hw_swaption_greeks(SPEC, DEMO_HW, DEMO_CURVE, sim,
+                           style="bermudan", which=("curve_dv01",))
+    # 3%: single-knot bumps re-fit the policy independently, so a few
+    # take/not-take flips per bump keep the sum from composing exactly
+    # (measured 0.4% at 2^14, 7% at 2^13; the European ladder above
+    # composes to 0.1%).
+    assert b.sum() == pytest.approx(float(g["curve_dv01"]), rel=3e-2)
