@@ -1557,6 +1557,52 @@ def cmd_book(args):
     return 0
 
 
+def cmd_risk(args):
+    import numpy as np
+
+    from mc_tpu.risk import (ScenarioSet, book_scenario_pnl,
+                             delta_gamma_pnl, var_es)
+
+    option, sim = _parse(args)
+    sc = ScenarioSet.gbm(args.n_scenarios,
+                         horizon_days=args.horizon_days,
+                         spot_vol=args.scenario_spot_vol,
+                         vol_of_vol=args.scenario_vol_of_vol,
+                         rate_vol=args.scenario_rate_vol,
+                         seed=args.scenario_seed)
+    w = None
+    book = option
+    if args.book_strikes:
+        ks = np.array([float(x) for x in args.book_strikes.split(",")],
+                      np.float64)
+        book = OptionParams(s0=option.s0, t=option.t, k=ks, r=option.r,
+                            sigma=option.sigma, barrier=option.barrier,
+                            p1=option.p1, p2=option.p2, q=option.q)
+        if args.book_weights:
+            w = np.array([float(x) for x in args.book_weights.split(",")],
+                         np.float64)
+    res = book_scenario_pnl(book, sim, args.payoff, scenarios=sc,
+                            weights=w, method=args.method,
+                            engine=args.engine or "xla",
+                            tile_rows=args.tile_rows)
+    out = {"method": args.method, "n_scenarios": len(sc),
+           "alpha": args.alpha, "base_value": res.base_value,
+           "var": res.var(args.alpha), "es": res.es(args.alpha),
+           "pnl_mean": float(res.pnl.mean()),
+           "pnl_worst": float(res.pnl.min())}
+    if args.payoff in ("vanilla_call", "vanilla_put"):
+        dg = delta_gamma_pnl(book, args.payoff, scenarios=sc, weights=w)
+        out["dg_var"], out["dg_es"] = var_es(dg, args.alpha)
+        if args.method == "mc":
+            ro = book_scenario_pnl(book, payoff=args.payoff,
+                                   scenarios=sc, weights=w,
+                                   method="oracle")
+            out["oracle_var"] = ro.var(args.alpha)
+            out["oracle_es"] = ro.es(args.alpha)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="mc_tpu", description="TPU-native Monte Carlo option pricing")
@@ -2094,6 +2140,31 @@ def main(argv=None):
     p.add_argument("--payoff", default="vanilla_call")
     p.add_argument("--n-contracts", type=int, default=16)
     p.set_defaults(fn=cmd_book)
+
+    p = sub.add_parser("risk",
+                       help="scenario VaR/ES: full-revaluation book "
+                            "P&L over joint spot/vol/rate shocks "
+                            "(one batched kernel; MC vs f64-oracle vs "
+                            "delta-gamma cross-gated)")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--method", default="mc", choices=("mc", "oracle"),
+                   help="mc: batched portfolio engine (any terminal "
+                        "payoff); oracle: exact f64 BS revaluation "
+                        "(vanilla books)")
+    p.add_argument("--alpha", type=float, default=0.99)
+    p.add_argument("--n-scenarios", type=int, default=512)
+    p.add_argument("--horizon-days", type=float, default=10.0)
+    p.add_argument("--scenario-spot-vol", type=float, default=0.2)
+    p.add_argument("--scenario-vol-of-vol", type=float, default=0.5)
+    p.add_argument("--scenario-rate-vol", type=float, default=0.01)
+    p.add_argument("--scenario-seed", type=int, default=0)
+    p.add_argument("--book-strikes", default=None,
+                   help="comma list of strikes (the book; other fields "
+                        "from the global option flags)")
+    p.add_argument("--book-weights", default=None,
+                   help="comma list of position sizes (default 1)")
+    p.set_defaults(fn=cmd_risk)
 
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.set_defaults(fn=cmd_bench)

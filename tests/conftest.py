@@ -293,6 +293,7 @@ SLOW_TESTS = {
     "test_g2pp.py::test_bucket_dv01_two_factor_sums_localizes_and_matches_oracle",  # 23s
     "test_hullwhite.py::test_bucket_dv01_bermudan_sums_to_parallel",  # 6s
     "test_cli_round4.py::test_bucket_dv01_cli",  # 7s
+    "test_cli_round4.py::test_risk_cli",  # 6s
 }
 
 

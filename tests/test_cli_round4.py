@@ -214,3 +214,23 @@ def test_bucket_dv01_cli(capsys):
     doc = json.loads(out)
     assert rc == 0 and len(doc["bucket_dv01"]) == 6
     assert doc["bucket_dv01"][0] == 0.0
+
+
+def test_risk_cli(capsys):
+    """risk subcommand: full-reval VaR/ES with the delta-gamma and
+    oracle cross rows; losses on a long book floor at its value."""
+    rc, out = run(capsys, ["risk", "-N", "16384", "--n-steps", "1",
+                           "--n-scenarios", "128",
+                           "--book-strikes", "90,100,110",
+                           "--book-weights", "1,-2,1"])
+    doc = json.loads(out)
+    assert rc == 0
+    assert doc["es"] >= doc["var"]
+    assert doc["var"] <= doc["base_value"] + 1e-6  # long book floors
+    assert abs(doc["var"] - doc["oracle_var"]) < 0.05 * doc["base_value"]
+    assert "dg_var" in doc
+    rc, out = run(capsys, ["risk", "--method", "oracle",
+                           "--payoff", "vanilla_put",
+                           "--n-scenarios", "64"])
+    doc = json.loads(out)
+    assert rc == 0 and doc["es"] >= doc["var"]
