@@ -1320,6 +1320,33 @@ def cmd_hullwhite(args):
             degree=args.degree, seed=args.seed)
         out["bucket_times"] = [float(t) for t in curve.times]
         out["bucket_dv01"] = [float(x) for x in b]
+    if args.curve_var:
+        import numpy as np
+
+        from mc_tpu.risk import CurveScenarioSet, hw_swaption_curve_pnl
+        specs, wv = [spec], None
+        if args.book_k_rates:
+            ks = [float(x) for x in args.book_k_rates.split(",")]
+            sides = (args.book_sides.split(",") if args.book_sides
+                     else ["p"] * len(ks))
+            specs = [SwaptionSpec(expiry=args.expiry, tenor=args.tenor,
+                                  n_payments=args.n_payments, k_rate=k,
+                                  payer=(s.strip().lower() != "r"))
+                     for k, s in zip(ks, sides)]
+            if args.book_weights:
+                wv = np.array([float(x)
+                               for x in args.book_weights.split(",")])
+        sc = CurveScenarioSet.factor(args.var_scenarios, curve.times,
+                                     horizon_days=args.var_horizon_days,
+                                     seed=args.seed)
+        rv = hw_swaption_curve_pnl(specs, dyn, curve, sim,
+                                   scenarios=sc, weights=wv,
+                                   seed=args.seed)
+        out["curve_var"] = rv.var(args.var_alpha)
+        out["curve_es"] = rv.es(args.var_alpha)
+        out["curve_component_es"] = [round(float(x), 8)
+                                     for x in rv.component_es(
+                                         args.var_alpha)]
     if args.book_k_rates:
         import numpy as np
 
@@ -1589,7 +1616,9 @@ def cmd_risk(args):
            "alpha": args.alpha, "base_value": res.base_value,
            "var": res.var(args.alpha), "es": res.es(args.alpha),
            "pnl_mean": float(res.pnl.mean()),
-           "pnl_worst": float(res.pnl.min())}
+           "pnl_worst": float(res.pnl.min()),
+           "component_es": [round(float(x), 6)
+                            for x in res.component_es(args.alpha)]}
     if args.payoff in ("vanilla_call", "vanilla_put"):
         dg = delta_gamma_pnl(book, args.payoff, scenarios=sc, weights=w)
         out["dg_var"], out["dg_es"] = var_es(dg, args.alpha)
@@ -2038,6 +2067,14 @@ def main(argv=None):
                    help="key-rate DV01 ladder: dPrice per +1bp bump of "
                         "EACH curve knot (one batched device call; "
                         "sums to the parallel curve_dv01)")
+    p.add_argument("--curve-var", action="store_true",
+                   help="curve-scenario VaR/ES of the swaption (or "
+                        "--book-k-rates book) under level/slope/"
+                        "curvature zero-curve shocks — full "
+                        "revaluation, one batched call per spec")
+    p.add_argument("--var-scenarios", type=int, default=256)
+    p.add_argument("--var-alpha", type=float, default=0.99)
+    p.add_argument("--var-horizon-days", type=float, default=10.0)
     p.add_argument("--cva-hazard", type=float, default=None)
     p.add_argument("--a", type=float, default=0.3)
     p.add_argument("--sigma-r", type=float, default=0.015)

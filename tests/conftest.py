@@ -294,6 +294,7 @@ SLOW_TESTS = {
     "test_hullwhite.py::test_bucket_dv01_bermudan_sums_to_parallel",  # 6s
     "test_cli_round4.py::test_bucket_dv01_cli",  # 7s
     "test_cli_round4.py::test_risk_cli",  # 6s
+    "test_risk_rates.py::test_mc_matches_jamshidian_revaluation",  # 7s
 }
 
 

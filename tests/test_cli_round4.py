@@ -3,6 +3,8 @@ MLMC, multi-asset greeks, and the XVA flags on the NMC paths."""
 
 import json
 
+import pytest
+
 from mc_tpu.cli import main
 
 SMALL = ["-N", "2048", "--n-steps", "8", "--tile-rows", "8",
@@ -234,3 +236,15 @@ def test_risk_cli(capsys):
                            "--n-scenarios", "64"])
     doc = json.loads(out)
     assert rc == 0 and doc["es"] >= doc["var"]
+    assert sum(doc["component_es"]) == pytest.approx(doc["es"],
+                                                     abs=1e-5)
+    # curve-scenario VaR on the rates desk (hullwhite --curve-var)
+    rc, out = run(capsys, ["hullwhite", "-N", "16384", "--curve-var",
+                           "--var-scenarios", "64",
+                           "--book-k-rates", "0.04,0.045",
+                           "--book-sides", "p,r"])
+    doc = json.loads(out)
+    assert rc == 0
+    assert doc["curve_es"] >= doc["curve_var"]
+    assert sum(doc["curve_component_es"]) == pytest.approx(
+        doc["curve_es"], abs=1e-6)

@@ -159,3 +159,22 @@ def test_validation_errors():
         ScenarioSet.gbm(0)
     with pytest.raises(ValueError, match="vanilla"):
         delta_gamma_pnl(BOOK, "bullet_call", scenarios=SC)
+
+
+def test_component_es_allocates_exactly():
+    """Euler ES allocation: per-position contributions over the book's
+    tail sum to the book ES EXACTLY, and a perfect hedge pair carries
+    exactly opposite components."""
+    r = book_scenario_pnl(BOOK, payoff="vanilla_call", scenarios=SC,
+                          weights=W, method="oracle")
+    for alpha in (0.9, 0.95, 0.99):
+        c = r.component_es(alpha)
+        assert c.shape == (3,)
+        assert c.sum() == pytest.approx(r.es(alpha), abs=1e-12)
+    pair = OptionParams(k=np.array([100.0, 100.0]))
+    h = book_scenario_pnl(pair, payoff="vanilla_call", scenarios=SC,
+                          weights=np.array([1.0, -1.0]),
+                          method="oracle")
+    ch = h.component_es(0.95)
+    assert ch[0] == pytest.approx(-ch[1], abs=1e-12)
+    assert h.es(0.95) == pytest.approx(0.0, abs=1e-12)
