@@ -295,6 +295,7 @@ SLOW_TESTS = {
     "test_cli_round4.py::test_bucket_dv01_cli",  # 7s
     "test_cli_round4.py::test_risk_cli",  # 6s
     "test_risk_rates.py::test_mc_matches_jamshidian_revaluation",  # 7s
+    "test_risk_rates.py::test_g2_curve_pnl_matches_oracle_and_hw_limit",
 }
 
 

@@ -96,3 +96,31 @@ def test_factor_scenarios_reproducible_and_validated():
         hw_swaption_curve_pnl(SPECS[0], scenarios=SC, method="fd")
     with pytest.raises(ValueError, match="n >= 1"):
         CurveScenarioSet.factor(0, DEMO_CURVE.times)
+
+
+def test_g2_curve_pnl_matches_oracle_and_hw_limit():
+    """The two-factor twin: MC curve-scenario P&L tracks the f64
+    conditional-Jamshidian revaluation, and in the eta -> 0 limit the
+    G2 P&L collapses to the Hull-White P&L on the same scenarios."""
+    from mc_tpu.models.g2pp import DEMO_G2, G2Dynamics
+    from mc_tpu.models.hullwhite import HullWhiteDynamics
+    from mc_tpu.risk import g2_swaption_curve_pnl
+    spec = SwaptionSpec(k_rate=0.04)
+    sc = CurveScenarioSet(SC.zero_abs[:48])
+    sim = SimParams(n_paths=1 << 15, n_steps=1)
+    ro = g2_swaption_curve_pnl(spec, DEMO_G2, DEMO_CURVE,
+                               scenarios=sc, method="oracle")
+    rm = g2_swaption_curve_pnl(spec, DEMO_G2, DEMO_CURVE, sim,
+                               scenarios=sc, method="mc")
+    scale = np.abs(ro.pnl).max()
+    assert np.abs(rm.pnl - ro.pnl).max() < 5e-3 * scale
+    assert rm.es(0.95) == pytest.approx(ro.es(0.95), rel=3e-2)
+    # eta -> 0: one-factor degenerate limit (oracle mode, f64)
+    g2d = G2Dynamics(a=0.3, sigma=0.015, b_mr=0.05, eta=1e-9, rho=0.0)
+    hwd = HullWhiteDynamics(a=0.3, sigma_r=0.015)
+    g = g2_swaption_curve_pnl(spec, g2d, DEMO_CURVE, scenarios=sc,
+                              method="oracle")
+    h = hw_swaption_curve_pnl(spec, hwd, DEMO_CURVE, scenarios=sc,
+                              method="oracle")
+    np.testing.assert_allclose(g.pnl, h.pnl, rtol=2e-4,
+                               atol=1e-8 * scale)
