@@ -1608,10 +1608,17 @@ def cmd_risk(args):
         if args.book_weights:
             w = np.array([float(x) for x in args.book_weights.split(",")],
                          np.float64)
-    res = book_scenario_pnl(book, sim, args.payoff, scenarios=sc,
-                            weights=w, method=args.method,
-                            engine=args.engine or "xla",
-                            tile_rows=args.tile_rows)
+    if args.model == "heston":
+        from mc_tpu.risk import heston_scenario_pnl
+        res = heston_scenario_pnl(book, None, sim, args.payoff,
+                                  scenarios=sc, weights=w,
+                                  method=args.method,
+                                  tile_rows=args.tile_rows)
+    else:
+        res = book_scenario_pnl(book, sim, args.payoff, scenarios=sc,
+                                weights=w, method=args.method,
+                                engine=args.engine or "xla",
+                                tile_rows=args.tile_rows)
     out = {"method": args.method, "n_scenarios": len(sc),
            "alpha": args.alpha, "base_value": res.base_value,
            "var": res.var(args.alpha), "es": res.es(args.alpha),
@@ -1620,12 +1627,21 @@ def cmd_risk(args):
            "component_es": [round(float(x), 6)
                             for x in res.component_es(args.alpha)]}
     if args.payoff in ("vanilla_call", "vanilla_put"):
-        dg = delta_gamma_pnl(book, args.payoff, scenarios=sc, weights=w)
-        out["dg_var"], out["dg_es"] = var_es(dg, args.alpha)
+        if args.model != "heston":
+            # the BS Taylor approximation is the flat-vol model's
+            dg = delta_gamma_pnl(book, args.payoff, scenarios=sc,
+                                 weights=w)
+            out["dg_var"], out["dg_es"] = var_es(dg, args.alpha)
         if args.method == "mc":
-            ro = book_scenario_pnl(book, payoff=args.payoff,
-                                   scenarios=sc, weights=w,
-                                   method="oracle")
+            if args.model == "heston":
+                from mc_tpu.risk import heston_scenario_pnl
+                ro = heston_scenario_pnl(book, None, sim, args.payoff,
+                                         scenarios=sc, weights=w,
+                                         method="oracle")
+            else:
+                ro = book_scenario_pnl(book, payoff=args.payoff,
+                                       scenarios=sc, weights=w,
+                                       method="oracle")
             out["oracle_var"] = ro.var(args.alpha)
             out["oracle_es"] = ro.es(args.alpha)
     print(json.dumps(out))
@@ -2189,6 +2205,9 @@ def main(argv=None):
                    help="mc: batched portfolio engine (any terminal "
                         "payoff); oracle: exact f64 BS revaluation "
                         "(vanilla books)")
+    p.add_argument("--model", default="gbm", choices=("gbm", "heston"),
+                   help="revaluation model: gbm (flat vol) or heston "
+                        "(smile model; oracle = the semi-analytic CF)")
     p.add_argument("--alpha", type=float, default=0.99)
     p.add_argument("--n-scenarios", type=int, default=512)
     p.add_argument("--horizon-days", type=float, default=10.0)

@@ -296,6 +296,7 @@ SLOW_TESTS = {
     "test_cli_round4.py::test_risk_cli",  # 6s
     "test_risk_rates.py::test_mc_matches_jamshidian_revaluation",  # 7s
     "test_risk_rates.py::test_g2_curve_pnl_matches_oracle_and_hw_limit",
+    "test_risk.py::test_heston_scenario_pnl_matches_cf_and_gbm_limit",  # 16s
 }
 
 

@@ -238,6 +238,15 @@ def test_risk_cli(capsys):
     assert rc == 0 and doc["es"] >= doc["var"]
     assert sum(doc["component_es"]) == pytest.approx(doc["es"],
                                                      abs=1e-5)
+    # smile-model revaluation: --model heston crosses vs the CF oracle
+    rc, out = run(capsys, ["risk", "--model", "heston", "-N", "8192",
+                           "--n-steps", "16", "--n-scenarios", "32",
+                           "--scenario-vol-of-vol", "0.25",
+                           "--book-strikes", "90,110"])
+    doc = json.loads(out)
+    assert rc == 0 and doc["es"] >= doc["var"]
+    assert doc["var"] == pytest.approx(doc["oracle_var"], rel=0.15)
+    assert "dg_var" not in doc  # BS Taylor is not the smile model's
     # curve-scenario VaR on the rates desk (hullwhite --curve-var)
     rc, out = run(capsys, ["hullwhite", "-N", "16384", "--curve-var",
                            "--var-scenarios", "64",
