@@ -285,6 +285,21 @@ def rainbow_kernel_seconds(n_paths=N_PATHS, d=4):
     return _model_kernel_seconds(one)
 
 
+def fx_kernel_seconds(n_paths=N_PATHS):
+    """Cross-currency exact-terminal kernel (quanto call: one Box-Muller
+    pair per path, in-register rho mixing)."""
+    from mc_tpu import SimParams
+    from mc_tpu.models.fx import DEMO_FX, _price_fx_impl
+    sim = SimParams(n_paths=n_paths, n_steps=1)
+    fx = DEMO_FX.as_f32()
+
+    def one(key):
+        return _price_fx_impl(OPT, fx, "quanto_call", sim, "pallas", 128,
+                              False, key).price
+
+    return _model_kernel_seconds(one)
+
+
 def localvol_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS,
                             n_knots=9):
     """Local-vol surface kernel (K-1 clamped-ramp FMAs per step)."""
@@ -655,6 +670,9 @@ def _full_bench():
     dt = guard("rainbow", rainbow_kernel_seconds)
     if dt is not None:
         extra["rainbow4_paths_per_sec"] = round(N_PATHS / dt, 1)
+    dt = guard("fx", fx_kernel_seconds)
+    if dt is not None:
+        extra["fx_paths_per_sec"] = round(N_PATHS / dt, 1)
     q = guard("qmc", qmc_kernel_seconds)
     if q is not None:
         extra["qmc_paths_per_sec"] = round(q[1] / q[0], 1)

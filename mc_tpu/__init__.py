@@ -46,6 +46,10 @@ def __getattr__(name):
     if name in ("price_basket", "BasketDynamics"):
         from mc_tpu.models import basket
         return getattr(basket, name)
+    if name in ("price_fx", "FXDynamics", "quanto_option_params",
+                "FX_CONTRACTS"):
+        from mc_tpu.models import fx
+        return getattr(fx, name)
     if name == "price_portfolio":
         from mc_tpu.engines import price_portfolio
         return price_portfolio

@@ -174,7 +174,7 @@ def chunked_price(option: OptionParams = DEMO_OPTION,
             from mc_tpu.parallel.models_sharded import SHARDED_MODELS
             raise ValueError(f"unknown model {model!r}; chunked models: "
                              f"{tuple(m for m in SHARDED_MODELS)}")
-        if mdef.payoff_registry or mdef.terminal_only:
+        if mdef.resolve_payoff is not None or mdef.terminal_only:
             raise ValueError(f"chunked_price supports step-loop families; "
                              f"{model!r} is a terminal-draw family")
         po.validate(option, sim.n_steps)

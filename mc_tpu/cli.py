@@ -495,6 +495,49 @@ def cmd_heston(args):
     return 0
 
 
+def cmd_fx(args):
+    from mc_tpu import oracle
+    from mc_tpu.models.fx import FXDynamics, price_fx
+
+    option, sim = _parse(args)
+    fx = FXDynamics(x0=args.x0, sigma_x=args.sigma_x, r_f=args.rf,
+                    rho=args.rho_fx, kx=args.kx, x_bar=args.x_bar)
+    res = price_fx(option, fx, sim, args.contract, engine=args.engine,
+                   tile_rows=args.tile_rows)
+    kx = args.x0 if args.kx is None else args.kx
+    xb = args.x0 if args.x_bar is None else args.x_bar
+    ref = {
+        "gk_call": lambda: oracle.gk_call(args.x0, kx, args.t, args.r,
+                                          args.rf, args.sigma_x),
+        "gk_put": lambda: oracle.gk_put(args.x0, kx, args.t, args.r,
+                                        args.rf, args.sigma_x),
+        "quanto_call": lambda: oracle.quanto_call(
+            args.s0, args.k, args.t, args.r, args.rf, args.sigma,
+            args.sigma_x, args.rho_fx, args.q, xb),
+        "quanto_put": lambda: oracle.quanto_put(
+            args.s0, args.k, args.t, args.r, args.rf, args.sigma,
+            args.sigma_x, args.rho_fx, args.q, xb),
+        "compo_call": lambda: oracle.compo_call(
+            args.s0, args.x0, args.k, args.t, args.r, args.sigma,
+            args.sigma_x, args.rho_fx, args.q),
+        "compo_put": lambda: oracle.compo_put(
+            args.s0, args.x0, args.k, args.t, args.r, args.sigma,
+            args.sigma_x, args.rho_fx, args.q),
+        "flexo_call": lambda: oracle.flexo_call(
+            args.s0, args.x0, args.k, args.t, args.rf, args.sigma,
+            args.q),
+        "flexo_put": lambda: oracle.flexo_put(
+            args.s0, args.x0, args.k, args.t, args.rf, args.sigma,
+            args.q),
+    }[args.contract]()
+    z = (float(res.price) - ref) / max(float(res.stderr), 1e-12)
+    print(json.dumps({"contract": args.contract,
+                      "price": float(res.price),
+                      "stderr": float(res.stderr),
+                      "oracle": ref, "z": round(z, 3)}))
+    return 0
+
+
 def cmd_american(args):
     from mc_tpu.lsmc import (binomial_american, price_american,
                              price_american_basket, price_american_heston)
@@ -1789,6 +1832,26 @@ def main(argv=None):
     p.add_argument("--xi", type=float, default=0.3)
     p.add_argument("--rho-sv", type=float, default=-0.7)
     p.set_defaults(fn=cmd_heston)
+
+    p = sub.add_parser("fx", help="cross-currency quanto/compo/GK/flexo "
+                       "price vs exact closed form")
+    _add_option_flags(p)
+    p.add_argument("--contract", default="quanto_call",
+                   choices=["gk_call", "gk_put", "quanto_call",
+                            "quanto_put", "compo_call", "compo_put",
+                            "flexo_call", "flexo_put"])
+    p.add_argument("--x0", type=float, default=1.0,
+                   help="FX spot, domestic per foreign")
+    p.add_argument("--sigma-x", type=float, default=0.15)
+    p.add_argument("--rf", type=float, default=0.03,
+                   help="foreign short rate")
+    p.add_argument("--rho-fx", type=float, default=-0.35,
+                   help="asset/FX log-return correlation")
+    p.add_argument("--kx", type=float, default=None,
+                   help="FX strike for gk contracts (default: x0)")
+    p.add_argument("--x-bar", type=float, default=None,
+                   help="fixed quanto conversion rate (default: x0)")
+    p.set_defaults(fn=cmd_fx)
 
     p = sub.add_parser("american", help="Longstaff-Schwartz American price")
     _add_option_flags(p)

@@ -38,6 +38,14 @@ __all__ = [
     "bs_call_as",
     "bvn_cdf",
     "margrabe",
+    "gk_call",
+    "gk_put",
+    "quanto_call",
+    "quanto_put",
+    "compo_call",
+    "compo_put",
+    "flexo_call",
+    "flexo_put",
     "stulz_min_call",
     "stulz_max_call",
     "stulz_min_put",
@@ -363,6 +371,83 @@ def stulz_max_put(s1, s2, k, t, r, sigma1, sigma2, rho,
                - _min_forward(s1, s2, t, sigma1, sigma2, rho, q1, q2))
     return (float(k) * math.exp(-float(r) * float(t)) - fwd_max
             + stulz_max_call(s1, s2, k, t, r, sigma1, sigma2, rho, q1, q2))
+
+
+# ---------------------------------------------------------------------------
+# Cross-currency closed forms (GBM) — oracles for the `models/fx`
+# contract registry.  Host-side f64.  ``x0`` is the FX spot in DOMESTIC
+# units per foreign unit, ``r`` the domestic rate, ``r_f`` the foreign
+# rate, ``q`` the asset's dividend yield, ``rho`` the asset/FX
+# log-return correlation.
+# ---------------------------------------------------------------------------
+
+
+def _bs64(call: bool, s0, k, t, r, sigma, q) -> float:
+    """Black-Scholes in pure host f64 (math + _phid)."""
+    s0, k, t, r, sigma, q = map(float, (s0, k, t, r, sigma, q))
+    st = sigma * math.sqrt(t)
+    d1 = (math.log(s0 / k) + (r - q + 0.5 * sigma * sigma) * t) / st
+    d2 = d1 - st
+    c = (s0 * math.exp(-q * t) * _phid(d1)
+         - k * math.exp(-r * t) * _phid(d2))
+    if call:
+        return c
+    return c - s0 * math.exp(-q * t) + k * math.exp(-r * t)
+
+
+def gk_call(x0, kx, t, r, r_f, sigma_x, call: bool = True) -> float:
+    """Garman-Kohlhagen FX option: Black-Scholes with q = r_f."""
+    return _bs64(call, x0, kx, t, r, sigma_x, r_f)
+
+
+def gk_put(x0, kx, t, r, r_f, sigma_x) -> float:
+    return gk_call(x0, kx, t, r, r_f, sigma_x, call=False)
+
+
+def quanto_call(s0, k, t, r, r_f, sigma_s, sigma_x, rho, q=0.0,
+                x_bar=1.0, call: bool = True) -> float:
+    """Quanto option x_bar * max(+-(S_T - K), 0) paid in domestic
+    currency: Black-Scholes at the domestic rate with the effective
+    dividend yield q_eff = r - r_f + q + rho sigma_s sigma_x (the
+    quanto forward is S0 e^{(r_f - q - rho sigma_s sigma_x) T})."""
+    q_eff = (float(r) - float(r_f) + float(q)
+             + float(rho) * float(sigma_s) * float(sigma_x))
+    return float(x_bar) * _bs64(call, s0, k, t, r, sigma_s, q_eff)
+
+
+def quanto_put(s0, k, t, r, r_f, sigma_s, sigma_x, rho, q=0.0,
+               x_bar=1.0) -> float:
+    return quanto_call(s0, k, t, r, r_f, sigma_s, sigma_x, rho, q,
+                       x_bar, call=False)
+
+
+def compo_call(s0, x0, k, t, r, sigma_s, sigma_x, rho, q=0.0,
+               call: bool = True) -> float:
+    """Composite option on the domestic asset value S_T X_T with a
+    domestic strike: S X is a domestic tradable paying q, GBM with
+    vol sqrt(sigma_s^2 + sigma_x^2 + 2 rho sigma_s sigma_x)."""
+    sigma_s, sigma_x, rho = map(float, (sigma_s, sigma_x, rho))
+    sigma_c = math.sqrt(sigma_s * sigma_s + sigma_x * sigma_x
+                        + 2.0 * rho * sigma_s * sigma_x)
+    return _bs64(call, float(s0) * float(x0), k, t, r, sigma_c, q)
+
+
+def compo_put(s0, x0, k, t, r, sigma_s, sigma_x, rho, q=0.0) -> float:
+    return compo_call(s0, x0, k, t, r, sigma_s, sigma_x, rho, q,
+                      call=False)
+
+
+def flexo_call(s0, x0, k, t, r_f, sigma_s, q=0.0,
+               call: bool = True) -> float:
+    """Foreign vanilla converted at the realized FX rate,
+    e^{-r T} E[X_T max(+-(S_T - K), 0)]: change of numeraire to the
+    foreign measure gives x0 times the FOREIGN-rate Black-Scholes (the
+    domestic rate drops out entirely)."""
+    return float(x0) * _bs64(call, s0, k, t, r_f, sigma_s, q)
+
+
+def flexo_put(s0, x0, k, t, r_f, sigma_s, q=0.0) -> float:
+    return flexo_call(s0, x0, k, t, r_f, sigma_s, q, call=False)
 
 
 # ---------------------------------------------------------------------------

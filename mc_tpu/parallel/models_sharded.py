@@ -55,8 +55,10 @@ class ShardedModel:
     prepare: Optional[Callable[..., Any]] = None
     discount: Optional[Callable[..., Any]] = None
     even_steps: bool = False
-    terminal_only: bool = False   # rainbow: one exact draw, n_steps = 1
-    payoff_registry: bool = False  # rainbow: payoff is a NAME, not object
+    terminal_only: bool = False   # rainbow/fx: one exact draw, n_steps = 1
+    # Families whose payoff is a NAME in their own registry (rainbow,
+    # fx contracts) supply a resolver: payoff-or-None -> static name.
+    resolve_payoff: Optional[Callable[[Any], Any]] = None
 
 
 def _def_heston():
@@ -143,11 +145,22 @@ def _build_sabr(payoff, cfg, option, dyn, n_steps, engine, interpret,
     return params, partials
 
 
+def _resolve_rainbow_payoff(payoff):
+    from mc_tpu.models.rainbow import RAINBOW_PAYOFFS
+    if payoff is None:
+        payoff = "call_on_max"
+    if payoff not in RAINBOW_PAYOFFS:
+        raise KeyError(f"unknown rainbow payoff {payoff!r}; "
+                       f"available: {sorted(RAINBOW_PAYOFFS)}")
+    return payoff
+
+
 def _def_rainbow():
     from mc_tpu.models.basket import DEMO_BASKET
     return ShardedModel(
         tag=0xBE0F, default_dyn=lambda sim: DEMO_BASKET,
-        build=_build_rainbow, terminal_only=True, payoff_registry=True)
+        build=_build_rainbow, terminal_only=True,
+        resolve_payoff=_resolve_rainbow_payoff)
 
 
 def _build_rainbow(payoff, cfg, option, dyn, n_steps, engine, interpret,
@@ -161,6 +174,30 @@ def _build_rainbow(payoff, cfg, option, dyn, n_steps, engine, interpret,
         # `payoff` is the rainbow payoff NAME (static string)
         return _rainbow_partials(payoff, cfg, d, key, params, offset,
                                  bound, engine, interpret)
+
+    return params, partials
+
+
+def _resolve_fx_contract(payoff):
+    from mc_tpu.models.fx import get_fx_contract
+    return get_fx_contract("quanto_call" if payoff is None else payoff)
+
+
+def _def_fx():
+    from mc_tpu.models.fx import DEMO_FX, FX_TAG
+    return ShardedModel(
+        tag=FX_TAG, default_dyn=lambda sim: DEMO_FX, build=_build_fx,
+        terminal_only=True, resolve_payoff=_resolve_fx_contract)
+
+
+def _build_fx(payoff, cfg, option, dyn, n_steps, engine, interpret, kmax):
+    from mc_tpu.models.fx import _fx_partials, _pack_fx
+    params = _pack_fx(option, dyn)
+
+    def partials(key, params, offset, bound):
+        # `payoff` is the fx CONTRACT name (static string)
+        return _fx_partials(payoff, cfg, key, params, offset, bound,
+                            engine, interpret)
 
     return params, partials
 
@@ -249,7 +286,7 @@ def _build_localvol(payoff, cfg, option, dyn, n_steps, engine, interpret,
 _MODEL_DEFS: dict = {
     "heston": _def_heston, "cev": _def_cev, "merton": _def_merton,
     "sabr": _def_sabr, "rainbow": _def_rainbow, "vasicek": _def_vasicek,
-    "term": _def_term, "localvol": _def_localvol,
+    "term": _def_term, "localvol": _def_localvol, "fx": _def_fx,
 }
 
 SHARDED_MODELS = tuple(_MODEL_DEFS)
@@ -318,9 +355,10 @@ def price_model_sharded(model: str,
 
     ``model``: one of `SHARDED_MODELS`.  ``dyn`` defaults to the model's
     demo dynamics.  ``payoff=None`` picks the model's default contract
-    (vanilla_call; call_on_max for "rainbow", whose payoffs come from
-    `RAINBOW_PAYOFFS` — registry names like "vanilla_call" are rejected
-    there rather than silently remapped).  The per-model stream tag
+    (vanilla_call; call_on_max for "rainbow", quanto_call for "fx" —
+    those two families key payoffs in their OWN registries, so names
+    like "vanilla_call" are rejected there rather than silently
+    remapped).  The per-model stream tag
     matches the single-chip `price_<model>` entry point, so a 1-device
     mesh reproduces it bitwise and larger meshes reproduce its
     statistics exactly (global-path-id keyed counters).
@@ -329,15 +367,9 @@ def price_model_sharded(model: str,
         raise ValueError(f"unknown model {model!r}; "
                          f"sharded models: {SHARDED_MODELS}")
     mdef = _model_def(model)
-    if mdef.payoff_registry:
-        # rainbow payoffs live in their own registry, keyed by NAME
-        from mc_tpu.models.rainbow import RAINBOW_PAYOFFS
-        if payoff is None:
-            payoff = "call_on_max"
-        if payoff not in RAINBOW_PAYOFFS:
-            raise KeyError(f"unknown rainbow payoff {payoff!r}; "
-                           f"available: {sorted(RAINBOW_PAYOFFS)}")
-        po = payoff
+    if mdef.resolve_payoff is not None:
+        # rainbow/fx payoffs live in their own registries, keyed by NAME
+        po = mdef.resolve_payoff(payoff)
     else:
         po = get_payoff("vanilla_call" if payoff is None else payoff)
         po.validate(option, sim.n_steps)

@@ -72,7 +72,8 @@ class TestScoreboardContract:
         for row in ("terminal_pair_seconds", "kernel_seconds",
                     "heston_kernel_seconds", "merton_kernel_seconds",
                     "sabr_kernel_seconds", "vasicek_kernel_seconds",
-                    "rainbow_kernel_seconds", "localvol_kernel_seconds",
+                    "rainbow_kernel_seconds", "fx_kernel_seconds",
+                    "localvol_kernel_seconds",
                     "qmc_kernel_seconds", "hw_swaption_kernel_seconds",
                     "g2_swaption_kernel_seconds",
                     "hw_swaption_fused_kernel_seconds",

@@ -257,3 +257,16 @@ def test_risk_cli(capsys):
     assert doc["curve_es"] >= doc["curve_var"]
     assert sum(doc["curve_component_es"]) == pytest.approx(
         doc["curve_es"], abs=1e-6)
+
+
+def test_fx_cli(capsys):
+    """fx subcommand: every contract carries its exact oracle + z."""
+    rc, out = run(capsys, ["fx", "-N", "262144"] + SMALL[2:])
+    doc = json.loads(out)
+    assert rc == 0 and doc["contract"] == "quanto_call"
+    assert abs(doc["z"]) < 5.0
+    rc, out = run(capsys, ["fx", "--contract", "gk_put", "--x0", "1.2",
+                           "--kx", "1.25", "-N", "262144"] + SMALL[2:])
+    doc = json.loads(out)
+    assert rc == 0 and abs(doc["z"]) < 5.0
+    assert doc["oracle"] > 0

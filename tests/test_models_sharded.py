@@ -33,6 +33,8 @@ def _single_chip(model, **kw):
         from mc_tpu.models.rainbow import price_rainbow as fn
     elif model == "vasicek":
         from mc_tpu.models.vasicek import price_vasicek as fn
+    elif model == "fx":
+        from mc_tpu.models.fx import price_fx as fn  # quanto_call default
     else:
         from mc_tpu.models.sabr import price_sabr as fn
     return fn(OPT, sim=SIM, **kw)

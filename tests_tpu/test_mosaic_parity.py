@@ -514,3 +514,22 @@ def test_nmc_hw_inner(strategy):
     rel = abs(float(hw.surface_mean) - float(base.surface_mean)) \
         / float(base.surface_mean)
     assert rel < 0.02, rel
+
+
+def test_fx_quanto_compo():
+    """Cross-currency exact-terminal kernel (models/fx): compiled
+    Mosaic == interpret == XLA dual, two contract shapes."""
+    from mc_tpu.models.fx import FXDynamics, price_fx
+    fx = FXDynamics(x0=1.2, sigma_x=0.15, r_f=0.03, rho=-0.35)
+
+    def fn(contract):
+        def call(engine, interpret=None, **kw):
+            return price_fx(OPT, fx, SIM, contract, engine=engine,
+                            interpret=interpret, tile_rows=8, **kw)
+        return call
+
+    for contract in ("quanto_call", "compo_put"):
+        f = fn(contract)
+        _assert_tri(f(engine="pallas", interpret=False),
+                    f(engine="pallas", interpret=True),
+                    f(engine="xla"))
