@@ -161,7 +161,8 @@ def _trivial_fetch_overhead(reps=5):
     return best
 
 
-def heston_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4):
+def heston_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4,
+                          scheme="euler"):
     """Per-kernel device seconds of the fused Heston step kernel."""
     from mc_tpu.models.heston import (DEMO_HESTON, _heston_partials_pallas,
                                       _pack_heston)
@@ -173,7 +174,8 @@ def heston_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4):
     def multi(keys):
         return jnp.sum(jax.lax.map(
             lambda key: _heston_partials_pallas(
-                payoff, cfg, key, params, 0, None, False)[0].sum(),
+                payoff, cfg, key, params, 0, None, False,
+                scheme=scheme)[0].sum(),
             keys))
 
     def best_of(keys):
@@ -659,6 +661,8 @@ def _full_bench():
 
     # Model-family + technique kernels.
     for name, fn in (("heston", heston_kernel_seconds),
+                     ("heston_qe",
+                      lambda: heston_kernel_seconds(scheme="qe")),
                      ("merton", merton_kernel_seconds),
                      ("sabr", sabr_kernel_seconds),
                      ("vasicek", vasicek_kernel_seconds),

@@ -483,10 +483,11 @@ def cmd_heston(args):
     dyn = HestonDynamics(v0=args.v0, kappa=args.kappa, theta=args.theta_v,
                          xi=args.xi, rho=args.rho_sv)
     res = price_heston(option, dyn, sim, payoff=args.payoff,
-                       engine=args.engine, antithetic=args.antithetic,
+                       engine=args.engine, scheme=args.scheme,
+                       antithetic=args.antithetic,
                        tile_rows=args.tile_rows)
-    out = {"payoff": args.payoff, "price": float(res.price),
-           "stderr": float(res.stderr)}
+    out = {"payoff": args.payoff, "scheme": args.scheme,
+           "price": float(res.price), "stderr": float(res.stderr)}
     if args.payoff == "vanilla_call":
         out["cf_oracle"] = heston_call_cf(args.s0, args.k, args.t, args.r,
                                           args.v0, args.kappa, args.theta_v,
@@ -1831,6 +1832,10 @@ def main(argv=None):
     p.add_argument("--theta-v", type=float, default=0.04)
     p.add_argument("--xi", type=float, default=0.3)
     p.add_argument("--rho-sv", type=float, default=-0.7)
+    p.add_argument("--scheme", default="euler", choices=("euler", "qe"),
+                   help="discretization: full-truncation Euler or "
+                   "Andersen QE (exact per-step martingale, low bias "
+                   "at coarse steps)")
     p.set_defaults(fn=cmd_heston)
 
     p = sub.add_parser("fx", help="cross-currency quanto/compo/GK/flexo "

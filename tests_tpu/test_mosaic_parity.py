@@ -158,6 +158,12 @@ def test_heston():
     _assert_tri(*_tri(price_heston, option=OPT, sim=SIM, tile_rows=8))
 
 
+def test_heston_qe():
+    from mc_tpu.models.heston import price_heston
+    _assert_tri(*_tri(price_heston, option=OPT, sim=SIM, tile_rows=8,
+                      scheme="qe"))
+
+
 def test_cev():
     from mc_tpu.models.cev import price_cev
     _assert_tri(*_tri(price_cev, option=OPT, sim=SIM, tile_rows=8))
