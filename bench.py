@@ -109,12 +109,12 @@ def _multi_pair(payoff, cfg, n_total, keys):
 
 
 def terminal_pair_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=K_REPS,
-                          reps=4):
+                          reps=4, rng_source="threefry13"):
     """Per-kernel device seconds of the paired terminal kernel
     (method="terminal_pair": both Box-Muller halves become paths)."""
     payoff = get_payoff("vanilla_call")
     cfg = pk.KernelConfig(n_paths=(n_paths + 1) // 2, n_steps=n_steps,
-                          tile_rows=128)
+                          tile_rows=128, rng_source=rng_source)
     n_total = jnp.uint32(n_paths)
 
     def best_of(keys):
@@ -624,10 +624,21 @@ def _full_bench():
     # draws noise; spread is recorded so round-over-round deltas in
     # BENCH_r*.json can be read against it.
     pair = guard("terminal_pair", lambda: median_of(terminal_pair_seconds, 5))
+    # Stateful-hw-PRNG variant — the apples-to-apples analogue of the
+    # reference's per-thread curandState draw (trajectories.cuh:74-75,
+    # SURVEY C3 mode (a)); threefry13 stays the reproducible default.
+    pair_hw = guard("terminal_pair_hw",
+                    lambda: median_of(
+                        lambda: terminal_pair_seconds(rng_source="hw"), 5))
     classic = guard("classic_terminal", lambda: median_of(kernel_seconds, 5))
     if pair is not None:
         extra["kernel_ms_1M_call"] = round(pair[0] * 1e3, 4)
         extra["headline_rel_spread"] = round(pair[1], 4)
+        extra["terminal_pair_paths_per_sec"] = round(N_PATHS / pair[0], 1)
+    if pair_hw is not None:
+        extra["terminal_pair_hw_paths_per_sec"] = round(
+            N_PATHS / pair_hw[0], 1)
+        extra["terminal_pair_hw_rel_spread"] = round(pair_hw[1], 4)
     if classic is not None:
         extra["kernel_ms_1M_call_classic"] = round(classic[0] * 1e3, 4)
         extra["classic_terminal_paths_per_sec"] = round(
@@ -739,10 +750,17 @@ def _full_bench():
     if errors:
         extra["row_errors"] = errors
 
-    # Headline falls back classic -> 0.0 so the line stays parseable even
-    # if the paired kernel row failed mid-run.
-    if pair is not None:
-        paths_per_sec = N_PATHS / pair[0]
+    # Headline = best of the two paired-terminal variants (hw PRNG is the
+    # reference-curandState analogue; threefry13 the reproducible
+    # default) — falls back classic -> 0.0 so the line stays parseable
+    # even if the paired kernel rows failed mid-run.
+    best_pair = min((x[0] for x in (pair, pair_hw) if x is not None),
+                    default=None)
+    if best_pair is not None:
+        paths_per_sec = N_PATHS / best_pair
+        extra["headline_variant"] = (
+            "terminal_pair_hw" if pair_hw is not None
+            and (pair is None or pair_hw[0] < pair[0]) else "terminal_pair")
     elif classic is not None:
         paths_per_sec = N_PATHS / classic[0]
         extra["headline_fallback"] = "classic_terminal"

@@ -297,9 +297,10 @@ def price(option: OptionParams = DEMO_OPTION,
         if path_offset:
             raise ValueError("terminal_pair does not take a path_offset "
                              "(element ids cover paths (2e, 2e+1))")
-        if rng_source not in ("threefry", "threefry13"):
-            raise ValueError("terminal_pair requires the counter-based "
-                             "rng (threefry13/threefry)")
+        if rng_source not in ("threefry", "threefry13", "hw"):
+            raise ValueError("terminal_pair takes rng_source threefry13/"
+                             "threefry (counter-based, reproducible) or "
+                             "'hw' (stateful TPU PRNG, fastest)")
     po.validate(option, sim.n_steps)
     if importance_shift == "auto":
         # center E[log S_T] at log K: shift = (log(K/S0) - mu T)/(sigma vT)

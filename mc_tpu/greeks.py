@@ -455,6 +455,7 @@ def heston_greeks(option=None, heston=None,
                   antithetic: bool = False,
                   tile_rows: int = 128,
                   rel_bump: float = 1e-3,
+                  scheme: str = "euler",
                   stream: int = STREAM_OUTER) -> Dict[str, Any]:
     """Heston-model sensitivities by common-random-number central
     differences (the full-truncation scheme's sqrt(v+) makes pathwise
@@ -478,7 +479,8 @@ def heston_greeks(option=None, heston=None,
 
     def f(opt, hes):
         return _price_heston_impl(opt, hes, po, sim.replace(seed=0), "xla",
-                                  antithetic, tile_rows, None, key).price
+                                  antithetic, tile_rows, None, key,
+                                  scheme=scheme).price
 
     out = {}
     for g in which:

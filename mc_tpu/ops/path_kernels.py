@@ -952,8 +952,18 @@ def _make_terminal_pair_kernel(payoff: PathPayoff, cfg: KernelConfig):
         flat = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * LANES
                 + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
         ids_e = meta_ref[0] + base + flat
-        z0, z1 = _tile_normals_threefry(key_ref[0], key_ref[1], ids_e,
-                                        0, rounds=cfg.rng_rounds)
+        if cfg.rng_source == "hw":
+            # Stateful hardware PRNG — the analogue of the reference's
+            # per-thread curandState (trajectories.cuh:74-75): seed once
+            # per tile (golden-ratio-mixed tile tag, same convention as
+            # the classic kernel) and stream raw bits.  Drops the
+            # 13-round threefry from the per-path budget entirely.
+            tile_tag = (meta_ref[0] + jnp.uint32(i)) * jnp.uint32(0x9E3779B9)
+            pltpu.prng_seed(key_ref[0] ^ tile_tag, key_ref[1])
+            z0, z1 = _tile_normals_hw(shape)
+        else:
+            z0, z1 = _tile_normals_threefry(key_ref[0], key_ref[1], ids_e,
+                                            0, rounds=cfg.rng_rounds)
         vals = _terminal_pair_vals(payoff, p, ids_e, meta_ref[1], z0, z1)
         _accumulate_moments((sum_ref, sq_ref), comp_ref, vals, i,
                             cfg.tile_rows)
@@ -973,6 +983,8 @@ def terminal_pair_partials(payoff: PathPayoff, cfg: KernelConfig, key,
     if engine not in ("pallas", "xla"):
         raise ValueError(f"unknown engine {engine!r}; use 'pallas' or "
                          "'xla'")
+    if cfg.rng_source == "hw" and engine != "pallas":
+        raise ValueError("rng_source='hw' requires engine='pallas'")
     bound = jnp.asarray(n_paths_total, jnp.uint32)
     if engine == "pallas":
         acc_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),

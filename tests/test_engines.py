@@ -311,6 +311,11 @@ def test_terminal_pair_validation():
     with pytest.raises(ValueError, match="path_offset"):
         price(method="terminal_pair", path_offset=128,
               sim=SimParams(n_paths=1024, n_steps=4))
-    with pytest.raises(ValueError, match="counter-based"):
-        price(method="terminal_pair", rng_source="hw",
+    # hw PRNG is allowed on the fast path, but only under the Mosaic
+    # engine (the stateful stream has no XLA dual).
+    with pytest.raises(ValueError, match="engine='pallas'"):
+        price(method="terminal_pair", rng_source="hw", engine="xla",
+              sim=SimParams(n_paths=1024, n_steps=4))
+    with pytest.raises(ValueError, match="rng_source"):
+        price(method="terminal_pair", rng_source="philox",
               sim=SimParams(n_paths=1024, n_steps=4))

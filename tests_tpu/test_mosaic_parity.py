@@ -456,6 +456,25 @@ def test_terminal_pair():
                       method="terminal_pair", tile_rows=8))
 
 
+def test_terminal_pair_hw():
+    """Hardware-PRNG paired terminal kernel (reference-curandState
+    analogue, trajectories.cuh:74-75): no XLA dual exists, so the gate
+    is statistical — 3.5 sigma against the exact BS oracle plus
+    cross-agreement with the threefry run."""
+    from mc_tpu import price
+    from mc_tpu.oracle import bs_call
+    sim = SimParams(n_paths=1 << 20, n_steps=10)
+    opt = OptionParams()
+    hw = price(option=opt, sim=sim, method="terminal_pair",
+               rng_source="hw", interpret=False)
+    bs = float(bs_call(opt.s0, opt.k, opt.t, opt.r, opt.sigma, opt.q))
+    assert abs(float(hw.price) - bs) <= 3.5 * float(hw.stderr)
+    tf = price(option=opt, sim=sim, method="terminal_pair",
+               interpret=False)
+    assert abs(float(hw.price) - float(tf.price)) <= 3.5 * (
+        float(hw.stderr) ** 2 + float(tf.stderr) ** 2) ** 0.5
+
+
 def test_qmc_merton():
     """Jump-diffusion QMC: Poisson counts from RAW point coordinates
     (draw_pair.unit) inside the compiled kernel, all three routes
