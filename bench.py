@@ -195,6 +195,42 @@ def heston_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4,
         k *= 4
 
 
+def bates_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4,
+                         scheme="euler"):
+    """Per-kernel device seconds of the fused Bates SVJ step kernel."""
+    from mc_tpu.models.bates import (DEMO_BATES, _bates_partials,
+                                     _pack_bates)
+    from mc_tpu.models.merton import poisson_kmax
+    payoff = get_payoff("vanilla_call")
+    cfg = pk.KernelConfig(n_paths=n_paths, n_steps=n_steps, tile_rows=128)
+    params = _pack_bates(OPT, DEMO_BATES.as_f32(), n_steps)
+    kmax = poisson_kmax(float(DEMO_BATES.lam) * float(OPT.t) / n_steps)
+
+    @jax.jit
+    def multi(keys):
+        return jnp.sum(jax.lax.map(
+            lambda key: _bates_partials(
+                payoff, cfg, kmax, key, params, engine="pallas",
+                interpret=False, scheme=scheme)[0].sum(),
+            keys))
+
+    def best_of(keys):
+        float(multi(keys))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(multi(keys))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(_keys(1))
+    while True:
+        dt = max((best_of(_keys(k)) - t1) / (k - 1), 1e-9)
+        if dt * (k - 1) > 10e-3 or k >= 512:
+            return dt
+        k *= 4
+
+
 def _model_kernel_seconds(price_scalar_fn, k=8, reps=4):
     """T(K)-T(1) differential of a model-family pricing kernel.
 
@@ -675,6 +711,7 @@ def _full_bench():
                      ("heston_qe",
                       lambda: heston_kernel_seconds(scheme="qe")),
                      ("merton", merton_kernel_seconds),
+                     ("bates", bates_kernel_seconds),
                      ("sabr", sabr_kernel_seconds),
                      ("vasicek", vasicek_kernel_seconds),
                      ("localvol", localvol_kernel_seconds)):

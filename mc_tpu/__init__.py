@@ -43,6 +43,9 @@ def __getattr__(name):
     if name in ("price_heston", "HestonDynamics", "heston_call_cf"):
         from mc_tpu.models import heston
         return getattr(heston, name)
+    if name in ("price_bates", "BatesDynamics", "bates_call_cf"):
+        from mc_tpu.models import bates
+        return getattr(bates, name)
     if name in ("price_basket", "BasketDynamics"):
         from mc_tpu.models import basket
         return getattr(basket, name)

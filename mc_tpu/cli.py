@@ -496,6 +496,29 @@ def cmd_heston(args):
     return 0
 
 
+def cmd_bates(args):
+    from mc_tpu.models.bates import (BatesDynamics, bates_call_cf,
+                                     price_bates)
+
+    option, sim = _parse(args)
+    dyn = BatesDynamics(v0=args.v0, kappa=args.kappa, theta=args.theta_v,
+                        xi=args.xi, rho=args.rho_sv, lam=args.lam,
+                        mu_j=args.mu_j, sigma_j=args.sigma_j)
+    res = price_bates(option, dyn, sim, payoff=args.payoff,
+                      engine=args.engine, scheme=args.scheme,
+                      antithetic=args.antithetic,
+                      tile_rows=args.tile_rows)
+    out = {"payoff": args.payoff, "scheme": args.scheme,
+           "price": float(res.price), "stderr": float(res.stderr)}
+    if args.payoff == "vanilla_call":
+        out["cf_oracle"] = bates_call_cf(
+            args.s0, args.k, args.t, args.r, args.v0, args.kappa,
+            args.theta_v, args.xi, args.rho_sv, args.lam, args.mu_j,
+            args.sigma_j, q=args.q)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_fx(args):
     from mc_tpu import oracle
     from mc_tpu.models.fx import FXDynamics, price_fx
@@ -1837,6 +1860,27 @@ def main(argv=None):
                    "Andersen QE (exact per-step martingale, low bias "
                    "at coarse steps)")
     p.set_defaults(fn=cmd_heston)
+
+    p = sub.add_parser("bates", help="Bates SVJ (Heston + jumps) price "
+                       "vs the factorized CF oracle")
+    _add_option_flags(p)
+    p.add_argument("--payoff", default="vanilla_call")
+    p.add_argument("--antithetic", action="store_true")
+    p.add_argument("--v0", type=float, default=0.04)
+    p.add_argument("--kappa", type=float, default=2.0)
+    p.add_argument("--theta-v", type=float, default=0.04)
+    p.add_argument("--xi", type=float, default=0.3)
+    p.add_argument("--rho-sv", type=float, default=-0.7)
+    p.add_argument("--lam", type=float, default=0.3,
+                   help="jump intensity (per year)")
+    p.add_argument("--mu-j", type=float, default=-0.10,
+                   help="mean log jump size")
+    p.add_argument("--sigma-j", type=float, default=0.15,
+                   help="std of log jump size")
+    p.add_argument("--scheme", default="euler", choices=("euler", "qe"),
+                   help="diffusion substep; jumps are exact in law "
+                   "either way")
+    p.set_defaults(fn=cmd_bates)
 
     p = sub.add_parser("fx", help="cross-currency quanto/compo/GK/flexo "
                        "price vs exact closed form")

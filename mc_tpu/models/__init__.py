@@ -3,6 +3,8 @@ from mc_tpu.models.heston import (DEMO_HESTON, HestonDynamics,
                                   heston_call_cf, price_heston)
 
 from mc_tpu.models.basket import BasketDynamics, DEMO_BASKET, price_basket
+from mc_tpu.models.bates import (DEMO_BATES, BatesDynamics, bates_call_cf,
+                                 price_bates)
 from mc_tpu.models.cev import (CEVDynamics, DEMO_CEV, cev_call_closed_form,
                                price_cev)
 from mc_tpu.models.merton import (DEMO_MERTON, MertonDynamics,
@@ -25,4 +27,5 @@ __all__ = ["GBM", "gbm_exact_terminal", "gbm_log_euler_step",
            "sabr_call_hagan", "sabr_implied_vol", "price_rainbow",
            "RAINBOW_PAYOFFS", "VasicekDynamics", "DEMO_VASICEK",
            "price_vasicek", "TermStructure", "DEMO_TERM", "price_term",
-           "LocalVolSurface", "DEMO_LOCALVOL", "price_localvol"]
+           "LocalVolSurface", "DEMO_LOCALVOL", "price_localvol",
+           "BatesDynamics", "DEMO_BATES", "bates_call_cf", "price_bates"]

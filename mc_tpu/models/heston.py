@@ -448,7 +448,10 @@ def heston_call_cf(s0, k, t, r, v0, kappa, theta, xi, rho, q=0.0,
     int2 = np.real(np.exp(-1j * u * lnk) * phi_u / (1j * u))
     p1 = 0.5 + np.trapezoid(int1, u) / np.pi
     p2 = 0.5 + np.trapezoid(int2, u) / np.pi
-    return s0 * p1 - k * np.exp(-r * t) * p2
+    # e^{-qT} on the P1 leg: price = e^{-rT}(E[S_T] P1 - K P2) and
+    # E[S_T] = s0 e^{(r-q)T}.  (Regression-gated at q != 0 against the
+    # xi -> 0 Black-Scholes limit in tests/test_heston.py.)
+    return s0 * np.exp(-q * t) * p1 - k * np.exp(-r * t) * p2
 
 
 # ---------------------------------------------------------------------------

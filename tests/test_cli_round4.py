@@ -270,3 +270,16 @@ def test_fx_cli(capsys):
     doc = json.loads(out)
     assert rc == 0 and abs(doc["z"]) < 5.0
     assert doc["oracle"] > 0
+
+
+def test_bates_cli(capsys):
+    """Bates SVJ subcommand: MC within 5 z of the factorized CF oracle,
+    for both diffusion schemes."""
+    for scheme in ("euler", "qe"):
+        rc, out = run(capsys, ["bates", "--scheme", scheme,
+                               "-N", "65536", "--n-steps", "16",
+                               "--tile-rows", "8", "--engine", "xla"])
+        doc = json.loads(out)
+        assert rc == 0
+        z = (doc["price"] - doc["cf_oracle"]) / doc["stderr"]
+        assert abs(z) < 5.0, (scheme, doc)

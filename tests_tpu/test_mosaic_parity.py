@@ -164,6 +164,18 @@ def test_heston_qe():
                       scheme="qe"))
 
 
+def test_bates():
+    """SVJ: Heston substep + branch-free Poisson inverse CDF jumps."""
+    from mc_tpu.models.bates import price_bates
+    _assert_tri(*_tri(price_bates, option=OPT, sim=SIM, tile_rows=8))
+
+
+def test_bates_qe():
+    from mc_tpu.models.bates import price_bates
+    _assert_tri(*_tri(price_bates, option=OPT, sim=SIM, tile_rows=8,
+                      scheme="qe"))
+
+
 def test_cev():
     from mc_tpu.models.cev import price_cev
     _assert_tri(*_tri(price_cev, option=OPT, sim=SIM, tile_rows=8))
