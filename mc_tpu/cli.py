@@ -336,6 +336,17 @@ def cmd_nmc(args):
                               rho=args.rho_r)
         res = price_nmc_vasicek(option, dyn, sim, payoff=args.payoff,
                                 engine=args.engine, strategy=args.strategy)
+    elif args.model == "bates":
+        if args.discount != "full":
+            raise SystemExit("--discount is fixed (full) with --model bates")
+        from mc_tpu.models.bates import BatesDynamics
+        from mc_tpu.nmc_bates import price_nmc_bates
+        dyn = BatesDynamics(v0=args.v0, kappa=args.kappa,
+                            theta=args.theta_v, xi=args.xi,
+                            rho=args.rho_sv, lam=args.lam,
+                            mu_j=args.mu_j, sigma_j=args.sigma_j)
+        res = price_nmc_bates(option, dyn, sim, payoff=args.payoff,
+                              engine=args.engine, strategy=args.strategy)
     elif args.model == "merton":
         if args.discount != "full":
             raise SystemExit("--discount is fixed (full) with --model merton")
@@ -573,7 +584,7 @@ def cmd_american(args):
         from mc_tpu.lsmc import american_exposure_family
         if args.model == "gbm":
             raise SystemExit("--exposure runs on the family engine: "
-                             "pick --model heston|cev|merton|sabr|"
+                             "pick --model heston|bates|cev|merton|sabr|"
                              "localvol|vasicek|basket|rainbow")
         dyn = None
         if args.model in ("basket", "rainbow"):
@@ -593,7 +604,7 @@ def cmd_american(args):
             out["american_cva"] = float(e.cva(args.cva_hazard))
         print(json.dumps(out))
         return 0
-    if args.model in ("cev", "merton", "sabr"):
+    if args.model in ("cev", "merton", "sabr", "bates"):
         raise SystemExit(
             f"--model {args.model}: the CLI offers --exposure for this "
             "family (prices/bounds: lsmc.price_american_family / "
@@ -833,6 +844,11 @@ def cmd_qmc(args):
             out["cf_oracle"] = float(heston_call_cf(
                 args.s0, args.k, args.t, args.r,
                 *DEMO_HESTON.astuple(), q=args.q))
+        if args.model == "bates" and args.payoff == "vanilla_call":
+            from mc_tpu.models.bates import DEMO_BATES, bates_call_cf
+            out["cf_oracle"] = float(bates_call_cf(
+                args.s0, args.k, args.t, args.r,
+                *DEMO_BATES.astuple(), q=args.q))
         print(json.dumps(out))
         return 0
     res = price_qmc(option, sim, payoff=args.payoff, family=args.family,
@@ -1794,7 +1810,7 @@ def main(argv=None):
                         "the position; needs --cva-hazard and "
                         "--strategy grid)")
     p.add_argument("--model",
-                   choices=("gbm", "heston", "merton", "vasicek",
+                   choices=("gbm", "heston", "bates", "merton", "vasicek",
                             "localvol", "cev", "basket", "sabr", "term",
                             "rainbow"),
                    default="gbm")
@@ -1910,7 +1926,7 @@ def main(argv=None):
                    help="frozen-policy pathwise delta/vega (+ CRR-FD "
                         "reference for gbm vanilla)")
     p.add_argument("--model",
-                   choices=("gbm", "heston", "basket", "vasicek",
+                   choices=("gbm", "heston", "bates", "basket", "vasicek",
                             "localvol", "rainbow", "cev", "merton",
                             "sabr"),
                    default="gbm")
@@ -1971,7 +1987,7 @@ def main(argv=None):
     p.add_argument("--family", choices=("lattice", "sobol"),
                    default="lattice")
     p.add_argument("--model",
-                   choices=("gbm", "heston", "basket", "cev", "sabr",
+                   choices=("gbm", "heston", "bates", "basket", "cev", "sabr",
                             "localvol", "vasicek", "merton", "term"),
                    default="gbm",
                    help="drive a model family's step loop from the "
@@ -2287,7 +2303,7 @@ def main(argv=None):
                                     "at the increment level)")
     _add_option_flags(p)
     p.add_argument("--model", default="heston",
-                   choices=["heston", "cev", "sabr", "vasicek", "basket",
+                   choices=["heston", "bates", "cev", "sabr", "vasicek", "basket",
                             "merton"])
     p.add_argument("--payoff", default="vanilla_call")
     p.add_argument("--n0", type=int, default=4)

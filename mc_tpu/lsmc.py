@@ -1370,8 +1370,8 @@ def american_bounds_family(model: str,
     built from the SAME fitted policy with family-physics rollouts.
     """
     from mc_tpu.nmc_engine import NMC_FAMILY_BUILDERS, ensure_family
-    _DUAL_MODELS = ("heston", "merton", "cev", "localvol", "sabr",
-                    "vasicek", "basket", "rainbow")  # term: no dual yet
+    _DUAL_MODELS = ("heston", "bates", "merton", "cev", "localvol",
+                    "sabr", "vasicek", "basket", "rainbow")  # term: no dual yet
     if model not in _DUAL_MODELS:
         raise ValueError(f"american_bounds_family supports "
                          f"{_DUAL_MODELS}, got {model!r}")
@@ -1551,8 +1551,8 @@ def american_exposure_family(model: str,
     key by GLOBAL path id, so the exposure matrix is BITWISE the
     single-chip one on any mesh size."""
     from mc_tpu.nmc_engine import NMC_FAMILY_BUILDERS, ensure_family
-    _DUAL_MODELS = ("heston", "merton", "cev", "localvol", "sabr",
-                    "vasicek", "basket", "rainbow")
+    _DUAL_MODELS = ("heston", "bates", "merton", "cev", "localvol",
+                    "sabr", "vasicek", "basket", "rainbow")
     if model not in _DUAL_MODELS:
         raise ValueError(f"american_exposure_family supports "
                          f"{_DUAL_MODELS}, got {model!r}")

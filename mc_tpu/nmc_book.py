@@ -212,8 +212,8 @@ def price_nmc_book(options: OptionParams,
     tag = ()
     if model != "gbm":
         from mc_tpu.nmc_engine import NMC_FAMILY_BUILDERS, ensure_family
-        _BOOK_MODELS = ("heston", "merton", "cev", "localvol", "sabr",
-                        "vasicek", "basket")  # rainbow/term: no book form
+        _BOOK_MODELS = ("heston", "bates", "merton", "cev", "localvol",
+                        "sabr", "vasicek", "basket")  # rainbow/term: no book form
         if model not in _BOOK_MODELS:
             raise ValueError(f"unknown book model {model!r}; available: "
                              f"('gbm',) + {_BOOK_MODELS}")

@@ -655,6 +655,7 @@ def register_nmc_family(name: str, price_fn, builder=None) -> None:
 # name -> defining module, for lazy registration (families register on
 # import; consumers that dispatch by NAME call ensure_family first).
 FAMILY_MODULES = {"heston": "mc_tpu.nmc_heston",
+                  "bates": "mc_tpu.nmc_bates",
                   "merton": "mc_tpu.nmc_merton",
                   "cev": "mc_tpu.nmc_cev",
                   "localvol": "mc_tpu.nmc_localvol",

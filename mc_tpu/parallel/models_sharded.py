@@ -127,6 +127,31 @@ def _build_merton(payoff, cfg, option, dyn, n_steps, engine, interpret,
     return params, partials
 
 
+def _def_bates():
+    from mc_tpu.models.bates import DEMO_BATES
+
+    def prepare(option, dyn, sim):
+        from mc_tpu.models.merton import poisson_kmax
+        return dyn, poisson_kmax(float(dyn.lam) * float(option.t)
+                                 / sim.n_steps)
+
+    return ShardedModel(
+        tag=0xBA7E, default_dyn=lambda sim: DEMO_BATES,
+        build=_build_bates, prepare=prepare)
+
+
+def _build_bates(payoff, cfg, option, dyn, n_steps, engine, interpret,
+                 kmax):
+    from mc_tpu.models.bates import _bates_partials, _pack_bates
+    params = _pack_bates(option, dyn, n_steps)
+
+    def partials(key, params, offset, bound):
+        return _bates_partials(payoff, cfg, kmax, key, params, offset,
+                               bound, engine, interpret)
+
+    return params, partials
+
+
 def _def_sabr():
     from mc_tpu.models.sabr import DEMO_SABR
     return ShardedModel(
@@ -284,7 +309,8 @@ def _build_localvol(payoff, cfg, option, dyn, n_steps, engine, interpret,
 # Registry: model name -> lazy ShardedModel definition.  Lazy so that
 # importing mc_tpu.parallel stays cheap (model modules import on use).
 _MODEL_DEFS: dict = {
-    "heston": _def_heston, "cev": _def_cev, "merton": _def_merton,
+    "heston": _def_heston, "bates": _def_bates, "cev": _def_cev,
+    "merton": _def_merton,
     "sabr": _def_sabr, "rainbow": _def_rainbow, "vasicek": _def_vasicek,
     "term": _def_term, "localvol": _def_localvol, "fx": _def_fx,
 }

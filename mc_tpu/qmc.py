@@ -724,6 +724,25 @@ def _model_qmc_hooks(model: str, dyn, n_steps: int, t: float = 1.0,
             return _merton_leg(payoff, n_steps, kmax, p, s0, draw3)
 
         return _pack_merton, leg, 3 * n_steps
+    if model == "bates":
+        from mc_tpu.models.bates import (_bates_euler_leg, _pack_bates,
+                                         _unpack_bates)
+        from mc_tpu.models.merton import poisson_kmax
+        if not kmax:  # traced dyn (jitted impls) must pass it statically
+            kmax = poisson_kmax(float(dyn.lam) * float(t) / n_steps)
+
+        def leg(payoff, params, ids, draw_pair):
+            p = _unpack_bates(params)
+            s0 = jnp.full(ids.shape, 1.0, jnp.float32) * p.s0
+            # step j: pair 3j -> dims (6j, 6j+1) diffusion normals,
+            # pair 3j+1 -> dims (6j+2, 6j+3) jump-size normal, raw
+            # uniform at dim 6j+4 (Poisson count via discrete inverse
+            # CDF on the RAW point — same rationale as Merton's)
+            draw_unit = lambda c: draw_pair.unit(2 * c)
+            return _bates_euler_leg(payoff, n_steps, kmax, p, s0,
+                                    draw_pair, draw_unit)
+
+        return _pack_bates, leg, 6 * n_steps
     if model == "term":
         from mc_tpu.models.term import (_HDR, _pack_term,
                                         _term_leg, _unpack_term_head)
@@ -737,9 +756,9 @@ def _model_qmc_hooks(model: str, dyn, n_steps: int, t: float = 1.0,
                              drift_at, vol_at)
 
         return _pack_term, leg, n_steps  # one pair per 2 steps
-    raise ValueError(f"QMC model must be one of 'heston', 'basket', "
-                     f"'cev', 'sabr', 'localvol', 'vasicek', 'merton', "
-                     f"'term'; got {model!r}")
+    raise ValueError(f"QMC model must be one of 'heston', 'bates', "
+                     f"'basket', 'cev', 'sabr', 'localvol', 'vasicek', "
+                     f"'merton', 'term'; got {model!r}")
 
 
 def _model_qmc_discount(model, option, dyn):
@@ -880,8 +899,9 @@ def price_qmc_model(model: str,
                     gamma: float = 0.1,
                     stream: int = STREAM_OUTER,
                     interpret: Optional[bool] = None) -> PriceResult:
-    """Randomized-QMC price under a model family ("heston" | "basket" |
-    "cev" | "sabr" | "localvol" | "vasicek" | "merton" | "term").
+    """Randomized-QMC price under a model family ("heston" | "bates" |
+    "basket" | "cev" | "sabr" | "localvol" | "vasicek" | "merton" |
+    "term").
 
     Dimension layout: QMC pair m supplies the normals the model leg
     draws as pair m — Heston uses 2*n_steps dimensions (z_v, z_perp per
@@ -896,7 +916,7 @@ def price_qmc_model(model: str,
         engine=engine, family=family, tile_rows=tile_rows, gamma=gamma,
         stream=stream)
     kmax = 0
-    if model == "merton":
+    if model in ("merton", "bates"):
         from mc_tpu.models.merton import poisson_kmax
         kmax = poisson_kmax(float(dyn32.lam) * float(option.t)
                             / sim.n_steps)
@@ -957,6 +977,10 @@ def _qmc_model_pointset(model, option, dyn, sim, *, payoff, n_shifts,
         if sim.n_steps % 2:
             raise ValueError("merton requires an even n_steps "
                              "(pair-consuming step loop)")
+    elif model == "bates":
+        from mc_tpu.models.bates import DEMO_BATES
+        dyn = (DEMO_BATES if dyn is None else dyn).as_f32()
+        d_assets = 0
     elif model == "term":
         from mc_tpu.models.term import TermStructure
         if dyn is None:
@@ -971,9 +995,9 @@ def _qmc_model_pointset(model, option, dyn, sim, *, payoff, n_shifts,
             raise ValueError("term requires an even n_steps "
                              "(pair-consuming step loop)")
     else:
-        raise ValueError(f"QMC model must be one of 'heston', 'basket', "
-                         f"'cev', 'sabr', 'localvol', 'vasicek', "
-                         f"'merton', 'term'; got {model!r}")
+        raise ValueError(f"QMC model must be one of 'heston', 'bates', "
+                         f"'basket', 'cev', 'sabr', 'localvol', "
+                         f"'vasicek', 'merton', 'term'; got {model!r}")
     if engine not in ("pallas", "xla"):
         raise ValueError(f"unknown engine {engine!r}; use 'pallas' or "
                          "'xla'")
@@ -1081,7 +1105,7 @@ def price_qmc_model_sharded(model: str,
     po, dyn32, d_assets, n, zvec, shifts = _qmc_model_pointset(
         model, option, dyn, sim, **kwargs)
     kmax = 0
-    if model == "merton":
+    if model in ("merton", "bates"):
         from mc_tpu.models.merton import poisson_kmax
         kmax = poisson_kmax(float(dyn32.lam) * float(option.t)
                             / sim.n_steps)
