@@ -17,10 +17,27 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The XLA:CPU AOT loader logs a spurious machine-feature-mismatch error
+# for every cache hit (the synthetic +prefer-no-gather/-scatter tuning
+# flags are recorded as compile-machine "features" but never appear in
+# host feature detection on the SAME box); silence C++ logs below FATAL.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache (round-4 verdict item 2): the suite is
+# XLA:CPU compile-time bound, and `_clear_jax_caches_between_modules`
+# below deliberately drops the in-memory executables — without a disk
+# cache every module re-pays its compiles on every run.  Warm-cache runs
+# load AOT results instead (measured 2-5x on compile-heavy modules).
+# Keyed by jax version + topology, so upgrades invalidate cleanly.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import pytest  # noqa: E402
 
@@ -297,6 +314,11 @@ SLOW_TESTS = {
     "test_risk_rates.py::test_mc_matches_jamshidian_revaluation",  # 7s
     "test_risk_rates.py::test_g2_curve_pnl_matches_oracle_and_hw_limit",
     "test_risk.py::test_heston_scenario_pnl_matches_cf_and_gbm_limit",  # 16s
+    # --- round-5 additions (bates coverage, advisor findings) ---------
+    "test_mlmc_family.py::test_bates_mlmc_matches_cf_oracle",  # 11s
+    "test_qmc.py::test_qmc_bates_matches_cf_oracle",  # 30s
+    "test_nmc_bates.py::test_engines_bitwise",  # 6s
+    "test_nmc_bates.py::test_jumps_fatten_pfe_beyond_matched_vol_heston",
 }
 
 
