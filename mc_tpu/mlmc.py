@@ -300,6 +300,21 @@ _MLMC_EXCLUDED = {
 }
 
 
+# Families whose builders derive a STATIC Poisson scan depth (fam.kmax)
+# from sim.n_steps.  Their builder must see the COARSEST grid n0 — the
+# per-step jump intensity lam*T/n0 is the largest any MLMC leg sees, and
+# a deeper scan is correct (identical counts) everywhere.  Keying bates
+# off fines[-1] truncated the coarse legs' jump-count distribution
+# (kmax=4 used vs 7 required at lam=0.3, n0=4, 5 levels), biasing the
+# telescope — round-4 advisor finding.
+_KMAX_FAMILIES = ("merton", "bates")
+
+
+def _family_builder_steps(model: str, n0: int, fines) -> int:
+    """Step count handed to the family builder (>= 2 for scheme setup)."""
+    return max(n0 if model in _KMAX_FAMILIES else fines[-1], 2)
+
+
 def _mk_rollout_draws(k0, k1, ids, pps, u):
     """Per-step draws at counter base u*pps — the lsmc rollout
     convention (lsmc.py mk_draw) minus the branch axis."""
@@ -556,10 +571,7 @@ def price_mlmc_family(model: str,
         raise ValueError(f"n0 must be >= 1, got {n0}")
     opt32 = option.as_f32()
     fines = tuple(n0 * (1 << l) for l in range(n_levels))
-    # merton's static Poisson scan depth (fam.kmax) must cover the
-    # COARSEST grid's per-step intensity lam*T/n0 — the largest any
-    # leg sees; a deeper scan is correct (identical counts) everywhere
-    builder_steps = max(n0 if model == "merton" else fines[-1], 2)
+    builder_steps = _family_builder_steps(model, n0, fines)
     fam, dyn32 = NMC_FAMILY_BUILDERS[model](
         opt32, dyn, SimParams(n_paths=tile_rows * LANES,
                               n_steps=builder_steps))

@@ -166,3 +166,47 @@ def test_merton_asian_coupling_decays_and_matches_fine_grid():
                        payoff="asian_call", engine="xla")
     joint = np.hypot(r.stderr, float(ref.stderr))
     assert abs(r.price - float(ref.price)) <= 4.0 * joint
+
+
+def test_jump_family_kmax_covers_the_coarsest_grid():
+    """Regression (round-4 advisor): the static Poisson scan depth used
+    by EVERY level must cover the COARSEST grid's per-step intensity
+    lam*T/n0.  Keying bates' builder off the finest grid gave kmax=4
+    where the coarse legs need 7 (lam=0.3, n0=4, 5 levels), truncating
+    the coarse jump-count distribution and biasing the telescope."""
+    from mc_tpu.config import SimParams
+    from mc_tpu.mlmc import _family_builder_steps
+    from mc_tpu.models.merton import poisson_kmax
+    from mc_tpu.nmc_engine import NMC_FAMILY_BUILDERS, ensure_family
+
+    n0, n_levels = 4, 5
+    fines = tuple(n0 * (1 << l) for l in range(n_levels))
+    for model in ("merton", "bates"):
+        ensure_family(model)
+        steps = _family_builder_steps(model, n0, fines)
+        assert steps == n0
+        opt = OptionParams().as_f32()
+        fam, dyn32 = NMC_FAMILY_BUILDERS[model](
+            opt, None, SimParams(n_paths=1024, n_steps=steps))
+        need = poisson_kmax(float(dyn32.lam) * float(opt.t) / n0)
+        assert fam.kmax >= need, (model, fam.kmax, need)
+    # diffusion families still key off the finest grid (scheme tables)
+    assert _family_builder_steps("heston", n0, fines) == fines[-1]
+
+
+def test_bates_mlmc_matches_cf_oracle():
+    """MLMC telescope under Bates gates against the factorized CF oracle
+    (jump part exact in law per step; Heston substep Euler-biased)."""
+    from mc_tpu.models.bates import DEMO_BATES, bates_call_cf
+
+    res = price_mlmc_family("bates", OptionParams(), n0=4, n_levels=4,
+                            n_pilot=20_000,
+                            n_per_level=(150_000, 40_000, 16_000, 8_000),
+                            tile_rows=8)
+    d = DEMO_BATES
+    ref = float(bates_call_cf(100.0, 100.0, 1.0, 0.1, d.v0, d.kappa,
+                              d.theta, d.xi, d.rho, d.lam, d.mu_j,
+                              d.sigma_j))
+    tol = 4.0 * res.stderr + 0.02 * ref  # finest level = 32 substeps
+    assert abs(res.price - ref) <= tol, (res.price, ref, tol)
+    assert res.variance_decay_rate() > 0.5
