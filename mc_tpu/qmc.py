@@ -734,15 +734,28 @@ def _model_qmc_hooks(model: str, dyn, n_steps: int, t: float = 1.0,
         def leg(payoff, params, ids, draw_pair):
             p = _unpack_bates(params)
             s0 = jnp.full(ids.shape, 1.0, jnp.float32) * p.s0
-            # step j: pair 3j -> dims (6j, 6j+1) diffusion normals,
-            # pair 3j+1 -> dims (6j+2, 6j+3) jump-size normal, raw
-            # uniform at dim 6j+4 (Poisson count via discrete inverse
-            # CDF on the RAW point — same rationale as Merton's)
-            draw_unit = lambda c: draw_pair.unit(2 * c)
-            return _bates_euler_leg(payoff, n_steps, kmax, p, s0,
-                                    draw_pair, draw_unit)
 
-        return _pack_bates, leg, 6 * n_steps
+            # Packed 4-dims-per-step layout (round-4 advisor finding —
+            # the old 6-per-step one left dim 6j+5 unconsumed and
+            # discarded the normal at 6j+3, inflating the effective
+            # dimension by half).  Step j: dims (4j, 4j+1) = diffusion
+            # pair 2j; dim 4j+2 = jump-size normal (first of pair
+            # 2j+1); dim 4j+3 = RAW uniform for the Poisson count
+            # (discrete inverse CDF on the raw point, same rationale
+            # as Merton's).  The leg indexes draws by its MC counter
+            # layout (pairs 3j/3j+1, unit 3j+2, traced j), remapped
+            # arithmetically here.
+            def qmc_pair(m):  # m in {3j, 3j+1} -> pairs {2j, 2j+1}
+                j = m // 3
+                return draw_pair(2 * j + (m - 3 * j))
+
+            def qmc_unit(c):  # c = 3j+2 -> raw dim 4j+3
+                return draw_pair.unit(4 * (c // 3) + 3)
+
+            return _bates_euler_leg(payoff, n_steps, kmax, p, s0,
+                                    qmc_pair, qmc_unit)
+
+        return _pack_bates, leg, 4 * n_steps
     if model == "term":
         from mc_tpu.models.term import (_HDR, _pack_term,
                                         _term_leg, _unpack_term_head)

@@ -396,6 +396,29 @@ def test_qmc_vasicek_matches_mc():
     assert float(q.stderr) < 0.7 * float(mc.stderr)
 
 
+def test_qmc_bates_matches_cf_oracle():
+    """SVJ QMC on the packed 4-dims-per-step layout (round-4 advisor
+    finding: the old 6-per-step layout left a third of the allocated
+    dimensions dead): gated on the factorized Bates CF oracle with a
+    variance-reduction check against plain MC."""
+    from mc_tpu.models.bates import DEMO_BATES, bates_call_cf, price_bates
+    from mc_tpu.qmc import price_qmc_model
+    sim = SimParams(n_paths=1 << 14, n_steps=16)
+    d = DEMO_BATES
+    q = price_qmc_model("bates", sim=sim, n_shifts=8, engine="xla")
+    ref = float(bates_call_cf(100.0, 100.0, 1.0, 0.1, d.v0, d.kappa,
+                              d.theta, d.xi, d.rho, d.lam, d.mu_j,
+                              d.sigma_j))
+    # Euler diffusion bias at 16 steps + QMC stderr
+    assert abs(float(q.price) - ref) <= 4.0 * float(q.stderr) + 0.02 * ref
+    mc = price_bates(sim=SimParams(n_paths=1 << 17, n_steps=16),
+                     engine="xla")
+    # equal-budget comparison: per-point efficiency must beat MC
+    se_mc_at_qmc_budget = float(mc.stderr) * (
+        (1 << 17) / (sim.n_paths * 8)) ** 0.5
+    assert float(q.stderr) < se_mc_at_qmc_budget
+
+
 def test_qmc_merton_matches_series_oracle():
     """Jump-diffusion QMC: Poisson counts from RAW QMC uniforms
     (draw_pair.unit), sizes/diffusion from inverse-CDF normals; price
@@ -430,7 +453,7 @@ def test_qmc_term_matches_exact():
 def test_qmc_new_model_engines_bitwise():
     sim = SimParams(n_paths=1 << 12, n_steps=8)
     from mc_tpu.qmc import price_qmc_model
-    for model in ("vasicek", "merton", "term"):
+    for model in ("vasicek", "merton", "term", "bates"):
         a = price_qmc_model(model, sim=sim, n_shifts=4, engine="pallas",
                             tile_rows=8)
         b = price_qmc_model(model, sim=sim, n_shifts=4, engine="xla",
@@ -445,7 +468,7 @@ def test_qmc_new_models_sharded_bitwise():
     from mc_tpu.parallel import make_mesh, price_qmc_model_sharded
     from mc_tpu.qmc import price_qmc_model
     sim = SimParams(n_paths=1 << 12, n_steps=8)
-    for model in ("vasicek", "merton", "term"):
+    for model in ("vasicek", "merton", "term", "bates"):
         single = price_qmc_model(model, sim=sim, n_shifts=4,
                                  engine="xla", tile_rows=8)
         m2 = price_qmc_model_sharded(model, sim=sim, n_shifts=4,
