@@ -70,19 +70,12 @@ DEMO_SWAPTION = SwaptionSpec()
 
 def _exact_xy_coeffs(a, sigma_r, dt):
     """Cholesky of the exact (eps, eta) covariance over one step of
-    size ``dt`` — the 2x2 rates block of models/vasicek._pack_vasicek."""
-    e1 = jnp.exp(-a * dt)
-    big_b = -jnp.expm1(-a * dt) / a
-    c2 = -jnp.expm1(-2.0 * a * dt) / (2.0 * a)
-    sr2 = sigma_r * sigma_r
-    c00 = sr2 * c2
-    c10 = (sr2 / a) * (big_b - c2)
-    c11 = (sr2 / (a * a)) * (dt - 2.0 * big_b + c2)
-    jit2 = 1e-6 * (c00 + c11) / 2.0
-    l11 = jnp.sqrt(c00 + jit2)
-    l21 = c10 / l11
-    l22 = jnp.sqrt(jnp.maximum(c11 + jit2 - l21 * l21, 1e-30))
-    return e1, big_b, l11, l21, l22
+    size ``dt`` — the 2x2 rates block of models/vasicek._pack_vasicek,
+    in `vasicek.ou_chol2`'s cancellation-free closed form (the textbook
+    c11 - l21^2 discriminant loses (a dt)^-2 relative digits in f32 and
+    went NaN on the TPU backend — see `vasicek.ou_gap`)."""
+    from mc_tpu.models.vasicek import ou_chol2
+    return ou_chol2(a, sigma_r, dt)
 
 
 def _zcb_affine(a, b, sigma_r, s, r):
@@ -162,6 +155,13 @@ def _european_impl(spec, a, b, sigma_r, r0, n_paths, key,
 # pair, exact (r, int r) draw, affine bond loop, pathwise discount, Kahan
 # moment slabs) + its bitwise XLA dual; same stream and per-path op order
 # as `_european_impl`, agreement to summation order.
+#
+# NOTE (round 5, measured on-chip): "bitwise dual" binds the interpret
+# and XLA paths (same trace).  The COMPILED Mosaic kernel is held to
+# <= ~4 ulp of the dual instead: Mosaic's fma contraction inside the
+# lowered transcendentals is context-dependent (with intermediates
+# materialized the compiled kernel matches bit-for-bit; fused, ~15% of
+# paths drift 1 ulp) — tests_tpu/test_rates_device.py gates the bound.
 # ---------------------------------------------------------------------------
 
 _VA_SWPT_HEADER = 10  # x0, e1, bigB, l11, l21, l22, b*dt, K*tau, sign, b

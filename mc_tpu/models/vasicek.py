@@ -84,34 +84,75 @@ _VAS_FIELDS = ("s0", "k", "r", "barrier", "p1", "p2", "t", "dt",
                "l33")
 
 
+def ou_gap(x):
+    """G(x) = x - 2 tanh(x/2): the exact-OU conditional-variance factor.
+
+    Var[eta | eps] over one step is (sigma_r^2 / a^3) * G(a*dt), and the
+    eps-orthogonal (eta, u) covariance is rho*sigma_s*sigma_r/a^2 * G —
+    the SAME function (g == h algebraically; both reduce to
+    x - 2 tanh(x/2)).  G ~ x^3/12 vanishes three orders faster than the
+    covariance entries it is assembled from, so the textbook
+    c11 - c10^2/c00 form loses ~x^-2 relative digits in f32 —
+    catastrophic at per-step x = a*dt (measured: the discriminant went
+    NEGATIVE on the TPU backend at n_steps=16, the 1e-30 floor made
+    l22 ~ 1e-15, and the l32 division exploded the kernel to NaN on
+    every engine).  Stable split: Maclaurin through x^9 below 0.5
+    (truncation < 5e-7 rel), the closed tanh form above (cancellation
+    amplification x/G < 50 at the crossover).
+    """
+    x2 = x * x
+    series = x * x2 * (1.0 / 12.0 + x2 * (
+        -1.0 / 120.0 + x2 * (17.0 / 20160.0 + x2 * (-31.0 / 362880.0))))
+    direct = x - 2.0 * jnp.tanh(0.5 * x)
+    return jnp.where(x < 0.5, series, direct)
+
+
+def ou_chol2(a, sigma_r, dt):
+    """(e1, big_b, l11, l21, l22): exact-OU step decay, B(dt), and the
+    Cholesky of the exact (eps, eta) = (OU increment, integrated-OU
+    increment) covariance — every entry in cancellation-free closed
+    form:
+
+        B - c2 = v^2 / (2a)            (v = 1 - e^{-a dt}, exact algebra)
+        Var[eta | eps] = sigma_r^2 G(a dt) / a^3   (`ou_gap`)
+
+    Shared by `_pack_vasicek` and the swaption/hullwhite expiry draw
+    (`swaption._exact_xy_coeffs` delegates here).
+    """
+    x = a * dt
+    u = jnp.exp(-x)
+    v = -jnp.expm1(-x)
+    c2 = -jnp.expm1(-2.0 * x) / (2.0 * a)
+    sqrt_c2 = jnp.sqrt(c2)
+    big_b = v / a
+    l11 = sigma_r * sqrt_c2
+    l21 = sigma_r * v * v / (2.0 * a * a * sqrt_c2)
+    l22 = (sigma_r / a) * jnp.sqrt(ou_gap(x) / a)
+    return u, big_b, l11, l21, l22
+
+
 def _pack_vasicek(option, dyn, n_steps):
     s0, t, k, r0, sigma_s, barrier, p1, p2, q = (
         jnp.float32(v) for v in option.astuple())
     a, b, sigma_r, rho = (jnp.float32(v) for v in dyn.astuple())
     n = jnp.float32(n_steps)
     dt = t / n
-    e1 = jnp.exp(-a * dt)
-    big_b = -jnp.expm1(-a * dt) / a
-    c2 = -jnp.expm1(-2.0 * a * dt) / (2.0 * a)
-    sr2 = sigma_r * sigma_r
-    # covariance of (eps, eta, u) — see module docstring
-    c00 = sr2 * c2
-    c10 = (sr2 / a) * (big_b - c2)
-    c11 = (sr2 / (a * a)) * (dt - 2 * big_b + c2)
-    c20 = rho * sigma_s * sigma_r * big_b
-    c21 = rho * sigma_s * (sigma_r / a) * (dt - big_b)
-    c22 = sigma_s * sigma_s * dt
-    # relative jitter keeps the Cholesky finite at rho = +-1 (rank-2
-    # covariance) and guards f32 rounding of the tiny eta variance.
-    # Unrolled scalar Cholesky — jnp.linalg.cholesky's TPU custom call
-    # costs ~1.5 ms of invocation latency (see basket.chol_scalars).
-    jit3 = 1e-6 * (c00 + c11 + c22) / 3.0
-    l11 = jnp.sqrt(c00 + jit3)
-    l21 = c10 / l11
-    l22 = jnp.sqrt(jnp.maximum(c11 + jit3 - l21 * l21, 1e-30))
-    l31 = c20 / l11
-    l32 = (c21 - l31 * l21) / l22
-    l33 = jnp.sqrt(jnp.maximum(c22 + jit3 - l31 * l31 - l32 * l32, 1e-30))
+    # Cholesky of the exact (eps, eta, u) covariance (module docstring)
+    # in closed cancellation-free form — the spot row simplifies all the
+    # way down: l31^2 + l32^2 == rho^2 sigma_s^2 dt exactly, so
+    # l33 = sigma_s sqrt(dt) sqrt(1 - rho^2) (rank-2 at rho = +-1 is
+    # exact, no jitter needed).  Unrolled scalars — jnp.linalg.cholesky's
+    # TPU custom call costs ~1.5 ms of invocation latency (see
+    # basket.chol_scalars).
+    e1, big_b, l11, l21, l22 = ou_chol2(a, sigma_r, dt)
+    x = a * dt
+    gx = ou_gap(x)
+    c2 = -jnp.expm1(-2.0 * x) / (2.0 * a)
+    v = -jnp.expm1(-x)
+    l31 = rho * sigma_s * v / (a * jnp.sqrt(c2))
+    l32 = rho * sigma_s * jnp.sqrt(gx / a)
+    l33 = (sigma_s * jnp.sqrt(dt)
+           * jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0)))
     vals = dict(s0=s0, k=k, r=r0, barrier=barrier, p1=p1, p2=p2, t=t,
                 dt=dt, inv_n_steps=1.0 / n, sqrt_dt=jnp.sqrt(dt),
                 sigma=sigma_s, x0=r0 - b, bdt=b * dt, e1=e1, big_b=big_b,
@@ -178,12 +219,18 @@ def _vasicek_leg(payoff, n_steps: int, p, s0, draw_pair,
 
 
 def _vasicek_tile(payoff, n_steps, antithetic, p, ids, valid, k0, k1,
-                  bitcast):
+                  bitcast, rng_source="threefry13", hw_tag=None):
     shape = ids.shape
 
-    def draw_pair(m):
-        c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
-        return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast)
+    if rng_source == "hw":
+        draw_pair, _ = pk.hw_model_draws(shape, k0, k1, hw_tag)
+    else:
+        rounds = 13 if rng_source == "threefry13" else 20
+
+        def draw_pair(m):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
+            return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast,
+                                   rounds=rounds)
 
     s0 = jnp.full(shape, p.s0, jnp.float32)
     pay = _vasicek_leg(payoff, n_steps, p, s0, draw_pair)
@@ -207,7 +254,9 @@ def _make_vasicek_kernel(payoff, cfg: pk.KernelConfig):
         ids = meta_ref[0] + base + flat
         valid = ids < meta_ref[1]
         pay = _vasicek_tile(payoff, cfg.n_steps, cfg.antithetic, p, ids,
-                            valid, key_ref[0], key_ref[1], pltpu.bitcast)
+                            valid, key_ref[0], key_ref[1], pltpu.bitcast,
+                            rng_source=cfg.rng_source,
+                            hw_tag=meta_ref[0] + jnp.uint32(i))
         pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
                                [pay, pay * pay], i, cfg.tile_rows)
 
@@ -251,13 +300,16 @@ def _vasicek_partials(payoff, cfg, key, params, path_offset=0,
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "sim", "engine", "antithetic", "tile_rows",
-                     "interpret"))
+                     "interpret", "rng_source"))
 def _price_vasicek_impl(option, dyn, payoff, sim, engine, antithetic,
-                        tile_rows, interpret, key):
+                        tile_rows, interpret, key,
+                        rng_source="threefry13"):
     if interpret is None:
         interpret = use_interpret()
+    pk.check_hw_rng(rng_source, engine, antithetic)
     cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
-                          tile_rows=tile_rows, antithetic=antithetic)
+                          tile_rows=tile_rows, antithetic=antithetic,
+                          rng_source=rng_source)
     params = _pack_vasicek(option, dyn, sim.n_steps)
     s, sq = _vasicek_partials(payoff, cfg, key, params, engine=engine,
                               interpret=interpret)
@@ -277,6 +329,7 @@ def price_vasicek(option: OptionParams = DEMO_OPTION,
                   tile_rows: int = 128,
                   stream: int = STREAM_OUTER,
                   key=None,
+                  rng_source: str = "threefry13",
                   interpret: Optional[bool] = None) -> PriceResult:
     """Monte Carlo price under Black-Scholes–Vasicek stochastic rates.
 
@@ -297,7 +350,8 @@ def price_vasicek(option: OptionParams = DEMO_OPTION,
                           jnp.uint32)
     return _price_vasicek_impl(option.as_f32(), dyn.as_f32(), po,
                                sim.replace(seed=0), engine, antithetic,
-                               tile_rows, interpret, key)
+                               tile_rows, interpret, key,
+                               rng_source=rng_source)
 
 
 # ---------------------------------------------------------------------------
