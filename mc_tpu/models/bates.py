@@ -200,17 +200,24 @@ def _bates_qe_leg(payoff, n_steps: int, kmax: int, p, s0, draw_pair,
 
 
 def _bates_tile(payoff, n_steps, kmax, antithetic, p, ids, valid,
-                k0, k1, bitcast, scheme="euler"):
+                k0, k1, bitcast, scheme="euler", rng_source="threefry13",
+                hw_tag=None):
     shape = ids.shape
 
-    def draw_pair(j):
-        c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(j, jnp.uint32)
-        return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast)
+    if rng_source == "hw":
+        draw_pair, draw_unit = pk.hw_model_draws(shape, k0, k1, hw_tag)
+    else:
+        rounds = 13 if rng_source == "threefry13" else 20
 
-    def draw_unit(j):
-        c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(j, jnp.uint32)
-        b0, _ = rng.threefry2x32(k0, k1, ids, c1, rounds=rng.DEFAULT_ROUNDS)
-        return rng.bits_to_unit(b0, bitcast)
+        def draw_pair(j):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(j, jnp.uint32)
+            return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast,
+                                   rounds=rounds)
+
+        def draw_unit(j):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(j, jnp.uint32)
+            b0, _ = rng.threefry2x32(k0, k1, ids, c1, rounds=rounds)
+            return rng.bits_to_unit(b0, bitcast)
 
     s0 = jnp.full(shape, p.s0, jnp.float32)
     leg = _bates_qe_leg if scheme == "qe" else _bates_euler_leg
@@ -238,7 +245,9 @@ def _make_bates_kernel(payoff, cfg: pk.KernelConfig, kmax: int,
         valid = ids < meta_ref[1]
         pay = _bates_tile(payoff, cfg.n_steps, kmax, cfg.antithetic, p,
                           ids, valid, key_ref[0], key_ref[1],
-                          pltpu.bitcast, scheme=scheme)
+                          pltpu.bitcast, scheme=scheme,
+                          rng_source=cfg.rng_source,
+                          hw_tag=meta_ref[0] + jnp.uint32(i))
         pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
                                [pay, pay * pay], i, cfg.tile_rows)
 
@@ -284,13 +293,16 @@ def _bates_partials(payoff, cfg, kmax, key, params, path_offset=0,
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "sim", "kmax", "engine", "antithetic",
-                     "tile_rows", "interpret", "scheme"))
+                     "tile_rows", "interpret", "scheme", "rng_source"))
 def _price_bates_impl(option, dyn, payoff, sim, kmax, engine, antithetic,
-                      tile_rows, interpret, key, scheme="euler"):
+                      tile_rows, interpret, key, scheme="euler",
+                      rng_source="threefry13"):
     if interpret is None:
         interpret = use_interpret()
+    pk.check_hw_rng(rng_source, engine, antithetic)
     cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
-                          tile_rows=tile_rows, antithetic=antithetic)
+                          tile_rows=tile_rows, antithetic=antithetic,
+                          rng_source=rng_source)
     params = _pack_bates(option, dyn, sim.n_steps)
     s, sq = _bates_partials(payoff, cfg, kmax, key, params,
                             engine=engine, interpret=interpret,
@@ -313,6 +325,7 @@ def price_bates(option: OptionParams = DEMO_OPTION,
                 tile_rows: int = 128,
                 stream: int = STREAM_OUTER,
                 key=None,
+                rng_source: str = "threefry13",
                 interpret: Optional[bool] = None) -> PriceResult:
     """Monte Carlo price under Bates SVJ dynamics.
 
@@ -334,7 +347,7 @@ def price_bates(option: OptionParams = DEMO_OPTION,
     return _price_bates_impl(option.as_f32(), dyn.as_f32(), po,
                              sim.replace(seed=0), kmax, engine,
                              antithetic, tile_rows, interpret, key,
-                             scheme=scheme)
+                             scheme=scheme, rng_source=rng_source)
 
 
 def bates_call_cf(s0, k, t, r, v0, kappa, theta, xi, rho, lam, mu_j,

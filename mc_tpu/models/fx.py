@@ -188,9 +188,16 @@ def _make_fx_kernel(contract: str, cfg: pk.KernelConfig):
                 + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
         ids = meta_ref[0] + base + flat
         valid = ids < meta_ref[1]
-        c1 = jnp.zeros(shape, jnp.uint32)
-        z0, z1 = rng.normal_pair(key_ref[0], key_ref[1], ids, c1,
-                                 bitcast=pltpu.bitcast)
+        if cfg.rng_source == "hw":
+            draw_pair, _ = pk.hw_model_draws(
+                shape, key_ref[0], key_ref[1],
+                meta_ref[0] + jnp.uint32(i))
+            z0, z1 = draw_pair(0)
+        else:
+            c1 = jnp.zeros(shape, jnp.uint32)
+            z0, z1 = rng.normal_pair(key_ref[0], key_ref[1], ids, c1,
+                                     bitcast=pltpu.bitcast,
+                                     rounds=cfg.rng_rounds)
         vals = _fx_vals(contract, p, valid, z0, z1)
         pk._accumulate_moments((sum_ref, sq_ref), comp_ref, vals, i,
                                cfg.tile_rows)
@@ -235,13 +242,14 @@ def _fx_partials(contract, cfg, key, params, offset, bound, engine,
 @functools.partial(
     jax.jit,
     static_argnames=("contract", "sim", "engine", "tile_rows",
-                     "interpret"))
+                     "interpret", "rng_source"))
 def _price_fx_impl(option, fx, contract, sim, engine, tile_rows,
-                   interpret, key):
+                   interpret, key, rng_source="threefry13"):
     if interpret is None:
         interpret = use_interpret()
+    pk.check_hw_rng(rng_source, engine)
     cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=1,
-                          tile_rows=tile_rows)
+                          tile_rows=tile_rows, rng_source=rng_source)
     params = _pack_fx(option, fx)
     s, sq = _fx_partials(contract, cfg, key, params, 0, None, engine,
                          interpret)
@@ -261,6 +269,7 @@ def price_fx(option: OptionParams = DEMO_OPTION,
              tile_rows: int = 128,
              stream: int = STREAM_OUTER,
              key=None,
+             rng_source: str = "threefry13",
              interpret: Optional[bool] = None) -> PriceResult:
     """Monte Carlo price of a cross-currency contract (`FX_CONTRACTS`).
 
@@ -278,7 +287,7 @@ def price_fx(option: OptionParams = DEMO_OPTION,
                           jnp.uint32)
     return _price_fx_impl(option.as_f32(), fx.as_f32(), contract,
                           sim.replace(seed=0), engine, tile_rows,
-                          interpret, key)
+                          interpret, key, rng_source=rng_source)
 
 
 def quanto_option_params(option: OptionParams, fx: FXDynamics):

@@ -251,6 +251,13 @@ def _g2_european_impl(spec, dyn, n_paths, key, consts):
 # discount, Kahan moment slabs — plus its bitwise XLA dual.  Same stream
 # and per-path arithmetic as `_g2_european_impl`, so all three engines
 # agree to summation order (the hullwhite fused-engine construction).
+#
+# NOTE (round 5, measured on-chip): "bitwise dual" binds the interpret
+# and XLA paths (same trace).  The COMPILED Mosaic kernel is held to
+# <= ~4 ulp of the dual instead: Mosaic's fma contraction inside the
+# lowered transcendentals is context-dependent (with intermediates
+# materialized the compiled kernel matches bit-for-bit; fused, ~15% of
+# paths drift 1 ulp) — tests_tpu/test_rates_device.py gates the bound.
 # ---------------------------------------------------------------------------
 
 _G2_SWPT_HEADER = 10  # ch00 ch10 ch11 ch20 ch21 ch22, P(0,t0), v0, Ktau, sign

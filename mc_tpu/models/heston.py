@@ -273,17 +273,24 @@ def _heston_leg(payoff, n_steps: int, p, s0, draw_pair, antithetic_sign=1.0):
 
 
 def _heston_tile(payoff, n_steps, tile_rows, antithetic, p, ids, valid,
-                 k0, k1, bitcast, scheme="euler"):
+                 k0, k1, bitcast, scheme="euler", rng_source="threefry13",
+                 hw_tag=None):
     shape = ids.shape
 
-    def draw_pair(j):
-        c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(j, jnp.uint32)
-        return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast)
+    if rng_source == "hw":
+        draw_pair, draw_unit = pk.hw_model_draws(shape, k0, k1, hw_tag)
+    else:
+        rounds = 13 if rng_source == "threefry13" else 20
 
-    def draw_unit(j):
-        c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(j, jnp.uint32)
-        b0, _ = rng.threefry2x32(k0, k1, ids, c1, rounds=rng.DEFAULT_ROUNDS)
-        return rng.bits_to_unit(b0, bitcast)
+        def draw_pair(j):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(j, jnp.uint32)
+            return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast,
+                                   rounds=rounds)
+
+        def draw_unit(j):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(j, jnp.uint32)
+            b0, _ = rng.threefry2x32(k0, k1, ids, c1, rounds=rounds)
+            return rng.bits_to_unit(b0, bitcast)
 
     s0 = jnp.full(shape, p.s0, jnp.float32)
     if scheme == "qe":
@@ -314,7 +321,8 @@ def _make_heston_kernel(payoff, cfg: pk.KernelConfig, scheme="euler"):
         pay = _heston_tile(payoff, cfg.n_steps, cfg.tile_rows,
                            cfg.antithetic, p, ids, valid,
                            key_ref[0], key_ref[1], pltpu.bitcast,
-                           scheme=scheme)
+                           scheme=scheme, rng_source=cfg.rng_source,
+                           hw_tag=meta_ref[0] + jnp.uint32(i))
         pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
                                [pay, pay * pay], i, cfg.tile_rows)
 
@@ -361,13 +369,16 @@ def _heston_partials_xla(payoff, cfg, key, params, path_offset, n_valid,
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "sim", "engine", "antithetic", "tile_rows",
-                     "interpret", "scheme"))
+                     "interpret", "scheme", "rng_source"))
 def _price_heston_impl(option, heston, payoff, sim, engine, antithetic,
-                       tile_rows, interpret, key, scheme="euler"):
+                       tile_rows, interpret, key, scheme="euler",
+                       rng_source="threefry13"):
     if interpret is None:
         interpret = use_interpret()
+    pk.check_hw_rng(rng_source, engine, antithetic)
     cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
-                          tile_rows=tile_rows, antithetic=antithetic)
+                          tile_rows=tile_rows, antithetic=antithetic,
+                          rng_source=rng_source)
     params = _pack_heston(option, heston, sim.n_steps)
     if engine == "pallas":
         s, sq = _heston_partials_pallas(payoff, cfg, key, params, 0, None,
@@ -393,13 +404,16 @@ def price_heston(option: OptionParams = DEMO_OPTION,
                  tile_rows: int = 128,
                  stream: int = STREAM_OUTER,
                  key=None,
+                 rng_source: str = "threefry13",
                  interpret: Optional[bool] = None) -> PriceResult:
     """Monte Carlo price under Heston stochastic volatility.
 
     Every payoff in the registry works (they see only (state, S, params)).
     Counter layout: one threefry pair per (path, step) — independent of the
     GBM stream convention, so Heston and GBM runs at the same seed do not
-    share draws.
+    share draws.  ``rng_source="hw"`` swaps in the stateful hardware PRNG
+    (pallas-only, no antithetic, stream not tiling-invariant) — the same
+    opt-in fast path as the GBM kernels.
     """
     po = get_payoff(payoff)
     if po.terminal_only and po.name.startswith("vanilla"):
@@ -411,7 +425,8 @@ def price_heston(option: OptionParams = DEMO_OPTION,
         raise ValueError(f"unknown scheme {scheme!r} (euler | qe)")
     return _price_heston_impl(option.as_f32(), heston.as_f32(), po,
                               sim.replace(seed=0), engine, antithetic,
-                              tile_rows, interpret, key, scheme=scheme)
+                              tile_rows, interpret, key, scheme=scheme,
+                              rng_source=rng_source)
 
 
 def heston_call_cf(s0, k, t, r, v0, kappa, theta, xi, rho, q=0.0,

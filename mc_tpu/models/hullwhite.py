@@ -287,6 +287,13 @@ def _hw_european_impl(spec, a, sigma_r, n_paths, key, p0_0, c_0, consts):
 # measurement decides (BASELINE.md "Curve rates"): per path the payoff
 # arithmetic is identical (same threefry stream, same op order), so the
 # fused pair agrees with it to summation order (<= 3e-7 rel, gated).
+#
+# NOTE (round 5, measured on-chip): "bitwise dual" binds the interpret
+# and XLA paths (same trace).  The COMPILED Mosaic kernel is held to
+# <= ~4 ulp of the dual instead: Mosaic's fma contraction inside the
+# lowered transcendentals is context-dependent (with intermediates
+# materialized the compiled kernel matches bit-for-bit; fused, ~15% of
+# paths drift 1 ulp) — tests_tpu/test_rates_device.py gates the bound.
 # ---------------------------------------------------------------------------
 
 _HW_SWPT_HEADER = 7  # l11, l21, l22, P(0,t0), c0, K*tau, payer sign

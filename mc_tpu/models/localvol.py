@@ -214,12 +214,19 @@ def _localvol_leg(payoff, n_steps: int, p, s0, draw_pair, sigma_at,
 
 
 def _localvol_tile(payoff, n_steps, antithetic, p, ids, valid, k0, k1,
-                   sigma_at, bitcast):
+                   sigma_at, bitcast, rng_source="threefry13",
+                   hw_tag=None):
     shape = ids.shape
 
-    def draw_pair(m):
-        c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
-        return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast)
+    if rng_source == "hw":
+        draw_pair, _ = pk.hw_model_draws(shape, k0, k1, hw_tag)
+    else:
+        rounds = 13 if rng_source == "threefry13" else 20
+
+        def draw_pair(m):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
+            return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast,
+                                   rounds=rounds)
 
     s0 = jnp.full(shape, p.s0, jnp.float32)
     pay = _localvol_leg(payoff, n_steps, p, s0, draw_pair, sigma_at)
@@ -246,7 +253,8 @@ def _make_localvol_kernel(payoff, cfg: pk.KernelConfig, n_knots: int):
         sigma_at = _make_sigma_at(params_ref, cfg.n_steps, n_knots)
         pay = _localvol_tile(payoff, cfg.n_steps, cfg.antithetic, p, ids,
                              valid, key_ref[0], key_ref[1], sigma_at,
-                             pltpu.bitcast)
+                             pltpu.bitcast, rng_source=cfg.rng_source,
+                             hw_tag=meta_ref[0] + jnp.uint32(i))
         pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
                                [pay, pay * pay], i, cfg.tile_rows)
 
@@ -292,13 +300,16 @@ def _localvol_partials(payoff, cfg, n_knots, key, params, path_offset=0,
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "sim", "n_knots", "engine", "antithetic",
-                     "tile_rows", "interpret"))
+                     "tile_rows", "interpret", "rng_source"))
 def _price_localvol_impl(option, surf, payoff, sim, n_knots, engine,
-                         antithetic, tile_rows, interpret, key):
+                         antithetic, tile_rows, interpret, key,
+                         rng_source="threefry13"):
     if interpret is None:
         interpret = use_interpret()
+    pk.check_hw_rng(rng_source, engine, antithetic)
     cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
-                          tile_rows=tile_rows, antithetic=antithetic)
+                          tile_rows=tile_rows, antithetic=antithetic,
+                          rng_source=rng_source)
     params = _pack_localvol(option, surf, sim.n_steps)
     s, sq = _localvol_partials(payoff, cfg, n_knots, key, params,
                                engine=engine, interpret=interpret)
@@ -319,6 +330,7 @@ def price_localvol(option: OptionParams = DEMO_OPTION,
                    tile_rows: int = 128,
                    stream: int = STREAM_OUTER,
                    key=None,
+                   rng_source: str = "threefry13",
                    interpret: Optional[bool] = None) -> PriceResult:
     """Monte Carlo price under a local-volatility surface sigma(S, t).
 
@@ -339,7 +351,8 @@ def price_localvol(option: OptionParams = DEMO_OPTION,
                           jnp.uint32)
     return _price_localvol_impl(option.as_f32(), s32, po,
                                 sim.replace(seed=0), s32.n_knots, engine,
-                                antithetic, tile_rows, interpret, key)
+                                antithetic, tile_rows, interpret, key,
+                                rng_source=rng_source)
 
 
 # ---------------------------------------------------------------------------

@@ -156,7 +156,7 @@ def _jump_increment(p, n, e):
     return n * p.mu_j + p.sigma_j * jnp.sqrt(n) * e
 
 
-def _merton_draw3(k0, k1, ids, m, bitcast):
+def _merton_draw3(k0, k1, ids, m, bitcast, rounds=rng.DEFAULT_ROUNDS):
     """Draws for the step pair (2m, 2m+1): three threefry calls.
 
     Counter layout: c1 = 3m (diffusion normals), 3m+1 (jump-size normals),
@@ -164,14 +164,24 @@ def _merton_draw3(k0, k1, ids, m, bitcast):
     """
     base = jnp.asarray(3 * m, jnp.uint32)
     zero = jnp.full(ids.shape, 0, jnp.uint32)
-    z0, z1 = rng.normal_pair(k0, k1, ids, zero + base, bitcast=bitcast)
+    z0, z1 = rng.normal_pair(k0, k1, ids, zero + base, bitcast=bitcast,
+                             rounds=rounds)
     e0, e1 = rng.normal_pair(k0, k1, ids, zero + base + jnp.uint32(1),
-                             bitcast=bitcast)
+                             bitcast=bitcast, rounds=rounds)
     b0, b1 = rng.threefry2x32(k0, k1, ids, zero + base + jnp.uint32(2),
-                              rounds=rng.DEFAULT_ROUNDS)
+                              rounds=rounds)
     u0 = rng.bits_to_unit(b0, bitcast)
     u1 = rng.bits_to_unit(b1, bitcast)
     return z0, z1, e0, e1, u0, u1
+
+
+def _merton_draw3_hw(draw_pair, draw_unit):
+    """hw-PRNG form of `_merton_draw3`: fresh bits per call (stateful)."""
+    def draw3(m):
+        z0, z1 = draw_pair(m)
+        e0, e1 = draw_pair(m)
+        return z0, z1, e0, e1, draw_unit(m), draw_unit(m)
+    return draw3
 
 
 def _merton_leg(payoff, n_steps: int, kmax: int, p, s0, draw3,
@@ -219,8 +229,14 @@ def _merton_terminal(payoff, kmax: int, p, s0, draw3, antithetic_sign=1.0):
 
 
 def _merton_tile(payoff, method: str, n_steps: int, kmax: int, antithetic,
-                 p, ids, valid, k0, k1, bitcast):
-    draw3 = lambda m: _merton_draw3(k0, k1, ids, m, bitcast)
+                 p, ids, valid, k0, k1, bitcast, rng_source="threefry13",
+                 hw_tag=None):
+    if rng_source == "hw":
+        draw3 = _merton_draw3_hw(*pk.hw_model_draws(ids.shape, k0, k1,
+                                                    hw_tag))
+    else:
+        rounds = 13 if rng_source == "threefry13" else 20
+        draw3 = lambda m: _merton_draw3(k0, k1, ids, m, bitcast, rounds)
     s0 = jnp.full(ids.shape, p.s0, jnp.float32)
     if method == "terminal":
         pay = _merton_terminal(payoff, kmax, p, s0, draw3)
@@ -250,7 +266,9 @@ def _make_merton_kernel(payoff, cfg: pk.KernelConfig, kmax: int):
         valid = ids < meta_ref[1]
         pay = _merton_tile(payoff, cfg.method, cfg.n_steps, kmax,
                            cfg.antithetic, p, ids, valid, key_ref[0],
-                           key_ref[1], pltpu.bitcast)
+                           key_ref[1], pltpu.bitcast,
+                           rng_source=cfg.rng_source,
+                           hw_tag=meta_ref[0] + jnp.uint32(i))
         pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
                                [pay, pay * pay], i, cfg.tile_rows)
 
@@ -295,14 +313,16 @@ def _merton_partials(payoff, cfg, kmax, key, params, path_offset=0,
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "sim", "method", "kmax", "engine",
-                     "antithetic", "tile_rows", "interpret"))
+                     "antithetic", "tile_rows", "interpret", "rng_source"))
 def _price_merton_impl(option, dyn, payoff, sim, method, kmax, engine,
-                       antithetic, tile_rows, interpret, key):
+                       antithetic, tile_rows, interpret, key,
+                       rng_source="threefry13"):
     if interpret is None:
         interpret = use_interpret()
+    pk.check_hw_rng(rng_source, engine, antithetic)
     cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
                           tile_rows=tile_rows, antithetic=antithetic,
-                          method=method)
+                          method=method, rng_source=rng_source)
     params = _pack_merton(option, dyn, sim.n_steps)
     s, sq = _merton_partials(payoff, cfg, kmax, key, params,
                              engine=engine, interpret=interpret)
@@ -415,6 +435,7 @@ def price_merton(option: OptionParams = DEMO_OPTION,
                  tile_rows: int = 128,
                  stream: int = STREAM_OUTER,
                  key=None,
+                 rng_source: str = "threefry13",
                  interpret: Optional[bool] = None) -> PriceResult:
     """Monte Carlo price under Merton jump-diffusion.
 
@@ -442,7 +463,8 @@ def price_merton(option: OptionParams = DEMO_OPTION,
                           jnp.uint32)
     return _price_merton_impl(option.as_f32(), dyn.as_f32(), po,
                               sim.replace(seed=0), method, kmax, engine,
-                              antithetic, tile_rows, interpret, key)
+                              antithetic, tile_rows, interpret, key,
+                              rng_source=rng_source)
 
 
 def merton_call_closed_form(s0, k, t, r, sigma, lam, mu_j, sigma_j,

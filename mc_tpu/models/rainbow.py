@@ -87,13 +87,20 @@ def _rainbow_leg(pay_fn, d: int, p, draw_pair, antithetic_sign=1.0):
     return pay_fn(ss, p)
 
 
-def _rainbow_tile(name, d, antithetic, p, ids, valid, k0, k1, bitcast):
+def _rainbow_tile(name, d, antithetic, p, ids, valid, k0, k1, bitcast,
+                  rng_source="threefry13", hw_tag=None):
     pay_fn, _ = RAINBOW_PAYOFFS[name]
     shape = ids.shape
 
-    def draw_pair(m):
-        c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
-        return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast)
+    if rng_source == "hw":
+        draw_pair, _ = pk.hw_model_draws(shape, k0, k1, hw_tag)
+    else:
+        rounds = 13 if rng_source == "threefry13" else 20
+
+        def draw_pair(m):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
+            return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast,
+                                   rounds=rounds)
 
     pay = _rainbow_leg(pay_fn, d, p, draw_pair)
     if antithetic:
@@ -116,7 +123,9 @@ def _make_rainbow_kernel(name, cfg: pk.KernelConfig, d: int):
         ids = meta_ref[0] + base + flat
         valid = ids < meta_ref[1]
         pay = _rainbow_tile(name, d, cfg.antithetic, p, ids, valid,
-                            key_ref[0], key_ref[1], pltpu.bitcast)
+                            key_ref[0], key_ref[1], pltpu.bitcast,
+                            rng_source=cfg.rng_source,
+                            hw_tag=meta_ref[0] + jnp.uint32(i))
         pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
                                [pay, pay * pay], i, cfg.tile_rows)
 
@@ -163,13 +172,16 @@ def _rainbow_partials(name, cfg, d, key, params, path_offset=0,
 @functools.partial(
     jax.jit,
     static_argnames=("name", "sim", "d", "engine", "antithetic",
-                     "tile_rows", "interpret"))
+                     "tile_rows", "interpret", "rng_source"))
 def _price_rainbow_impl(option, basket, name, sim, d, engine, antithetic,
-                        tile_rows, interpret, key):
+                        tile_rows, interpret, key,
+                        rng_source="threefry13"):
     if interpret is None:
         interpret = use_interpret()
+    pk.check_hw_rng(rng_source, engine, antithetic)
     cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=1,
-                          tile_rows=tile_rows, antithetic=antithetic)
+                          tile_rows=tile_rows, antithetic=antithetic,
+                          rng_source=rng_source)
     params = _pack_basket(_basket_namespace(option, basket, 1), d)
     s, sq = _rainbow_partials(name, cfg, d, key, params, engine=engine,
                               interpret=interpret)
@@ -190,6 +202,7 @@ def price_rainbow(option: OptionParams = DEMO_OPTION,
                   tile_rows: int = 128,
                   stream: int = STREAM_OUTER,
                   key=None,
+                  rng_source: str = "threefry13",
                   interpret: Optional[bool] = None) -> PriceResult:
     """Monte Carlo price of a rainbow option on correlated GBM assets.
 
@@ -215,4 +228,5 @@ def price_rainbow(option: OptionParams = DEMO_OPTION,
                           jnp.uint32)
     return _price_rainbow_impl(option.as_f32(), b32, payoff,
                                sim.replace(seed=0), b32.d, engine,
-                               antithetic, tile_rows, interpret, key)
+                               antithetic, tile_rows, interpret, key,
+                               rng_source=rng_source)

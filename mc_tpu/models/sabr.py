@@ -129,12 +129,19 @@ def _sabr_leg(payoff, n_steps: int, p, f0, draw_pair, antithetic_sign=1.0):
     return payoff.terminal(state, jnp.exp(logf), p)
 
 
-def _sabr_tile(payoff, n_steps, antithetic, p, ids, valid, k0, k1, bitcast):
+def _sabr_tile(payoff, n_steps, antithetic, p, ids, valid, k0, k1, bitcast,
+               rng_source="threefry13", hw_tag=None):
     shape = ids.shape
 
-    def draw_pair(m):
-        c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
-        return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast)
+    if rng_source == "hw":
+        draw_pair, _ = pk.hw_model_draws(shape, k0, k1, hw_tag)
+    else:
+        rounds = 13 if rng_source == "threefry13" else 20
+
+        def draw_pair(m):
+            c1 = jnp.full(shape, 0, jnp.uint32) + jnp.asarray(m, jnp.uint32)
+            return rng.normal_pair(k0, k1, ids, c1, bitcast=bitcast,
+                                   rounds=rounds)
 
     f0 = jnp.full(shape, 1.0, jnp.float32) * p.f0
     pay = _sabr_leg(payoff, n_steps, p, f0, draw_pair)
@@ -158,7 +165,9 @@ def _make_sabr_kernel(payoff, cfg: pk.KernelConfig):
         ids = meta_ref[0] + base + flat
         valid = ids < meta_ref[1]
         pay = _sabr_tile(payoff, cfg.n_steps, cfg.antithetic, p, ids, valid,
-                         key_ref[0], key_ref[1], pltpu.bitcast)
+                         key_ref[0], key_ref[1], pltpu.bitcast,
+                         rng_source=cfg.rng_source,
+                         hw_tag=meta_ref[0] + jnp.uint32(i))
         pk._accumulate_moments((sum_ref, sq_ref), comp_ref,
                                [pay, pay * pay], i, cfg.tile_rows)
 
@@ -202,13 +211,15 @@ def _sabr_partials(payoff, cfg, key, params, path_offset=0, n_valid=None,
 @functools.partial(
     jax.jit,
     static_argnames=("payoff", "sim", "engine", "antithetic", "tile_rows",
-                     "interpret"))
+                     "interpret", "rng_source"))
 def _price_sabr_impl(option, dyn, payoff, sim, engine, antithetic,
-                     tile_rows, interpret, key):
+                     tile_rows, interpret, key, rng_source="threefry13"):
     if interpret is None:
         interpret = use_interpret()
+    pk.check_hw_rng(rng_source, engine, antithetic)
     cfg = pk.KernelConfig(n_paths=sim.n_paths, n_steps=sim.n_steps,
-                          tile_rows=tile_rows, antithetic=antithetic)
+                          tile_rows=tile_rows, antithetic=antithetic,
+                          rng_source=rng_source)
     params = _pack_sabr(option, dyn, sim.n_steps)
     s, sq = _sabr_partials(payoff, cfg, key, params, engine=engine,
                            interpret=interpret)
@@ -229,6 +240,7 @@ def price_sabr(option: OptionParams = DEMO_OPTION,
                tile_rows: int = 128,
                stream: int = STREAM_OUTER,
                key=None,
+               rng_source: str = "threefry13",
                interpret: Optional[bool] = None) -> PriceResult:
     """Monte Carlo price under SABR (payoffs evaluated on the FORWARD
     path; European payoffs discounted at e^{-rT})."""
@@ -239,7 +251,8 @@ def price_sabr(option: OptionParams = DEMO_OPTION,
                           jnp.uint32)
     return _price_sabr_impl(option.as_f32(), dyn.as_f32(), po,
                             sim.replace(seed=0), engine, antithetic,
-                            tile_rows, interpret, key)
+                            tile_rows, interpret, key,
+                            rng_source=rng_source)
 
 
 def sabr_implied_vol(f, k, t, alpha, beta, nu, rho) -> float:

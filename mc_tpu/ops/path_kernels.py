@@ -161,6 +161,45 @@ def _tile_normals_hw(shape):
     return rad * jnp.cos(theta), rad * jnp.sin(theta)
 
 
+def hw_model_draws(shape, k0, k1, hw_tag):
+    """(draw_pair, draw_unit) for a model-family tile from the Mosaic
+    hardware PRNG — the analogue of the reference's per-thread
+    curandState draw (trajectories.cuh:74-75, SURVEY C3 mode (a)).
+
+    Seeds once per tile from (key ^ golden-ratio-mixed tile tag), then
+    streams raw bits: drops the 13-round threefry from the per-step
+    budget entirely (measured ~+29% on the GBM step kernels).  STATEFUL:
+    the stream is NOT tiling-invariant and cannot be replayed, so the
+    engines gate hw to pallas without antithetic (`check_hw_rng`).
+    draw indices are accepted and IGNORED — every call yields fresh bits.
+    """
+    pltpu.prng_seed(k0 ^ (hw_tag * jnp.uint32(0x9E3779B9)), k1)
+
+    def draw_pair(m):
+        return _tile_normals_hw(shape)
+
+    def draw_unit(c):
+        b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return rng.bits_to_unit(b, pltpu.bitcast)
+
+    return draw_pair, draw_unit
+
+
+def check_hw_rng(rng_source: str, engine: str, antithetic: bool = False):
+    """Shared validation for the opt-in hardware-PRNG stream."""
+    if rng_source not in ("threefry13", "threefry", "hw"):
+        raise ValueError(f"unknown rng_source {rng_source!r}; use "
+                         "'threefry13', 'threefry' (20 rounds) or 'hw'")
+    if rng_source == "hw":
+        if engine != "pallas":
+            raise ValueError("rng_source='hw' requires engine='pallas' "
+                             "(the hardware PRNG is a Mosaic primitive)")
+        if antithetic:
+            raise ValueError(
+                "rng_source='hw' cannot replay draws for the antithetic "
+                "leg (stateful stream); use the threefry sources")
+
+
 def _simulate_leg(payoff: PathPayoff, cfg: KernelConfig, p, s0, draw_pair,
                   state_init=None):
     """Simulate one leg to maturity; returns ``(s_t, state, weight)``.

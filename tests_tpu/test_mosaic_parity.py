@@ -570,3 +570,97 @@ def test_fx_quanto_compo():
         _assert_tri(f(engine="pallas", interpret=False),
                     f(engine="pallas", interpret=True),
                     f(engine="xla"))
+
+
+# --- model-family hardware-PRNG variants (round 5) -------------------------
+# VERDICT r04 item 4: the hw-PRNG op-count lever plumbed through every
+# model-family kernel.  No XLA dual exists for the stateful stream, so
+# each gate is statistical: 3.5 sigma against the family's own threefry
+# run (same workload, independent randomness), plus the analytic oracle
+# where one exists.  The stream is opt-in and NOT tiling-invariant,
+# like the bullet/terminal-pair hw variants.
+
+def _hw_vs_threefry(price_fn, **kw):
+    hw = price_fn(rng_source="hw", interpret=False, **kw)
+    tf = price_fn(interpret=False, **kw)
+    joint = (float(hw.stderr) ** 2 + float(tf.stderr) ** 2) ** 0.5
+    assert float(hw.stderr) > 0.0
+    assert abs(float(hw.price) - float(tf.price)) <= 3.5 * joint, (
+        float(hw.price), float(tf.price), joint)
+    return hw
+
+
+def test_heston_hw_rng():
+    from mc_tpu.models.heston import DEMO_HESTON, heston_call_cf, \
+        price_heston
+    sim = SimParams(n_paths=1 << 19, n_steps=16)
+    hw = _hw_vs_threefry(price_heston, sim=sim)
+    d = DEMO_HESTON
+    ref = float(heston_call_cf(100.0, 100.0, 1.0, 0.1, d.v0, d.kappa,
+                               d.theta, d.xi, d.rho))
+    # Euler bias at 16 steps + MC noise
+    assert abs(float(hw.price) - ref) <= 4.0 * float(hw.stderr) + 0.02 * ref
+
+
+def test_heston_qe_hw_rng():
+    """QE scheme draws its branch uniform from the hw stream too."""
+    from mc_tpu.models.heston import price_heston
+    sim = SimParams(n_paths=1 << 18, n_steps=16)
+    _hw_vs_threefry(price_heston, sim=sim, scheme="qe")
+
+
+def test_bates_hw_rng():
+    from mc_tpu.models.bates import price_bates
+    sim = SimParams(n_paths=1 << 18, n_steps=16)
+    _hw_vs_threefry(price_bates, sim=sim)
+
+
+def test_merton_hw_rng():
+    from mc_tpu.models.merton import DEMO_MERTON, \
+        merton_call_closed_form, price_merton
+    sim = SimParams(n_paths=1 << 19, n_steps=16)
+    hw = _hw_vs_threefry(price_merton, sim=sim)
+    ref = merton_call_closed_form(100.0, 100.0, 1.0, 0.1, 0.2, lam=0.3,
+                                  mu_j=-0.10, sigma_j=0.15)
+    assert abs(float(hw.price) - ref) <= 4.0 * float(hw.stderr)
+
+
+def test_sabr_hw_rng():
+    from mc_tpu.models.sabr import price_sabr
+    sim = SimParams(n_paths=1 << 18, n_steps=16)
+    _hw_vs_threefry(price_sabr, sim=sim)
+
+
+def test_localvol_hw_rng():
+    from mc_tpu import OptionParams
+    from mc_tpu.models.localvol import LocalVolSurface, price_localvol
+    sim = SimParams(n_paths=1 << 18, n_steps=16)
+    _hw_vs_threefry(price_localvol, option=OptionParams(),
+                    surf=LocalVolSurface.flat(0.2, sim.n_steps), sim=sim)
+
+
+def test_vasicek_hw_rng():
+    from mc_tpu.models.vasicek import price_vasicek
+    sim = SimParams(n_paths=1 << 18, n_steps=16)
+    _hw_vs_threefry(price_vasicek, sim=sim)
+
+
+def test_rainbow_hw_rng():
+    from mc_tpu.models.rainbow import price_rainbow
+    sim = SimParams(n_paths=1 << 19, n_steps=1)
+    _hw_vs_threefry(price_rainbow, sim=sim)
+    # d=4 demo basket has no closed form; the threefry cross-gate above
+    # is the correctness check (plus the guard tests on CPU)
+
+
+def test_fx_hw_rng():
+    from mc_tpu import oracle
+    from mc_tpu.models.fx import DEMO_FX, price_fx
+    sim = SimParams(n_paths=1 << 19, n_steps=1)
+    hw = _hw_vs_threefry(price_fx, sim=sim)
+    fx = DEMO_FX
+    ref = float(oracle.quanto_call(100.0, 100.0, 1.0, 0.1,
+                                   float(fx.r_f), 0.2,
+                                   float(fx.sigma_x), float(fx.rho),
+                                   0.0, float(fx.x0)))
+    assert abs(float(hw.price) - ref) <= 4.0 * float(hw.stderr)
