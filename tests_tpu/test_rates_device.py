@@ -217,10 +217,37 @@ def test_g2_swap_exposure_strip_anchor():
     assert float(e.cva(0.02)) > 0.0
 
 
-# --- fused-engine Mosaic parity (round 4) ---------------------------------
+# --- fused-engine Mosaic parity (round 4; tolerance round 5) --------------
 # The fused European swaption kernels are the one place the rates stack
-# has a compiled Mosaic lowering: close the compiled == interpret == XLA
+# has a compiled Mosaic lowering: close the compiled ~= interpret == XLA
 # triangle on the chip (the CPU suite proves interpret == XLA).
+#
+# interpret == XLA stays BITWISE (same trace, same backend ops).  The
+# COMPILED Mosaic result is held to <= ~4 ulp instead: round-5 bisection
+# showed Mosaic's fma contraction is context-dependent — with every
+# intermediate materialized to VMEM outputs the compiled kernel matches
+# XLA bit-for-bit on all 8192 paths, but in the fused kernel the
+# instruction selection around the transcendental internals (exp /
+# inv_normal_cdf polynomial chains) drifts 1 ulp on ~15% of paths
+# (observed first on the G2 kernel; guarding every user-level mul-into-
+# add with an opaque *1.0 did not change the diff count, locating the
+# contraction inside the lowered transcendentals, unreachable from user
+# code).  The classic path kernels keep their bitwise gate: their
+# Box-Muller/exp chains happen to codegen stably, asserted elsewhere in
+# this suite.
+
+_REL_4ULP = 5e-7  # ~4 ulp at f32: the documented compiled-Mosaic bound
+
+
+def _assert_fused_triangle(c, i, x):
+    assert float(i.price) == float(x.price)          # bitwise dual
+    assert float(i.stderr) == float(x.stderr)
+    assert float(c.price) == pytest.approx(float(x.price),
+                                           rel=_REL_4ULP)
+    assert float(c.stderr) == pytest.approx(float(x.stderr),
+                                            rel=_REL_4ULP)
+    assert float(c.stderr) > 0.0
+
 
 def test_hw_fused_engine_mosaic_parity():
     from mc_tpu.models.hullwhite import price_hw_swaption
@@ -230,9 +257,7 @@ def test_hw_fused_engine_mosaic_parity():
     i = price_hw_swaption(SPEC, DEMO_HW, DEMO_CURVE, engine="pallas",
                           interpret=True, **kw)
     x = price_hw_swaption(SPEC, DEMO_HW, DEMO_CURVE, engine="xla", **kw)
-    assert float(c.price) == float(i.price) == float(x.price)
-    assert float(c.stderr) == float(i.stderr) == float(x.stderr)
-    assert float(c.stderr) > 0.0
+    _assert_fused_triangle(c, i, x)
 
 
 def test_g2_fused_engine_mosaic_parity():
@@ -243,9 +268,7 @@ def test_g2_fused_engine_mosaic_parity():
     i = price_g2_swaption(SPEC, DEMO_G2, DEMO_CURVE, engine="pallas",
                           interpret=True, **kw)
     x = price_g2_swaption(SPEC, DEMO_G2, DEMO_CURVE, engine="xla", **kw)
-    assert float(c.price) == float(i.price) == float(x.price)
-    assert float(c.stderr) == float(i.stderr) == float(x.stderr)
-    assert float(c.stderr) > 0.0
+    _assert_fused_triangle(c, i, x)
 
 
 def test_vasicek_fused_engine_mosaic_parity():
@@ -257,6 +280,4 @@ def test_vasicek_fused_engine_mosaic_parity():
     i = price_swaption(SPEC, VDYN, engine="pallas", interpret=True,
                        **kw)
     x = price_swaption(SPEC, VDYN, engine="xla", **kw)
-    assert float(c.price) == float(i.price) == float(x.price)
-    assert float(c.stderr) == float(i.stderr) == float(x.stderr)
-    assert float(c.stderr) > 0.0
+    _assert_fused_triangle(c, i, x)
