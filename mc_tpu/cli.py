@@ -1691,12 +1691,12 @@ def cmd_risk(args):
         if args.book_weights:
             w = np.array([float(x) for x in args.book_weights.split(",")],
                          np.float64)
-    if args.model == "heston":
-        from mc_tpu.risk import heston_scenario_pnl
-        res = heston_scenario_pnl(book, None, sim, args.payoff,
-                                  scenarios=sc, weights=w,
-                                  method=args.method,
-                                  tile_rows=args.tile_rows)
+    if args.model != "gbm":
+        from mc_tpu.risk import model_scenario_pnl
+        res = model_scenario_pnl(args.model, book, None, sim,
+                                 args.payoff, scenarios=sc, weights=w,
+                                 method=args.method,
+                                 tile_rows=args.tile_rows)
     else:
         res = book_scenario_pnl(book, sim, args.payoff, scenarios=sc,
                                 weights=w, method=args.method,
@@ -1710,23 +1710,27 @@ def cmd_risk(args):
            "component_es": [round(float(x), 6)
                             for x in res.component_es(args.alpha)]}
     if args.payoff in ("vanilla_call", "vanilla_put"):
-        if args.model != "heston":
+        if args.model == "gbm":
             # the BS Taylor approximation is the flat-vol model's
             dg = delta_gamma_pnl(book, args.payoff, scenarios=sc,
                                  weights=w)
             out["dg_var"], out["dg_es"] = var_es(dg, args.alpha)
         if args.method == "mc":
-            if args.model == "heston":
-                from mc_tpu.risk import heston_scenario_pnl
-                ro = heston_scenario_pnl(book, None, sim, args.payoff,
-                                         scenarios=sc, weights=w,
-                                         method="oracle")
-            else:
+            from mc_tpu.risk import _SCEN_ORACLES
+            if args.model == "gbm":
                 ro = book_scenario_pnl(book, payoff=args.payoff,
                                        scenarios=sc, weights=w,
                                        method="oracle")
-            out["oracle_var"] = ro.var(args.alpha)
-            out["oracle_es"] = ro.es(args.alpha)
+            elif args.model in _SCEN_ORACLES:
+                from mc_tpu.risk import model_scenario_pnl
+                ro = model_scenario_pnl(args.model, book, None, sim,
+                                        args.payoff, scenarios=sc,
+                                        weights=w, method="oracle")
+            else:
+                ro = None  # sabr/localvol: no exact vanilla oracle
+            if ro is not None:
+                out["oracle_var"] = ro.var(args.alpha)
+                out["oracle_es"] = ro.es(args.alpha)
     print(json.dumps(out))
     return 0
 
@@ -2333,9 +2337,14 @@ def main(argv=None):
                    help="mc: batched portfolio engine (any terminal "
                         "payoff); oracle: exact f64 BS revaluation "
                         "(vanilla books)")
-    p.add_argument("--model", default="gbm", choices=("gbm", "heston"),
-                   help="revaluation model: gbm (flat vol) or heston "
-                        "(smile model; oracle = the semi-analytic CF)")
+    p.add_argument("--model", default="gbm",
+                   choices=("gbm", "heston", "bates", "merton", "cev",
+                            "sabr", "localvol", "vasicek"),
+                   help="revaluation model: gbm (flat vol, the batched "
+                        "portfolio engine) or any single-asset family "
+                        "from the registry (oracle = the family's "
+                        "exact/semi-analytic closed form where one "
+                        "exists; sabr/localvol are MC-only)")
     p.add_argument("--alpha", type=float, default=0.99)
     p.add_argument("--n-scenarios", type=int, default=512)
     p.add_argument("--horizon-days", type=float, default=10.0)
