@@ -134,6 +134,25 @@ def terminal_pair_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=K_REPS,
         k *= 4
 
 
+def _median(samples):
+    m = len(samples)
+    return samples[m // 2] if m % 2 else 0.5 * (samples[m // 2 - 1]
+                                                + samples[m // 2])
+
+
+def _central_spread(samples, window=5):
+    """(max - min)/median over the central `window` of the SORTED
+    samples — the median's own neighborhood.  Equal to the plain
+    (max-min)/median when len(samples) <= window, so the round-4
+    numbers stay comparable; with more reps it measures the spread the
+    median is actually drawn from instead of rewarding outliers."""
+    k = len(samples)
+    lo = max(0, (k - window) // 2)
+    w = samples[lo:lo + window]
+    med = _median(samples)
+    return (w[-1] - w[0]) / med if med > 0 else 0.0
+
+
 def median_of(fn, m=5):
     """Repeat a full measurement m times; return (median, rel_spread).
 
@@ -143,10 +162,20 @@ def median_of(fn, m=5):
     (max - min) / median over the m samples.
     """
     samples = sorted(fn() for _ in range(m))
-    med = samples[m // 2] if m % 2 else 0.5 * (samples[m // 2 - 1]
-                                               + samples[m // 2])
-    spread = (samples[-1] - samples[0]) / med if med > 0 else 0.0
-    return med, spread
+    return _median(samples), _central_spread(samples)
+
+
+def median_until(fn, target=0.08, m0=5, mmax=15):
+    """Adaptive-rep median (VERDICT r04 item 6): keep adding independent
+    measurements until the central spread is <= `target` or `mmax` reps
+    — returns (median, rel_spread, reps).  classic (17.7%) and
+    terminal_pair_hw (15.9%) were unreadable round-over-round at a
+    fixed 5; rows that stay above target at the cap are explicitly
+    capped (the recorded spread says so)."""
+    samples = sorted(fn() for _ in range(m0))
+    while _central_spread(samples) > target and len(samples) < mmax:
+        samples = sorted(samples + [fn()])
+    return _median(samples), _central_spread(samples), len(samples)
 
 
 def _trivial_fetch_overhead(reps=5):
@@ -162,12 +191,13 @@ def _trivial_fetch_overhead(reps=5):
 
 
 def heston_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4,
-                          scheme="euler"):
+                          scheme="euler", rng_source="threefry13"):
     """Per-kernel device seconds of the fused Heston step kernel."""
     from mc_tpu.models.heston import (DEMO_HESTON, _heston_partials_pallas,
                                       _pack_heston)
     payoff = get_payoff("vanilla_call")
-    cfg = pk.KernelConfig(n_paths=n_paths, n_steps=n_steps, tile_rows=128)
+    cfg = pk.KernelConfig(n_paths=n_paths, n_steps=n_steps, tile_rows=128,
+                          rng_source=rng_source)
     params = _pack_heston(OPT, DEMO_HESTON.as_f32(), n_steps)
 
     @jax.jit
@@ -196,13 +226,14 @@ def heston_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4,
 
 
 def bates_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4,
-                         scheme="euler"):
+                         scheme="euler", rng_source="threefry13"):
     """Per-kernel device seconds of the fused Bates SVJ step kernel."""
     from mc_tpu.models.bates import (DEMO_BATES, _bates_partials,
                                      _pack_bates)
     from mc_tpu.models.merton import poisson_kmax
     payoff = get_payoff("vanilla_call")
-    cfg = pk.KernelConfig(n_paths=n_paths, n_steps=n_steps, tile_rows=128)
+    cfg = pk.KernelConfig(n_paths=n_paths, n_steps=n_steps, tile_rows=128,
+                          rng_source=rng_source)
     params = _pack_bates(OPT, DEMO_BATES.as_f32(), n_steps)
     kmax = poisson_kmax(float(DEMO_BATES.lam) * float(OPT.t) / n_steps)
 
@@ -258,7 +289,8 @@ def _model_kernel_seconds(price_scalar_fn, k=8, reps=4):
         k *= 4
 
 
-def merton_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS):
+def merton_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS,
+                          rng_source="threefry13"):
     """Fused Merton jump-diffusion step kernel (3 threefry + Poisson scan
     per step pair)."""
     from mc_tpu import SimParams
@@ -272,12 +304,14 @@ def merton_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS):
     def one(key):
         return _price_merton_impl(OPT, DEMO_MERTON.as_f32(), po, sim,
                                   "euler", kmax, "pallas", False, 128,
-                                  False, key).price
+                                  False, key,
+                                  rng_source=rng_source).price
 
     return _model_kernel_seconds(one)
 
 
-def sabr_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS):
+def sabr_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS,
+                        rng_source="threefry13"):
     """Fused SABR two-factor step kernel (1 threefry per step)."""
     from mc_tpu import SimParams
     from mc_tpu.models.sabr import DEMO_SABR, _price_sabr_impl
@@ -287,12 +321,14 @@ def sabr_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS):
 
     def one(key):
         return _price_sabr_impl(OPT, DEMO_SABR.as_f32(), po, sim, "pallas",
-                                False, 128, False, key).price
+                                False, 128, False, key,
+                                rng_source=rng_source).price
 
     return _model_kernel_seconds(one)
 
 
-def vasicek_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS):
+def vasicek_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS,
+                           rng_source="threefry13"):
     """Fused Black-Scholes-Vasicek kernel (exact OU triple, 3 pairs per
     step pair, pathwise discount)."""
     from mc_tpu import SimParams
@@ -303,7 +339,8 @@ def vasicek_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS):
 
     def one(key):
         return _price_vasicek_impl(OPT, DEMO_VASICEK.as_f32(), po, sim,
-                                   "pallas", False, 128, False, key).price
+                                   "pallas", False, 128, False, key,
+                                   rng_source=rng_source).price
 
     return _model_kernel_seconds(one)
 
@@ -339,7 +376,7 @@ def fx_kernel_seconds(n_paths=N_PATHS):
 
 
 def localvol_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS,
-                            n_knots=9):
+                            n_knots=9, rng_source="threefry13"):
     """Local-vol surface kernel (K-1 clamped-ramp FMAs per step)."""
     from mc_tpu import SimParams
     from mc_tpu.models.localvol import (LocalVolSurface,
@@ -351,8 +388,8 @@ def localvol_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS,
 
     def one(key):
         return _price_localvol_impl(OPT, surf, po, sim, n_knots,
-                                    "pallas", False, 128, False,
-                                    key).price
+                                    "pallas", False, 128, False, key,
+                                    rng_source=rng_source).price
 
     return _model_kernel_seconds(one)
 
@@ -650,47 +687,53 @@ def _full_bench():
     extra = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
-        "headline_median_of": 5,
+        "headline_reps_adaptive": "5-15 to rel_spread<=0.08 "
+                                  "(families 3-7 to 0.10)",
     }
 
     # Headline: the paired terminal kernel (price(method="terminal_pair"),
     # the production fast path — both Box-Muller halves become paths).
-    # Median of 5 independent measurements — the tunnel's run-to-run
-    # spread (documented 18-25e9 paths/s, BASELINE.md) makes single
-    # draws noise; spread is recorded so round-over-round deltas in
-    # BENCH_r*.json can be read against it.
-    pair = guard("terminal_pair", lambda: median_of(terminal_pair_seconds, 5))
+    # Adaptive reps (VERDICT r04 item 6): each headline row repeats
+    # until the central spread is <= 8% or 15 reps — the tunnel's
+    # run-to-run spread (documented 18-25e9 paths/s, BASELINE.md) makes
+    # single draws noise; spread + reps are recorded so round-over-round
+    # deltas in BENCH_r*.json can be read against them.
+    pair = guard("terminal_pair", lambda: median_until(terminal_pair_seconds))
     # Stateful-hw-PRNG variant — the apples-to-apples analogue of the
     # reference's per-thread curandState draw (trajectories.cuh:74-75,
     # SURVEY C3 mode (a)); threefry13 stays the reproducible default.
     pair_hw = guard("terminal_pair_hw",
-                    lambda: median_of(
-                        lambda: terminal_pair_seconds(rng_source="hw"), 5))
-    classic = guard("classic_terminal", lambda: median_of(kernel_seconds, 5))
+                    lambda: median_until(
+                        lambda: terminal_pair_seconds(rng_source="hw")))
+    classic = guard("classic_terminal", lambda: median_until(kernel_seconds))
     if pair is not None:
         extra["kernel_ms_1M_call"] = round(pair[0] * 1e3, 4)
         extra["headline_rel_spread"] = round(pair[1], 4)
+        extra["headline_reps"] = pair[2]
         extra["terminal_pair_paths_per_sec"] = round(N_PATHS / pair[0], 1)
     if pair_hw is not None:
         extra["terminal_pair_hw_paths_per_sec"] = round(
             N_PATHS / pair_hw[0], 1)
         extra["terminal_pair_hw_rel_spread"] = round(pair_hw[1], 4)
+        extra["terminal_pair_hw_reps"] = pair_hw[2]
     if classic is not None:
         extra["kernel_ms_1M_call_classic"] = round(classic[0] * 1e3, 4)
         extra["classic_terminal_paths_per_sec"] = round(
             N_PATHS / classic[0], 1)
         extra["classic_rel_spread"] = round(classic[1], 4)
+        extra["classic_reps"] = classic[2]
 
     # Step-loop workload at all three RNG sources (trajectories.cuh:144-148
     # analogue): BigCrush-minimal 13-round threefry (the default),
     # 20-round safety-margin stream, hardware PRNG.
     b13 = guard("bullet_threefry13",
-                lambda: median_of(
-                    lambda: kernel_seconds("bullet_call", "euler"), 5))
+                lambda: median_until(
+                    lambda: kernel_seconds("bullet_call", "euler")))
     if b13 is not None:
         extra["bullet_path_steps_per_sec"] = round(
             N_PATHS * N_STEPS / b13[0], 1)
         extra["bullet_rel_spread"] = round(b13[1], 4)
+        extra["bullet_reps"] = b13[2]
     b20 = guard("bullet_threefry20",
                 lambda: kernel_seconds("bullet_call", "euler",
                                        rng_source="threefry"))
@@ -698,27 +741,36 @@ def _full_bench():
         extra["bullet_path_steps_per_sec_threefry20"] = round(
             N_PATHS * N_STEPS / b20, 1)
     bhw = guard("bullet_hw",
-                lambda: median_of(
+                lambda: median_until(
                     lambda: kernel_seconds("bullet_call", "euler",
-                                           rng_source="hw"), 3))
+                                           rng_source="hw")))
     if bhw is not None:
         extra["bullet_path_steps_per_sec_hw"] = round(
             N_PATHS * N_STEPS / bhw[0], 1)
         extra["bullet_hw_rel_spread"] = round(bhw[1], 4)
+        extra["bullet_hw_reps"] = bhw[2]
 
-    # Model-family + technique kernels.
+    # Model-family + technique kernels: threefry13 default AND the
+    # hw-PRNG variant of each (VERDICT r04 item 4 — the op-count lever
+    # plumbed through the family kernels).  3-7 adaptive reps per row.
+    family_dt = {}
     for name, fn in (("heston", heston_kernel_seconds),
                      ("heston_qe",
-                      lambda: heston_kernel_seconds(scheme="qe")),
+                      lambda **kw: heston_kernel_seconds(scheme="qe", **kw)),
                      ("merton", merton_kernel_seconds),
                      ("bates", bates_kernel_seconds),
                      ("sabr", sabr_kernel_seconds),
                      ("vasicek", vasicek_kernel_seconds),
                      ("localvol", localvol_kernel_seconds)):
-        dt = guard(name, fn)
-        if dt is not None:
-            extra[f"{name}_path_steps_per_sec"] = round(
-                N_PATHS * N_STEPS / dt, 1)
+        for src in ("threefry13", "hw"):
+            row = name if src == "threefry13" else f"{name}_hw"
+            r = guard(row, lambda f=fn, s=src: median_until(
+                lambda: f(rng_source=s), target=0.10, m0=3, mmax=7))
+            if r is not None:
+                family_dt[row] = r[0]
+                extra[f"{row}_path_steps_per_sec"] = round(
+                    N_PATHS * N_STEPS / r[0], 1)
+                extra[f"{row}_rel_spread"] = round(r[1], 4)
     dt = guard("rainbow", rainbow_kernel_seconds)
     if dt is not None:
         extra["rainbow4_paths_per_sec"] = round(N_PATHS / dt, 1)
@@ -763,10 +815,30 @@ def _full_bench():
     if book is not None:
         extra["book64_path_steps_per_sec"] = round(book[1] / book[0], 1)
 
-    # Roofline: measured primitive ceilings -> peak-fraction estimate.
-    roof = guard("roofline", roofline)
+    # Roofline: measured primitive ceilings -> peak-fraction estimate,
+    # for the bullet step AND every model family (VERDICT r04 item 5 —
+    # per-family op models composed from the same measured primitives,
+    # so "bates is N steps/s" becomes "bates is at X of its ceiling").
+    prim = guard("roofline_primitives", roofline_primitives)
+    roof = guard("roofline", lambda: roofline(prim)) if prim else None
     if roof is not None:
         extra["roofline"] = roof
+    if prim is not None and family_dt:
+        ops_models = _family_op_models()
+        fam_roof = {}
+        for row, dt in family_dt.items():
+            fam = row[:-3] if row.endswith("_hw") else row
+            ops = dict(ops_models[fam])
+            if row.endswith("_hw"):
+                ops["tf"] = 0.0  # hw PRNG replaces the threefry pairs
+            t_step = dt / (N_PATHS * N_STEPS)
+            r = family_roofline_ns(ops, prim)
+            fam_roof[row] = {
+                "step_ns": round(t_step * 1e9, 3),
+                "serial_roofline_ns": round(r * 1e9, 3),
+                "achieved_over_serial_roofline": round(r / t_step, 3),
+            }
+        extra["family_roofline"] = fam_roof
 
     # Billion-path end-to-end runs (BASELINE config 5, single chip).
     b_call = guard("e2e_1b_call", lambda: billion_path_run("vanilla_call"))
@@ -805,19 +877,78 @@ def _full_bench():
         paths_per_sec = 0.0
         extra["headline_fallback"] = "none-measured"
 
-    print(json.dumps({
-        "metric": "paths/sec/chip, 1M-path Euro call",
-        "value": round(paths_per_sec, 1),
-        "unit": "paths/sec",
-        "vs_baseline": round(paths_per_sec / REFERENCE_A100_PATHS_PER_SEC,
-                             4),
-        "extra": extra,
-    }))
+    print(_scoreboard_line(paths_per_sec, extra))
     # rc contract: a green accuracy gate does NOT excuse an empty
     # scoreboard — "nothing measurable" is a perf regression (rc 1).
     ok = (extra.get("accuracy_ok_3se", False)
           and extra.get("headline_fallback") != "none-measured")
     return 0 if ok else 1
+
+
+# Keys kept on the driver-captured stdout line, in DROP order (least
+# important first — trimmed from the front if the line would exceed the
+# cap).  Everything else lives in the full scoreboard file.
+_SLIM_KEYS = [
+    "localvol_path_steps_per_sec", "vasicek_path_steps_per_sec",
+    "sabr_path_steps_per_sec", "qmc_paths_per_sec",
+    "book64_path_steps_per_sec",
+    "nmc_demo_inner_path_steps_per_sec",
+    "merton_hw_path_steps_per_sec", "bates_hw_path_steps_per_sec",
+    "heston_hw_path_steps_per_sec",
+    "merton_path_steps_per_sec", "bates_path_steps_per_sec",
+    "heston_qe_path_steps_per_sec", "heston_path_steps_per_sec",
+    "bullet_path_steps_per_sec_hw", "bullet_path_steps_per_sec",
+    "classic_terminal_paths_per_sec",
+    "terminal_pair_hw_rel_spread", "terminal_pair_hw_paths_per_sec",
+    "headline_reps", "headline_rel_spread",
+    "terminal_pair_paths_per_sec", "headline_variant",
+    "headline_fallback", "accuracy_ok_3se", "backend", "device",
+]
+_SLIM_LINE_CAP = 1800  # chars; the driver's tail capture is ~2000
+_FULL_SCOREBOARD_PATH = "docs/bench_r05_full.json"
+
+
+def _scoreboard_line(paths_per_sec, extra):
+    """One driver-parseable stdout line <= ~1800 chars (VERDICT r04
+    item 1 — BENCH_r04's line outgrew the driver's tail capture and the
+    headline was lost).  The FULL scoreboard goes to
+    docs/bench_r05_full.json; the line carries the headline, the
+    accuracy gate, the most important per-row medians, and the pointer."""
+    import os
+    head = {
+        "metric": "paths/sec/chip, 1M-path Euro call",
+        "value": round(paths_per_sec, 1),
+        "unit": "paths/sec",
+        "vs_baseline": round(paths_per_sec / REFERENCE_A100_PATHS_PER_SEC,
+                             4),
+    }
+    full = dict(head)
+    full["extra"] = extra
+    path = _FULL_SCOREBOARD_PATH
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        path = f"unwritable: {e!r:.120}"
+    slim_extra = {k: extra[k] for k in _SLIM_KEYS if k in extra}
+    if "row_errors" in extra:
+        slim_extra["row_error_count"] = len(extra["row_errors"])
+    fr = extra.get("family_roofline")
+    if fr:
+        worst = min(fr, key=lambda r:
+                    fr[r]["achieved_over_serial_roofline"])
+        slim_extra["family_roofline_min"] = {
+            worst: fr[worst]["achieved_over_serial_roofline"]}
+    slim_extra["full_scoreboard"] = path
+    drop = list(_SLIM_KEYS)
+    while True:
+        head["extra"] = slim_extra
+        line = json.dumps(head)
+        if len(line) <= _SLIM_LINE_CAP or not drop:
+            return line
+        slim_extra.pop(drop.pop(0), None)
 
 
 def main(argv=None):
@@ -945,13 +1076,11 @@ def _chain_seconds(body, iters=_ROOF_ITERS, k=8, reps=4):
         k *= 4
 
 
-def roofline():
-    """Measured per-element primitive times + the bullet-step roofline.
-
-    Per path-step the euler bullet kernel costs (pair-amortized):
-    1/2 threefry13 pair + 1/2 Box-Muller pair (log, sqrt, cos+sin on two
-    uniforms) + 1 exp + ~4 fma/cmp ops.
-    """
+def roofline_primitives():
+    """Measured per-element seconds of the VPU primitives every step
+    kernel is composed from — the shared numerator of the bullet AND
+    model-family rooflines.  Serialized (dependent-chain) rates, so the
+    composed rooflines are conservative throughput bounds."""
     from mc_tpu import rng as mc_rng
     n_elems = _ROOF_SHAPE[0] * _ROOF_SHAPE[1]
 
@@ -961,6 +1090,10 @@ def roofline():
     t_fma = med(lambda x: x * 1.000001 + 1e-7)
 
     t_exp = med(lambda x: jnp.exp(x) * 0.367879 + 1e-7)  # keep x ~ 1
+
+    t_sqrt = med(lambda x: jnp.sqrt(x) * 0.7071 + 0.25)  # fixed point ~ .95
+
+    t_log = med(lambda x: jnp.log(x + 2.0))  # fixed point x* ~ 1.146
 
     # Box-Muller pair core: both normals from two uniforms-in-(0,1)
     def bm(x):
@@ -983,6 +1116,65 @@ def roofline():
         return y  # in [1, 2): keeps the chain numerically stable
     t_tf_pair = med(tf)
 
+    return {"fma": t_fma, "exp": t_exp, "sqrt": t_sqrt, "log": t_log,
+            "bm_pair": t_bm_pair, "tf_pair": t_tf_pair}
+
+
+# Per-path-step op counts of every fused family kernel (VERDICT r04
+# item 5), read off the single scheme definitions the kernels trace:
+#   heston   models/heston.py   heston_euler_step + s=s0*exp(w) carry
+#   heston_qe               heston_qe_step (martingale-corrected)
+#   merton   models/merton.py  _merton_leg (3 tf per step PAIR, Poisson
+#                              inverse-CDF scan of depth kmax)
+#   bates    models/bates.py   _bates_euler_leg = heston substep + jump
+#   sabr     models/sabr.py    sabr_step (2 exp; terminal exp amortized)
+#   vasicek  models/vasicek.py _vasicek_leg (3 pairs per step PAIR,
+#                              9-fma Cholesky apply + exp)
+#   localvol models/localvol.py _localvol_leg (1 pair per step PAIR,
+#                              (K-1)-ramp sigma lookup ~ 3 ops each)
+# `fma` buckets every add/mul/fma/cmp/select at t_fma.  kmax entries are
+# per-step Poisson-scan depth at the bench config (lam*T/N_STEPS).
+_POISSON_OPS_PER_K = 4.0  # pdf recurrence + cdf add + cmp + select
+
+
+def _family_op_models():
+    from mc_tpu.models.bates import DEMO_BATES
+    from mc_tpu.models.merton import DEMO_MERTON, poisson_kmax
+    k_mer = poisson_kmax(float(DEMO_MERTON.lam) * 1.0 / N_STEPS)
+    k_bat = poisson_kmax(float(DEMO_BATES.lam) * 1.0 / N_STEPS)
+    return {
+        "bullet": dict(tf=0.5, bm=0.5, exp=1, sqrt=0, log=0, fma=4),
+        "heston": dict(tf=1, bm=1, exp=1, sqrt=1, log=0, fma=13),
+        "heston_qe": dict(tf=1.5, bm=1, exp=1, sqrt=3, log=4, fma=35),
+        "merton": dict(tf=1.5, bm=1, exp=1, sqrt=1, log=0,
+                       fma=6 + _POISSON_OPS_PER_K * k_mer),
+        "bates": dict(tf=3, bm=2, exp=1, sqrt=2, log=0,
+                      fma=16 + _POISSON_OPS_PER_K * k_bat),
+        "sabr": dict(tf=1, bm=1, exp=2, sqrt=0, log=0, fma=10),
+        "vasicek": dict(tf=1.5, bm=1.5, exp=1, sqrt=0, log=0, fma=12),
+        "localvol": dict(tf=0.5, bm=0.5, exp=1, sqrt=0, log=0,
+                         fma=5 + 3 * 8),  # n_knots=9 -> 8 ramps
+    }
+
+
+def family_roofline_ns(ops, prim):
+    """Serial-roofline seconds/step of one family from measured
+    primitive times (conservative: serialized rates, see roofline)."""
+    return (ops["tf"] * prim["tf_pair"] + ops["bm"] * prim["bm_pair"]
+            + ops["exp"] * prim["exp"] + ops["sqrt"] * prim["sqrt"]
+            + ops["log"] * prim["log"] + ops["fma"] * prim["fma"])
+
+
+def roofline(prim=None):
+    """Measured per-element primitive times + the bullet-step roofline.
+
+    Per path-step the euler bullet kernel costs (pair-amortized):
+    1/2 threefry13 pair + 1/2 Box-Muller pair (log, sqrt, cos+sin on two
+    uniforms) + 1 exp + ~4 fma/cmp ops.
+    """
+    if prim is None:
+        prim = roofline_primitives()
+
     # measured bullet step time (threefry13 default config)
     dt_bullet = kernel_seconds("bullet_call", "euler")
     t_step = dt_bullet / (N_PATHS * N_STEPS)
@@ -993,12 +1185,14 @@ def roofline():
     # dependent-chain microbenches can.  >= 1 here means the kernel is at
     # the practical VPU ceiling and remaining headroom is OP COUNT (e.g.
     # cheaper RNG), not scheduling — see BASELINE.md "Roofline".
-    roof = 0.5 * t_tf_pair + 0.5 * t_bm_pair + t_exp + 4.0 * t_fma
+    roof = family_roofline_ns(_family_op_models()["bullet"], prim)
     return {
-        "fma_gops": round(1e-9 / t_fma, 1),
-        "exp_gops": round(1e-9 / t_exp, 1),
-        "boxmuller_pairs_gps": round(1e-9 / t_bm_pair, 2),
-        "threefry13_pairs_gps": round(1e-9 / t_tf_pair, 2),
+        "fma_gops": round(1e-9 / prim["fma"], 1),
+        "exp_gops": round(1e-9 / prim["exp"], 1),
+        "sqrt_gops": round(1e-9 / prim["sqrt"], 1),
+        "log_gops": round(1e-9 / prim["log"], 1),
+        "boxmuller_pairs_gps": round(1e-9 / prim["bm_pair"], 2),
+        "threefry13_pairs_gps": round(1e-9 / prim["tf_pair"], 2),
         "bullet_step_ns": round(t_step * 1e9, 4),
         "serial_roofline_step_ns": round(roof * 1e9, 4),
         "achieved_over_serial_roofline": round(roof / t_step, 3),
