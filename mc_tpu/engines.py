@@ -269,10 +269,15 @@ def price(option: OptionParams = DEMO_OPTION,
         control-variate variance reduction (BASELINE.json configs 2-3).
 
     method: "terminal" (exact, European-only) | "terminal_pair" (exact,
-    both Box-Muller halves become paths — ~1.8x the terminal kernel's
-    throughput, the production fast path for plain European pricing;
-    no antithetic/CV/IS/offset combos) | "euler"; default picks
-    "terminal" for terminal-only payoffs, "euler" otherwise.
+    both Box-Muller halves become paths — measured 1.71x the terminal
+    kernel's throughput, the production fast path; no
+    antithetic/CV/IS/offset combos) | "euler".  Default (round-5
+    decision): "terminal_pair" for plain terminal-only pricing,
+    "terminal" when antithetic/CV/IS/path_offset need the per-path
+    counter stream, "euler" for path-dependent payoffs.  NOTE the two
+    terminal kernels draw DIFFERENT streams (pair element e covers
+    paths (2e, 2e+1)); pass method="terminal" explicitly to reproduce
+    pre-round-5 default streams.
 
     importance_shift: shift the sampled terminal log-price by this many
     sigma*sqrt(T) standard deviations with exact likelihood-ratio
@@ -285,7 +290,17 @@ def price(option: OptionParams = DEMO_OPTION,
     """
     po = get_payoff(payoff)
     if method is None:
-        method = "terminal" if po.terminal_only else "euler"
+        # terminal_pair is the production default for plain terminal
+        # pricing (round-5 decision, BASELINE.md "Terminal kernel":
+        # measured 36.0e9 vs 21.0e9 paths/s classic, 1.71x, with a
+        # bitwise XLA dual and a native CPU stream twin).  Variance
+        # reduction / IS / resume offsets need the per-path counter
+        # stream, so they keep the classic terminal kernel.
+        if (po.terminal_only and not antithetic and not control_variate
+                and not importance_shift and not path_offset):
+            method = "terminal_pair"
+        else:
+            method = "terminal" if po.terminal_only else "euler"
     if po.n_state > 0 and method in ("terminal", "terminal_pair"):
         raise ValueError(f"{po.name} is path-dependent; "
                          f"method={method!r} invalid")

@@ -57,9 +57,17 @@ def test_tiling_invariance():
 
 
 def test_path_offset_extends_stream():
-    """Path offset shifts RNG counters — the sharding/checkpoint hook."""
-    full = price(engine="xla", sim=SIM_SMALL, n_paths=4096, tile_rows=8)
-    lo = price(engine="xla", sim=SIM_SMALL, n_paths=2048, tile_rows=8)
+    """Path offset shifts RNG counters — the sharding/checkpoint hook.
+
+    Pins method="terminal": the offset chunks always ride the classic
+    per-path counter stream, so the unchunked base must too (the
+    round-5 default would pick terminal_pair for it, a different
+    stream by design).
+    """
+    full = price(engine="xla", sim=SIM_SMALL, n_paths=4096, tile_rows=8,
+                 method="terminal")
+    lo = price(engine="xla", sim=SIM_SMALL, n_paths=2048, tile_rows=8,
+               method="terminal")
     hi = price(engine="xla", sim=SIM_SMALL, n_paths=2048, tile_rows=8,
                path_offset=2048)
     combined = 0.5 * (float(lo.payoff_mean) + float(hi.payoff_mean))

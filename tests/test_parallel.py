@@ -41,7 +41,9 @@ def test_sharded_matches_single_chip_draws(mesh):
     the draws are the same stream (a wrong stream shifts the mean by
     ~stderr, 1e-2 relative here).
     """
-    single = price(sim=SIM, engine="xla", tile_rows=8)
+    # method pinned: sharded pricing rides the classic per-path counter
+    # stream (shards need path_offset), so the single-chip side must too.
+    single = price(sim=SIM, engine="xla", tile_rows=8, method="terminal")
     sharded = price_sharded(sim=SIM, mesh=mesh, engine="xla", tile_rows=8)
     assert float(sharded.payoff_mean) == pytest.approx(
         float(single.payoff_mean), rel=2e-6)
@@ -76,7 +78,7 @@ def test_uneven_shard_masking(mesh):
     """n_paths not divisible by (devices * tile) — overhang must be masked."""
     sim = SimParams(n_paths=10_000, n_steps=10)  # 10000 < 8*1024
     res = price_sharded(sim=sim, mesh=mesh, engine="xla", tile_rows=8)
-    single = price(sim=sim, engine="xla", tile_rows=8)
+    single = price(sim=sim, engine="xla", tile_rows=8, method="terminal")
     assert float(res.payoff_mean) == pytest.approx(
         float(single.payoff_mean), rel=2e-6)
 

@@ -37,10 +37,12 @@ def test_portfolio_matches_individual():
     """vmapped book entry == single price() on the same stream, bitwise."""
     res = price_portfolio(book(), SIM, tile_rows=8)
     b = book()
+    # method pinned: the book kernel shares the classic per-path stream
+    # across contracts (CRN), so the scalar side must ride it too.
     single = price(OptionParams(*(float(getattr(b, f)[1]) for f in
                                   ("s0", "t", "k", "r", "sigma", "barrier",
                                    "p1", "p2"))),
-                   SIM, engine="xla", tile_rows=8)
+                   SIM, engine="xla", tile_rows=8, method="terminal")
     assert float(res.price[1]) == float(single.price)
 
 
