@@ -924,7 +924,9 @@ def _scoreboard_line(paths_per_sec, extra):
     }
     full = dict(head)
     full["extra"] = extra
-    path = _FULL_SCOREBOARD_PATH
+    # Env override so the test suite's contract gates never clobber the
+    # round's committed live-chip artifact (they pin it to a tmp path).
+    path = os.environ.get("MC_TPU_BENCH_FULL_OUT", _FULL_SCOREBOARD_PATH)
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
