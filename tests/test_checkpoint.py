@@ -12,11 +12,21 @@ CHUNK = 8 * 128 * 8  # 8192 paths/chunk -> 5 chunks
 
 
 def test_chunked_matches_plain_price():
-    """Chunked accumulation equals the one-shot price within fp noise."""
+    """Chunked accumulation equals the one-shot price within fp noise.
+
+    Chunking resumes via path_offset, which rides the classic per-path
+    counter stream — so the one-shot side must pin method="terminal"
+    (since round 5 a bare price() resolves to the terminal_pair fast
+    path, a DIFFERENT stream by design; see BASELINE.md's default
+    decision).  The pair default is still cross-checked statistically.
+    """
     a = chunked_price(sim=SIM, chunk_paths=CHUNK, engine="xla", tile_rows=8)
-    b = price(sim=SIM, engine="xla", tile_rows=8)
+    b = price(sim=SIM, engine="xla", tile_rows=8, method="terminal")
     assert float(a.price) == pytest.approx(float(b.price), rel=1e-6)
     assert float(a.stderr) == pytest.approx(float(b.stderr), rel=1e-4)
+    c = price(sim=SIM, engine="xla", tile_rows=8)  # terminal_pair default
+    joint = (float(a.stderr) ** 2 + float(c.stderr) ** 2) ** 0.5
+    assert abs(float(a.price) - float(c.price)) < 4 * joint
 
 
 def test_resume_bitwise_identical(tmp_path):

@@ -25,6 +25,8 @@ def _single_chip(model, **kw):
         return price_localvol(OPT, dyn, sim=SIM, **kw)
     if model == "heston":
         from mc_tpu.models.heston import price_heston as fn
+    elif model == "bates":
+        from mc_tpu.models.bates import price_bates as fn
     elif model == "cev":
         from mc_tpu.models.cev import price_cev as fn
     elif model == "merton":
