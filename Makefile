@@ -18,7 +18,7 @@ bench:  ## benchmark harness (one JSON line)
 	$(PY) bench.py
 
 mesh-probe:  ## weak-scaling + psum-cost probe on the (virtual) mesh
-	$(PY) bench_mesh.py | tee MESHSCALE_r04.json
+	$(PY) bench_mesh.py | tee MESHSCALE_r05.json
 
 demo:  ## hello.cu-equivalent demo table
 	$(PY) -m mc_tpu demo

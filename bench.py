@@ -771,21 +771,29 @@ def _full_bench():
                 extra[f"{row}_path_steps_per_sec"] = round(
                     N_PATHS * N_STEPS / r[0], 1)
                 extra[f"{row}_rel_spread"] = round(r[1], 4)
-    dt = guard("rainbow", rainbow_kernel_seconds)
-    if dt is not None:
-        extra["rainbow4_paths_per_sec"] = round(N_PATHS / dt, 1)
-    dt = guard("fx", fx_kernel_seconds)
-    if dt is not None:
-        extra["fx_paths_per_sec"] = round(N_PATHS / dt, 1)
-    q = guard("qmc", qmc_kernel_seconds)
+    # Terminal-draw + rates rows: adaptive 3-7 reps like the family
+    # rows (round-5 follow-through on VERDICT r04 item 6 — rainbow
+    # swung 10.8->9.0e9 between rounds with no recorded spread to
+    # read the delta against).
+    for name, fn, key_name in (
+            ("rainbow", rainbow_kernel_seconds, "rainbow4_paths_per_sec"),
+            ("fx", fx_kernel_seconds, "fx_paths_per_sec"),
+            ("hw_swaption", hw_swaption_kernel_seconds,
+             "hw_swaption_paths_per_sec"),
+            ("g2_swaption", g2_swaption_kernel_seconds,
+             "g2_swaption_paths_per_sec")):
+        r = guard(name, lambda f=fn: median_until(f, target=0.10,
+                                                  m0=3, mmax=7))
+        if r is not None:
+            extra[key_name] = round(N_PATHS / r[0], 1)
+            extra[key_name.replace("_paths_per_sec", "_rel_spread")] = \
+                round(r[1], 4)
+    q = guard("qmc", lambda: median_until(lambda: qmc_kernel_seconds()[0],
+                                          target=0.10, m0=3, mmax=7))
     if q is not None:
-        extra["qmc_paths_per_sec"] = round(q[1] / q[0], 1)
-    dt = guard("hw_swaption", hw_swaption_kernel_seconds)
-    if dt is not None:
-        extra["hw_swaption_paths_per_sec"] = round(N_PATHS / dt, 1)
-    dt = guard("g2_swaption", g2_swaption_kernel_seconds)
-    if dt is not None:
-        extra["g2_swaption_paths_per_sec"] = round(N_PATHS / dt, 1)
+        from mc_tpu.qmc import prev_prime
+        extra["qmc_paths_per_sec"] = round(prev_prime(1 << 20) / q[0], 1)
+        extra["qmc_rel_spread"] = round(q[1], 4)
     # Fused-engine twins (round 4): classic vs Mosaic vs bitwise-XLA
     # dual on the SAME workload — the Pallas-or-not decision data.
     for name, fn in (
