@@ -63,6 +63,15 @@ def _multi(payoff, cfg, keys):
         keys))
 
 
+# Minimum T(K)-T(1) differential span per measurement.  The tunnel's
+# per-call overhead jitter is ~1 ms; at the old 10 ms floor that put a
+# 10-30% noise floor on the fast family rows (localvol 0.285,
+# merton 0.21 rel_spread in the r05 interactive run despite 7 adaptive
+# reps).  30 ms of signal cuts the per-measurement noise ~3x at the
+# source, so the adaptive-rep loop converges instead of capping.
+_MIN_SIGNAL_S = 30e-3
+
+
 def _keys(n):
     import numpy as np
     return jnp.asarray(np.stack([rng.derive_key(s, 0) for s in range(n)]),
@@ -93,7 +102,7 @@ def kernel_seconds(payoff_name="vanilla_call", method="terminal",
     t1 = best_of(_keys(1))
     while True:
         dt = max((best_of(_keys(k)) - t1) / (k - 1), 1e-9)
-        if dt * (k - 1) > 10e-3 or k >= 512:  # >=10 ms of signal
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
             return dt
         k *= 4
 
@@ -129,7 +138,7 @@ def terminal_pair_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=K_REPS,
     t1 = best_of(_keys(1))
     while True:
         dt = max((best_of(_keys(k)) - t1) / (k - 1), 1e-9)
-        if dt * (k - 1) > 10e-3 or k >= 512:
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
             return dt
         k *= 4
 
@@ -220,7 +229,7 @@ def heston_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4,
     t1 = best_of(_keys(1))
     while True:
         dt = max((best_of(_keys(k)) - t1) / (k - 1), 1e-9)
-        if dt * (k - 1) > 10e-3 or k >= 512:
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
             return dt
         k *= 4
 
@@ -257,7 +266,7 @@ def bates_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4,
     t1 = best_of(_keys(1))
     while True:
         dt = max((best_of(_keys(k)) - t1) / (k - 1), 1e-9)
-        if dt * (k - 1) > 10e-3 or k >= 512:
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
             return dt
         k *= 4
 
@@ -284,7 +293,7 @@ def _model_kernel_seconds(price_scalar_fn, k=8, reps=4):
     t1 = best_of(_keys(1))
     while True:
         dt = max((best_of(_keys(k)) - t1) / (k - 1), 1e-9)
-        if dt * (k - 1) > 10e-3 or k >= 512:
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
             return dt
         k *= 4
 
@@ -525,7 +534,7 @@ def qmc_kernel_seconds(n_steps=1, k=8, reps=4):
     t1 = best_of(1)
     while True:
         dt = max((best_of(k) - t1) / (k - 1), 1e-9)
-        if dt * (k - 1) > 10e-3 or k >= 512:
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
             return dt, n
         k *= 4
 
@@ -771,6 +780,7 @@ def _full_bench():
                 extra[f"{row}_path_steps_per_sec"] = round(
                     N_PATHS * N_STEPS / r[0], 1)
                 extra[f"{row}_rel_spread"] = round(r[1], 4)
+                extra[f"{row}_reps"] = r[2]
     # Terminal-draw + rates rows: adaptive 3-7 reps like the family
     # rows (round-5 follow-through on VERDICT r04 item 6 — rainbow
     # swung 10.8->9.0e9 between rounds with no recorded spread to
@@ -788,12 +798,14 @@ def _full_bench():
             extra[key_name] = round(N_PATHS / r[0], 1)
             extra[key_name.replace("_paths_per_sec", "_rel_spread")] = \
                 round(r[1], 4)
+            extra[key_name.replace("_paths_per_sec", "_reps")] = r[2]
     q = guard("qmc", lambda: median_until(lambda: qmc_kernel_seconds()[0],
                                           target=0.10, m0=3, mmax=7))
     if q is not None:
         from mc_tpu.qmc import prev_prime
         extra["qmc_paths_per_sec"] = round(prev_prime(1 << 20) / q[0], 1)
         extra["qmc_rel_spread"] = round(q[1], 4)
+        extra["qmc_reps"] = q[2]
     # Fused-engine twins (round 4): classic vs Mosaic vs bitwise-XLA
     # dual on the SAME workload — the Pallas-or-not decision data.
     for name, fn in (
@@ -1081,7 +1093,7 @@ def _chain_seconds(body, iters=_ROOF_ITERS, k=8, reps=4):
     t1 = best_of(1)
     while True:
         dt = max((best_of(k) - t1) / (k - 1), 1e-12)
-        if dt * (k - 1) > 10e-3 or k >= 512:
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
             return dt / (4 * iters)
         k *= 4
 
