@@ -70,6 +70,12 @@ def _multi(payoff, cfg, keys):
 # reps).  30 ms of signal cuts the per-measurement noise ~3x at the
 # source, so the adaptive-rep loop converges instead of capping.
 _MIN_SIGNAL_S = 30e-3
+# Chain-length cap for the auto-growing K.  The old 512 exited the
+# ~28us headline kernels at only ~14ms of signal (below the floor:
+# headline rel_spread 0.121 at the 15-rep cap even after the 30ms fix
+# landed for the slower family rows).  lax.map is a scan, so compile
+# time is O(1) in K — 2048 chains cost nothing but the 57ms they run.
+_MAX_CHAIN = 2048
 
 
 def _keys(n):
@@ -102,7 +108,7 @@ def kernel_seconds(payoff_name="vanilla_call", method="terminal",
     t1 = best_of(_keys(1))
     while True:
         dt = max((best_of(_keys(k)) - t1) / (k - 1), 1e-9)
-        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= _MAX_CHAIN:
             return dt
         k *= 4
 
@@ -138,7 +144,7 @@ def terminal_pair_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=K_REPS,
     t1 = best_of(_keys(1))
     while True:
         dt = max((best_of(_keys(k)) - t1) / (k - 1), 1e-9)
-        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= _MAX_CHAIN:
             return dt
         k *= 4
 
@@ -229,7 +235,7 @@ def heston_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4,
     t1 = best_of(_keys(1))
     while True:
         dt = max((best_of(_keys(k)) - t1) / (k - 1), 1e-9)
-        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= _MAX_CHAIN:
             return dt
         k *= 4
 
@@ -266,7 +272,7 @@ def bates_kernel_seconds(n_paths=N_PATHS, n_steps=N_STEPS, k=8, reps=4,
     t1 = best_of(_keys(1))
     while True:
         dt = max((best_of(_keys(k)) - t1) / (k - 1), 1e-9)
-        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= _MAX_CHAIN:
             return dt
         k *= 4
 
@@ -293,7 +299,7 @@ def _model_kernel_seconds(price_scalar_fn, k=8, reps=4):
     t1 = best_of(_keys(1))
     while True:
         dt = max((best_of(_keys(k)) - t1) / (k - 1), 1e-9)
-        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= _MAX_CHAIN:
             return dt
         k *= 4
 
@@ -534,7 +540,7 @@ def qmc_kernel_seconds(n_steps=1, k=8, reps=4):
     t1 = best_of(1)
     while True:
         dt = max((best_of(k) - t1) / (k - 1), 1e-9)
-        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= _MAX_CHAIN:
             return dt, n
         k *= 4
 
@@ -1093,7 +1099,7 @@ def _chain_seconds(body, iters=_ROOF_ITERS, k=8, reps=4):
     t1 = best_of(1)
     while True:
         dt = max((best_of(k) - t1) / (k - 1), 1e-12)
-        if dt * (k - 1) > _MIN_SIGNAL_S or k >= 512:
+        if dt * (k - 1) > _MIN_SIGNAL_S or k >= _MAX_CHAIN:
             return dt / (4 * iters)
         k *= 4
 
